@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Determinism helpers for DuckDB-oracle-exact aggregation.
+  *
+  * Double sums are order-dependent, and Spark's partitioned aggregation
+  * order differs from DuckDB's — so a raw `sum(double)` can differ in the
+  * last ulps and fail a hash compare. (Casting each row to DECIMAL is not
+  * enough either: Spark and DuckDB round the double→decimal conversion
+  * differently at half-way points, observed on ~0.4% of rows.)
+  *
+  * The recipe used throughout the query inventory:
+  *
+  *   1. keep per-row arithmetic in double — IEEE ops on identical inputs
+  *      with identical expression shape are bitwise deterministic across
+  *      engines;
+  *   2. quantize per row with pure double ops: `floor(x * 1e4 + 0.5)` —
+  *      still bitwise deterministic, yields an exactly-representable
+  *      integer (Spark `floor` returns Long);
+  *   3. sum the integers — exact, associative, partition-order-free;
+  *   4. divide the final total by 1e4 in double.
+  *
+  * The DuckDB oracle mirrors this:
+  *   `CAST(SUM(CAST(FLOOR(expr * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0`.
+  *
+  * This is also the 100 TB answer: integer partial sums are map-side
+  * combinable and associative, so the plan stays a standard
+  * partial → shuffle → final HashAggregate. (Long overflow headroom:
+  * 2^63 / 1e4 ≈ 9.2e14 in value terms per group.)
+  */
+object QueryUtil {
+
+  /** Order-independent, engine-exact sum of a double expression,
+    * quantized to 4 decimal places. */
+  def dsum(c: Column): Column =
+    sum(floor(c * lit(10000.0) + lit(0.5))).cast("double") / lit(10000.0)
+
+  /** Order-independent, engine-exact average (4-decimal quantization). */
+  def davg(c: Column): Column =
+    sum(floor(c * lit(10000.0) + lit(0.5))).cast("double") / lit(10000.0) /
+      count(lit(1))
+
+  /** DuckDB-side SQL for [[dsum]]. */
+  def sqlDsum(expr: String): String =
+    s"(CAST(SUM(CAST(FLOOR(($expr) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0)"
+
+  /** DuckDB-side SQL for [[davg]]. */
+  def sqlDavg(expr: String): String =
+    s"(CAST(SUM(CAST(FLOOR(($expr) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*))"
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSuite {
+
+  test("pricing_summary: groups present, counts reconcile with raw filter") {
+    val df = SparkEntry.queries("pricing_summary")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 6) // |returnflag| x |linestatus|
+    val totalGrouped = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp")).count()
+    assert(totalGrouped === expected)
+    // avg consistency: avg_qty * count ≈ sum_qty
+    rows.foreach { r =>
+      val approx = r.getAs[Double]("avg_qty") * r.getAs[Long]("count_order")
+      assert(math.abs(approx - r.getAs[Double]("sum_qty")) < 1e-6 * approx + 1e-6)
+    }
+  }
+
+  test("entry: flagship smoke returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("filter_project: predicate actually applied") {
+    val df = SparkEntry.queries("filter_project")(spark, sf)
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 45 && col("l_discount") <= 0.02 &&
+        col("l_returnflag") =!= "A").count()
+    assert(df.count() === expected && expected > 0)
+  }
+
+  test("global_sort: monotone by o_totalprice desc") {
+    val prices = SparkEntry.queries("global_sort")(spark, sf)
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("every query has either an oracle or is explicitly exempt") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // keep the exemption list explicit so new queries fail loudly
+    val exempt = Set.empty[String]
+    assert((missing -- exempt).isEmpty, s"queries without oracle: $missing")
+  }
+}
