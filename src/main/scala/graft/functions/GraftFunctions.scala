@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
+
+/** Public Column API for the engine's custom functions (the Spark-4
+  * `Column` ↔ Catalyst `Expression` bridge goes through
+  * the graftbridge shim over `classic.ExpressionUtils`). */
+object GraftFunctions {
+
+  /** Reference-identical FNV-1a fingerprint of one or more columns;
+    * multi-column calls chain the hash state (composite keys). */
+  def fnv1a(cols: Column*): Column =
+    ExpressionUtils.column(
+      Fnv1aHash(cols.map(ExpressionUtils.expression), Fnv1aCore.OffsetBasis))
+
+  /** Seeded FNV-1a — the reference's `create_init` hash family
+    * (fnv1a.rs:26-28); the substrate for MinHash seeding. */
+  def fnv1a_seeded(seed: Long, cols: Column*): Column =
+    ExpressionUtils.column(
+      Fnv1aHash(cols.map(ExpressionUtils.expression), seed))
+
+  /** Register `fnv1a` for the SQL surface of this session. */
+  def registerSql(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fnv1a", exprs => Fnv1aHash(exprs, Fnv1aCore.OffsetBasis), "built-in")
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.{Fnv1aCore, Fnv1aHash, GraftFunctions => F}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+
+/** Golden vectors from the reference's own tests
+  * (/root/reference/src/algo/fnv1a.rs:101-170) + algebraic properties. */
+class Fnv1aSpec extends SparkSuite {
+  // deterministic property loops (no scalatestplus bridge in offline cache)
+  private val rnd = new scala.util.Random(42)
+
+  test("fresh state is the offset basis (fnv1a.rs:101-106)") {
+    assert(Fnv1aCore.OffsetBasis === 0xcbf29ce484222325L)
+  }
+
+  test("golden: 1337 as i32/u32 (fnv1a.rs:117-133)") {
+    assert(Fnv1aCore.hashInt(1337, Fnv1aCore.OffsetBasis) === 0x9358f934873276dbL)
+  }
+
+  test("golden: 1337 as i64/u64 (fnv1a.rs:135-151)") {
+    assert(Fnv1aCore.hashLong(1337L, Fnv1aCore.OffsetBasis) === 0x41ff8641d035260bL)
+  }
+
+  test("golden: false (fnv1a.rs:153-159)") {
+    assert(Fnv1aCore.hashBoolean(false, Fnv1aCore.OffsetBasis) === 0x4b91cd1c0e0a959cL)
+  }
+
+  test("golden: bytes of \"deadbeef\" (fnv1a.rs:161-170)") {
+    assert(Fnv1aCore.hashBytes("deadbeef".getBytes("UTF-8"), Fnv1aCore.OffsetBasis)
+      === 0xcd4f3b6f56d93515L)
+  }
+
+  test("expression matches core through codegen path") {
+    import spark.implicits._
+    val row = Seq((1337, 1337L, false, "deadbeef"))
+      .toDF("i", "l", "b", "s")
+      .select(F.fnv1a($"i"), F.fnv1a($"l"), F.fnv1a($"b"), F.fnv1a($"s"))
+      .head()
+    assert(row.getLong(0) === 0x9358f934873276dbL)
+    assert(row.getLong(1) === 0x41ff8641d035260bL)
+    assert(row.getLong(2) === 0x4b91cd1c0e0a959cL)
+    assert(row.getLong(3) === 0xcd4f3b6f56d93515L)
+  }
+
+  test("chaining equals concatenation (fnv1a.rs:9-11,68-79)") {
+    for (_ <- 1 to 200) {
+      val a = rnd.nextInt(); val b = rnd.nextLong()
+      val chained = Fnv1aCore.hashLong(b, Fnv1aCore.hashInt(a, Fnv1aCore.OffsetBasis))
+      val le = java.nio.ByteBuffer.allocate(12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(a).putLong(b).array()
+      assert(chained === Fnv1aCore.hashBytes(le, Fnv1aCore.OffsetBasis))
+    }
+  }
+
+  test("seeded = continuing from prior state (fnv1a.rs:26-28)") {
+    for (_ <- 1 to 200) {
+      val seed = rnd.nextLong(); val v = rnd.nextInt()
+      assert(Fnv1aCore.hashInt(v, seed) ===
+        Fnv1aHash(Seq(Literal(v)), seed).eval(null))
+    }
+  }
+
+  test("multi-column expression chains state") {
+    import spark.implicits._
+    val got = Seq((1337, "deadbeef")).toDF("i", "s")
+      .select(F.fnv1a($"i", $"s")).head().getLong(0)
+    val want = Fnv1aCore.hashBytes("deadbeef".getBytes("UTF-8"),
+      Fnv1aCore.hashInt(1337, Fnv1aCore.OffsetBasis))
+    assert(got === want)
+  }
+
+  test("null input nulls the hash") {
+    import spark.implicits._
+    val r = Seq((Some(1), Option.empty[String])).toDF("i", "s")
+      .select(F.fnv1a($"i", $"s")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("SQL registration works") {
+    F.registerSql(spark)
+    val r = spark.sql("SELECT fnv1a('deadbeef') AS h").head()
+    assert(r.getLong(0) === 0xcd4f3b6f56d93515L)
+  }
+
+  test("interpreted eval agrees with codegen on random strings") {
+    import spark.implicits._
+    for (_ <- 1 to 200) {
+      val s = rnd.nextString(rnd.nextInt(50))
+      val viaCore = Fnv1aCore.hashBytes(s.getBytes("UTF-8"), Fnv1aCore.OffsetBasis)
+      val viaExpr = Fnv1aHash(Seq(Literal(s)), Fnv1aCore.OffsetBasis).eval(null)
+      assert(viaExpr === viaCore)
+    }
+  }
+}
