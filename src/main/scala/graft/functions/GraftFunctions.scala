@@ -20,6 +20,13 @@ object GraftFunctions {
     ExpressionUtils.column(
       Fnv1aHash(cols.map(ExpressionUtils.expression), seed))
 
+  /** Seeded FNV-1a with a runtime seed column — lets higher-order
+    * functions vary the hash-family index per lambda variable (MinHash
+    * signatures stay inside codegen; no UDF). */
+  def fnv1a_seeded_dyn(seed: Column, cols: Column*): Column =
+    ExpressionUtils.column(
+      Fnv1aSeededHash((seed +: cols).map(ExpressionUtils.expression)))
+
   /** Register `fnv1a` for the SQL surface of this session. */
   def registerSql(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -13,17 +13,26 @@ import org.apache.spark.sql.functions._
 object Pipeline {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Second-fingerprint-lane seed (2^64 / golden ratio — a public
+    * mixing constant); any init state != OffsetBasis yields an
+    * independent member of the reference's `create_init` hash family. */
+  private val Lane2Seed: Long = 0x9e3779b97f4a7c15L
+
   val queries: Map[String, Q] = Map(
-    // L1: exact dedup by content fingerprint. The 64-bit fnv1a(text)
-    // fingerprint is the shuffle key — at 100 TB the window partitions
-    // by fingerprint (near-uniform), never by the text itself, so no
-    // oversized shuffle keys and map-side the text is reduced to 8
-    // bytes. Deterministic winner: smallest doc_id.
+    // L1: exact dedup by content fingerprint. The fingerprint is the
+    // shuffle key — at 100 TB the window partitions by fingerprint
+    // (near-uniform), never by the text itself, so no oversized shuffle
+    // keys and map-side the text is reduced to 16 bytes. Two independent
+    // seeded fnv1a lanes give a 128-bit fingerprint: the 64-bit birthday
+    // bound (~40% collision odds at ~4B docs) would silently drop a
+    // distinct doc at 100 TB; at 128 bits the same bound is ~1e-20.
+    // Deterministic winner: smallest doc_id.
     "exact_dedup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val w = Window.partitionBy($"fp").orderBy($"doc_id")
+      val w = Window.partitionBy($"fp1", $"fp2").orderBy($"doc_id")
       Tables.documents(s, dir)
-        .withColumn("fp", F.fnv1a($"text"))
+        .withColumn("fp1", F.fnv1a($"text"))
+        .withColumn("fp2", F.fnv1a_seeded(Lane2Seed, $"text"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"doc_id", $"lang", $"source", $"n_chars")

@@ -37,10 +37,11 @@ object QueryUtil {
   def dsum(c: Column): Column =
     sum(floor(c * lit(10000.0) + lit(0.5))).cast("double") / lit(10000.0)
 
-  /** Order-independent, engine-exact average (4-decimal quantization). */
+  /** Order-independent, engine-exact average (4-decimal quantization).
+    * Standard AVG semantics: divides by the count of non-null inputs. */
   def davg(c: Column): Column =
     sum(floor(c * lit(10000.0) + lit(0.5))).cast("double") / lit(10000.0) /
-      count(lit(1))
+      count(c)
 
   /** DuckDB-side SQL for [[dsum]]. */
   def sqlDsum(expr: String): String =
@@ -48,5 +49,5 @@ object QueryUtil {
 
   /** DuckDB-side SQL for [[davg]]. */
   def sqlDavg(expr: String): String =
-    s"(CAST(SUM(CAST(FLOOR(($expr) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*))"
+    s"(CAST(SUM(CAST(FLOOR(($expr) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT($expr))"
 }

@@ -6,7 +6,8 @@ Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already ran.
 Registers each parquet table as a DuckDB view, runs every oracle SQL from
 outDir/oracle_sql.json, and compares against the Spark result parquet:
 columns sorted by name, rows sorted by all columns, exact value equality
-(1e-9 relative tolerance fallback reported separately for doubles).
+(doubles must match bitwise — no tolerance; queries quantize to make
+cross-engine double arithmetic deterministic, see QueryUtil.scala).
 """
 import sys, json, glob, math
 import duckdb
