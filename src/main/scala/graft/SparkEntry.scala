@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Joins.queries ++
+      graft.queries.Lookups.queries ++
       graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -25,5 +26,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Joins.oracle ++
+      graft.queries.Lookups.oracle ++
       graft.queries.Pipeline.oracle
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (point-in-time enrichment): for every probe row, the
+  * single build row with the greatest `buildTs <= probeTs` for the same
+  * key — the Spark realization of the reference's floor search
+  * (`greatest_not_exceeding`, /root/reference/src/algo/search.rs:51-80),
+  * including the probe-before-first-build contract: no qualifying build
+  * row ⇒ the build payload is all-null (`search.rs:66-68` returns
+  * `None`, not an error).
+  *
+  * Implementation — union–sort–window, one shuffle on the join key:
+  * both sides are tagged and unioned; a key-partitioned window ordered
+  * by `(ts, tag)` (builds sort before probes at equal ts, making the
+  * match inclusive) carries the last non-null build payload forward;
+  * probe rows are then kept. At 100 TB this is a single hash shuffle of
+  * probe+build on the key — no broadcast of an unbounded build side, no
+  * per-row subqueries; AQE's skew handling applies to the window sort
+  * like any other shuffle.
+  *
+  * Determinism contract: the build side must be unique per (key, ts) —
+  * pre-aggregate it (e.g. `max_by`) if it is not; with duplicates the
+  * "latest" row at equal ts is ambiguous in any as-of engine (DuckDB's
+  * ASOF JOIN included).
+  */
+object AsOfJoin {
+
+  /** @param probe        probe side; all its columns are preserved
+    * @param build        build side; only `payload` columns are attached
+    * @param probeKey     join key on the probe side
+    * @param buildKey     join key on the build side
+    * @param probeTs      probe event time
+    * @param buildTs      build event time
+    * @param payload      build columns to attach (null when no match)
+    */
+  def asof(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: Column, buildKey: Column,
+      probeTs: Column, buildTs: Column,
+      payload: Seq[String]): DataFrame = {
+
+    val payloadType = build.select(payload.map(col): _*).schema
+    val probeCols = probe.columns.toSeq
+
+    val p = probe.select(
+      probeKey.as("__k"), probeTs.as("__ts"), lit(1).as("__tag"),
+      struct(probeCols.map(col): _*).as("__row"),
+      lit(null).cast(payloadType).as("__payload"))
+    val b = build.select(
+      buildKey.as("__k"), buildTs.as("__ts"), lit(0).as("__tag"),
+      lit(null).cast(probe.schema).as("__row"),
+      struct(payload.map(col): _*).as("__payload"))
+
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    p.unionByName(b)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(probeCols.map(c => col(s"__row.$c").as(c)) ++
+        payload.map(c => col(s"__match.$c").as(c)): _*)
+  }
+}

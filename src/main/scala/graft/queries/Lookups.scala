@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ordered-retrieval family — the queries that carry the reference's
+  * three implemented search semantics (SURVEY.md §2.1 P3–P5) plus the
+  * join operators built from them: point lookup (S3), range scan (S4),
+  * floor / successor lookup incl. the below-min / above-max edge matrix
+  * (S5/S6, `/root/reference/src/algo/search.rs:51-124`), equal-key run
+  * extraction (J10), interval join (J8) and the as-of join (J9).
+  *
+  * Scale shape: lookups are pushed-down predicates + `TakeOrderedAndProject`
+  * (never a driver-side scan); probes are derived with scalar-subquery
+  * broadcasts so the queries stay scale-factor-agnostic.
+  */
+object Lookups {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S3: exact-key retrieval; the probe key is itself derived (max
+    // orderkey) and broadcast, so the same query works at any sf.
+    "point_lookup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val probe = li.agg(max($"l_orderkey").as("k"))
+      li.join(broadcast(probe), $"l_orderkey" === $"k")
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_quantity")
+        .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey", $"l_quantity")
+    }),
+
+    // S4: bracket range scan (lo < k AND k <= hi) — both bounds reach
+    // the parquet scan as pushed filters / row-group skips.
+    "range_scan" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" > lit("1996-06-01").cast("timestamp") &&
+          $"l_shipdate" <= lit("1996-07-01").cast("timestamp"))
+        .select($"l_orderkey", $"l_linenumber", $"l_shipdate", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_shipdate", $"l_quantity")
+    }),
+
+    // S5/S6: floor (greatest ts <= probe) and successor (least ts >
+    // probe) lookups probed at mid / below-min / above-max — the edge
+    // matrix of search.rs:126-373 plus the below-min case it omits.
+    // Empty probes contribute zero rows (the None contract).
+    "floor_successor_lookup" -> ((s: SparkSession, dir: String) => {
+      val o = Tables.orders(s, dir)
+      def piece(label: String, kind: String, cond: Column, sort: Seq[Column]): DataFrame =
+        o.filter(cond).orderBy(sort: _*).limit(1)
+          .select(lit(label).as("probe"), lit(kind).as("kind"),
+            col("o_orderkey"), col("o_orderdate"))
+      def at(label: String, ts: String): Seq[DataFrame] = {
+        val p = lit(ts).cast("timestamp")
+        Seq(
+          piece(label, "floor", col("o_orderdate") <= p,
+            Seq(col("o_orderdate").desc, col("o_orderkey").desc)),
+          piece(label, "successor", col("o_orderdate") > p,
+            Seq(col("o_orderdate").asc, col("o_orderkey").asc)))
+      }
+      (at("mid", "1998-06-15") ++ at("below_min", "1990-01-01") ++
+        at("above_max", "2005-01-01"))
+        .reduce(_ unionByName _)
+        .orderBy(col("probe"), col("kind"))
+    }),
+
+    // J10: extract the complete equal-key run for the key with the
+    // longest run (ties broken to the smallest key) — run discovery and
+    // extraction are both distributed aggregations, no driver loop.
+    "equal_run" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val runs = li.groupBy($"l_orderkey").agg(count(lit(1)).as("run_len"))
+      val maxLen = runs.agg(max($"run_len").as("max_len"))
+      val target = runs.join(broadcast(maxLen), $"run_len" === $"max_len")
+        .agg(min($"l_orderkey").as("k"))
+      li.join(broadcast(target), $"l_orderkey" === $"k")
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_quantity")
+        .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey", $"l_quantity")
+    }),
+
+    // J8: equi + interval join — events followed by another event of
+    // the same user within 5 minutes. The equality on user_id keeps
+    // this a hash join with a residual range predicate (never a
+    // nested-loop over the cross product) — the only interval-join
+    // shape that survives 100 TB.
+    "range_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val a = Tables.events(s, dir).select($"user_id", $"ts", $"event_type")
+      val b = Tables.events(s, dir)
+        .select($"user_id".as("user_id2"), $"ts".as("ts2"))
+      a.join(b, $"user_id" === $"user_id2" &&
+          $"ts2" > $"ts" && $"ts2" <= $"ts" + expr("INTERVAL 5 MINUTES"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_followups"))
+        .orderBy($"event_type")
+    }),
+
+    // J9: as-of join — for every urgent order, the customer's most
+    // recent prior-or-same-day non-urgent order; customers with no
+    // earlier non-urgent order get nulls (the None-before-first
+    // contract, search.rs:66-68). Build side is pre-deduped to one row
+    // per (key, ts) for determinism.
+    "asof_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val probe = o.filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val build = o.filter($"o_orderpriority" =!= "1-URGENT")
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_orderkey").as("prev_orderkey"),
+          max_by($"o_totalprice", $"o_orderkey").as("prev_totalprice"))
+        .select($"o_custkey".as("b_custkey"), $"o_orderdate".as("prev_orderdate"),
+          $"prev_orderkey", $"prev_totalprice")
+      AsOfJoin.asof(probe, build,
+        probe("o_custkey"), build("b_custkey"),
+        probe("o_orderdate"), build("prev_orderdate"),
+        Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
+        .orderBy($"o_orderkey")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+        |ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin,
+
+    "range_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate > TIMESTAMP '1996-06-01'
+        |  AND l_shipdate <= TIMESTAMP '1996-07-01'
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate, l_quantity""".stripMargin,
+
+    "floor_successor_lookup" ->
+      """(SELECT 'mid' AS probe, 'floor' AS kind, o_orderkey, o_orderdate FROM orders
+        |  WHERE o_orderdate <= TIMESTAMP '1998-06-15'
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1)
+        |UNION ALL
+        |(SELECT 'mid', 'successor', o_orderkey, o_orderdate FROM orders
+        |  WHERE o_orderdate > TIMESTAMP '1998-06-15'
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1)
+        |UNION ALL
+        |(SELECT 'below_min', 'floor', o_orderkey, o_orderdate FROM orders
+        |  WHERE o_orderdate <= TIMESTAMP '1990-01-01'
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1)
+        |UNION ALL
+        |(SELECT 'below_min', 'successor', o_orderkey, o_orderdate FROM orders
+        |  WHERE o_orderdate > TIMESTAMP '1990-01-01'
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1)
+        |UNION ALL
+        |(SELECT 'above_max', 'floor', o_orderkey, o_orderdate FROM orders
+        |  WHERE o_orderdate <= TIMESTAMP '2005-01-01'
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1)
+        |UNION ALL
+        |(SELECT 'above_max', 'successor', o_orderkey, o_orderdate FROM orders
+        |  WHERE o_orderdate > TIMESTAMP '2005-01-01'
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1)
+        |ORDER BY probe, kind""".stripMargin,
+
+    "equal_run" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey = (
+        |  SELECT min(l_orderkey) FROM (
+        |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |    HAVING COUNT(*) = (SELECT max(cnt) FROM (
+        |      SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey))))
+        |ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin,
+
+    "range_join" ->
+      """SELECT a.event_type, COUNT(*) AS n_followups
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |GROUP BY a.event_type
+        |ORDER BY a.event_type""".stripMargin,
+
+    "asof_join" ->
+      """WITH build AS (
+        |  SELECT o_custkey AS b_custkey, o_orderdate AS prev_orderdate,
+        |         max(o_orderkey) AS prev_orderkey,
+        |         arg_max(o_totalprice, o_orderkey) AS prev_totalprice
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |SELECT p.o_orderkey, p.o_custkey, p.o_orderdate,
+        |       b.prev_orderkey, b.prev_orderdate, b.prev_totalprice
+        |FROM probe p ASOF LEFT JOIN build b
+        |  ON p.o_custkey = b.b_custkey AND p.o_orderdate >= b.prev_orderdate
+        |ORDER BY p.o_orderkey""".stripMargin,
+  )
+}
