@@ -19,6 +19,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Joins.queries ++
       graft.queries.Lookups.queries ++
+      graft.queries.Aggregates.queries ++
+      graft.queries.Aggregates.noOracleQueries ++
       graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,5 +29,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Joins.oracle ++
       graft.queries.Lookups.oracle ++
+      graft.queries.Aggregates.oracle ++
       graft.queries.Pipeline.oracle
 }

@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+
+/** Aggregation depth — SURVEY.md §2 rows G3–G9.
+  *
+  * Engine-exact determinism for the statistical moments: variance /
+  * stddev are derived from quantized integer power sums (exact DECIMAL
+  * partials, associative and map-side combinable — the same recipe as
+  * [[QueryUtil.dsum]], see its scaladoc), then finished with an
+  * identical double formula in Spark and the oracle. A native
+  * `stddev_samp` would differ from DuckDB in final ulps because
+  * partial-aggregation order differs; exact integer partials cannot.
+  */
+object Aggregates {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // G3 + G9: min/max + exact-deterministic variance/stddev + filtered
+    // (conditional) aggregates, one pass over lineitem.
+    "agg_stats" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val q = floor($"l_quantity" * lit(10000.0) + lit(0.5))
+      val qd = q.cast("decimal(19,0)")
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min($"l_quantity").as("min_qty"),
+          max($"l_quantity").as("max_qty"),
+          sum(qd).cast("double").as("s1"),
+          sum(qd * qd).cast("double").as("s2"),
+          sum(when($"l_quantity" > 25, 1L).otherwise(0L)).as("n_bulk"),
+          dsum(when($"l_discount" > 0.05, $"l_extendedprice").otherwise(lit(0.0)))
+            .as("discounted_rev"))
+        .select($"l_returnflag", $"n_rows", $"min_qty", $"max_qty",
+          (($"s2" - $"s1" * $"s1" / $"n_rows") / ($"n_rows" - 1) / lit(1.0e8))
+            .as("var_qty"),
+          sqrt(($"s2" - $"s1" * $"s1" / $"n_rows") / ($"n_rows" - 1) / lit(1.0e8))
+            .as("std_qty"),
+          $"n_bulk", $"discounted_rev")
+        .orderBy($"l_returnflag")
+    }),
+
+    // G4: exact distinct counts — single- and multi-column.
+    "agg_distinct" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          countDistinct($"o_custkey").as("n_custs"),
+          countDistinct($"o_custkey", $"o_orderstatus").as("n_cust_status"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // G6 (rollup): per (lang, source) + per-lang subtotals + grand
+    // total over documents, with grouping_id disambiguating the levels.
+    "agg_rollup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .rollup($"lang", $"source")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .select($"lang", $"source", $"gid", $"n_docs", $"total_chars")
+        .orderBy($"gid", $"lang".asc_nulls_first, $"source".asc_nulls_first)
+    }),
+
+    // G6 (cube): all four grouping combinations over orders.
+    "agg_cube" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .cube($"o_orderpriority", $"o_orderstatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+        .select($"o_orderpriority", $"o_orderstatus", $"gid", $"n_orders", $"total")
+        .orderBy($"gid", $"o_orderpriority".asc_nulls_first,
+          $"o_orderstatus".asc_nulls_first)
+    }),
+
+    // G8: percentile. Spark's percentile_approx with accuracy >> n is
+    // exact and returns actual data values — the same nearest-rank
+    // contract as DuckDB's quantile_disc. Flattened to scalar columns
+    // (array-typed outputs defeat the oracle's row sort).
+    "agg_percentile" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_quantity",
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(1000000))
+          .as("qs"))
+        .select($"l_returnflag",
+          element_at($"qs", 1).as("q25"), element_at($"qs", 2).as("q50"),
+          element_at($"qs", 3).as("q75"), element_at($"qs", 4).as("q95"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // G7: group → sorted array, serialized to a stable string (both
+    // engines agree on a comma-joined sorted set; raw array compare
+    // would hinge on engine-internal ordering).
+    "agg_collect" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"lang")
+        .agg(
+          array_join(sort_array(collect_set($"source")), ",").as("sources"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"lang")
+    }),
+  )
+
+  /** G5: HLL approximate distinct — not DuckDB-replicable (different
+    * sketch), so no oracle entry: the driver records the weaker
+    * rows-only check. A spec asserts the estimate lands within the
+    * configured rsd of the exact count. */
+  val noOracleQueries: Map[String, Q] = Map(
+    "agg_approx" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          approx_count_distinct($"o_custkey", 0.02).as("approx_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_stats" ->
+      s"""SELECT l_returnflag, n_rows, min_qty, max_qty,
+         |  (s2 - s1 * s1 / n_rows) / (n_rows - 1) / 1.0e8 AS var_qty,
+         |  sqrt((s2 - s1 * s1 / n_rows) / (n_rows - 1) / 1.0e8) AS std_qty,
+         |  n_bulk, discounted_rev
+         |FROM (
+         |  SELECT l_returnflag,
+         |    COUNT(*) AS n_rows,
+         |    MIN(l_quantity) AS min_qty,
+         |    MAX(l_quantity) AS max_qty,
+         |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))
+         |           * CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS s2,
+         |    SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_bulk,
+         |    ${sqlDsum("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END")} AS discounted_rev
+         |  FROM lineitem GROUP BY l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_custs,
+        |  COUNT(DISTINCT (o_custkey, o_orderstatus)) AS n_cust_status,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      s"""SELECT o_orderpriority, o_orderstatus,
+         |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+         |  COUNT(*) AS n_orders,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+         |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS q25,
+        |  quantile_disc(l_quantity, 0.5) AS q50,
+        |  quantile_disc(l_quantity, 0.75) AS q75,
+        |  quantile_disc(l_quantity, 0.95) AS q95
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT lang,
+        |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+  )
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.queries.Aggregates
+import org.apache.spark.sql.functions._
+
+class AggregatesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("agg_approx HLL estimate lands within 3x the configured rsd") {
+    val approx = Aggregates.noOracleQueries("agg_approx")(spark, sf)
+      .select($"o_orderpriority", $"approx_custs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy($"o_orderpriority").agg(countDistinct($"o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k).toDouble - n) / n
+      assert(err <= 0.06, s"$k: approx ${approx(k)} vs exact $n (err $err)")
+    }
+  }
+
+  test("agg_stats stddev matches Spark's native stddev_samp to 1e-6 relative") {
+    val derived = Aggregates.queries("agg_stats")(spark, sf)
+      .select($"l_returnflag", $"std_qty").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val native = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag").agg(stddev_samp($"l_quantity").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    native.foreach { case (k, s) =>
+      assert(math.abs(derived(k) - s) / s < 1e-6,
+        s"$k: derived ${derived(k)} vs native $s")
+    }
+  }
+
+  test("agg_rollup level counts are consistent") {
+    val rows = Aggregates.queries("agg_rollup")(spark, sf).collect()
+    val total = rows.filter(_.getLong(2) == 3).map(_.getLong(3)).sum
+    val leaf = rows.filter(_.getLong(2) == 0).map(_.getLong(3)).sum
+    assert(total == leaf, "grand total must equal sum of leaves")
+  }
+}
