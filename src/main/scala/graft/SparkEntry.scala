@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.Lookups.queries ++
       graft.queries.Aggregates.queries ++
       graft.queries.Aggregates.noOracleQueries ++
+      graft.queries.Windows.queries ++
       graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.Joins.oracle ++
       graft.queries.Lookups.oracle ++
       graft.queries.Aggregates.oracle ++
+      graft.queries.Windows.oracle ++
       graft.queries.Pipeline.oracle
 }
