@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Aggregates.queries ++
       graft.queries.Aggregates.noOracleQueries ++
       graft.queries.Windows.queries ++
+      graft.queries.Scalars.queries ++
       graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.Lookups.oracle ++
       graft.queries.Aggregates.oracle ++
       graft.queries.Windows.oracle ++
+      graft.queries.Scalars.oracle ++
       graft.queries.Pipeline.oracle
 }

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function families — SURVEY.md §2 rows X1–X7, X9.
+  *
+  * Cross-engine determinism notes: regexp_replace needs the 'g' flag in
+  * DuckDB to match Spark's replace-all; `sqrt` is IEEE-correctly-rounded
+  * everywhere (raw doubles compare exactly) while `log10` is libm and
+  * may differ in the last ulp — its output is quantized to 1e-6; narrow
+  * int results are cast to BIGINT on both sides (DuckDB scalar fns
+  * return BIGINT where Spark returns INT).
+  */
+object Scalars {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** floor(x*1e6+0.5)/1e6 — deterministic 6-decimal quantization for
+    * libm-computed doubles (same expression on the DuckDB side). */
+  private def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0)
+  private def sqlQ6(e: String): String =
+    s"(CAST(FLOOR(($e) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)"
+
+  val queries: Map[String, Q] = Map(
+    // X1: the string surface over documents.
+    "string_fns" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          length($"text").cast("long").as("n_len"),
+          size(split($"text", " ")).cast("long").as("n_tokens"),
+          upper(substring($"text", 1, 12)).as("head_upper"),
+          regexp_extract($"text", "^(\\w+)", 1).as("first_word"),
+          regexp_replace(substring($"text", 1, 30), "[aeiou]", "_").as("devoweled"),
+          instr($"text", "data").cast("long").as("data_pos"),
+          lpad($"lang", 5, "_").as("lang_padded"),
+          concat($"lang", lit(":"), $"source").as("lang_source"),
+          trim(lit("  pad  ")).as("trimmed"))
+        .orderBy($"doc_id")
+    }),
+
+    // X3 + X4: math and conditional functions over lineitem.
+    "cond_math" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_orderkey" <= 500)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          when($"l_quantity" >= 40, "bulk")
+            .when($"l_quantity" >= 10, "mid")
+            .otherwise("small").as("qty_class"),
+          coalesce(nullif($"l_returnflag", lit("N")), lit("none")).as("flag_or_none"),
+          greatest($"l_tax", $"l_discount").as("max_rate"),
+          least($"l_tax", $"l_discount").as("min_rate"),
+          abs(-$"l_quantity").as("abs_qty"),
+          floor($"l_extendedprice").as("price_floor"),
+          ceil($"l_extendedprice").as("price_ceil"),
+          pmod($"l_linenumber", lit(3)).cast("long").as("line_mod3"),
+          sqrt($"l_quantity").as("sqrt_qty"),
+          q6(log10($"l_extendedprice")).as("log10_price"),
+          signum($"l_discount" - lit(0.05)).as("disc_sign"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+    }),
+
+    // X2: date/time functions over orders.
+    "date_fns" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .filter($"o_orderkey" <= 1000)
+        .select($"o_orderkey", $"o_orderdate",
+          year($"o_orderdate").cast("long").as("y"),
+          month($"o_orderdate").cast("long").as("m"),
+          dayofmonth($"o_orderdate").cast("long").as("d"),
+          date_trunc("month", $"o_orderdate").as("month_start"),
+          datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long")
+            .as("days_since_epoch_start"),
+          ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("due_date"),
+          unix_timestamp($"o_orderdate").as("epoch_sec"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // X6 + X7: JSON parsing and map functions over events.props.
+    "json_map" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("props_map",
+          from_json($"props", org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+        .select($"event_id",
+          get_json_object($"props", "$.k").as("k_str"),
+          get_json_object($"props", "$.k").cast("long").as("k_num"),
+          element_at($"props_map", "k").cast("long").as("k_via_map"),
+          size(map_keys($"props_map")).cast("long").as("n_keys"))
+        .orderBy($"event_id")
+    }),
+
+    // X5: array functions and higher-order functions over embeddings.
+    // The L2 norm folds left from 0.0 in both engines (identical IEEE
+    // op sequence); quantized to 1e-6 out of caution.
+    "array_hof" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val dbl = $"embedding".cast("array<double>")
+      Tables.embeddings(s, dir)
+        .select($"vec_id",
+          size($"embedding").cast("long").as("dim"),
+          element_at($"embedding", 1).cast("double").as("first_component"),
+          q6(sqrt(aggregate(transform(dbl, x => x * x), lit(0.0), (acc, x) => acc + x)))
+            .as("l2_norm"),
+          q6(aggregate(dbl, lit(0.0), (acc, x) => acc + x)).as("comp_sum"),
+          size(filter(dbl, x => x > lit(0.0))).cast("long").as("n_positive"))
+        .orderBy($"vec_id")
+    }),
+
+    // X9: standard cryptographic/checksum hashes (the non-fnv1a family).
+    "hash_fns" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          md5($"text").as("md5_hex"),
+          sha2($"text", 256).as("sha256_hex"))
+        .orderBy($"doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "string_fns" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_len,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  upper(substring(text, 1, 12)) AS head_upper,
+        |  regexp_extract(text, '^(\w+)', 1) AS first_word,
+        |  regexp_replace(substring(text, 1, 30), '[aeiou]', '_', 'g') AS devoweled,
+        |  CAST(instr(text, 'data') AS BIGINT) AS data_pos,
+        |  lpad(lang, 5, '_') AS lang_padded,
+        |  lang || ':' || source AS lang_source,
+        |  trim('  pad  ') AS trimmed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "cond_math" ->
+      s"""SELECT l_orderkey, l_linenumber, l_quantity,
+         |  CASE WHEN l_quantity >= 40 THEN 'bulk'
+         |       WHEN l_quantity >= 10 THEN 'mid'
+         |       ELSE 'small' END AS qty_class,
+         |  COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+         |  greatest(l_tax, l_discount) AS max_rate,
+         |  least(l_tax, l_discount) AS min_rate,
+         |  abs(-l_quantity) AS abs_qty,
+         |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+         |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+         |  CAST(l_linenumber % 3 AS BIGINT) AS line_mod3,
+         |  sqrt(l_quantity) AS sqrt_qty,
+         |  ${sqlQ6("log(l_extendedprice)")} AS log10_price,
+         |  CASE WHEN l_discount - 0.05 > 0 THEN 1.0
+         |       WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS disc_sign
+         |FROM lineitem
+         |WHERE l_orderkey <= 500
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "date_fns" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(dayofmonth(o_orderdate) AS BIGINT) AS d,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    AS days_since_epoch_start,
+        |  o_orderdate + INTERVAL 30 DAY AS due_date,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
+        |FROM orders
+        |WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "json_map" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_via_map,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "array_hof" ->
+      s"""SELECT vec_id,
+         |  CAST(len(embedding) AS BIGINT) AS dim,
+         |  CAST(embedding[1] AS DOUBLE) AS first_component,
+         |  ${sqlQ6("sqrt(list_reduce(list_prepend(0.0, list_transform(embedding::DOUBLE[], x -> x * x)), (acc, x) -> acc + x))")} AS l2_norm,
+         |  ${sqlQ6("list_reduce(list_prepend(0.0, embedding::DOUBLE[]), (acc, x) -> acc + x)")} AS comp_sum,
+         |  CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0.0)) AS BIGINT) AS n_positive
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "hash_fns" ->
+      """SELECT doc_id,
+        |  md5(text) AS md5_hex,
+        |  sha256(text) AS sha256_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
