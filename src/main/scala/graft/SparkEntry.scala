@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Aggregates.noOracleQueries ++
       graft.queries.Windows.queries ++
       graft.queries.Scalars.queries ++
+      graft.queries.EventTime.queries ++
       graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.Aggregates.oracle ++
       graft.queries.Windows.oracle ++
       graft.queries.Scalars.oracle ++
+      graft.queries.EventTime.oracle ++
       graft.queries.Pipeline.oracle
 }

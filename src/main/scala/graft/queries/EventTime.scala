@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+
+/** Event-time analytics over `events` — the batch twins of the
+  * streaming operators (SURVEY.md §2.H note: the same window /
+  * session_window / dedup logic runs under Structured Streaming in
+  * graft.streaming; batch mode is what the DuckDB oracle can check
+  * deterministically).
+  *
+  * The oracle mirrors Spark's epoch-aligned window grid; sessions are
+  * reproduced in ANSI SQL with a gaps-and-islands rewrite; every
+  * timestamp output is µs (events.ts is µs-aligned nanos, see Tables).
+  */
+object EventTime {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // T1: tumbling 1-hour event-time aggregation.
+    "tumbling_window" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+        .select($"w.start".as("window_start"), $"w.end".as("window_end"),
+          $"event_type", $"n_events", $"total_value")
+        .orderBy($"window_start", $"event_type")
+    }),
+
+    // T2: sliding 1-hour window, 30-minute hop — every event lands in
+    // exactly two windows; the oracle unions the two candidate window
+    // starts per event on the same epoch-aligned grid.
+    "sliding_window" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+        .select($"w.start".as("window_start"), $"w.end".as("window_end"),
+          $"n_events", $"total_value")
+        .orderBy($"window_start")
+    }),
+
+    // T3: 30-minute-gap session windows per user. Session end is
+    // last-event + gap (Spark's session_window contract).
+    "session_window" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+        .select($"user_id", $"w.start".as("session_start"),
+          $"w.end".as("session_end"), $"n_events", $"total_value")
+        .orderBy($"user_id", $"session_start")
+    }),
+
+    // T5 batch twin: keyed dedup with a deterministic winner (min
+    // event_id) — the batch semantics of dropDuplicatesWithinWatermark.
+    "event_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id", $"event_type",
+          date_trunc("hour", $"ts").as("hour_bucket"))
+        .agg(min($"event_id").as("keeper_event_id"), count(lit(1)).as("n_dups"))
+        .orderBy($"user_id", $"event_type", $"hour_bucket")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tumbling_window" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         |  CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+         |  event_type, COUNT(*) AS n_events,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM events
+         |GROUP BY 1, 2, 3
+         |ORDER BY window_start, event_type""".stripMargin,
+
+    "sliding_window" ->
+      s"""WITH slid AS (
+         |  SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT))
+         |           AS wstart, value
+         |  FROM events
+         |  UNION ALL
+         |  SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) - 1) * 1800 * 1000000 AS BIGINT))
+         |           AS wstart, value
+         |  FROM events)
+         |SELECT wstart AS window_start,
+         |  wstart + INTERVAL 1 HOUR AS window_end,
+         |  COUNT(*) AS n_events,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM slid
+         |GROUP BY 1, 2
+         |ORDER BY window_start""".stripMargin,
+
+    "session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |              > INTERVAL 30 MINUTE
+         |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events),
+         |sess AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM e)
+         |SELECT user_id,
+         |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+         |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+         |  COUNT(*) AS n_events,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM sess
+         |GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    "event_dedup" ->
+      """SELECT user_id, event_type,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
+        |  min(event_id) AS keeper_event_id,
+        |  COUNT(*) AS n_dups
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, hour_bucket""".stripMargin,
+  )
+}
