@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Windows.queries ++
       graft.queries.Scalars.queries ++
       graft.queries.EventTime.queries ++
-      graft.queries.Pipeline.queries
+      graft.queries.Pipeline.queries ++
+      graft.queries.Pipeline.noOracleQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,22 +1,88 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{GraftFunctions => F}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.{Fnv1aCore, GraftFunctions => F}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** LLM-data-pipeline operators over `documents` / `embeddings`
-  * (SURVEY.md §2.J). Starts with L1 exact dedup; near-dup / similarity
-  * land in later PRs.
+import QueryUtil._
+
+/** LLM-data-pipeline operators over `documents` / `embeddings` —
+  * SURVEY.md §2.J (L1–L6).
+  *
+  * Everything here is built from the reference's seeded FNV-1a hash
+  * family (`create_init`, /root/reference/src/algo/fnv1a.rs:26-28) and
+  * stays inside whole-stage codegen: shingling, MinHash signatures,
+  * LSH band keys, SimHash bits and cosine scores are all higher-order
+  * functions over native expressions — no UDFs, no driver loops.
+  *
+  * Scale contract per operator:
+  *  - near-dedup: candidates come ONLY from LSH band-bucket self-joins
+  *    (shuffle key = (band_no, 64-bit band hash), near-uniform); the
+  *    O(n²) all-pairs comparison exists only in the DuckDB oracle.
+  *  - kNN: the probe set is broadcast; the corpus is never replicated
+  *    or collected. The LSH-bucketed ANN variant prunes the corpus to
+  *    same-bucket candidates (16-bit hyperplane signature → 64k
+  *    buckets), trading recall for a 64k-fold candidate cut.
   */
 object Pipeline {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Second-fingerprint-lane seed (2^64 / golden ratio — a public
-    * mixing constant); any init state != OffsetBasis yields an
-    * independent member of the reference's `create_init` hash family. */
+  /** Second-fingerprint-lane / seed-spacing constant (2^64 / golden
+    * ratio — a public mixing constant); any init state != OffsetBasis
+    * yields an independent member of the reference's `create_init`
+    * hash family. */
   private val Lane2Seed: Long = 0x9e3779b97f4a7c15L
+
+  private val MinHashSeeds = 64
+  private val LshBands = 16
+  private val LshRows = 4 // bands * rows == MinHashSeeds
+
+  /** Distinct word 3-gram shingles of a single-spaced lowercase text
+    * column (the documents fixture is exactly that). */
+  private def shingles(text: Column): Column = {
+    val t = split(text, " ")
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2)))))
+      .otherwise(array(text))
+  }
+
+  /** The 64 MinHash seeds — family member s is init state
+    * OffsetBasis ^ (s · golden), the wrap computed at plan time (ANSI
+    * mode rejects a wrapping multiply in-row, and these are constants). */
+  private val minhashSeedList: Seq[Long] =
+    (0 until MinHashSeeds).map(s => Fnv1aCore.OffsetBasis ^ (s.toLong * Lane2Seed))
+
+  /** MinHash signature: element s = min over shingles of the seeded
+    * hash with family index s. */
+  private def minhashSig(sh: Column): Column =
+    array(minhashSeedList.map(seed =>
+      array_min(transform(sh, x => F.fnv1a_seeded(seed, x)))): _*)
+
+  /** LSH band keys: band b hashes signature rows [b*r, b*r+r) into one
+    * 64-bit key (seeded with the band index so bands never collide
+    * across b). */
+  private def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(LshBands - 1)), b =>
+      struct(b.cast("int").as("band_no"),
+        F.fnv1a_seeded_dyn(b.cast("long"),
+          element_at(sig, b * LshRows + 1), element_at(sig, b * LshRows + 2),
+          element_at(sig, b * LshRows + 3), element_at(sig, b * LshRows + 4))
+          .as("band_hash")))
+
+  /** Left-fold sum from 0.0 — the exact IEEE sequence the DuckDB
+    * oracle reproduces with list_reduce(list_prepend(0.0, ...)). */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  private def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x * y))
+
+  private def l2norm(a: Column): Column =
+    sqrt(foldSum(transform(a, x => x * x)))
 
   val queries: Map[String, Q] = Map(
     // L1: exact dedup by content fingerprint. The fingerprint is the
@@ -38,16 +104,237 @@ object Pipeline {
         .select($"doc_id", $"lang", $"source", $"n_chars")
         .orderBy($"doc_id")
     }),
+
+    // L2: MinHash + LSH near-dedup. 64-seed signature, 16 bands × 4
+    // rows (recall at the data's J≥0.97 dup band: 1-(1-0.97^4)^16 ≈
+    // 1-4e-8; at the J<0.1 background, band-match odds ≈ 1e-4/pair —
+    // false candidates are killed by the exact Jaccard verify). The
+    // oracle computes all-pairs Jaccard with identical tokenization —
+    // feasible only at test scale, which is the point of LSH.
+    "minhash_neardup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", shingles($"text").as("sh"))
+      val bucketed = docs
+        .select($"doc_id", explode(bandKeys(minhashSig($"sh"))).as("bk"))
+        .select($"doc_id", $"bk.band_no".as("band_no"),
+          $"bk.band_hash".as("band_hash"))
+      val cand = bucketed.as("x").join(bucketed.as("y"),
+          col("x.band_no") === col("y.band_no") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+        .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          q6(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+            size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // L3/L4: brute-force cosine top-k — the exactness baseline. The
+    // probe set (20 vectors) is broadcast against the corpus; ranking
+    // uses the quantized score + neighbor id so both engines order
+    // identically.
+    "cosine_knn" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val probes = emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("probe_id"), $"v".as("pv"))
+      val w = Window.partitionBy($"probe_id")
+        .orderBy($"cos_sim".desc, $"vec_id")
+      emb.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+        .select($"probe_id", $"vec_id",
+          q6(dot($"v", $"pv") / (l2norm($"v") * l2norm($"pv"))).as("cos_sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 5)
+        .select($"probe_id", $"rn", $"vec_id".as("neighbor_id"), $"cos_sim")
+        .orderBy($"probe_id", $"rn")
+    }),
+
+    // L5 (per-doc): token statistics and quality signals.
+    "text_stats" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = split($"text", " ")
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("n_unique"),
+          q6(size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
+          q6(foldSum(transform(t, w => length(w).cast("double"))) / size(t))
+            .as("avg_token_len"),
+          q6(size(filter(t, w => w === "the" || w === "a")).cast("double") /
+            size(t)).as("stopword_ratio"))
+        .orderBy($"doc_id")
+    }),
+
+    // L5 (faceted): corpus profile per language.
+    "lang_profile" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          sum(size(split($"text", " ")).cast("long")).as("total_tokens"),
+          countDistinct($"source").as("n_sources"))
+        .select($"lang", $"n_docs", $"total_chars", $"total_tokens",
+          $"n_sources",
+          ($"total_chars".cast("double") / $"n_docs").as("avg_chars"))
+        .orderBy($"lang")
+    }),
+
+    // L6: multimodal relation — text metadata joined to its embedding
+    // vector (doc_id ↔ vec_id), vector features computed in-line.
+    "doc_embed_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .join(Tables.embeddings(s, dir), $"doc_id" === $"vec_id")
+        .select($"doc_id", $"lang", $"n_chars",
+          $"label".cast("long").as("label"),
+          size($"embedding").cast("long").as("dim"),
+          q6(l2norm($"embedding".cast("array<double>"))).as("l2_norm"))
+        .orderBy($"doc_id")
+    }),
   )
 
-  // Oracle partitions by text directly — semantically identical to the
-  // 64-bit fingerprint absent collisions (2^-64 per pair).
+  /** Not SQL-expressible in DuckDB (both need the reference hash
+    * identity) → rows-only driver check; correctness is property-tested
+    * in PipelineSpec instead. */
+  val noOracleQueries: Map[String, Q] = Map(
+    // SimHash document fingerprint: bit i of the 64-bit fingerprint is
+    // the majority vote of bit i over all shingle hashes — near-dup
+    // docs land within a small Hamming distance. The 64 bit positions
+    // are unrolled at plan-construction time (shift amounts must be
+    // literals); the per-row cost stays one hash per shingle.
+    "simhash_fingerprint" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val simhash = (0 until 64).map { i =>
+        when(
+          aggregate($"hs", lit(0L),
+            (acc, h) => acc + shiftright(h, i).bitwiseAND(1L)) * 2
+            >= size($"hs"),
+          lit(1L << i)).otherwise(0L)
+      }.reduce(_ bitwiseOR _)
+      Tables.documents(s, dir)
+        .withColumn("hs", transform(shingles($"text"), x => F.fnv1a(x)))
+        .select($"doc_id", simhash.as("simhash"))
+        .orderBy($"doc_id")
+    }),
+
+    // L4 at scale: LSH-bucketed approximate nearest neighbors. Bucket
+    // key = 16 sign bits of deterministic pseudo-random hyperplanes;
+    // component j of plane h is ±1 from bit 0 of fnv1a(h ∥ j), computed
+    // once at plan-construction time and embedded as literal arrays
+    // (constant-folded — zero per-row hashing). Probes only compare
+    // against same-bucket candidates — recall is traded for a ~64k-fold
+    // candidate cut.
+    "ann_lsh" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val planes: Seq[Seq[Double]] = (0 until 16).map { h =>
+        (0 until 64).map { j =>
+          val bit = Fnv1aCore.hashLong(j.toLong,
+            Fnv1aCore.hashLong(h.toLong, Fnv1aCore.OffsetBasis)) & 1L
+          if (bit == 1L) 1.0 else -1.0
+        }
+      }
+      def bucket(v: Column): Column =
+        (0 until 16).map { h =>
+          when(foldSum(zip_with(v, array(planes(h).map(lit): _*),
+            (x, r) => x * r)) >= 0, lit(1L << h)).otherwise(0L)
+        }.reduce(_ bitwiseOR _)
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("bucket", bucket($"v"))
+      val probes = emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("probe_id"), $"v".as("pv"), $"bucket")
+      val w = Window.partitionBy($"probe_id")
+        .orderBy($"cos_sim".desc, $"vec_id")
+      emb.join(broadcast(probes), Seq("bucket"))
+        .filter($"vec_id" =!= $"probe_id")
+        .select($"probe_id", $"vec_id", $"bucket",
+          q6(dot($"v", $"pv") / (l2norm($"v") * l2norm($"pv"))).as("cos_sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 5)
+        .select($"probe_id", $"rn", $"vec_id".as("neighbor_id"), $"bucket",
+          $"cos_sim")
+        .orderBy($"probe_id", $"rn")
+    }),
+  )
+
+  private val shingleSqlCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // Oracle partitions by text directly — semantically identical to
+    // the 128-bit fingerprint absent a collision (~1e-20 at 4B docs).
     "exact_dedup" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,
         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "minhash_neardup" ->
+      s"""WITH $shingleSqlCte
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    ${sqlQ6("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s)))")} AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "cosine_knn" ->
+      s"""WITH scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id,
+         |    ${sqlQ6("list_reduce(list_prepend(0.0, list_transform(list_zip(c.embedding::DOUBLE[], p.embedding::DOUBLE[]), z -> z[1] * z[2])), (acc, x) -> acc + x) / (sqrt(list_reduce(list_prepend(0.0, list_transform(c.embedding::DOUBLE[], x -> x * x)), (acc, x) -> acc + x)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding::DOUBLE[], x -> x * x)), (acc, x) -> acc + x)))")} AS cos_sim
+         |  FROM embeddings c JOIN embeddings p
+         |    ON p.vec_id < 20 AND c.vec_id <> p.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT probe_id, rn, vec_id AS neighbor_id, cos_sim
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY probe_id, rn""".stripMargin,
+
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_unique,
+         |  ${sqlQ6("CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)")} AS ttr,
+         |  ${sqlQ6("list_reduce(list_prepend(0.0, list_transform(ws, w -> CAST(length(w) AS DOUBLE))), (acc, x) -> acc + x) / len(ws)")} AS avg_token_len,
+         |  ${sqlQ6("CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS DOUBLE) / len(ws)")} AS stopword_ratio
+         |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "lang_profile" ->
+      """SELECT lang, n_docs, total_chars, total_tokens, n_sources,
+        |  CAST(total_chars AS DOUBLE) / n_docs AS avg_chars
+        |FROM (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |    COUNT(DISTINCT source) AS n_sources
+        |  FROM documents GROUP BY lang)
+        |ORDER BY lang""".stripMargin,
+
+    "doc_embed_join" ->
+      s"""SELECT doc_id, lang, n_chars,
+         |  CAST(label AS BIGINT) AS label,
+         |  CAST(len(embedding) AS BIGINT) AS dim,
+         |  ${sqlQ6("sqrt(list_reduce(list_prepend(0.0, list_transform(embedding::DOUBLE[], x -> x * x)), (acc, x) -> acc + x))")} AS l2_norm
+         |FROM documents JOIN embeddings ON doc_id = vec_id
+         |ORDER BY doc_id""".stripMargin,
   )
 }

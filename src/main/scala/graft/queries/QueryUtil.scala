@@ -43,6 +43,16 @@ object QueryUtil {
     sum(floor(c * lit(10000.0) + lit(0.5))).cast("double") / lit(10000.0) /
       count(c)
 
+  /** Deterministic 6-decimal quantization of a double expression —
+    * for values computed identically up to libm/summation-order ulps
+    * in both engines (ratios, norms, cosines, log10). */
+  def q6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0)
+
+  /** DuckDB-side SQL for [[q6]]. */
+  def sqlQ6(e: String): String =
+    s"(CAST(FLOOR(($e) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)"
+
   /** DuckDB-side SQL for [[dsum]]. */
   def sqlDsum(expr: String): String =
     s"(CAST(SUM(CAST(FLOOR(($expr) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0)"

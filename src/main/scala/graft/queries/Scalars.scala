@@ -16,12 +16,7 @@ import org.apache.spark.sql.functions._
 object Scalars {
   type Q = (SparkSession, String) => DataFrame
 
-  /** floor(x*1e6+0.5)/1e6 — deterministic 6-decimal quantization for
-    * libm-computed doubles (same expression on the DuckDB side). */
-  private def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0)
-  private def sqlQ6(e: String): String =
-    s"(CAST(FLOOR(($e) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)"
+  import QueryUtil.{q6, sqlQ6}
 
   val queries: Map[String, Q] = Map(
     // X1: the string surface over documents.
