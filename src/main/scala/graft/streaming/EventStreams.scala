@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` schema — SURVEY.md
+  * §2.H (T1–T9). Every transform here takes a DataFrame and works
+  * identically whether it came from `readStream` or `read`: the batch
+  * twins in graft.queries.EventTime are these same computations, which
+  * is what lets the DuckDB oracle check their semantics (§2.H note).
+  * EventStreamsSpec drives them through MemoryStream and checks the
+  * streaming results against the batch twin on the same rows.
+  *
+  * Watermarks (T4) bound the state of every stateful operator — at
+  * 100 TB/day of events the state store holds only the open windows
+  * inside the watermark horizon, not history.
+  */
+object EventStreams {
+
+  /** T1 + T4: watermarked tumbling 1-hour counts per event type. */
+  def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** T2: sliding 1-hour window with a 30-minute hop. */
+  def slidingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+
+  /** T3: 30-minute-gap session windows per user. */
+  def sessionize(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+
+  /** T5: exactly-once by event_id within the watermark horizon. */
+  def dedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** T7: enrich a stream with a static dimension (broadcast at scale). */
+  def enrichStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** T8: stream–stream self-join — events followed by another event of
+    * the same user within 5 minutes; both sides watermarked so state
+    * is droppable. */
+  def followWithin5Min(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.withWatermark("ts", "1 hour").as("l")
+    val r = b.withWatermark("ts", "1 hour").as("r")
+    l.join(r, expr(
+      """l.user_id = r.user_id AND
+        |r.ts > l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTES""".stripMargin))
+      .select(col("l.event_id").as("event_id"),
+        col("r.event_id").as("followup_id"), col("l.user_id").as("user_id"))
+  }
+
+  final case class UserEvent(event_id: Long, user_id: Long, value: Double)
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** T6: arbitrary per-key state — a running per-user counter kept in
+    * GroupState, emitting the updated total on every micro-batch. */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserTotal(userId, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -39,8 +39,13 @@ class RelationalSpec extends SparkSuite {
 
   test("every query has either an oracle or is explicitly exempt") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // keep the exemption list explicit so new queries fail loudly
-    val exempt = Set.empty[String]
+    // keep the exemption list explicit so new queries fail loudly:
+    //  - agg_approx: HLL sketch not DuckDB-replicable (AggregatesSpec
+    //    bounds it against the exact count)
+    //  - simhash_fingerprint / ann_lsh: need the reference hash
+    //    identity, not expressible in DuckDB SQL (PipelineSpec
+    //    property-tests both)
+    val exempt = Set("agg_approx", "simhash_fingerprint", "ann_lsh")
     assert((missing -- exempt).isEmpty, s"queries without oracle: $missing")
   }
 }
