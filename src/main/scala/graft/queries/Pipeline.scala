@@ -81,6 +81,22 @@ object Pipeline {
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
+  /** Distinct shingle HASHES from `text`, no string materialization: a
+    * shingle's identity is the chained hash of its three token hashes
+    * (fnv1a chaining = composite keys, fnv1a.rs:9-11). Two projections
+    * (token hashes, then 3-gram chains) so neither is recomputed per
+    * reference. `keep` columns are passed through. */
+  private def withShingleHashes(df: DataFrame, keep: Seq[String]): DataFrame = {
+    val toks = df.select(keep.map(col) :+
+      transform(split(col("text"), " "), w => F.fnv1a(w)).as("th"): _*)
+    toks.select(keep.map(col) :+
+      when(size(col("th")) >= 3,
+        array_distinct(transform(sequence(lit(1), size(col("th")) - 2), i =>
+          F.fnv1a(element_at(col("th"), i), element_at(col("th"), i + 1),
+            element_at(col("th"), i + 2)))))
+        .otherwise(array(element_at(col("th"), 1))).as("hs"): _*)
+  }
+
   private def dot(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x * y))
 
@@ -123,22 +139,12 @@ object Pipeline {
       // scale the same repartition balances skewed input files.
       val base = Tables.documents(s, dir)
         .select($"doc_id", $"text").repartition($"doc_id")
-      // Candidate generation never materializes shingle STRINGS: a
-      // shingle's identity is the chained hash of its three token
-      // hashes (fnv1a chaining = the reference's composite-key
-      // semantics, fnv1a.rs:9-11). Building ~250 concat'd strings per
-      // doc was the measured bottleneck of the whole pipeline; token
-      // hashes are computed once and each 3-gram chains 24 bytes.
-      // (Hash-identity shingles only affect CANDIDATE generation — the
-      // exact string-level Jaccard verify below decides membership.)
-      val toks = base.select($"doc_id", transform(split($"text", " "),
-        w => F.fnv1a(w)).as("th"))
-      val hashed = toks.select($"doc_id",
-        when(size($"th") >= 3,
-          array_distinct(transform(sequence(lit(1), size($"th") - 2), i =>
-            F.fnv1a(element_at($"th", i), element_at($"th", i + 1),
-              element_at($"th", i + 2)))))
-          .otherwise(array(element_at($"th", 1))).as("hs"))
+      // Candidate generation never materializes shingle STRINGS —
+      // building ~250 concat'd strings per doc was the measured
+      // bottleneck of the whole pipeline (hash-identity shingles only
+      // affect CANDIDATE generation; the exact string-level Jaccard
+      // verify below decides membership).
+      val hashed = withShingleHashes(base, Seq("doc_id"))
       // Each stage is materialized as its own column/projection: the
       // signature references hs 64 times and the band keys reference
       // sig 64 times — splicing either expression tree in-place would
@@ -267,6 +273,34 @@ object Pipeline {
         .withColumn("hs", transform(shingles($"text"), x => F.fnv1a(x)))
         .select($"doc_id", simhash.as("simhash"))
         .orderBy($"doc_id")
+    }),
+
+    // U3: group-level MinHash sketches via the typed MinHashAgg
+    // Aggregator — one 64-lane signature per source (algebraic: partial
+    // signatures merge map-side; 64 longs per group cross the shuffle
+    // regardless of group size), then pairwise estimated Jaccard
+    // between sources from lane agreement. The estimate is
+    // deterministic but hash-dependent → property-checked against the
+    // true shingle-set Jaccard in MinHashAggSpec instead of DuckDB.
+    "source_minhash_sim" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val hashed = withShingleHashes(
+        Tables.documents(s, dir).select($"source", $"text")
+          .repartition($"source"), Seq("source"))
+      val sigs = hashed.select($"source", $"hs").as[(String, Seq[Long])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.functions.MinHashAgg(minhashSeedList.toArray)
+          .toColumn.name("sig"))
+        .toDF("source", "sig")
+      val a = sigs.select($"source".as("source_a"), $"sig".as("sig_a"))
+      val b = sigs.select($"source".as("source_b"), $"sig".as("sig_b"))
+      a.join(b, $"source_a" < $"source_b")
+        .select($"source_a", $"source_b",
+          (aggregate(
+            zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast("double") /
+            lit(MinHashSeeds.toDouble)).as("est_jaccard"))
+        .orderBy($"source_a", $"source_b")
     }),
 
     // L4 at scale: LSH-bucketed approximate nearest neighbors. Bucket

@@ -58,6 +58,56 @@ object Relational {
         .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
         .orderBy($"o_totalprice".desc, $"o_orderkey")
     }),
+
+    // F4 completion: the full predicate algebra — IN, BETWEEN, LIKE,
+    // RLIKE, IS (NOT) NULL, OR, NOT — in one pushdown-friendly filter.
+    "filter_predicates" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .filter(
+          ($"p_brand".isin("Brand#1", "Brand#2", "Brand#3") ||
+            $"p_type".like("%a%")) &&
+            $"p_size".between(10, 40) &&
+            $"p_name".rlike("^[a-m]") &&
+            $"p_retailprice".isNotNull &&
+            !($"p_size" === 13))
+        .select($"p_partkey", $"p_name", $"p_brand", $"p_type", $"p_size")
+        .orderBy($"p_partkey")
+    }),
+
+    // S7: CSV + JSON sources with declared schemas. The fixture tables
+    // are materialized to /tmp in those formats on first use (derived
+    // from the parquet fixtures — never hand-synthesized), then read
+    // back through the schema-declared readers and joined; the oracle
+    // reads the same rows straight from parquet, so the round trip is
+    // what's verified.
+    "csv_json_source" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.sources.FileSources
+      val tmp = s"/tmp/graft_sources/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.nation(s, dir).write.mode("overwrite")
+        .option("header", "true").csv(s"$tmp/nation_csv")
+      Tables.region(s, dir).write.mode("overwrite").json(s"$tmp/region_json")
+      val nation = FileSources.csv(s, s"$tmp/nation_csv", FileSources.nationSchema)
+      val region = FileSources.json(s, s"$tmp/region_json", FileSources.regionSchema)
+      nation.join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name", $"r_name")
+        .orderBy($"n_nationkey")
+    }),
+
+    // S2: in-memory table — a literal mapping relation created in the
+    // session (no storage), broadcast into a join like any dimension.
+    "inmem_lookup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val prio = Seq(
+        ("1-URGENT", 1L), ("2-HIGH", 2L), ("3-MEDIUM", 3L),
+        ("4-NOT SPECIFIED", 4L), ("5-LOW", 5L)).toDF("p", "prio_rank")
+      Tables.orders(s, dir)
+        .join(broadcast(prio), $"o_orderpriority" === $"p")
+        .groupBy($"prio_rank")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+        .orderBy($"prio_rank")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -88,5 +138,30 @@ object Relational {
       """SELECT o_orderkey, o_totalprice, o_orderdate
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "filter_predicates" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size
+        |FROM part
+        |WHERE (p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') OR p_type LIKE '%a%')
+        |  AND p_size BETWEEN 10 AND 40
+        |  AND regexp_matches(p_name, '^[a-m]')
+        |  AND p_retailprice IS NOT NULL
+        |  AND NOT (p_size = 13)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "csv_json_source" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "inmem_lookup" ->
+      s"""SELECT CAST(prio_rank AS BIGINT) AS prio_rank, COUNT(*) AS n_orders,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
+         |             ('4-NOT SPECIFIED', 4), ('5-LOW', 5)) AS v(p, prio_rank)
+         |  ON o_orderpriority = p
+         |GROUP BY prio_rank
+         |ORDER BY prio_rank""".stripMargin,
   )
 }

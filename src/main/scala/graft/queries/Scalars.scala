@@ -108,6 +108,21 @@ object Scalars {
         .orderBy($"vec_id")
     }),
 
+    // U2: black-box scalar UDF surface — a Scala closure registered
+    // as a UDF, next to a codegen'd built-in computing a comparable
+    // result. (Engine guidance stands: UDFs are the LAST resort — this
+    // exists to prove the extension point, and the oracle checks it
+    // against DuckDB's native reverse/levenshtein.)
+    "udf_scalar" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val revUdf = udf((x: String) => if (x == null) null else x.reverse)
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          revUdf($"lang").as("lang_reversed"),
+          levenshtein($"lang", $"source").cast("long").as("lang_source_dist"))
+        .orderBy($"doc_id")
+    }),
+
     // X9: standard cryptographic/checksum hashes (the non-fnv1a family).
     "hash_fns" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -183,6 +198,12 @@ object Scalars {
          |  ${sqlQ6("list_reduce(list_prepend(0.0, embedding::DOUBLE[]), (acc, x) -> acc + x)")} AS comp_sum,
          |  CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0.0)) AS BIGINT) AS n_positive
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "udf_scalar" ->
+      """SELECT doc_id,
+        |  reverse(lang) AS lang_reversed,
+        |  CAST(levenshtein(lang, source) AS BIGINT) AS lang_source_dist
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "hash_fns" ->
       """SELECT doc_id,

@@ -18,6 +18,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** S9: file-based streaming source over the events layout. The
+    * physical files carry TIMESTAMP(NANOS) which Spark's reader
+    * rejects; like Tables.events we read nanos as Long and convert
+    * losslessly (the fixture is µs-aligned). */
+  def fileSource(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** T1 + T4: watermarked tumbling 1-hour counts per event type. */
   def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)

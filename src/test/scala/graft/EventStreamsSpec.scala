@@ -72,6 +72,38 @@ class EventStreamsSpec extends SparkSuite {
     assert(rows.last.getDouble(2) == 10.0)
   }
 
+  test("file stream source -> parquet streaming sink round trip (S9/S10)") {
+    val out = "/tmp/graft_stream_sink/out"
+    val ckpt = "/tmp/graft_stream_sink/ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/graft_stream_sink"))
+    // the file stream source requires a directory of files
+    val srcDir = new java.io.File("/tmp/graft_stream_sink/src")
+    srcDir.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/events.parquet"))
+    val src = EventStreams.fileSource(spark, srcDir.toString)
+    val q = EventStreams.tumblingCounts(src)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // Append mode only emits windows finalized by the watermark:
+    // window_end <= max(event ts) - 1h delay.
+    val batch = EventStreams.tumblingCounts(Tables.events(spark, sf))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val maxTs = Tables.events(spark, sf)
+      .agg(max($"ts")).collect().head.getTimestamp(0).getTime
+    val hourMs = 3600 * 1000L
+    val expected = batch.filter(_._1.getTime + hourMs <= maxTs - hourMs).toSet
+    val sunk = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(sunk == expected)
+    assert(sunk.nonEmpty)
+  }
+
   test("stream-static enrichment joins the dimension (T7)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]

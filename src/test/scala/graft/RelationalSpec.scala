@@ -45,7 +45,10 @@ class RelationalSpec extends SparkSuite {
     //  - simhash_fingerprint / ann_lsh: need the reference hash
     //    identity, not expressible in DuckDB SQL (PipelineSpec
     //    property-tests both)
-    val exempt = Set("agg_approx", "simhash_fingerprint", "ann_lsh")
+    //  - source_minhash_sim: typed MinHashAgg sketch (hash identity;
+    //    MinHashAggSpec checks the estimate against true Jaccard)
+    val exempt = Set("agg_approx", "simhash_fingerprint", "ann_lsh",
+      "source_minhash_sim")
     assert((missing -- exempt).isEmpty, s"queries without oracle: $missing")
   }
 }
