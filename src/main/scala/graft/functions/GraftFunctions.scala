@@ -27,9 +27,13 @@ object GraftFunctions {
     ExpressionUtils.column(
       Fnv1aSeededHash((seed +: cols).map(ExpressionUtils.expression)))
 
-  /** Register `fnv1a` for the SQL surface of this session. */
+  /** Register `fnv1a` / `fnv1a_seeded` for the SQL surface of this
+    * session (`fnv1a_seeded(seed, cols...)` — seed is any bigint
+    * expression). */
   def registerSql(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fnv1a", exprs => Fnv1aHash(exprs, Fnv1aCore.OffsetBasis), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fnv1a_seeded", exprs => Fnv1aSeededHash(exprs), "built-in")
   }
 }

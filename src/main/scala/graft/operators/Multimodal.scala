@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support (SURVEY.md §2 L6): media payloads ride
+  * through the engine as opaque `binary` columns with typed metadata;
+  * decode / feature-extraction runs per-partition over the raw bytes.
+  *
+  * The container has no image/audio codecs, so [[decodeStub]] is a
+  * STUB by design: it computes deterministic byte-level "features"
+  * (a stand-in for a real decoder). Everything around it — the binary
+  * column representation, schema contract, partition-parallel
+  * execution shape, and the metadata join — is the real 100 TB
+  * plumbing: payloads never reach the driver, the per-partition
+  * iterator keeps one row in flight at a time, and feature rows are
+  * small fixed-width records regardless of payload size.
+  */
+object Multimodal {
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("header_hex", StringType),
+    StructField("byte_mean", DoubleType)))
+
+  /** STUB decoder: stands in for image/audio decode + feature
+    * extraction (codecs absent in this environment). Deterministic
+    * byte-level features keep the plumbing testable; a real deployment
+    * swaps only the body of this function. */
+  def decodeStub(docId: Long, payload: Array[Byte]): Row = {
+    val header = payload.take(4).map(b => f"$b%02x").mkString
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+    val mean =
+      if (payload.length == 0) 0.0 else sum.toDouble / payload.length
+    Row(docId, payload.length.toLong, header, mean)
+  }
+
+  /** Partition-parallel decode of a (doc_id, payload binary) relation:
+    * the mapPartitions shape a real decoder needs (one payload in
+    * memory per task at a time, no collect, no shuffle). */
+  def extractFeatures(binaryDocs: DataFrame): DataFrame = {
+    val spark = binaryDocs.sparkSession
+    val rdd = binaryDocs.select(col("doc_id"), col("payload")).rdd
+      .map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}

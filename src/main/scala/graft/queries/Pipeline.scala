@@ -237,6 +237,18 @@ object Pipeline {
         .orderBy($"lang")
     }),
 
+    // L6: multimodal binary columns — payloads ride as opaque binary,
+    // features come from the partition-parallel decode path
+    // (Multimodal.extractFeatures; decode itself is a documented stub,
+    // the features here are byte-level and therefore oracle-checkable).
+    "binary_features" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val binaryDocs = Tables.documents(s, dir)
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+      graft.operators.Multimodal.extractFeatures(binaryDocs)
+        .orderBy($"doc_id")
+    }),
+
     // L6: multimodal relation — text metadata joined to its embedding
     // vector (doc_id ↔ vec_id), vector features computed in-line.
     "doc_embed_join" -> ((s: SparkSession, dir: String) => {
@@ -405,6 +417,14 @@ object Pipeline {
         |    COUNT(DISTINCT source) AS n_sources
         |  FROM documents GROUP BY lang)
         |ORDER BY lang""".stripMargin,
+
+    "binary_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  lower(hex(encode(substring(text, 1, 4)))) AS header_hex,
+        |  CAST(list_sum(list_transform(string_split_regex(text, ''), c -> ascii(c))) AS DOUBLE)
+        |    / octet_length(encode(text)) AS byte_mean
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_embed_join" ->
       s"""SELECT doc_id, lang, n_chars,

@@ -33,6 +33,20 @@ class AggregatesSpec extends SparkSuite {
     }
   }
 
+  test("agg_collect falls back to SortAggregate when object-hash agg is off (G2)") {
+    val conf = "spark.sql.execution.useObjectHashAggregateExec"
+    val byLang = Aggregates.queries("agg_collect")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    try {
+      spark.conf.set(conf, "false")
+      val sorted = Aggregates.queries("agg_collect")(spark, sf)
+      val plan = sorted.queryExecution.executedPlan.toString
+      assert(plan.contains("SortAggregate"), s"expected SortAggregate in:\n$plan")
+      val rows = sorted.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == byLang, "sort-agg fallback must produce identical results")
+    } finally spark.conf.set(conf, "true")
+  }
+
   test("agg_rollup level counts are consistent") {
     val rows = Aggregates.queries("agg_rollup")(spark, sf).collect()
     val total = rows.filter(_.getLong(2) == 3).map(_.getLong(3)).sum

@@ -52,6 +52,32 @@ class EventStreamsSpec extends SparkSuite {
     assert(spark.table("t_dedup").select($"event_id").distinct().count() == 50)
   }
 
+  test("update output mode re-emits only changed windows (T9)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // watermark wide enough that no row in the unordered sample is late
+    val q = EventStreams.tumblingCounts(input.toDF(), watermark = "40 days")
+      .writeStream.format("memory").queryName("t_update")
+      .outputMode("update").start()
+    try {
+      val (b1, b2) = sample.splitAt(150)
+      input.addData(b1); q.processAllAvailable()
+      val afterFirst = spark.table("t_update").count()
+      input.addData(b2); q.processAllAvailable()
+      val afterSecond = spark.table("t_update").count()
+      assert(afterFirst > 0)
+      assert(afterSecond > afterFirst, "second batch must emit updated windows")
+      // final state per (window, type) = the LAST update row, which must
+      // match the batch twin computed over all rows
+      val lastUpdates = spark.table("t_update")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      val batch = EventStreams.tumblingCounts(sample.toDF())
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(lastUpdates == batch)
+    } finally q.stop()
+  }
+
   test("stateful running totals accumulate across micro-batches (T6)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.UserEvent]
