@@ -130,6 +130,24 @@ class EventStreamsSpec extends SparkSuite {
     assert(sunk.nonEmpty)
   }
 
+  test("stream-stream interval self-join matches the batch pairing (T8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[Ev]
+    val right = MemoryStream[Ev]
+    left.addData(sample)
+    right.addData(sample)
+    val q = EventStreams.followWithin5Min(left.toDF(), right.toDF())
+      .writeStream.format("memory").queryName("t_follow")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_follow").count()
+    val df = sample.toDF()
+    val batch = df.as("l").join(df.as("r"), org.apache.spark.sql.functions.expr(
+      """l.user_id = r.user_id AND
+        |r.ts > l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTES""".stripMargin)).count()
+    assert(streamed == batch)
+  }
+
   test("stream-static enrichment joins the dimension (T7)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]

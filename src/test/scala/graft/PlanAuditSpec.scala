@@ -1,0 +1,61 @@
+package graft
+
+/** Global physical-plan audit over EVERY registered query: the
+  * expensive plan shapes must only appear where they are the intended
+  * algorithm. This is the regression net for the 100 TB contract — a
+  * future edit that silently turns an equi-join into a nested loop or
+  * a cartesian product fails here, not in production.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+
+  // Cartesian products: only the operator whose SEMANTICS is the
+  // cross product may plan one.
+  private val cartesianOk = Set("join_cross")
+
+  // Nested-loop joins: only non-equi (theta/brute-force-scoring)
+  // operators with an explicitly broadcast dimension side, plus the
+  // group-sketch pairing whose both sides are per-GROUP relations
+  // (cardinality = number of groups, not rows).
+  private val nestedLoopOk =
+    Set("join_theta", "join_cross", "cosine_knn", "source_minhash_sim")
+
+  test("no unintended cartesian products") {
+    plans.foreach { case (name, p) =>
+      if (!cartesianOk(name))
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a cartesian product:\n${p.take(1500)}")
+    }
+  }
+
+  test("no unintended nested-loop joins") {
+    plans.foreach { case (name, p) =>
+      if (!nestedLoopOk(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join:\n${p.take(1500)}")
+    }
+  }
+
+  test("every lineitem filter query pushes predicates to the scan") {
+    Seq("filter_project", "range_scan", "pricing_summary").foreach { name =>
+      assert(plans(name).contains("PushedFilters: [") &&
+        !plans(name).matches("(?s).*PushedFilters: \\[\\].*"),
+        s"$name should push filters:\n${plans(name).take(1500)}")
+    }
+  }
+
+  test("no driver-side collect appears in any query plan") {
+    // CollectLimit only ever feeds a bounded k (top-k/limit); anything
+    // else driver-side would appear as a LocalTableScan of gathered
+    // rows after an action, which query plans here never contain.
+    plans.foreach { case (name, p) =>
+      assert(!p.contains("CollectLimit") || Set("top_k", "floor_successor_lookup")(name)
+        || p.contains("TakeOrderedAndProject"),
+        s"$name has an unexpected CollectLimit:\n${p.take(1000)}")
+    }
+  }
+}
