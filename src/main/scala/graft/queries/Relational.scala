@@ -59,6 +59,22 @@ object Relational {
         .orderBy($"o_totalprice".desc, $"o_orderkey")
     }),
 
+    // §3 SQL path: the same engine through the SQL parser — text →
+    // AstBuilder → the identical Catalyst pipeline the DataFrame API
+    // feeds. Same quantization recipe, same oracle semantics.
+    "sql_surface" -> ((s: SparkSession, dir: String) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag,
+          |  CAST(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)) AS DOUBLE)
+          |    / 10000.0 AS revenue,
+          |  COUNT(*) AS n_items
+          |FROM lineitem_v
+          |WHERE l_quantity > 5
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // F4 completion: the full predicate algebra — IN, BETWEEN, LIKE,
     // RLIKE, IS (NOT) NULL, OR, NOT — in one pushdown-friendly filter.
     "filter_predicates" -> ((s: SparkSession, dir: String) => {
@@ -138,6 +154,16 @@ object Relational {
       """SELECT o_orderkey, o_totalprice, o_orderdate
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "sql_surface" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 10000.0 AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_quantity > 5
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "filter_predicates" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size
