@@ -31,6 +31,11 @@ object Bench {
       case c => c.toString
     } + "\""
 
+    // Untimed warmup: first action pays JVM/codegen/parquet-footer
+    // startup that is not any query's cost; absorb it once here so the
+    // per-query numbers measure the queries.
+    try Tables.lineitem(spark, sfDir).count() catch { case _: Throwable => () }
+
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -91,6 +91,20 @@ object Scalars {
         .orderBy($"event_id")
     }),
 
+    // X6 + U4: generator over a map column — each props entry becomes
+    // a row (explode is the engine's UDTF surface, SURVEY §2 U4).
+    "map_explode" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("props_map",
+          from_json($"props", org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+        .select($"event_id", explode($"props_map").as(Seq("key", "value")))
+        .select($"event_id", $"key", $"value".cast("long").as("v"))
+        .orderBy($"event_id", $"key")
+    }),
+
     // X5: array functions and higher-order functions over embeddings.
     // The L2 norm folds left from 0.0 in both engines (identical IEEE
     // op sequence); quantized to 1e-6 out of caution.
@@ -189,6 +203,11 @@ object Scalars {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_via_map,
         |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "map_explode" ->
+      """SELECT event_id, key, CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS v
+        |FROM (SELECT event_id, props, unnest(json_keys(props)) AS key FROM events)
+        |ORDER BY event_id, key""".stripMargin,
 
     "array_hof" ->
       s"""SELECT vec_id,
