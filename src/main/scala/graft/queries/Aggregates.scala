@@ -46,6 +46,46 @@ object Aggregates {
         .orderBy($"l_returnflag")
     }),
 
+    // G3 (correlation/covariance): derived from exact quantized
+    // DECIMAL cross sums — same determinism argument as agg_stats
+    // (native corr/covar_samp would differ from DuckDB in final ulps).
+    "agg_corr" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val qx = floor($"l_quantity" * lit(10000.0) + lit(0.5)).cast("decimal(19,0)")
+      val qy = floor($"l_extendedprice" * lit(10000.0) + lit(0.5)).cast("decimal(19,0)")
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(qx).cast("double").as("sx"),
+          sum(qy).cast("double").as("sy"),
+          sum(qx * qx).cast("double").as("sxx"),
+          sum(qy * qy).cast("double").as("syy"),
+          sum(qx * qy).cast("double").as("sxy"))
+        .select($"l_returnflag", $"n",
+          (($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1) / lit(1.0e8))
+            .as("covar_qty_price"),
+          (($"n" * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+              sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // G3 (first/last): deterministic via min_by/max_by over the UNIQUE
+    // o_orderkey (argmin/argmax over a non-unique ordinate would be
+    // engine-arbitrary).
+    "agg_firstlast" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          min_by($"o_totalprice", $"o_orderkey").as("first_price"),
+          max_by($"o_totalprice", $"o_orderkey").as("last_price"),
+          min($"o_orderkey").as("first_key"),
+          max($"o_orderkey").as("last_key"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // G4: exact distinct counts — single- and multi-column.
     "agg_distinct" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -147,6 +187,33 @@ object Aggregates {
          |    ${sqlDsum("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END")} AS discounted_rev
          |  FROM lineitem GROUP BY l_returnflag)
          |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_corr" ->
+      """SELECT l_returnflag, n,
+        |  (sxy - sx * sy / n) / (n - 1) / 1.0e8 AS covar_qty_price,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))
+        |           * CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS DECIMAL(19,0))
+        |           * CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))
+        |           * CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_firstlast" ->
+      """SELECT o_orderpriority,
+        |  arg_min(o_totalprice, o_orderkey) AS first_price,
+        |  arg_max(o_totalprice, o_orderkey) AS last_price,
+        |  min(o_orderkey) AS first_key,
+        |  max(o_orderkey) AS last_key
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "agg_distinct" ->
       """SELECT o_orderpriority,
