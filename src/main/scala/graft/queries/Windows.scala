@@ -43,8 +43,13 @@ object Windows {
         .orderBy($"o_orderdate", $"o_orderkey")
       val rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val sliding = w.rowsBetween(-2, Window.currentRow)
+      // RANGE frame: a true value-based window — all orders of the
+      // customer within the trailing 7 days, however many rows that is.
+      val week = Window.partitionBy($"o_custkey").orderBy($"epoch_sec")
+        .rangeBetween(-7L * 24 * 3600, Window.currentRow)
       val q = floor($"o_totalprice" * lit(10000.0) + lit(0.5))
       Tables.orders(s, dir)
+        .withColumn("epoch_sec", unix_timestamp($"o_orderdate"))
         .select($"o_custkey", $"o_orderkey", $"o_orderdate",
           lag($"o_totalprice", 1).over(w).as("prev_price"),
           lead($"o_totalprice", 1).over(w).as("next_price"),
@@ -52,7 +57,8 @@ object Windows {
           nth_value($"o_orderkey", 2).over(rows).as("second_key"),
           (sum(q).over(rows).cast("double") / lit(10000.0)).as("running_spend"),
           (sum(q).over(sliding).cast("double") / lit(10000.0) /
-            count(lit(1)).over(sliding)).as("avg3_spend"))
+            count(lit(1)).over(sliding)).as("avg3_spend"),
+          (sum(q).over(week).cast("double") / lit(10000.0)).as("spend_7d"))
         .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
     }),
 
@@ -147,14 +153,18 @@ object Windows {
         |  CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT)) OVER wr AS DOUBLE)
         |    / 10000.0 AS running_spend,
         |  CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT)) OVER ws AS DOUBLE)
-        |    / 10000.0 / COUNT(*) OVER ws AS avg3_spend
+        |    / 10000.0 / COUNT(*) OVER ws AS avg3_spend,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT)) OVER wk AS DOUBLE)
+        |    / 10000.0 AS spend_7d
         |FROM orders
         |WINDOW
         |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         |  wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |  ws AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |  wk AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
     "window_fill" ->
