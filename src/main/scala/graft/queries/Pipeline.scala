@@ -205,7 +205,9 @@ object Pipeline {
         .orderBy($"probe_id", $"rn")
     }),
 
-    // L5 (per-doc): token statistics and quality signals.
+    // L5 (per-doc): token statistics and quality signals. The subword
+    // estimate is the BPE-ish proxy: greedy ≤4-char non-space chunks
+    // (both engines' regex engines chunk greedily and identically).
     "text_stats" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val t = split($"text", " ")
@@ -213,11 +215,36 @@ object Pipeline {
         .select($"doc_id",
           size(t).cast("long").as("n_tokens"),
           size(array_distinct(t)).cast("long").as("n_unique"),
+          size(regexp_extract_all($"text", lit("(\\S{1,4})"), lit(1)))
+            .cast("long").as("n_subword_tokens"),
           q6(size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
           q6(foldSum(transform(t, w => length(w).cast("double"))) / size(t))
             .as("avg_token_len"),
           q6(size(filter(t, w => w === "the" || w === "a")).cast("double") /
             size(t)).as("stopword_ratio"))
+        .orderBy($"doc_id")
+    }),
+
+    // L5 (language-ID heuristic): per-doc stopword-profile scores with
+    // an argmax prediction — the standard cheap lang-ID mechanism,
+    // fully deterministic so the oracle replicates it verbatim. (On
+    // this synthetic corpus the scores mostly tie at 0; the tiebreak
+    // is part of the contract.)
+    "lang_id_heuristic" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = split($"text", " ")
+      def ratio(words: Seq[String]) =
+        q6(size(filter(t, w => words.map(lit(_) === w).reduce(_ || _)))
+          .cast("double") / size(t))
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang",
+          ratio(Seq("the", "a", "of")).as("en_score"),
+          ratio(Seq("el", "la", "de")).as("es_score"),
+          ratio(Seq("der", "die", "das")).as("de_score"))
+        .withColumn("predicted_lang",
+          when($"en_score" >= $"es_score" && $"en_score" >= $"de_score", "en")
+            .when($"es_score" >= $"de_score", "es")
+            .otherwise("de"))
         .orderBy($"doc_id")
     }),
 
@@ -397,14 +424,28 @@ object Pipeline {
          |FROM ranked WHERE rn <= 5
          |ORDER BY probe_id, rn""".stripMargin,
 
+    "lang_id_heuristic" ->
+      s"""SELECT doc_id, lang, en_score, es_score, de_score,
+         |  CASE WHEN en_score >= es_score AND en_score >= de_score THEN 'en'
+         |       WHEN es_score >= de_score THEN 'es'
+         |       ELSE 'de' END AS predicted_lang
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    ${sqlQ6("CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE) / len(ws)")} AS en_score,
+         |    ${sqlQ6("CAST(len(list_filter(ws, w -> w = 'el' OR w = 'la' OR w = 'de')) AS DOUBLE) / len(ws)")} AS es_score,
+         |    ${sqlQ6("CAST(len(list_filter(ws, w -> w = 'der' OR w = 'die' OR w = 'das')) AS DOUBLE) / len(ws)")} AS de_score
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
     "text_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(ws) AS BIGINT) AS n_tokens,
          |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_unique,
+         |  CAST(len(regexp_extract_all(text, '(\\S{1,4})', 1)) AS BIGINT) AS n_subword_tokens,
          |  ${sqlQ6("CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)")} AS ttr,
          |  ${sqlQ6("list_reduce(list_prepend(0.0, list_transform(ws, w -> CAST(length(w) AS DOUBLE))), (acc, x) -> acc + x) / len(ws)")} AS avg_token_len,
          |  ${sqlQ6("CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS DOUBLE) / len(ws)")} AS stopword_ratio
-         |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
     "lang_profile" ->
