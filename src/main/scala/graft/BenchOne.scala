@@ -1,6 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** Scratch: time one query N times (not part of the driver contract). */
+/** Utility: time one named query three times at local[32] — exposes
+  * steady-state cost vs first-run codegen warmup. Not part of the
+  * driver contract. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)

@@ -18,7 +18,7 @@ import QueryUtil._
   * functions over native expressions — no UDFs, no driver loops.
   *
   * Scale contract per operator:
-  *  - near-dedup: candidates come ONLY from LSH band-bucket self-joins
+  *  - near-dedup: candidates come ONLY from per-band-bucket grouping
   *    (shuffle key = (band_no, 64-bit band hash), near-uniform); the
   *    O(n²) all-pairs comparison exists only in the DuckDB oracle.
   *  - kNN: the probe set is broadcast; the corpus is never replicated
