@@ -27,6 +27,14 @@ object GraftFunctions {
     ExpressionUtils.column(
       Fnv1aSeededHash((seed +: cols).map(ExpressionUtils.expression)))
 
+  /** Codegen'd left-fold dot product of two array<double> columns —
+    * IEEE-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` and
+    * to the DuckDB list_reduce oracle recipe, minus the per-element
+    * interpreted-lambda cost. */
+  def dotd(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotProductD(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Register `fnv1a` / `fnv1a_seeded` for the SQL surface of this
     * session (`fnv1a_seeded(seed, cols...)` — seed is any bigint
     * expression). */

@@ -97,11 +97,84 @@ object Pipeline {
         .otherwise(array(element_at(col("th"), 1))).as("hs"): _*)
   }
 
-  private def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x * y))
+  /** Codegen'd left-fold dot product (DotProductD) — IEEE-identical
+    * to the HOF spelling and the DuckDB list_reduce recipe. */
+  private def dot(a: Column, b: Column): Column = F.dotd(a, b)
 
-  private def l2norm(a: Column): Column =
-    sqrt(foldSum(transform(a, x => x * x)))
+  private def l2norm(a: Column): Column = sqrt(F.dotd(a, a))
+
+  private val NearDupPlanes = 96
+  private val NearDupBands = 8
+  private val NearDupRows = 12 // bands * rows == planes
+
+  /** Deterministic pseudo-random ±1 hyperplanes over the 64-dim
+    * embedding space: component j of plane h is ±1 from bit 0 of the
+    * chained seeded hash fnv1a(j ∥ fnv1a(h)) — the reference's
+    * `create_init` family again (fnv1a.rs:26-28), evaluated at
+    * plan-construction time so rows never pay for it. All-±1 vectors
+    * share the exact norm 8, so argmax-dot over them equals
+    * argmax-cosine (used by IVF cell assignment), and each literal
+    * round-trips exactly into oracle SQL. The first 16 serve
+    * ann_lsh/ivf_ann; all 96 serve the near-dup bands. */
+  private val hyperplanes: Seq[Seq[Double]] = (0 until NearDupPlanes).map { h =>
+    (0 until 64).map { j =>
+      val bit = Fnv1aCore.hashLong(j.toLong,
+        Fnv1aCore.hashLong(h.toLong, Fnv1aCore.OffsetBasis)) & 1L
+      if (bit == 1L) 1.0 else -1.0
+    }
+  }
+
+  private def planeLit(h: Int): Column = array(hyperplanes(h).map(lit): _*)
+
+  /** 0/1 sign bits of `v` against the first n hyperplanes, as ONE
+    * nested higher-order expression over a 2-D literal array — no
+    * per-plane unrolling, so plan analysis and evaluation setup stay
+    * linear in n instead of exploding the expression tree. */
+  private def signBits(v: Column, n: Int): Column =
+    transform(array((0 until n).map(planeLit): _*), p =>
+      when(F.dotd(v, p) >= 0, lit(1L)).otherwise(lit(0L)))
+
+  /** Banded sign-LSH candidate pairs + exact cosine verify — the
+    * embedding-cosine near-dup operator, parameterized so specs can
+    * plant known duplicates. `emb` must carry (vec_id: long,
+    * v: array<double>). 8 bands × 12 sign bits: at τ=0.99 (angle
+    * 8.1°) per-plane sign agreement is p = 1 − θ/π ≈ 0.955, so pair
+    * recall is 1−(1−p¹²)⁸ ≈ 0.9989, while 12-bit bands give 4096-way
+    * buckets — candidate pairs scale as b·n²/4096, the knob to retune
+    * (r ≈ log₂ n) as the corpus grows. Candidates come only from
+    * per-band bucket grouping — the all-pairs comparison exists only
+    * in the DuckDB oracle. */
+  def embedNearDupPairs(emb: DataFrame, tau: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // bits is its own projection: the 8 band slices below all read the
+    // stored array instead of recomputing 96 dot products each.
+    val withBits = emb
+      .select($"vec_id", signBits($"v", NearDupPlanes).as("bits"))
+    val bucketed = withBits.select($"vec_id",
+      explode(transform(sequence(lit(0), lit(NearDupBands - 1)), b =>
+        struct(b.cast("int").as("band_no"),
+          aggregate(slice($"bits", b * NearDupRows + 1, lit(NearDupRows)),
+            lit(0L), (acc, x) => acc * 2 + x).as("band_key")))).as("bk"))
+      .select($"vec_id", $"bk.band_no".as("band_no"),
+        $"bk.band_key".as("band_key"))
+    val cand = bucketed
+      .groupBy($"band_no", $"band_key")
+      .agg(sort_array(collect_list($"vec_id")).as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode($"ids").as("va"), $"ids")
+      .select($"va", explode($"ids").as("vb"))
+      .filter($"va" < $"vb")
+      .distinct()
+    cand
+      .join(emb.select($"vec_id".as("va"), $"v".as("v_a")), "va")
+      .join(emb.select($"vec_id".as("vb"), $"v".as("v_b")), "vb")
+      .select($"va", $"vb",
+        q6(dot($"v_a", $"v_b") / (l2norm($"v_a") * l2norm($"v_b")))
+          .as("cos_sim"))
+      .filter($"cos_sim" >= tau)
+      .orderBy($"va", $"vb")
+  }
 
   val queries: Map[String, Q] = Map(
     // L1: exact dedup by content fingerprint. The fingerprint is the
@@ -288,6 +361,63 @@ object Pipeline {
           q6(l2norm($"embedding".cast("array<double>"))).as("l2_norm"))
         .orderBy($"doc_id")
     }),
+
+    // L4 (scale path #2): IVF-style ANN. Cell assignment is in-row
+    // argmax-dot against the 16 equal-norm ±1 centroids (first-max
+    // tiebreak = smallest centroid id); each probe searches its
+    // nprobe=4 best cells only. Unlike ann_lsh's sign-signature
+    // buckets, cells partition the corpus — the natural layout key for
+    // a 100-TB vector table (write bucketed by cell; a probe then
+    // touches 4/16 of the data, pruned at the scan). The oracle
+    // replicates the identical literal centroids, so this one IS
+    // hash-checkable end-to-end.
+    "ivf_ann" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      def dotsCol(v: Column): Column =
+        transform(array((0 until 16).map(planeLit): _*), p => F.dotd(v, p))
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      // Corpus: one in-row argmax → cell; no explode, no extra shuffle.
+      val corpus = emb
+        .select($"vec_id", $"v", dotsCol($"v").as("dots"))
+        .select($"vec_id", $"v",
+          array_position($"dots", array_max($"dots")).as("cell"))
+      // Probes (20 rows): explode is fine at probe cardinality.
+      val wCell = Window.partitionBy($"probe_id")
+        .orderBy($"d".desc, $"cid0")
+      val probeCells = emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("probe_id"), $"v".as("pv"),
+          posexplode(dotsCol($"v")).as(Seq("cid0", "d")))
+        .withColumn("cell", ($"cid0" + 1).cast("long"))
+        .withColumn("cr", row_number().over(wCell))
+        .filter($"cr" <= 4)
+        .select($"probe_id", $"pv", $"cell")
+      val wTop = Window.partitionBy($"probe_id")
+        .orderBy($"cos_sim".desc, $"vec_id")
+      corpus.join(broadcast(probeCells), Seq("cell"))
+        .filter($"vec_id" =!= $"probe_id")
+        .select($"probe_id", $"vec_id",
+          q6(dot($"v", $"pv") / (l2norm($"v") * l2norm($"pv")))
+            .as("cos_sim"))
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter($"rn" <= 5)
+        .select($"probe_id", $"rn", $"vec_id".as("neighbor_id"), $"cos_sim")
+        .orderBy($"probe_id", $"rn")
+    }),
+
+    // L2/L3 hybrid: embedding-cosine near-dup at τ=0.99. On this
+    // corpus the true pair set is empty (max pairwise cosine ≈ 0.51)
+    // — the green entry proves the no-false-positive side against the
+    // all-pairs oracle; the detection side is proven in PipelineSpec
+    // by planting near-identical vectors through the same
+    // embedNearDupPairs code path.
+    "embed_neardup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      embedNearDupPairs(
+        Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+        0.99)
+    }),
   )
 
   /** Not SQL-expressible in DuckDB (both need the reference hash
@@ -351,18 +481,8 @@ object Pipeline {
     // candidate cut.
     "ann_lsh" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val planes: Seq[Seq[Double]] = (0 until 16).map { h =>
-        (0 until 64).map { j =>
-          val bit = Fnv1aCore.hashLong(j.toLong,
-            Fnv1aCore.hashLong(h.toLong, Fnv1aCore.OffsetBasis)) & 1L
-          if (bit == 1L) 1.0 else -1.0
-        }
-      }
       def bucket(v: Column): Column =
-        (0 until 16).map { h =>
-          when(foldSum(zip_with(v, array(planes(h).map(lit): _*),
-            (x, r) => x * r)) >= 0, lit(1L << h)).otherwise(0L)
-        }.reduce(_ bitwiseOR _)
+        aggregate(signBits(v, 16), lit(0L), (acc, x) => acc * 2 + x)
       val emb = Tables.embeddings(s, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("bucket", bucket($"v"))
@@ -380,7 +500,65 @@ object Pipeline {
           $"cos_sim")
         .orderBy($"probe_id", $"rn")
     }),
+
+    // L5: winnowing document fingerprints (Schleimer et al., SIGMOD'03
+    // — public algorithm). Positional 3-gram chain hashes (NOT
+    // deduplicated — winnowing is positional), then each sliding
+    // window of 4 grams contributes its minimum hash; the distinct
+    // minima are the doc's fingerprint set. Guarantees any shared run
+    // of ≥ 6 tokens between two docs shares ≥ 1 fingerprint, at ~1/4
+    // the density of full k-gram hashing — the standard
+    // containment-detection fingerprint at corpus scale. Hash-identity
+    // output → rows-only gate + properties in PipelineSpec.
+    "winnow_fingerprint" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      winnowFingerprints(Tables.documents(s, dir).select($"doc_id", $"text"))
+        .select($"doc_id",
+          size($"fps").cast("long").as("n_fp"),
+          aggregate($"fps", lit(0L), (acc, x) => acc.bitwiseXOR(x))
+            .as("fp_xor"))
+        .orderBy($"doc_id")
+    }),
   )
+
+  /** Winnowing fingerprint sets (Schleimer et al., SIGMOD'03 — public
+    * algorithm): positional 3-gram chain hashes (NOT deduplicated —
+    * winnowing is positional), then each sliding window of `w` grams
+    * contributes its minimum hash; the distinct minima are the doc's
+    * fingerprint set. Guarantee: any shared token run covering ≥ w
+    * consecutive grams (i.e. ≥ w+2 tokens) between two docs shares at
+    * least one fingerprint, at ~1/w the density of full gram hashing.
+    * Input: (doc_id, text); output: (doc_id, fps: array<long>). */
+  def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id",
+        transform(split($"text", " "), t => F.fnv1a(t)).as("th"))
+      .select($"doc_id",
+        when(size($"th") >= 3,
+          transform(sequence(lit(1), size($"th") - 2), i =>
+            F.fnv1a(element_at($"th", i), element_at($"th", i + 1),
+              element_at($"th", i + 2))))
+          .otherwise(array(element_at($"th", 1))).as("grams"))
+      .select($"doc_id",
+        when(size($"grams") >= w,
+          array_distinct(transform(
+            sequence(lit(1), size($"grams") - (w - 1)), j =>
+              array_min(slice($"grams", j, lit(w))))))
+          .otherwise(array(array_min($"grams"))).as("fps"))
+  }
+
+  /** DuckDB literal for hyperplane h — the identical ±1 doubles the
+    * Spark plan embeds (exact round-trip: every component is ±1.0). */
+  private def planeSql(h: Int): String =
+    hyperplanes(h).map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (acc, x) -> acc + x)"
+
+  private def sqlNorm(a: String): String =
+    s"sqrt(list_reduce(list_prepend(0.0, list_transform($a, x -> x * x)), (acc, x) -> acc + x))"
 
   private val shingleSqlCte =
     """sh AS (
@@ -466,6 +644,42 @@ object Pipeline {
         |  CAST(list_sum(list_transform(string_split_regex(text, ''), c -> ascii(c))) AS DOUBLE)
         |    / octet_length(encode(text)) AS byte_mean
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ivf_ann" ->
+      s"""WITH cents(cid, c) AS (VALUES
+         |    ${(0 until 16).map(h => s"(${h + 1}, ${planeSql(h)})").mkString(",\n    ")}),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |d AS (SELECT e.vec_id, cents.cid, ${sqlDot("e.v", "cents.c")} AS d
+         |      FROM e CROSS JOIN cents),
+         |cells AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |    FROM d) t WHERE rn = 1),
+         |pc AS (SELECT vec_id AS probe_id, CAST(cid AS BIGINT) AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |    FROM d WHERE vec_id < 20) t WHERE rn <= 4),
+         |scored AS (
+         |  SELECT pc.probe_id, c.vec_id,
+         |    ${sqlQ6(sqlDot("a.v", "p.v") + " / (" + sqlNorm("a.v") + " * " + sqlNorm("p.v") + ")")} AS cos_sim
+         |  FROM pc JOIN cells c ON c.cell = pc.cell AND c.vec_id <> pc.probe_id
+         |  JOIN e a ON a.vec_id = c.vec_id
+         |  JOIN e p ON p.vec_id = pc.probe_id),
+         |ranked AS (SELECT probe_id, vec_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM scored)
+         |SELECT probe_id, rn, vec_id AS neighbor_id, cos_sim
+         |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+
+    // All-pairs — feasible only at oracle/test scale; the engine side
+    // arrives via banded sign-LSH buckets (recall ≈ 0.9992 at τ=0.99).
+    "embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT va, vb, cos_sim FROM (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    ${sqlQ6(sqlDot("a.v", "b.v") + " / (" + sqlNorm("a.v") + " * " + sqlNorm("b.v") + ")")} AS cos_sim
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+         |WHERE cos_sim >= 0.99 ORDER BY va, vb""".stripMargin,
 
     "doc_embed_join" ->
       s"""SELECT doc_id, lang, n_chars,

@@ -66,4 +66,75 @@ class PipelineSpec extends SparkSuite {
     val n = Tables.documents(spark, sf).select($"text").distinct().count()
     assert(Pipeline.queries("exact_dedup")(spark, sf).count() == n)
   }
+
+  test("embed_neardup detects planted near-identical vectors, no extras") {
+    // Base corpus from the fixture (pairwise cosine ≤ ~0.51 — below
+    // τ) + two planted copies of vectors 0 and 7 with one component
+    // nudged 0.1% — cosine ≈ 1. The detector must find exactly the
+    // two planted pairs through the banded-LSH candidate path.
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val planted = emb.filter($"vec_id" === 0 || $"vec_id" === 7)
+      .select(($"vec_id" + 10000).as("vec_id"),
+        transform($"v", (x, i) => when(i === 0, x * 1.001).otherwise(x))
+          .as("v"))
+    val pairs = Pipeline.embedNearDupPairs(emb.unionByName(planted), 0.99)
+      .select($"va", $"vb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 10000L), (7L, 10007L)), pairs.toSeq)
+  }
+
+  test("ivf_ann: cells partition the corpus; top-k ranked and plausible") {
+    val rows = Pipeline.queries("ivf_ann")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byProbe = rows.groupBy(_.getLong(0))
+    byProbe.foreach { case (_, rs) =>
+      assert(rs.length == 5, "4-of-16-cell probe must fill k=5 here")
+      val byRn = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRn.zip(byRn.tail).forall { case (x, y) => x >= y })
+    }
+    // IVF recall vs the exact brute-force top-5 (cosine_knn): with
+    // nprobe=4/16 on near-orthogonal random vectors recall is partial
+    // by design, but the top-1 neighborhood should overlap markedly.
+    val exact = Pipeline.queries("cosine_knn")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (p, rs) =>
+        p -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSet }
+    val hit = byProbe.toSeq.map { case (p, rs) =>
+      rs.map(_.getLong(2)).count(exact(p).contains).toDouble / 5 }
+    assert(hit.sum / hit.size > 0.3,
+      s"mean IVF recall vs exact top-5 too low: ${hit.sum / hit.size}")
+  }
+
+  test("winnowing: shared ≥6-token run ⇒ shared fingerprint; density < grams") {
+    // The winnowing guarantee, on planted docs: doc 1 and doc 2 share
+    // a 10-token run inside otherwise-disjoint text ⇒ at least one
+    // common fingerprint. Doc 3 is disjoint from both ⇒ no overlap
+    // (hash collisions aside, ~2^-64).
+    val run = (0 until 10).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"one two three four five $run six seven"),
+      (3L, "completely different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val fps = Pipeline.winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+
+    // Fixture-wide: fingerprint density stays below the gram count
+    // (that is the point of winnowing) and the query is deterministic.
+    val out = Pipeline.noOracleQueries("winnow_fingerprint")(spark, sf)
+      .collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    val grams = Tables.documents(spark, sf)
+      .select($"doc_id", (size(split($"text", " ")) - 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val g = grams(r.getLong(0))
+      if (g >= 4) assert(r.getLong(1) <= g - 3,
+        s"doc ${r.getLong(0)}: ${r.getLong(1)} fingerprints from $g grams")
+    }
+    val again = Pipeline.noOracleQueries("winnow_fingerprint")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.map(r => r.getLong(0) -> r.getLong(2)).toMap == again)
+  }
 }

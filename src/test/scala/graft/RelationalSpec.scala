@@ -47,8 +47,10 @@ class RelationalSpec extends SparkSuite {
     //    property-tests both)
     //  - source_minhash_sim: typed MinHashAgg sketch (hash identity;
     //    MinHashAggSpec checks the estimate against true Jaccard)
+    //  - winnow_fingerprint: winnowing minima of fnv1a gram hashes
+    //    (hash identity; PipelineSpec proves the shared-run guarantee)
     val exempt = Set("agg_approx", "simhash_fingerprint", "ann_lsh",
-      "source_minhash_sim")
+      "source_minhash_sim", "winnow_fingerprint")
     assert((missing -- exempt).isEmpty, s"queries without oracle: $missing")
   }
 }
