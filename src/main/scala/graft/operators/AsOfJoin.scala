@@ -64,4 +64,39 @@ object AsOfJoin {
       .select(probeCols.map(c => col(s"__row.$c").as(c)) ++
         payload.map(c => col(s"__match.$c").as(c)): _*)
   }
+
+  /** The same as-of semantics through the engine's custom Catalyst
+    * operator ([[graft.plans.AsOfJoinPlan]] → merge-based
+    * [[graft.plans.AsOfJoinExec]]) instead of the union–window
+    * rewrite: one hash exchange per side, then an O(|L|+|R|)
+    * streaming merge with O(1) state per partition — no window
+    * buffer. Same output contract as [[asof]].
+    *
+    * The probe and build frames must not share a plan lineage (read
+    * the table twice rather than deriving both sides from one
+    * DataFrame) — the custom node relies on the analyzer's generic
+    * relation dedup, which is only exercised for freshly-read plans.
+    */
+  def asofNative(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: Column, buildKey: Column,
+      probeTs: Column, buildTs: Column,
+      payload: Seq[String]): DataFrame = {
+    import graft.plans.{AsOfJoinPlan, GraftExtensions}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = probe.sparkSession
+    GraftExtensions.ensureRegistered(spark)
+    val b = build.select(
+      buildKey.as("__asof_k") +: buildTs.as("__asof_ts") +:
+        payload.map(col): _*)
+    val lPlan = Bridge.analyzed(probe)
+    val rPlan = Bridge.analyzed(b)
+    val rKey = rPlan.output.find(_.name == "__asof_k").get
+    val rTs = rPlan.output.find(_.name == "__asof_ts").get
+    val plan = AsOfJoinPlan(lPlan, rPlan,
+      Seq(Bridge.expression(probeKey)), Seq(rKey),
+      Bridge.expression(probeTs), rTs)
+    Bridge.ofRows(spark, plan).drop("__asof_k", "__asof_ts")
+  }
 }

@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+
+/** Logical as-of join: for every left (probe) row, attach the single
+  * right (build) row with the greatest `rightTime <= leftTime` among
+  * rows with equal keys — the whole-operator form of the reference's
+  * floor search (`greatest_not_exceeding`,
+  * /root/reference/src/algo/search.rs:51-80). A probe that precedes
+  * every build row gets an all-null build payload, mirroring the
+  * reference's `None`-before-first contract (search.rs:66-68).
+  *
+  * This is the SURVEY §2 J9 "custom LogicalPlan + Strategy + SparkPlan"
+  * realization: declared logically here, planned by
+  * [[GraftStrategies]] into [[AsOfJoinExec]], and optimized by
+  * [[PushFilterThroughAsOfJoin]] (probe-side predicates keep reaching
+  * the parquet scan below the custom node).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression)
+  extends BinaryNode {
+
+  require(leftKeys.length == rightKeys.length,
+    "as-of join needs the same number of keys on both sides")
+
+  /** Left-outer shape: every probe row survives; build columns are
+    * nullable. */
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Planner strategy for the engine's custom logical operators
+  * (currently [[AsOfJoinPlan]] → [[AsOfJoinExec]]). */
+object GraftStrategies extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Catalyst doesn't know [[AsOfJoinPlan]] preserves probe rows 1:1, so
+  * by default a probe-side filter above it stays above it — and the
+  * parquet scan below reads everything. This rule restores predicate
+  * pushdown through the custom node: conjuncts referencing only left
+  * (probe) attributes move below, where the stock rules then carry
+  * them down to the scan. Build-side conjuncts must NOT move — build
+  * columns are null-extended, so filtering the build side pre-join
+  * would turn "no match" rows into dropped rows (same reason filters
+  * don't push into the nullable side of an outer join). */
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] {
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoinPlan) =>
+      val (pushable, kept) = splitConjuncts(cond)
+        .partition(c => c.deterministic &&
+          c.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(left =
+          Filter(pushable.reduce(And), aj.left))
+        if (kept.isEmpty) pushed else Filter(kept.reduce(And), pushed)
+      }
+  }
+}
+
+/** Builder-time registration (`.withExtensions(new GraftExtensions)`)
+  * — the library's SparkSessionExtensions entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => GraftStrategies)
+    e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+  }
+}
+
+object GraftExtensions {
+  /** Runtime registration for sessions the library didn't build (the
+    * driver owns the SparkSession) — the public experimental hooks
+    * accept strategies/rules on a live session. Idempotent. */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(GraftStrategies))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftStrategies
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+  }
+}

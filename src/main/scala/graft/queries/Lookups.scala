@@ -122,6 +122,30 @@ object Lookups {
         Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
         .orderBy($"o_orderkey")
     }),
+
+    // J9 via the custom Catalyst operator (AsOfJoinPlan →
+    // AsOfJoinExec): identical semantics and oracle as asof_join, but
+    // planned as a clustered-and-sorted streaming merge instead of the
+    // union–window rewrite. Probe and build are read separately (no
+    // shared lineage — see AsOfJoin.asofNative).
+    "asof_join_native" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val probe = Tables.orders(s, dir)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val build = Tables.orders(s, dir)
+        .filter($"o_orderpriority" =!= "1-URGENT")
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_orderkey").as("prev_orderkey"),
+          max_by($"o_totalprice", $"o_orderkey").as("prev_totalprice"))
+        .select($"o_custkey".as("b_custkey"), $"o_orderdate".as("prev_orderdate"),
+          $"prev_orderkey", $"prev_totalprice")
+      AsOfJoin.asofNative(probe, build,
+        probe("o_custkey"), build("b_custkey"),
+        probe("o_orderdate"), build("prev_orderdate"),
+        Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
+        .orderBy($"o_orderkey")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -181,6 +205,25 @@ object Lookups {
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
         |GROUP BY a.event_type
         |ORDER BY a.event_type""".stripMargin,
+
+    // Same oracle as asof_join — the two engine spellings (window
+    // rewrite vs custom merge operator) must agree with DuckDB's ASOF
+    // JOIN and, transitively, with each other.
+    "asof_join_native" ->
+      """WITH build AS (
+        |  SELECT o_custkey AS b_custkey, o_orderdate AS prev_orderdate,
+        |         max(o_orderkey) AS prev_orderkey,
+        |         arg_max(o_totalprice, o_orderkey) AS prev_totalprice
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |SELECT p.o_orderkey, p.o_custkey, p.o_orderdate,
+        |       b.prev_orderkey, b.prev_orderdate, b.prev_totalprice
+        |FROM probe p ASOF LEFT JOIN build b
+        |  ON p.o_custkey = b.b_custkey AND p.o_orderdate >= b.prev_orderdate
+        |ORDER BY p.o_orderkey""".stripMargin,
 
     "asof_join" ->
       """WITH build AS (
