@@ -43,5 +43,10 @@ object GraftFunctions {
       "fnv1a", exprs => Fnv1aHash(exprs, Fnv1aCore.OffsetBasis), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fnv1a_seeded", exprs => Fnv1aSeededHash(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dotd", { exprs =>
+        require(exprs.length == 2, "dotd(a, b) takes two array<double>")
+        DotProductD(exprs.head, exprs(1))
+      }, "built-in")
   }
 }

@@ -43,4 +43,12 @@ class Fnv1aSeededSpec extends SparkSuite with TableDrivenPropertyChecks {
     // -3750763034362895579 == OffsetBasis as signed
     assert(r.getLong(0) == r.getLong(1))
   }
+
+  test("SQL registration exposes dotd") {
+    F.registerSql(spark)
+    val r = spark.sql(
+      "SELECT dotd(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head
+    assert(r.getDouble(0) == 32.0)
+  }
 }
