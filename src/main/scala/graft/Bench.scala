@@ -31,10 +31,13 @@ object Bench {
       case c => c.toString
     } + "\""
 
-    // Untimed warmup: first action pays JVM/codegen/parquet-footer
-    // startup that is not any query's cost; absorb it once here so the
-    // per-query numbers measure the queries.
-    try Tables.lineitem(spark, sfDir).count() catch { case _: Throwable => () }
+    // Untimed warmup: the first action on each table pays JVM/codegen/
+    // parquet-footer startup that is not any query's cost; absorb it
+    // once here so the per-query numbers measure the queries.
+    Seq(Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.events(spark, sfDir),
+      Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
+      .foreach(t => try t.count() catch { case _: Throwable => () })
 
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -51,8 +54,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The round-1 baseline total covered exactly these four queries;
+    // report their sum on this run separately so total-vs-baseline
+    // stays comparable as the query list grows.
+    val r01Set = Set("pricing_summary", "filter_project", "global_sort",
+      "exact_dedup")
+    val r01Total = results.collect { case (k, v) if r01Set(k) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_queries":${results.size},"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_queries":${results.size},"n_errors":${errors.size},"baseline_subset_total":$r01Total,"sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get(outFile), line + "\n")
     spark.stop()
