@@ -78,4 +78,71 @@ class PropertySpec extends SparkSuite {
       assert(succGot == succOracle(sorted, p), s"succ($sorted, $p)")
     }
   }
+
+  test("dotd matches a driver-side left fold and is exactly symmetric") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(17)(rnd.nextDouble() * 4 - 2))
+    }
+    val df = vecs.toDF("id", "v")
+    val got = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        F.dotd(col("a.v"), col("b.v")).as("ab"),
+        F.dotd(col("b.v"), col("a.v")).as("ba"))
+      .collect()
+    val byId = vecs.toMap
+    got.foreach { r =>
+      val want = byId(r.getLong(0)).zip(byId(r.getLong(1)))
+        .foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(want))
+      // x*y == y*x per element and the fold order is positional, so
+      // symmetry holds EXACTLY, not just approximately
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("embed near-dup finds randomly planted duplicates, nothing else") {
+    import org.apache.spark.sql.functions.col
+    // 150 random 64-dim vectors (pairwise cosine far below tau with
+    // overwhelming probability), plus 5 planted near-copies.
+    val base = (0 until 150).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val dupOf = (0 until 5).map(_ => rnd.nextInt(150)).distinct
+    val planted = dupOf.zipWithIndex.map { case (src, j) =>
+      val v = base(src)._2
+      val k = rnd.nextInt(64)
+      ((1000 + j).toLong,
+        v.zipWithIndex.map { case (x, i) => if (i == k) x * 1.0005 else x })
+    }
+    val df = (base ++ planted).toDF("vec_id", "v")
+    val got = graft.queries.Pipeline.embedNearDupPairs(df, 0.99)
+      .select(col("va"), col("vb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = dupOf.zipWithIndex
+      .map { case (src, j) => (src.toLong, (1000 + j).toLong) }.toSet
+    assert(got == want, s"got $got, want $want")
+  }
+
+  test("winnowing shared-run guarantee on random token sequences") {
+    val vocabA = (0 until 400).map(i => s"a$i")
+    val vocabB = (0 until 400).map(i => s"b$i")
+    (1 to 10).foreach { trial =>
+      val runLen = 6 + rnd.nextInt(10)
+      val run = (0 until runLen).map(i => s"shared${trial}_$i")
+      def doc(vocab: IndexedSeq[String]) = {
+        val pre = Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+        val post = Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+        (pre ++ run ++ post).mkString(" ")
+      }
+      val docs = Seq((1L, doc(vocabA)), (2L, doc(vocabB)))
+        .toDF("doc_id", "text")
+      val fps = graft.queries.Pipeline.winnowFingerprints(docs).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      assert((fps(1L) & fps(2L)).nonEmpty,
+        s"trial $trial: ${runLen}-token shared run must share a fingerprint")
+    }
+  }
 }
