@@ -82,7 +82,8 @@ object AsOfJoin {
       build: DataFrame,
       probeKey: Column, buildKey: Column,
       probeTs: Column, buildTs: Column,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      broadcastBuild: Boolean = false): DataFrame = {
     import graft.plans.{AsOfJoinPlan, GraftExtensions}
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = probe.sparkSession
@@ -96,7 +97,21 @@ object AsOfJoin {
     val rTs = rPlan.output.find(_.name == "__asof_ts").get
     val plan = AsOfJoinPlan(lPlan, rPlan,
       Seq(Bridge.expression(probeKey)), Seq(rKey),
-      Bridge.expression(probeTs), rTs)
+      Bridge.expression(probeTs), rTs, broadcastBuild)
     Bridge.ofRows(spark, plan).drop("__asof_k", "__asof_ts")
   }
+
+  /** [[asofNative]] with the build side broadcast: zero shuffle on
+    * either side — the probe streams through unmoved and every row
+    * answers a floor binary search against the broadcast build runs
+    * ([[graft.plans.BroadcastAsOfJoinExec]]). The right plan when the
+    * build is a bounded dimension. */
+  def asofBroadcast(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: Column, buildKey: Column,
+      probeTs: Column, buildTs: Column,
+      payload: Seq[String]): DataFrame =
+    asofNative(probe, build, probeKey, buildKey, probeTs, buildTs,
+      payload, broadcastBuild = true)
 }

@@ -23,7 +23,8 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    broadcastBuild: Boolean = false)
   extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length,

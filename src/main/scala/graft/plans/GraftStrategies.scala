@@ -11,8 +11,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * (currently [[AsOfJoinPlan]] → [[AsOfJoinExec]]). */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case p: AsOfJoinPlan if p.broadcastBuild =>
+      BroadcastAsOfJoinExec(planLater(p.left), planLater(p.right),
+        p.leftKeys, p.rightKeys, p.leftTime, p.rightTime) :: Nil
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(planLater(p.left), planLater(p.right),
+        p.leftKeys, p.rightKeys, p.leftTime, p.rightTime) :: Nil
     case _ => Nil
   }
 }

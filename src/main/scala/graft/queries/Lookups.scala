@@ -146,6 +146,30 @@ object Lookups {
         Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
         .orderBy($"o_orderkey")
     }),
+
+    // J9, third spelling: broadcast build — zero shuffle on either
+    // side; every probe row runs a floor binary search against the
+    // broadcast build runs (BroadcastAsOfJoinExec — the reference's
+    // greatest_not_exceeding against executor-local state). Same
+    // oracle as the other two spellings.
+    "asof_join_broadcast" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val probe = Tables.orders(s, dir)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val build = Tables.orders(s, dir)
+        .filter($"o_orderpriority" =!= "1-URGENT")
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_orderkey").as("prev_orderkey"),
+          max_by($"o_totalprice", $"o_orderkey").as("prev_totalprice"))
+        .select($"o_custkey".as("b_custkey"), $"o_orderdate".as("prev_orderdate"),
+          $"prev_orderkey", $"prev_totalprice")
+      AsOfJoin.asofBroadcast(probe, build,
+        probe("o_custkey"), build("b_custkey"),
+        probe("o_orderdate"), build("prev_orderdate"),
+        Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
+        .orderBy($"o_orderkey")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -206,9 +230,25 @@ object Lookups {
         |GROUP BY a.event_type
         |ORDER BY a.event_type""".stripMargin,
 
-    // Same oracle as asof_join — the two engine spellings (window
-    // rewrite vs custom merge operator) must agree with DuckDB's ASOF
-    // JOIN and, transitively, with each other.
+    // Same oracle as asof_join — all engine spellings (window rewrite,
+    // custom merge operator, broadcast floor-search operator) must
+    // agree with DuckDB's ASOF JOIN and, transitively, each other.
+    "asof_join_broadcast" ->
+      """WITH build AS (
+        |  SELECT o_custkey AS b_custkey, o_orderdate AS prev_orderdate,
+        |         max(o_orderkey) AS prev_orderkey,
+        |         arg_max(o_totalprice, o_orderkey) AS prev_totalprice
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |SELECT p.o_orderkey, p.o_custkey, p.o_orderdate,
+        |       b.prev_orderkey, b.prev_orderdate, b.prev_totalprice
+        |FROM probe p ASOF LEFT JOIN build b
+        |  ON p.o_custkey = b.b_custkey AND p.o_orderdate >= b.prev_orderdate
+        |ORDER BY p.o_orderkey""".stripMargin,
+
     "asof_join_native" ->
       """WITH build AS (
         |  SELECT o_custkey AS b_custkey, o_orderdate AS prev_orderdate,

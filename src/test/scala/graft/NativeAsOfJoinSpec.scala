@@ -94,6 +94,44 @@ class NativeAsOfJoinSpec extends SparkSuite {
       s"pushed predicate should reach the probe scan:\n$exec")
   }
 
+  test("broadcast as-of equals the merge spelling; no shuffle planned") {
+    val (probe, build) = probeBuild()
+    val bcast = AsOfJoin.asofBroadcast(probe, build,
+      probe("o_custkey"), build("b_custkey"),
+      probe("o_orderdate"), build("prev_orderdate"),
+      Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
+    val (probe2, build2) = probeBuild()
+    val merge = AsOfJoin.asofNative(probe2, build2,
+      probe2("o_custkey"), build2("b_custkey"),
+      probe2("o_orderdate"), build2("prev_orderdate"),
+      Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
+    assert(bcast.exceptAll(merge).isEmpty && merge.exceptAll(bcast).isEmpty)
+    val exec = bcast.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastAsOfJoin"), s"wrong exec:\n$exec")
+    // zero-shuffle contract for the JOIN: the probe branch (the `:-`
+    // subtree lines under BroadcastAsOfJoin) must contain no exchange;
+    // the build side moves via broadcast only. (The build's own
+    // pre-aggregation may shuffle below the BroadcastExchange — that
+    // is the aggregation's exchange, not the join's.)
+    val probeBranch = exec.linesIterator
+      .filter(l => l.contains(":- ") || l.contains(":  "))
+      .mkString("\n")
+    assert(!probeBranch.contains("Exchange"),
+      s"broadcast as-of must not move the probe side:\n$exec")
+    assert(exec.contains("BroadcastExchange"), "build must broadcast")
+  }
+
+  test("broadcast as-of honors the None-before-first contract") {
+    val probe = Seq((1L, 5), (1L, 15), (2L, 100)).toDF("k", "ts")
+    val build = Seq((1L, 10, "a"), (1L, 12, "b"), (3L, 1, "z"))
+      .toDF("bk", "bts", "v")
+    val out = AsOfJoin.asofBroadcast(probe, build,
+        probe("k"), build("bk"), probe("ts"), build("bts"), Seq("v"))
+      .orderBy($"k", $"ts").collect()
+    assert(out(0).isNullAt(2) && out(1).getString(2) == "b" &&
+      out(2).isNullAt(2))
+  }
+
   test("dataset round-trip keeps working after the custom plan (smoke)") {
     val (probe, build) = probeBuild()
     val native = AsOfJoin.asofNative(probe, build,
