@@ -303,6 +303,34 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // L5 (quality scoring): composite per-doc quality from the
+    // standard cheap signals — length band, type-token ratio, stopword
+    // presence, token-length sanity — combined into a 0..1 score and a
+    // keep/review/drop band, the filter stage of a training-data
+    // pipeline. All arithmetic is quantized for oracle parity.
+    "doc_quality" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = split($"text", " ")
+      val nTok = size(t).cast("double")
+      val ttr = q6(size(array_distinct(t)).cast("double") / size(t))
+      val stop = q6(size(filter(t, w => w === "the" || w === "a" || w === "of"))
+        .cast("double") / size(t))
+      val avgLen = q6(foldSum(transform(t, w => length(w).cast("double"))) / size(t))
+      val lenScore = when(nTok >= 50 && nTok <= 5000, 1.0)
+        .when(nTok >= 20, 0.5).otherwise(0.0)
+      val ttrScore = when(ttr >= 0.3 && ttr <= 0.9, 1.0).otherwise(0.5)
+      val stopScore = when(stop >= 0.02 && stop <= 0.3, 1.0).otherwise(0.5)
+      val lenSanity = when(avgLen >= 2.0 && avgLen <= 12.0, 1.0).otherwise(0.0)
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang",
+          q6((lenScore + ttrScore + stopScore + lenSanity) / 4.0)
+            .as("quality"))
+        .withColumn("band",
+          when($"quality" >= 0.875, "keep")
+            .when($"quality" >= 0.625, "review").otherwise("drop"))
+        .orderBy($"doc_id")
+    }),
+
     // L5 (language-ID heuristic): per-doc stopword-profile scores with
     // an argmax prediction — the standard cheap lang-ID mechanism,
     // fully deterministic so the oracle replicates it verbatim. (On
@@ -606,6 +634,29 @@ object Pipeline {
          |SELECT probe_id, rn, vec_id AS neighbor_id, cos_sim
          |FROM ranked WHERE rn <= 5
          |ORDER BY probe_id, rn""".stripMargin,
+
+    "doc_quality" ->
+      s"""SELECT doc_id, lang, quality,
+         |  CASE WHEN quality >= 0.875 THEN 'keep'
+         |       WHEN quality >= 0.625 THEN 'review'
+         |       ELSE 'drop' END AS band
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    ${sqlQ6("""(
+         |      (CASE WHEN n_tok >= 50 AND n_tok <= 5000 THEN 1.0
+         |            WHEN n_tok >= 20 THEN 0.5 ELSE 0.0 END) +
+         |      (CASE WHEN ttr >= 0.3 AND ttr <= 0.9 THEN 1.0 ELSE 0.5 END) +
+         |      (CASE WHEN stop >= 0.02 AND stop <= 0.3 THEN 1.0 ELSE 0.5 END) +
+         |      (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+         |    ) / 4.0""")} AS quality
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      CAST(len(ws) AS DOUBLE) AS n_tok,
+         |      ${sqlQ6("CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)")} AS ttr,
+         |      ${sqlQ6("CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE) / len(ws)")} AS stop,
+         |      ${sqlQ6("list_reduce(list_prepend(0.0, list_transform(ws, w -> CAST(length(w) AS DOUBLE))), (acc, x) -> acc + x) / len(ws)")} AS avg_len
+         |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)))
+         |ORDER BY doc_id""".stripMargin,
 
     "lang_id_heuristic" ->
       s"""SELECT doc_id, lang, en_score, es_score, de_score,
