@@ -126,6 +126,34 @@ class PropertySpec extends SparkSuite {
     assert(got == want, s"got $got, want $want")
   }
 
+  test("three as-of spellings agree on random keyed time series") {
+    import graft.operators.AsOfJoin
+    import org.apache.spark.sql.functions.{col, max => fmax}
+    (1 to 5).foreach { trial =>
+      // Small key domain forces duplicate keys; small ts domain forces
+      // equal/straddling timestamps including before-first probes.
+      def rows(n: Int) = Seq.fill(n)(
+        (rnd.nextInt(6).toLong, rnd.nextInt(40), rnd.nextInt(1000)))
+      val probe = rows(60 + rnd.nextInt(60)).toDF("k", "ts", "pv")
+      // determinism contract: build unique per (key, ts)
+      val build = rows(40 + rnd.nextInt(40)).toDF("bk", "bts", "bv")
+        .groupBy($"bk", $"bts").agg(fmax($"bv").as("bv"))
+      def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) = {
+        f(probe, build).select(col("k"), col("ts"), col("pv"), col("bv"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+            if (r.isNullAt(3)) None else Some(r.getInt(3)))).sorted
+      }
+      val window = run((p, b) => AsOfJoin.asof(p, b,
+        p("k"), b("bk"), p("ts"), b("bts"), Seq("bv")))
+      val merge = run((p, b) => AsOfJoin.asofNative(p, b,
+        p("k"), b("bk"), p("ts"), b("bts"), Seq("bv")))
+      val bcast = run((p, b) => AsOfJoin.asofBroadcast(p, b,
+        p("k"), b("bk"), p("ts"), b("bts"), Seq("bv")))
+      assert(merge.toSeq == window.toSeq, s"trial $trial merge != window")
+      assert(bcast.toSeq == window.toSeq, s"trial $trial broadcast != window")
+    }
+  }
+
   test("winnowing shared-run guarantee on random token sequences") {
     val vocabA = (0 until 400).map(i => s"a$i")
     val vocabB = (0 until 400).map(i => s"b$i")
