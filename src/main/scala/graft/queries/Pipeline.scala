@@ -113,19 +113,24 @@ object Pipeline {
   private val NearDupRows = 12 // bands * rows == planes
 
   /** Deterministic pseudo-random ±1 hyperplanes over the 64-dim
-    * embedding space: component j of plane h is ±1 from bit 0 of the
-    * chained seeded hash fnv1a(j ∥ fnv1a(h)) — the reference's
-    * `create_init` family again (fnv1a.rs:26-28), evaluated at
-    * plan-construction time so rows never pay for it. All-±1 vectors
-    * share the exact norm 8, so argmax-dot over them equals
-    * argmax-cosine (used by IVF cell assignment), and each literal
-    * round-trips exactly into oracle SQL. The first 16 serve
+    * embedding space: component j of plane h is ±1 from the POPCOUNT
+    * PARITY of the chained seeded hash fnv1a(j ∥ fnv1a(h)) — the
+    * reference's `create_init` family again (fnv1a.rs:26-28),
+    * evaluated at plan-construction time so rows never pay for it.
+    * Parity folds all 64 state bits; FNV-1a's bit 0 alone must NOT be
+    * used here — it has no avalanche for short inputs and alternates
+    * with j, which collapses every plane to ±(+1,−1,+1,…): two
+    * effective planes, two LSH buckets, and O(n²) candidate pairs
+    * (measured: ~1M pairs over 2000 vectors before this fix).
+    * All-±1 vectors share the exact norm 8, so argmax-dot over them
+    * equals argmax-cosine (used by IVF cell assignment), and each
+    * literal round-trips exactly into oracle SQL. The first 16 serve
     * ann_lsh/ivf_ann; all 96 serve the near-dup bands. */
   private val hyperplanes: Seq[Seq[Double]] = (0 until NearDupPlanes).map { h =>
     (0 until 64).map { j =>
-      val bit = Fnv1aCore.hashLong(j.toLong,
-        Fnv1aCore.hashLong(h.toLong, Fnv1aCore.OffsetBasis)) & 1L
-      if (bit == 1L) 1.0 else -1.0
+      val parity = java.lang.Long.bitCount(Fnv1aCore.hashLong(j.toLong,
+        Fnv1aCore.hashLong(h.toLong, Fnv1aCore.OffsetBasis))) & 1
+      if (parity == 1) 1.0 else -1.0
     }
   }
 
@@ -506,16 +511,19 @@ object Pipeline {
     }),
 
     // L4 at scale: LSH-bucketed approximate nearest neighbors. Bucket
-    // key = 16 sign bits of deterministic pseudo-random hyperplanes;
-    // component j of plane h is ±1 from bit 0 of fnv1a(h ∥ j), computed
-    // once at plan-construction time and embedded as literal arrays
+    // key = 8 sign bits of the deterministic hyperplanes (see
+    // [[hyperplanes]] — parity-derived, well spread), computed once at
+    // plan-construction time and embedded as literal arrays
     // (constant-folded — zero per-row hashing). Probes only compare
-    // against same-bucket candidates — recall is traded for a ~64k-fold
-    // candidate cut.
+    // against same-bucket candidates — recall traded for a 256-fold
+    // candidate cut. The bit count is the scale knob: bucket bits ≈
+    // log₂(n / wanted-candidates), so a 10⁹-vector corpus wants ~25
+    // bits (and multi-probe for recall), while 2000 fixture vectors
+    // want 8.
     "ann_lsh" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       def bucket(v: Column): Column =
-        aggregate(signBits(v, 16), lit(0L), (acc, x) => acc * 2 + x)
+        aggregate(signBits(v, 8), lit(0L), (acc, x) => acc * 2 + x)
       val emb = Tables.embeddings(s, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("bucket", bucket($"v"))

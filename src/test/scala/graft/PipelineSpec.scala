@@ -67,6 +67,20 @@ class PipelineSpec extends SparkSuite {
     assert(Pipeline.queries("exact_dedup")(spark, sf).count() == n)
   }
 
+  test("banded LSH candidates stay near-linear in corpus size") {
+    // Regression net for hyperplane quality: FNV-1a's bit 0 has no
+    // avalanche, and deriving plane signs from it collapsed all 96
+    // planes to 2 patterns -> 2 buckets/band -> O(n²) candidates
+    // (~1M pairs from 2000 vectors). With parity-derived planes the
+    // τ=-1 candidate count (every bucket pair, no cosine cut) must
+    // stay near-linear.
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val n = emb.count()
+    val cands = Pipeline.embedNearDupPairs(emb, -1.0).count()
+    assert(cands < n * 20, s"LSH candidate blowup: $cands pairs from $n vectors")
+  }
+
   test("embed_neardup detects planted near-identical vectors, no extras") {
     // Base corpus from the fixture (pairwise cosine ≤ ~0.51 — below
     // τ) + two planted copies of vectors 0 and 7 with one component
