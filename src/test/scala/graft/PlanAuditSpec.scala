@@ -58,4 +58,12 @@ class PlanAuditSpec extends SparkSuite {
         s"$name has an unexpected CollectLimit:\n${p.take(1000)}")
     }
   }
+
+  test("topk_per_group keeps the WindowGroupLimit rank pushdown") {
+    // Spark 4 turns `row_number <= k` above a window into a
+    // per-partition group limit BEFORE the shuffle/sort — the plan
+    // shape that makes top-k-per-group viable at 100 TB. Pin it.
+    assert(plans("topk_per_group").contains("WindowGroupLimit"),
+      s"rank filter not pushed:\n${plans("topk_per_group").take(1500)}")
+  }
 }
