@@ -130,6 +130,57 @@ class EventStreamsSpec extends SparkSuite {
     assert(sunk.nonEmpty)
   }
 
+  test("checkpoint recovery: restart resumes exactly-once, no re-emission") {
+    val base = "/tmp/graft_stream_recover"
+    val (srcDir, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(srcDir).mkdirs()
+    // Two halves of events, delivered across a stop/restart boundary.
+    // Split the RAW file (ts still nanos-long) so the halves match the
+    // file source's declared schema.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val mid = raw.agg(percentile_approx($"ts", lit(0.5), lit(100000))
+      .cast("long")).collect().head.getLong(0)
+    val all = Tables.events(spark, sf)
+    // the file source lists plain files (no subdir recursion) — land
+    // each delivery as a single parquet file in the watched dir
+    def deliver(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+    }
+    deliver(raw.filter($"ts" <= mid), "batch1")
+    def run(): Unit = {
+      val src = EventStreams.fileSource(spark, srcDir)
+      val q = EventStreams.tumblingCounts(src)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run() // first run processes batch1, then stops
+    deliver(raw.filter($"ts" > mid), "batch2")
+    run() // restart from the checkpoint picks up ONLY batch2
+    // Exactly-once across the restart: the union of emissions equals
+    // the single-run batch twin (same watermark finalization rule),
+    // with no window emitted twice.
+    val sunk = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(sunk.length == sunk.toSet.size, "a window was re-emitted")
+    val batch = EventStreams.tumblingCounts(all)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val maxTs = all.agg(max($"ts")).collect().head.getTimestamp(0).getTime
+    val hourMs = 3600 * 1000L
+    val expected = batch.filter(_._1.getTime + hourMs <= maxTs - hourMs).toSet
+    assert(sunk.toSet == expected)
+  }
+
   test("stream-stream interval self-join matches the batch pairing (T8)") {
     implicit val sqlCtx = spark.sqlContext
     val left = MemoryStream[Ev]
