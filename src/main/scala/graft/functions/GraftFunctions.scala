@@ -35,6 +35,14 @@ object GraftFunctions {
     ExpressionUtils.column(
       DotProductD(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Codegen'd MinHash signature: all lane minima of the seeded hash
+    * family in one pass over the pre-hashed shingle array (equals the
+    * array_min(transform(...)) spelling, minus its per-lane
+    * interpreted sweeps). */
+  def minhash_sig(seeds: Array[Long], hashes: Column): Column =
+    ExpressionUtils.column(
+      MinHashSignature(ExpressionUtils.expression(hashes), seeds))
+
   /** Register `fnv1a` / `fnv1a_seeded` for the SQL surface of this
     * session (`fnv1a_seeded(seed, cols...)` — seed is any bigint
     * expression). */

@@ -65,8 +65,15 @@ object Pipeline {
     * shingles of fnv1a_seeded(seed_s, content-hash). Each shingle
     * string is hashed ONCE (see the query); the 64 lanes then hash only
     * its 8-byte value — 64 string re-hashes per shingle would dominate
-    * the whole pipeline (measured ~3x slower end-to-end). */
+    * the whole pipeline (measured ~3x slower end-to-end). All lanes
+    * are computed in one codegen'd pass (MinHashSignature); the HOF
+    * spelling below is kept as the parity reference for specs. */
   private def minhashSig(hs: Column): Column =
+    F.minhash_sig(minhashSeedList.toArray, hs)
+
+  /** The interpreted HOF spelling of [[minhashSig]] — spec-only parity
+    * reference. */
+  def minhashSigHof(hs: Column): Column =
     array(minhashSeedList.map(seed =>
       array_min(transform(hs, h => F.fnv1a_seeded(seed, h)))): _*)
 
