@@ -56,25 +56,29 @@ case class BroadcastAsOfJoinExec(
     val (lOutput, rOutput) = (left.output, right.output)
 
     val _ = keyTypes // key comparison is byte-wise UnsafeRow equality
+    val broadcastId = broadcastRight.id
     left.execute().mapPartitions({ lIter =>
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOutput)
-      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOutput)
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOutput)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOutput)
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
 
-      // Build: key -> build rows sorted by time (plus each row's time
-      // as a single-field UnsafeRow, so the search needs no re-eval).
-      val byKey = mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]
-      broadcastRight.value.foreach { r =>
-        val k = rKeyProj(r).copy()
-        byKey.getOrElseUpdate(k, mutable.ArrayBuffer.empty) +=
-          ((rTimeProj(r).copy(), r))
-      }
-      val sorted: mutable.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]] =
-        byKey.map { case (k, buf) =>
-          k -> buf.sortWith((a, b) => timeOrd.compare(a._1, b._1) < 0).toArray
-        }
+      // Group + time-sort the broadcast rows ONCE PER EXECUTOR (the
+      // same reason Spark's broadcast joins ship a prebuilt
+      // HashedRelation): every task on this executor reuses the map.
+      val sorted = BroadcastAsOfJoinExec.buildCache.get(
+        (broadcastId, id), { () =>
+          val rKeyProj = UnsafeProjection.create(rKeyExprs, rOutput)
+          val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOutput)
+          val byKey = mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]
+          broadcastRight.value.foreach { r =>
+            val k = rKeyProj(r).copy()
+            byKey.getOrElseUpdate(k, mutable.ArrayBuffer.empty) +=
+              ((rTimeProj(r).copy(), r))
+          }
+          byKey.map { case (k, buf) =>
+            k -> buf.sortWith((a, b) => timeOrd.compare(a._1, b._1) < 0).toArray
+          }
+        })
 
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
@@ -105,4 +109,20 @@ case class BroadcastAsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
     copy(left = newLeft, right = newRight)
+}
+
+object BroadcastAsOfJoinExec {
+  /** Executor-local memo of grouped+sorted broadcast builds, keyed by
+    * (broadcast id, plan id): tasks share one build per executor.
+    * Soft values let the JVM reclaim finished queries' builds. */
+  private[plans] object buildCache {
+    private val cache: com.google.common.cache.Cache[String, AnyRef] =
+      com.google.common.cache.CacheBuilder.newBuilder()
+        .softValues().maximumSize(64).build[String, AnyRef]()
+    def get[T <: AnyRef](key: (Long, Int), loader: () => T): T =
+      cache.get(s"${key._1}_${key._2}",
+        new java.util.concurrent.Callable[AnyRef] {
+          override def call(): AnyRef = loader()
+        }).asInstanceOf[T]
+  }
 }
