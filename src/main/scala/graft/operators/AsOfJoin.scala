@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * pre-aggregate it (e.g. `max_by`) if it is not; with duplicates the
   * "latest" row at equal ts is ambiguous in any as-of engine (DuckDB's
   * ASOF JOIN included).
+  *
+  * Null keys: every spelling here groups null keys together (window
+  * partitioning / clustered distribution / hash-map lookup), so a
+  * null-keyed probe CAN match a null-keyed build row — unlike SQL
+  * equi-join semantics (DuckDB's ASOF JOIN `ON a = b` never matches
+  * nulls). Pre-filter null keys when SQL parity matters; the fixture
+  * keys are non-null.
   */
 object AsOfJoin {
 

@@ -51,4 +51,14 @@ class Fnv1aSeededSpec extends SparkSuite with TableDrivenPropertyChecks {
       .collect().head
     assert(r.getDouble(0) == 32.0)
   }
+
+  test("Graft.enable wires SQL functions and the as-of strategy in one call") {
+    Graft.enable(spark)
+    Graft.enable(spark) // idempotent
+    assert(spark.sql("SELECT fnv1a('x') = fnv1a('x')").collect().head.getBoolean(0))
+    assert(spark.experimental.extraStrategies.count(
+      _ == graft.plans.GraftStrategies) == 1)
+    assert(spark.experimental.extraOptimizations.count(
+      _ == graft.plans.PushFilterThroughAsOfJoin) == 1)
+  }
 }
