@@ -274,6 +274,26 @@ object Pipeline {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // L2 (measure, standalone): exact word-3-gram Jaccard similarity
+    // as a first-class pairwise operator over an explicit candidate
+    // relation — here the adjacent-doc_id chain, so the join stays a
+    // hash equi-join (candidates O(n), never all-pairs; plug any
+    // candidate generator — LSH buckets upstream produce the same
+    // shape).
+    "ngram_jaccard" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+        .select($"doc_id", shingles($"text").as("sh"))
+      val a = d.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+      val b = d.select(($"doc_id" - 1).as("doc_a"), $"doc_id".as("doc_b"),
+        $"sh".as("sh_b"))
+      a.join(b, "doc_a")
+        .select($"doc_a", $"doc_b",
+          q6(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+            size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
+        .orderBy($"doc_a")
+    }),
+
     // L3/L4: brute-force cosine top-k — the exactness baseline. The
     // probe set (20 vectors) is broadcast against the corpus; ranking
     // uses the quantized score + neighbor id so both engines order
@@ -634,6 +654,13 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "ngram_jaccard" ->
+      s"""WITH $shingleSqlCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  ${sqlQ6("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s)))")} AS jaccard
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_a""".stripMargin,
 
     "cosine_knn" ->
       s"""WITH scored AS (
