@@ -51,12 +51,42 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] {
   }
 }
 
+/** Stock ColumnPruning can't see through an unknown binary node
+  * either: a narrow Project above [[AsOfJoinPlan]] would still read
+  * every child column at the scans. This rule inserts child Projects
+  * for exactly the attributes the parent projection + join expressions
+  * need, after which the stock rules carry the pruning down to the
+  * parquet scans (`ReadSchema` shrinks — the 100-TB IO lever). Only
+  * fires when it strictly narrows a child, so it converges. */
+object PruneColumnsThroughAsOfJoin extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, aj: AsOfJoinPlan) =>
+      val required = AttributeSet(projList.flatMap(_.references)) ++
+        AttributeSet(aj.leftKeys.flatMap(_.references)) ++
+        AttributeSet(aj.rightKeys.flatMap(_.references)) ++
+        aj.leftTime.references ++ aj.rightTime.references
+      val keepL = aj.left.output.filter(required.contains)
+      val keepR = aj.right.output.filter(required.contains)
+      if (keepL.length == aj.left.output.length &&
+          keepR.length == aj.right.output.length) p
+      else p.copy(child = aj.copy(
+        left = if (keepL.length == aj.left.output.length) aj.left
+               else Project(keepL, aj.left),
+        right = if (keepR.length == aj.right.output.length) aj.right
+                else Project(keepR, aj.right)))
+  }
+}
+
 /** Builder-time registration (`.withExtensions(new GraftExtensions)`)
   * — the library's SparkSessionExtensions entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => GraftStrategies)
     e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+    e.injectOptimizerRule(_ => PruneColumnsThroughAsOfJoin)
   }
 }
 
@@ -68,8 +98,10 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(GraftStrategies))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GraftStrategies
-    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+    Seq(PushFilterThroughAsOfJoin, PruneColumnsThroughAsOfJoin).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
   }
 }

@@ -132,6 +132,29 @@ class NativeAsOfJoinSpec extends SparkSuite {
       out(2).isNullAt(2))
   }
 
+  test("narrow select above the custom node prunes probe scan columns") {
+    // Probe deliberately keeps ALL order columns; after selecting just
+    // two outputs, PruneColumnsThroughAsOfJoin must shrink the probe
+    // read to key/time/selected — unreferenced wide columns (o_clerk,
+    // o_shippriority, o_comment) never reach any scan.
+    val probe = Tables.orders(spark, sf)
+    val build = Tables.orders(spark, sf)
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("prev_orderkey"))
+      .select($"o_custkey".as("b_custkey"),
+        $"o_orderdate".as("prev_orderdate"), $"prev_orderkey")
+    val narrow = AsOfJoin.asofNative(probe, build,
+        probe("o_custkey"), build("b_custkey"),
+        probe("o_orderdate"), build("prev_orderdate"), Seq("prev_orderkey"))
+      .select($"o_orderkey", $"prev_orderkey")
+    assert(narrow.count() > 0)
+    val exec = narrow.queryExecution.executedPlan.toString
+    Seq("o_clerk", "o_shippriority", "o_comment").foreach { c =>
+      assert(!exec.contains(c), s"unpruned column $c in:\n${exec.take(2000)}")
+    }
+  }
+
   test("dataset round-trip keeps working after the custom plan (smoke)") {
     val (probe, build) = probeBuild()
     val native = AsOfJoin.asofNative(probe, build,
