@@ -29,8 +29,13 @@ case class Fnv1aHash(children: Seq[Expression], seed: Long)
   override def foldable: Boolean = children.forall(_.foldable)
   override def prettyName: String = "fnv1a"
 
+  /** Dates hash as their i32 day count and timestamps as their i64
+    * microsecond count — the canonical LE integer encodings of the
+    * reference's `FNV1aIterator` impls (fnv1a.rs:68-79) applied to
+    * Spark's internal representations. */
   private val supportedTypes: Set[DataType] = Set(BooleanType, ByteType,
-    ShortType, IntegerType, LongType, StringType, BinaryType)
+    ShortType, IntegerType, LongType, StringType, BinaryType,
+    DateType, TimestampType, TimestampNTZType)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.isEmpty)
@@ -38,7 +43,8 @@ case class Fnv1aHash(children: Seq[Expression], seed: Long)
     else children.map(_.dataType).find(!supportedTypes.contains(_)) match {
       case Some(dt) => TypeCheckResult.TypeCheckFailure(
         s"fnv1a: unsupported input type ${dt.catalogString} " +
-          "(supported: boolean, tinyint..bigint, string, binary)")
+          "(supported: boolean, tinyint..bigint, string, binary, " +
+          "date, timestamp, timestamp_ntz)")
       case None => TypeCheckResult.TypeCheckSuccess
     }
 
@@ -46,8 +52,9 @@ case class Fnv1aHash(children: Seq[Expression], seed: Long)
     case BooleanType => Fnv1aCore.hashBoolean(v.asInstanceOf[Boolean], state)
     case ByteType    => Fnv1aCore.hashInt(v.asInstanceOf[Byte].toInt, state)
     case ShortType   => Fnv1aCore.hashInt(v.asInstanceOf[Short].toInt, state)
-    case IntegerType => Fnv1aCore.hashInt(v.asInstanceOf[Int], state)
-    case LongType    => Fnv1aCore.hashLong(v.asInstanceOf[Long], state)
+    case IntegerType | DateType => Fnv1aCore.hashInt(v.asInstanceOf[Int], state)
+    case LongType | TimestampType | TimestampNTZType =>
+      Fnv1aCore.hashLong(v.asInstanceOf[Long], state)
     case StringType  => Fnv1aCore.hashBytes(v.asInstanceOf[UTF8String].getBytes, state)
     case BinaryType  => Fnv1aCore.hashBytes(v.asInstanceOf[Array[Byte]], state)
     case other => throw new IllegalStateException(s"fnv1a: unsupported type $other")
@@ -73,8 +80,9 @@ case class Fnv1aHash(children: Seq[Expression], seed: Long)
       val update = child.dataType match {
         case BooleanType          => s"$state = $core.hashBoolean(${g.value}, $state);"
         case ByteType | ShortType => s"$state = $core.hashInt((int) ${g.value}, $state);"
-        case IntegerType          => s"$state = $core.hashInt(${g.value}, $state);"
-        case LongType             => s"$state = $core.hashLong(${g.value}, $state);"
+        case IntegerType | DateType => s"$state = $core.hashInt(${g.value}, $state);"
+        case LongType | TimestampType | TimestampNTZType =>
+          s"$state = $core.hashLong(${g.value}, $state);"
         case StringType           => s"$state = $core.hashBytes(${g.value}.getBytes(), $state);"
         case BinaryType           => s"$state = $core.hashBytes(${g.value}, $state);"
         case other => throw new IllegalStateException(s"fnv1a: unsupported type $other")

@@ -92,4 +92,24 @@ class Fnv1aSpec extends SparkSuite {
       assert(viaExpr === viaCore)
     }
   }
+
+  test("date hashes as i32 day count; timestamp as i64 micros") {
+    import spark.implicits._
+    // internal reps: DateType = days since epoch (int), Timestamp[NTZ]
+    // = micros since epoch (long) — must equal hashing those integers
+    val r = spark.sql(
+      """SELECT fnv1a(DATE '1996-06-01') AS hd,
+        |       fnv1a(TIMESTAMP_NTZ '1996-06-01 12:30:00') AS ht""".stripMargin)
+      .head()
+    val days = java.time.LocalDate.of(1996, 6, 1).toEpochDay.toInt
+    val micros = java.time.LocalDateTime.of(1996, 6, 1, 12, 30)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    assert(r.getLong(0) === Fnv1aCore.hashInt(days, Fnv1aCore.OffsetBasis))
+    assert(r.getLong(1) === Fnv1aCore.hashLong(micros, Fnv1aCore.OffsetBasis))
+    // composite chaining across a date + key column on the fixture
+    val n = Tables.orders(spark, sf)
+      .select(F.fnv1a($"o_orderdate", $"o_orderkey").as("h"))
+      .distinct().count()
+    assert(n > 0)
+  }
 }
