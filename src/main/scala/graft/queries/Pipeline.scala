@@ -66,16 +66,11 @@ object Pipeline {
     * string is hashed ONCE (see the query); the 64 lanes then hash only
     * its 8-byte value — 64 string re-hashes per shingle would dominate
     * the whole pipeline (measured ~3x slower end-to-end). All lanes
-    * are computed in one codegen'd pass (MinHashSignature); the HOF
-    * spelling below is kept as the parity reference for specs. */
+    * are computed in one codegen'd pass (MinHashSignature, proven
+    * value-identical to the per-lane HOF spelling in
+    * MinHashSignatureSpec). */
   private def minhashSig(hs: Column): Column =
     F.minhash_sig(minhashSeedList.toArray, hs)
-
-  /** The interpreted HOF spelling of [[minhashSig]] — spec-only parity
-    * reference. */
-  def minhashSigHof(hs: Column): Column =
-    array(minhashSeedList.map(seed =>
-      array_min(transform(hs, h => F.fnv1a_seeded(seed, h)))): _*)
 
   /** LSH band keys: band b hashes signature rows [b*r, b*r+r) into one
     * 64-bit key (seeded with the band index so bands never collide
