@@ -532,16 +532,17 @@ object Pipeline {
         .orderBy($"source_a", $"source_b")
     }),
 
-    // L4 at scale: LSH-bucketed approximate nearest neighbors. Bucket
-    // key = 8 sign bits of the deterministic hyperplanes (see
-    // [[hyperplanes]] — parity-derived, well spread), computed once at
-    // plan-construction time and embedded as literal arrays
-    // (constant-folded — zero per-row hashing). Probes only compare
-    // against same-bucket candidates — recall traded for a 256-fold
-    // candidate cut. The bit count is the scale knob: bucket bits ≈
-    // log₂(n / wanted-candidates), so a 10⁹-vector corpus wants ~25
-    // bits (and multi-probe for recall), while 2000 fixture vectors
-    // want 8.
+    // L4 at scale: LSH-bucketed approximate nearest neighbors with
+    // MULTI-PROBE. Bucket key = 8 sign bits of the deterministic
+    // hyperplanes (see [[hyperplanes]] — parity-derived, well spread),
+    // computed once at plan-construction time. The corpus keeps ONE
+    // bucket per vector (the partition/layout key); each probe visits
+    // its home bucket plus all 8 Hamming-1 neighbors — the standard
+    // recall-recovery at fixed bucket granularity (a near neighbor
+    // differs in few sign bits, most likely one). Candidates per
+    // probe ≈ 9·n/256; the bit count is the scale knob (bucket bits ≈
+    // log₂(n / wanted-candidates); a 10⁹-vector corpus wants ~25 bits
+    // and more probes).
     "ann_lsh" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       def bucket(v: Column): Column =
@@ -549,8 +550,11 @@ object Pipeline {
       val emb = Tables.embeddings(s, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("bucket", bucket($"v"))
+      // home bucket + the 8 Hamming-1 flips; distinct by construction
       val probes = emb.filter($"vec_id" < 20)
-        .select($"vec_id".as("probe_id"), $"v".as("pv"), $"bucket")
+        .select($"vec_id".as("probe_id"), $"v".as("pv"),
+          explode(array(($"bucket" +: (0 until 8).map(b =>
+            $"bucket".bitwiseXOR(lit(1L << b)))): _*)).as("bucket"))
       val w = Window.partitionBy($"probe_id")
         .orderBy($"cos_sim".desc, $"vec_id")
       emb.join(broadcast(probes), Seq("bucket"))
