@@ -43,6 +43,12 @@ object GraftFunctions {
     ExpressionUtils.column(
       MinHashSignature(ExpressionUtils.expression(hashes), seeds))
 
+  /** Streaming word-3-gram generator (custom UDTF): one output row
+    * per positional gram, no gram array materialization. Use in a
+    * select like explode: `df.select($"id", shingle_hashes($"text"))`. */
+  def shingle_hashes(text: Column): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text)))
+
   /** Register `fnv1a` / `fnv1a_seeded` for the SQL surface of this
     * session (`fnv1a_seeded(seed, cols...)` — seed is any bigint
     * expression). */

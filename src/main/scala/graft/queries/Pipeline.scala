@@ -269,6 +269,23 @@ object Pipeline {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // U4 + L5: corpus shingle-vocabulary statistics through the
+    // custom GENERATOR (ShingleHashes streams positional 3-gram
+    // hashes row-by-row — no gram arrays). Output is the
+    // frequency-of-frequencies histogram, which is hash-independent
+    // (a gram's count equals its string's count, collisions aside at
+    // ~2⁻⁶⁴), so the DuckDB oracle replicates it from the 3-gram
+    // STRINGS with identical tokenization.
+    "shingle_vocab" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(F.shingle_hashes($"text").as(Seq("gram_no", "gram_hash")))
+        .groupBy($"gram_hash").agg(count(lit(1)).as("cnt"))
+        .groupBy($"cnt").agg(count(lit(1)).as("n_grams"))
+        .select($"cnt".as("gram_count"), $"n_grams")
+        .orderBy($"gram_count")
+    }),
+
     // L2 (measure, standalone): exact word-3-gram Jaccard similarity
     // as a first-class pairwise operator over an explicit candidate
     // relation — here the adjacent-doc_id chain, so the join stays a
@@ -653,6 +670,17 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // positional (NON-distinct) 3-grams — unlike the dedup CTE
+    "shingle_vocab" ->
+      """WITH g AS (
+        |  SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                 for i in range(1, len(ws) - 1)]) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3),
+        |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
+        |SELECT cnt AS gram_count, count(*) AS n_grams
+        |FROM c GROUP BY cnt ORDER BY gram_count""".stripMargin,
 
     "ngram_jaccard" ->
       s"""WITH $shingleSqlCte
