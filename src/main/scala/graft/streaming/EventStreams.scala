@@ -79,6 +79,25 @@ object EventStreams {
         col("r.event_id").as("followup_id"), col("l.user_id").as("user_id"))
   }
 
+  /** Streaming point-in-time enrichment: each micro-batch is as-of
+    * joined (latest build row with ts <= event ts, per key) against a
+    * bounded static dimension through the custom broadcast operator
+    * (graft.plans.BroadcastAsOfJoinExec) inside foreachBatch — the
+    * standard composition for running a batch-planned custom operator
+    * under Structured Streaming without re-implementing it as a
+    * stateful op. Zero shuffle per batch: the micro-batch streams
+    * through unmoved, the dimension is broadcast once per batch. */
+  def asofEnrichEachBatch(
+      events: DataFrame,
+      build: DataFrame,
+      key: String, buildKey: String,
+      ts: String, buildTs: String,
+      payload: Seq[String])(sink: DataFrame => Unit) =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.operators.AsOfJoin.asofBroadcast(batch, build,
+        batch(key), build(buildKey), batch(ts), build(buildTs), payload))
+    }
+
   final case class UserEvent(event_id: Long, user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 

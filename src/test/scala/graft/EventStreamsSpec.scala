@@ -181,6 +181,44 @@ class EventStreamsSpec extends SparkSuite {
     assert(sunk.toSet == expected)
   }
 
+  test("streaming as-of enrichment via the custom broadcast operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val half = sample.length / 2
+    // static dimension: per-user "rate" changes at known times
+    val build = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2024-06-01 00:00:00"), 2.0),
+      (2L, Timestamp.valueOf("2024-03-01 00:00:00"), 5.0))
+      .toDF("bk", "bts", "rate")
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[Double])]
+    val q = EventStreams.asofEnrichEachBatch(
+      stream.toDF(), build, "user_id", "bk", "ts", "bts", Seq("rate")) {
+      out =>
+        collected.synchronized {
+          collected ++= out.select($"event_id", $"rate").collect()
+            .map(r => (r.getLong(0),
+              if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        }
+    }.outputMode("append").start()
+    stream.addData(sample.take(half))
+    q.processAllAvailable()
+    stream.addData(sample.drop(half))
+    q.processAllAvailable()
+    q.stop()
+    // batch twin over the same rows through the same operator
+    val probeDf = sample.toDF()
+    val expected = graft.operators.AsOfJoin.asofBroadcast(
+        probeDf, build,
+        probeDf("user_id"), build("bk"), probeDf("ts"), build("bts"), Seq("rate"))
+      .select($"event_id", $"rate").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(collected.size == sample.size, "every event enriched exactly once")
+    assert(collected.toSet == expected)
+  }
+
   test("stream-stream interval self-join matches the batch pairing (T8)") {
     implicit val sqlCtx = spark.sqlContext
     val left = MemoryStream[Ev]
