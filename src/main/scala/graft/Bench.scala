@@ -56,10 +56,14 @@ object Bench {
     val total = results.map(_._2).sum
     // The round-1 baseline total covered exactly these four queries;
     // report their sum on this run separately so total-vs-baseline
-    // stays comparable as the query list grows.
+    // stays comparable as the query list grows. The comparison is only
+    // valid when all four succeeded — emit -1 (and the per-query error
+    // is already in "errors") if any is missing, so a failed baseline
+    // query can never read as "faster than baseline".
     val r01Set = Set("pricing_summary", "filter_project", "global_sort",
       "exact_dedup")
-    val r01Total = results.collect { case (k, v) if r01Set(k) => v }.sum
+    val r01Times = results.collect { case (k, v) if r01Set(k) => v }
+    val r01Total = if (r01Times.size == r01Set.size) r01Times.sum else -1.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_queries":${results.size},"n_errors":${errors.size},"baseline_subset_total":$r01Total,"sf":${jstr(sfDir)}}"""
     println(line)

@@ -39,7 +39,7 @@ object GraftFunctions {
     * family in one pass over the pre-hashed shingle array (equals the
     * array_min(transform(...)) spelling, minus its per-lane
     * interpreted sweeps). */
-  def minhash_sig(seeds: Array[Long], hashes: Column): Column =
+  def minhash_sig(seeds: Seq[Long], hashes: Column): Column =
     ExpressionUtils.column(
       MinHashSignature(ExpressionUtils.expression(hashes), seeds))
 

@@ -16,8 +16,14 @@ import org.apache.spark.sql.types._
   * nulls), and an input with no non-null elements yields all-null
   * lanes.
   */
-case class MinHashSignature(child: Expression, seeds: Array[Long])
+case class MinHashSignature(child: Expression, seeds: Seq[Long])
     extends UnaryExpression {
+
+  // Seq (not Array) as the constructor param: Array has reference
+  // equality, which would break Catalyst semantic equality /
+  // canonicalization (CSE, exchange reuse) between otherwise-equal
+  // expressions. The hot loop still runs over a plain array.
+  @transient private lazy val seedArr: Array[Long] = seeds.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = child.nullable
@@ -33,7 +39,8 @@ case class MinHashSignature(child: Expression, seeds: Array[Long])
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill(seeds.length)(Long.MaxValue)
+    val sa = seedArr
+    val mins = Array.fill(sa.length)(Long.MaxValue)
     var any = false
     var i = 0
     val n = arr.numElements()
@@ -42,22 +49,22 @@ case class MinHashSignature(child: Expression, seeds: Array[Long])
         any = true
         val h = arr.getLong(i)
         var s = 0
-        while (s < seeds.length) {
-          val v = Fnv1aCore.hashLong(h, seeds(s))
+        while (s < sa.length) {
+          val v = Fnv1aCore.hashLong(h, sa(s))
           if (v < mins(s)) mins(s) = v
           s += 1
         }
       }
       i += 1
     }
-    if (!any) new GenericArrayData(new Array[Any](seeds.length))
+    if (!any) new GenericArrayData(new Array[Any](sa.length))
     else new GenericArrayData(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, { arr =>
       val core = Fnv1aCore.getClass.getName.stripSuffix("$")
-      val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+      val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds.toArray, "long[]")
       val mins = ctx.freshName("mins")
       val any = ctx.freshName("any")
       val i = ctx.freshName("i")

@@ -29,6 +29,21 @@ case class AsOfJoinPlan(
 
   require(leftKeys.length == rightKeys.length,
     "as-of join needs the same number of keys on both sides")
+  // Key/time types must agree pairwise: the merge exec compares rows
+  // with orderings built from the LEFT types, and the broadcast exec
+  // compares keys by raw byte equality — a silent type mismatch would
+  // mean garbage comparisons / never-matching keys, so fail loudly at
+  // construction.
+  // (plain equality — conservative for nested nullability diffs,
+  // which the byte-wise key comparison couldn't tolerate anyway)
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(l.dataType == r.dataType,
+      s"as-of join key type mismatch: ${l.dataType.catalogString} vs " +
+        s"${r.dataType.catalogString}")
+  }
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join time type mismatch: ${leftTime.dataType.catalogString} " +
+      s"vs ${rightTime.dataType.catalogString}")
 
   /** Left-outer shape: every probe row survives; build columns are
     * nullable. */

@@ -57,6 +57,7 @@ case class BroadcastAsOfJoinExec(
 
     val _ = keyTypes // key comparison is byte-wise UnsafeRow equality
     val broadcastId = broadcastRight.id
+    val planId = id // local copy — `id` via `this` would capture the plan
     left.execute().mapPartitions({ lIter =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOutput)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOutput)
@@ -66,7 +67,7 @@ case class BroadcastAsOfJoinExec(
       // same reason Spark's broadcast joins ship a prebuilt
       // HashedRelation): every task on this executor reuses the map.
       val sorted = BroadcastAsOfJoinExec.buildCache.get(
-        (broadcastId, id), { () =>
+        (broadcastId, planId), { () =>
           val rKeyProj = UnsafeProjection.create(rKeyExprs, rOutput)
           val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOutput)
           val byKey = mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]

@@ -104,73 +104,44 @@ object Lookups {
     // recent prior-or-same-day non-urgent order; customers with no
     // earlier non-urgent order get nulls (the None-before-first
     // contract, search.rs:66-68). Build side is pre-deduped to one row
-    // per (key, ts) for determinism.
-    "asof_join" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      val o = Tables.orders(s, dir)
-      val probe = o.filter($"o_orderpriority" === "1-URGENT")
-        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
-      val build = o.filter($"o_orderpriority" =!= "1-URGENT")
-        .groupBy($"o_custkey", $"o_orderdate")
-        .agg(max($"o_orderkey").as("prev_orderkey"),
-          max_by($"o_totalprice", $"o_orderkey").as("prev_totalprice"))
-        .select($"o_custkey".as("b_custkey"), $"o_orderdate".as("prev_orderdate"),
-          $"prev_orderkey", $"prev_totalprice")
-      AsOfJoin.asof(probe, build,
-        probe("o_custkey"), build("b_custkey"),
-        probe("o_orderdate"), build("prev_orderdate"),
-        Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
-        .orderBy($"o_orderkey")
-    }),
-
-    // J9 via the custom Catalyst operator (AsOfJoinPlan →
-    // AsOfJoinExec): identical semantics and oracle as asof_join, but
-    // planned as a clustered-and-sorted streaming merge instead of the
-    // union–window rewrite. Probe and build are read separately (no
-    // shared lineage — see AsOfJoin.asofNative).
-    "asof_join_native" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      val probe = Tables.orders(s, dir)
-        .filter($"o_orderpriority" === "1-URGENT")
-        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
-      val build = Tables.orders(s, dir)
-        .filter($"o_orderpriority" =!= "1-URGENT")
-        .groupBy($"o_custkey", $"o_orderdate")
-        .agg(max($"o_orderkey").as("prev_orderkey"),
-          max_by($"o_totalprice", $"o_orderkey").as("prev_totalprice"))
-        .select($"o_custkey".as("b_custkey"), $"o_orderdate".as("prev_orderdate"),
-          $"prev_orderkey", $"prev_totalprice")
-      AsOfJoin.asofNative(probe, build,
-        probe("o_custkey"), build("b_custkey"),
-        probe("o_orderdate"), build("prev_orderdate"),
-        Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
-        .orderBy($"o_orderkey")
-    }),
-
-    // J9, third spelling: broadcast build — zero shuffle on either
-    // side; every probe row runs a floor binary search against the
-    // broadcast build runs (BroadcastAsOfJoinExec — the reference's
-    // greatest_not_exceeding against executor-local state). Same
-    // oracle as the other two spellings.
-    "asof_join_broadcast" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      val probe = Tables.orders(s, dir)
-        .filter($"o_orderpriority" === "1-URGENT")
-        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
-      val build = Tables.orders(s, dir)
-        .filter($"o_orderpriority" =!= "1-URGENT")
-        .groupBy($"o_custkey", $"o_orderdate")
-        .agg(max($"o_orderkey").as("prev_orderkey"),
-          max_by($"o_totalprice", $"o_orderkey").as("prev_totalprice"))
-        .select($"o_custkey".as("b_custkey"), $"o_orderdate".as("prev_orderdate"),
-          $"prev_orderkey", $"prev_totalprice")
-      AsOfJoin.asofBroadcast(probe, build,
-        probe("o_custkey"), build("b_custkey"),
-        probe("o_orderdate"), build("prev_orderdate"),
-        Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
-        .orderBy($"o_orderkey")
-    }),
+    // per (key, ts) for determinism. Three spellings share the same
+    // probe/build and the same DuckDB ASOF JOIN oracle, so they check
+    // each other transitively: (a) union-sort-window rewrite, (b) the
+    // custom clustered-merge operator (AsOfJoinPlan → AsOfJoinExec),
+    // (c) the broadcast floor-binary-search operator
+    // (BroadcastAsOfJoinExec). Probe and build are read separately
+    // (no shared lineage — see AsOfJoin.asofNative).
+    "asof_join" -> ((s: SparkSession, dir: String) =>
+      asofFixture(s, dir)(AsOfJoin.asof)),
+    "asof_join_native" -> ((s: SparkSession, dir: String) =>
+      asofFixture(s, dir)(AsOfJoin.asofNative(_, _, _, _, _, _, _))),
+    "asof_join_broadcast" -> ((s: SparkSession, dir: String) =>
+      asofFixture(s, dir)(AsOfJoin.asofBroadcast)),
   )
+
+  /** The shared as-of fixture query: urgent orders probed against the
+    * customer's non-urgent order history, run through the given as-of
+    * spelling. */
+  private def asofFixture(s: SparkSession, dir: String)(
+      impl: (DataFrame, DataFrame, Column, Column, Column, Column,
+        Seq[String]) => DataFrame): DataFrame = {
+    import s.implicits._
+    val probe = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val build = Tables.orders(s, dir)
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("prev_orderkey"),
+        max_by($"o_totalprice", $"o_orderkey").as("prev_totalprice"))
+      .select($"o_custkey".as("b_custkey"), $"o_orderdate".as("prev_orderdate"),
+        $"prev_orderkey", $"prev_totalprice")
+    impl(probe, build,
+      probe("o_custkey"), build("b_custkey"),
+      probe("o_orderdate"), build("prev_orderdate"),
+      Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
+      .orderBy($"o_orderkey")
+  }
 
   val oracle: Map[String, String] = Map(
     "point_lookup" ->
@@ -230,55 +201,27 @@ object Lookups {
         |GROUP BY a.event_type
         |ORDER BY a.event_type""".stripMargin,
 
-    // Same oracle as asof_join — all engine spellings (window rewrite,
-    // custom merge operator, broadcast floor-search operator) must
-    // agree with DuckDB's ASOF JOIN and, transitively, each other.
-    "asof_join_broadcast" ->
-      """WITH build AS (
-        |  SELECT o_custkey AS b_custkey, o_orderdate AS prev_orderdate,
-        |         max(o_orderkey) AS prev_orderkey,
-        |         arg_max(o_totalprice, o_orderkey) AS prev_totalprice
-        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
-        |  GROUP BY 1, 2),
-        |probe AS (
-        |  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
-        |  WHERE o_orderpriority = '1-URGENT')
-        |SELECT p.o_orderkey, p.o_custkey, p.o_orderdate,
-        |       b.prev_orderkey, b.prev_orderdate, b.prev_totalprice
-        |FROM probe p ASOF LEFT JOIN build b
-        |  ON p.o_custkey = b.b_custkey AND p.o_orderdate >= b.prev_orderdate
-        |ORDER BY p.o_orderkey""".stripMargin,
-
-    "asof_join_native" ->
-      """WITH build AS (
-        |  SELECT o_custkey AS b_custkey, o_orderdate AS prev_orderdate,
-        |         max(o_orderkey) AS prev_orderkey,
-        |         arg_max(o_totalprice, o_orderkey) AS prev_totalprice
-        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
-        |  GROUP BY 1, 2),
-        |probe AS (
-        |  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
-        |  WHERE o_orderpriority = '1-URGENT')
-        |SELECT p.o_orderkey, p.o_custkey, p.o_orderdate,
-        |       b.prev_orderkey, b.prev_orderdate, b.prev_totalprice
-        |FROM probe p ASOF LEFT JOIN build b
-        |  ON p.o_custkey = b.b_custkey AND p.o_orderdate >= b.prev_orderdate
-        |ORDER BY p.o_orderkey""".stripMargin,
-
-    "asof_join" ->
-      """WITH build AS (
-        |  SELECT o_custkey AS b_custkey, o_orderdate AS prev_orderdate,
-        |         max(o_orderkey) AS prev_orderkey,
-        |         arg_max(o_totalprice, o_orderkey) AS prev_totalprice
-        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
-        |  GROUP BY 1, 2),
-        |probe AS (
-        |  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
-        |  WHERE o_orderpriority = '1-URGENT')
-        |SELECT p.o_orderkey, p.o_custkey, p.o_orderdate,
-        |       b.prev_orderkey, b.prev_orderdate, b.prev_totalprice
-        |FROM probe p ASOF LEFT JOIN build b
-        |  ON p.o_custkey = b.b_custkey AND p.o_orderdate >= b.prev_orderdate
-        |ORDER BY p.o_orderkey""".stripMargin,
+    // One oracle, three spellings — all must agree with DuckDB's ASOF
+    // JOIN and, transitively, each other.
+    "asof_join" -> asofOracleSql,
+    "asof_join_native" -> asofOracleSql,
+    "asof_join_broadcast" -> asofOracleSql,
   )
+
+  // lazy: referenced by the `oracle` val above during object init
+  private lazy val asofOracleSql: String =
+    """WITH build AS (
+      |  SELECT o_custkey AS b_custkey, o_orderdate AS prev_orderdate,
+      |         max(o_orderkey) AS prev_orderkey,
+      |         arg_max(o_totalprice, o_orderkey) AS prev_totalprice
+      |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1, 2),
+      |probe AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+      |  WHERE o_orderpriority = '1-URGENT')
+      |SELECT p.o_orderkey, p.o_custkey, p.o_orderdate,
+      |       b.prev_orderkey, b.prev_orderdate, b.prev_totalprice
+      |FROM probe p ASOF LEFT JOIN build b
+      |  ON p.o_custkey = b.b_custkey AND p.o_orderdate >= b.prev_orderdate
+      |ORDER BY p.o_orderkey""".stripMargin
 }

@@ -70,7 +70,7 @@ object Pipeline {
     * value-identical to the per-lane HOF spelling in
     * MinHashSignatureSpec). */
   private def minhashSig(hs: Column): Column =
-    F.minhash_sig(minhashSeedList.toArray, hs)
+    F.minhash_sig(minhashSeedList, hs)
 
   /** LSH band keys: band b hashes signature rows [b*r, b*r+r) into one
     * 64-bit key (seeded with the band index so bands never collide

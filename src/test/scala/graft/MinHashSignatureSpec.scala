@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
 class MinHashSignatureSpec extends SparkSuite {
   import spark.implicits._
 
-  private val seeds: Array[Long] =
-    Array(0x9e3779b97f4a7c15L, -42L, 7L, 0L, Long.MinValue)
+  private val seeds: Seq[Long] =
+    Seq(0x9e3779b97f4a7c15L, -42L, 7L, 0L, Long.MinValue)
 
   private def hof(hs: org.apache.spark.sql.Column) =
-    array(seeds.toSeq.map(seed =>
+    array(seeds.map(seed =>
       array_min(transform(hs, h => F.fnv1a_seeded(seed, h)))): _*)
 
   test("one-pass signature equals the per-lane HOF spelling") {
@@ -49,15 +49,11 @@ class MinHashSignatureSpec extends SparkSuite {
     val df = Seq(Seq(1L, 2L, 3L), Seq(-9L)).toDF("hs")
     val cg = df.select(F.minhash_sig(seeds, $"hs")).collect()
       .map(_.getSeq[Long](0))
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try {
+    withSQLConf("spark.sql.codegen.factoryMode" -> "NO_CODEGEN",
+      "spark.sql.codegen.wholeStage" -> "false") {
       val interp = df.select(F.minhash_sig(seeds, $"hs")).collect()
         .map(_.getSeq[Long](0))
       assert(cg.toSeq == interp.toSeq)
-    } finally {
-      spark.conf.unset("spark.sql.codegen.factoryMode")
-      spark.conf.unset("spark.sql.codegen.wholeStage")
     }
   }
 }
