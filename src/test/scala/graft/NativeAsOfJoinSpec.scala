@@ -155,6 +155,16 @@ class NativeAsOfJoinSpec extends SparkSuite {
     }
   }
 
+  test("key/time type mismatch fails loudly at construction") {
+    val probe = Seq((1, 5)).toDF("k", "ts") // int key
+    val build = Seq((1L, 10, "a")).toDF("bk", "bts", "v") // long key
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofNative(probe, build,
+        probe("k"), build("bk"), probe("ts"), build("bts"), Seq("v"))
+    }
+    assert(e.getMessage.contains("key type mismatch"))
+  }
+
   test("dataset round-trip keeps working after the custom plan (smoke)") {
     val (probe, build) = probeBuild()
     val native = AsOfJoin.asofNative(probe, build,
