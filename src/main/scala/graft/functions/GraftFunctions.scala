@@ -43,6 +43,11 @@ object GraftFunctions {
     ExpressionUtils.column(
       MinHashSignature(ExpressionUtils.expression(hashes), seeds))
 
+  /** Codegen'd unsigned-byte sum of a binary column (multimodal
+    * byte features — `byte_sum(b) / octet_length(b)` is byte-mean). */
+  def byte_sum(b: Column): Column =
+    ExpressionUtils.column(ByteSum(ExpressionUtils.expression(b)))
+
   /** Streaming word-3-gram generator (custom UDTF): one output row
     * per positional gram, no gram array materialization. Use in a
     * select like explode: `df.select($"id", shingle_hashes($"text"))`. */

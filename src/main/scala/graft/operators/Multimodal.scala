@@ -39,9 +39,29 @@ object Multimodal {
     Row(docId, payload.length.toLong, header, mean)
   }
 
+  /** Byte-level features as pure Catalyst expressions — the production
+    * path for everything a real decoder does NOT need: it stays inside
+    * whole-stage codegen (the byte loop is the custom
+    * [[graft.functions.ByteSum]] expression) and keeps filter pushdown
+    * and column pruning flowing through to the scan, which the RDD
+    * spelling below severs. Matches [[decodeStub]] value-for-value
+    * (asserted in MultimodalSpec). */
+  def featureColumns(binaryDocs: DataFrame): DataFrame =
+    binaryDocs.select(
+      col("doc_id"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      lower(hex(substring(col("payload"), 1, 4))).as("header_hex"),
+      when(octet_length(col("payload")) === 0, lit(0.0))
+        .otherwise(graft.functions.GraftFunctions.byte_sum(col("payload"))
+          .cast("double") / octet_length(col("payload")))
+        .as("byte_mean"))
+
   /** Partition-parallel decode of a (doc_id, payload binary) relation:
-    * the mapPartitions shape a real decoder needs (one payload in
-    * memory per task at a time, no collect, no shuffle). */
+    * the mapPartitions shape a REAL decoder (image/audio codec over the
+    * raw bytes) needs — one payload in memory per task at a time, no
+    * collect, no shuffle. This is the documented decoder extension
+    * point only; byte-level features ship via [[featureColumns]], which
+    * expresses them in Catalyst instead of dropping out of codegen. */
   def extractFeatures(binaryDocs: DataFrame): DataFrame = {
     val spark = binaryDocs.sparkSession
     val rdd = binaryDocs.select(col("doc_id"), col("payload")).rdd

@@ -38,9 +38,9 @@ object Aggregates {
           dsum(when($"l_discount" > 0.05, $"l_extendedprice").otherwise(lit(0.0)))
             .as("discounted_rev"))
         .select($"l_returnflag", $"n_rows", $"min_qty", $"max_qty",
-          (($"s2" - $"s1" * $"s1" / $"n_rows") / ($"n_rows" - 1) / lit(1.0e8))
+          q6(($"s2" - $"s1" * $"s1" / $"n_rows") / ($"n_rows" - 1) / lit(1.0e8))
             .as("var_qty"),
-          sqrt(($"s2" - $"s1" * $"s1" / $"n_rows") / ($"n_rows" - 1) / lit(1.0e8))
+          q6(sqrt(($"s2" - $"s1" * $"s1" / $"n_rows") / ($"n_rows" - 1) / lit(1.0e8)))
             .as("std_qty"),
           $"n_bulk", $"discounted_rev")
         .orderBy($"l_returnflag")
@@ -63,9 +63,9 @@ object Aggregates {
           sum(qy * qy).cast("double").as("syy"),
           sum(qx * qy).cast("double").as("sxy"))
         .select($"l_returnflag", $"n",
-          (($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1) / lit(1.0e8))
+          q6(($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1) / lit(1.0e8))
             .as("covar_qty_price"),
-          (($"n" * $"sxy" - $"sx" * $"sy") /
+          q6(($"n" * $"sxy" - $"sx" * $"sy") /
             (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
               sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
         .orderBy($"l_returnflag")
@@ -122,6 +122,30 @@ object Aggregates {
           $"o_orderstatus".asc_nulls_first)
     }),
 
+    // G6 (explicit GROUPING SETS): the literal SQL spelling — rollup and
+    // cube above exercise the same Expand machinery, this pins the
+    // SQL-surface claim with an asymmetric set list.
+    "agg_grouping_sets" -> ((s: SparkSession, dir: String) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents_gs")
+      s.sql(
+        """SELECT lang, source, CAST(grouping_id(lang, source) AS BIGINT) AS gid,
+          |  COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+          |FROM documents_gs
+          |GROUP BY GROUPING SETS ((lang, source), (lang), ())
+          |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin)
+    }),
+
+    // G1/G4 under skew (SURVEY §4 scale note): exact COUNT(DISTINCT)
+    // that no hot key can stall — phase 1 counts per (key, value-hash
+    // salt lane), phase 2 sums the disjoint lane counts. l_returnflag
+    // has 3 values over the whole table, the canonical hot-key shape.
+    "skew_salted_distinct" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Salting.skewSafeCountDistinct(
+        Tables.lineitem(s, dir), Seq("l_returnflag"), "l_orderkey", salts = 8)
+        .orderBy($"l_returnflag")
+    }),
+
     // G8: percentile. Spark's percentile_approx with accuracy >> n is
     // exact and returns actual data values — the same nearest-rank
     // contract as DuckDB's quantile_disc. Flattened to scalar columns
@@ -172,8 +196,8 @@ object Aggregates {
   val oracle: Map[String, String] = Map(
     "agg_stats" ->
       s"""SELECT l_returnflag, n_rows, min_qty, max_qty,
-         |  (s2 - s1 * s1 / n_rows) / (n_rows - 1) / 1.0e8 AS var_qty,
-         |  sqrt((s2 - s1 * s1 / n_rows) / (n_rows - 1) / 1.0e8) AS std_qty,
+         |  ${sqlQ6("(s2 - s1 * s1 / n_rows) / (n_rows - 1) / 1.0e8")} AS var_qty,
+         |  ${sqlQ6("sqrt((s2 - s1 * s1 / n_rows) / (n_rows - 1) / 1.0e8)")} AS std_qty,
          |  n_bulk, discounted_rev
          |FROM (
          |  SELECT l_returnflag,
@@ -183,16 +207,15 @@ object Aggregates {
          |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS s1,
          |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))
          |           * CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS s2,
-         |    SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_bulk,
+         |    CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
          |    ${sqlDsum("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END")} AS discounted_rev
          |  FROM lineitem GROUP BY l_returnflag)
          |ORDER BY l_returnflag""".stripMargin,
 
     "agg_corr" ->
-      """SELECT l_returnflag, n,
-        |  (sxy - sx * sy / n) / (n - 1) / 1.0e8 AS covar_qty_price,
-        |  (n * sxy - sx * sy) /
-        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+      s"""SELECT l_returnflag, n,
+        |  ${sqlQ6("(sxy - sx * sy / n) / (n - 1) / 1.0e8")} AS covar_qty_price,
+        |  ${sqlQ6("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))")} AS corr_qty_price
         |FROM (
         |  SELECT l_returnflag, COUNT(*) AS n,
         |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sx,
@@ -236,6 +259,19 @@ object Aggregates {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
          |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), ())
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "skew_salted_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "agg_percentile" ->
       """SELECT l_returnflag,

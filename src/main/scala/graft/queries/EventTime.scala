@@ -98,8 +98,10 @@ object EventTime {
     "session_window" ->
       s"""WITH e AS (
          |  SELECT user_id, ts, value,
+         |    -- >= not >: Spark sessions are half-open [start, last+gap),
+         |    -- so an event at exactly last+gap starts a NEW session.
          |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-         |              > INTERVAL 30 MINUTE
+         |              >= INTERVAL 30 MINUTE
          |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          |         THEN 1 ELSE 0 END AS new_session
          |  FROM events),

@@ -92,7 +92,12 @@ object Pipeline {
     * shingle's identity is the chained hash of its three token hashes
     * (fnv1a chaining = composite keys, fnv1a.rs:9-11). Two projections
     * (token hashes, then 3-gram chains) so neither is recomputed per
-    * reference. `keep` columns are passed through. */
+    * reference. `keep` columns are passed through.
+    *
+    * Docs with fewer than 3 tokens fall back to ONE whole-text shingle
+    * — the chained hash of all token hashes, the hash identity of
+    * [[shingles]]'s `array(text)` fallback and of the oracle CTE's
+    * `ELSE [text]` branch, so all three spellings agree on short docs. */
   private def withShingleHashes(df: DataFrame, keep: Seq[String]): DataFrame = {
     val toks = df.select(keep.map(col) :+
       transform(split(col("text"), " "), w => F.fnv1a(w)).as("th"): _*)
@@ -101,7 +106,8 @@ object Pipeline {
         array_distinct(transform(sequence(lit(1), size(col("th")) - 2), i =>
           F.fnv1a(element_at(col("th"), i), element_at(col("th"), i + 1),
             element_at(col("th"), i + 2)))))
-        .otherwise(array(element_at(col("th"), 1))).as("hs"): _*)
+        .otherwise(array(aggregate(col("th"), lit(Fnv1aCore.OffsetBasis),
+          (acc, h) => F.fnv1a_seeded_dyn(acc, h)))).as("hs"): _*)
   }
 
   /** Codegen'd left-fold dot product (DotProductD) — IEEE-identical
@@ -414,15 +420,20 @@ object Pipeline {
         .orderBy($"lang")
     }),
 
-    // L6: multimodal binary columns — payloads ride as opaque binary,
-    // features come from the partition-parallel decode path
-    // (Multimodal.extractFeatures; decode itself is a documented stub,
-    // the features here are byte-level and therefore oracle-checkable).
+    // L6: multimodal binary columns — payloads ride as opaque binary;
+    // the byte-level features are pure Catalyst expressions
+    // (Multimodal.featureColumns, with the ByteSum codegen kernel), so
+    // the plan keeps codegen + pushdown; the mapPartitions decoder
+    // extension point (Multimodal.extractFeatures) is spec-covered
+    // separately. Oracle caveat: the DuckDB mirror computes byte
+    // features from CHARACTERS (ascii per char, substring by chars),
+    // which equals the engine's raw-UTF-8-byte features only because
+    // the documents fixture is pure ASCII.
     "binary_features" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val binaryDocs = Tables.documents(s, dir)
         .select($"doc_id", $"text".cast("binary").as("payload"))
-      graft.operators.Multimodal.extractFeatures(binaryDocs)
+      graft.operators.Multimodal.featureColumns(binaryDocs)
         .orderBy($"doc_id")
     }),
 
@@ -482,18 +493,27 @@ object Pipeline {
         .orderBy($"probe_id", $"rn")
     }),
 
-    // L2/L3 hybrid: embedding-cosine near-dup at τ=0.99. On this
-    // corpus the true pair set is empty (max pairwise cosine ≈ 0.51)
-    // — the green entry proves the no-false-positive side against the
-    // all-pairs oracle; the detection side is proven in PipelineSpec
-    // by planting near-identical vectors through the same
-    // embedNearDupPairs code path.
+    // L2/L3 hybrid: embedding-cosine near-dup at τ=0.99. The raw
+    // corpus has no true pairs (max pairwise cosine ≈ 0.51), which
+    // would make the oracle row prove only the no-false-positive side
+    // — so the query unions in a deterministic planted-duplicate set
+    // (scaled copies of vec_id<10, scaled+shifted copies of
+    // vec_id∈[10,20), ids offset by 1e6; both perturbations are plain
+    // IEEE arithmetic the DuckDB oracle replays exactly). The oracle's
+    // all-pairs scan over the same augmented relation must find the
+    // same planted pairs the banded LSH path finds: detection AND
+    // no-false-positives are now both hash-checked.
     "embed_neardup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      embedNearDupPairs(
-        Tables.embeddings(s, dir)
-          .select($"vec_id", $"embedding".cast("array<double>").as("v")),
-        0.99)
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val scaled = emb.filter($"vec_id" < 10)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"v", x => x * lit(1.01)).as("v"))
+      val shifted = emb.filter($"vec_id" >= 10 && $"vec_id" < 20)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"v", x => x * lit(1.01) + lit(0.001)).as("v"))
+      embedNearDupPairs(emb.unionAll(scaled).unionAll(shifted), 0.99)
     }),
   )
 
@@ -644,13 +664,16 @@ object Pipeline {
   private def sqlNorm(a: String): String =
     s"sqrt(list_reduce(list_prepend(0.0, list_transform($a, x -> x * x)), (acc, x) -> acc + x))"
 
+  /** Shared shingle CTE — mirrors [[shingles]] including its
+    * whole-text fallback for docs shorter than the 3-token width. */
   private val shingleSqlCte =
     """sh AS (
       |  SELECT doc_id,
-      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-      |                   for i in range(1, len(ws) - 1)]) AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-      |  WHERE len(ws) >= 3)""".stripMargin
+      |    CASE WHEN len(ws) >= 3 THEN
+      |      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                     for i in range(1, len(ws) - 1)])
+      |    ELSE [text] END AS s
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Oracle partitions by text directly — semantically identical to
@@ -798,8 +821,18 @@ object Pipeline {
 
     // All-pairs — feasible only at oracle/test scale; the engine side
     // arrives via banded sign-LSH buckets (recall ≈ 0.9992 at τ=0.99).
+    // Same planted-duplicate augmentation as the engine query, so the
+    // oracle checks detected pairs, not just absence of false ones.
     "embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, v FROM e0
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(v, x -> x * 1.01)
+         |  FROM e0 WHERE vec_id < 10
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(v, x -> x * 1.01 + 0.001)
+         |  FROM e0 WHERE vec_id >= 10 AND vec_id < 20)
          |SELECT va, vb, cos_sim FROM (
          |  SELECT a.vec_id AS va, b.vec_id AS vb,
          |    ${sqlQ6(sqlDot("a.v", "b.v") + " / (" + sqlNorm("a.v") + " * " + sqlNorm("b.v") + ")")} AS cos_sim

@@ -58,9 +58,17 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
 
-  /** T5: exactly-once by event_id within the watermark horizon. */
+  /** T5: exactly-once by event_id, with dedup state EVICTED once the
+    * watermark passes an id's first-seen event time.
+    * `dropDuplicatesWithinWatermark` is the id-only dedup spelling whose
+    * state store is watermark-bounded — a plain
+    * `dropDuplicates("event_id")` (without the event-time column in the
+    * subset) would retain every id ever seen, which breaks the
+    * bounded-state contract at 100 TB/day. Re-deliveries later than the
+    * watermark horizon are by definition out-of-contract. */
   def dedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** T7: enrich a stream with a static dimension (broadcast at scale). */
   def enrichStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =

@@ -74,12 +74,17 @@ for name, sql in sorted(oracles.items()):
     if bad:
         print(f"FAIL {name}: {len(bad)}+ mismatches, first: {bad[:3]}")
         n_fail += 1
+        continue
+    # dtype check: the driver's hash compare is dtype-sensitive (r2's
+    # agg_stats failed on int64-vs-float64 with equal values), so a
+    # dtype mismatch is a FAIL here too.
+    dd = [(c, str(got[c].dtype), str(want[c].dtype))
+          for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+    if dd:
+        print(f"FAIL {name}: dtype mismatch {dd}")
+        n_fail += 1
     else:
-        # dtype check (schema-level) — warn only
-        dd = [(c, str(got[c].dtype), str(want[c].dtype))
-              for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
-        flag = f"  [dtype warn: {dd}]" if dd else ""
-        print(f"PASS {name} ({len(got)} rows){flag}")
+        print(f"PASS {name} ({len(got)} rows)")
         n_pass += 1
 
 print(f"\n{n_pass} passed, {n_fail} failed of {len(oracles)}")
