@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Aggregates.noOracleQueries ++
       graft.queries.Windows.queries ++
       graft.queries.Scalars.queries ++
+      graft.queries.Scalars.noOracleQueries ++
       graft.queries.EventTime.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.Pipeline.noOracleQueries

@@ -148,6 +148,26 @@ object Scalars {
     }),
   )
 
+  /** X9 completion: the non-cryptographic hash family — xxhash64,
+    * murmur3 (Spark's `hash`), crc32. DuckDB has no compatible
+    * implementations (its `hash` is a different algorithm), so no SQL
+    * oracle — the driver records the rows-only check and HashFnsSpec
+    * verifies every column against an INDEPENDENT implementation
+    * (java.util.zip.CRC32; in-spec reimplementations of public XXH64 /
+    * Murmur3_x86_32 with Spark's documented seed 42) plus pinned
+    * literal vectors. */
+  val noOracleQueries: Map[String, Q] = Map(
+    "hash_fns_native" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          xxhash64($"text").as("xxh64"),
+          hash($"text").cast("long").as("murmur3"),
+          crc32($"text").as("crc32"))
+        .orderBy($"doc_id")
+    }),
+  )
+
   val oracle: Map[String, String] = Map(
     "string_fns" ->
       """SELECT doc_id,

@@ -52,6 +52,36 @@ class EventStreamsSpec extends SparkSuite {
     assert(spark.table("t_dedup").select($"event_id").distinct().count() == 50)
   }
 
+  test("dedup state is EVICTED once the watermark passes (bounded state)") {
+    // The 100 TB/day contract: dropDuplicatesWithinWatermark keeps an
+    // id's state only within the watermark horizon. Timeline (1h delay):
+    //   b1: id=1 @ T0            -> emitted, state created
+    //   b2: id=1 @ T0+10min      -> in-horizon re-delivery, dropped
+    //   b3: id=3 @ T0+3h         -> watermark advances to T0+2h;
+    //                               id=1 state (T0 + 1h < wm) evicted
+    //   b4: id=1 @ T0+2h30min    -> state gone, emitted AGAIN
+    // The second emission is exactly what proves eviction happened.
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(minutes: Long) = new Timestamp(t0.getTime + minutes * 60000L)
+    val input = MemoryStream[Ev]
+    val q = EventStreams.dedup(input.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("t_evict")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1L, at(0), 7L, "c", 1.0)); q.processAllAvailable()
+      input.addData(Ev(1L, at(10), 7L, "c", 1.0)); q.processAllAvailable()
+      input.addData(Ev(3L, at(180), 7L, "c", 1.0)); q.processAllAvailable()
+      input.addData(Ev(1L, at(150), 7L, "c", 1.0)); q.processAllAvailable()
+    } finally q.stop()
+    val byId = spark.table("t_evict").groupBy($"event_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(3L) == 1L)
+    assert(byId(1L) == 2L,
+      "id=1 must be re-emitted after its state is watermark-evicted " +
+        "(1 emission = state never evicted; unbounded state)")
+  }
+
   test("update output mode re-emits only changed windows (T9)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]

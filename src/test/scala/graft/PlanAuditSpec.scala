@@ -59,6 +59,15 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("binary_features stays on the expression path (no RDD hop)") {
+    // r2 routed this through df.rdd + createDataFrame, which severed
+    // codegen, pushdown and pruning below the node; the features are
+    // Catalyst expressions now — pin that.
+    val p = plans("binary_features")
+    assert(!p.contains("ExistingRDD") && !p.contains("SerializeFromObject"),
+      s"binary_features dropped to an RDD scan:\n${p.take(1500)}")
+  }
+
   test("topk_per_group keeps the WindowGroupLimit rank pushdown") {
     // Spark 4 turns `row_number <= k` above a window into a
     // per-partition group limit BEFORE the shuffle/sort — the plan

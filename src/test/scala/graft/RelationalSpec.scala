@@ -49,8 +49,11 @@ class RelationalSpec extends SparkSuite {
     //    MinHashAggSpec checks the estimate against true Jaccard)
     //  - winnow_fingerprint: winnowing minima of fnv1a gram hashes
     //    (hash identity; PipelineSpec proves the shared-run guarantee)
+    //  - hash_fns_native: xxhash64/murmur3/crc32 have no DuckDB
+    //    equivalents (HashFnsSpec verifies each against an independent
+    //    implementation + pinned vectors)
     val exempt = Set("agg_approx", "simhash_fingerprint", "ann_lsh",
-      "source_minhash_sim", "winnow_fingerprint")
+      "source_minhash_sim", "winnow_fingerprint", "hash_fns_native")
     assert((missing -- exempt).isEmpty, s"queries without oracle: $missing")
   }
 }
