@@ -2,8 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Benchmark main: times every SparkEntry query (count() as the action)
-  * at SPARK_GRAFT_SF_DIR and emits ONE machine-parseable JSON line.
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR
+  * and emits ONE machine-parseable JSON line.
+  *
+  * The timed action is `queryExecution.toRdd.count()` — materialize
+  * every output row of the DECLARED query plan (still distributed;
+  * nothing is collected). A plain `df.count()` lets the optimizer
+  * prune every column the count doesn't need, which silently deletes
+  * the measured work (observed: the as-of window rewrite lost its
+  * whole Window stage to count-pruning and timed as barely more than
+  * its build aggregation). toRdd keeps each query's number equal to
+  * the cost of producing its result.
   *
   * Each query is timed over TWO full passes and the MIN is reported:
   * a single long sequence accumulates JVM/GC/session state that can
@@ -51,7 +60,7 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          fn(spark, sfDir).queryExecution.toRdd.count()
           Some(name -> (System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>

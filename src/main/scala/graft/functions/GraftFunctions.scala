@@ -43,6 +43,11 @@ object GraftFunctions {
     ExpressionUtils.column(
       MinHashSignature(ExpressionUtils.expression(hashes), seeds))
 
+  /** Codegen'd one-pass 64-bit SimHash over an array<bigint> of
+    * shingle hashes (bit b = majority vote of bit b). */
+  def simhash64(hashes: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(hashes)))
+
   /** Codegen'd unsigned-byte sum of a binary column (multimodal
     * byte features — `byte_sum(b) / octet_length(b)` is byte-mean). */
   def byte_sum(b: Column): Column =

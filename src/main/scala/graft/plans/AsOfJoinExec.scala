@@ -64,8 +64,8 @@ case class AsOfJoinExec(
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOutput)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOutput)
       val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOutput)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeType))
+      val keyOrd = PlanUtil.naturalOrdering(keyTypes)
+      val timeOrd = PlanUtil.naturalOrdering(Seq(lTimeType))
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(outputAttrs, outputAttrs)

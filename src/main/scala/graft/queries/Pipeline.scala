@@ -300,15 +300,22 @@ object Pipeline {
     // shape).
     "ngram_jaccard" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val d = Tables.documents(s, dir)
-        .select($"doc_id", shingles($"text").as("sh"))
-      val a = d.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+      // Set operations run on 8-byte shingle HASHES, not shingle
+      // strings (same identity argument as shingle_vocab: a gram's
+      // hash equals another's iff the strings match, collisions aside
+      // at ~2⁻⁶⁴ — and the string-level DuckDB oracle verifies exactly
+      // that). String-array intersect/union was the measured bench
+      // outlier once count-pruning stopped hiding it: 9.6 s vs
+      // sub-second hashed.
+      val d = withShingleHashes(Tables.documents(s, dir)
+        .select($"doc_id", $"text").repartition($"doc_id"), Seq("doc_id"))
+      val a = d.select($"doc_id".as("doc_a"), $"hs".as("hs_a"))
       val b = d.select(($"doc_id" - 1).as("doc_a"), $"doc_id".as("doc_b"),
-        $"sh".as("sh_b"))
+        $"hs".as("hs_b"))
       a.join(b, "doc_a")
         .select($"doc_a", $"doc_b",
-          q6(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-            size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
+          q6(size(array_intersect($"hs_a", $"hs_b")).cast("double") /
+            size(array_union($"hs_a", $"hs_b"))).as("jaccard"))
         .orderBy($"doc_a")
     }),
 
@@ -523,21 +530,16 @@ object Pipeline {
   val noOracleQueries: Map[String, Q] = Map(
     // SimHash document fingerprint: bit i of the 64-bit fingerprint is
     // the majority vote of bit i over all shingle hashes — near-dup
-    // docs land within a small Hamming distance. The 64 bit positions
-    // are unrolled at plan-construction time (shift amounts must be
-    // literals); the per-row cost stays one hash per shingle.
+    // docs land within a small Hamming distance. One codegen'd pass
+    // over hash-identity shingles (SimHash64 — the 64 unrolled
+    // interpreted `aggregate` sweeps of the HOF spelling were the
+    // bench's worst row at 8.4 s; SimHash64Spec pins bit-for-bit
+    // parity with that spelling).
     "simhash_fingerprint" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val simhash = (0 until 64).map { i =>
-        when(
-          aggregate($"hs", lit(0L),
-            (acc, h) => acc + shiftright(h, i).bitwiseAND(1L)) * 2
-            >= size($"hs"),
-          lit(1L << i)).otherwise(0L)
-      }.reduce(_ bitwiseOR _)
-      Tables.documents(s, dir)
-        .withColumn("hs", transform(shingles($"text"), x => F.fnv1a(x)))
-        .select($"doc_id", simhash.as("simhash"))
+      withShingleHashes(Tables.documents(s, dir)
+        .select($"doc_id", $"text").repartition($"doc_id"), Seq("doc_id"))
+        .select($"doc_id", F.simhash64($"hs").as("simhash"))
         .orderBy($"doc_id")
     }),
 
