@@ -59,4 +59,17 @@ object Fnv1aCore {
     * (fnv1a.rs:47-51). */
   def hashBoolean(v: Boolean, state0: Long): Long =
     hashInt(if (v) 1231 else 1237, state0)
+
+  /** IEEE-754 bit pattern as 4-byte LE i32. The reference hashed no
+    * float types (no `FNV1aIterator` impl); this engine extension keeps
+    * hash ⇔ SQL-equality consistency the way Spark's own hash family
+    * does: -0.0 normalizes to 0.0 (they compare equal) and every NaN
+    * hashes the canonical NaN bits (`floatToIntBits` canonicalizes). */
+  def hashFloat(v: Float, state0: Long): Long =
+    hashInt(java.lang.Float.floatToIntBits(if (v == 0.0f) 0.0f else v), state0)
+
+  /** IEEE-754 bit pattern as 8-byte LE i64 — same normalization
+    * contract as [[hashFloat]]. */
+  def hashDouble(v: Double, state0: Long): Long =
+    hashLong(java.lang.Double.doubleToLongBits(if (v == 0.0d) 0.0d else v), state0)
 }

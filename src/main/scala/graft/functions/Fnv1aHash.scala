@@ -32,19 +32,30 @@ case class Fnv1aHash(children: Seq[Expression], seed: Long)
   /** Dates hash as their i32 day count and timestamps as their i64
     * microsecond count — the canonical LE integer encodings of the
     * reference's `FNV1aIterator` impls (fnv1a.rs:68-79) applied to
-    * Spark's internal representations. */
-  private val supportedTypes: Set[DataType] = Set(BooleanType, ByteType,
-    ShortType, IntegerType, LongType, StringType, BinaryType,
-    DateType, TimestampType, TimestampNTZType)
+    * Spark's internal representations. Engine extensions beyond the
+    * reference (which hashed no fractional types): float/double hash
+    * their normalized IEEE-754 bit pattern (Fnv1aCore.hashFloat/
+    * hashDouble — -0.0 ≡ 0.0, canonical NaN, so hash is consistent
+    * with SQL equality); decimals hash their unscaled integer — 8-byte
+    * LE for precision ≤ 18, big-endian two's-complement minimal bytes
+    * (BigInteger.toByteArray) above — the scale being fixed by the
+    * column type. */
+  private def supported(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         StringType | BinaryType | DateType | TimestampType |
+         TimestampNTZType | FloatType | DoubleType => true
+    case _: DecimalType => true
+    case _ => false
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.isEmpty)
       TypeCheckResult.TypeCheckFailure("fnv1a requires at least one argument")
-    else children.map(_.dataType).find(!supportedTypes.contains(_)) match {
+    else children.map(_.dataType).find(!supported(_)) match {
       case Some(dt) => TypeCheckResult.TypeCheckFailure(
         s"fnv1a: unsupported input type ${dt.catalogString} " +
-          "(supported: boolean, tinyint..bigint, string, binary, " +
-          "date, timestamp, timestamp_ntz)")
+          "(supported: boolean, tinyint..bigint, float, double, " +
+          "decimal, string, binary, date, timestamp, timestamp_ntz)")
       case None => TypeCheckResult.TypeCheckSuccess
     }
 
@@ -57,6 +68,13 @@ case class Fnv1aHash(children: Seq[Expression], seed: Long)
       Fnv1aCore.hashLong(v.asInstanceOf[Long], state)
     case StringType  => Fnv1aCore.hashBytes(v.asInstanceOf[UTF8String].getBytes, state)
     case BinaryType  => Fnv1aCore.hashBytes(v.asInstanceOf[Array[Byte]], state)
+    case FloatType   => Fnv1aCore.hashFloat(v.asInstanceOf[Float], state)
+    case DoubleType  => Fnv1aCore.hashDouble(v.asInstanceOf[Double], state)
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+      Fnv1aCore.hashLong(v.asInstanceOf[Decimal].toUnscaledLong, state)
+    case _: DecimalType =>
+      Fnv1aCore.hashBytes(
+        v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue.toByteArray, state)
     case other => throw new IllegalStateException(s"fnv1a: unsupported type $other")
   }
 
@@ -85,6 +103,12 @@ case class Fnv1aHash(children: Seq[Expression], seed: Long)
           s"$state = $core.hashLong(${g.value}, $state);"
         case StringType           => s"$state = $core.hashBytes(${g.value}.getBytes(), $state);"
         case BinaryType           => s"$state = $core.hashBytes(${g.value}, $state);"
+        case FloatType            => s"$state = $core.hashFloat(${g.value}, $state);"
+        case DoubleType           => s"$state = $core.hashDouble(${g.value}, $state);"
+        case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+          s"$state = $core.hashLong(${g.value}.toUnscaledLong(), $state);"
+        case _: DecimalType =>
+          s"$state = $core.hashBytes(${g.value}.toJavaBigDecimal().unscaledValue().toByteArray(), $state);"
         case other => throw new IllegalStateException(s"fnv1a: unsupported type $other")
       }
       val nullCheck = if (child.nullable) {

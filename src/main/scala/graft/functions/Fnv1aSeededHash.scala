@@ -30,8 +30,13 @@ case class Fnv1aSeededHash(children: Seq[Expression]) extends Expression {
   override def foldable: Boolean = children.forall(_.foldable)
   override def prettyName: String = "fnv1a_seeded"
 
-  private val supportedTypes: Set[DataType] = Set(BooleanType, ByteType,
-    ShortType, IntegerType, LongType, StringType, BinaryType)
+  private def supported(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         StringType | BinaryType | DateType | TimestampType |
+         TimestampNTZType | FloatType | DoubleType => true
+    case _: DecimalType => true
+    case _ => false
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.length < 2)
@@ -40,10 +45,11 @@ case class Fnv1aSeededHash(children: Seq[Expression]) extends Expression {
     else if (seedChild.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"fnv1a_seeded: seed must be bigint, got ${seedChild.dataType.catalogString}")
-    else dataChildren.map(_.dataType).find(!supportedTypes.contains(_)) match {
+    else dataChildren.map(_.dataType).find(!supported(_)) match {
       case Some(dt) => TypeCheckResult.TypeCheckFailure(
         s"fnv1a_seeded: unsupported input type ${dt.catalogString} " +
-          "(supported: boolean, tinyint..bigint, string, binary)")
+          "(supported: boolean, tinyint..bigint, float, double, " +
+          "decimal, string, binary, date, timestamp, timestamp_ntz)")
       case None => TypeCheckResult.TypeCheckSuccess
     }
 
@@ -51,10 +57,18 @@ case class Fnv1aSeededHash(children: Seq[Expression]) extends Expression {
     case BooleanType => Fnv1aCore.hashBoolean(v.asInstanceOf[Boolean], state)
     case ByteType    => Fnv1aCore.hashInt(v.asInstanceOf[Byte].toInt, state)
     case ShortType   => Fnv1aCore.hashInt(v.asInstanceOf[Short].toInt, state)
-    case IntegerType => Fnv1aCore.hashInt(v.asInstanceOf[Int], state)
-    case LongType    => Fnv1aCore.hashLong(v.asInstanceOf[Long], state)
+    case IntegerType | DateType => Fnv1aCore.hashInt(v.asInstanceOf[Int], state)
+    case LongType | TimestampType | TimestampNTZType =>
+      Fnv1aCore.hashLong(v.asInstanceOf[Long], state)
     case StringType  => Fnv1aCore.hashBytes(v.asInstanceOf[UTF8String].getBytes, state)
     case BinaryType  => Fnv1aCore.hashBytes(v.asInstanceOf[Array[Byte]], state)
+    case FloatType   => Fnv1aCore.hashFloat(v.asInstanceOf[Float], state)
+    case DoubleType  => Fnv1aCore.hashDouble(v.asInstanceOf[Double], state)
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+      Fnv1aCore.hashLong(v.asInstanceOf[Decimal].toUnscaledLong, state)
+    case _: DecimalType =>
+      Fnv1aCore.hashBytes(
+        v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue.toByteArray, state)
     case other => throw new IllegalStateException(s"fnv1a_seeded: unsupported type $other")
   }
 
@@ -95,10 +109,17 @@ case class Fnv1aSeededHash(children: Seq[Expression]) extends Expression {
       val update = child.dataType match {
         case BooleanType          => s"$state = $core.hashBoolean(${g.value}, $state);"
         case ByteType | ShortType => s"$state = $core.hashInt((int) ${g.value}, $state);"
-        case IntegerType          => s"$state = $core.hashInt(${g.value}, $state);"
-        case LongType             => s"$state = $core.hashLong(${g.value}, $state);"
+        case IntegerType | DateType => s"$state = $core.hashInt(${g.value}, $state);"
+        case LongType | TimestampType | TimestampNTZType =>
+          s"$state = $core.hashLong(${g.value}, $state);"
         case StringType           => s"$state = $core.hashBytes(${g.value}.getBytes(), $state);"
         case BinaryType           => s"$state = $core.hashBytes(${g.value}, $state);"
+        case FloatType            => s"$state = $core.hashFloat(${g.value}, $state);"
+        case DoubleType           => s"$state = $core.hashDouble(${g.value}, $state);"
+        case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+          s"$state = $core.hashLong(${g.value}.toUnscaledLong(), $state);"
+        case _: DecimalType =>
+          s"$state = $core.hashBytes(${g.value}.toJavaBigDecimal().unscaledValue().toByteArray(), $state);"
         case other => throw new IllegalStateException(s"fnv1a_seeded: unsupported type $other")
       }
       val nullCheck = if (child.nullable) {

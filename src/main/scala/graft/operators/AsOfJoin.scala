@@ -121,4 +121,45 @@ object AsOfJoin {
       payload: Seq[String]): DataFrame =
     asofNative(probe, build, probeKey, buildKey, probeTs, buildTs,
       payload, broadcastBuild = true)
+
+  /** SQL surface (SURVEY J9): registers the table-valued function
+    *
+    * {{{
+    * SELECT * FROM graft_asof(
+    *   'probe_view', 'build_view',       -- temp view names
+    *   'probe_key', 'build_key',         -- join key columns
+    *   'probe_ts', 'build_ts',           -- event-time columns
+    *   'payload_a,payload_b'             -- build columns to attach
+    *   [, 'broadcast'])                  -- optional: broadcast build
+    * }}}
+    *
+    * Spark's table-function arguments are expressions, not relations,
+    * so the two sides arrive as VIEW NAMES resolved against the
+    * session catalog at analysis time — the standard TVF shape for
+    * binary relational operators. The builder plans the same
+    * [[asofNative]]/[[asofBroadcast]] operator the DataFrame API uses:
+    * one registration makes the custom operator reachable from pure
+    * `spark.sql()` text. Idempotent per session. */
+  def registerSqlTableFunction(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_asof", { exprs =>
+        val args = exprs.map { e =>
+          require(e.foldable &&
+            e.dataType == org.apache.spark.sql.types.StringType,
+            "graft_asof arguments must be string literals")
+          e.eval(null).toString
+        }
+        require(args.length == 7 || args.length == 8,
+          "graft_asof(probe_view, build_view, probe_key, build_key, " +
+            "probe_ts, build_ts, payload_csv[, 'broadcast'])")
+        val Seq(probeV, buildV, pk, bk, pts, bts, payloadCsv) = args.take(7)
+        val broadcast = args.length == 8 && args(7) == "broadcast"
+        val probe = spark.table(probeV)
+        val build = spark.table(buildV)
+        val out = asofNative(probe, build, probe(pk), build(bk),
+          probe(pts), build(bts),
+          payloadCsv.split(",").map(_.trim).toSeq.filter(_.nonEmpty),
+          broadcastBuild = broadcast)
+        org.apache.spark.sql.graftbridge.Bridge.analyzed(out)
+      }, "built-in")
 }

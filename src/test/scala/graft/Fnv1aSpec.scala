@@ -112,4 +112,45 @@ class Fnv1aSpec extends SparkSuite {
       .distinct().count()
     assert(n > 0)
   }
+
+  test("float/double hash normalized IEEE bits; decimal hashes unscaled") {
+    // engine extension beyond the reference (it hashed no fractional
+    // types): LE bit-pattern encodings, -0.0 ≡ 0.0, canonical NaN,
+    // decimal = unscaled integer (i64 LE at p<=18, BigInteger bytes above)
+    val r = spark.sql(
+      """SELECT fnv1a(CAST(1.5 AS FLOAT)) AS hf,
+        |       fnv1a(CAST(1.5 AS DOUBLE)) AS hd,
+        |       fnv1a(CAST(-0.0 AS DOUBLE)) AS hz,
+        |       fnv1a(CAST(0.0 AS DOUBLE)) AS hz2,
+        |       fnv1a(CAST('NaN' AS DOUBLE)) AS hn,
+        |       fnv1a(-CAST('NaN' AS DOUBLE)) AS hn2,
+        |       fnv1a(CAST(12.34 AS DECIMAL(10,2))) AS hdec,
+        |       fnv1a(CAST(12.34 AS DECIMAL(30,2))) AS hdec30""".stripMargin)
+      .head()
+    assert(r.getLong(0) === Fnv1aCore.hashInt(
+      java.lang.Float.floatToIntBits(1.5f), Fnv1aCore.OffsetBasis))
+    assert(r.getLong(1) === Fnv1aCore.hashLong(
+      java.lang.Double.doubleToLongBits(1.5), Fnv1aCore.OffsetBasis))
+    // -0.0 and 0.0 compare equal in SQL, so they must hash equal
+    assert(r.getLong(2) === r.getLong(3))
+    // every NaN hashes the canonical NaN bits
+    assert(r.getLong(4) === r.getLong(5))
+    // decimal(10,2) 12.34 -> unscaled 1234 as i64 LE
+    assert(r.getLong(6) === Fnv1aCore.hashLong(1234L, Fnv1aCore.OffsetBasis))
+    // decimal(30,2): BigInteger minimal two's-complement bytes
+    assert(r.getLong(7) === Fnv1aCore.hashBytes(
+      java.math.BigInteger.valueOf(1234L).toByteArray, Fnv1aCore.OffsetBasis))
+    // codegen == interpreted over fixture doubles
+    import spark.implicits._
+    val cg = Tables.lineitem(spark, sf).limit(100)
+      .select(F.fnv1a($"l_extendedprice", $"l_discount").as("h"))
+      .collect().map(_.getLong(0))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = Tables.lineitem(spark, sf).limit(100)
+        .select(F.fnv1a($"l_extendedprice", $"l_discount").as("h"))
+        .collect().map(_.getLong(0))
+      assert(cg.toSeq == interp.toSeq)
+    }
+  }
 }

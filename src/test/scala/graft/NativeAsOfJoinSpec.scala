@@ -165,6 +165,35 @@ class NativeAsOfJoinSpec extends SparkSuite {
     assert(e.getMessage.contains("key type mismatch"))
   }
 
+  test("graft_asof SQL table function plans the custom operator") {
+    AsOfJoin.registerSqlTableFunction(spark)
+    val (probe, build) = probeBuild()
+    probe.createOrReplaceTempView("tvf_probe")
+    build.createOrReplaceTempView("tvf_build")
+    def sqlAsOf(extra: String) = spark.sql(
+      s"""SELECT * FROM graft_asof(
+         |  'tvf_probe', 'tvf_build',
+         |  'o_custkey', 'b_custkey', 'o_orderdate', 'prev_orderdate',
+         |  'prev_orderkey,prev_orderdate,prev_totalprice'$extra)""".stripMargin)
+    val viaSql = sqlAsOf("").orderBy($"o_orderkey").collect()
+    val viaSqlBroadcast = sqlAsOf(", 'broadcast'").orderBy($"o_orderkey").collect()
+    val viaApi = AsOfJoin.asofNative(probe, build,
+      probe("o_custkey"), build("b_custkey"),
+      probe("o_orderdate"), build("prev_orderdate"),
+      Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
+      .orderBy($"o_orderkey").collect()
+    assert(viaSql.nonEmpty)
+    assert(viaSql.toSeq == viaApi.toSeq)
+    assert(viaSqlBroadcast.toSeq == viaApi.toSeq)
+    // the merge exec (not a rewrite) is what the SQL text planned
+    assert(sqlAsOf("").queryExecution.executedPlan.toString
+      .contains("AsOfJoin"))
+    // non-literal / wrong-arity arguments fail loudly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof('tvf_probe')").collect()
+    }
+  }
+
   test("dataset round-trip keeps working after the custom plan (smoke)") {
     val (probe, build) = probeBuild()
     val native = AsOfJoin.asofNative(probe, build,
