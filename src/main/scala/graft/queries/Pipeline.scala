@@ -41,8 +41,16 @@ object Pipeline {
   private val Lane2Seed: Long = 0x9e3779b97f4a7c15L
 
   private val MinHashSeeds = 64
-  private val LshBands = 16
-  private val LshRows = 4 // bands * rows == MinHashSeeds
+  /** Banding computed from the verify threshold + seed budget
+    * (graft.operators.LshTuning — τ=0.5, 64 lanes ⇒ 16 bands × 4
+    * rows, S-curve threshold (1/16)^(1/4) = 0.5 exactly; a larger
+    * corpus raises the seed budget and this recomputes sharper
+    * bands at the same threshold). */
+  private val MinHashJaccardTau = 0.5
+  private val (lshRows, lshBands) =
+    graft.operators.LshTuning.minhashBands(MinHashJaccardTau, MinHashSeeds)
+  private val LshBands = lshBands
+  private val LshRows = lshRows
 
   /** Distinct word 3-gram shingles of a single-spaced lowercase text
     * column (the documents fixture is exactly that). */
@@ -117,8 +125,6 @@ object Pipeline {
   private def l2norm(a: Column): Column = sqrt(F.dotd(a, a))
 
   private val NearDupPlanes = 96
-  private val NearDupBands = 8
-  private val NearDupRows = 12 // bands * rows == planes
 
   /** Deterministic pseudo-random ±1 hyperplanes over the 64-dim
     * embedding space: component j of plane h is ±1 from the POPCOUNT
@@ -155,24 +161,27 @@ object Pipeline {
   /** Banded sign-LSH candidate pairs + exact cosine verify — the
     * embedding-cosine near-dup operator, parameterized so specs can
     * plant known duplicates. `emb` must carry (vec_id: long,
-    * v: array<double>). 8 bands × 12 sign bits: at τ=0.99 (angle
-    * 8.1°) per-plane sign agreement is p = 1 − θ/π ≈ 0.955, so pair
-    * recall is 1−(1−p¹²)⁸ ≈ 0.9989, while 12-bit bands give 4096-way
-    * buckets — candidate pairs scale as b·n²/4096, the knob to retune
-    * (r ≈ log₂ n) as the corpus grows. Candidates come only from
-    * per-band bucket grouping — the all-pairs comparison exists only
-    * in the DuckDB oracle. */
+    * v: array<double>). Banding is computed from the corpus size
+    * (LshTuning.signBits: bits ≈ log₂ n keeps bucket occupancy O(1)
+    * and candidate pairs O(b·n) — no fixture-tuned constants): at
+    * sf0.1's ~5k vectors that is 13-bit bands × 7 over the 96-plane
+    * budget; at τ=0.99 (angle 8.1°) per-plane sign agreement is
+    * p = 1 − θ/π ≈ 0.955, so pair recall is 1−(1−p¹³)⁷ ≈ 0.996.
+    * Candidates come only from per-band bucket grouping — the
+    * all-pairs comparison exists only in the DuckDB oracle. */
   def embedNearDupPairs(emb: DataFrame, tau: Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // bits is its own projection: the 8 band slices below all read the
+    val (bandBits, bandCount) =
+      graft.operators.LshTuning.signBits(emb.count(), NearDupPlanes)
+    // bits is its own projection: the band slices below all read the
     // stored array instead of recomputing 96 dot products each.
     val withBits = emb
       .select($"vec_id", signBits($"v", NearDupPlanes).as("bits"))
     val bucketed = withBits.select($"vec_id",
-      explode(transform(sequence(lit(0), lit(NearDupBands - 1)), b =>
+      explode(transform(sequence(lit(0), lit(bandCount - 1)), b =>
         struct(b.cast("int").as("band_no"),
-          aggregate(slice($"bits", b * NearDupRows + 1, lit(NearDupRows)),
+          aggregate(slice($"bits", b * bandBits + 1, lit(bandBits)),
             lit(0L), (acc, x) => acc * 2 + x).as("band_key")))).as("bk"))
       .select($"vec_id", $"bk.band_no".as("band_no"),
         $"bk.band_key".as("band_key"))
