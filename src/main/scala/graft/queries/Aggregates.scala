@@ -122,6 +122,20 @@ object Aggregates {
           $"o_orderstatus".asc_nulls_first)
     }),
 
+    // G6 companion: pivot — rows to columns with EXPLICIT values (the
+    // only 100 TB-safe spelling: value discovery would scan the input
+    // twice and make the output schema data-dependent). Missing
+    // (priority, status) combos fill 0 like the oracle's SUM(CASE).
+    "agg_pivot" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"o_orderpriority")
+    }),
+
     // G6 (explicit GROUPING SETS): the literal SQL spelling — rollup and
     // cube above exercise the same Expand machinery, this pins the
     // SQL-surface claim with an asymmetric set list.
@@ -259,6 +273,14 @@ object Aggregates {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
          |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,

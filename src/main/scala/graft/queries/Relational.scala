@@ -92,23 +92,42 @@ object Relational {
     }),
 
     // S7: CSV + JSON sources with declared schemas. The fixture tables
-    // are materialized to /tmp in those formats on first use (derived
-    // from the parquet fixtures — never hand-synthesized), then read
-    // back through the schema-declared readers and joined; the oracle
-    // reads the same rows straight from parquet, so the round trip is
-    // what's verified.
+    // are materialized to /tmp in those formats ONCE per sf dir
+    // (derived from the parquet fixtures — never hand-synthesized; the
+    // _SUCCESS marker gates re-writes so the timed query measures the
+    // READ path, not repeated file materialization), then read back
+    // through the schema-declared readers and joined; the oracle reads
+    // the same rows straight from parquet, so the round trip is what's
+    // verified.
     "csv_json_source" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.sources.FileSources
       val tmp = s"/tmp/graft_sources/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      Tables.nation(s, dir).write.mode("overwrite")
-        .option("header", "true").csv(s"$tmp/nation_csv")
-      Tables.region(s, dir).write.mode("overwrite").json(s"$tmp/region_json")
+      if (!new java.io.File(s"$tmp/nation_csv/_SUCCESS").exists())
+        Tables.nation(s, dir).write.mode("overwrite")
+          .option("header", "true").csv(s"$tmp/nation_csv")
+      if (!new java.io.File(s"$tmp/region_json/_SUCCESS").exists())
+        Tables.region(s, dir).write.mode("overwrite").json(s"$tmp/region_json")
       val nation = FileSources.csv(s, s"$tmp/nation_csv", FileSources.nationSchema)
       val region = FileSources.json(s, s"$tmp/region_json", FileSources.regionSchema)
       nation.join(broadcast(region), $"n_regionkey" === $"r_regionkey")
         .select($"n_nationkey", $"n_name", $"r_name")
         .orderBy($"n_nationkey")
+    }),
+
+    // S7 (columnar beyond parquet): ORC source/sink round trip — the
+    // same once-per-dir materialization gate; ORC is self-describing,
+    // so the read declares no schema (embedded, like parquet).
+    "orc_source" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tmp = s"/tmp/graft_sources/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$tmp/supplier_orc/_SUCCESS").exists())
+        Tables.supplier(s, dir).write.mode("overwrite").orc(s"$tmp/supplier_orc")
+      val sup = s.read.orc(s"$tmp/supplier_orc")
+      sup.join(broadcast(Tables.nation(s, dir)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"n_name")
+        .orderBy($"s_suppkey")
     }),
 
     // S2: in-memory table — a literal mapping relation created in the
@@ -179,6 +198,11 @@ object Relational {
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
+
+    "orc_source" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
 
     "inmem_lookup" ->
       s"""SELECT CAST(prio_rank AS BIGINT) AS prio_rank, COUNT(*) AS n_orders,
