@@ -2,28 +2,33 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, GenerateUnsafeProjection, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-
-import scala.collection.mutable
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 
 /** Broadcast as-of join: the build side ships through
   * [[AsOfSortedBroadcastMode]] — grouped by key and time-sorted ONCE on
   * the driver, HashedRelation-style — and every probe row answers its
   * "greatest build time ≤ probe time" with a floor binary search over
-  * its key's sorted run — the reference's `greatest_not_exceeding`
-  * (/root/reference/src/algo/search.rs:51-80) run verbatim-in-spirit
-  * against broadcast state, including `None`-before-first ⇒ null
-  * payload (search.rs:66-68). (The search is an independent iterative
-  * formulation: the reference's recursive version underflows when the
-  * needle precedes the slice — SURVEY §2.1 P3 note — which an
-  * inclusive-bounds `lo <= hi` loop with an `ans` cursor cannot do.)
+  * its key's sorted run ([[AsOfRunIndex.find]]) — the reference's
+  * `greatest_not_exceeding` (/root/reference/src/algo/search.rs:51-80)
+  * run verbatim-in-spirit against broadcast state, including
+  * `None`-before-first ⇒ null payload (search.rs:66-68). (The search
+  * is an independent iterative formulation: the reference's recursive
+  * version underflows when the needle precedes the slice — SURVEY §2.1
+  * P3 note — which an inclusive-bounds `lo <= hi` loop with an `ans`
+  * cursor cannot do.)
   *
-  * Executors derive the key→run-offsets index from the presorted array
-  * with ONE linear pass (memoized per executor) — no re-sort, no
-  * per-row hash inserts of unsorted data; the O(n log n) work happens
-  * exactly once, in the exchange's relation build.
+  * The probe side participates in WHOLE-STAGE CODEGEN: this node
+  * implements `CodegenSupport` the way `BroadcastHashJoinExec` does —
+  * the streamed child produces rows into this pipeline, the generated
+  * consume projects the probe (key, time), calls the shared
+  * [[AsOfRunIndex.find]] kernel, and splices the matched build row's
+  * columns as output variables. No iterator hop, no JoinedRow, no
+  * per-row result projection. The interpreted `doExecute` remains as
+  * the codegen-off fallback.
   *
   * Scale contract: NEITHER side shuffles — the probe streams through
   * unmoved (its partitioning/ordering are preserved), and the build
@@ -40,7 +45,7 @@ case class BroadcastAsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression)
-  extends BinaryExecNode {
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -53,78 +58,89 @@ case class BroadcastAsOfJoinExec(
       AsOfSortedBroadcastMode((rightKeys :+ rightTime)
         .map(BindReferences.bindReference(_, right.output)))) :: Nil
 
-  /** Executor-local index over the presorted broadcast array: key →
-    * [start, end) run offsets, plus the projected time of every row. */
-  private type RunIndex =
-    (mutable.HashMap[UnsafeRow, (Int, Int)], Array[UnsafeRow])
+  private def indexFactory: AsOfIndexFactory =
+    AsOfIndexFactory(
+      rightKeys.map(BindReferences.bindReference(_, right.output)),
+      BindReferences.bindReference(rightTime, right.output),
+      rightTime.dataType, id)
+
+  // ---- interpreted path (codegen disabled) ----
 
   override protected def doExecute(): RDD[InternalRow] = {
     val broadcastRight = right.executeBroadcast[Array[InternalRow]]()
-    val timeType = leftTime.dataType
     val rightWidth = right.output.size
     val outputAttrs = output
-    val (lKeyExprs, rKeyExprs) = (leftKeys, rightKeys)
-    val (lTimeExpr, rTimeExpr) = (leftTime, rightTime)
-    val (lOutput, rOutput) = (left.output, right.output)
+    val (lKeyExprs, lTimeExpr, lOutput) = (leftKeys, leftTime, left.output)
+    val factory = indexFactory
 
-    val broadcastId = broadcastRight.id
-    val planId = id // local copy — `id` via `this` would capture the plan
     left.execute().mapPartitions({ lIter =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOutput)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOutput)
-      val timeOrd = PlanUtil.naturalOrdering(Seq(timeType))
-
-      val rows = broadcastRight.value
-      // ONE linear pass over the presorted rows builds the key→run
-      // index (memoized per executor; no sort — the driver did it).
-      val (runs, times) = BroadcastAsOfJoinExec.buildCache.get[RunIndex](
-        (broadcastId, planId), { () =>
-          val rKeyProj = UnsafeProjection.create(rKeyExprs, rOutput)
-          val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOutput)
-          val index = mutable.HashMap.empty[UnsafeRow, (Int, Int)]
-          val ts = new Array[UnsafeRow](rows.length)
-          var runStart = 0
-          var prevKey: UnsafeRow = null
-          var i = 0
-          while (i < rows.length) {
-            val k = rKeyProj(rows(i))
-            if (prevKey == null) { prevKey = k.copy() }
-            else if (k != prevKey) {
-              index.put(prevKey, (runStart, i))
-              prevKey = k.copy(); runStart = i
-            }
-            ts(i) = rTimeProj(rows(i)).copy()
-            i += 1
-          }
-          if (prevKey != null) index.put(prevKey, (runStart, rows.length))
-          (index, ts)
-        })
-
+      val index = factory.get(broadcastRight)
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(outputAttrs, outputAttrs)
-
       lIter.map { lRow =>
-        var m: InternalRow = nullRight
-        runs.get(lKeyProj(lRow)) match {
-          case Some((start, end)) =>
-            val probeTs = lTimeProj(lRow)
-            // floor search: greatest i in [start, end) with ts(i) <= probe
-            var lo = start
-            var hi = end - 1
-            var ans = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (timeOrd.compare(times(mid), probeTs) <= 0) {
-                ans = mid; lo = mid + 1
-              } else hi = mid - 1
-            }
-            if (ans >= 0) m = rows(ans)
-          case None =>
-        }
-        resultProj(joined(lRow, m))
+        val m = index.find(lKeyProj(lRow), lTimeProj(lRow))
+        resultProj(joined(lRow, if (m == null) nullRight else m))
       }
     }, preservesPartitioning = true)
+  }
+
+  // ---- whole-stage codegen path ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  // 1:1 streaming join — copy semantics follow the streamed side
+  // (the two-child default throws)
+  override def needCopyResult: Boolean =
+    left.asInstanceOf[CodegenSupport].needCopyResult
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    // broadcast + per-executor index, materialized once per task class
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val idxCls = classOf[AsOfRunIndex].getName
+    val facCls = classOf[AsOfIndexFactory].getName
+    val bcTerm = ctx.addReferenceObj("asofBroadcast",
+      right.executeBroadcast[Array[InternalRow]](), bcCls)
+    val facTerm = ctx.addReferenceObj("asofIndexFactory", indexFactory, facCls)
+    val idxTerm = ctx.addMutableState(idxCls, "asofIndex",
+      v => s"$v = ($idxCls) $facTerm.get(($bcCls) $bcTerm);",
+      forceInline = true)
+
+    // probe (key, time) as UnsafeRows over the streamed row's vars
+    ctx.currentVars = input
+    val keyEv = GenerateUnsafeProjection.createCode(ctx,
+      leftKeys.map(BindReferences.bindReference(_, left.output)))
+    val tsEv = GenerateUnsafeProjection.createCode(ctx,
+      Seq(BindReferences.bindReference(leftTime, left.output)))
+
+    val matched = ctx.freshName("asofMatched")
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofRIsNull")
+      val value = ctx.freshName("asofRValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val code =
+        code"""
+          |boolean $isNull = $matched == null || $matched.isNullAt($i);
+          |$jt $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)}
+          |  : (${CodeGenerator.getValue(matched, a.dataType, i.toString)});
+         """.stripMargin
+      ExprCode(code, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+
+    s"""
+       |${keyEv.code}
+       |${tsEv.code}
+       |InternalRow $matched = $idxTerm.find(${keyEv.value}, ${tsEv.value});
+       |${consume(ctx, input ++ rightVars)}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -39,6 +39,22 @@ class EventStreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming session windows equal the batch twin (T3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(sample)
+    val q = EventStreams.sessionize(input.toDF())
+      .writeStream.format("memory").queryName("t_session")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_session")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = EventStreams.sessionize(sample.toDF())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup drops re-delivered events (T5, append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
