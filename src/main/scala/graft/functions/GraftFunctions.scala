@@ -43,6 +43,15 @@ object GraftFunctions {
     ExpressionUtils.column(
       MinHashSignature(ExpressionUtils.expression(hashes), seeds))
 
+  /** Codegen'd sign-LSH band keys: one pass over `bands*bits`
+    * hyperplane dot products of an array<double> vector, packed into
+    * per-band bucket keys. `planes` is the row-major flattening of
+    * the used hyperplanes. */
+  def sign_band_keys(v: Column, planes: Seq[Double], dim: Int,
+      bitsPerBand: Int): Column =
+    ExpressionUtils.column(
+      SignBandKeys(ExpressionUtils.expression(v), planes, dim, bitsPerBand))
+
   /** Codegen'd one-pass 64-bit SimHash over an array<bigint> of
     * shingle hashes (bit b = majority vote of bit b). */
   def simhash64(hashes: Column): Column =

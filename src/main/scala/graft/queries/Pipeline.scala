@@ -150,13 +150,12 @@ object Pipeline {
 
   private def planeLit(h: Int): Column = array(hyperplanes(h).map(lit): _*)
 
-  /** 0/1 sign bits of `v` against the first n hyperplanes, as ONE
-    * nested higher-order expression over a 2-D literal array — no
-    * per-plane unrolling, so plan analysis and evaluation setup stay
-    * linear in n instead of exploding the expression tree. */
-  private def signBits(v: Column, n: Int): Column =
-    transform(array((0 until n).map(planeLit): _*), p =>
-      when(F.dotd(v, p) >= 0, lit(1L)).otherwise(lit(0L)))
+  /** The first `bands·bits` hyperplanes, row-major-flattened for the
+    * one-pass [[graft.functions.SignBandKeys]] codegen kernel (which
+    * replaced the interpreted transform-over-planes + per-band
+    * slice/fold spelling; parity pinned in SignBandKeysSpec). */
+  private[queries] def flatHyperplanes(n: Int): Seq[Double] =
+    hyperplanes.take(n).flatten
 
   /** Banded sign-LSH candidate pairs + exact cosine verify — the
     * embedding-cosine near-dup operator, parameterized so specs can
@@ -174,17 +173,13 @@ object Pipeline {
     import spark.implicits._
     val (bandBits, bandCount) =
       graft.operators.LshTuning.signBits(emb.count(), NearDupPlanes)
-    // bits is its own projection: the band slices below all read the
-    // stored array instead of recomputing 96 dot products each.
-    val withBits = emb
-      .select($"vec_id", signBits($"v", NearDupPlanes).as("bits"))
-    val bucketed = withBits.select($"vec_id",
-      explode(transform(sequence(lit(0), lit(bandCount - 1)), b =>
-        struct(b.cast("int").as("band_no"),
-          aggregate(slice($"bits", b * bandBits + 1, lit(bandBits)),
-            lit(0L), (acc, x) => acc * 2 + x).as("band_key")))).as("bk"))
-      .select($"vec_id", $"bk.band_no".as("band_no"),
-        $"bk.band_key".as("band_key"))
+    // every band key in ONE codegen pass (SignBandKeys): bands*bits
+    // dot products, signs packed in-register — no interpreted
+    // per-plane lambda, no per-band slice/aggregate sweep.
+    val flatPlanes: Seq[Double] = flatHyperplanes(bandCount * bandBits)
+    val bucketed = emb.select($"vec_id",
+        posexplode(F.sign_band_keys($"v", flatPlanes, 64, bandBits))
+          .as(Seq("band_no", "band_key")))
     val cand = bucketed
       .groupBy($"band_no", $"band_key")
       .agg(sort_array(collect_list($"vec_id")).as("ids"))
@@ -594,7 +589,7 @@ object Pipeline {
     "ann_lsh" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       def bucket(v: Column): Column =
-        aggregate(signBits(v, 8), lit(0L), (acc, x) => acc * 2 + x)
+        element_at(F.sign_band_keys(v, flatHyperplanes(8), 64, 8), 1)
       val emb = Tables.embeddings(s, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("bucket", bucket($"v"))
