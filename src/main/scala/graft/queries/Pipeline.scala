@@ -198,6 +198,68 @@ object Pipeline {
       .orderBy($"va", $"vb")
   }
 
+  /** MinHash + LSH near-dedup pairs over a (doc_id, text) relation:
+    * exact word-3-gram Jaccard ≥ `tau` pairs, found via 16 bands × 4
+    * rows of the 64-lane signature (recall at the J≥0.97 dup band:
+    * 1-(1-0.97^4)^16 ≈ 1-4e-8; at the J<0.1 background, band-match
+    * odds ≈ 1e-4/pair — false candidates are killed by the exact
+    * Jaccard verify). Parameterized so specs can feed synthetic
+    * corpora (short docs, planted near-dups) through the exact
+    * production path. */
+  def minhashNearDupPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // Hash-repartition on doc_id before the CPU-heavy stages: a
+    // compact text table arrives in few input splits, and signature
+    // hashing is compute-bound — without the spread a single task
+    // would hash everything (measured 3-5x end-to-end). At cluster
+    // scale the same repartition balances skewed input files.
+    val base = docs.select($"doc_id", $"text").repartition($"doc_id")
+    // Candidate generation never materializes shingle STRINGS —
+    // building ~250 concat'd strings per doc was the measured
+    // bottleneck of the whole pipeline (hash-identity shingles only
+    // affect CANDIDATE generation; the exact string-level Jaccard
+    // verify below decides membership).
+    val hashed = withShingleHashes(base, Seq("doc_id"))
+    // Each stage is materialized as its own column/projection: the
+    // signature references hs 64 times and the band keys reference
+    // sig 64 times — splicing either expression tree in-place would
+    // recompute it per reference (measured: 26x slower end-to-end).
+    // As separate projections, CollapseProject keeps expensive
+    // aliases referenced >1 time un-inlined.
+    val sigd = hashed.select($"doc_id", minhashSig($"hs").as("sig"))
+    val bucketed = sigd
+      .select($"doc_id", explode(bandKeys($"sig")).as("bk"))
+      .select($"doc_id", $"bk.band_no".as("band_no"),
+        $"bk.band_hash".as("band_hash"))
+    // Candidate pairs via per-bucket grouping (ONE signature pass),
+    // not a bucketed self-join (which would run the whole signature
+    // pipeline once per side). Bucket members are sorted so pair
+    // generation is deterministic. Precondition for bounded buckets:
+    // exact duplicates are collapsed by exact_dedup (L1) first —
+    // near-dup buckets are then small by construction.
+    val cand = bucketed
+      .groupBy($"band_no", $"band_hash")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode($"ids").as("doc_a"), $"ids")
+      .select($"doc_a", explode($"ids").as("doc_b"))
+      .filter($"doc_a" < $"doc_b")
+      .distinct()
+    // Exact string-level Jaccard verify — shingle strings are built
+    // only here, for the handful of candidate pair rows.
+    cand
+      .join(base.select($"doc_id".as("doc_a"), $"text".as("text_a")), "doc_a")
+      .join(base.select($"doc_id".as("doc_b"), $"text".as("text_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        shingles($"text_a").as("sh_a"), shingles($"text_b").as("sh_b"))
+      .select($"doc_a", $"doc_b",
+        q6(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
+      .filter($"jaccard" >= tau)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     // L1: exact dedup by content fingerprint. The fingerprint is the
     // shuffle key — at 100 TB the window partitions by fingerprint
@@ -219,64 +281,40 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
-    // L2: MinHash + LSH near-dedup. 64-seed signature, 16 bands × 4
-    // rows (recall at the data's J≥0.97 dup band: 1-(1-0.97^4)^16 ≈
-    // 1-4e-8; at the J<0.1 background, band-match odds ≈ 1e-4/pair —
-    // false candidates are killed by the exact Jaccard verify). The
-    // oracle computes all-pairs Jaccard with identical tokenization —
-    // feasible only at test scale, which is the point of LSH.
+    // L2: MinHash + LSH near-dedup over the documents fixture — the
+    // reusable operator is [[minhashNearDupPairs]]; the oracle computes
+    // all-pairs Jaccard with identical tokenization — feasible only at
+    // test scale, which is the point of LSH.
     "minhash_neardup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      // Hash-repartition on doc_id before the CPU-heavy stages: a
-      // compact text table arrives in few input splits, and signature
-      // hashing is compute-bound — without the spread a single task
-      // would hash everything (measured 3-5x end-to-end). At cluster
-      // scale the same repartition balances skewed input files.
-      val base = Tables.documents(s, dir)
-        .select($"doc_id", $"text").repartition($"doc_id")
-      // Candidate generation never materializes shingle STRINGS —
-      // building ~250 concat'd strings per doc was the measured
-      // bottleneck of the whole pipeline (hash-identity shingles only
-      // affect CANDIDATE generation; the exact string-level Jaccard
-      // verify below decides membership).
-      val hashed = withShingleHashes(base, Seq("doc_id"))
-      // Each stage is materialized as its own column/projection: the
-      // signature references hs 64 times and the band keys reference
-      // sig 64 times — splicing either expression tree in-place would
-      // recompute it per reference (measured: 26x slower end-to-end).
-      // As separate projections, CollapseProject keeps expensive
-      // aliases referenced >1 time un-inlined.
-      val sigd = hashed.select($"doc_id", minhashSig($"hs").as("sig"))
-      val bucketed = sigd
-        .select($"doc_id", explode(bandKeys($"sig")).as("bk"))
-        .select($"doc_id", $"bk.band_no".as("band_no"),
-          $"bk.band_hash".as("band_hash"))
-      // Candidate pairs via per-bucket grouping (ONE signature pass),
-      // not a bucketed self-join (which would run the whole signature
-      // pipeline once per side). Bucket members are sorted so pair
-      // generation is deterministic. Precondition for bounded buckets:
-      // exact duplicates are collapsed by exact_dedup (L1) first —
-      // near-dup buckets are then small by construction.
-      val cand = bucketed
-        .groupBy($"band_no", $"band_hash")
-        .agg(sort_array(collect_list($"doc_id")).as("ids"))
-        .filter(size($"ids") > 1)
-        .select(explode($"ids").as("doc_a"), $"ids")
-        .select($"doc_a", explode($"ids").as("doc_b"))
-        .filter($"doc_a" < $"doc_b")
-        .distinct()
-      // Exact string-level Jaccard verify — shingle strings are built
-      // only here, for the handful of candidate pair rows.
-      cand
-        .join(base.select($"doc_id".as("doc_a"), $"text".as("text_a")), "doc_a")
-        .join(base.select($"doc_id".as("doc_b"), $"text".as("text_b")), "doc_b")
-        .select($"doc_a", $"doc_b",
-          shingles($"text_a").as("sh_a"), shingles($"text_b").as("sh_b"))
-        .select($"doc_a", $"doc_b",
-          q6(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-            size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
-        .filter($"jaccard" >= 0.5)
-        .orderBy($"doc_a", $"doc_b")
+      minhashNearDupPairs(
+        Tables.documents(s, dir).select($"doc_id", $"text"), 0.5)
+    }),
+
+    // L1+L5 composed: the end-to-end curation pass a training-data
+    // pipeline runs — exact dedup (128-bit fingerprint winner), then
+    // quality gating (length + type-token ratio), then per-language
+    // corpus accounting. One query = the composition proof; each stage
+    // is also oracle-proven standalone (exact_dedup, text_stats,
+    // lang_profile).
+    "corpus_curation" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"fp1", $"fp2").orderBy($"doc_id")
+      val deduped = Tables.documents(s, dir)
+        .withColumn("fp1", F.fnv1a($"text"))
+        .withColumn("fp2", F.fnv1a_seeded(Lane2Seed, $"text"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+      val scored = deduped.select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        (size(array_distinct(split($"text", " "))).cast("double") /
+          size(split($"text", " "))).as("ttr"))
+      scored.filter($"n_tokens" >= 30 && $"ttr" >= 0.3)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("total_tokens"),
+          min($"doc_id").as("first_doc"))
+        .orderBy($"lang")
     }),
 
     // U4 + L5: corpus shingle-vocabulary statistics through the
@@ -690,6 +728,23 @@ object Pipeline {
         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "corpus_curation" ->
+      """WITH dedup AS (
+        |  SELECT doc_id, lang, text,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS ttr
+        |  FROM dedup WHERE rn = 1)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  MIN(doc_id) AS first_doc
+        |FROM scored WHERE n_tokens >= 30 AND ttr >= 0.3
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "minhash_neardup" ->
       s"""WITH $shingleSqlCte

@@ -31,6 +31,39 @@ class PipelineSpec extends SparkSuite {
     assert(lsh == brute, s"LSH ${lsh.size} pairs vs brute ${brute.size}")
   }
 
+  test("minhash near-dedup handles short docs via the whole-text fallback") {
+    // Docs under the 3-token shingle width fall back to one whole-text
+    // shingle (advisor round-2 finding): identical short docs must
+    // pair with Jaccard 1.0; distinct short docs must not pair; and
+    // long near-dups keep working alongside them. Randomized corpus,
+    // fixed seed.
+    val rnd = new scala.util.Random(42)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def sentence(n: Int) =
+      Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+    val longBase = sentence(40)
+    val docs = Seq(
+      1L -> "solo",                      // 1 token, unique
+      2L -> "twin tokens",               // 2 tokens
+      3L -> "twin tokens",               // exact short duplicate of 2
+      4L -> "twin words",                // near-but-distinct short doc
+      5L -> longBase,                    // long doc
+      6L -> (longBase + " extra"),       // near-dup of 5 (J >> 0.5)
+      7L -> sentence(40)                 // unrelated long doc
+    ) ++ (8L to 30L).map(i => i -> sentence(20 + rnd.nextInt(20)))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Pipeline.minhashNearDupPairs(df, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((2L, 3L)), s"short exact dup missed: $pairSet")
+    assert(pairs.find(p => (p._1, p._2) == (2L, 3L)).get._3 == 1.0)
+    assert(pairSet.contains((5L, 6L)), s"long near-dup missed: $pairSet")
+    assert(!pairSet.exists(p => Set(p._1, p._2).contains(4L)),
+      "distinct short doc must not pair")
+    assert(!pairSet.exists(p => Set(p._1, p._2).contains(1L)))
+  }
+
   test("simhash separates near-dups from random pairs by Hamming distance") {
     val fps = Pipeline.noOracleQueries("simhash_fingerprint")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
