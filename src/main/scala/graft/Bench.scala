@@ -77,6 +77,12 @@ object Bench {
         case (a, b) => a.orElse(b).map(name -> _) // errored in one pass
       }
     }
+    // keep the either-or invariant: a query with a reported time is
+    // not ALSO an error (a flaky single-pass failure would otherwise
+    // double-report and skew downstream success accounting)
+    errors = errors.filterNot { case (name, _) =>
+      results.exists(_._1 == name)
+    }
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -147,13 +147,17 @@ object AsOfJoin {
           require(e.foldable &&
             e.dataType == org.apache.spark.sql.types.StringType,
             "graft_asof arguments must be string literals")
-          e.eval(null).toString
+          val v = e.eval(null)
+          require(v != null, "graft_asof arguments must not be NULL")
+          v.toString
         }
         require(args.length == 7 || args.length == 8,
           "graft_asof(probe_view, build_view, probe_key, build_key, " +
             "probe_ts, build_ts, payload_csv[, 'broadcast'])")
         val Seq(probeV, buildV, pk, bk, pts, bts, payloadCsv) = args.take(7)
-        val broadcast = args.length == 8 && args(7) == "broadcast"
+        val broadcast = args.length == 8
+        require(!broadcast || args(7) == "broadcast",
+          s"graft_asof: unknown mode '${args(7)}' (only 'broadcast')")
         val probe = spark.table(probeV)
         val build = spark.table(buildV)
         val out = asofNative(probe, build, probe(pk), build(bk),

@@ -118,31 +118,22 @@ object Lookups {
     "asof_join_broadcast" -> ((s: SparkSession, dir: String) =>
       asofFixture(s, dir)(AsOfJoin.asofBroadcast)),
 
-    // J9 SQL surface: the same fixture through pure SQL text — the
-    // graft_asof table-valued function plans the custom merge operator
-    // from view names (AsOfJoin.registerSqlTableFunction), sharing the
-    // DuckDB ASOF JOIN oracle with the three DataFrame spellings.
-    "asof_sql" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      AsOfJoin.registerSqlTableFunction(s)
-      Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
-        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
-        .createOrReplaceTempView("asof_probe_v")
-      Tables.orders(s, dir).filter($"o_orderpriority" =!= "1-URGENT")
-        .groupBy($"o_custkey", $"o_orderdate")
-        .agg(max($"o_orderkey").as("prev_orderkey"),
-          max_by($"o_totalprice", $"o_orderkey").as("prev_totalprice"))
-        .select($"o_custkey".as("b_custkey"),
-          $"o_orderdate".as("prev_orderdate"),
-          $"prev_orderkey", $"prev_totalprice")
-        .createOrReplaceTempView("asof_build_v")
-      s.sql(
-        """SELECT * FROM graft_asof(
-          |  'asof_probe_v', 'asof_build_v',
-          |  'o_custkey', 'b_custkey', 'o_orderdate', 'prev_orderdate',
-          |  'prev_orderkey,prev_orderdate,prev_totalprice')
-          |ORDER BY o_orderkey""".stripMargin)
-    }),
+    // J9 SQL surface: the SAME shared fixture through pure SQL text —
+    // the graft_asof table-valued function plans the custom merge
+    // operator from view names (AsOfJoin.registerSqlTableFunction),
+    // sharing probe/build construction AND the DuckDB ASOF JOIN
+    // oracle with the three DataFrame spellings.
+    "asof_sql" -> ((s: SparkSession, dir: String) =>
+      asofFixture(s, dir) { (probe, build, _, _, _, _, payload) =>
+        AsOfJoin.registerSqlTableFunction(s)
+        probe.createOrReplaceTempView("asof_probe_v")
+        build.createOrReplaceTempView("asof_build_v")
+        s.sql(
+          s"""SELECT * FROM graft_asof(
+             |  'asof_probe_v', 'asof_build_v',
+             |  'o_custkey', 'b_custkey', 'o_orderdate', 'prev_orderdate',
+             |  '${payload.mkString(",")}')""".stripMargin)
+      }),
   )
 
   /** The shared as-of fixture query: urgent orders probed against the

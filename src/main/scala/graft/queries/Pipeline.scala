@@ -41,16 +41,13 @@ object Pipeline {
   private val Lane2Seed: Long = 0x9e3779b97f4a7c15L
 
   private val MinHashSeeds = 64
-  /** Banding computed from the verify threshold + seed budget
-    * (graft.operators.LshTuning — τ=0.5, 64 lanes ⇒ 16 bands × 4
+  /** The dedup fixture's verify threshold; banding for any τ is
+    * computed per call by [[minhashNearDupPairs]] via
+    * graft.operators.LshTuning (τ=0.5 with 64 lanes ⇒ 16 bands × 4
     * rows, S-curve threshold (1/16)^(1/4) = 0.5 exactly; a larger
-    * corpus raises the seed budget and this recomputes sharper
-    * bands at the same threshold). */
+    * corpus raises the seed budget and the same rule recomputes
+    * sharper bands at the same threshold). */
   private val MinHashJaccardTau = 0.5
-  private val (lshRows, lshBands) =
-    graft.operators.LshTuning.minhashBands(MinHashJaccardTau, MinHashSeeds)
-  private val LshBands = lshBands
-  private val LshRows = lshRows
 
   /** Distinct word 3-gram shingles of a single-spaced lowercase text
     * column (the documents fixture is exactly that). */
@@ -82,13 +79,13 @@ object Pipeline {
 
   /** LSH band keys: band b hashes signature rows [b*r, b*r+r) into one
     * 64-bit key (seeded with the band index so bands never collide
-    * across b). */
-  private def bandKeys(sig: Column): Column =
-    transform(sequence(lit(0), lit(LshBands - 1)), b =>
+    * across b). Parameterized by the banding plan — the lane offsets
+    * are derived from `rows`, never hard-coded. */
+  private def bandKeys(sig: Column, rows: Int, bands: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.cast("int").as("band_no"),
         F.fnv1a_seeded_dyn(b.cast("long"),
-          element_at(sig, b * LshRows + 1), element_at(sig, b * LshRows + 2),
-          element_at(sig, b * LshRows + 3), element_at(sig, b * LshRows + 4))
+          (1 to rows).map(i => element_at(sig, b * rows + i)): _*)
           .as("band_hash")))
 
   /** Left-fold sum from 0.0 — the exact IEEE sequence the DuckDB
@@ -168,11 +165,17 @@ object Pipeline {
     * p = 1 − θ/π ≈ 0.955, so pair recall is 1−(1−p¹³)⁷ ≈ 0.996.
     * Candidates come only from per-band bucket grouping — the
     * all-pairs comparison exists only in the DuckDB oracle. */
-  def embedNearDupPairs(emb: DataFrame, tau: Double): DataFrame = {
+  def embedNearDupPairs(emb: DataFrame, tau: Double,
+      sizeHint: Option[Long] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // sizeHint lets the caller supply a cheap cardinality (e.g. a
+    // parquet metadata count) instead of paying a full eager job over
+    // the possibly-transformed input just to size the banding; an
+    // empty corpus floors to 1 so LshTuning stays defined.
+    val n = math.max(1L, sizeHint.getOrElse(emb.count()))
     val (bandBits, bandCount) =
-      graft.operators.LshTuning.signBits(emb.count(), NearDupPlanes)
+      graft.operators.LshTuning.signBits(n, NearDupPlanes)
     // every band key in ONE codegen pass (SignBandKeys): bands*bits
     // dot products, signs packed in-register — no interpreted
     // per-plane lambda, no per-band slice/aggregate sweep.
@@ -199,16 +202,20 @@ object Pipeline {
   }
 
   /** MinHash + LSH near-dedup pairs over a (doc_id, text) relation:
-    * exact word-3-gram Jaccard ≥ `tau` pairs, found via 16 bands × 4
-    * rows of the 64-lane signature (recall at the J≥0.97 dup band:
+    * exact word-3-gram Jaccard ≥ `tau` pairs. The banding is computed
+    * FROM `tau` (LshTuning.minhashBands with the 64-lane budget — at
+    * τ=0.5 that is 16 bands × 4 rows; recall at the J≥0.97 dup band:
     * 1-(1-0.97^4)^16 ≈ 1-4e-8; at the J<0.1 background, band-match
     * odds ≈ 1e-4/pair — false candidates are killed by the exact
-    * Jaccard verify). Parameterized so specs can feed synthetic
-    * corpora (short docs, planted near-dups) through the exact
-    * production path. */
+    * Jaccard verify), so a different threshold re-tunes the candidate
+    * generator rather than just the verify filter. Parameterized so
+    * specs can feed synthetic corpora (short docs, planted near-dups)
+    * through the exact production path. */
   def minhashNearDupPairs(docs: DataFrame, tau: Double): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val (lshRows, lshBands) =
+      graft.operators.LshTuning.minhashBands(tau, MinHashSeeds)
     // Hash-repartition on doc_id before the CPU-heavy stages: a
     // compact text table arrives in few input splits, and signature
     // hashing is compute-bound — without the spread a single task
@@ -229,7 +236,7 @@ object Pipeline {
     // aliases referenced >1 time un-inlined.
     val sigd = hashed.select($"doc_id", minhashSig($"hs").as("sig"))
     val bucketed = sigd
-      .select($"doc_id", explode(bandKeys($"sig")).as("bk"))
+      .select($"doc_id", explode(bandKeys($"sig", lshRows, lshBands)).as("bk"))
       .select($"doc_id", $"bk.band_no".as("band_no"),
         $"bk.band_hash".as("band_hash"))
     // Candidate pairs via per-bucket grouping (ONE signature pass),
@@ -288,7 +295,8 @@ object Pipeline {
     "minhash_neardup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       minhashNearDupPairs(
-        Tables.documents(s, dir).select($"doc_id", $"text"), 0.5)
+        Tables.documents(s, dir).select($"doc_id", $"text"),
+        MinHashJaccardTau)
     }),
 
     // L1+L5 composed: the end-to-end curation pass a training-data
@@ -562,7 +570,10 @@ object Pipeline {
       val shifted = emb.filter($"vec_id" >= 10 && $"vec_id" < 20)
         .select(($"vec_id" + 1000000L).as("vec_id"),
           transform($"v", x => x * lit(1.01) + lit(0.001)).as("v"))
-      embedNearDupPairs(emb.unionAll(scaled).unionAll(shifted), 0.99)
+      // size the banding from the base table's metadata count (+20
+      // planted dups) — no eager job over the transformed union
+      embedNearDupPairs(emb.unionAll(scaled).unionAll(shifted), 0.99,
+        sizeHint = Some(Tables.embeddings(s, dir).count() + 20))
     }),
   )
 
