@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.{GraftFunctions => F}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF index construction: DETERMINISTIC k-means (Lloyd's algorithm)
+  * over an `(vec_id: long, v: array<double>)` relation — the learned
+  * counterpart of the fixed ±1-hyperplane cells in `ivf_ann`.
+  *
+  * Determinism contract (everything here must replay identically for
+  * specs and across runs):
+  *  - init: the k vectors with the smallest reference-hash
+  *    `fnv1a(vec_id)` — pseudo-random scatter with no RNG state;
+  *  - assignment: nearest centroid by maximum `dot(v, c) − |c|²/2`
+  *    (argmin L2 for fixed |v|), first-max tiebreak = lowest cell id;
+  *  - update: per-dimension mean of the members (empty cells keep
+  *    their previous centroid).
+  *
+  * Scale shape: each iteration is one distributed assignment pass
+  * (centroids ride into the plan as literals — k·dim doubles, far
+  * under broadcast scale) and one per-dimension mean aggregation
+  * (posexplode → (cell, dim) partial avg — 64·n intermediate rows
+  * whose aggregate state is k·dim cells). Centroids (k·dim doubles)
+  * are collected per iteration — the standard k-means driver loop;
+  * the corpus itself never moves to the driver.
+  */
+object IvfIndex {
+
+  private def centLit(c: Array[Double]): Column = array(c.map(lit): _*)
+
+  /** `dots(v)` against every centroid, as one array column. */
+  private def dotsCol(v: Column, cents: Array[Array[Double]]): Column =
+    transform(array(cents.map(centLit): _*), p => F.dotd(v, p))
+
+  /** Per-cell affinity scores `dot(v, c_i) − |c_i|²/2` as one array
+    * column — argmax over it is argmin L2 distance (the |v|² term is
+    * cell-independent). */
+  def scoresCol(v: Column, cents: Array[Array[Double]]): Column = {
+    val halfNorms = array(cents.map(c => lit(c.map(x => x * x).sum / 2.0)): _*)
+    zip_with(dotsCol(v, cents), halfNorms, (d, hn) => d - hn)
+  }
+
+  /** Adds `cell` (1-based nearest-centroid id: argmax score,
+    * first-max tiebreak = lowest id) to `emb`. The scores ride as
+    * their own projection so they are computed once per row, not once
+    * per downstream reference. */
+  def assignCells(emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    emb
+      .withColumn("__ivf_scores", scoresCol($"v", cents))
+      .withColumn("cell",
+        array_position($"__ivf_scores", array_max($"__ivf_scores")))
+      .drop("__ivf_scores")
+  }
+
+  /** Deterministic Lloyd iterations; returns the learned centroids. */
+  def learnCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val s = emb.sparkSession
+    import s.implicits._
+    var cents: Array[Array[Double]] = emb
+      .select($"vec_id", $"v", F.fnv1a($"vec_id").as("h"))
+      .orderBy($"h", $"vec_id").limit(k)
+      .select($"v").as[Seq[Double]].collect().map(_.toArray)
+    require(cents.length == k, s"need at least $k vectors, got ${cents.length}")
+    val dim = cents.head.length
+    var it = 0
+    while (it < iters) {
+      val means = assignCells(emb, cents)
+        .select($"cell", posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"cell", $"dim").agg(avg($"x").as("m"))
+        .collect()
+        .groupBy(_.getLong(0).toInt)
+        .map { case (cell, rows) =>
+          val c = new Array[Double](dim)
+          rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+          cell -> c
+        }
+      cents = Array.tabulate(k)(i => means.getOrElse(i + 1, cents(i)))
+      it += 1
+    }
+    cents
+  }
+}

@@ -660,6 +660,44 @@ object Pipeline {
         .orderBy($"probe_id", $"rn")
     }),
 
+    // L7 (learned): IVF ANN over k-means centroids — the
+    // data-dependent counterpart of ivf_ann's fixed ±1 cells, i.e. the
+    // actual index-build path of a production vector store. Centroids
+    // come from 3 deterministic Lloyd iterations (IvfIndex: fnv1a-
+    // seeded init, argmin-L2 assignment, per-dimension means), the
+    // corpus is bucketed by learned cell, probes search their nprobe=4
+    // best cells. Learned centroids are corpus-derived, so no static
+    // SQL oracle — PipelineSpec pins determinism, the monotone Lloyd
+    // objective, and a recall floor vs the exact scan.
+    "ivf_ann_learned" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.IvfIndex
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cents = IvfIndex.learnCentroids(emb, 16, 3)
+      val corpus = IvfIndex.assignCells(emb, cents)
+      val wCell = Window.partitionBy($"probe_id")
+        .orderBy($"score".desc, $"cid0")
+      val probeCells = emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("probe_id"), $"v".as("pv"),
+          posexplode(IvfIndex.scoresCol($"v", cents)).as(Seq("cid0", "score")))
+        .withColumn("cell", ($"cid0" + 1).cast("long"))
+        .withColumn("cr", row_number().over(wCell))
+        .filter($"cr" <= 4)
+        .select($"probe_id", $"pv", $"cell")
+      val wTop = Window.partitionBy($"probe_id")
+        .orderBy($"cos_sim".desc, $"vec_id")
+      corpus.join(broadcast(probeCells), Seq("cell"))
+        .filter($"vec_id" =!= $"probe_id")
+        .select($"probe_id", $"vec_id",
+          q6(dot($"v", $"pv") / (l2norm($"v") * l2norm($"pv")))
+            .as("cos_sim"))
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter($"rn" <= 5)
+        .select($"probe_id", $"rn", $"vec_id".as("neighbor_id"), $"cos_sim")
+        .orderBy($"probe_id", $"rn")
+    }),
+
     // L5: winnowing document fingerprints (Schleimer et al., SIGMOD'03
     // — public algorithm). Positional 3-gram chain hashes (NOT
     // deduplicated — winnowing is positional), then each sliding

@@ -105,6 +105,38 @@ class PipelineSpec extends SparkSuite {
       s"multi-probe recall too low: ${hit.sum / hit.size}")
   }
 
+  test("learned IVF: deterministic k-means, monotone objective, real recall") {
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val c1 = IvfIndex.learnCentroids(emb, 16, 3)
+    val c2 = IvfIndex.learnCentroids(emb, 16, 3)
+    // bitwise deterministic across runs
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // Lloyd's objective is non-increasing: sum of best scores
+    // (= -(L2 objective - sum|v|^2)/2) must not decrease vs init
+    val init = IvfIndex.learnCentroids(emb, 16, 0)
+    def sumBestScore(cents: Array[Array[Double]]): Double =
+      emb.select(array_max(IvfIndex.scoresCol($"v", cents)).as("s"))
+        .agg(sum($"s")).collect().head.getDouble(0)
+    assert(sumBestScore(c1) >= sumBestScore(init) - 1e-9,
+      "k-means objective regressed")
+    // learned cells are non-degenerate (more than one populated)
+    val nCells = IvfIndex.assignCells(emb, c1)
+      .select($"cell").distinct().count()
+    assert(nCells > 4, s"k-means collapsed to $nCells cells")
+    // recall floor vs the exact scan on the same probes
+    val exact = Pipeline.queries("cosine_knn")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (p, rs) => p -> rs.map(_.getLong(2)).toSet }
+    val approx = Pipeline.noOracleQueries("ivf_ann_learned")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    assert(approx.nonEmpty)
+    val hit = approx.toSeq.map { case (p, rs) =>
+      rs.map(_.getLong(2)).count(exact(p).contains).toDouble / 5 }
+    assert(hit.sum / hit.size > 0.2,
+      s"learned-IVF recall too low: ${hit.sum / hit.size}")
+  }
+
   test("exact_dedup 128-bit fingerprint keeps all distinct docs") {
     val n = Tables.documents(spark, sf).select($"text").distinct().count()
     assert(Pipeline.queries("exact_dedup")(spark, sf).count() == n)

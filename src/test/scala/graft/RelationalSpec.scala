@@ -52,8 +52,12 @@ class RelationalSpec extends SparkSuite {
     //  - hash_fns_native: xxhash64/murmur3/crc32 have no DuckDB
     //    equivalents (HashFnsSpec verifies each against an independent
     //    implementation + pinned vectors)
+    //  - ivf_ann_learned: k-means centroids are corpus-derived, not
+    //    expressible as static SQL (PipelineSpec: determinism,
+    //    monotone Lloyd objective, recall floor)
     val exempt = Set("agg_approx", "simhash_fingerprint", "ann_lsh",
-      "source_minhash_sim", "winnow_fingerprint", "hash_fns_native")
+      "source_minhash_sim", "winnow_fingerprint", "hash_fns_native",
+      "ivf_ann_learned")
     assert((missing -- exempt).isEmpty, s"queries without oracle: $missing")
   }
 }
