@@ -68,6 +68,16 @@ class PlanAuditSpec extends SparkSuite {
       s"binary_features dropped to an RDD scan:\n${p.take(1500)}")
   }
 
+  test("broadcast as-of joins inside a WholeStageCodegen stage") {
+    // the CodegenSupport integration must actually fuse: after AQE
+    // finalizes, the node carries the codegen-stage marker
+    val df = SparkEntry.queries("asof_join_broadcast")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) BroadcastAsOfJoin""".r.findFirstIn(p).isDefined,
+      s"BroadcastAsOfJoin not codegen-fused:\n${p.take(2000)}")
+  }
+
   test("topk_per_group keeps the WindowGroupLimit rank pushdown") {
     // Spark 4 turns `row_number <= k` above a window into a
     // per-partition group limit BEFORE the shuffle/sort — the plan
