@@ -62,6 +62,12 @@ object GraftFunctions {
   def byte_sum(b: Column): Column =
     ExpressionUtils.column(ByteSum(ExpressionUtils.expression(b)))
 
+  /** Distinct word-3-gram shingle hashes as ONE array column, single
+    * pass over the UTF-8 bytes (whole-text fallback under 3 tokens) —
+    * the MinHash pipeline front end. */
+  def shingle_hash_set(text: Column): Column =
+    ExpressionUtils.column(ShingleHashSet(ExpressionUtils.expression(text)))
+
   /** Streaming word-3-gram generator (custom UDTF): one output row
     * per positional gram, no gram array materialization. Use in a
     * select like explode: `df.select($"id", shingle_hashes($"text"))`. */

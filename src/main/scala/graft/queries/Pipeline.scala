@@ -95,25 +95,17 @@ object Pipeline {
 
   /** Distinct shingle HASHES from `text`, no string materialization: a
     * shingle's identity is the chained hash of its three token hashes
-    * (fnv1a chaining = composite keys, fnv1a.rs:9-11). Two projections
-    * (token hashes, then 3-gram chains) so neither is recomputed per
-    * reference. `keep` columns are passed through.
+    * (fnv1a chaining = composite keys, fnv1a.rs:9-11), computed by the
+    * one-pass [[graft.functions.ShingleHashSet]] kernel (value-equal
+    * to the three-stage HOF spelling it replaced — ShingleHashesSpec).
+    * `keep` columns are passed through.
     *
     * Docs with fewer than 3 tokens fall back to ONE whole-text shingle
     * — the chained hash of all token hashes, the hash identity of
     * [[shingles]]'s `array(text)` fallback and of the oracle CTE's
     * `ELSE [text]` branch, so all three spellings agree on short docs. */
-  private def withShingleHashes(df: DataFrame, keep: Seq[String]): DataFrame = {
-    val toks = df.select(keep.map(col) :+
-      transform(split(col("text"), " "), w => F.fnv1a(w)).as("th"): _*)
-    toks.select(keep.map(col) :+
-      when(size(col("th")) >= 3,
-        array_distinct(transform(sequence(lit(1), size(col("th")) - 2), i =>
-          F.fnv1a(element_at(col("th"), i), element_at(col("th"), i + 1),
-            element_at(col("th"), i + 2)))))
-        .otherwise(array(aggregate(col("th"), lit(Fnv1aCore.OffsetBasis),
-          (acc, h) => F.fnv1a_seeded_dyn(acc, h)))).as("hs"): _*)
-  }
+  private def withShingleHashes(df: DataFrame, keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) :+ F.shingle_hash_set(col("text")).as("hs"): _*)
 
   /** Codegen'd left-fold dot product (DotProductD) — IEEE-identical
     * to the HOF spelling and the DuckDB list_reduce recipe. */

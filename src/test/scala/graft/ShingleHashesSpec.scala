@@ -42,4 +42,33 @@ class ShingleHashesSpec extends SparkSuite {
     val n = df.select(F.shingle_hashes($"text").as(Seq("g", "h"))).count()
     assert(n == 1, "only the 3-token text emits (exactly one gram)")
   }
+
+  test("shingle_hash_set equals the HOF spelling incl. the short-doc fallback") {
+    // the one-pass array kernel vs the three-stage HOF pipeline it
+    // replaced: token-hash transform -> 3-gram chains -> distinct,
+    // with the whole-text chain fallback under 3 tokens
+    def hofSpelling(text: org.apache.spark.sql.Column) = {
+      val th = transform(split(text, " "), w => F.fnv1a(w))
+      when(size(th) >= 3,
+        array_distinct(transform(sequence(lit(1), size(th) - 2), i =>
+          F.fnv1a(element_at(th, i), element_at(th, i + 1),
+            element_at(th, i + 2)))))
+        .otherwise(array(aggregate(th, lit(Fnv1aCore.OffsetBasis),
+          (acc, h) => F.fnv1a_seeded_dyn(acc, h))))
+    }
+    val fixture = Tables.documents(spark, sf).limit(200).select($"text")
+    val synthetic = Seq("one", "just two", "a b c", "a b c a b c",
+      "", "repeat repeat repeat repeat").toDF("text")
+    Seq(fixture, synthetic).foreach { df =>
+      val rows = df.select(F.shingle_hash_set($"text").as("fast"),
+        hofSpelling($"text").as("slow")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      }
+    }
+    // null in -> null out
+    val nullRow = Seq(Option.empty[String]).toDF("text")
+      .select(F.shingle_hash_set($"text")).head()
+    assert(nullRow.isNullAt(0))
+  }
 }
