@@ -66,6 +66,30 @@ object EventTime {
         .agg(min($"event_id").as("keeper_event_id"), count(lit(1)).as("n_dups"))
         .orderBy($"user_id", $"event_type", $"hour_bucket")
     }),
+
+    // T7 batch twin: the SAME EventStreams.enrichStatic that runs under
+    // readStream, fed batch events + the customer dimension (broadcast —
+    // the stream-static enrichment plan at any scale keeps the stream
+    // side unmoved).
+    "stream_static_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val dim = Tables.customer(s, dir)
+        .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+      graft.streaming.EventStreams
+        .enrichStatic(Tables.events(s, dir), dim, "user_id")
+        .select($"event_id", $"user_id", $"event_type", $"segment")
+        .orderBy($"event_id")
+    }),
+
+    // T8 batch twin: the SAME EventStreams.followWithin5Min stream-stream
+    // interval self-join (withWatermark is a no-op on a batch plan, so
+    // this is literally the streaming operator's logic under the oracle).
+    "stream_stream_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      graft.streaming.EventStreams.followWithin5Min(ev, ev)
+        .orderBy($"event_id", $"followup_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -127,5 +151,18 @@ object EventTime {
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY user_id, event_type, hour_bucket""".stripMargin,
+
+    "stream_static_join" ->
+      """SELECT e.event_id AS event_id, e.user_id AS user_id,
+        |  e.event_type AS event_type, c.c_mktsegment AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY event_id""".stripMargin,
+
+    "stream_stream_join" ->
+      """SELECT l.event_id AS event_id, r.event_id AS followup_id,
+        |  l.user_id AS user_id
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |  AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
+        |ORDER BY event_id, followup_id""".stripMargin,
   )
 }

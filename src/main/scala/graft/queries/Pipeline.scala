@@ -41,6 +41,11 @@ object Pipeline {
   private val Lane2Seed: Long = 0x9e3779b97f4a7c15L
 
   private val MinHashSeeds = 64
+
+  /** Largest LSH band bucket handled as one task's array; above it,
+    * candidate generation hash-chunks the bucket (CandidatePairs) so
+    * per-task work stays ≤ cap² pair checks at any corpus scale. */
+  val DefaultBucketCap = 1024
   /** The dedup fixture's verify threshold; banding for any τ is
     * computed per call by [[minhashNearDupPairs]] via
     * graft.operators.LshTuning (τ=0.5 with 64 lanes ⇒ 16 bands × 4
@@ -158,7 +163,8 @@ object Pipeline {
     * Candidates come only from per-band bucket grouping — the
     * all-pairs comparison exists only in the DuckDB oracle. */
   def embedNearDupPairs(emb: DataFrame, tau: Double,
-      sizeHint: Option[Long] = None): DataFrame = {
+      sizeHint: Option[Long] = None,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // sizeHint lets the caller supply a cheap cardinality (e.g. a
@@ -175,14 +181,11 @@ object Pipeline {
     val bucketed = emb.select($"vec_id",
         posexplode(F.sign_band_keys($"v", flatPlanes, 64, bandBits))
           .as(Seq("band_no", "band_key")))
-    val cand = bucketed
-      .groupBy($"band_no", $"band_key")
-      .agg(sort_array(collect_list($"vec_id")).as("ids"))
-      .filter(size($"ids") > 1)
-      .select(explode($"ids").as("va"), $"ids")
-      .select($"va", explode($"ids").as("vb"))
-      .filter($"va" < $"vb")
-      .distinct()
+    // Skew-proof per-bucket pair generation (CandidatePairs): bounded
+    // buckets keep the one-pass grouped path; a hot bucket is hash-
+    // chunked into ≤ cap² cells so no single task owns its O(m²).
+    val cand = graft.operators.CandidatePairs.fromBuckets(bucketed,
+      Seq("band_no", "band_key"), "vec_id", "va", "vb", bucketCap)
     cand
       .join(emb.select($"vec_id".as("va"), $"v".as("v_a")), "va")
       .join(emb.select($"vec_id".as("vb"), $"v".as("v_b")), "vb")
@@ -203,7 +206,8 @@ object Pipeline {
     * generator rather than just the verify filter. Parameterized so
     * specs can feed synthetic corpora (short docs, planted near-dups)
     * through the exact production path. */
-  def minhashNearDupPairs(docs: DataFrame, tau: Double): DataFrame = {
+  def minhashNearDupPairs(docs: DataFrame, tau: Double,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val (lshRows, lshBands) =
@@ -231,20 +235,16 @@ object Pipeline {
       .select($"doc_id", explode(bandKeys($"sig", lshRows, lshBands)).as("bk"))
       .select($"doc_id", $"bk.band_no".as("band_no"),
         $"bk.band_hash".as("band_hash"))
-    // Candidate pairs via per-bucket grouping (ONE signature pass),
-    // not a bucketed self-join (which would run the whole signature
-    // pipeline once per side). Bucket members are sorted so pair
-    // generation is deterministic. Precondition for bounded buckets:
-    // exact duplicates are collapsed by exact_dedup (L1) first —
-    // near-dup buckets are then small by construction.
-    val cand = bucketed
-      .groupBy($"band_no", $"band_hash")
-      .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .filter(size($"ids") > 1)
-      .select(explode($"ids").as("doc_a"), $"ids")
-      .select($"doc_a", explode($"ids").as("doc_b"))
-      .filter($"doc_a" < $"doc_b")
-      .distinct()
+    // Candidate pairs via skew-proof per-bucket grouping
+    // (CandidatePairs.fromBuckets — ONE signature pass; exchange reuse
+    // keeps the signature pipeline from re-running for the hot-bucket
+    // self-join branch). Exact duplicates are normally collapsed by
+    // exact_dedup (L1) first, which keeps buckets small — but a hot
+    // template cluster no longer needs that precondition for the plan
+    // to survive: buckets past `bucketCap` are hash-chunked so pair
+    // generation distributes instead of landing on one reducer.
+    val cand = graft.operators.CandidatePairs.fromBuckets(bucketed,
+      Seq("band_no", "band_hash"), "doc_id", "doc_a", "doc_b", bucketCap)
     // Exact string-level Jaccard verify — shingle strings are built
     // only here, for the handful of candidate pair rows.
     cand

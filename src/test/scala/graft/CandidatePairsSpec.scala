@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.CandidatePairs
+import graft.queries.Pipeline
+import org.apache.spark.sql.functions._
+
+/** The skew-proof LSH candidate back end: same-bucket pair sets must be
+  * exact (vs brute force) on BOTH the bounded one-pass path and the
+  * hash-chunked hot-bucket path, and a planted 5k-member hot bucket —
+  * the adversarial "template cluster" shape that makes the naive
+  * collect_list+explode² spelling one reducer's O(m²) task — must
+  * complete with the full C(m,2) pair set distributed across cells. */
+class CandidatePairsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def bruteForce(members: Map[(Int, Long), Seq[Long]]): Set[(Long, Long)] =
+    members.values.flatMap { ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+
+  private def run(rows: Seq[(Int, Long, Long)], cap: Int): Set[(Long, Long)] =
+    CandidatePairs.fromBuckets(rows.toDF("band_no", "band_key", "id"),
+      Seq("band_no", "band_key"), "id", "id_a", "id_b", cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("pair sets are exact and identical on the grouped and chunked paths") {
+    val rnd = new scala.util.Random(7)
+    // mixed bucket sizes incl. singletons (no pairs) and overlap:
+    // members shared across buckets must still pair exactly once.
+    val buckets: Map[(Int, Long), Seq[Long]] = (0 until 30).map { i =>
+      val m = rnd.nextInt(40) + 1
+      (i % 3, i.toLong) -> Seq.fill(m)(rnd.nextLong(500).abs).distinct.map(_.toLong)
+    }.toMap
+    val rows = buckets.toSeq.flatMap { case ((bn, bk), ids) =>
+      ids.map(id => (bn, bk, id))
+    }
+    val want = bruteForce(buckets)
+    val grouped = run(rows, cap = 10000) // every bucket under the cap
+    val chunked = run(rows, cap = 2)     // every multi-member bucket chunked
+    val mixed = run(rows, cap = 16)      // both paths live in one plan
+    assert(grouped == want, s"grouped path: ${grouped.size} vs ${want.size}")
+    assert(chunked == want, s"chunked path: ${chunked.size} vs ${want.size}")
+    assert(mixed == want, s"mixed paths: ${mixed.size} vs ${want.size}")
+  }
+
+  test("a planted 5k-member hot bucket completes distributed with all C(m,2) pairs") {
+    val m = 5000L
+    // one hot bucket + surrounding normal buckets, default cap
+    val hot = (0L until m).map(id => (0, 42L, id))
+    val normal = (0 until 50).flatMap(b =>
+      (0 until 5).map(j => (1, b.toLong, 100000L + b * 10 + j)))
+    val df = (hot ++ normal).toDF("band_no", "band_key", "id")
+    val pairs = CandidatePairs.fromBuckets(df, Seq("band_no", "band_key"),
+      "id", "id_a", "id_b", Pipeline.DefaultBucketCap)
+    val expected = m * (m - 1) / 2 + 50L * (5 * 4 / 2)
+    assert(pairs.count() == expected)
+    // spot-check membership: extremes of the hot bucket pair up, and
+    // no cross-bucket contamination
+    val sample = pairs.filter($"id_a" === 0L && $"id_b" === m - 1).count()
+    assert(sample == 1L)
+    assert(pairs.filter($"id_a" < 100000L && $"id_b" >= 100000L).count() == 0L)
+    // the plan really split the bucket: the chunked branch is live
+    // (ceil(5000/1024) = 5 chunks → 15 cells), visible as the
+    // role-join in the physical plan next to the grouped branch.
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("__cl") && plan.contains("__cr"),
+      s"expected the chunked role-join branch in the plan:\n$plan")
+  }
+
+  test("minhash near-dup pairs are cap-invariant through the full pipeline") {
+    // forcing a tiny cap routes the real fixture through the chunked
+    // path end-to-end; results must match the default-cap run exactly.
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    def pairs(cap: Int) =
+      Pipeline.minhashNearDupPairs(docs, 0.5, bucketCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dflt = pairs(Pipeline.DefaultBucketCap)
+    assert(dflt.nonEmpty)
+    assert(pairs(2) == dflt)
+  }
+
+  test("embed near-dup pairs are cap-invariant through the full pipeline") {
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val planted = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"v", x => x * lit(1.01)).as("v"))
+    val all = emb.unionAll(planted)
+    def pairs(cap: Int) =
+      Pipeline.embedNearDupPairs(all, 0.99, bucketCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dflt = pairs(Pipeline.DefaultBucketCap)
+    assert(dflt.size >= 10, s"planted dups must be detected: $dflt")
+    assert(pairs(2) == dflt)
+  }
+}
