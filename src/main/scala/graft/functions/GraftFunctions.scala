@@ -68,6 +68,15 @@ object GraftFunctions {
   def shingle_hash_set(text: Column): Column =
     ExpressionUtils.column(ShingleHashSet(ExpressionUtils.expression(text)))
 
+  /** Bounded membership aggregate: `struct(cnt, ids)` with the exact
+    * group row count and its `cap` smallest bigint ids ascending —
+    * per-group aggregation memory capped at `cap` longs no matter how
+    * skewed the group (the CandidatePairs back end). */
+  def bounded_min_set(id: Column, cap: Int): Column =
+    ExpressionUtils.column(
+      BoundedMinSetAgg(ExpressionUtils.expression(id), cap)
+        .toAggregateExpression())
+
   /** Streaming word-3-gram generator (custom UDTF): one output row
     * per positional gram, no gram array materialization. Use in a
     * select like explode: `df.select($"id", shingle_hashes($"text"))`. */

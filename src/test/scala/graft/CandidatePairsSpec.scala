@@ -67,6 +67,59 @@ class CandidatePairsSpec extends SparkSuite {
       s"expected the chunked role-join branch in the plan:\n$plan")
   }
 
+  test("pair budget caps output deterministically with an exact drop ledger") {
+    // bucket A: 6 members → C(6,2)=15 pairs; bucket B: 3 → 3; C: 2 → 1.
+    val rows =
+      (0L until 6L).map(id => (0, 1L, id * 10)) ++
+        Seq((0, 2L, 100L), (0, 2L, 101L), (0, 2L, 102L)) ++
+        Seq((1, 1L, 200L), (1, 1L, 201L))
+    val k = 4L
+    val got = CandidatePairs.fromBucketsBudgeted(
+      rows.toDF("band_no", "band_key", "id"), Seq("band_no", "band_key"),
+      "id", "id_a", "id_b", bucketCap = 16, maxPairsPerBucket = k)
+    // k=4 → n*=4: bucket A keeps its 4 smallest members (0,10,20,30)
+    // and emits their first 4 index-lex pairs; B and C fit whole.
+    val wantPairs = Set((0L, 10L), (0L, 20L), (0L, 30L), (10L, 20L),
+      (100L, 101L), (100L, 102L), (101L, 102L), (200L, 201L))
+    val gotPairs = got.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == wantPairs)
+    // only bucket A drops: 15 - 4 = 11, and the log helper totals it.
+    val ledger = got.droppedPerBucket.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ledger.toSeq == Seq((0, 1L, 6L, 11L)))
+    assert(got.loggedDropTotal() == 11L)
+  }
+
+  test("pair budget needs no hot path: a planted hot bucket stays capped") {
+    val m = 5000L
+    val cap = 64
+    val k = 100L // n* = 15 <= cap
+    val hot = (0L until m).map(id => (0, 7L, id))
+    val got = CandidatePairs.fromBucketsBudgeted(
+      hot.toDF("band_no", "band_key", "id"), Seq("band_no", "band_key"),
+      "id", "id_a", "id_b", bucketCap = cap, maxPairsPerBucket = k)
+    val pairs = got.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // expected: the first 100 lexicographic pairs over ids 0..14
+    val wantPairs = (for (a <- 0L until 15L; b <- a + 1 until 15L)
+      yield (a, b)).sortBy(identity).take(k.toInt).toSet
+    assert(pairs == wantPairs)
+    assert(got.loggedDropTotal() == m * (m - 1) / 2 - k)
+    // and the budgeted plan has NO chunk-cell join branch
+    val plan = got.pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("__cl"), "budget mode must not plan the hot-path join")
+  }
+
+  test("budget tighter than the bucket cap is rejected with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      CandidatePairs.fromBucketsBudgeted(
+        Seq((0, 1L, 1L)).toDF("band_no", "band_key", "id"),
+        Seq("band_no", "band_key"), "id", "a", "b",
+        bucketCap = 4, maxPairsPerBucket = 1000L)
+    }
+    assert(e.getMessage.contains("raise bucketCap"))
+  }
+
   test("minhash near-dup pairs are cap-invariant through the full pipeline") {
     // forcing a tiny cap routes the real fixture through the chunked
     // path end-to-end; results must match the default-cap run exactly.
