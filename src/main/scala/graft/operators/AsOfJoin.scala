@@ -73,11 +73,14 @@ object AsOfJoin {
   }
 
   /** The same as-of semantics through the engine's custom Catalyst
-    * operator ([[graft.plans.AsOfJoinPlan]] → merge-based
-    * [[graft.plans.AsOfJoinExec]]) instead of the union–window
-    * rewrite: one hash exchange per side, then an O(|L|+|R|)
-    * streaming merge with O(1) state per partition — no window
-    * buffer. Same output contract as [[asof]].
+    * operator ([[graft.plans.AsOfJoinPlan]]). The physical plan is
+    * chosen by [[graft.plans.GraftStrategies]] from `buildSide`: the
+    * default [[graft.plans.AsOfBuildSide.Auto]] broadcasts the build
+    * when its stats fit under `spark.sql.autoBroadcastJoinThreshold`
+    * (zero shuffle) and otherwise plans the streaming merge — one
+    * hash exchange per side, then an O(|L|+|R|) merge with O(1) state
+    * per partition, no window buffer. Same output contract as
+    * [[asof]].
     *
     * The probe and build frames must not share a plan lineage (read
     * the table twice rather than deriving both sides from one
@@ -90,7 +93,8 @@ object AsOfJoin {
       probeKey: Column, buildKey: Column,
       probeTs: Column, buildTs: Column,
       payload: Seq[String],
-      broadcastBuild: Boolean = false): DataFrame = {
+      buildSide: graft.plans.AsOfBuildSide = graft.plans.AsOfBuildSide.Auto)
+      : DataFrame = {
     import graft.plans.{AsOfJoinPlan, GraftExtensions}
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = probe.sparkSession
@@ -104,15 +108,16 @@ object AsOfJoin {
     val rTs = rPlan.output.find(_.name == "__asof_ts").get
     val plan = AsOfJoinPlan(lPlan, rPlan,
       Seq(Bridge.expression(probeKey)), Seq(rKey),
-      Bridge.expression(probeTs), rTs, broadcastBuild)
+      Bridge.expression(probeTs), rTs, buildSide)
     Bridge.ofRows(spark, plan).drop("__asof_k", "__asof_ts")
   }
 
-  /** [[asofNative]] with the build side broadcast: zero shuffle on
-    * either side — the probe streams through unmoved and every row
+  /** [[asofNative]] with the build side forced broadcast: zero shuffle
+    * on either side — the probe streams through unmoved and every row
     * answers a floor binary search against the broadcast build runs
     * ([[graft.plans.BroadcastAsOfJoinExec]]). The right plan when the
-    * build is a bounded dimension. */
+    * build is a bounded dimension (Auto picks this by itself when the
+    * dimension's stats say so). */
   def asofBroadcast(
       probe: DataFrame,
       build: DataFrame,
@@ -120,7 +125,21 @@ object AsOfJoin {
       probeTs: Column, buildTs: Column,
       payload: Seq[String]): DataFrame =
     asofNative(probe, build, probeKey, buildKey, probeTs, buildTs,
-      payload, broadcastBuild = true)
+      payload, graft.plans.AsOfBuildSide.Broadcast)
+
+  /** [[asofNative]] with the build side forced through the clustered
+    * streaming-merge exec — the scale-default shape when the build is
+    * NOT a bounded dimension (and the pinned spelling of the
+    * `asof_join_native` oracle row, which exists to keep the merge
+    * exec driver-checked regardless of fixture size). */
+  def asofMerge(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: Column, buildKey: Column,
+      probeTs: Column, buildTs: Column,
+      payload: Seq[String]): DataFrame =
+    asofNative(probe, build, probeKey, buildKey, probeTs, buildTs,
+      payload, graft.plans.AsOfBuildSide.Merge)
 
   /** SQL surface (SURVEY J9): registers the table-valued function
     *
@@ -130,7 +149,7 @@ object AsOfJoin {
     *   'probe_key', 'build_key',         -- join key columns
     *   'probe_ts', 'build_ts',           -- event-time columns
     *   'payload_a,payload_b'             -- build columns to attach
-    *   [, 'broadcast'])                  -- optional: broadcast build
+    *   [, 'auto'|'broadcast'|'merge'])   -- build-side hint (default auto)
     * }}}
     *
     * Spark's table-function arguments are expressions, not relations,
@@ -153,17 +172,21 @@ object AsOfJoin {
         }
         require(args.length == 7 || args.length == 8,
           "graft_asof(probe_view, build_view, probe_key, build_key, " +
-            "probe_ts, build_ts, payload_csv[, 'broadcast'])")
+            "probe_ts, build_ts, payload_csv[, 'auto'|'broadcast'|'merge'])")
         val Seq(probeV, buildV, pk, bk, pts, bts, payloadCsv) = args.take(7)
-        val broadcast = args.length == 8
-        require(!broadcast || args(7) == "broadcast",
-          s"graft_asof: unknown mode '${args(7)}' (only 'broadcast')")
+        val side = args.drop(7).headOption.getOrElse("auto") match {
+          case "auto" => graft.plans.AsOfBuildSide.Auto
+          case "broadcast" => graft.plans.AsOfBuildSide.Broadcast
+          case "merge" => graft.plans.AsOfBuildSide.Merge
+          case other => throw new IllegalArgumentException(
+            s"graft_asof: unknown mode '$other' ('auto'|'broadcast'|'merge')")
+        }
         val probe = spark.table(probeV)
         val build = spark.table(buildV)
         val out = asofNative(probe, build, probe(pk), build(bk),
           probe(pts), build(bts),
           payloadCsv.split(",").map(_.trim).toSeq.filter(_.nonEmpty),
-          broadcastBuild = broadcast)
+          side)
         org.apache.spark.sql.graftbridge.Bridge.analyzed(out)
       }, "built-in")
 }

@@ -3,6 +3,22 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 
+/** Physical realization choice for the as-of build side.
+  * [[AsOfBuildSide.Auto]] mirrors Spark's `JoinSelection`: the planner
+  * broadcasts the build when its stats-estimated size fits under
+  * `spark.sql.autoBroadcastJoinThreshold`, else plans the clustered
+  * merge. The explicit hints force one exec, like SQL join hints. */
+sealed abstract class AsOfBuildSide
+object AsOfBuildSide {
+  /** Stats decide (the default — SQL/TVF users get the zero-shuffle
+    * broadcast plan automatically when the dimension is small). */
+  case object Auto extends AsOfBuildSide
+  /** Force [[BroadcastAsOfJoinExec]] (driver-sorted broadcast build). */
+  case object Broadcast extends AsOfBuildSide
+  /** Force the [[AsOfJoinExec]] streaming merge (one exchange per side). */
+  case object Merge extends AsOfBuildSide
+}
+
 /** Logical as-of join: for every left (probe) row, attach the single
   * right (build) row with the greatest `rightTime <= leftTime` among
   * rows with equal keys — the whole-operator form of the reference's
@@ -24,7 +40,7 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    broadcastBuild: Boolean = false)
+    buildSide: AsOfBuildSide = AsOfBuildSide.Auto)
   extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length,

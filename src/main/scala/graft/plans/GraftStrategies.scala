@@ -8,15 +8,37 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Planner strategy for the engine's custom logical operators
-  * (currently [[AsOfJoinPlan]] → [[AsOfJoinExec]]). */
+  * ([[AsOfJoinPlan]] → broadcast or merge exec).
+  *
+  * Exec choice mirrors Spark's `JoinSelection`: an explicit
+  * [[AsOfBuildSide]] hint forces its exec; [[AsOfBuildSide.Auto]]
+  * plans [[BroadcastAsOfJoinExec]] (zero shuffle — probe streams
+  * unmoved, build floor-indexed on each executor) when the build
+  * side's stats-estimated size fits under
+  * `spark.sql.autoBroadcastJoinThreshold`, and the clustered
+  * streaming-merge [[AsOfJoinExec]] otherwise — so SQL/TVF callers
+  * get the right physical plan without hand-picking a spelling. */
 object GraftStrategies extends SparkStrategy {
+  import org.apache.spark.sql.internal.SQLConf
+
+  private def canBroadcastBySize(plan: LogicalPlan): Boolean = {
+    val size = plan.stats.sizeInBytes
+    size >= 0 && size <= SQLConf.get.autoBroadcastJoinThreshold
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case p: AsOfJoinPlan if p.broadcastBuild =>
-      BroadcastAsOfJoinExec(planLater(p.left), planLater(p.right),
-        p.leftKeys, p.rightKeys, p.leftTime, p.rightTime) :: Nil
     case p: AsOfJoinPlan =>
-      AsOfJoinExec(planLater(p.left), planLater(p.right),
-        p.leftKeys, p.rightKeys, p.leftTime, p.rightTime) :: Nil
+      val broadcast = p.buildSide match {
+        case AsOfBuildSide.Broadcast => true
+        case AsOfBuildSide.Merge => false
+        case AsOfBuildSide.Auto => canBroadcastBySize(p.right)
+      }
+      if (broadcast)
+        BroadcastAsOfJoinExec(planLater(p.left), planLater(p.right),
+          p.leftKeys, p.rightKeys, p.leftTime, p.rightTime) :: Nil
+      else
+        AsOfJoinExec(planLater(p.left), planLater(p.right),
+          p.leftKeys, p.rightKeys, p.leftTime, p.rightTime) :: Nil
     case _ => Nil
   }
 }

@@ -113,8 +113,10 @@ object Lookups {
     // (no shared lineage — see AsOfJoin.asofNative).
     "asof_join" -> ((s: SparkSession, dir: String) =>
       asofFixture(s, dir)(AsOfJoin.asof)),
+    // (merge forced: Auto would broadcast this small fixture, and this
+    // row exists to keep the merge exec driver-checked at every sf)
     "asof_join_native" -> ((s: SparkSession, dir: String) =>
-      asofFixture(s, dir)(AsOfJoin.asofNative(_, _, _, _, _, _, _))),
+      asofFixture(s, dir)(AsOfJoin.asofMerge)),
     "asof_join_broadcast" -> ((s: SparkSession, dir: String) =>
       asofFixture(s, dir)(AsOfJoin.asofBroadcast)),
 

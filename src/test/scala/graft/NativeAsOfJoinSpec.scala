@@ -57,7 +57,7 @@ class NativeAsOfJoinSpec extends SparkSuite {
 
   test("plans as AsOfJoinExec merge over clustered+sorted children") {
     val (probe, build) = probeBuild()
-    val native = AsOfJoin.asofNative(probe, build,
+    val native = AsOfJoin.asofMerge(probe, build,
       probe("o_custkey"), build("b_custkey"),
       probe("o_orderdate"), build("prev_orderdate"),
       Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
@@ -69,6 +69,31 @@ class NativeAsOfJoinSpec extends SparkSuite {
     // the build-side aggregation's own exchange — nothing else
     assert("Exchange hashpartitioning".r.findAllIn(exec).size == 3)
     assert(exec.contains("Sort [o_custkey"), "probe sorted by (key, time)")
+  }
+
+  test("auto build side is stats-based like JoinSelection") {
+    val (probe, build) = probeBuild()
+    def planOf(threshold: String): String = {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      try AsOfJoin.asofNative(probe, build,
+          probe("o_custkey"), build("b_custkey"),
+          probe("o_orderdate"), build("prev_orderdate"),
+          Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    // small build under the default 10MB threshold → broadcast exec
+    val small = planOf("10485760")
+    assert(small.contains("BroadcastAsOfJoin"),
+      s"small build must auto-broadcast:\n$small")
+    // stats over a 1-byte threshold (≡ a too-large build) → merge exec
+    val large = planOf("1")
+    assert(large.contains("AsOfJoin [") && !large.contains("BroadcastAsOfJoin"),
+      s"large build must auto-merge:\n$large")
+    // disabled threshold (-1) also falls back to the merge exec
+    val off = planOf("-1")
+    assert(!off.contains("BroadcastAsOfJoin"),
+      "threshold -1 must disable auto-broadcast")
   }
 
   test("probe-only filters push through the custom node to the scan") {
@@ -101,7 +126,7 @@ class NativeAsOfJoinSpec extends SparkSuite {
       probe("o_orderdate"), build("prev_orderdate"),
       Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
     val (probe2, build2) = probeBuild()
-    val merge = AsOfJoin.asofNative(probe2, build2,
+    val merge = AsOfJoin.asofMerge(probe2, build2,
       probe2("o_custkey"), build2("b_custkey"),
       probe2("o_orderdate"), build2("prev_orderdate"),
       Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
