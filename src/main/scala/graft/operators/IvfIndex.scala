@@ -55,6 +55,31 @@ object IvfIndex {
       .drop("__ivf_scores")
   }
 
+  /** Materialize a [[assignCells]]-style corpus PARTITIONED BY `cell` —
+    * the physical layout behind the "a probe touches nprobe/k of the
+    * corpus" contract. Each cell becomes its own directory, so a
+    * probe's cell predicate prunes at FILE-LISTING time: statically for
+    * a literal cell set ([[readCells]]), dynamically (DPP) when the
+    * cell list arrives as a probe-derived dimension join. At 100 TB
+    * this is the difference between scanning 4/16 of the vectors and
+    * scanning all of them — IvfCellLayoutSpec pins the pruned partition
+    * count, not just the plan shape. */
+  def writeCellLayout(corpusWithCell: DataFrame, path: String): Unit = {
+    require(corpusWithCell.columns.contains("cell"),
+      "writeCellLayout needs a `cell` column (see assignCells)")
+    corpusWithCell.write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Read back only `cells` of a [[writeCellLayout]] corpus. The
+    * literal IN-filter on the partition column becomes a static
+    * partition filter: unprobed cell directories are never listed,
+    * never opened. (Partition-column values come back with the
+    * inferred partition type — compare through a cast.) */
+  def readCells(spark: org.apache.spark.sql.SparkSession, path: String,
+      cells: Seq[Long]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("cell").cast("long").isin(cells: _*))
+
   /** Deterministic Lloyd iterations; returns the learned centroids. */
   def learnCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     val s = emb.sparkSession
