@@ -144,6 +144,16 @@ object Pipeline {
 
   private def planeLit(h: Int): Column = array(hyperplanes(h).map(lit): _*)
 
+  /** Multi-byte UTF-8 probe doc unioned into `binary_features` AND its
+    * DuckDB oracle: the leading 3-byte code points make `header_hex`
+    * cut through a partial code point and shift byte_mean away from
+    * any character-based computation — if either side ever computed
+    * features from characters instead of raw UTF-8 bytes, this row
+    * would hash-mismatch. (No single quotes: the text is interpolated
+    * into the oracle SQL literal verbatim.) */
+  private[queries] val nonAsciiProbeText =
+    "日本語テキスト héllo wörld ümlaut ascii tail"
+
   /** The first `bands·bits` hyperplanes, row-major-flattened for the
     * one-pass [[graft.functions.SignBandKeys]] codegen kernel (which
     * replaced the interpreted transform-over-planes + per-band
@@ -474,13 +484,16 @@ object Pipeline {
     // (Multimodal.featureColumns, with the ByteSum codegen kernel), so
     // the plan keeps codegen + pushdown; the mapPartitions decoder
     // extension point (Multimodal.extractFeatures) is spec-covered
-    // separately. Oracle caveat: the DuckDB mirror computes byte
-    // features from CHARACTERS (ascii per char, substring by chars),
-    // which equals the engine's raw-UTF-8-byte features only because
-    // the documents fixture is pure ASCII.
+    // separately. The DuckDB oracle is BYTE-true (it decodes the hex
+    // image of encode(text), not characters), and both sides union in
+    // a multi-byte UTF-8 probe doc whose first chars are non-ASCII —
+    // so header_hex and byte_mean are proven over real multi-byte
+    // payloads, not just the ASCII fixture.
     "binary_features" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val binaryDocs = Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+        .unionAll(Seq((-1L, nonAsciiProbeText)).toDF("doc_id", "text"))
+      val binaryDocs = docs
         .select($"doc_id", $"text".cast("binary").as("payload"))
       graft.operators.Multimodal.featureColumns(binaryDocs)
         .orderBy($"doc_id")
@@ -959,13 +972,27 @@ object Pipeline {
         |  FROM documents GROUP BY lang)
         |ORDER BY lang""".stripMargin,
 
+    // Byte-true mirror: every feature is computed from the hex image
+    // of encode(text) — the raw UTF-8 bytes — so it agrees with the
+    // engine's binary features for ANY text, and the unioned probe doc
+    // (leading multi-byte chars) proves it.
     "binary_features" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  lower(hex(encode(substring(text, 1, 4)))) AS header_hex,
-        |  CAST(list_sum(list_transform(string_split_regex(text, ''), c -> ascii(c))) AS DOUBLE)
-        |    / octet_length(encode(text)) AS byte_mean
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT -1, '$nonAsciiProbeText'),
+         |b AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |         octet_length(encode(text)) AS n
+         |  FROM src)
+         |SELECT doc_id,
+         |  CAST(n AS BIGINT) AS n_bytes,
+         |  lower(h[1:8]) AS header_hex,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE
+         |    CAST(list_sum(list_transform(range(0, n), i ->
+         |      (strpos('0123456789ABCDEF', h[2*i+1:2*i+1]) - 1) * 16
+         |      + (strpos('0123456789ABCDEF', h[2*i+2:2*i+2]) - 1))) AS DOUBLE)
+         |    / n END AS byte_mean
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "ivf_ann" ->
       s"""WITH cents(cid, c) AS (VALUES
