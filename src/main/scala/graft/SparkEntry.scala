@@ -31,12 +31,21 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
+    staticOracles ++ graft.queries.Pipeline.oracle
+
+  /** [[oracleSql]] with the data-dependent entries keyed to ONE sf dir
+    * (the `ivf_ann_learned` oracle interpolates that dir's learned
+    * centroids) — what Verify dumps, so a JVM that touched several
+    * dirs still writes the right oracle for the dir it verified. */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    staticOracles ++ graft.queries.Pipeline.oracleFor(sfDir)
+
+  private def staticOracles: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Joins.oracle ++
       graft.queries.Lookups.oracle ++
       graft.queries.Aggregates.oracle ++
       graft.queries.Windows.oracle ++
       graft.queries.Scalars.oracle ++
-      graft.queries.EventTime.oracle ++
-      graft.queries.Pipeline.oracle
+      graft.queries.EventTime.oracle
 }

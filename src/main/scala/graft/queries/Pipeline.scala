@@ -154,6 +154,16 @@ object Pipeline {
   private[queries] val nonAsciiProbeText =
     "日本語テキスト héllo wörld ümlaut ascii tail"
 
+  /** Literal es/de probe docs unioned into `lang_id_heuristic` AND its
+    * oracle. The synthetic corpus is English-ish — es/de stopword
+    * ratios are ~all zero and the prediction is decided by the argmax
+    * tiebreak alone; these rows make the three score vectors actually
+    * separate, so the oracle verifies the scoring MECHANISM, not just
+    * the tie order. (No single quotes: interpolated into SQL.) */
+  private[queries] val langIdProbes: Seq[(Long, String, String)] = Seq(
+    (-3L, "de", "der hund und die katze sehen das auto und der mann liest das buch"),
+    (-2L, "es", "el perro corre por la playa y la casa de el sol es de la madre"))
+
   /** The first `bands·bits` hyperplanes, row-major-flattened for the
     * one-pass [[graft.functions.SignBandKeys]] codegen kernel (which
     * replaced the interpreted transform-over-planes + per-band
@@ -442,16 +452,18 @@ object Pipeline {
 
     // L5 (language-ID heuristic): per-doc stopword-profile scores with
     // an argmax prediction — the standard cheap lang-ID mechanism,
-    // fully deterministic so the oracle replicates it verbatim. (On
-    // this synthetic corpus the scores mostly tie at 0; the tiebreak
-    // is part of the contract.)
+    // fully deterministic so the oracle replicates it verbatim. The
+    // corpus rows mostly tie at 0 (tiebreak is part of the contract);
+    // the unioned es/de probe docs make the scores separate so the
+    // mechanism itself — not just the tie order — is hash-checked.
     "lang_id_heuristic" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val t = split($"text", " ")
       def ratio(words: Seq[String]) =
         q6(size(filter(t, w => words.map(lit(_) === w).reduce(_ || _)))
           .cast("double") / size(t))
-      Tables.documents(s, dir)
+      Tables.documents(s, dir).select($"doc_id", $"lang", $"text")
+        .unionAll(langIdProbes.toDF("doc_id", "lang", "text"))
         .select($"doc_id", $"lang",
           ratio(Seq("the", "a", "of")).as("en_score"),
           ratio(Seq("el", "la", "de")).as("es_score"),
@@ -805,7 +817,17 @@ object Pipeline {
     * as literals. A `def` (and consumed through `SparkEntry.oracleSql`,
     * also a `def`) precisely so the data-dependent entry can appear. */
   def oracle: Map[String, String] =
-    staticOracle ++ learnedCentDir.flatMap(d => Option(learnedCentCache.get(d)))
+    learnedCentDir.map(oracleFor).getOrElse(staticOracle)
+
+  /** The oracle map for ONE sf dir, keyed off the per-dir centroid
+    * cache — two dirs exercised in one JVM each get their own correct
+    * `ivf_ann_learned` SQL (the last-set-dir convenience view above
+    * serves the single-dir driver contract; Verify dumps THIS map for
+    * the dir it actually ran). The entry appears once that dir's
+    * `ivf_ann_learned` query has been constructed (which warms the
+    * cache); until then the rows-only check applies. */
+  def oracleFor(dir: String): Map[String, String] =
+    staticOracle ++ Option(learnedCentCache.get(dir))
       .map(c => Map("ivf_ann_learned" -> ivfLearnedSql(c)))
       .getOrElse(Map.empty)
 
@@ -947,7 +969,10 @@ object Pipeline {
          |    ${sqlQ6("CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE) / len(ws)")} AS en_score,
          |    ${sqlQ6("CAST(len(list_filter(ws, w -> w = 'el' OR w = 'la' OR w = 'de')) AS DOUBLE) / len(ws)")} AS es_score,
          |    ${sqlQ6("CAST(len(list_filter(ws, w -> w = 'der' OR w = 'die' OR w = 'das')) AS DOUBLE) / len(ws)")} AS de_score
-         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents))
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM (
+         |    SELECT doc_id, lang, text FROM documents
+         |    ${langIdProbes.map { case (id, lg, tx) =>
+              s"UNION ALL SELECT $id, '$lg', '$tx'" }.mkString("\n    ")})))
          |ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->

@@ -226,4 +226,18 @@ class PipelineSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out.map(r => r.getLong(0) -> r.getLong(2)).toMap == again)
   }
+
+  test("lang_id probes separate the scores and predict their language") {
+    // the es/de probe rows exist precisely so the heuristic's scores
+    // are not all-zero ties: each probe must be predicted as its own
+    // language WITH a strictly dominant score (mechanism, not tiebreak)
+    val rows = Pipeline.queries("lang_id_heuristic")(spark, sf)
+      .filter($"doc_id" < 0)
+      .collect().map(r => r.getString(1) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getString(5))).toMap
+    val (_, es2, de2, predEs) = rows("es")
+    assert(predEs == "es" && es2 > 0 && es2 > de2)
+    val (en3, es3, de3, predDe) = rows("de")
+    assert(predDe == "de" && de3 > 0 && de3 > es3 && de3 > en3)
+  }
 }
