@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,12 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Versus `transform(split(text)) → token-hash transform → 3-gram
   * transform → array_distinct` this materializes no token array, no
   * per-element interpreted lambda invocations, and hashes each byte
-  * exactly once (plus 24 bytes of long-chaining per gram); per-row
-  * cost is one `eval` call (CodegenFallback — the loop body, not the
-  * dispatch, is the work).
+  * exactly once (plus 24 bytes of long-chaining per gram). Generates
+  * code like its sibling kernels: the emitted Java is one static call
+  * into [[ShingleHashSet.compute]] on the value pipeline — no
+  * CodegenFallback row materialization, no per-row expression-tree
+  * dispatch (the same pattern Spark's own regexp expressions use for
+  * loop-heavy kernels).
   */
-case class ShingleHashSet(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class ShingleHashSet(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -40,11 +42,28 @@ case class ShingleHashSet(child: Expression)
       s"shingle_hash_set requires a string column, got ${dt.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    // one pass: hash each space-delimited token (ASCII space cannot
-    // occur inside a multi-byte UTF-8 sequence, so byte splitting is
-    // UTF-8-safe; empty tokens hash like fnv1a(""), matching split)
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashSet.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { str =>
+      // static forwarder call — stays on the value pipeline inside the
+      // enclosing WholeStageCodegen span
+      s"${ev.value} = graft.functions.ShingleHashSet.compute($str);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashSet {
+
+  /** The kernel (called from generated code via the static forwarder).
+    * One pass: hash each space-delimited token (ASCII space cannot
+    * occur inside a multi-byte UTF-8 sequence, so byte splitting is
+    * UTF-8-safe; empty tokens hash like fnv1a(""), matching split). */
+  def compute(input: UTF8String): ArrayData = {
+    val bytes = input.getBytes
     val tokenHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
     var state = Fnv1aCore.OffsetBasis
     var i = 0
@@ -79,7 +98,4 @@ case class ShingleHashSet(child: Expression)
       new GenericArrayData(out)
     }
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
