@@ -634,6 +634,23 @@ object Pipeline {
         .select($"probe_id", $"rn", $"vec_id".as("neighbor_id"), $"cos_sim")
         .orderBy($"probe_id", $"rn")
     }),
+
+    // L2 guard rail: the candidate-pair budget, driver-checked. Docs
+    // bucketed by a plain column (lang — ~100 members each at sf0.01,
+    // C(100,2) ≈ 4950 pairs) run through fromBucketsBudgeted with
+    // K=100: each bucket keeps its n*=15 smallest doc_ids and emits
+    // their first 100 index-lex pairs. The contract is pure SQL (no
+    // hash identity), so unlike the LSH front ends the budget
+    // semantics themselves get a DuckDB oracle.
+    "pair_budget" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val bucketed = Tables.documents(s, dir)
+        .select($"lang".as("bucket"), $"doc_id")
+      graft.operators.CandidatePairs.fromBucketsBudgeted(
+          bucketed, Seq("bucket"), "doc_id", "doc_a", "doc_b",
+          bucketCap = 64, maxPairsPerBucket = 100L)
+        .pairs.orderBy($"doc_a", $"doc_b")
+    }),
   )
 
   /** Learned IVF centroids per sf dir — computed once (deterministic
@@ -902,6 +919,22 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // budget contract mirror: per bucket keep the n*=15 smallest
+    // members (smallest n with C(n,2) >= K=100), emit the first K
+    // pairs in index-lexicographic order
+    "pair_budget" ->
+      """WITH m AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+        |  FROM documents),
+        |k AS (SELECT * FROM m WHERE rk <= 15),
+        |p AS (
+        |  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    row_number() OVER (PARTITION BY a.lang ORDER BY a.rk, b.rk) AS pr
+        |  FROM k a JOIN k b ON a.lang = b.lang AND b.rk > a.rk)
+        |SELECT DISTINCT doc_a, doc_b FROM p WHERE pr <= 100
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // positional (NON-distinct) 3-grams — unlike the dedup CTE
     "shingle_vocab" ->
