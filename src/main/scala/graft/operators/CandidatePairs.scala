@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   * O(m²). Grouped into one array that is one reducer's task — the one
   * plan shape that would not survive a 100-TB corpus.
   *
-  * How (one exchange, one real aggregation — r4's per-row window sort
-  * was measurably ~25% of the operator and is gone):
+  * How (one exchange, one real aggregation — r4's separate per-row
+  * window sort, measurably ~25% of the operator, is gone; note the
+  * bounded aggregate itself runs as ObjectHashAggregate, which past
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` keys
+  * per task degrades to ONE sort-based pass — still strictly less
+  * work than the old sort-then-aggregate double, and that conf is the
+  * tuning knob if the fallback ever shows up in profiles):
   *
   *  1. the membership rows shuffle ONCE (`repartition(bucketCols)`);
   *     every pass below reads that same exchange via Spark's exchange
@@ -96,13 +101,18 @@ object CandidatePairs extends Logging {
       .select(outA, outB)
 
     // Hot path: recover full membership by re-keying the SAME exchange
-    // against the (rare) hot keys — a codegen count aggregate feeds a
-    // broadcast, so the common no-hot-bucket case pays one cheap
-    // hash-agg and an empty broadcast join, not a sort.
+    // against the hot keys. Both join children already satisfy the
+    // bucket-key distribution (the reused exchange, and the count
+    // aggregate above it), so the SHUFFLE_HASH hint plans a
+    // zero-exchange shuffled-hash join with the hot keys as the local
+    // build side: no broadcast collect (the hot-key count may itself
+    // be unbounded under pervasive skew — up to N/cap keys), no sort
+    // of the membership side, and the common no-hot-bucket case pays
+    // one cheap codegen count-agg plus an empty per-partition hash map.
     val hotKeys = shuffled.groupBy(bCols: _*)
       .agg(count(lit(1)).as("__m"))
       .filter(col("__m") > bucketCap)
-    val chunked = shuffled.join(broadcast(hotKeys), bucketCols)
+    val chunked = shuffled.join(hotKeys.hint("shuffle_hash"), bucketCols)
       .withColumn("__nc", ceil(col("__m") / lit(bucketCap.toLong)).cast("int"))
       .withColumn("__c", pmod(F.fnv1a(id), col("__nc")).cast("int"))
     val lefts = chunked.select(
@@ -145,9 +155,7 @@ object CandidatePairs extends Logging {
     require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
     require(maxPairsPerBucket >= 1,
       s"maxPairsPerBucket must be >= 1, got $maxPairsPerBucket")
-    // smallest n with C(n,2) >= budget: the first K lexicographic pairs
-    // of an ascending member list touch only its first n* elements.
-    // smallest n with C(n,2) >= budget — the kept-prefix width.
+    // smallest n with C(n,2) >= budget — the kept-prefix width
     var nStar = math.max(2L,
       math.ceil((1.0 + math.sqrt(1.0 + 8.0 * maxPairsPerBucket)) / 2.0).toLong - 1L)
     while (nStar * (nStar - 1) / 2 < maxPairsPerBucket) nStar += 1
@@ -184,6 +192,12 @@ object CandidatePairs extends Logging {
         expr("CAST(__i AS BIGINT) * (2L * __sz - __i - 1L) DIV 2L") +
           col("__j") - col("__i") - 1L)
       .filter(col("__rank") < maxPairsPerBucket)
+      // value filter, like fromBuckets: duplicate membership rows put
+      // equal ids at adjacent sorted positions — the index pair passes
+      // __j > __i but a self-pair (a == b) must never be emitted. The
+      // degenerate index pair still consumes its budget slot and is
+      // counted by the drop ledger's row-combinatorics.
+      .filter(col(outA) < col(outB))
       .select(outA, outB)
       .distinct()
 

@@ -110,6 +110,23 @@ class CandidatePairsSpec extends SparkSuite {
     assert(!plan.contains("__cl"), "budget mode must not plan the hot-path join")
   }
 
+  test("budget path never emits self-pairs from duplicate membership rows") {
+    // the same id twice in one bucket sits at adjacent sorted positions:
+    // the index pair passes j > i but must be dropped by the value filter
+    val rows = Seq((0, 1L, 5L), (0, 1L, 5L), (0, 1L, 9L))
+    val got = CandidatePairs.fromBucketsBudgeted(
+      rows.toDF("band_no", "band_key", "id"), Seq("band_no", "band_key"),
+      "id", "id_a", "id_b", bucketCap = 8, maxPairsPerBucket = 10L)
+    val pairs = got.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((5L, 9L)), s"self-pair leaked: $pairs")
+    // unbudgeted path agrees
+    val plain = CandidatePairs.fromBuckets(
+      rows.toDF("band_no", "band_key", "id"), Seq("band_no", "band_key"),
+      "id", "id_a", "id_b", bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain == Set((5L, 9L)))
+  }
+
   test("budget tighter than the bucket cap is rejected with a clear error") {
     val e = intercept[IllegalArgumentException] {
       CandidatePairs.fromBucketsBudgeted(

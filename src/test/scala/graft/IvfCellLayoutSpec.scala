@@ -33,14 +33,11 @@ class IvfCellLayoutSpec extends SparkSuite {
       case f: FileSourceScanExec => f
     }.getOrElse(fail(s"no file scan in:\n${df.queryExecution.executedPlan}"))
 
-  private def withoutAqe[T](body: => T): T = {
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try body finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-  }
-
   test("probing a cell-partitioned layout lists only the probed cells") {
     layoutWritten
-    withoutAqe {
+    // AQE off so the executed plan exposes the FileSourceScanExec
+    // directly (AdaptiveSparkPlanExec hides children from collect)
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
       val allCells = spark.read.parquet(root)
         .select($"cell".cast("long")).distinct().as[Long].collect().sorted
       assert(allCells.length >= 8,

@@ -74,13 +74,15 @@ class NativeAsOfJoinSpec extends SparkSuite {
   test("auto build side is stats-based like JoinSelection") {
     val (probe, build) = probeBuild()
     def planOf(threshold: String): String = {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
-      try AsOfJoin.asofNative(probe, build,
+      var plan = ""
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> threshold) {
+        plan = AsOfJoin.asofNative(probe, build,
           probe("o_custkey"), build("b_custkey"),
           probe("o_orderdate"), build("prev_orderdate"),
           Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
-        .queryExecution.executedPlan.toString
-      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          .queryExecution.executedPlan.toString
+      }
+      plan
     }
     // small build under the default 10MB threshold → broadcast exec
     val small = planOf("10485760")

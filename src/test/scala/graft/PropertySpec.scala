@@ -145,7 +145,9 @@ class PropertySpec extends SparkSuite {
       }
       val window = run((p, b) => AsOfJoin.asof(p, b,
         p("k"), b("bk"), p("ts"), b("bts"), Seq("bv")))
-      val merge = run((p, b) => AsOfJoin.asofNative(p, b,
+      // asofMerge, not asofNative: Auto would broadcast these tiny
+      // frames and the merge exec would silently leave the 3-way check
+      val merge = run((p, b) => AsOfJoin.asofMerge(p, b,
         p("k"), b("bk"), p("ts"), b("bts"), Seq("bv")))
       val bcast = run((p, b) => AsOfJoin.asofBroadcast(p, b,
         p("k"), b("bk"), p("ts"), b("bts"), Seq("bv")))
