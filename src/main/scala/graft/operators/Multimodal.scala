@@ -56,6 +56,47 @@ object Multimodal {
           .cast("double") / octet_length(col("payload")))
         .as("byte_mean"))
 
+  /** Frame sampling + "resize" over opaque binary payloads, as pure
+    * Catalyst expressions — the video/image analogs of
+    * [[featureColumns]] (a real deployment swaps the byte windows for
+    * codec output; the partitioning, schema, and per-frame row shape
+    * are the production plumbing):
+    *
+    *  - `nFrames` evenly-spaced fixed-width byte windows per payload
+    *    ("frame sample"): frame i starts at
+    *    `i * max(len - frameLen, 0) DIV (nFrames-1)`, one output ROW
+    *    per frame (arrays of frames would defeat per-frame filtering
+    *    and pushdown);
+    *  - a `thumbBytes`-wide deterministic downsample ("resize"): byte
+    *    j of the thumb is input byte `floor(j * len / thumbBytes)` —
+    *    stride sampling, the byte-level stand-in for nearest-neighbor
+    *    resize.
+    *
+    * Everything stays inside whole-stage codegen; both features are
+    * hex-encoded so the DuckDB oracle can mirror them byte-for-byte
+    * (`binary_frames` row). */
+  def frameColumns(binaryDocs: DataFrame, nFrames: Int = 4,
+      frameLen: Int = 8, thumbBytes: Int = 16): DataFrame = {
+    require(nFrames >= 2 && frameLen >= 1 && thumbBytes >= 1)
+    val n = octet_length(col("payload"))
+    binaryDocs
+      .select(col("doc_id"), col("payload"), n.as("__n"),
+        explode(sequence(lit(0L), lit(nFrames - 1L))).as("frame_no"))
+      .select(
+        col("doc_id"),
+        col("frame_no"),
+        expr(s"frame_no * greatest(__n - $frameLen, 0) DIV ${nFrames - 1}")
+          .as("frame_off"),
+        lower(hex(expr(s"substring(payload, " +
+          s"frame_no * greatest(__n - $frameLen, 0) DIV ${nFrames - 1} + 1, " +
+          s"$frameLen)"))).as("frame_hex"),
+        // floor over exact-in-double products (len ≤ ~1e8 ≪ 2^52)
+        array_join(transform(sequence(lit(0), lit(thumbBytes - 1)), j =>
+          lower(hex(substr(col("payload"),
+            floor(j.cast("double") * col("__n") / thumbBytes)
+              .cast("int") + 1, lit(1))))), "").as("thumb_hex"))
+  }
+
   /** Partition-parallel decode of a (doc_id, payload binary) relation:
     * the mapPartitions shape a REAL decoder (image/audio codec over the
     * raw bytes) needs — one payload in memory per task at a time, no

@@ -511,6 +511,20 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // L6: frame-sample + byte-downsample ("resize") over binary
+    // payloads — one row per sampled frame window plus a stride
+    // thumbnail, all Catalyst expressions (Multimodal.frameColumns);
+    // the same multi-byte probe doc rides along so the byte math is
+    // proven off-ASCII.
+    "binary_frames" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+        .unionAll(Seq((-1L, nonAsciiProbeText)).toDF("doc_id", "text"))
+      graft.operators.Multimodal.frameColumns(
+          docs.select($"doc_id", $"text".cast("binary").as("payload")))
+        .orderBy($"doc_id", $"frame_no")
+    }),
+
     // L6: multimodal relation — text metadata joined to its embedding
     // vector (doc_id ↔ vec_id), vector features computed in-line.
     "doc_embed_join" -> ((s: SparkSession, dir: String) => {
@@ -919,6 +933,26 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // byte-true frame/thumb mirror over the hex image of encode(text):
+    // frame i covers bytes [i*(n-8) DIV 3, +8); thumb byte j is input
+    // byte floor(j*n/16)
+    "binary_frames" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT -1, '$nonAsciiProbeText'),
+         |b AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |         octet_length(encode(text)) AS n
+         |  FROM src),
+         |f AS (SELECT doc_id, h, n, unnest(range(0, 4)) AS frame_no FROM b)
+         |SELECT doc_id,
+         |  CAST(frame_no AS BIGINT) AS frame_no,
+         |  CAST(frame_no * greatest(n - 8, 0) // 3 AS BIGINT) AS frame_off,
+         |  lower(substring(h, CAST(2 * (frame_no * greatest(n - 8, 0) // 3) + 1 AS INT), 16)) AS frame_hex,
+         |  lower(array_to_string(list_transform(range(0, 16), j ->
+         |    substring(h, CAST(2 * (j * n // 16) + 1 AS INT), 2)), '')) AS thumb_hex
+         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
 
     // budget contract mirror: per bucket keep the n*=15 smallest
     // members (smallest n with C(n,2) >= K=100), emit the first K
