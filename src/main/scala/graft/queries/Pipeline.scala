@@ -649,6 +649,21 @@ object Pipeline {
         .orderBy($"probe_id", $"rn")
     }),
 
+    // L1-adjacent: deterministic hash-based train/valid/test split
+    // (operators.Sampling) — md5-keyed thresholds, so the selection is
+    // retry-stable, partitioning-invariant, shuffle-free, and exactly
+    // replicable by the oracle (unlike rand()-based sampling).
+    "hash_split" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("split",
+          graft.operators.Sampling.splitLabel($"doc_id", 0.8, 0.1))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"lang", $"split")
+    }),
+
     // L2 guard rail: the candidate-pair budget, driver-checked. Docs
     // bucketed by a plain column (lang — ~100 members each at sf0.01,
     // C(100,2) ≈ 4950 pairs) run through fromBucketsBudgeted with
@@ -953,6 +968,26 @@ object Pipeline {
          |  lower(array_to_string(list_transform(range(0, 16), j ->
          |    substring(h, CAST(2 * (j * n // 16) + 1 AS INT), 2)), '')) AS thumb_hex
          |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+
+    // split mirror: same md5-prefix hash (folded from hex digits),
+    // same integer thresholds floor(0.8*2^32) / floor(0.9*2^32)
+    "hash_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5('split:v1:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS v
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN v < 3435973836 THEN 'train'
+        |         WHEN v < 3865470566 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM h)
+        |SELECT lang, split, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     // budget contract mirror: per bucket keep the n*=15 smallest
     // members (smallest n with C(n,2) >= K=100), emit the first K

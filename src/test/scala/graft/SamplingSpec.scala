@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash sampling: retry-stable, partitioning-invariant,
+  * uniform, and salt-decorrelated — the properties that make it the
+  * sampling primitive a 100 TB pipeline can re-run safely. */
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf).select($"doc_id")
+  private lazy val n = docs.count().toDouble
+
+  test("sample is deterministic and invariant under repartitioning") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hashSample(df, col("doc_id"), 0.5)
+        .select($"doc_id").as[Long].collect().toSet
+    val a = ids(docs)
+    assert(a == ids(docs), "re-run must select identical rows")
+    assert(a == ids(docs.repartition(7)),
+      "selection must not depend on physical layout")
+  }
+
+  test("sampled fraction is binomially plausible and salts decorrelate") {
+    val p = 0.5
+    val a = Sampling.hashSample(docs, col("doc_id"), p, "saltA:")
+      .select($"doc_id").as[Long].collect().toSet
+    // ~4 sigma binomial tolerance around p
+    val tol = 4 * math.sqrt(p * (1 - p) / n)
+    assert(math.abs(a.size / n - p) < tol, s"fraction ${a.size / n}")
+    val b = Sampling.hashSample(docs, col("doc_id"), p, "saltB:")
+      .select($"doc_id").as[Long].collect().toSet
+    // independent samples overlap near p^2, not near p
+    val overlap = (a & b).size / n
+    assert(math.abs(overlap - p * p) < 2 * tol, s"overlap $overlap")
+  }
+
+  test("split labels are exhaustive, disjoint, and near the fractions") {
+    val counts = docs
+      .withColumn("split", Sampling.splitLabel($"doc_id", 0.8, 0.1))
+      .groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(counts.values.sum == n.toLong, "every row gets exactly one label")
+    assert(math.abs(counts.getOrElse("train", 0L) / n - 0.8) < 0.1)
+    assert(math.abs(counts.getOrElse("valid", 0L) / n - 0.1) < 0.06)
+  }
+}
