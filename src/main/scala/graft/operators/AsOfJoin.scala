@@ -141,6 +141,50 @@ object AsOfJoin {
     asofNative(probe, build, probeKey, buildKey, probeTs, buildTs,
       payload, graft.plans.AsOfBuildSide.Merge)
 
+  /** [[asofNative]] hardened against probe-side key skew. AQE's
+    * runtime skew-splitting only rewrites Spark's own shuffle joins —
+    * a custom exec never benefits — so the skew lever here is explicit
+    * salting: probes spread over `saltBuckets` sub-partitions of their
+    * key (salt = hash of the probe timestamp — deterministic, no RNG),
+    * while the build side replicates into every sub-partition. Each
+    * (key, salt) partition then holds a 1/S slice of the hot key's
+    * probes plus ALL of its build rows, so the merge semantics are
+    * unchanged but no single task owns a hot key's whole probe stream.
+    * Build replication cost is S× the build (dimension-sized) side —
+    * the standard salting trade. */
+  def asofSalted(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: Column, buildKey: Column,
+      probeTs: Column, buildTs: Column,
+      payload: Seq[String],
+      saltBuckets: Int = 8): DataFrame = {
+    require(saltBuckets >= 2, s"saltBuckets must be >= 2, got $saltBuckets")
+    import graft.plans.{AsOfBuildSide, AsOfJoinPlan, GraftExtensions}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.{GraftFunctions => F}
+    val spark = probe.sparkSession
+    GraftExtensions.ensureRegistered(spark)
+    val p = probe.withColumn("__asof_salt",
+      pmod(F.fnv1a(probeTs), lit(saltBuckets.toLong)).cast("int"))
+    val b = build.select(
+        buildKey.as("__asof_k") +: buildTs.as("__asof_ts") +:
+          payload.map(col): _*)
+      .withColumn("__asof_salt",
+        explode(sequence(lit(0), lit(saltBuckets - 1))))
+    val lPlan = Bridge.analyzed(p)
+    val rPlan = Bridge.analyzed(b)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = plan.output.find(_.name == name).get
+    val plan = AsOfJoinPlan(lPlan, rPlan,
+      Seq(Bridge.expression(probeKey), attr(lPlan, "__asof_salt")),
+      Seq(attr(rPlan, "__asof_k"), attr(rPlan, "__asof_salt")),
+      Bridge.expression(probeTs), attr(rPlan, "__asof_ts"),
+      AsOfBuildSide.Merge)
+    Bridge.ofRows(spark, plan)
+      .drop("__asof_k", "__asof_ts", "__asof_salt")
+  }
+
   /** SQL surface (SURVEY J9): registers the table-valued function
     *
     * {{{

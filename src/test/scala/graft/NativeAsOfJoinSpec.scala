@@ -182,6 +182,34 @@ class NativeAsOfJoinSpec extends SparkSuite {
     }
   }
 
+  test("salted as-of matches the merge exec and spreads a hot probe key") {
+    // every probe shares ONE key — the shape AQE cannot split for a
+    // custom exec; salting must give identical results while the plan
+    // partitions on (key, salt)
+    val probe = spark.range(0, 5000).select(lit(1L).as("k"),
+      ($"id" % 997).cast("int").as("ts"), $"id".as("pv"))
+    val build = Seq((1L, 10, "a"), (1L, 500, "b"), (2L, 3, "z"))
+      .toDF("bk", "bts", "v")
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"ts", $"pv", $"v").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3))).sortBy(t => (t._3, t._2))
+    val salted = AsOfJoin.asofSalted(probe, build,
+      probe("k"), build("bk"), probe("ts"), build("bts"), Seq("v"),
+      saltBuckets = 8)
+    val probe2 = spark.range(0, 5000).select(lit(1L).as("k"),
+      ($"id" % 997).cast("int").as("ts"), $"id".as("pv"))
+    val merge = AsOfJoin.asofMerge(probe2, build,
+      probe2("k"), build("bk"), probe2("ts"), build("bts"), Seq("v"))
+    assert(sortedRows(salted).toSeq == sortedRows(merge).toSeq)
+    // before-first and no-key probes stay null-extended through salting
+    assert(sortedRows(salted).count(_._4 == null) ==
+      sortedRows(merge).count(_._4 == null))
+    val exec = salted.queryExecution.executedPlan.toString
+    assert(exec.contains("__asof_salt"),
+      s"salt must reach the exchange keys:\n${exec.take(2000)}")
+  }
+
   test("key/time type mismatch fails loudly at construction") {
     val probe = Seq((1, 5)).toDF("k", "ts") // int key
     val build = Seq((1L, 10, "a")).toDF("bk", "bts", "v") // long key
