@@ -94,22 +94,42 @@ object AsOfJoin {
       probeTs: Column, buildTs: Column,
       payload: Seq[String],
       buildSide: graft.plans.AsOfBuildSide = graft.plans.AsOfBuildSide.Auto)
-      : DataFrame = {
+      : DataFrame =
+    planNative(probe, build, probeKey, buildKey, probeTs, buildTs,
+      payload, extraKeys = Nil, buildSide)
+
+  /** Single construction path for every native spelling: projects the
+    * build side to `(__asof_k, __asof_ts, payload…, extraKeys…)`,
+    * builds the [[graft.plans.AsOfJoinPlan]] with
+    * `(probeKey, extraKeys…)` vs `(__asof_k, extraKeys…)` as the
+    * clustering keys, and drops the bookkeeping columns. `extraKeys`
+    * must already exist under the same name on BOTH sides (the salt
+    * column in [[asofSalted]]). */
+  private def planNative(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: Column, buildKey: Column,
+      probeTs: Column, buildTs: Column,
+      payload: Seq[String],
+      extraKeys: Seq[String],
+      buildSide: graft.plans.AsOfBuildSide): DataFrame = {
     import graft.plans.{AsOfJoinPlan, GraftExtensions}
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = probe.sparkSession
     GraftExtensions.ensureRegistered(spark)
     val b = build.select(
       buildKey.as("__asof_k") +: buildTs.as("__asof_ts") +:
-        payload.map(col): _*)
+        (payload ++ extraKeys).map(col): _*)
     val lPlan = Bridge.analyzed(probe)
     val rPlan = Bridge.analyzed(b)
-    val rKey = rPlan.output.find(_.name == "__asof_k").get
-    val rTs = rPlan.output.find(_.name == "__asof_ts").get
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = plan.output.find(_.name == name).get
     val plan = AsOfJoinPlan(lPlan, rPlan,
-      Seq(Bridge.expression(probeKey)), Seq(rKey),
-      Bridge.expression(probeTs), rTs, buildSide)
-    Bridge.ofRows(spark, plan).drop("__asof_k", "__asof_ts")
+      Bridge.expression(probeKey) +: extraKeys.map(attr(lPlan, _)),
+      attr(rPlan, "__asof_k") +: extraKeys.map(attr(rPlan, _)),
+      Bridge.expression(probeTs), attr(rPlan, "__asof_ts"), buildSide)
+    Bridge.ofRows(spark, plan)
+      .drop("__asof_k" +: "__asof_ts" +: extraKeys: _*)
   }
 
   /** [[asofNative]] with the build side forced broadcast: zero shuffle
@@ -145,44 +165,38 @@ object AsOfJoin {
     * runtime skew-splitting only rewrites Spark's own shuffle joins —
     * a custom exec never benefits — so the skew lever here is explicit
     * salting: probes spread over `saltBuckets` sub-partitions of their
-    * key (salt = hash of the probe timestamp — deterministic, no RNG),
-    * while the build side replicates into every sub-partition. Each
-    * (key, salt) partition then holds a 1/S slice of the hot key's
-    * probes plus ALL of its build rows, so the merge semantics are
-    * unchanged but no single task owns a hot key's whole probe stream.
-    * Build replication cost is S× the build (dimension-sized) side —
-    * the standard salting trade. */
+    * key, while the build side replicates into every sub-partition.
+    * Each (key, salt) partition then holds a 1/S slice of the hot
+    * key's probes plus ALL of its build rows, so the merge semantics
+    * are unchanged but no single task owns a hot key's whole probe
+    * stream. Build replication cost is S× the build (dimension-sized)
+    * side — the standard salting trade.
+    *
+    * The salt is `fnv1a(saltOn…) mod S` — deterministic, no RNG. It
+    * spreads a hot key only as far as the salt inputs have distinct
+    * values ON THAT KEY: the default (`probeTs`) is right for
+    * event-time probes, but a snapshot-stamped batch (every probe
+    * sharing one timestamp) would land in a single bucket and pay the
+    * S× build replication for nothing. For such shapes pass a
+    * higher-entropy `saltOn` (e.g. the probe's id column). */
   def asofSalted(
       probe: DataFrame,
       build: DataFrame,
       probeKey: Column, buildKey: Column,
       probeTs: Column, buildTs: Column,
       payload: Seq[String],
-      saltBuckets: Int = 8): DataFrame = {
+      saltBuckets: Int = 8,
+      saltOn: Seq[Column] = Nil): DataFrame = {
     require(saltBuckets >= 2, s"saltBuckets must be >= 2, got $saltBuckets")
-    import graft.plans.{AsOfBuildSide, AsOfJoinPlan, GraftExtensions}
-    import org.apache.spark.sql.graftbridge.Bridge
     import graft.functions.{GraftFunctions => F}
-    val spark = probe.sparkSession
-    GraftExtensions.ensureRegistered(spark)
+    val saltInputs = if (saltOn.nonEmpty) saltOn else Seq(probeTs)
     val p = probe.withColumn("__asof_salt",
-      pmod(F.fnv1a(probeTs), lit(saltBuckets.toLong)).cast("int"))
-    val b = build.select(
-        buildKey.as("__asof_k") +: buildTs.as("__asof_ts") +:
-          payload.map(col): _*)
-      .withColumn("__asof_salt",
-        explode(sequence(lit(0), lit(saltBuckets - 1))))
-    val lPlan = Bridge.analyzed(p)
-    val rPlan = Bridge.analyzed(b)
-    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        name: String) = plan.output.find(_.name == name).get
-    val plan = AsOfJoinPlan(lPlan, rPlan,
-      Seq(Bridge.expression(probeKey), attr(lPlan, "__asof_salt")),
-      Seq(attr(rPlan, "__asof_k"), attr(rPlan, "__asof_salt")),
-      Bridge.expression(probeTs), attr(rPlan, "__asof_ts"),
-      AsOfBuildSide.Merge)
-    Bridge.ofRows(spark, plan)
-      .drop("__asof_k", "__asof_ts", "__asof_salt")
+      pmod(F.fnv1a(saltInputs: _*), lit(saltBuckets.toLong)).cast("int"))
+    val b = build.withColumn("__asof_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    planNative(p, b, probeKey, buildKey, probeTs, buildTs,
+      payload, extraKeys = Seq("__asof_salt"),
+      graft.plans.AsOfBuildSide.Merge)
   }
 
   /** SQL surface (SURVEY J9): registers the table-valued function

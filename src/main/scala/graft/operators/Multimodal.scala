@@ -72,9 +72,14 @@ object Multimodal {
     *    stride sampling, the byte-level stand-in for nearest-neighbor
     *    resize.
     *
-    * Everything stays inside whole-stage codegen; both features are
-    * hex-encoded so the DuckDB oracle can mirror them byte-for-byte
-    * (`binary_frames` row). */
+    * The frame columns (`expr` over substring/DIV) run inside
+    * whole-stage codegen; `thumb_hex`'s `transform` lambda is the one
+    * interpreted piece — higher-order-function lambdas never codegen —
+    * but it is bounded at `thumbBytes` (16) substr+hex evaluations per
+    * row, not a per-byte loop, so it is not the ShingleHashSet-style
+    * hot-loop trap (swap in a custom Expression if a profile ever says
+    * otherwise). Both features are hex-encoded so the DuckDB oracle
+    * can mirror them byte-for-byte (`binary_frames` row). */
   def frameColumns(binaryDocs: DataFrame, nFrames: Int = 4,
       frameLen: Int = 8, thumbBytes: Int = 16): DataFrame = {
     require(nFrames >= 2 && frameLen >= 1 && thumbBytes >= 1)

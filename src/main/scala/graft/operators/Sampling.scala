@@ -21,14 +21,29 @@ import org.apache.spark.sql.functions._
   * (unlike the reference fnv1a identity) and its avalanche makes the
   * top 32 bits uniform regardless of key distribution. The salt
   * decorrelates independent samples/splits drawn from the same keys.
+  *
+  * Null-key policy: a NULL key hashes as the sentinel string `"\\u0000"`
+  * (a NUL byte — no numeric/date cast produces it, and text keys
+  * containing NUL are already pathological), so null-keyed rows are
+  * KEPT and all
+  * land together — on one deterministic side of every threshold, in
+  * one split — exactly like any other single key value. Without the
+  * sentinel, `md5(concat(salt, NULL))` is NULL and `NULL < t` drops
+  * the row from every sample (even `fraction = 1.0`) while
+  * `splitLabel`'s `otherwise` branch funnels it to "test" — two
+  * silently different policies. Keys with nulls still deserve a
+  * second look (all their rows move as one block); prefer a non-null
+  * key when per-row independence matters.
   */
 object Sampling {
 
   private val Bits32 = 4294967296L // 2^32
 
-  /** Uniform value in [0, 2^32) derived from `salt ∥ key`. */
+  /** Uniform value in [0, 2^32) derived from `salt ∥ key`; NULL keys
+    * hash via the `"\\u0000"` sentinel (see the null-key policy above). */
   def keyHash32(key: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+    conv(substring(md5(concat(lit(salt),
+      coalesce(key.cast("string"), lit("\u0000")))), 1, 8), 16, 10)
       .cast("long")
 
   /** Keep rows whose keyed hash falls under `fraction` — a

@@ -27,7 +27,8 @@ class AqeSkewJoinSpec extends SparkSuite {
       // of the (small) agg input in exchange for unblocking the hot
       // reducer, the right trade whenever one key dominates
       "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true") {
-      // one hot key (~100k rows) among 100 cold keys (~100 each)
+      // one hot key (50k rows: ids < 50000) among 100 cold keys
+      // (500 rows each: ids 50000..99999 over id % 100 + 1) —
       // md5 payload keeps the shuffle bytes incompressible, so the
       // hot partition's size is visible to the skew thresholds
       val fact = spark.range(0, 100000).select(

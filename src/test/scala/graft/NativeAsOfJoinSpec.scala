@@ -210,6 +210,35 @@ class NativeAsOfJoinSpec extends SparkSuite {
       s"salt must reach the exchange keys:\n${exec.take(2000)}")
   }
 
+  test("saltOn spreads a snapshot-stamped hot key that ts-salting can't") {
+    // every probe shares ONE key AND one timestamp (a snapshot-stamped
+    // batch — exactly the shape that produces a hot key): the default
+    // ts-derived salt is constant there, so the caller salts on the
+    // probe id instead. Results must still match the merge exec, and
+    // the id salt must actually fan out over >1 bucket.
+    val probe = spark.range(0, 2000).select(lit(1L).as("k"),
+      lit(100).as("ts"), $"id".as("pv"))
+    val build = Seq((1L, 10, "a"), (1L, 500, "b")).toDF("bk", "bts", "v")
+    val salted = AsOfJoin.asofSalted(probe, build,
+      probe("k"), build("bk"), probe("ts"), build("bts"), Seq("v"),
+      saltBuckets = 8, saltOn = Seq(probe("pv")))
+    val got = salted.select($"pv", $"v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 2000 && got.values.forall(_ == "a"),
+      "every probe floors to the ts=10 build row")
+    // the salt expression itself fans out (ts-only salting would not)
+    import graft.functions.{GraftFunctions => F}
+    val buckets = probe.select(
+        pmod(F.fnv1a($"pv"), lit(8L)).cast("int").as("s"))
+      .distinct().count()
+    val tsBuckets = probe.select(
+        pmod(F.fnv1a($"ts"), lit(8L)).cast("int").as("s"))
+      .distinct().count()
+    assert(buckets == 8, s"id salt must use all buckets, got $buckets")
+    assert(tsBuckets == 1, "constant ts collapses the default salt " +
+      "(the documented precondition this test pins)")
+  }
+
   test("key/time type mismatch fails loudly at construction") {
     val probe = Seq((1, 5)).toDF("k", "ts") // int key
     val build = Seq((1L, 10, "a")).toDF("bk", "bts", "v") // long key

@@ -36,6 +36,34 @@ class SamplingSpec extends SparkSuite {
     assert(math.abs(overlap - p * p) < 2 * tol, s"overlap $overlap")
   }
 
+  test("null keys are kept, deterministic, and consistent across primitives") {
+    // null-key policy: rows are never silently dropped — a NULL key
+    // hashes via the sentinel, so fraction=1.0 is the identity sample
+    // and hashSample/splitLabel agree on where null-key rows go
+    val df = Seq(Some(1L), Some(2L), None, None)
+      .toDF("k")
+    assert(Sampling.hashSample(df, col("k"), 1.0).count() == 4,
+      "fraction=1.0 must keep null-key rows")
+    assert(Sampling.hashSample(df, col("k"), 0.0).count() == 0)
+    // all null-key rows share one hash → one side of any threshold
+    val nullHashes = df.filter($"k".isNull)
+      .select(Sampling.keyHash32(col("k"), "sample:").as("h"))
+      .as[Long].collect().toSet
+    assert(nullHashes.size == 1, s"null keys must hash alike: $nullHashes")
+    // splitLabel routes null-key rows by the SAME hash as hashSample:
+    // the label is whichever band the sentinel hash falls in, not a
+    // hardcoded bucket
+    val h = nullHashes.head
+    val expected =
+      if (h < math.floor(0.8 * 4294967296L).toLong) "train"
+      else if (h < math.floor(0.9 * 4294967296L).toLong) "valid"
+      else "test"
+    val labels = df.filter($"k".isNull)
+      .select(Sampling.splitLabel($"k", 0.8, 0.1, "sample:").as("s"))
+      .as[String].collect().toSet
+    assert(labels == Set(expected), s"labels $labels != $expected")
+  }
+
   test("split labels are exhaustive, disjoint, and near the fractions") {
     val counts = docs
       .withColumn("split", Sampling.splitLabel($"doc_id", 0.8, 0.1))
