@@ -164,6 +164,45 @@ object Pipeline {
     (-3L, "de", "der hund und die katze sehen das auto und der mann liest das buch"),
     (-2L, "es", "el perro corre por la playa y la casa de el sol es de la madre"))
 
+  /** Multi-line probe docs unioned into `line_dedup` AND its oracle:
+    * the synthetic corpus has no newlines (each doc is one unique
+    * line), so these carry the mechanism — a boilerplate line shared
+    * by three docs (once with padding, pinning trim-normalized
+    * matching), an all-boilerplate doc (must survive as empty text,
+    * not vanish), and an empty line (kept: one doc only). (No single
+    * quotes: interpolated into SQL via [[sqlText]].) */
+  private[queries] val boilerplateProbes: Seq[(Long, String)] = Seq(
+    (-14L, "unique alpha content line\nsubscribe to our newsletter\nmore alpha thoughts"),
+    (-13L, "  subscribe to our newsletter  \nunique beta content line"),
+    (-12L, "subscribe to our newsletter"),
+    (-11L, "solo gamma line\n\nsolo delta line"))
+
+  /** PII probe docs unioned into `pii_redact` AND its oracle — the
+    * corpus is PII-free word salad, so these pin each pattern, the
+    * fixed replacement order, and multi-match counting. (No single
+    * quotes.) */
+  private[queries] val piiProbes: Seq[(Long, String)] = Seq(
+    (-24L, "contact alice.smith+spam@example.com or bob_x@sub.domain.org today"),
+    (-23L, "server at 192.168.0.1 and 10.0.0.255 port logs"),
+    (-22L, "call +1 555-123-4567 or 555 987 6543 now"),
+    (-21L, "mixed a@b.co 127.0.0.1 555-000-1111 end"))
+
+  /** Degenerate-shape probes for `repetition_stats`: a one-token doc
+    * (no bigrams — the guard branch) and a highly repetitive doc (the
+    * signal the metric exists to catch). */
+  private[queries] val repetitionProbes: Seq[(Long, String)] = Seq(
+    (-32L, "solo"),
+    (-31L, "spam spam spam spam ham"))
+
+  /** A Scala string as a DuckDB SQL literal, newlines spliced as
+    * `chr(10)` (texts must not contain single quotes). */
+  private def sqlText(s: String): String =
+    "'" + s.replace("\n", "' || chr(10) || '") + "'"
+
+  /** `(id, text)` probe rows as a SQL VALUES list. */
+  private def sqlProbeValues(ps: Seq[(Long, String)]): String =
+    ps.map { case (id, t) => s"($id, ${sqlText(t)})" }.mkString(", ")
+
   /** The first `bands·bits` hyperplanes, row-major-flattened for the
     * one-pass [[graft.functions.SignBandKeys]] codegen kernel (which
     * replaced the interpreted transform-over-planes + per-band
@@ -680,6 +719,64 @@ object Pipeline {
           bucketCap = 64, maxPairsPerBucket = 100L)
         .pairs.orderBy($"doc_a", $"doc_b")
     }),
+
+    // L-curation: C4-style cross-corpus boilerplate line removal
+    // (operators.TextCleanup.dropBoilerplateLines). Shuffles are keyed
+    // by the 128-bit line fingerprint, the hot-line set broadcasts,
+    // and all-boilerplate docs survive as empty text — the probe docs
+    // carry the mechanism (the corpus has no newlines).
+    "line_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+        .unionAll(boilerplateProbes.toDF("doc_id", "text"))
+      graft.operators.TextCleanup.dropBoilerplateLines(docs, minDocs = 2)
+        .orderBy($"doc_id")
+    }),
+
+    // L-curation: PII redaction + audit counts — a narrow per-row
+    // projection (no shuffle, codegen'd regex), patterns restricted to
+    // the Java/RE2-identical regex subset so the oracle runs the SAME
+    // patterns. Counts are over the original text; replacement order
+    // (email, ip, phone) is part of the contract.
+    "pii_redact" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.TextCleanup
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+        .unionAll(piiProbes.toDF("doc_id", "text"))
+      docs.select($"doc_id" +:
+          TextCleanup.redactPii($"text").as("clean_text") +:
+          TextCleanup.piiCounts($"text"): _*)
+        .orderBy($"doc_id")
+    }),
+
+    // L-quality: Gopher-style repetition signals — top-token fraction
+    // (explode + two keyed aggregations, both map-side combinable) and
+    // duplicate-bigram fraction (pure array expressions, no shuffle at
+    // all). Repetitive docs are the classic low-quality stratum a
+    // curation pass filters before training.
+    "repetition_stats" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+        .unionAll(repetitionProbes.toDF("doc_id", "text"))
+      val toks = docs.select($"doc_id", split($"text", " ").as("toks"))
+      val top = toks
+        .select($"doc_id", explode($"toks").as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("n"))
+        .groupBy($"doc_id")
+        .agg(q6(max($"n").cast("double") / sum($"n")).as("top_token_frac"))
+      val bg = toks.select($"doc_id",
+        when(size($"toks") < 2, lit(0.0)).otherwise(
+          q6(lit(1.0) -
+            size(array_distinct(transform(
+              sequence(lit(0), size($"toks") - 2),
+              i => concat(element_at($"toks", i + 1), lit(" "),
+                element_at($"toks", i + 2))))).cast("double") /
+            (size($"toks") - 1)))
+          .as("dup_bigram_frac"))
+      top.join(bg, Seq("doc_id"))
+        .select($"doc_id", $"top_token_frac", $"dup_bigram_frac")
+        .orderBy($"doc_id")
+    }),
   )
 
   /** Learned IVF centroids per sf dir — computed once (deterministic
@@ -1004,6 +1101,68 @@ object Pipeline {
         |  FROM k a JOIN k b ON a.lang = b.lang AND b.rk > a.rk)
         |SELECT DISTINCT doc_a, doc_b FROM p WHERE pr <= 100
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // boilerplate mirror: hot = trimmed lines in >= 2 distinct docs
+    // (the engine groups by the line's 128-bit fingerprint instead of
+    // the string — same partition of lines, collisions aside at ~2e-20)
+    "line_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES ${sqlProbeValues(boilerplateProbes)}) p(doc_id, text)),
+         |l AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+         |    unnest(string_split(text, chr(10))) AS line
+         |  FROM d),
+         |hot AS (
+         |  SELECT trim(line) AS lkey FROM l
+         |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+         |kept AS (SELECT * FROM l WHERE trim(line) NOT IN (SELECT lkey FROM hot)),
+         |o AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct,
+         |    COUNT(*) AS nk
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(o.ct, '') AS clean_text,
+         |  CAST(COALESCE(o.nk, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(string_split(d.text, chr(10))) - COALESCE(o.nk, 0) AS BIGINT) AS n_dropped
+         |FROM d LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // identical Java/RE2-subset patterns, identical replacement order;
+    // DuckDB regexp_replace needs the explicit 'g' flag
+    "pii_redact" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES ${sqlProbeValues(piiProbes)}) p(doc_id, text))
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${graft.operators.TextCleanup.EmailRe}', '[EMAIL]', 'g'),
+         |    '${graft.operators.TextCleanup.Ipv4Re}', '[IP]', 'g'),
+         |    '${graft.operators.TextCleanup.PhoneRe}', '[PHONE]', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(text, '${graft.operators.TextCleanup.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${graft.operators.TextCleanup.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${graft.operators.TextCleanup.PhoneRe}')) AS BIGINT) AS n_phones
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "repetition_stats" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES ${sqlProbeValues(repetitionProbes)}) p(doc_id, text)),
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+         |t AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+         |c AS (SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY 1, 2),
+         |top AS (
+         |  SELECT doc_id, ${sqlQ6("CAST(MAX(n) AS DOUBLE) / SUM(n)")} AS top_token_frac
+         |  FROM c GROUP BY 1),
+         |bg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 2 THEN 0.0 ELSE ${sqlQ6(
+             "1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)), " +
+               "i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1)")} END
+         |      AS dup_bigram_frac
+         |  FROM tk)
+         |SELECT top.doc_id, top_token_frac, dup_bigram_frac
+         |FROM top JOIN bg ON top.doc_id = bg.doc_id
+         |ORDER BY top.doc_id""".stripMargin,
 
     // positional (NON-distinct) 3-grams — unlike the dedup CTE
     "shingle_vocab" ->
