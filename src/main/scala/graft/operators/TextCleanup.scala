@@ -46,9 +46,15 @@ object TextCleanup {
     *    magnitude smaller than the corpus — so AQE turns the
     *    left_anti join into a broadcast join at runtime; no second
     *    full-corpus shuffle for the filter;
-    *  - reassembly is one hash aggregation on doc_id with a bounded
-    *    per-group state (the document's own lines), map-side
-    *    combinable like any collect_list.
+    *  - all-boilerplate documents are preserved WITHOUT a second
+    *    corpus-wide join: one sentinel row per doc (pos = −1,
+    *    carrying the original line count) rides the same doc_id
+    *    aggregation, so the reassembly is one union + one hash
+    *    aggregation with bounded per-group state (the document's own
+    *    lines), map-side combinable like any collect_list — a
+    *    plan-shape choice: the naive `docs LEFT JOIN reassembled`
+    *    spelling shuffles two corpus-sized relations just to
+    *    resurrect the rare empty doc.
     */
   def dropBoilerplateLines(docs: DataFrame, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
@@ -62,20 +68,24 @@ object TextCleanup {
       .filter(col("nd") >= minDocs)
       .select(col("fp1"), col("fp2"))
     val kept = lines.join(hot, Seq("fp1", "fp2"), "left_anti")
-    val reassembled = kept.groupBy(col("doc_id"))
+      .select(col("doc_id"), col("pos"), col("line"),
+        lit(null).cast("long").as("nl"))
+    val sentinels = docs.select(col("doc_id"), lit(-1).as("pos"),
+      lit(null).cast("string").as("line"),
+      size(split(col("text"), "\n")).cast("long").as("nl"))
+    kept.unionAll(sentinels)
+      .groupBy(col("doc_id"))
       .agg(
         concat_ws("\n",
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          transform(
+            array_sort(collect_list( // when(){no otherwise} is null on
+              when(col("pos") >= 0, // the sentinel → collect_list skips it
+                struct(col("pos"), col("line"))))),
             x => x.getField("line"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    docs
-      .select(col("doc_id"),
-        size(split(col("text"), "\n")).cast("long").as("__n_lines"))
-      .join(reassembled, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        count(when(col("pos") >= 0, lit(1))).as("n_kept"),
+        max(col("nl")).as("__n_lines"))
+      .select(col("doc_id"), col("clean_text"), col("n_kept"),
+        (col("__n_lines") - col("n_kept")).as("n_dropped"))
   }
 
   /** PII patterns — deliberately restricted to the regex subset with
