@@ -777,6 +777,18 @@ object Pipeline {
         .select($"doc_id", $"top_token_frac", $"dup_bigram_frac")
         .orderBy($"doc_id")
     }),
+
+    // L-prep: overlapping token-window chunking — the corpus-to-
+    // training-rows step. Pure Generate + array slicing: zero
+    // shuffle, bounded amplification, the documents relation never
+    // moves (operators.Chunking).
+    "doc_chunks" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Chunking.chunkDocs(
+          Tables.documents(s, dir).select($"doc_id", $"text"),
+          maxTokens = 16, overlap = 4)
+        .orderBy($"doc_id", $"chunk_id")
+    }),
   )
 
   /** Learned IVF centroids per sf dir — computed once (deterministic
@@ -1163,6 +1175,23 @@ object Pipeline {
          |SELECT top.doc_id, top_token_frac, dup_bigram_frac
          |FROM top JOIN bg ON top.doc_id = bg.doc_id
          |ORDER BY top.doc_id""".stripMargin,
+
+    // window math mirror: stride 12 = 16 - 4; integer-exact ceil-div;
+    // DuckDB list slicing is 1-based inclusive vs Spark slice(start,
+    // length) — same token spans
+    "doc_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, GREATEST((n - 4 + 12 - 1) // 12, 1))) AS chunk_id
+        |  FROM tk)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[chunk_id*12+1 : LEAST(chunk_id*12+16, n)], ' ') AS chunk_text,
+        |  CAST(LEAST(chunk_id*12+16, n) - chunk_id*12 AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // positional (NON-distinct) 3-grams — unlike the dedup CTE
     "shingle_vocab" ->
