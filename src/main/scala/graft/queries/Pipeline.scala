@@ -789,6 +789,29 @@ object Pipeline {
           maxTokens = 16, overlap = 4)
         .orderBy($"doc_id", $"chunk_id")
     }),
+
+    // The composed headline pass: corpus → model-ready training rows.
+    // Boilerplate line removal → PII redaction → minimum-length gate →
+    // overlapping chunking, each stage oracle-proven standalone
+    // (line_dedup, pii_redact, doc_chunks); this row proves the
+    // COMPOSITION — the plan is still one distinct-agg + one broadcast
+    // anti join + one doc_id agg followed by shuffle-free projections
+    // and a Generate. Both probe families ride along so every stage
+    // actually fires.
+    "training_rows" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.{Chunking, TextCleanup}
+      val base = Tables.documents(s, dir).select($"doc_id", $"text")
+        .unionAll(boilerplateProbes.toDF("doc_id", "text"))
+        .unionAll(piiProbes.toDF("doc_id", "text"))
+      val cleaned = TextCleanup.dropBoilerplateLines(base, minDocs = 2)
+        .select($"doc_id",
+          TextCleanup.redactPii(
+            regexp_replace($"clean_text", "\n", " ")).as("text"))
+        .filter(size(split($"text", " ")) >= 5)
+      Chunking.chunkDocs(cleaned, maxTokens = 16, overlap = 4)
+        .orderBy($"doc_id", $"chunk_id")
+    }),
   )
 
   /** Learned IVF centroids per sf dir — computed once (deterministic
@@ -1192,6 +1215,47 @@ object Pipeline {
         |  array_to_string(toks[chunk_id*12+1 : LEAST(chunk_id*12+16, n)], ' ') AS chunk_text,
         |  CAST(LEAST(chunk_id*12+16, n) - chunk_id*12 AS BIGINT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the composed pass: line-dedup CTEs (over corpus + BOTH probe
+    // families) → redaction → length gate → chunk-window math, each
+    // mirrored from its standalone oracle above
+    "training_rows" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES ${sqlProbeValues(boilerplateProbes)}) p1(doc_id, text)
+         |  UNION ALL SELECT * FROM (VALUES ${sqlProbeValues(piiProbes)}) p2(doc_id, text)),
+         |l AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+         |    unnest(string_split(text, chr(10))) AS line
+         |  FROM d),
+         |hot AS (
+         |  SELECT trim(line) AS lkey FROM l
+         |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+         |kept AS (SELECT * FROM l WHERE trim(line) NOT IN (SELECT lkey FROM hot)),
+         |o AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct
+         |  FROM kept GROUP BY doc_id),
+         |r AS (
+         |  SELECT d.doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(
+         |      replace(COALESCE(o.ct, ''), chr(10), ' '),
+         |      '${graft.operators.TextCleanup.EmailRe}', '[EMAIL]', 'g'),
+         |      '${graft.operators.TextCleanup.Ipv4Re}', '[IP]', 'g'),
+         |      '${graft.operators.TextCleanup.PhoneRe}', '[PHONE]', 'g') AS text
+         |  FROM d LEFT JOIN o USING (doc_id)),
+         |tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM r WHERE len(string_split(text, ' ')) >= 5),
+         |c AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(range(0, GREATEST((n - 4 + 12 - 1) // 12, 1))) AS chunk_id
+         |  FROM tk)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  array_to_string(toks[chunk_id*12+1 : LEAST(chunk_id*12+16, n)], ' ') AS chunk_text,
+         |  CAST(LEAST(chunk_id*12+16, n) - chunk_id*12 AS BIGINT) AS n_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // positional (NON-distinct) 3-grams — unlike the dedup CTE
     "shingle_vocab" ->
