@@ -22,6 +22,13 @@ object Fnv1aCore {
   final val OffsetBasis: Long = 0xcbf29ce484222325L
   final val Prime: Long = 0x100000001b3L
 
+  /** Engine-wide second-fingerprint-lane seed (the 64-bit golden-ratio
+    * odd constant): `fnv1a_seeded(Lane2Seed, x)` is every operator's
+    * second lane of the 128-bit content identity — exact dedup, line
+    * dedup — and the MinHash seed-schedule multiplier. ONE definition
+    * so the cross-module identity cannot silently diverge. */
+  final val Lane2Seed: Long = 0x9e3779b97f4a7c15L
+
   def iterate(state: Long, b: Byte): Long = (state ^ (b & 0xffL)) * Prime
 
   def hashBytes(bytes: Array[Byte], state0: Long): Long = {

@@ -22,19 +22,40 @@ import org.apache.spark.sql.functions._
   * with NO shuffle at all; output rows inherit the input partitioning
   * and the amplification factor is bounded by `n / stride + 1` per
   * doc. The `documents`-sized relation never moves.
+  *
+  * Null policy: a NULL text chunks as the empty string (one chunk,
+  * one empty token — same as an empty doc). Without the coalesce,
+  * Spark's null-SKIPPING `greatest`/`least` would emit a phantom
+  * chunk claiming `maxTokens` tokens of null text, silently
+  * corrupting any token accounting downstream.
   */
 object Chunking {
 
   /** @param docs      (doc_id, text) relation
     * @param maxTokens window size in whitespace tokens
-    * @param overlap   tokens shared by consecutive windows */
-  def chunkDocs(docs: DataFrame, maxTokens: Int, overlap: Int): DataFrame = {
+    * @param overlap   tokens shared by consecutive windows
+    * @param minTokens drop docs with fewer whitespace tokens BEFORE
+    *                  chunking — the curation length gate. Expressed
+    *                  as a separator COUNT (`length − length(sans
+    *                  spaces) + 1`), not a second `split`: token
+    *                  count equals spaces+1 identically, the scalar
+    *                  predicate pushes to the scan, and the corpus is
+    *                  tokenized exactly once in the projection above
+    *                  it (a `size(split(...))` gate looks cheaper but
+    *                  predicate pushdown inlines it below the toks
+    *                  projection and every surviving row splits
+    *                  twice — spec-pinned) */
+  def chunkDocs(docs: DataFrame, maxTokens: Int, overlap: Int,
+      minTokens: Int = 1): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens), got $overlap")
     val stride = maxTokens - overlap
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val text = coalesce(col("text"), lit(""))
+    val gated = if (minTokens <= 1) docs else docs.filter(
+      length(text) - length(translate(text, " ", "")) + 1 >= minTokens)
+    gated
+      .select(col("doc_id"), split(text, " ").as("toks"))
       .withColumn("__n", size(col("toks")))
       .withColumn("chunk_id",
         explode(sequence(lit(0L),

@@ -18,10 +18,9 @@ import graft.functions.{GraftFunctions => F}
   */
 object TextCleanup {
 
-  /** Second fingerprint lane — same constant as the exact-dedup
-    * queries (golden-ratio odd multiplier), so a line fingerprint is
-    * the same 128-bit identity everywhere in the engine. */
-  private val Lane2Seed: Long = 0x9e3779b97f4a7c15L
+  /** Second fingerprint lane — the engine-wide constant, so a line
+    * fingerprint is the same 128-bit identity everywhere. */
+  private val Lane2Seed: Long = graft.functions.Fnv1aCore.Lane2Seed
 
   /** Remove every line that occurs (trimmed-identical) in at least
     * `minDocs` DISTINCT documents — cross-corpus boilerplate
@@ -36,11 +35,18 @@ object TextCleanup {
     * `n_dropped`.
     *
     * Scale shape (the 100 TB pass this is designed as):
-    *  - lines are exploded once and every shuffle is keyed by the
-    *    128-bit two-lane fnv1a fingerprint of the trimmed line, not
-    *    the line text — shuffle bytes per line are 16 + payload
-    *    only where payload must travel (same birthday bound as the
-    *    exact-dedup row: ~2⁻⁶⁴ at 10¹⁰ distinct lines);
+    *  - every shuffle is keyed by the 128-bit two-lane fnv1a
+    *    fingerprint of the trimmed line, not the line text — shuffle
+    *    bytes per line are 16 + payload only where payload must
+    *    travel (same birthday bound as the exact-dedup row: ~2⁻⁶⁴ at
+    *    10¹⁰ distinct lines). The corpus IS scanned and exploded
+    *    twice (hot-set aggregation + kept side; Spark reuses
+    *    exchanges, not scans — and the kept side has no exchange
+    *    once the hot set broadcasts) plus a lines-free third scan
+    *    for the sentinels: re-deriving lines from the columnar scan
+    *    is the standard trade against materializing a corpus-sized
+    *    intermediate, and the expensive part (the shuffles) happens
+    *    once;
     *  - the hot-line relation (fingerprints with ≥ minDocs distinct
     *    docs) is by definition the boilerplate subset — orders of
     *    magnitude smaller than the corpus — so AQE turns the
@@ -108,8 +114,13 @@ object TextCleanup {
         Ipv4Re, "[IP]"),
       PhoneRe, "[PHONE]")
 
-  /** Per-row PII match counts over the ORIGINAL text (audit columns:
-    * how much was redacted, not what remains). */
+  /** Per-row PII match counts — each pattern counted INDEPENDENTLY
+    * over the original text. These are detection signals, not
+    * replacement tallies: where patterns overlap (an IPv4 or phone
+    * shape inside an email's domain, e.g. `x@1.2.3.4`), [[redactPii]]
+    * consumes the span under the earlier pattern while the later
+    * pattern still counts its match here — so counts can exceed the
+    * tags present in the redacted text, by design. */
   def piiCounts(text: Column): Seq[Column] = Seq(
     regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
     regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ips"),

@@ -38,7 +38,7 @@ object Pipeline {
     * ratio — a public mixing constant); any init state != OffsetBasis
     * yields an independent member of the reference's `create_init`
     * hash family. */
-  private val Lane2Seed: Long = 0x9e3779b97f4a7c15L
+  private val Lane2Seed: Long = graft.functions.Fnv1aCore.Lane2Seed
 
   private val MinHashSeeds = 64
 
@@ -808,8 +808,9 @@ object Pipeline {
         .select($"doc_id",
           TextCleanup.redactPii(
             regexp_replace($"clean_text", "\n", " ")).as("text"))
-        .filter(size(split($"text", " ")) >= 5)
-      Chunking.chunkDocs(cleaned, maxTokens = 16, overlap = 4)
+      // the length gate rides chunkDocs' minTokens so the corpus is
+      // tokenized exactly once
+      Chunking.chunkDocs(cleaned, maxTokens = 16, overlap = 4, minTokens = 5)
         .orderBy($"doc_id", $"chunk_id")
     }),
   )

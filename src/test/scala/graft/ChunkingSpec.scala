@@ -54,6 +54,33 @@ class ChunkingSpec extends SparkSuite {
     assert(chunkCount(25, 12, 0) == 3)
   }
 
+  test("null text chunks as empty (no phantom maxTokens chunk)") {
+    val out = Chunking.chunkDocs(
+        Seq((1L, null: String), (2L, "")).toDF("doc_id", "text"), 16, 4)
+      .orderBy($"doc_id").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getString(2) == "" && r.getLong(3) == 1L,
+        s"null/empty doc must yield one empty chunk, got $r")
+    }
+  }
+
+  test("minTokens gates without tokenizing the corpus twice") {
+    val docs = Seq((1L, "one two three"), (2L, "just two")).toDF("doc_id", "text")
+    val out = Chunking.chunkDocs(docs, 16, 4, minTokens = 3)
+    assert(out.select($"doc_id").as[Long].collect().toSet == Set(1L))
+    // the gate is a scalar space-count predicate, so exactly ONE
+    // split survives in the plan (a size(split(...)) gate gets
+    // pushdown-inlined below the projection and splits twice);
+    // assert on a real scan — a literal fixture constant-folds it
+    val plan = Chunking.chunkDocs(
+        Tables.documents(spark, sf).select($"doc_id", $"text"),
+        16, 4, minTokens = 3)
+      .queryExecution.optimizedPlan.toString
+    assert("split\\(".r.findAllIn(plan).length == 1,
+      s"text must be tokenized exactly once:\n${plan.take(1500)}")
+  }
+
   test("chunking plans with no shuffle") {
     val df = Chunking.chunkDocs(
       Tables.documents(spark, sf).select($"doc_id", $"text"), 16, 4)
