@@ -813,6 +813,23 @@ object Pipeline {
       Chunking.chunkDocs(cleaned, maxTokens = 16, overlap = 4, minTokens = 5)
         .orderBy($"doc_id", $"chunk_id")
     }),
+
+    // L-prep: offset sequence packing — chunks → fixed-token-budget
+    // training sequences via ONE bucket-partitioned window (first-fit
+    // greedy is a sequential recurrence; offset packing is the
+    // distributed, deterministic contract with bounded overflow). The
+    // bucket hash is the cross-engine md5 key, so the oracle
+    // replicates the assignment exactly (operators.Packing).
+    "pack_sequences" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val chunks = graft.operators.Chunking.chunkDocs(
+        Tables.documents(s, dir).select($"doc_id", $"text"),
+        maxTokens = 16, overlap = 4)
+      graft.operators.Packing.packChunks(
+          chunks.select($"doc_id", $"chunk_id", $"n_tokens"),
+          budget = 64, nBuckets = 8)
+        .orderBy($"bucket", $"seq_id")
+    }),
   )
 
   /** Learned IVF centroids per sf dir — computed once (deterministic
@@ -1216,6 +1233,41 @@ object Pipeline {
         |  array_to_string(toks[chunk_id*12+1 : LEAST(chunk_id*12+16, n)], ' ') AS chunk_text,
         |  CAST(LEAST(chunk_id*12+16, n) - chunk_id*12 AS BIGINT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // offset-packing mirror: same chunk CTEs as doc_chunks, the same
+    // md5 bucket fold as hash_split (salt pack:v1:), one window
+    "pack_sequences" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, GREATEST((n - 4 + 12 - 1) // 12, 1))) AS chunk_id
+        |  FROM tk),
+        |ch AS (
+        |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    CAST(LEAST(chunk_id*12+16, n) - chunk_id*12 AS BIGINT) AS n_tokens
+        |  FROM c),
+        |b AS (
+        |  SELECT doc_id, chunk_id, n_tokens,
+        |    CAST(list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5('pack:v1:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 8 AS INT) AS bucket
+        |  FROM ch),
+        |s AS (
+        |  SELECT bucket, doc_id, chunk_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket
+        |      ORDER BY doc_id, chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM b)
+        |SELECT bucket, CAST(bef // 64 AS BIGINT) AS seq_id,
+        |  COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  MIN({'doc_id': doc_id, 'chunk_id': chunk_id}).doc_id AS first_doc,
+        |  MIN({'doc_id': doc_id, 'chunk_id': chunk_id}).chunk_id AS first_chunk
+        |FROM s GROUP BY bucket, bef // 64
+        |ORDER BY bucket, seq_id""".stripMargin,
 
     // the composed pass: line-dedup CTEs (over corpus + BOTH probe
     // families) → redaction → length gate → chunk-window math, each
