@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the step that
+  * turns near-duplicate PAIRS into duplicate CLUSTERS so a curation
+  * pass can keep one canonical document per cluster. Pairs alone
+  * under-delete: if A~B and B~C but A!~C, dropping one member of each
+  * pair either deletes too much or leaves B and C both in the corpus;
+  * the transitive closure is the object a dedup pipeline actually
+  * wants (cf. the reference's capability envelope, `main.rs:3` — this
+  * is an [X] extension op; the reference has no graph surface).
+  *
+  * Algorithm: min-label propagation with pointer jumping — each round
+  * every node takes the smallest label among itself and its neighbors
+  * (hash-min), then labels compose through one round of pointer
+  * jumping (`lbl := lbl(lbl)`), the doubling trick that turns the
+  * worst-case O(diameter) propagation of plain hash-min into
+  * O(log n) rounds (the same regime as the alternating
+  * large-star/small-star algorithm of Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14). Near-dup
+  * graphs are overwhelmingly small dense clusters (diameter 1-2), so
+  * typical corpora converge in 2-3 rounds; the jumping step is what
+  * makes the adversarial chain-of-near-dups shape safe too (spec'd on
+  * a 2048-node path).
+  *
+  * Scale contract (100 TB): every step is an equi-shuffle on node or
+  * label — no broadcast of anything O(nodes), no driver-side graph.
+  * The edge set is materialized ONCE (`localCheckpoint`) so the
+  * upstream pair generator (LSH candidates + verify) never re-runs
+  * across iterations, and each iteration's labels are checkpointed to
+  * truncate the otherwise exponentially-growing lineage — on a real
+  * cluster with a fault-tolerance requirement, swap
+  * `localCheckpoint()` for reliable `checkpoint()` with a checkpoint
+  * dir; the plan shape is identical. The per-iteration driver work is
+  * a single boolean convergence probe (`isEmpty` on the changed-label
+  * filter over the checkpointed result), never row data.
+  */
+object ConnectedComponents extends Logging {
+
+  /** Component labels for every node that appears in `edges`: one row
+    * per distinct node with its component id = the SMALLEST node id in
+    * its component (deterministic canonical representative). Nodes not
+    * present in any edge do not appear — singletons are their own
+    * canonical doc by definition and never need the shuffle; callers
+    * union them back if they want total coverage.
+    *
+    * @param edges one row per undirected edge (self-loops ignored)
+    * @param aCol  left endpoint column (any orderable type; ids)
+    * @param bCol  right endpoint column
+    * @param maxIter hard iteration bound — exceeded means a bug, not a
+    *                big graph (pointer jumping needs ~log2(n) rounds),
+    *                so it throws rather than returning wrong labels
+    * @return DataFrame[node, component]
+    */
+  def components(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    // Symmetrize once; this also materializes the (possibly expensive)
+    // upstream pair computation so iterations re-read, never re-run.
+    val sym = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = labels.isEmpty
+    while (!converged) {
+      require(iter < maxIter,
+        s"connected components did not converge in $maxIter iterations")
+      // hash-min: the smallest label among self and neighbors
+      val nbrMin = sym
+        .join(labels.select(col("node").as("v"), col("component").as("vc")),
+          "v")
+        .groupBy(col("u").as("node"))
+        .agg(min(col("vc")).as("nmin"))
+      val stepped = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"),
+          col("component").as("prev"))
+      // pointer jumping: labels are node ids, so every label resolves
+      // to a row of `stepped` — follow it one hop (lbl := lbl(lbl))
+      val hop = stepped.select(col("node").as("component"),
+        col("component").as("jmp"))
+      val jumped = stepped.join(hop, "component")
+        .select(col("node"), col("jmp").as("component"), col("prev"))
+        .localCheckpoint()
+      converged = jumped.filter(col("component") =!= col("prev")).isEmpty
+      labels = jumped.select("node", "component")
+      iter += 1
+    }
+    logInfo(s"connected components converged in $iter iterations")
+    labels
+  }
+}

@@ -318,6 +318,18 @@ object Pipeline {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Shared front end of the cluster-closure queries: MinHash near-dup
+    * pairs at the standard τ, closed into components. The CC driver
+    * loop runs at DataFrame-construction time (like the k-means build
+    * in `ivf_ann_learned`) — the returned frame is the materialized
+    * labeling (node, component = min doc_id of the cluster). */
+  private def nearDupComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashNearDupPairs(
+      Tables.documents(s, dir).select($"doc_id", $"text"), MinHashJaccardTau)
+    graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     // L1: exact dedup by content fingerprint. The fingerprint is the
     // shuffle key — at 100 TB the window partitions by fingerprint
@@ -348,6 +360,38 @@ object Pipeline {
       minhashNearDupPairs(
         Tables.documents(s, dir).select($"doc_id", $"text"),
         MinHashJaccardTau)
+    }),
+
+    // L2 closure: near-dup PAIRS -> duplicate CLUSTERS. Pairs alone
+    // under-delete (A~B, B~C, A!~C leaves B and C both kept whichever
+    // pair member you drop); the transitive closure is what the dedup
+    // pass needs. ConnectedComponents is the O(log n)-round
+    // hash-min + pointer-jumping operator; the oracle recomputes the
+    // closure with a recursive CTE over the same exact-Jaccard pairs.
+    "neardup_clusters" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val comp = nearDupComponents(s, dir)
+      val sizes = comp.groupBy($"component")
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "component")
+        .select($"node".as("doc_id"), $"component".as("cluster_id"),
+          $"cluster_size")
+        .orderBy($"cluster_id", $"doc_id")
+    }),
+
+    // L2 end-to-end: the corpus after near-dup removal — every cluster
+    // keeps exactly its canonical (smallest-id) member; singletons pass
+    // through untouched. The anti-join is an equi-shuffle on doc_id;
+    // the dupe side is tiny relative to the corpus by construction.
+    "neardup_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val dupes = nearDupComponents(s, dir)
+        .filter($"node" =!= $"component")
+        .select($"node".as("doc_id"))
+      Tables.documents(s, dir)
+        .join(dupes, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .orderBy($"doc_id")
     }),
 
     // L1+L5 composed: the end-to-end curation pass a training-data
@@ -1007,6 +1051,26 @@ object Pipeline {
       |    ELSE [text] END AS s
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))""".stripMargin
 
+  /** τ=0.5 exact-Jaccard pairs closed into components: `comp` is the
+    * (node, cluster_id = component min) labeling the cluster-closure
+    * oracles share. Must open with `WITH RECURSIVE`. */
+  private val neardupClosureSqlCte =
+    s"""$shingleSqlCte,
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      ${sqlQ6("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s)))")} AS jaccard
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+       |  WHERE jaccard >= 0.5),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |n AS (SELECT DISTINCT u AS node FROM e),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM n
+       |  UNION
+       |  SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node),
+       |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
   /** Static SQL oracles plus — once [[learnedCents]] has run, which
     * Verify guarantees by executing every query before the dump — the
     * `ivf_ann_learned` oracle with the learned centroids interpolated
@@ -1098,6 +1162,24 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // transitive closure of the SAME exact-Jaccard pair set, via a
+    // recursive CTE: reach(node, lbl) holds every label that can flow
+    // to node along edges; min per node = the component's smallest id
+    "neardup_clusters" ->
+      s"""WITH RECURSIVE $neardupClosureSqlCte,
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size
+         |       FROM comp GROUP BY cluster_id)
+         |SELECT comp.node AS doc_id, comp.cluster_id,
+         |  CAST(sz.cluster_size AS BIGINT) AS cluster_size
+         |FROM comp JOIN sz USING (cluster_id)
+         |ORDER BY cluster_id, doc_id""".stripMargin,
+
+    "neardup_dedup" ->
+      s"""WITH RECURSIVE $neardupClosureSqlCte
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // byte-true frame/thumb mirror over the hex image of encode(text):
     // frame i covers bytes [i*(n-8) DIV 3, +8); thumb byte j is input
