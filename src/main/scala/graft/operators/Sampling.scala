@@ -67,4 +67,75 @@ object Sampling {
     val t2 = math.floor((trainFrac + validFrac) * Bits32).toLong
     when(h < t1, "train").when(h < t2, "valid").otherwise("test")
   }
+
+  /** Whole-copy count of a sampling rate: a rate of 2.3 repeats every
+    * row twice unconditionally. Public so an oracle interpolates the
+    * SAME integer. */
+  def baseCopies(rate: Double): Long = math.floor(rate).toLong
+
+  /** 32-bit hash threshold for the fractional remainder of a rate: a
+    * rate of 2.3 gives each row a hash-deterministic 0.3 chance of one
+    * extra copy. Integer, computed ONCE here, so engine and oracle can
+    * never disagree on a float rounding. */
+  def fracThreshold32(rate: Double): Long =
+    math.floor((rate - math.floor(rate)) * Bits32).toLong
+
+  /** Deterministic per-stratum mixture resampling — the data-mixing
+    * knob of a training pipeline ("2× the Spanish corpus, half the
+    * English crawl"). Rates may exceed 1: a rate r repeats each row
+    * `floor(r)` times plus one hash-deterministic extra copy with
+    * probability `r - floor(r)` (so upsampling REPEATS documents, it
+    * never invents them, and the expected output size is exactly
+    * `Σ count_s · r_s`). Strata missing from `rates` (and NULL strata)
+    * use `defaultRate`; a rate of 0 drops the stratum.
+    *
+    * Scale shape: a narrow per-row projection + Generate — no shuffle,
+    * no stratum-size collection, nothing driver-side. Retry-stable and
+    * partitioning-invariant because the extra-copy decision hashes the
+    * row KEY ([[keyHash32]]), never `rand()`. Per-stratum arithmetic
+    * is pre-folded into integer literals ([[baseCopies]] /
+    * [[fracThreshold32]]) so any other engine replays the identical
+    * selection.
+    *
+    * @return input rows with an added BIGINT `copyNoCol` in
+    *         [0, copies); rows whose stratum resolves to 0 copies
+    *         disappear
+    */
+  def resampleMixture(df: DataFrame, stratum: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: String = "mix:v1:", copyNoCol: String = "copy_no"): DataFrame = {
+    require(rates.values.forall(_ >= 0) && defaultRate >= 0,
+      "sampling rates must be >= 0")
+    // deterministic CASE order; both CASEs fold to integer literals
+    val sorted = rates.toSeq.sortBy(_._1)
+    def caseOf(f: Double => Long): Column =
+      sorted.foldLeft(when(lit(false), lit(0L))) { case (acc, (k, r)) =>
+        acc.when(stratum === lit(k), lit(f(r)))
+      }.otherwise(lit(f(defaultRate)))
+    val copies = caseOf(baseCopies) +
+      when(keyHash32(key, salt) < caseOf(fracThreshold32), 1L).otherwise(0L)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn(copyNoCol, explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__copies")
+  }
+
+  /** Temperature-flattened mixture rates from stratum counts — the
+    * standard multilingual-training reweighting: sample stratum s with
+    * probability ∝ p_s^alpha (p_s its corpus share), scaled so the
+    * EXPECTED resampled corpus size equals the input size. alpha = 1
+    * reproduces the corpus (all rates 1); alpha = 0 is a uniform
+    * mixture (rare strata upsampled, dominant ones cut); 0 < alpha < 1
+    * interpolates. Driver-side k-entry map arithmetic — the corpus
+    * itself never moves; feed the result to [[resampleMixture]]. */
+  def temperatureRates(counts: Map[String, Long],
+      alpha: Double): Map[String, Double] = {
+    require(counts.nonEmpty && counts.values.forall(_ > 0),
+      "every stratum needs a positive count")
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val total = counts.values.map(_.toDouble).sum
+    val pows = counts.map { case (k, c) => k -> math.pow(c / total, alpha) }
+    val z = pows.values.sum
+    pows.map { case (k, w) => k -> (w / z) * total / counts(k) }
+  }
 }

@@ -747,6 +747,21 @@ object Pipeline {
         .orderBy($"lang", $"split")
     }),
 
+    // L21: deterministic per-stratum mixture resampling — the
+    // data-mixing knob (halve the dominant crawl, double a rare
+    // language, drop a stratum outright; zh rides the default rate).
+    // A rate's whole part repeats rows unconditionally; its fractional
+    // part is a keyed-hash Bernoulli — both folded to integer literals
+    // (Sampling.baseCopies/fracThreshold32) so the oracle replays the
+    // identical selection. No shuffle, no rand(), nothing driver-side.
+    "mixture_resample" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Sampling.resampleMixture(
+          Tables.documents(s, dir), $"lang", $"doc_id", MixtureRates)
+        .select($"doc_id", $"lang", $"copy_no")
+        .orderBy($"doc_id", $"copy_no")
+    }),
+
     // L2 guard rail: the candidate-pair budget, driver-checked. Docs
     // bucketed by a plain column (lang — ~100 members each at sf0.01,
     // C(100,2) ≈ 4950 pairs) run through fromBucketsBudgeted with
@@ -1051,6 +1066,21 @@ object Pipeline {
       |    ELSE [text] END AS s
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))""".stripMargin
 
+  /** The `mixture_resample` rates: downsample the dominant stratum,
+    * integer-upsample, fractional-upsample, drop — every branch of
+    * [[graft.operators.Sampling.resampleMixture]]; unmapped strata
+    * (zh) take the default 1.0. */
+  private val MixtureRates =
+    Map("en" -> 0.5, "es" -> 2.0, "de" -> 1.3, "fr" -> 0.0)
+
+  /** CASE over the mixture strata with `f`'s integer literal per rate
+    * (and the default-1.0 literal in ELSE) — the oracle-side spelling
+    * of resampleMixture's per-stratum fold. */
+  private def mixCaseSql(f: Double => Long): String =
+    MixtureRates.toSeq.sortBy(_._1)
+      .map { case (k, r) => s"WHEN '$k' THEN ${f(r)}" }
+      .mkString("CASE lang ", " ", s" ELSE ${f(1.0)} END")
+
   /** τ=0.5 exact-Jaccard pairs closed into components: `comp` is the
     * (node, cluster_id = component min) labeling the cluster-closure
     * oracles share. Must open with `WITH RECURSIVE`. */
@@ -1220,6 +1250,27 @@ object Pipeline {
         |SELECT lang, split, COUNT(*) AS n_docs,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // same md5-prefix hash as hash_split (salt 'mix:v1:'); whole-copy
+    // and fractional-threshold CASEs interpolate the engine's integer
+    // literals, so the two sides cannot drift on a float rounding
+    "mixture_resample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    list_reduce(list_transform(range(1, 9), i ->
+         |      CAST(strpos('0123456789abcdef',
+         |        substring(md5('mix:v1:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+         |      (a, b) -> a * 16 + b) AS v
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |    ${mixCaseSql(graft.operators.Sampling.baseCopies)}
+         |      + CASE WHEN v < ${mixCaseSql(graft.operators.Sampling.fracThreshold32)}
+         |             THEN 1 ELSE 0 END AS copies
+         |  FROM h)
+         |SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS BIGINT) AS copy_no
+         |FROM c WHERE copies > 0
+         |ORDER BY doc_id, copy_no""".stripMargin,
 
     // budget contract mirror: per bucket keep the n*=15 smallest
     // members (smallest n with C(n,2) >= K=100), emit the first K
