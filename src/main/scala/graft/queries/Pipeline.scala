@@ -98,6 +98,25 @@ object Pipeline {
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
+  /** Composite per-doc quality on the eighth grid — four banded
+    * signals (length, type-token ratio, stopword ratio, mean token
+    * length) averaged; shared by doc_quality, token_budget_select
+    * (and mirrored by [[qualitySqlCte]]). */
+  private def qualityOf(text: Column): Column = {
+    val t = split(text, " ")
+    val nTok = size(t).cast("double")
+    val ttr = q6(size(array_distinct(t)).cast("double") / size(t))
+    val stop = q6(size(filter(t, w => w === "the" || w === "a" || w === "of"))
+      .cast("double") / size(t))
+    val avgLen = q6(foldSum(transform(t, w => length(w).cast("double"))) / size(t))
+    val lenScore = when(nTok >= 50 && nTok <= 5000, 1.0)
+      .when(nTok >= 20, 0.5).otherwise(0.0)
+    val ttrScore = when(ttr >= 0.3 && ttr <= 0.9, 1.0).otherwise(0.5)
+    val stopScore = when(stop >= 0.02 && stop <= 0.3, 1.0).otherwise(0.5)
+    val lenSanity = when(avgLen >= 2.0 && avgLen <= 12.0, 1.0).otherwise(0.0)
+    q6((lenScore + ttrScore + stopScore + lenSanity) / 4.0)
+  }
+
   /** Distinct shingle HASHES from `text`, no string materialization: a
     * shingle's identity is the chained hash of its three token hashes
     * (fnv1a chaining = composite keys, fnv1a.rs:9-11), computed by the
@@ -512,24 +531,29 @@ object Pipeline {
     // pipeline. All arithmetic is quantized for oracle parity.
     "doc_quality" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val t = split($"text", " ")
-      val nTok = size(t).cast("double")
-      val ttr = q6(size(array_distinct(t)).cast("double") / size(t))
-      val stop = q6(size(filter(t, w => w === "the" || w === "a" || w === "of"))
-        .cast("double") / size(t))
-      val avgLen = q6(foldSum(transform(t, w => length(w).cast("double"))) / size(t))
-      val lenScore = when(nTok >= 50 && nTok <= 5000, 1.0)
-        .when(nTok >= 20, 0.5).otherwise(0.0)
-      val ttrScore = when(ttr >= 0.3 && ttr <= 0.9, 1.0).otherwise(0.5)
-      val stopScore = when(stop >= 0.02 && stop <= 0.3, 1.0).otherwise(0.5)
-      val lenSanity = when(avgLen >= 2.0 && avgLen <= 12.0, 1.0).otherwise(0.0)
       Tables.documents(s, dir)
-        .select($"doc_id", $"lang",
-          q6((lenScore + ttrScore + stopScore + lenSanity) / 4.0)
-            .as("quality"))
+        .select($"doc_id", $"lang", qualityOf($"text").as("quality"))
         .withColumn("band",
           when($"quality" >= 0.875, "keep")
             .when($"quality" >= 0.625, "review").otherwise("drop"))
+        .orderBy($"doc_id")
+    }),
+
+    // L22: greedy token-budget selection — "the best 40% of tokens".
+    // The one-global-window spelling is a single-task sort of the
+    // corpus; BudgetSelect gets the identical row set from a bounded
+    // per-stratum relation (quality is eighth-grid by construction)
+    // plus a two-phase offset prefix-sum on just the boundary stratum.
+    // Budget arithmetic stays integral (total * 2 / 5) so both engines
+    // compute it exactly.
+    "token_budget_select" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val scored = Tables.documents(s, dir).select($"doc_id",
+        qualityOf($"text").as("quality"),
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      val total = scored.agg(sum($"n_tokens")).head().getLong(0)
+      graft.operators.BudgetSelect.select(scored, "doc_id", "quality",
+          "n_tokens", total * 2 / 5)
         .orderBy($"doc_id")
     }),
 
@@ -1081,6 +1105,27 @@ object Pipeline {
       .map { case (k, r) => s"WHEN '$k' THEN ${f(r)}" }
       .mkString("CASE lang ", " ", s" ELSE ${f(1.0)} END")
 
+  /** (doc_id, lang, n_tokens, quality) — the composite quality scoring
+    * CTE mirrored from [[qualityOf]]; shared by the doc_quality and
+    * token_budget_select oracles. */
+  private val qualitySqlCte =
+    s"""q AS (
+       |  SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
+       |    ${sqlQ6("""(
+       |      (CASE WHEN n_tok >= 50 AND n_tok <= 5000 THEN 1.0
+       |            WHEN n_tok >= 20 THEN 0.5 ELSE 0.0 END) +
+       |      (CASE WHEN ttr >= 0.3 AND ttr <= 0.9 THEN 1.0 ELSE 0.5 END) +
+       |      (CASE WHEN stop >= 0.02 AND stop <= 0.3 THEN 1.0 ELSE 0.5 END) +
+       |      (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+       |    ) / 4.0""")} AS quality
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      CAST(len(ws) AS DOUBLE) AS n_tok,
+       |      ${sqlQ6("CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)")} AS ttr,
+       |      ${sqlQ6("CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE) / len(ws)")} AS stop,
+       |      ${sqlQ6("list_reduce(list_prepend(0.0, list_transform(ws, w -> CAST(length(w) AS DOUBLE))), (acc, x) -> acc + x) / len(ws)")} AS avg_len
+       |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)))""".stripMargin
+
   /** τ=0.5 exact-Jaccard pairs closed into components: `comp` is the
     * (node, cluster_id = component min) labeling the cluster-closure
     * oracles share. Must open with `WITH RECURSIVE`. */
@@ -1477,26 +1522,25 @@ object Pipeline {
          |ORDER BY probe_id, rn""".stripMargin,
 
     "doc_quality" ->
-      s"""SELECT doc_id, lang, quality,
+      s"""WITH $qualitySqlCte
+         |SELECT doc_id, lang, quality,
          |  CASE WHEN quality >= 0.875 THEN 'keep'
          |       WHEN quality >= 0.625 THEN 'review'
          |       ELSE 'drop' END AS band
-         |FROM (
-         |  SELECT doc_id, lang,
-         |    ${sqlQ6("""(
-         |      (CASE WHEN n_tok >= 50 AND n_tok <= 5000 THEN 1.0
-         |            WHEN n_tok >= 20 THEN 0.5 ELSE 0.0 END) +
-         |      (CASE WHEN ttr >= 0.3 AND ttr <= 0.9 THEN 1.0 ELSE 0.5 END) +
-         |      (CASE WHEN stop >= 0.02 AND stop <= 0.3 THEN 1.0 ELSE 0.5 END) +
-         |      (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 1.0 ELSE 0.0 END)
-         |    ) / 4.0""")} AS quality
-         |  FROM (
-         |    SELECT doc_id, lang,
-         |      CAST(len(ws) AS DOUBLE) AS n_tok,
-         |      ${sqlQ6("CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)")} AS ttr,
-         |      ${sqlQ6("CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE) / len(ws)")} AS stop,
-         |      ${sqlQ6("list_reduce(list_prepend(0.0, list_transform(ws, w -> CAST(length(w) AS DOUBLE))), (acc, x) -> acc + x) / len(ws)")} AS avg_len
-         |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)))
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // the sequential greedy scan the engine reproduces without a
+    // global window: strict prefix of (quality DESC, doc_id) under an
+    // integral 2/5-of-total token budget
+    "token_budget_select" ->
+      s"""WITH $qualitySqlCte,
+         |o AS (
+         |  SELECT doc_id, quality, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM q)
+         |SELECT doc_id, quality, n_tokens FROM o
+         |WHERE cum <= (SELECT SUM(n_tokens) * 2 // 5 FROM q)
          |ORDER BY doc_id""".stripMargin,
 
     "lang_id_heuristic" ->
