@@ -398,6 +398,75 @@ object Pipeline {
         .orderBy($"cluster_id", $"doc_id")
     }),
 
+    // L23: benchmark decontamination — the leakage check before
+    // training: train-split docs that near-duplicate an eval-split
+    // (valid/test) doc. Pure composition of two proven pieces: the
+    // L2 LSH near-dup pass supplies the pairs (the only heavy stage,
+    // same 100 TB shape), the deterministic hash split supplies the
+    // labels (a projection), and the cross-split filter is two
+    // broadcast-able equi-joins on doc ids.
+    "decontaminate" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val pairs = minhashNearDupPairs(docs, MinHashJaccardTau)
+      val lab = Tables.documents(s, dir).select($"doc_id",
+        graft.operators.Sampling.splitLabel($"doc_id", 0.8, 0.1).as("split"))
+      pairs
+        .join(lab.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
+        .join(lab.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
+        .filter(($"split_a" === "train" && $"split_b" =!= "train") ||
+          ($"split_b" === "train" && $"split_a" =!= "train"))
+        .select(
+          when($"split_a" === "train", $"doc_a").otherwise($"doc_b")
+            .as("train_doc"),
+          when($"split_a" === "train", $"doc_b").otherwise($"doc_a")
+            .as("eval_doc"),
+          when($"split_a" === "train", $"split_b").otherwise($"split_a")
+            .as("eval_split"),
+          $"jaccard")
+        .orderBy($"train_doc", $"eval_doc")
+    }),
+
+    // L24: cross-document repeated spans — the exact-substring member
+    // of the dedup family (memorization audit): every 8-token span
+    // that appears in >= 2 distinct docs, with occurrence counts.
+    // Candidate generation shuffles only the 8-byte span fingerprint
+    // (text never travels); span STRINGS are materialized in a second
+    // tokenize pass restricted to the repeated fingerprints (the same
+    // re-scan-not-materialize trade line_dedup makes). The final
+    // group-by is on the span TEXT with the >= 2 distinct-docs filter
+    // re-applied, so a fingerprint collision can merge candidate
+    // groups but never a result row.
+    "dup_spans" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val W = 8
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .filter(size($"ws") >= W)
+      def grams(withText: Boolean) = toks.select($"doc_id",
+        explode(transform(sequence(lit(1), size($"ws") - (W - 1)), i =>
+          if (withText)
+            struct(F.fnv1a(concat_ws(" ", slice($"ws", i, lit(W)))).as("fp"),
+              concat_ws(" ", slice($"ws", i, lit(W))).as("span_text"))
+          else struct(F.fnv1a(concat_ws(" ", slice($"ws", i, lit(W)))).as("fp"))))
+          .as("g"))
+        .select($"doc_id" +: (if (withText) Seq($"g.fp", $"g.span_text")
+          else Seq($"g.fp")): _*)
+      val hot = grams(withText = false)
+        .groupBy($"fp")
+        .agg(count_distinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2)
+        .select($"fp")
+      grams(withText = true)
+        .join(hot, "fp")
+        .groupBy($"span_text")
+        .agg(count_distinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min($"doc_id").as("first_doc"))
+        .filter($"n_docs" >= 2)
+        .orderBy($"span_text")
+    }),
+
     // L2 end-to-end: the corpus after near-dup removal — every cluster
     // keeps exactly its canonical (smallest-id) member; singletons pass
     // through untouched. The anti-join is an equi-shuffle on doc_id;
@@ -1255,6 +1324,57 @@ object Pipeline {
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // pure-SQL mirror: 8-token span strings built directly (the hash
+    // identity only gates engine-side candidates and is invisible in
+    // the result contract)
+    "dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(ws[i:i+7], ' ')
+        |            for i in range(1, len(ws) - 6)]) AS span_text
+        |  FROM t WHERE len(ws) >= 8)
+        |SELECT span_text, COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
+        |FROM g GROUP BY span_text
+        |HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY span_text""".stripMargin,
+
+    // the minhash_neardup pair oracle x the hash_split label oracle,
+    // cross-split filtered exactly like the engine
+    "decontaminate" ->
+      s"""WITH $shingleSqlCte,
+         |p AS (
+         |  SELECT doc_a, doc_b, jaccard FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      ${sqlQ6("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s)))")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+         |  WHERE jaccard >= 0.5),
+         |lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN v < 3435973836 THEN 'train'
+         |         WHEN v < 3865470566 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      list_reduce(list_transform(range(1, 9), i ->
+         |        CAST(strpos('0123456789abcdef',
+         |          substring(md5('split:v1:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+         |        (a, b) -> a * 16 + b) AS v
+         |    FROM documents)),
+         |x AS (
+         |  SELECT p.doc_a, p.doc_b, p.jaccard, la.split AS sa, lb.split AS sb
+         |  FROM p JOIN lab la ON la.doc_id = p.doc_a
+         |         JOIN lab lb ON lb.doc_id = p.doc_b
+         |  WHERE (la.split = 'train') <> (lb.split = 'train'))
+         |SELECT
+         |  CASE WHEN sa = 'train' THEN doc_a ELSE doc_b END AS train_doc,
+         |  CASE WHEN sa = 'train' THEN doc_b ELSE doc_a END AS eval_doc,
+         |  CASE WHEN sa = 'train' THEN sb ELSE sa END AS eval_split,
+         |  jaccard
+         |FROM x ORDER BY train_doc, eval_doc""".stripMargin,
 
     // byte-true frame/thumb mirror over the hex image of encode(text):
     // frame i covers bytes [i*(n-8) DIV 3, +8); thumb byte j is input

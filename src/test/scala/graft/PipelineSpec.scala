@@ -64,6 +64,50 @@ class PipelineSpec extends SparkSuite {
     assert(!pairSet.exists(p => Set(p._1, p._2).contains(1L)))
   }
 
+  test("decontaminate is exactly the cross-split slice of the near-dup pairs") {
+    val pairs = Pipeline.queries("minhash_neardup")(spark, sf)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val split = Tables.documents(spark, sf)
+      .select($"doc_id",
+        graft.operators.Sampling.splitLabel($"doc_id", 0.8, 0.1).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = pairs.flatMap { case (a, b) =>
+      (split(a) == "train", split(b) == "train") match {
+        case (true, false) => Some((a, b, split(b)))
+        case (false, true) => Some((b, a, split(a)))
+        case _ => None
+      }
+    }.toSet
+    val got = Pipeline.queries("decontaminate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want, s"${got.size} vs ${want.size} leaked pairs")
+    // same-split near-dups must never be reported
+    assert(got.forall { case (t, e, _) =>
+      split(t) == "train" && split(e) != "train" })
+  }
+
+  test("dup_spans equals the direct span group-by (fp gating is invisible)") {
+    val got = Pipeline.queries("dup_spans")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // direct spelling: group the span strings themselves, no
+    // fingerprint candidate pass
+    val t = split($"text", " ")
+    val want = Tables.documents(spark, sf)
+      .select($"doc_id", t.as("ws")).filter(size($"ws") >= 8)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"ws") - 7),
+        i => concat_ws(" ", slice($"ws", i, lit(8))))).as("span_text"))
+      .groupBy($"span_text")
+      .agg(count_distinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
+        min($"doc_id").as("first_doc"))
+      .filter($"n_docs" >= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(want.nonEmpty, "fixture near-dups must share 8-token spans")
+    assert(got == want, s"${got.size} vs ${want.size} repeated spans")
+  }
+
   test("simhash separates near-dups from random pairs by Hamming distance") {
     val fps = Pipeline.noOracleQueries("simhash_fingerprint")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
