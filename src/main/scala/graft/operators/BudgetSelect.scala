@@ -55,6 +55,22 @@ object BudgetSelect extends Logging {
   def select(df: DataFrame, idCol: String, scoreCol: String,
       valueCol: String, budget: Long): DataFrame = {
     require(budget >= 0L, s"budget must be >= 0, got $budget")
+    run(df, idCol, scoreCol, valueCol, _ => budget)
+  }
+
+  /** [[select]] with the budget expressed as an exact integer fraction
+    * `num/den` of the (non-null-scored) total — "the best 40% of
+    * tokens" — derived from the per-stratum relation the operator
+    * aggregates anyway, so it costs NO extra pass over the corpus and
+    * the integer arithmetic is replayable by any other engine. */
+  def selectFraction(df: DataFrame, idCol: String, scoreCol: String,
+      valueCol: String, num: Long, den: Long): DataFrame = {
+    require(num >= 0L && den > 0L, s"bad budget fraction $num/$den")
+    run(df, idCol, scoreCol, valueCol, total => total * num / den)
+  }
+
+  private def run(df: DataFrame, idCol: String, scoreCol: String,
+      valueCol: String, budgetOf: Long => Long): DataFrame = {
     val s = df.sparkSession
     val id = col(idCol)
     val v = col(valueCol)
@@ -65,6 +81,8 @@ object BudgetSelect extends Logging {
       .groupBy(score.as("__s")).agg(sum(v).as("__t"))
       .collect().map(r => (r.getDouble(0), r.getLong(1)))
       .sortBy(-_._1)
+    val budget = budgetOf(strata.map(_._2).sum)
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
     var acc = 0L
     var boundary = Option.empty[Double]
     var rem = 0L

@@ -93,10 +93,24 @@ object ConnectedComponents extends Logging {
         .select(col("node"), col("jmp").as("component"), col("prev"))
         .localCheckpoint()
       converged = jumped.filter(col("component") =!= col("prev")).isEmpty
+      // only the newest labeling is ever read again — free the
+      // superseded checkpoint instead of pinning ~log2(n) copies of an
+      // O(nodes) relation on the executors for the session's lifetime
+      unpersistCheckpoint(labels)
       labels = jumped.select("node", "component")
       iter += 1
     }
+    unpersistCheckpoint(sym)
     logInfo(s"connected components converged in $iter iterations")
     labels
   }
+
+  /** Drop the block-manager copy behind a `localCheckpoint`ed frame
+    * (the returned frame must no longer be used). DataFrame.unpersist
+    * only covers CacheManager entries, so reach the checkpoint RDD
+    * through the LogicalRDD leaf. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

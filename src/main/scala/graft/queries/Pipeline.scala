@@ -430,40 +430,45 @@ object Pipeline {
     // L24: cross-document repeated spans — the exact-substring member
     // of the dedup family (memorization audit): every 8-token span
     // that appears in >= 2 distinct docs, with occurrence counts.
-    // Candidate generation shuffles only the 8-byte span fingerprint
-    // (text never travels); span STRINGS are materialized in a second
-    // tokenize pass restricted to the repeated fingerprints (the same
-    // re-scan-not-materialize trade line_dedup makes). The final
-    // group-by is on the span TEXT with the >= 2 distinct-docs filter
-    // re-applied, so a fingerprint collision can merge candidate
-    // groups but never a result row.
+    // Span STRINGS never shuffle: all counting happens on the 128-bit
+    // two-lane span fingerprint (same birthday-bound contract as
+    // exact_dedup — a collision at 100 TB gram counts is ~1e-11), and
+    // the text is rebuilt ONCE per repeated span from its minimal
+    // (doc_id, pos) representative. When repeats are rare (a corpus
+    // after line_dedup), the representative set is small and AQE
+    // broadcasts it, so the token arrays never shuffle either; in the
+    // degenerate everything-repeats corpus the join degrades to one
+    // corpus shuffle — never worse than the direct group-by. The span
+    // string inside the first pass lives only within its stage
+    // (separate projection, so CollapseProject computes it once for
+    // both fingerprint lanes).
     "dup_spans" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val W = 8
       val toks = Tables.documents(s, dir)
         .select($"doc_id", split($"text", " ").as("ws"))
         .filter(size($"ws") >= W)
-      def grams(withText: Boolean) = toks.select($"doc_id",
+      val grams = toks.select($"doc_id",
         explode(transform(sequence(lit(1), size($"ws") - (W - 1)), i =>
-          if (withText)
-            struct(F.fnv1a(concat_ws(" ", slice($"ws", i, lit(W)))).as("fp"),
-              concat_ws(" ", slice($"ws", i, lit(W))).as("span_text"))
-          else struct(F.fnv1a(concat_ws(" ", slice($"ws", i, lit(W)))).as("fp"))))
-          .as("g"))
-        .select($"doc_id" +: (if (withText) Seq($"g.fp", $"g.span_text")
-          else Seq($"g.fp")): _*)
-      val hot = grams(withText = false)
-        .groupBy($"fp")
-        .agg(count_distinct($"doc_id").as("nd"))
-        .filter($"nd" >= 2)
-        .select($"fp")
-      grams(withText = true)
-        .join(hot, "fp")
-        .groupBy($"span_text")
+          struct(i.cast("int").as("pos"),
+            concat_ws(" ", slice($"ws", i, lit(W))).as("sp")))).as("g"))
+        .select($"doc_id", $"g.pos".as("pos"), $"g.sp".as("sp"))
+        .select($"doc_id", $"pos", F.fnv1a($"sp").as("fp1"),
+          F.fnv1a_seeded(Lane2Seed, $"sp").as("fp2"))
+      val hot = grams
+        .groupBy($"fp1", $"fp2")
         .agg(count_distinct($"doc_id").as("n_docs"),
           count(lit(1)).as("n_occurrences"),
-          min($"doc_id").as("first_doc"))
+          min(struct($"doc_id", $"pos")).as("rep"))
         .filter($"n_docs" >= 2)
+        .select($"n_docs", $"n_occurrences",
+          $"rep.doc_id".as("rep_doc"), $"rep.pos".as("rep_pos"))
+      hot.join(toks, hot("rep_doc") === toks("doc_id"))
+        .select(
+          concat_ws(" ", slice($"ws", $"rep_pos", lit(W))).as("span_text"),
+          $"n_docs", $"n_occurrences",
+          // min(doc_id) == the minimal representative's doc
+          $"rep_doc".as("first_doc"))
         .orderBy($"span_text")
     }),
 
@@ -617,12 +622,17 @@ object Pipeline {
     // compute it exactly.
     "token_budget_select" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
+      // checkpoint the 3-column scoring once: the array-heavy
+      // qualityOf tokenization runs ONE pass; BudgetSelect's strata
+      // aggregation and its two output filters re-read 24-byte rows.
+      // The fraction budget is derived from the strata relation the
+      // operator aggregates anyway — no separate total pass.
       val scored = Tables.documents(s, dir).select($"doc_id",
         qualityOf($"text").as("quality"),
         size(split($"text", " ")).cast("long").as("n_tokens"))
-      val total = scored.agg(sum($"n_tokens")).head().getLong(0)
-      graft.operators.BudgetSelect.select(scored, "doc_id", "quality",
-          "n_tokens", total * 2 / 5)
+        .localCheckpoint()
+      graft.operators.BudgetSelect.selectFraction(scored, "doc_id",
+          "quality", "n_tokens", 2, 5)
         .orderBy($"doc_id")
     }),
 
@@ -1159,6 +1169,24 @@ object Pipeline {
       |    ELSE [text] END AS s
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))""".stripMargin
 
+  /** DuckDB spelling of [[graft.operators.Sampling.keyHash32]]: fold
+    * the first 8 hex chars of md5(salt ∥ key) to a BIGINT. ONE
+    * definition shared by every hash-sampling oracle so the spelling
+    * (and any future salt change) cannot drift between them. */
+  private def sqlMd5Fold32(salt: String, key: String): String =
+    s"""list_reduce(list_transform(range(1, 9), i ->
+       |      CAST(strpos('0123456789abcdef',
+       |        substring(md5('$salt' || $key), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+       |      (a, b) -> a * 16 + b)""".stripMargin
+
+  /** The 80/10/10 split CASE over a fold value `v` — integer
+    * thresholds floor(0.8·2^32) / floor(0.9·2^32), shared by the
+    * hash_split and decontaminate oracles. */
+  private val sqlSplitCase =
+    """CASE WHEN v < 3435973836 THEN 'train'
+      |         WHEN v < 3865470566 THEN 'valid'
+      |         ELSE 'test' END""".stripMargin
+
   /** The `mixture_resample` rates: downsample the dominant stratum,
     * integer-upsample, fractional-upsample, drop — every branch of
     * [[graft.operators.Sampling.resampleMixture]]; unmapped strata
@@ -1353,16 +1381,10 @@ object Pipeline {
          |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |  WHERE jaccard >= 0.5),
          |lab AS (
-         |  SELECT doc_id,
-         |    CASE WHEN v < 3435973836 THEN 'train'
-         |         WHEN v < 3865470566 THEN 'valid'
-         |         ELSE 'test' END AS split
+         |  SELECT doc_id, $sqlSplitCase AS split
          |  FROM (
          |    SELECT doc_id,
-         |      list_reduce(list_transform(range(1, 9), i ->
-         |        CAST(strpos('0123456789abcdef',
-         |          substring(md5('split:v1:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
-         |        (a, b) -> a * 16 + b) AS v
+         |      ${sqlMd5Fold32("split:v1:", "CAST(doc_id AS VARCHAR)")} AS v
          |    FROM documents)),
          |x AS (
          |  SELECT p.doc_a, p.doc_b, p.jaccard, la.split AS sa, lb.split AS sb
@@ -1399,22 +1421,16 @@ object Pipeline {
     // split mirror: same md5-prefix hash (folded from hex digits),
     // same integer thresholds floor(0.8*2^32) / floor(0.9*2^32)
     "hash_split" ->
-      """WITH h AS (
-        |  SELECT doc_id, lang,
-        |    list_reduce(list_transform(range(1, 9), i ->
-        |      CAST(strpos('0123456789abcdef',
-        |        substring(md5('split:v1:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) AS v
-        |  FROM documents),
-        |s AS (
-        |  SELECT lang, doc_id,
-        |    CASE WHEN v < 3435973836 THEN 'train'
-        |         WHEN v < 3865470566 THEN 'valid'
-        |         ELSE 'test' END AS split
-        |  FROM h)
-        |SELECT lang, split, COUNT(*) AS n_docs,
-        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    ${sqlMd5Fold32("split:v1:", "CAST(doc_id AS VARCHAR)")} AS v
+         |  FROM documents),
+         |s AS (
+         |  SELECT lang, doc_id, $sqlSplitCase AS split
+         |  FROM h)
+         |SELECT lang, split, COUNT(*) AS n_docs,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     // same md5-prefix hash as hash_split (salt 'mix:v1:'); whole-copy
     // and fractional-threshold CASEs interpolate the engine's integer
@@ -1422,10 +1438,7 @@ object Pipeline {
     "mixture_resample" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang,
-         |    list_reduce(list_transform(range(1, 9), i ->
-         |      CAST(strpos('0123456789abcdef',
-         |        substring(md5('mix:v1:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
-         |      (a, b) -> a * 16 + b) AS v
+         |    ${sqlMd5Fold32("mix:v1:", "CAST(doc_id AS VARCHAR)")} AS v
          |  FROM documents),
          |c AS (
          |  SELECT doc_id, lang,

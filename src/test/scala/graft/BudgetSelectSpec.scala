@@ -39,6 +39,18 @@ class BudgetSelectSpec extends SparkSuite {
     }
   }
 
+  test("selectFraction equals select with the integer-fraction budget") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 300L).map(i =>
+      (i, (rnd.nextInt(9) * 0.125), rnd.nextInt(15).toLong))
+    val total = rows.map(_._3).sum
+    val viaFraction = BudgetSelect.selectFraction(
+        rows.toDF("id", "score", "v"), "id", "score", "v", 2, 5)
+      .select($"id").as[Long].collect().toSet
+    assert(viaFraction == run(rows, total * 2 / 5))
+    assert(viaFraction == greedy(rows, total * 2 / 5))
+  }
+
   test("all-fits fast path returns every non-null-scored row") {
     val rows = Seq((1L, 0.5, 10L), (2L, 0.25, 5L), (3L, 1.0, 1L))
     assert(run(rows, 16L) == Set(1L, 2L, 3L))
