@@ -213,6 +213,25 @@ object Pipeline {
     (-32L, "solo"),
     (-31L, "spam spam spam spam ham"))
 
+  /** Ingestion probes for `incremental_dedup` — the corpus has no
+    * exact-duplicate texts, so these carry the mechanism. Ids are far
+    * above any fixture range; `id % 4 == 3` puts a doc in the NEW
+    * batch, anything else in the EXISTING corpus. One batch doc
+    * duplicates an existing doc (dropped via the corpus fingerprint
+    * match), two batch docs duplicate each other (smaller id wins),
+    * one is unique (kept). Full 5-column rows so the probes flow
+    * through the same schema as the fixture. (No single quotes.) */
+  private[queries] val ingestProbes: Seq[(Long, String, String, String, Long)] = {
+    def p(id: Long, text: String) =
+      (id, text, "xx", "probe", text.length.toLong)
+    Seq(
+      p(9000004L, "probe duplicate alpha content"), // existing corpus
+      p(9000003L, "probe duplicate alpha content"), // batch: corpus dup
+      p(9000007L, "probe duplicate beta content"),  // batch: pair winner
+      p(9000011L, "probe duplicate beta content"),  // batch: pair loser
+      p(9000015L, "probe unique gamma content"))    // batch: unique
+  }
+
   /** A Scala string as a DuckDB SQL literal, newlines spliced as
     * `chr(10)` (texts must not contain single quotes). */
   private def sqlText(s: String): String =
@@ -221,6 +240,12 @@ object Pipeline {
   /** `(id, text)` probe rows as a SQL VALUES list. */
   private def sqlProbeValues(ps: Seq[(Long, String)]): String =
     ps.map { case (id, t) => s"($id, ${sqlText(t)})" }.mkString(", ")
+
+  /** Full 5-column ingest-probe rows as a SQL VALUES list. */
+  private def sqlIngestProbeValues: String =
+    ingestProbes.map { case (id, t, lang, src, n) =>
+      s"($id, ${sqlText(t)}, ${sqlText(lang)}, ${sqlText(src)}, CAST($n AS BIGINT))"
+    }.mkString(", ")
 
   /** The first `bands·bits` hyperplanes, row-major-flattened for the
     * one-pass [[graft.functions.SignBandKeys]] codegen kernel (which
@@ -483,6 +508,31 @@ object Pipeline {
         .select($"node".as("doc_id"))
       Tables.documents(s, dir)
         .join(dupes, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
+    // L25: incremental ingestion dedup — the pattern a continuously-
+    // fed corpus needs: dedup a NEW batch against the EXISTING corpus
+    // without touching existing rows. Only 16-byte fingerprints of
+    // the (large) existing side move; the batch resolves its internal
+    // winners with the exact_dedup window, then anti-joins the corpus
+    // fingerprint set — at 100 TB that set IS the pipeline's persisted
+    // ingestion state. The modulo split is the deterministic stand-in
+    // for "yesterday's corpus vs today's crawl"; probes carry the
+    // duplicate mechanism (the fixture has no exact dups).
+    "incremental_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .unionAll(ingestProbes.toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .withColumn("fp1", F.fnv1a($"text"))
+        .withColumn("fp2", F.fnv1a_seeded(Lane2Seed, $"text"))
+      val existing = docs.filter($"doc_id" % 4 =!= 3)
+      val batch = docs.filter($"doc_id" % 4 === 3)
+      val w = Window.partitionBy($"fp1", $"fp2").orderBy($"doc_id")
+      batch.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .join(existing.select($"fp1", $"fp2"), Seq("fp1", "fp2"), "left_anti")
         .select($"doc_id", $"lang", $"source", $"n_chars")
         .orderBy($"doc_id")
     }),
@@ -1308,6 +1358,22 @@ object Pipeline {
         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // dedup by TEXT (the fingerprint is engine-side identity only):
+    // batch-internal winner window + existing-corpus membership check
+    "incremental_dedup" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $sqlIngestProbeValues)
+         |    p(doc_id, text, lang, source, n_chars)),
+         |b AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |  FROM src WHERE doc_id % 4 = 3)
+         |SELECT doc_id, lang, source, n_chars FROM b
+         |WHERE rn = 1
+         |  AND text NOT IN (SELECT text FROM src WHERE doc_id % 4 <> 3)
+         |ORDER BY doc_id""".stripMargin,
 
     "corpus_curation" ->
       """WITH dedup AS (
