@@ -109,8 +109,14 @@ object CandidatePairs extends Logging {
     // be unbounded under pervasive skew — up to N/cap keys), no sort
     // of the membership side, and the common no-hot-bucket case pays
     // one cheap codegen count-agg plus an empty per-partition hash map.
+    // count(id), not count(*): the same non-null-id measure as
+    // bounded_min_set's cnt above, so a bucket is EITHER small or hot,
+    // never both (null-id membership rows can't pair and must not
+    // inflate one predicate but not the other — with mismatched
+    // measures a null-heavy bucket would run down both paths and
+    // regenerate every pair twice before the distinct)
     val hotKeys = shuffled.groupBy(bCols: _*)
-      .agg(count(lit(1)).as("__m"))
+      .agg(count(id).as("__m"))
       .filter(col("__m") > bucketCap)
     val chunked = shuffled.join(hotKeys.hint("shuffle_hash"), bucketCols)
       .withColumn("__nc", ceil(col("__m") / lit(bucketCap.toLong)).cast("int"))

@@ -1219,6 +1219,35 @@ object Pipeline {
       |    ELSE [text] END AS s
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))""".stripMargin
 
+  /** Chunk-window CTEs (`tk`, `c`) mirrored from
+    * [[graft.operators.Chunking.chunkDocs]] with maxTokens=16,
+    * overlap=4 — stride 12, integer-exact ceil-div, and the SAME
+    * null-text policy as the engine (COALESCE to '' so a null doc
+    * yields one empty chunk, never a phantom 16-token one). ONE
+    * definition shared by the doc_chunks / pack_sequences /
+    * training_rows oracles so the window math cannot drift.
+    *
+    * @param src  source relation providing (doc_id, text)
+    * @param gate extra WHERE predicate on the tokenized length
+    *             ('' for none) */
+  private def sqlChunkCtes(src: String, gate: String = ""): String =
+    s"""tk AS (
+       |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks,
+       |    len(string_split(COALESCE(text, ''), ' ')) AS n
+       |  FROM $src$gate),
+       |c AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(range(0, GREATEST((n - 4 + 12 - 1) // 12, 1))) AS chunk_id
+       |  FROM tk)""".stripMargin
+
+  /** The chunk output columns shared by the doc_chunks and
+    * training_rows oracles (DuckDB list slicing is 1-based inclusive
+    * vs Spark slice(start, length) — same token spans). */
+  private val sqlChunkCols =
+    """CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  array_to_string(toks[chunk_id*12+1 : LEAST(chunk_id*12+16, n)], ' ') AS chunk_text,
+      |  CAST(LEAST(chunk_id*12+16, n) - chunk_id*12 AS BIGINT) AS n_tokens""".stripMargin
+
   /** DuckDB spelling of [[graft.operators.Sampling.keyHash32]]: fold
     * the first 8 hex chars of md5(salt ∥ key) to a BIGINT. ONE
     * definition shared by every hash-sampling oracle so the spelling
@@ -1594,45 +1623,23 @@ object Pipeline {
          |FROM top JOIN bg ON top.doc_id = bg.doc_id
          |ORDER BY top.doc_id""".stripMargin,
 
-    // window math mirror: stride 12 = 16 - 4; integer-exact ceil-div;
-    // DuckDB list slicing is 1-based inclusive vs Spark slice(start,
-    // length) — same token spans
     "doc_chunks" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks,
-        |    len(string_split(text, ' ')) AS n
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, toks, n,
-        |    unnest(range(0, GREATEST((n - 4 + 12 - 1) // 12, 1))) AS chunk_id
-        |  FROM tk)
-        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-        |  array_to_string(toks[chunk_id*12+1 : LEAST(chunk_id*12+16, n)], ' ') AS chunk_text,
-        |  CAST(LEAST(chunk_id*12+16, n) - chunk_id*12 AS BIGINT) AS n_tokens
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+      s"""WITH ${sqlChunkCtes("documents")}
+         |SELECT doc_id, $sqlChunkCols
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // offset-packing mirror: same chunk CTEs as doc_chunks, the same
     // md5 bucket fold as hash_split (salt pack:v1:), one window
     "pack_sequences" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks,
-        |    len(string_split(text, ' ')) AS n
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, toks, n,
-        |    unnest(range(0, GREATEST((n - 4 + 12 - 1) // 12, 1))) AS chunk_id
-        |  FROM tk),
-        |ch AS (
-        |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-        |    CAST(LEAST(chunk_id*12+16, n) - chunk_id*12 AS BIGINT) AS n_tokens
-        |  FROM c),
-        |b AS (
-        |  SELECT doc_id, chunk_id, n_tokens,
-        |    CAST(list_reduce(list_transform(range(1, 9), i ->
-        |      CAST(strpos('0123456789abcdef',
-        |        substring(md5('pack:v1:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) % 8 AS INT) AS bucket
-        |  FROM ch),
+      s"""WITH ${sqlChunkCtes("documents")},
+         |ch AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |    CAST(LEAST(chunk_id*12+16, n) - chunk_id*12 AS BIGINT) AS n_tokens
+         |  FROM c),
+         |b AS (
+         |  SELECT doc_id, chunk_id, n_tokens,
+         |    CAST(${sqlMd5Fold32("pack:v1:", "CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS bucket
+         |  FROM ch),
         |s AS (
         |  SELECT bucket, doc_id, chunk_id, n_tokens,
         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket
@@ -1674,17 +1681,8 @@ object Pipeline {
          |      '${graft.operators.TextCleanup.Ipv4Re}', '[IP]', 'g'),
          |      '${graft.operators.TextCleanup.PhoneRe}', '[PHONE]', 'g') AS text
          |  FROM d LEFT JOIN o USING (doc_id)),
-         |tk AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks,
-         |    len(string_split(text, ' ')) AS n
-         |  FROM r WHERE len(string_split(text, ' ')) >= 5),
-         |c AS (
-         |  SELECT doc_id, toks, n,
-         |    unnest(range(0, GREATEST((n - 4 + 12 - 1) // 12, 1))) AS chunk_id
-         |  FROM tk)
-         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-         |  array_to_string(toks[chunk_id*12+1 : LEAST(chunk_id*12+16, n)], ' ') AS chunk_text,
-         |  CAST(LEAST(chunk_id*12+16, n) - chunk_id*12 AS BIGINT) AS n_tokens
+         |${sqlChunkCtes("r", " WHERE len(string_split(COALESCE(text, ''), ' ')) >= 5")}
+         |SELECT doc_id, $sqlChunkCols
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // positional (NON-distinct) 3-grams — unlike the dedup CTE

@@ -67,6 +67,28 @@ class CandidatePairsSpec extends SparkSuite {
       s"expected the chunked role-join branch in the plan:\n$plan")
   }
 
+  test("null-id membership rows never pair and use ONE size measure") {
+    // 5 real members + 500 null-id rows in one bucket, cap 16: the
+    // non-null count (5) keeps this a small bucket on BOTH the
+    // grouped-path predicate and the hot-key predicate — with
+    // mismatched measures (count(*) = 505 > cap) the same bucket
+    // would also run the chunk path and regenerate every pair.
+    val real = (1L to 5L).map(id => (0, 7L, Some(id)))
+    val nulls = Seq.fill(500)((0, 7L, Option.empty[Long]))
+    val df = (real ++ nulls).toDF("band_no", "band_key", "id")
+    val pairs = CandidatePairs.fromBuckets(df, Seq("band_no", "band_key"),
+      "id", "id_a", "id_b", bucketCap = 16)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (a <- 1L to 5L; b <- a + 1 to 5L) yield (a, b)).toSet
+    assert(got == want, s"null ids leaked or pairs lost: $got")
+    // and the hot-key relation is empty for this bucket: no chunk work
+    import org.apache.spark.sql.functions.count
+    val hot = df.repartition($"band_no", $"band_key")
+      .groupBy($"band_no", $"band_key")
+      .agg(count($"id").as("m")).filter($"m" > 16).count()
+    assert(hot == 0L)
+  }
+
   test("pair budget caps output deterministically with an exact drop ledger") {
     // bucket A: 6 members → C(6,2)=15 pairs; bucket B: 3 → 3; C: 2 → 1.
     val rows =
