@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * tests pin that batch/stream equivalence the way EventStreamsSpec
   * does for the windowed operators. */
 case class Doc(doc_id: Long, text: String)
+case class IngestDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
 class StreamingCurationSpec extends SparkSuite {
   import spark.implicits._
@@ -44,6 +45,44 @@ class StreamingCurationSpec extends SparkSuite {
         r.getLong(4))).toSet
     assert(streamed == batch && streamed.nonEmpty)
     assert(streamed.exists(_._2.contains("[EMAIL]")))
+  }
+
+  test("incremental ingestion dedup runs live: stream vs static corpus fps") {
+    // the incremental_dedup query's streaming twin: new docs arrive as
+    // a stream, the existing corpus contributes ONLY its 16-byte
+    // fingerprint set (static side). In-stream dups are dropped by
+    // watermark-bounded state (dropDuplicatesWithinWatermark — the
+    // 100 TB/day-honest spelling); corpus dups by a stream-static
+    // left-anti join. The in-stream winner is first-arrival (the
+    // streaming contract) where the batch query uses smallest-id.
+    import graft.functions.{Fnv1aCore, GraftFunctions => F}
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val existingFps = Seq(Doc(100L, "existing corpus doc")).toDF()
+      .select(F.fnv1a($"text").as("fp1"),
+        F.fnv1a_seeded(Fnv1aCore.Lane2Seed, $"text").as("fp2"))
+    val input = MemoryStream[IngestDoc]
+    input.addData(Seq(
+      IngestDoc(1L, "existing corpus doc", t0), // corpus dup -> dropped
+      IngestDoc(2L, "fresh doc alpha", t0),     // in-stream pair:
+      IngestDoc(3L, "fresh doc alpha", t0),     //   one survives
+      IngestDoc(4L, "fresh doc beta", t0)))     // unique -> kept
+    val q = input.toDF()
+      .withColumn("fp1", F.fnv1a($"text"))
+      .withColumn("fp2", F.fnv1a_seeded(Fnv1aCore.Lane2Seed, $"text"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp1", "fp2")
+      .join(existingFps, Seq("fp1", "fp2"), "left_anti")
+      .select($"doc_id")
+      .writeStream.format("memory").queryName("s_ingest")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("s_ingest").as[Long].collect().toSet
+    assert(!got.contains(1L), s"corpus dup must be dropped: $got")
+    assert(got.contains(4L), s"unique doc must survive: $got")
+    assert((got & Set(2L, 3L)).size == 1,
+      s"exactly one of the in-stream pair survives: $got")
+    assert(got.size == 2)
   }
 
   test("chunking over a stream equals the batch operator") {
