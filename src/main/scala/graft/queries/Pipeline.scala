@@ -512,6 +512,37 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // L26: symmetric int8 embedding quantization — the 4x shuffle/
+    // storage lever vector search wants before ANN at 100 TB. Per
+    // vector: scale = max|x|/127, q_i = floor(x_i*127/mx + 0.5)
+    // (half-up, identical floor spelling in both engines — never
+    // engine-default round(), whose tie mode differs), plus the exact
+    // reconstruction-error bound |x - q*scale| as an audit column.
+    // Pure per-row projection, no shuffle; mx is its own projection
+    // so CollapseProject computes it once for the 64-lane transform.
+    "embed_quantize" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val withMx = emb.select($"vec_id", $"v",
+        aggregate(transform($"v", x => abs(x)), lit(0.0),
+          (a, x) => greatest(a, x)).as("mx"))
+      val quant = withMx.select($"vec_id", $"v", $"mx",
+        when($"mx" === 0.0, transform($"v", _ => lit(0)))
+          .otherwise(transform($"v",
+            x => floor(x * 127.0 / $"mx" + 0.5).cast("int"))).as("q"))
+      // the int8 lanes ride as CSV — the driver's row hash needs
+      // scalar columns (no query outputs raw arrays)
+      quant.select($"vec_id",
+        q6($"mx" / 127.0).as("scale"),
+        array_join(transform($"q", qi => qi.cast("string")), ",").as("q_csv"),
+        q6(aggregate(
+          zip_with($"v", $"q",
+            (x, qi) => abs(x - qi.cast("double") * $"mx" / 127.0)),
+          lit(0.0), (a, x) => greatest(a, x))).as("max_err"))
+        .orderBy($"vec_id")
+    }),
+
     // L25: incremental ingestion dedup — the pattern a continuously-
     // fed corpus needs: dedup a NEW batch against the EXISTING corpus
     // without touching existing rows. Only 16-byte fingerprints of
@@ -1387,6 +1418,28 @@ object Pipeline {
         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // same mx/floor/zip spellings element-for-element; q6 on the two
+    // derived doubles
+    "embed_quantize" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (
+         |  SELECT vec_id, v,
+         |    list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+         |      (a, b) -> greatest(a, b)) AS mx
+         |  FROM e),
+         |qz AS (
+         |  SELECT vec_id, v, mx,
+         |    CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+         |         ELSE list_transform(v, x ->
+         |           CAST(floor((x * 127.0) / mx + 0.5) AS INT)) END AS q
+         |  FROM m)
+         |SELECT vec_id,
+         |  ${sqlQ6("mx / 127.0")} AS scale,
+         |  array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',') AS q_csv,
+         |  ${sqlQ6("list_reduce(list_prepend(0.0, list_transform(list_zip(v, q), z -> abs(z[1] - (CAST(z[2] AS DOUBLE) * mx) / 127.0))), (a, b) -> greatest(a, b))")} AS max_err
+         |FROM qz ORDER BY vec_id""".stripMargin,
 
     // dedup by TEXT (the fingerprint is engine-side identity only):
     // batch-internal winner window + existing-corpus membership check

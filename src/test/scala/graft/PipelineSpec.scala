@@ -108,6 +108,30 @@ class PipelineSpec extends SparkSuite {
     assert(got == want, s"${got.size} vs ${want.size} repeated spans")
   }
 
+  test("embed_quantize: int8 range, half-scale error bound, exact hand vector") {
+    val rows = Pipeline.queries("embed_quantize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val q = r.getString(2).split(",").map(_.toInt)
+      val maxErr = r.getDouble(3)
+      assert(q.forall(v => v >= -127 && v <= 127), s"int8 range: ${q.toSeq}")
+      // round-to-nearest: |x - q*scale| <= scale/2 (+ q6 rounding slack)
+      assert(maxErr <= scale / 2 + 1e-6, s"err $maxErr vs scale $scale")
+    }
+    // hand vector through the same operator expression path
+    val hand = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val emb = hand.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val mx = aggregate(transform($"v", x => abs(x)), lit(0.0),
+      (a, x) => greatest(a, x))
+    val got = emb.select(transform($"v",
+        x => floor(x * 127.0 / mx + 0.5).cast("int")).as("q"))
+      .head().getSeq[Int](0)
+    // mx = 1.0: q = floor(x*127 + 0.5) = round-half-up
+    assert(got == Seq(64, -127, 32, 0), s"hand quantization: $got")
+  }
+
   test("simhash separates near-dups from random pairs by Hamming distance") {
     val fps = Pipeline.noOracleQueries("simhash_fingerprint")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
