@@ -90,6 +90,38 @@ object EventTime {
       graft.streaming.EventStreams.followWithin5Min(ev, ev)
         .orderBy($"event_id", $"followup_id")
     }),
+
+    // T10: ordered funnel — view -> click -> purchase with strict
+    // min-chaining (each stage's time is the EARLIEST event strictly
+    // after the previous stage) and a 1-day horizon anchored at the
+    // first stage, i.e. windowFunnel semantics (sized so every stage
+    // fires on the fixture: 150 -> 60 -> 14 users at sf0.01). Every
+    // step is a slim aggregation or equi-join keyed by user_id — ONE
+    // key for the whole query, so the per-user frames co-partition
+    // and AQE coalesces the tiny tails; nothing is ordered globally
+    // and no per-user event array is ever collected.
+    "funnel" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_type")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, "user_id")
+        .filter($"ts" > $"t1" && $"ts" <= $"t1" + expr("INTERVAL 1 DAY"))
+        // t1 is per-user constant (joined from v); min = that constant
+        .groupBy($"user_id").agg(min($"ts").as("t2"), min($"t1").as("t1"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c, "user_id")
+        .filter($"ts" > $"t2" && $"ts" <= $"t1" + expr("INTERVAL 1 DAY"))
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), $"n_users")
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), $"n_users"))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), $"n_users"))
+        .orderBy($"stage")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -164,5 +196,28 @@ object EventTime {
         |FROM events l JOIN events r ON l.user_id = r.user_id
         |  AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
         |ORDER BY event_id, followup_id""".stripMargin,
+
+    // the same strict min-chained stages with the 1-day horizon
+    // anchored at each user's first view
+    "funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2, MIN(v.t1) AS t1
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 DAY
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts > c.t2 AND e.ts <= c.t1 + INTERVAL 1 DAY
+        |  GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', COUNT(*) FROM c
+        |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+        |ORDER BY stage""".stripMargin,
   )
 }
