@@ -100,6 +100,37 @@ object EventTime {
     // key for the whole query, so the per-user frames co-partition
     // and AQE coalesces the tiny tails; nothing is ordered globally
     // and no per-user event array is ever collected.
+    // T11: weekly cohort retention — the funnel's sibling: users
+    // grouped by signup week (cohort), a cell counts the cohort's
+    // distinct users active in week N after signup, plus the q6
+    // retention rate. Week arithmetic stays in whole days / 7 (both
+    // engines truncate weeks to Monday, so the day diff is an exact
+    // multiple of 7 — never engine-specific 'week' diffs, whose
+    // boundary counting differs). Same scale shape as funnel: slim
+    // per-user aggregations and equi-joins; the distinct-activity
+    // relation is (user, week), never raw events.
+    "cohort_retention" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"user_id", $"ts", $"event_type")
+      val cohort = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("st"))
+        .select($"user_id", date_trunc("week", $"st").as("cw"))
+      val active = ev.select($"user_id", date_trunc("week", $"ts").as("w"))
+        .distinct()
+      val cells = active.join(cohort, "user_id")
+        .filter($"w" >= $"cw")
+        .withColumn("week_no",
+          (datediff($"w", $"cw") / 7).cast("int"))
+        .groupBy($"cw", $"week_no")
+        .agg(count_distinct($"user_id").as("n_active"))
+      val sizes = cohort.groupBy($"cw").agg(count(lit(1)).as("cohort_size"))
+      cells.join(sizes, "cw")
+        .select($"cw".as("cohort_week"), $"week_no".cast("bigint").as("week_no"),
+          $"n_active", $"cohort_size",
+          q6($"n_active".cast("double") / $"cohort_size").as("retention"))
+        .orderBy($"cohort_week", $"week_no")
+    }),
+
     "funnel" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val ev = Tables.events(s, dir)
@@ -196,6 +227,29 @@ object EventTime {
         |FROM events l JOIN events r ON l.user_id = r.user_id
         |  AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
         |ORDER BY event_id, followup_id""".stripMargin,
+
+    // same week-truncation + whole-days/7 arithmetic; q6 on the rate
+    "cohort_retention" ->
+      s"""WITH cohort AS (
+         |  SELECT user_id,
+         |    CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cw
+         |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         |active AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+         |  FROM events),
+         |cells AS (
+         |  SELECT c.cw, date_diff('day', CAST(c.cw AS DATE), CAST(a.w AS DATE)) // 7 AS week_no,
+         |    COUNT(DISTINCT a.user_id) AS n_active
+         |  FROM active a JOIN cohort c ON c.user_id = a.user_id
+         |  WHERE a.w >= c.cw
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT cw, COUNT(*) AS cohort_size FROM cohort GROUP BY cw)
+         |SELECT cells.cw AS cohort_week, CAST(week_no AS BIGINT) AS week_no,
+         |  n_active, cohort_size,
+         |  ${sqlQ6("CAST(n_active AS DOUBLE) / cohort_size")} AS retention
+         |FROM cells JOIN sizes ON sizes.cw = cells.cw
+         |ORDER BY cohort_week, week_no""".stripMargin,
 
     // the same strict min-chained stages with the 1-day horizon
     // anchored at each user's first view
