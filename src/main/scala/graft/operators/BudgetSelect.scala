@@ -66,7 +66,12 @@ object BudgetSelect extends Logging {
   def selectFraction(df: DataFrame, idCol: String, scoreCol: String,
       valueCol: String, num: Long, den: Long): DataFrame = {
     require(num >= 0L && den > 0L, s"bad budget fraction $num/$den")
-    run(df, idCol, scoreCol, valueCol, total => total * num / den)
+    // BigInt: total * num can exceed Long for large numerators, and a
+    // wrapped product that lands non-negative would silently pass the
+    // budget guard — the "exact integer fraction" contract must hold
+    // for any num/den
+    run(df, idCol, scoreCol, valueCol,
+      total => (BigInt(total) * num / den).toLong)
   }
 
   private def run(df: DataFrame, idCol: String, scoreCol: String,
@@ -101,6 +106,10 @@ object BudgetSelect extends Logging {
     // boundary stratum: two-phase offset prefix-sum, id order global.
     // localCheckpoint freezes the range-partition assignment so the
     // offset aggregation and the cumsum window read identical pids.
+    // The checkpoint backs the returned frame, so it cannot be freed
+    // here; it is bounded by ONE score stratum (not the corpus) and
+    // the ContextCleaner drops its blocks once the result frame is
+    // unreferenced.
     val b0 = df.where(score.isNotNull && score === theta)
       .repartitionByRange(id)
       .withColumn("__pid", spark_partition_id())

@@ -703,15 +703,17 @@ object Pipeline {
     // compute it exactly.
     "token_budget_select" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      // checkpoint the 3-column scoring once: the array-heavy
-      // qualityOf tokenization runs ONE pass; BudgetSelect's strata
-      // aggregation and its two output filters re-read 24-byte rows.
       // The fraction budget is derived from the strata relation the
-      // operator aggregates anyway — no separate total pass.
+      // operator aggregates anyway — no separate total pass. The
+      // scoring is recomputed by BudgetSelect's three passes rather
+      // than checkpointed here: a checkpoint inside a lazily-consumed
+      // query has no unpersist point and would pin O(corpus) blocks
+      // until the result frame is GC'd — an operator USER who wants
+      // one tokenization pass materializes `scored` under their own
+      // lifecycle and hands it in.
       val scored = Tables.documents(s, dir).select($"doc_id",
         qualityOf($"text").as("quality"),
         size(split($"text", " ")).cast("long").as("n_tokens"))
-        .localCheckpoint()
       graft.operators.BudgetSelect.selectFraction(scored, "doc_id",
           "quality", "n_tokens", 2, 5)
         .orderBy($"doc_id")

@@ -49,6 +49,12 @@ class BudgetSelectSpec extends SparkSuite {
       .select($"id").as[Long].collect().toSet
     assert(viaFraction == run(rows, total * 2 / 5))
     assert(viaFraction == greedy(rows, total * 2 / 5))
+    // huge num/den that would wrap total * num in Long arithmetic:
+    // (1<<40)/(1<<41) is exactly 1/2 and must behave like it
+    val half = BudgetSelect.selectFraction(
+        rows.toDF("id", "score", "v"), "id", "score", "v", 1L << 40, 1L << 41)
+      .select($"id").as[Long].collect().toSet
+    assert(half == greedy(rows, total / 2), "fraction arithmetic overflowed")
   }
 
   test("all-fits fast path returns every non-null-scored row") {
