@@ -130,6 +130,38 @@ object Relational {
         .orderBy($"s_suppkey")
     }),
 
+    // Data-quality audit: orphan-key rates per foreign-key edge — the
+    // referential-integrity check an ingestion pipeline runs before
+    // trusting a snapshot. Each edge is ONE pass: left join the child
+    // keys against the DISTINCT parent keys (16-byte rows; the parent
+    // side ships only its key) and count misses. SQL-standard NULL
+    // semantics: a NULL foreign key is not a violation on either
+    // engine. The fixture is fully consistent, so probe rows with
+    // non-existent user ids carry the orphan mechanism on edge 4.
+    "ri_audit" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame =
+        child.select(col(ck).as("k"))
+          .join(parent.select(col(pk).as("k")).distinct()
+            .withColumn("__hit", lit(1)), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            count(when(col("__hit").isNull && col("k").isNotNull, 1))
+              .as("n_orphans"))
+          .select(lit(name).as("edge"), $"n_child", $"n_orphans")
+      val ev = Tables.events(s, dir).select($"user_id")
+        .unionAll(Seq(999991L, 999992L, 999993L).toDF("user_id"))
+      edge("1_lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")
+        .unionAll(edge("2_orders_customer", Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        .unionAll(edge("3_lineitem_part", Tables.lineitem(s, dir),
+          "l_partkey", Tables.part(s, dir), "p_partkey"))
+        .unionAll(edge("4_events_customer", ev, "user_id",
+          Tables.customer(s, dir), "c_custkey"))
+        .orderBy($"edge")
+    }),
+
     // S2: in-memory table — a literal mapping relation created in the
     // session (no storage), broadcast into a join like any dimension.
     "inmem_lookup" -> ((s: SparkSession, dir: String) => {
@@ -146,6 +178,37 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // NULL-excluding orphan predicate on both sides (SQL-standard RI);
+    // parent NULL keys filtered so NOT IN can't collapse to NULL
+    "ri_audit" ->
+      """SELECT '1_lineitem_orders' AS edge,
+        |  (SELECT COUNT(*) FROM lineitem) AS n_child,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |     AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |                            WHERE o_orderkey IS NOT NULL)) AS n_orphans
+        |UNION ALL
+        |SELECT '2_orders_customer',
+        |  (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+        |     AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                           WHERE c_custkey IS NOT NULL))
+        |UNION ALL
+        |SELECT '3_lineitem_part',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL
+        |     AND l_partkey NOT IN (SELECT p_partkey FROM part
+        |                           WHERE p_partkey IS NOT NULL))
+        |UNION ALL
+        |SELECT '4_events_customer',
+        |  (SELECT COUNT(*) + 3 FROM events),
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT user_id FROM events
+        |     UNION ALL SELECT * FROM (VALUES (999991), (999992), (999993)) p(user_id)) e
+        |   WHERE user_id IS NOT NULL
+        |     AND user_id NOT IN (SELECT c_custkey FROM customer
+        |                         WHERE c_custkey IS NOT NULL))
+        |ORDER BY edge""".stripMargin,
+
     "pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
