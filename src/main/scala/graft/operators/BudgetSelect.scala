@@ -38,19 +38,35 @@ import org.apache.spark.sql.functions._
   *
   * Caller contract: `value` is non-negative (a running budget over
   * negative values has no greedy meaning) and NULL scores are never
-  * selected. Rows with `value` 0 cost nothing and are admitted
-  * whenever the scan reaches them, exactly as the sequential scan
-  * would.
+  * selected. Rows with `value` 0 — including NULL values, which are
+  * read as cost 0 — cost nothing and are admitted whenever the scan
+  * reaches them, exactly as the sequential scan would (SQL `SUM`
+  * skips NULLs, so every engine replaying the spelling agrees).
+  *
+  * The quantized-score contract is ENFORCED, not assumed: the
+  * per-stratum collect is capped at [[BudgetSelect.MaxStrata]]
+  * distinct scores via `limit(cap+1)` — a caller passing a
+  * continuous score column gets an immediate `require` failure
+  * naming the contract, never an O(corpus) driver collect.
   */
 object BudgetSelect extends Logging {
+
+  /** Hard cap on distinct score values. The threshold-decomposition
+    * design is only valid when the score grid is small relative to the
+    * corpus; 100k strata ≈ a few MB on the driver, far beyond any
+    * sane quantization (this repo's quality scores are eighth-grid,
+    * i.e. < 100 strata) yet cheap enough to collect safely. */
+  val MaxStrata: Int = 100000
 
   /** Rows of `df` the greedy (score DESC, id ASC) scan admits within
     * `budget`. Columns and types pass through unchanged.
     *
     * @param idCol    unique tie-break id (ascending scan order)
-    * @param scoreCol numeric quality score; quantized domain expected
-    *                 (the per-stratum relation must fit the driver)
-    * @param valueCol non-negative LONG cost per row (e.g. tokens)
+    * @param scoreCol numeric quality score; quantized domain REQUIRED
+    *                 (at most [[MaxStrata]] distinct values — enforced
+    *                 with a fail-fast `require`, never a driver OOM)
+    * @param valueCol non-negative LONG cost per row (e.g. tokens);
+    *                 NULL reads as cost 0
     */
   def select(df: DataFrame, idCol: String, scoreCol: String,
       valueCol: String, budget: Long): DataFrame = {
@@ -78,14 +94,25 @@ object BudgetSelect extends Logging {
       valueCol: String, budgetOf: Long => Long): DataFrame = {
     val s = df.sparkSession
     val id = col(idCol)
-    val v = col(valueCol)
+    // NULL cost reads as 0 (admitted for free, like value 0) so an
+    // all-NULL stratum sums to 0 instead of NULL — same totals as SQL
+    // SUM (which skips NULLs), no driver NPE.
+    val v = coalesce(col(valueCol), lit(0L))
     val score = col(scoreCol).cast("double")
 
-    // bounded by the score grid, not the corpus
+    // bounded by the score grid, not the corpus — and the collect is
+    // HARD-bounded by MaxStrata+1 rows, so a contract-violating
+    // continuous score fails the require below instead of OOMing the
+    // driver.
     val strata = df.where(score.isNotNull)
       .groupBy(score.as("__s")).agg(sum(v).as("__t"))
+      .limit(MaxStrata + 1)
       .collect().map(r => (r.getDouble(0), r.getLong(1)))
       .sortBy(-_._1)
+    require(strata.length <= MaxStrata,
+      s"BudgetSelect: over $MaxStrata distinct values in score column " +
+        s"'$scoreCol' — the threshold-decomposition design requires a " +
+        "quantized score domain (round/bucket scores before selecting)")
     val budget = budgetOf(strata.map(_._2).sum)
     require(budget >= 0L, s"budget must be >= 0, got $budget")
     var acc = 0L

@@ -31,12 +31,18 @@ import org.apache.spark.sql.functions._
   * The edge set is materialized ONCE (`localCheckpoint`) so the
   * upstream pair generator (LSH candidates + verify) never re-runs
   * across iterations, and each iteration's labels are checkpointed to
-  * truncate the otherwise exponentially-growing lineage — on a real
-  * cluster with a fault-tolerance requirement, swap
-  * `localCheckpoint()` for reliable `checkpoint()` with a checkpoint
-  * dir; the plan shape is identical. The per-iteration driver work is
-  * a single boolean convergence probe (`isEmpty` on the changed-label
-  * filter over the checkpointed result), never row data.
+  * truncate the otherwise exponentially-growing lineage. Checkpoint
+  * mode is a PARAMETER: pass `checkpointDir` to use reliable
+  * `checkpoint()` (survives executor loss — what a fault-tolerant
+  * cluster run wants; pair it with
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so
+  * superseded iteration files are reaped, or reap the dir after the
+  * job); omit it for `localCheckpoint()` (faster, executor-memory
+  * blocks, fine for local/ephemeral runs — superseded iterations are
+  * freed eagerly here). The plan shape is identical in both modes.
+  * The per-iteration driver work is a single boolean convergence
+  * probe (`isEmpty` on the changed-label filter over the checkpointed
+  * result), never row data.
   */
 object ConnectedComponents extends Logging {
 
@@ -53,21 +59,32 @@ object ConnectedComponents extends Logging {
     * @param maxIter hard iteration bound — exceeded means a bug, not a
     *                big graph (pointer jumping needs ~log2(n) rounds),
     *                so it throws rather than returning wrong labels
+    * @param checkpointDir when given, lineage truncation uses reliable
+    *                `checkpoint()` into this directory (fault-tolerant;
+    *                the dir is set on the SparkContext); when absent,
+    *                `localCheckpoint()` (executor-memory, faster)
     * @return DataFrame[node, component]
     */
   def components(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val reliable = checkpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // In reliable mode superseded iterations live as files under the
+    // caller's dir — freed by cleanCheckpoints or the caller, not by
+    // the block-manager unpersist below.
+    def free(df: DataFrame): Unit = if (!reliable) unpersistCheckpoint(df)
+
     // Symmetrize once; this also materializes the (possibly expensive)
     // upstream pair computation so iterations re-read, never re-run.
-    val sym = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    val sym = ckpt(edges.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionAll(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
-    var labels = sym.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("component"))
-      .localCheckpoint()
+    var labels = ckpt(sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("component")))
     var iter = 0
     var converged = labels.isEmpty
     while (!converged) {
@@ -89,18 +106,17 @@ object ConnectedComponents extends Logging {
       // to a row of `stepped` — follow it one hop (lbl := lbl(lbl))
       val hop = stepped.select(col("node").as("component"),
         col("component").as("jmp"))
-      val jumped = stepped.join(hop, "component")
-        .select(col("node"), col("jmp").as("component"), col("prev"))
-        .localCheckpoint()
+      val jumped = ckpt(stepped.join(hop, "component")
+        .select(col("node"), col("jmp").as("component"), col("prev")))
       converged = jumped.filter(col("component") =!= col("prev")).isEmpty
       // only the newest labeling is ever read again — free the
       // superseded checkpoint instead of pinning ~log2(n) copies of an
       // O(nodes) relation on the executors for the session's lifetime
-      unpersistCheckpoint(labels)
+      free(labels)
       labels = jumped.select("node", "component")
       iter += 1
     }
-    unpersistCheckpoint(sym)
+    free(sym)
     logInfo(s"connected components converged in $iter iterations")
     labels
   }
@@ -108,9 +124,18 @@ object ConnectedComponents extends Logging {
   /** Drop the block-manager copy behind a `localCheckpoint`ed frame
     * (the returned frame must no longer be used). DataFrame.unpersist
     * only covers CacheManager entries, so reach the checkpoint RDD
-    * through the LogicalRDD leaf. */
+    * through the LogicalRDD leaf — an INTERNAL Spark API: if a Spark
+    * upgrade reshapes the checkpoint leaf this degrades to a warning
+    * (blocks then live until the ContextCleaner or session end), not
+    * a silent permanent leak. */
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    } match {
+      case Some(rdd) => rdd.unpersist(blocking = false)
+      case None => logWarning(
+        "no LogicalRDD leaf under a localCheckpoint'ed frame — Spark " +
+          "internal plan shape changed; superseded checkpoint blocks " +
+          "will not be freed eagerly")
+    }
 }

@@ -1444,7 +1444,13 @@ object Pipeline {
          |FROM qz ORDER BY vec_id""".stripMargin,
 
     // dedup by TEXT (the fingerprint is engine-side identity only):
-    // batch-internal winner window + existing-corpus membership check
+    // batch-internal winner window + existing-corpus membership check.
+    // NULL-text policy, spelled out so both engines agree if the
+    // fixture ever gains null texts: the engine's left_anti keeps the
+    // batch's (single, rn=1) null-text winner because null join keys
+    // never match — so the oracle passes nulls explicitly and keeps
+    // the NOT IN subquery null-free (one null in a NOT IN list would
+    // otherwise collapse the whole predicate to NULL = drop all).
     "incremental_dedup" ->
       s"""WITH src AS (
          |  SELECT doc_id, text, lang, source, n_chars FROM documents
@@ -1456,7 +1462,8 @@ object Pipeline {
          |  FROM src WHERE doc_id % 4 = 3)
          |SELECT doc_id, lang, source, n_chars FROM b
          |WHERE rn = 1
-         |  AND text NOT IN (SELECT text FROM src WHERE doc_id % 4 <> 3)
+         |  AND (text IS NULL OR text NOT IN (
+         |    SELECT text FROM src WHERE doc_id % 4 <> 3 AND text IS NOT NULL))
          |ORDER BY doc_id""".stripMargin,
 
     "corpus_curation" ->

@@ -79,6 +79,29 @@ class BudgetSelectSpec extends SparkSuite {
     assert(got == ((0L until 123L).toSet + 2000L))
   }
 
+  test("null values cost 0 and an all-null-value stratum does not NPE") {
+    // stratum 0.5 has ONLY null values (sums to 0, admitted for free);
+    // null-valued rows elsewhere are admitted without consuming budget
+    val df = Seq(
+      (1L, 1.0, Some(5L)), (2L, 1.0, None),
+      (3L, 0.5, None), (4L, 0.5, None),
+      (5L, 0.25, Some(100L))
+    ).toDF("id", "score", "v")
+    val got = BudgetSelect.select(df, "id", "score", "v", 5L)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("a continuous score column fails fast instead of collecting the corpus") {
+    val n = BudgetSelect.MaxStrata + 1
+    val df = spark.range(n.toLong)
+      .select($"id", ($"id" / lit(n.toDouble)).as("score"), lit(1L).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      BudgetSelect.select(df, "id", "score", "v", 10L)
+    }
+    assert(e.getMessage.contains("quantized"), e.getMessage)
+  }
+
   test("the plan never contains a partition-less global window") {
     val rows = (0L until 100L).map(i => (i, (i % 4) * 0.25, 2L))
     val df = BudgetSelect.select(

@@ -73,6 +73,27 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(run(Seq.empty).isEmpty)
   }
 
+  test("reliable-checkpoint mode matches union-find and writes the dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    try {
+      val rnd = new scala.util.Random(7)
+      val edges = Seq.fill(120)(
+        (rnd.nextLong(80).abs, rnd.nextLong(80).abs)).filter(e => e._1 != e._2)
+      val got = ConnectedComponents.components(
+          edges.toDF("a", "b"), "a", "b",
+          checkpointDir = Some(dir.toString))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ufComponents(edges))
+      // reliable mode must actually have checkpointed into the dir
+      val wrote = java.nio.file.Files.walk(dir).count() > 1
+      assert(wrote, s"no checkpoint files written under $dir")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("near-dup clusters query: canonical doc is the cluster min and sizes add up") {
     val df = SparkEntry.queries("neardup_clusters")(spark, sf)
     val rows = df.collect()
