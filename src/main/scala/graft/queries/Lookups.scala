@@ -119,6 +119,13 @@ object Lookups {
       asofFixture(s, dir)(AsOfJoin.asofMerge)),
     "asof_join_broadcast" -> ((s: SparkSession, dir: String) =>
       asofFixture(s, dir)(AsOfJoin.asofBroadcast)),
+    // (Auto: the planner's stats path itself, driver-checked — at the
+    // oracle sf the aggregated build side sits under the broadcast
+    // threshold, so this row proves the size-estimate → broadcast
+    // decision AND its result; NativeAsOfJoinSpec pins which exec is
+    // planned on each side of the threshold)
+    "asof_join_auto" -> ((s: SparkSession, dir: String) =>
+      asofFixture(s, dir)(AsOfJoin.asofNative(_, _, _, _, _, _, _))),
 
     // J9 SQL surface: the SAME shared fixture through pure SQL text —
     // the graft_asof table-valued function plans the custom merge
@@ -225,6 +232,7 @@ object Lookups {
     "asof_join" -> asofOracleSql,
     "asof_join_native" -> asofOracleSql,
     "asof_join_broadcast" -> asofOracleSql,
+    "asof_join_auto" -> asofOracleSql,
     "asof_sql" -> asofOracleSql,
   )
 

@@ -232,6 +232,65 @@ object Pipeline {
       p(9000015L, "probe unique gamma content"))    // batch: unique
   }
 
+  /** Probe docs for `full_curation` — the corpus alone exercises the
+    * split, gate, budget, chunk and pack stages, and these engineer a
+    * guaranteed hit for each REMOVAL stage so the composed chain
+    * observably fires end to end at any sf. Ids are chosen for their
+    * md5 split label (computed, not assumed): −43 lands in `test`,
+    * every other id below lands in `train`.
+    *
+    *  - −62/−61: identical texts — exact dedup keeps −62, drops −61.
+    *  - −60/−54: one-token edit (3-gram Jaccard ≈ 0.96) — both train,
+    *    so the near-dup closure drops the non-canonical −54.
+    *  - −48/−43: one-token edit across splits (train vs test) — the
+    *    decontamination stage drops the train member −48.
+    *  - −68/−67/−66: share one boilerplate line (full-text Jaccard
+    *    far below τ, so the near-dup stage does NOT collapse them);
+    *    line dedup strips the line, and −66 (all boilerplate) comes
+    *    out empty and is then dropped by the quality gate.
+    *  - −42: carries an email + IP + phone — the redaction stage
+    *    rewrites them and the doc flows on with its [EMAIL]-style
+    *    tokens.
+    *
+    * (No single quotes — interpolated into oracle SQL via
+    * [[sqlText]].) */
+  private[graft] val fullCurationProbes: Seq[(Long, String)] = {
+    val dupText = "the probe duplicate pair shares every single byte " +
+      "of this text so the exact fingerprint stage must collapse it to " +
+      "one winner row keeping the smaller identifier and dropping the " +
+      "larger one while later stages never see a second copy of these " +
+      "words at all"
+    def nearDup(last: String) = "the near duplicate stage of this " +
+      "curation chain must catch a pair of documents that differ in " +
+      "exactly one token because their shingle sets overlap far above " +
+      "the half jaccard threshold used by the minhash bands across the " +
+      "whole corpus sweep " + last
+    def contam(last: String) = "benchmark decontamination must drop a " +
+      "training document that nearly duplicates an evaluation document " +
+      "because eval leakage inflates scores and the pipeline keeps the " +
+      "eval side untouched while the train side vanishes from the " +
+      "final packed output stream " + last
+    val sharedLine = "subscribe to the probe newsletter for more updates"
+    Seq(
+      (-68L, "unique epsilon opening thought line\n" + sharedLine +
+        "\nthe epsilon body continues with a careful account of the " +
+        "boilerplate removal stage and its fingerprint keyed shuffle"),
+      (-67L, sharedLine + "\nthe zeta body text describes a different " +
+        "topic entirely with tokens about packing budgets and quality " +
+        "gates of the composed pipeline"),
+      (-66L, sharedLine),
+      (-62L, dupText),
+      (-61L, dupText),
+      (-60L, nearDup("tonight")),
+      (-54L, nearDup("today")),
+      (-48L, contam("forever")),
+      (-43L, contam("always")),
+      (-42L, "the contact card of this probe lists mail to " +
+        "agent.x@example.org plus a backup server at 10.1.2.3 and a " +
+        "phone line 555-123-9876 for the auditors of the final corpus " +
+        "assembly process today"))
+  }
+
   /** A Scala string as a DuckDB SQL literal, newlines spliced as
     * `chr(10)` (texts must not contain single quotes). */
   private def sqlText(s: String): String =
@@ -372,6 +431,95 @@ object Pipeline {
     val pairs = minhashNearDupPairs(
       Tables.documents(s, dir).select($"doc_id", $"text"), MinHashJaccardTau)
     graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+  }
+
+  /** Intermediates of the composed `full_curation` chain, exposed so
+    * the spec can assert each stage's effect on the engineered probes
+    * without re-deriving the pipeline. */
+  private[graft] case class CurationStages(
+      afterExact: DataFrame, dupes: DataFrame, contaminated: DataFrame,
+      survivors: DataFrame, gated: DataFrame, selected: DataFrame,
+      packed: DataFrame)
+
+  /** The product's headline pass, corpus → dataloader, as ONE query:
+    * exact dedup → deterministic split → within-train near-dup cluster
+    * dedup → decontamination against the held-out eval splits → line
+    * boilerplate removal → PII redaction → quality gate → greedy
+    * token-budget selection → chunk → pack. Every stage is
+    * oracle-proven standalone (exact_dedup, hash_split,
+    * neardup_dedup, decontaminate, line_dedup, pii_redact,
+    * doc_quality, token_budget_select, doc_chunks, pack_sequences);
+    * this composition is the thing a curation user actually runs.
+    *
+    * Composition contracts, made explicit because order matters:
+    *  - ONE LSH pass over the post-exact-dedup corpus feeds BOTH
+    *    near-dup stages: train–train pairs close into clusters (the
+    *    dedup), train–eval pairs mark contamination. Eval docs are
+    *    held out and never curated — the near-dup closure runs on
+    *    within-train edges only (a train–eval–train path must NOT
+    *    merge two train docs that are not near-dups of each other).
+    *  - budget selection runs at the DOCUMENT level, between the gate
+    *    and chunking — quality lives on docs, and selecting before
+    *    chunking means the dropped 3/5 of tokens are never chunked or
+    *    packed at all (the work-saving order at 100 TB).
+    *
+    * Scale shape: the union of the stages' individual profiles — no
+    * stage adds an exchange beyond its standalone plan; the only
+    * O(corpus²)-risk step (candidate pairs) stays the LSH band
+    * shuffle, and eval/train labeling is a projection (md5 of the id),
+    * not a join against a split table. */
+  private[graft] def fullCurationStages(
+      s: SparkSession, dir: String): CurationStages = {
+    import s.implicits._
+    import graft.operators.{BudgetSelect, Chunking, ConnectedComponents,
+      Packing, Sampling, TextCleanup}
+    val src = Tables.documents(s, dir).select($"doc_id", $"text")
+      .unionAll(fullCurationProbes.toDF("doc_id", "text"))
+    val w = Window.partitionBy($"fp1", $"fp2").orderBy($"doc_id")
+    val exact = src
+      .withColumn("fp1", F.fnv1a($"text"))
+      .withColumn("fp2", F.fnv1a_seeded(Lane2Seed, $"text"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_id", $"text")
+    val labeled = exact.withColumn("split",
+      Sampling.splitLabel($"doc_id", 0.8, 0.1))
+    val pairs = minhashNearDupPairs(
+      labeled.select($"doc_id", $"text"), MinHashJaccardTau)
+    val lab = labeled.select($"doc_id", $"split")
+    val pl = pairs
+      .join(lab.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(lab.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+    val dupes = ConnectedComponents.components(
+        pl.filter($"sa" === "train" && $"sb" === "train")
+          .select($"doc_a", $"doc_b"), "doc_a", "doc_b")
+      .filter($"node" =!= $"component")
+      .select($"node".as("doc_id"))
+    val contaminated = pl
+      .filter(($"sa" === "train") =!= ($"sb" === "train"))
+      .select(when($"sa" === "train", $"doc_a").otherwise($"doc_b")
+        .as("doc_id"))
+      .distinct()
+    val survivors = labeled.filter($"split" === "train")
+      .select($"doc_id", $"text")
+      .join(dupes, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val redacted = TextCleanup.dropBoilerplateLines(survivors, minDocs = 2)
+      .select($"doc_id",
+        TextCleanup.redactPii(
+          regexp_replace($"clean_text", "\n", " ")).as("text"))
+    val gated = redacted
+      .withColumn("quality", qualityOf($"text"))
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .filter($"quality" >= 0.625)
+    val selected = BudgetSelect.selectFraction(
+      gated, "doc_id", "quality", "n_tokens", 2, 5)
+    val chunks = Chunking.chunkDocs(selected.select($"doc_id", $"text"),
+      maxTokens = 16, overlap = 4, minTokens = 5)
+    val packed = Packing.packChunks(
+      chunks.select($"doc_id", $"chunk_id", $"n_tokens"),
+      budget = 64, nBuckets = 8)
+    CurationStages(exact, dupes, contaminated, survivors, gated, selected,
+      packed)
   }
 
   val queries: Map[String, Q] = Map(
@@ -1075,6 +1223,17 @@ object Pipeline {
           budget = 64, nBuckets = 8)
         .orderBy($"bucket", $"seq_id")
     }),
+
+    // THE headline: the full corpus→dataloader chain as one query —
+    // see [[fullCurationStages]] for the stage list and composition
+    // contracts. The oracle replays all ten stages in SQL, so ANY
+    // stage diverging (or any stage's exchange profile corrupting a
+    // later stage's input) breaks the row hash; the probe docs force
+    // every removal stage to fire.
+    "full_curation" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      fullCurationStages(s, dir).packed.orderBy($"bucket", $"seq_id")
+    }),
   )
 
   /** Learned IVF centroids per sf dir — computed once (deterministic
@@ -1243,14 +1402,20 @@ object Pipeline {
 
   /** Shared shingle CTE — mirrors [[shingles]] including its
     * whole-text fallback for docs shorter than the 3-token width. */
-  private val shingleSqlCte =
-    """sh AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(ws) >= 3 THEN
-      |      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-      |                     for i in range(1, len(ws) - 1)])
-      |    ELSE [text] END AS s
-      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))""".stripMargin
+  /** The distinct-3-gram shingle CTE over any (doc_id, text) source —
+    * ONE spelling shared by every Jaccard oracle (and, via the `ed`
+    * source, by the full_curation oracle) so tokenization cannot
+    * drift. */
+  private def shingleSqlCteFor(src: String): String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) >= 3 THEN
+       |      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                     for i in range(1, len(ws) - 1)])
+       |    ELSE [text] END AS s
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $src))""".stripMargin
+
+  private val shingleSqlCte = shingleSqlCteFor("documents")
 
   /** Chunk-window CTEs (`tk`, `c`) mirrored from
     * [[graft.operators.Chunking.chunkDocs]] with maxTokens=16,
@@ -1314,12 +1479,15 @@ object Pipeline {
       .map { case (k, r) => s"WHEN '$k' THEN ${f(r)}" }
       .mkString("CASE lang ", " ", s" ELSE ${f(1.0)} END")
 
-  /** (doc_id, lang, n_tokens, quality) — the composite quality scoring
-    * CTE mirrored from [[qualityOf]]; shared by the doc_quality and
-    * token_budget_select oracles. */
-  private val qualitySqlCte =
-    s"""q AS (
-       |  SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
+  /** (doc_id, carry..., n_tokens, quality) — the composite quality
+    * scoring CTE mirrored from [[qualityOf]], parameterized over the
+    * source relation and carried columns; ONE spelling shared by the
+    * doc_quality, token_budget_select and full_curation oracles. */
+  private def qualityCteSql(name: String, src: String,
+      carry: Seq[String]): String = {
+    val cc = carry.map(_ + ", ").mkString
+    s"""$name AS (
+       |  SELECT doc_id, ${cc}CAST(n_tok AS BIGINT) AS n_tokens,
        |    ${sqlQ6("""(
        |      (CASE WHEN n_tok >= 50 AND n_tok <= 5000 THEN 1.0
        |            WHEN n_tok >= 20 THEN 0.5 ELSE 0.0 END) +
@@ -1328,12 +1496,15 @@ object Pipeline {
        |      (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 1.0 ELSE 0.0 END)
        |    ) / 4.0""")} AS quality
        |  FROM (
-       |    SELECT doc_id, lang,
+       |    SELECT doc_id, $cc
        |      CAST(len(ws) AS DOUBLE) AS n_tok,
        |      ${sqlQ6("CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)")} AS ttr,
        |      ${sqlQ6("CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE) / len(ws)")} AS stop,
        |      ${sqlQ6("list_reduce(list_prepend(0.0, list_transform(ws, w -> CAST(length(w) AS DOUBLE))), (acc, x) -> acc + x) / len(ws)")} AS avg_len
-       |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)))""".stripMargin
+       |    FROM (SELECT doc_id, ${cc}string_split(text, ' ') AS ws FROM $src)))""".stripMargin
+  }
+
+  private val qualitySqlCte = qualityCteSql("q", "documents", Seq("lang"))
 
   /** τ=0.5 exact-Jaccard pairs closed into components: `comp` is the
     * (node, cluster_id = component min) labeling the cluster-closure
@@ -1746,6 +1917,106 @@ object Pipeline {
          |${sqlChunkCtes("r", " WHERE len(string_split(COALESCE(text, ''), ' ')) >= 5")}
          |SELECT doc_id, $sqlChunkCols
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the full corpus→dataloader replay: every stage of
+    // fullCurationStages mirrored from its standalone oracle — exact
+    // dedup (by text), md5 split, exact-Jaccard pairs over the
+    // post-dedup corpus, recursive closure of the train–train edges,
+    // cross-split contamination, line dedup, redaction, quality gate,
+    // the greedy cumulative-sum budget, then the chunk + pack math
+    "full_curation" ->
+      s"""WITH RECURSIVE d0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES ${sqlProbeValues(fullCurationProbes)}) pr(doc_id, text)),
+         |ed AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM d0) t WHERE rn = 1),
+         |lab AS (
+         |  SELECT doc_id, $sqlSplitCase AS split FROM (
+         |    SELECT doc_id,
+         |      ${sqlMd5Fold32("split:v1:", "CAST(doc_id AS VARCHAR)")} AS v
+         |    FROM ed)),
+         |${shingleSqlCteFor("ed")},
+         |p AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      ${sqlQ6("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s)))")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+         |  WHERE jaccard >= 0.5),
+         |pl AS (
+         |  SELECT p.doc_a, p.doc_b, la.split AS sa, lb.split AS sb
+         |  FROM p JOIN lab la ON la.doc_id = p.doc_a
+         |         JOIN lab lb ON lb.doc_id = p.doc_b),
+         |tp AS (SELECT doc_a, doc_b FROM pl
+         |       WHERE sa = 'train' AND sb = 'train'),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM tp
+         |      UNION ALL SELECT doc_b, doc_a FROM tp),
+         |n AS (SELECT DISTINCT u AS node FROM e),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node),
+         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+         |contam AS (
+         |  SELECT DISTINCT CASE WHEN sa = 'train' THEN doc_a ELSE doc_b END AS doc_id
+         |  FROM pl WHERE (sa = 'train') <> (sb = 'train')),
+         |surv AS (
+         |  SELECT ed.doc_id, ed.text FROM ed JOIN lab USING (doc_id)
+         |  WHERE lab.split = 'train'
+         |    AND doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |l AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+         |    unnest(string_split(text, chr(10))) AS line
+         |  FROM surv),
+         |hot AS (
+         |  SELECT trim(line) AS lkey FROM l
+         |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+         |kept AS (SELECT * FROM l WHERE trim(line) NOT IN (SELECT lkey FROM hot)),
+         |o AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct
+         |  FROM kept GROUP BY doc_id),
+         |r AS (
+         |  SELECT surv.doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(
+         |      replace(COALESCE(o.ct, ''), chr(10), ' '),
+         |      '${graft.operators.TextCleanup.EmailRe}', '[EMAIL]', 'g'),
+         |      '${graft.operators.TextCleanup.Ipv4Re}', '[IP]', 'g'),
+         |      '${graft.operators.TextCleanup.PhoneRe}', '[PHONE]', 'g') AS text
+         |  FROM surv LEFT JOIN o USING (doc_id)),
+         |${qualityCteSql("q2", "r", Seq("text"))},
+         |g AS (SELECT * FROM q2 WHERE quality >= 0.625),
+         |cm AS (
+         |  SELECT doc_id, text, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM g),
+         |sel AS (SELECT doc_id, text FROM cm
+         |        WHERE cum <= (SELECT SUM(n_tokens) * 2 // 5 FROM g)),
+         |${sqlChunkCtes("sel", " WHERE len(string_split(COALESCE(text, ''), ' ')) >= 5")},
+         |ch AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |    CAST(LEAST(chunk_id*12+16, n) - chunk_id*12 AS BIGINT) AS n_tokens
+         |  FROM c),
+         |bk AS (
+         |  SELECT doc_id, chunk_id, n_tokens,
+         |    CAST(${sqlMd5Fold32("pack:v1:", "CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS bucket
+         |  FROM ch),
+         |st AS (
+         |  SELECT bucket, doc_id, chunk_id, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket
+         |      ORDER BY doc_id, chunk_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |  FROM bk)
+         |SELECT bucket, CAST(bef // 64 AS BIGINT) AS seq_id,
+         |  COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  MIN({'doc_id': doc_id, 'chunk_id': chunk_id}).doc_id AS first_doc,
+         |  MIN({'doc_id': doc_id, 'chunk_id': chunk_id}).chunk_id AS first_chunk
+         |FROM st GROUP BY bucket, bef // 64
+         |ORDER BY bucket, seq_id""".stripMargin,
 
     // positional (NON-distinct) 3-grams — unlike the dedup CTE
     "shingle_vocab" ->

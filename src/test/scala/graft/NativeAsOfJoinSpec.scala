@@ -98,6 +98,18 @@ class NativeAsOfJoinSpec extends SparkSuite {
       "threshold -1 must disable auto-broadcast")
   }
 
+  test("the asof_join_auto query entry broadcasts at the oracle sf") {
+    // the CORRECTNESS row drives the Auto stats path; this pins that at
+    // test scale the decision lands on the broadcast exec (so the
+    // driver run exercises size-estimate → broadcast, not a
+    // degenerate always-merge)
+    val df = SparkEntry.queries("asof_join_auto")(spark, sf)
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastAsOfJoin"),
+      s"Auto must pick broadcast for the small build side:\n${exec.take(2000)}")
+    assert(df.count() > 0)
+  }
+
   test("probe-only filters push through the custom node to the scan") {
     val (probe, build) = probeBuild()
     val joined = AsOfJoin.asofNative(probe, build,
