@@ -1234,6 +1234,83 @@ object Pipeline {
       import s.implicits._
       fullCurationStages(s, dir).packed.orderBy($"bucket", $"seq_id")
     }),
+
+    // L3: SimHash Hamming-neighbor counts — the fingerprint
+    // (bit i = majority vote of bit i over the doc's shingle hashes;
+    // SimHash64 codegen kernel, bit-parity-pinned in SimHash64Spec)
+    // oracle-gated through its downstream use: for every doc, the
+    // number of other docs within Hamming distance ≤ 3. The engine
+    // searches by BANDING (4 × 16-bit bands; pigeonhole: ≤ 3
+    // differing bits leave ≥ 1 band identical, so band-equality
+    // candidates have perfect recall) + exact popcount verify — the
+    // scale shape. The oracle recomputes the counts ALL-PAIRS from
+    // the engine's own fingerprints, interpolated as literals at
+    // oracle-dump time (the ivf_ann_learned pattern): the banded
+    // search's recall and the count aggregation are driver-checked;
+    // the fingerprint values themselves are spec-pinned. The exact-dup
+    // probe pair guarantees a nonzero count fires at any sf.
+    "simhash_neighbors" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val fps = simhashFrame(s, dir)
+      val banded = fps.select($"doc_id", $"simhash",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_no"),
+            shiftrightunsigned($"simhash", b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*)).as("bk"))
+        .select($"doc_id", $"simhash",
+          $"bk.band_no".as("band_no"), $"bk.band_val".as("band_val"))
+      val near = banded.as("a")
+        .join(banded.as("b"), Seq("band_no", "band_val"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+        .distinct()
+        .filter(bit_count($"ha".bitwiseXOR($"hb")) <= 3)
+      val cnt = near.select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_near"))
+      fps.join(cnt, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"n_near", lit(0L)).as("n_near"))
+        .orderBy($"doc_id")
+    }),
+
+    // L5: winnowing containment (Schleimer et al., SIGMOD'03 — public
+    // algorithm), oracle-gated through its DOWNSTREAM guarantee: any
+    // two docs sharing a run of ≥ 6 tokens (w=4 windows of 3-gram
+    // hashes) MUST share ≥ 1 winnowing fingerprint. The engine finds
+    // the shared-run pairs by positional 6-gram fingerprint equality
+    // (the gram hash is the shuffle key — text never shuffles) and
+    // reports whether each pair's winnow fingerprint sets intersect;
+    // the oracle rebuilds the same pairs from 6-gram STRINGS and
+    // asserts TRUE — so a winnowing implementation that ever broke
+    // the guarantee (wrong window math, non-positional grams,
+    // dedup-before-window) hash-mismatches. The raw fingerprint
+    // values stay engine-side ([[winnowFingerprints]]; density and
+    // determinism property-tested in PipelineSpec).
+    "winnow_containment" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+        .unionAll(winnowProbes.toDF("doc_id", "text"))
+      val W = 6
+      val grams = docs.select($"doc_id", split($"text", " ").as("ws"))
+        .filter(size($"ws") >= W)
+        .select($"doc_id", explode(transform(
+          sequence(lit(1), size($"ws") - (W - 1)),
+          i => F.fnv1a(concat_ws(" ", slice($"ws", i, lit(W)))))).as("gfp"))
+        .distinct()
+      val pairs = grams.as("a")
+        .join(grams.as("b"), col("a.gfp") === col("b.gfp") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val fps = winnowFingerprints(docs)
+      val fa = fps.select($"doc_id".as("doc_a"), $"fps".as("fps_a"))
+      val fb = fps.select($"doc_id".as("doc_b"), $"fps".as("fps_b"))
+      pairs.join(fa, "doc_a").join(fb, "doc_b")
+        .select($"doc_a", $"doc_b",
+          (size(array_intersect($"fps_a", $"fps_b")) >= 1)
+            .as("shares_fingerprint"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
   )
 
   /** Learned IVF centroids per sf dir — computed once (deterministic
@@ -1262,21 +1339,6 @@ object Pipeline {
     * identity) → rows-only driver check; correctness is property-tested
     * in PipelineSpec instead. */
   val noOracleQueries: Map[String, Q] = Map(
-    // SimHash document fingerprint: bit i of the 64-bit fingerprint is
-    // the majority vote of bit i over all shingle hashes — near-dup
-    // docs land within a small Hamming distance. One codegen'd pass
-    // over hash-identity shingles (SimHash64 — the 64 unrolled
-    // interpreted `aggregate` sweeps of the HOF spelling were the
-    // bench's worst row at 8.4 s; SimHash64Spec pins bit-for-bit
-    // parity with that spelling).
-    "simhash_fingerprint" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      withShingleHashes(Tables.documents(s, dir)
-        .select($"doc_id", $"text").repartition($"doc_id"), Seq("doc_id"))
-        .select($"doc_id", F.simhash64($"hs").as("simhash"))
-        .orderBy($"doc_id")
-    }),
-
     // U3: group-level MinHash sketches via the typed MinHashAgg
     // Aggregator — one 64-lane signature per source (algebraic: partial
     // signatures merge map-side; 64 longs per group cross the shuffle
@@ -1341,25 +1403,71 @@ object Pipeline {
         .orderBy($"probe_id", $"rn")
     }),
 
-    // L5: winnowing document fingerprints (Schleimer et al., SIGMOD'03
-    // — public algorithm). Positional 3-gram chain hashes (NOT
-    // deduplicated — winnowing is positional), then each sliding
-    // window of 4 grams contributes its minimum hash; the distinct
-    // minima are the doc's fingerprint set. Guarantees any shared run
-    // of ≥ 6 tokens between two docs shares ≥ 1 fingerprint, at ~1/4
-    // the density of full k-gram hashing — the standard
-    // containment-detection fingerprint at corpus scale. Hash-identity
-    // output → rows-only gate + properties in PipelineSpec.
-    "winnow_fingerprint" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      winnowFingerprints(Tables.documents(s, dir).select($"doc_id", $"text"))
-        .select($"doc_id",
-          size($"fps").cast("long").as("n_fp"),
-          aggregate($"fps", lit(0L), (acc, x) => acc.bitwiseXOR(x))
-            .as("fp_xor"))
-        .orderBy($"doc_id")
-    }),
   )
+
+  /** Probe docs for `simhash_neighbors`: an exact-duplicate pair
+    * (identical shingle sets ⇒ identical simhash ⇒ Hamming 0 — a
+    * guaranteed nonzero neighbor count at any sf) plus a one-token
+    * edit of the same text (small but hash-determined distance). (No
+    * single quotes — ids ride into the interpolated oracle.) */
+  private[graft] val simhashProbes: Seq[(Long, String)] = {
+    def t(last: String) = "the simhash probe family shares almost all " +
+      "of its shingles so the banded hamming search must count these " +
+      "documents as mutual neighbors in every " + last
+    Seq((-91L, t("round")), (-90L, t("round")), (-89L, t("pass")))
+  }
+
+  /** The (doc_id, simhash) frame behind `simhash_neighbors` — also
+    * registered per dir so [[oracleFor]] can interpolate the
+    * fingerprints as literals AT ORACLE-DUMP TIME. The collect happens
+    * only when an oracle is dumped (Verify), never inside the query
+    * itself — a 100 TB caller of the query pays no driver
+    * materialization. */
+  private val simhashFrameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def simhashFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = withShingleHashes(
+      Tables.documents(s, dir).select($"doc_id", $"text")
+        .unionAll(simhashProbes.toDF("doc_id", "text"))
+        .repartition($"doc_id"), Seq("doc_id"))
+      .select($"doc_id", F.simhash64($"hs").as("simhash"))
+    simhashFrameCache.put(dir, f)
+    f
+  }
+
+  /** DuckDB mirror of `simhash_neighbors` given the engine's own
+    * fingerprints: all-pairs popcount(xor) ≤ 3 — checks the banded
+    * search's recall and the per-doc aggregation. */
+  private def simhashNeighborsSql(fps: Array[(Long, Long)]): String = {
+    val rows = fps.sortBy(_._1)
+      .map { case (id, h) => s"(CAST($id AS BIGINT), CAST($h AS BIGINT))" }
+      .mkString(",\n    ")
+    s"""WITH f(doc_id, fp) AS (VALUES
+       |    $rows),
+       |nn AS (
+       |  SELECT a.doc_id, COUNT(*) AS n_near
+       |  FROM f a JOIN f b
+       |    ON b.doc_id <> a.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3
+       |  GROUP BY a.doc_id)
+       |SELECT f.doc_id, CAST(COALESCE(nn.n_near, 0) AS BIGINT) AS n_near
+       |FROM f LEFT JOIN nn USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Probe docs for `winnow_containment`: two docs sharing an 8-token
+    * run (the guarantee case), one disjoint doc, and a pair sharing
+    * exactly one 6-token run at different positions — the minimal
+    * shared-window shape. (No single quotes — interpolated into
+    * oracle SQL.) */
+  private[graft] val winnowProbes: Seq[(Long, String)] = {
+    val run = "a stable shared corridor of eight exact tokens"
+    Seq(
+      (-82L, s"alpha opening words then $run and a distinct alpha tail"),
+      (-81L, s"totally different beta prefix $run closing beta remark"),
+      (-80L, "no overlap at all in this probe document text body"))
+  }
 
   /** Winnowing fingerprint sets (Schleimer et al., SIGMOD'03 — public
     * algorithm): positional 3-gram chain hashes (NOT deduplicated —
@@ -1526,25 +1634,37 @@ object Pipeline {
        |  SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node),
        |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)""".stripMargin
 
-  /** Static SQL oracles plus — once [[learnedCents]] has run, which
-    * Verify guarantees by executing every query before the dump — the
-    * `ivf_ann_learned` oracle with the learned centroids interpolated
-    * as literals. A `def` (and consumed through `SparkEntry.oracleSql`,
-    * also a `def`) precisely so the data-dependent entry can appear. */
+  /** Static SQL oracles plus — once [[learnedCents]] / [[simhashFrame]]
+    * have run, which Verify guarantees by executing every query before
+    * the dump — the data-dependent oracles (`ivf_ann_learned` with the
+    * learned centroids, `simhash_neighbors` with the engine's
+    * fingerprints) interpolated as literals. A `def` (and consumed
+    * through `SparkEntry.oracleSql`, also a `def`) precisely so the
+    * data-dependent entries can appear. */
   def oracle: Map[String, String] =
     learnedCentDir.map(oracleFor).getOrElse(staticOracle)
 
-  /** The oracle map for ONE sf dir, keyed off the per-dir centroid
-    * cache — two dirs exercised in one JVM each get their own correct
-    * `ivf_ann_learned` SQL (the last-set-dir convenience view above
+  /** One SQL string per dir: the collect behind the interpolation runs
+    * ONCE at first dump, never inside the query plan itself. */
+  private val simhashSqlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The oracle map for ONE sf dir, keyed off the per-dir caches —
+    * two dirs exercised in one JVM each get their own correct
+    * data-dependent SQL (the last-set-dir convenience view above
     * serves the single-dir driver contract; Verify dumps THIS map for
-    * the dir it actually ran). The entry appears once that dir's
-    * `ivf_ann_learned` query has been constructed (which warms the
-    * cache); until then the rows-only check applies. */
+    * the dir it actually ran). Each entry appears once that dir's
+    * query has been constructed (which warms its cache); until then
+    * the rows-only check applies. */
   def oracleFor(dir: String): Map[String, String] =
     staticOracle ++ Option(learnedCentCache.get(dir))
       .map(c => Map("ivf_ann_learned" -> ivfLearnedSql(c)))
-      .getOrElse(Map.empty)
+      .getOrElse(Map.empty) ++ Option(simhashFrameCache.get(dir))
+      .map { f =>
+        Map("simhash_neighbors" -> simhashSqlCache.computeIfAbsent(dir,
+          _ => simhashNeighborsSql(f.collect()
+            .map(r => (r.getLong(0), r.getLong(1))))))
+      }.getOrElse(Map.empty)
 
   /** DuckDB mirror of `ivf_ann_learned`: identical structure to the
     * `ivf_ann` oracle, with the VALUES rows carrying the learned
@@ -1697,6 +1817,25 @@ object Pipeline {
         |FROM g GROUP BY span_text
         |HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY span_text""".stripMargin,
+
+    // the guarantee, not the hash values: every pair sharing a
+    // 6-token run (rebuilt here from gram STRINGS) must come out of
+    // the engine with shares_fingerprint = TRUE — any FALSE (or any
+    // pair-set divergence) breaks the row hash
+    "winnow_containment" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES ${sqlProbeValues(winnowProbes)}) pr(doc_id, text)),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(ws[i:i+5], ' ')
+         |            for i in range(1, len(ws) - 4)]) AS run
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM d)
+         |  WHERE len(ws) >= 6)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  TRUE AS shares_fingerprint
+         |FROM g a JOIN g b ON a.run = b.run AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // the minhash_neardup pair oracle x the hash_split label oracle,
     // cross-split filtered exactly like the engine

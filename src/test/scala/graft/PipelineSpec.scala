@@ -133,7 +133,8 @@ class PipelineSpec extends SparkSuite {
   }
 
   test("simhash separates near-dups from random pairs by Hamming distance") {
-    val fps = Pipeline.noOracleQueries("simhash_fingerprint")(spark, sf)
+    val fps = Pipeline.simhashFrame(spark, sf)
+      .filter(col("doc_id") >= 0) // corpus docs only (probes ride along)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dupPairs = Pipeline.queries("minhash_neardup")(spark, sf)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -278,9 +279,17 @@ class PipelineSpec extends SparkSuite {
     assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
 
     // Fixture-wide: fingerprint density stays below the gram count
-    // (that is the point of winnowing) and the query is deterministic.
-    val out = Pipeline.noOracleQueries("winnow_fingerprint")(spark, sf)
-      .collect()
+    // (that is the point of winnowing) and the operator is
+    // deterministic. (The driver row is `winnow_containment`, which
+    // oracle-gates the guarantee corpus-wide; these are the
+    // hash-valued properties that stay engine-side.)
+    def fixtureFps() = Pipeline.winnowFingerprints(
+        Tables.documents(spark, sf).select($"doc_id", $"text"))
+      .select($"doc_id", size($"fps").cast("long").as("n_fp"),
+        aggregate($"fps", lit(0L), (acc, x) => acc.bitwiseXOR(x))
+          .as("fp_xor"))
+      .orderBy($"doc_id").collect()
+    val out = fixtureFps()
     assert(out.length == Tables.documents(spark, sf).count())
     val grams = Tables.documents(spark, sf)
       .select($"doc_id", (size(split($"text", " ")) - 2).as("g"))
@@ -290,8 +299,7 @@ class PipelineSpec extends SparkSuite {
       if (g >= 4) assert(r.getLong(1) <= g - 3,
         s"doc ${r.getLong(0)}: ${r.getLong(1)} fingerprints from $g grams")
     }
-    val again = Pipeline.noOracleQueries("winnow_fingerprint")(spark, sf)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val again = fixtureFps().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out.map(r => r.getLong(0) -> r.getLong(2)).toMap == again)
   }
 

@@ -38,26 +38,28 @@ class RelationalSpec extends SparkSuite {
   }
 
   test("every query has either an oracle or is explicitly exempt") {
-    // ivf_ann_learned's oracle is data-dependent (learned-centroid
-    // literals): constructing the query learns + caches the centroids,
+    // Data-dependent oracles (learned-centroid / engine-fingerprint
+    // literals): constructing each query warms its per-dir cache,
     // exactly as a Verify run does before dumping oracle_sql.json.
     SparkEntry.queries("ivf_ann_learned")(spark, sf)
+    SparkEntry.queries("simhash_neighbors")(spark, sf)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep the exemption list explicit so new queries fail loudly:
     //  - agg_approx: HLL sketch not DuckDB-replicable (AggregatesSpec
     //    bounds it against the exact count)
-    //  - simhash_fingerprint / ann_lsh: need the reference hash
-    //    identity, not expressible in DuckDB SQL (PipelineSpec
-    //    property-tests both)
+    //  - ann_lsh: needs the reference hash identity, not expressible
+    //    in DuckDB SQL (PipelineSpec property-tests it)
     //  - source_minhash_sim: typed MinHashAgg sketch (hash identity;
     //    MinHashAggSpec checks the estimate against true Jaccard)
-    //  - winnow_fingerprint: winnowing minima of fnv1a gram hashes
-    //    (hash identity; PipelineSpec proves the shared-run guarantee)
     //  - hash_fns_native: xxhash64/murmur3/crc32 have no DuckDB
     //    equivalents (HashFnsSpec verifies each against an independent
     //    implementation + pinned vectors)
-    val exempt = Set("agg_approx", "simhash_fingerprint", "ann_lsh",
-      "source_minhash_sim", "winnow_fingerprint", "hash_fns_native")
+    // (simhash and winnowing left this list in round 6: simhash via
+    // the interpolated-fingerprint oracle `simhash_neighbors`,
+    // winnowing via the shared-run guarantee oracle
+    // `winnow_containment`.)
+    val exempt = Set("agg_approx", "ann_lsh",
+      "source_minhash_sim", "hash_fns_native")
     assert((missing -- exempt).isEmpty, s"queries without oracle: $missing")
   }
 }
