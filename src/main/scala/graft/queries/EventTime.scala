@@ -131,26 +131,22 @@ object EventTime {
         .orderBy($"cohort_week", $"week_no")
     }),
 
+    // T10 via the reusable operator: windowFunnel gives per-user
+    // depth; a stage's user count is |level >= i| (an entity at
+    // level i completed every earlier stage by construction, so the
+    // counts equal the per-stage frames of the unrolled spelling —
+    // FunnelSpec pins the operator's semantics on a 4-stage chain).
     "funnel" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val ev = Tables.events(s, dir)
-        .select($"user_id", $"ts", $"event_type")
-      val v = ev.filter($"event_type" === "view")
-        .groupBy($"user_id").agg(min($"ts").as("t1"))
-      val c = ev.filter($"event_type" === "click")
-        .join(v, "user_id")
-        .filter($"ts" > $"t1" && $"ts" <= $"t1" + expr("INTERVAL 1 DAY"))
-        // t1 is per-user constant (joined from v); min = that constant
-        .groupBy($"user_id").agg(min($"ts").as("t2"), min($"t1").as("t1"))
-      val p = ev.filter($"event_type" === "purchase")
-        .join(c, "user_id")
-        .filter($"ts" > $"t2" && $"ts" <= $"t1" + expr("INTERVAL 1 DAY"))
-        .groupBy($"user_id").agg(min($"ts").as("t3"))
-      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), $"n_users")
-        .unionAll(c.agg(count(lit(1)).as("n_users"))
-          .select(lit("2_click").as("stage"), $"n_users"))
-        .unionAll(p.agg(count(lit(1)).as("n_users"))
-          .select(lit("3_purchase").as("stage"), $"n_users"))
+      val lv = graft.operators.Funnel.windowFunnel(
+        Tables.events(s, dir).select($"user_id", $"ts", $"event_type"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
+      Seq(1 -> "1_view", 2 -> "2_click", 3 -> "3_purchase")
+        .map { case (i, name) =>
+          lv.filter($"level" >= i).agg(count(lit(1)).as("n_users"))
+            .select(lit(name).as("stage"), $"n_users")
+        }.reduce(_ unionAll _)
         .orderBy($"stage")
     }),
   )

@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
   * does for the windowed operators. */
 case class Doc(doc_id: Long, text: String)
 case class IngestDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+case class LangDoc(doc_id: Long, lang: String, text: String)
 
 class StreamingCurationSpec extends SparkSuite {
   import spark.implicits._
@@ -83,6 +84,37 @@ class StreamingCurationSpec extends SparkSuite {
     assert((got & Set(2L, 3L)).size == 1,
       s"exactly one of the in-stream pair survives: $got")
     assert(got.size == 2)
+  }
+
+  test("mixture resampling over a stream equals the batch operator") {
+    // resampleMixture is a keyed-hash projection + Generate — no
+    // state, no watermark — so the ingest-time shape (reweight the
+    // mixture as crawl output arrives) is the SAME operator. Rates
+    // cover every branch: drop (0), downsample (0.5), integer
+    // upsample (2.0), fractional (1.3), default (unmapped lang).
+    implicit val sqlCtx = spark.sqlContext
+    val rates = Map("en" -> 0.5, "es" -> 2.0, "de" -> 1.3, "fr" -> 0.0)
+    val mixDocs = (0L until 40L).map { i =>
+      LangDoc(i, Seq("en", "es", "de", "fr", "zh")(i.toInt % 5), s"doc $i body")
+    }
+    val input = MemoryStream[LangDoc]
+    input.addData(mixDocs)
+    val q = graft.operators.Sampling.resampleMixture(
+        input.toDF(), $"lang", $"doc_id", rates)
+      .select($"doc_id", $"lang", $"copy_no")
+      .writeStream.format("memory").queryName("s_mix")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("s_mix").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.Sampling.resampleMixture(
+        mixDocs.toDF(), $"lang", $"doc_id", rates)
+      .select($"doc_id", $"lang", $"copy_no")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(!streamed.exists(_._2 == "fr"), "rate-0 stratum must drop")
+    assert(streamed.exists(_._3 == 1L), "an upsampled copy must appear")
   }
 
   test("chunking over a stream equals the batch operator") {
