@@ -483,8 +483,13 @@ object Pipeline {
       .select($"doc_id", $"text")
     val labeled = exact.withColumn("split",
       Sampling.splitLabel($"doc_id", 0.8, 0.1))
+    // the LSH pass is the chain's only heavy candidate generator and
+    // BOTH near-dup stages consume it — materialize its (small,
+    // id-pair) output once so the closure and the contamination
+    // filter never re-run the banding
     val pairs = minhashNearDupPairs(
       labeled.select($"doc_id", $"text"), MinHashJaccardTau)
+      .localCheckpoint()
     val lab = labeled.select($"doc_id", $"split")
     val pl = pairs
       .join(lab.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
@@ -507,10 +512,19 @@ object Pipeline {
       .select($"doc_id",
         TextCleanup.redactPii(
           regexp_replace($"clean_text", "\n", " ")).as("text"))
+    // The curated-gated corpus is the chain's natural snapshot
+    // boundary: BudgetSelect reads it three times (strata, boundary,
+    // final filter) and the chunker reads the winners' text — without
+    // materialization every pass would re-run dedup + closure +
+    // decontamination + line dedup from the scan. At 100 TB this is
+    // the point a production pipeline writes the curated corpus to
+    // storage (swap the localCheckpoint for a parquet write under the
+    // caller's lifecycle); the plan shape is identical.
     val gated = redacted
       .withColumn("quality", qualityOf($"text"))
       .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
       .filter($"quality" >= 0.625)
+      .localCheckpoint()
     val selected = BudgetSelect.selectFraction(
       gated, "doc_id", "quality", "n_tokens", 2, 5)
     val chunks = Chunking.chunkDocs(selected.select($"doc_id", $"text"),
@@ -1286,6 +1300,45 @@ object Pipeline {
     // dedup-before-window) hash-mismatches. The raw fingerprint
     // values stay engine-side ([[winnowFingerprints]]; density and
     // determinism property-tested in PipelineSpec).
+    // L4 at scale: LSH-bucketed approximate nearest neighbors with
+    // MULTI-PROBE. Bucket key = 8 sign bits of the deterministic
+    // hyperplanes (see [[hyperplanes]] — parity-derived, well spread),
+    // computed once at plan-construction time. The corpus keeps ONE
+    // bucket per vector (the partition/layout key); each probe visits
+    // its home bucket plus all 8 Hamming-1 neighbors — the standard
+    // recall-recovery at fixed bucket granularity (a near neighbor
+    // differs in few sign bits, most likely one). Candidates per
+    // probe ≈ 9·n/256; the bit count is the scale knob (bucket bits ≈
+    // log₂(n / wanted-candidates); a 10⁹-vector corpus wants ~25 bits
+    // and more probes). Oracle-gated since round 6: the bucket is the
+    // raw sign-bit fold (SignBandKeys hashes nothing), so DuckDB
+    // rebuilds it from the SAME ±1 plane literals the plan embeds and
+    // replays the multi-probe search end to end.
+    "ann_lsh" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      def bucket(v: Column): Column =
+        element_at(F.sign_band_keys(v, flatHyperplanes(8), 64, 8), 1)
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("bucket", bucket($"v"))
+      // home bucket + the 8 Hamming-1 flips; distinct by construction
+      val probes = emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("probe_id"), $"v".as("pv"),
+          explode(array(($"bucket" +: (0 until 8).map(b =>
+            $"bucket".bitwiseXOR(lit(1L << b)))): _*)).as("bucket"))
+      val w = Window.partitionBy($"probe_id")
+        .orderBy($"cos_sim".desc, $"vec_id")
+      emb.join(broadcast(probes), Seq("bucket"))
+        .filter($"vec_id" =!= $"probe_id")
+        .select($"probe_id", $"vec_id", $"bucket",
+          q6(dot($"v", $"pv") / (l2norm($"v") * l2norm($"pv"))).as("cos_sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 5)
+        .select($"probe_id", $"rn", $"vec_id".as("neighbor_id"), $"bucket",
+          $"cos_sim")
+        .orderBy($"probe_id", $"rn")
+    }),
+
     "winnow_containment" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val docs = Tables.documents(s, dir).select($"doc_id", $"text")
@@ -1367,41 +1420,6 @@ object Pipeline {
         .orderBy($"source_a", $"source_b")
     }),
 
-    // L4 at scale: LSH-bucketed approximate nearest neighbors with
-    // MULTI-PROBE. Bucket key = 8 sign bits of the deterministic
-    // hyperplanes (see [[hyperplanes]] — parity-derived, well spread),
-    // computed once at plan-construction time. The corpus keeps ONE
-    // bucket per vector (the partition/layout key); each probe visits
-    // its home bucket plus all 8 Hamming-1 neighbors — the standard
-    // recall-recovery at fixed bucket granularity (a near neighbor
-    // differs in few sign bits, most likely one). Candidates per
-    // probe ≈ 9·n/256; the bit count is the scale knob (bucket bits ≈
-    // log₂(n / wanted-candidates); a 10⁹-vector corpus wants ~25 bits
-    // and more probes).
-    "ann_lsh" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      def bucket(v: Column): Column =
-        element_at(F.sign_band_keys(v, flatHyperplanes(8), 64, 8), 1)
-      val emb = Tables.embeddings(s, dir)
-        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        .withColumn("bucket", bucket($"v"))
-      // home bucket + the 8 Hamming-1 flips; distinct by construction
-      val probes = emb.filter($"vec_id" < 20)
-        .select($"vec_id".as("probe_id"), $"v".as("pv"),
-          explode(array(($"bucket" +: (0 until 8).map(b =>
-            $"bucket".bitwiseXOR(lit(1L << b)))): _*)).as("bucket"))
-      val w = Window.partitionBy($"probe_id")
-        .orderBy($"cos_sim".desc, $"vec_id")
-      emb.join(broadcast(probes), Seq("bucket"))
-        .filter($"vec_id" =!= $"probe_id")
-        .select($"probe_id", $"vec_id", $"bucket",
-          q6(dot($"v", $"pv") / (l2norm($"v") * l2norm($"pv"))).as("cos_sim"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter($"rn" <= 5)
-        .select($"probe_id", $"rn", $"vec_id".as("neighbor_id"), $"bucket",
-          $"cos_sim")
-        .orderBy($"probe_id", $"rn")
-    }),
 
   )
 
@@ -2271,6 +2289,47 @@ object Pipeline {
          |      + (strpos('0123456789ABCDEF', h[2*i+2:2*i+2]) - 1))) AS DOUBLE)
          |    / n END AS byte_mean
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // the multi-probe search replayed end to end: the bucket is the
+    // MSB-first fold of 8 sign bits over the SAME ±1 plane literals
+    // the Spark plan embeds (SignBandKeys hashes nothing), probes
+    // visit home + all Hamming-1 flips, same q6 cosine + rank
+    "ann_lsh" ->
+      s"""WITH pl(h, p) AS (VALUES
+         |    ${(0 until 8).map(h => s"($h, ${planeSql(h)})").mkString(",\n    ")}),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bits AS (
+         |  SELECT e.vec_id, pl.h,
+         |    CASE WHEN ${sqlDot("e.v", "pl.p")} >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM e CROSS JOIN pl),
+         |bk AS (
+         |  SELECT vec_id, CAST(SUM(bit * (1 << (7 - h))) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id),
+         |probes AS (
+         |  SELECT vec_id AS probe_id,
+         |    unnest([bucket,
+         |      xor(bucket, CAST(1 AS BIGINT)), xor(bucket, CAST(2 AS BIGINT)),
+         |      xor(bucket, CAST(4 AS BIGINT)), xor(bucket, CAST(8 AS BIGINT)),
+         |      xor(bucket, CAST(16 AS BIGINT)), xor(bucket, CAST(32 AS BIGINT)),
+         |      xor(bucket, CAST(64 AS BIGINT)), xor(bucket, CAST(128 AS BIGINT))])
+         |      AS bucket
+         |  FROM bk WHERE vec_id < 20),
+         |cand AS (
+         |  SELECT p.probe_id, c.vec_id, c.bucket
+         |  FROM probes p JOIN bk c
+         |    ON c.bucket = p.bucket AND c.vec_id <> p.probe_id),
+         |scored AS (
+         |  SELECT cand.probe_id, cand.vec_id, cand.bucket,
+         |    ${sqlQ6(sqlDot("a.v", "b.v") + " / (" + sqlNorm("a.v") + " * " + sqlNorm("b.v") + ")")} AS cos_sim
+         |  FROM cand JOIN e a ON a.vec_id = cand.vec_id
+         |            JOIN e b ON b.vec_id = cand.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, bucket, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT probe_id, rn, vec_id AS neighbor_id, bucket, cos_sim
+         |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
 
     "ivf_ann" ->
       s"""WITH cents(cid, c) AS (VALUES

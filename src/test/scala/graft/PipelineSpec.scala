@@ -151,7 +151,7 @@ class PipelineSpec extends SparkSuite {
   }
 
   test("ann_lsh returns at most k multi-probe neighbors per probe, ranked") {
-    val rows = Pipeline.noOracleQueries("ann_lsh")(spark, sf).collect()
+    val rows = Pipeline.queries("ann_lsh")(spark, sf).collect()
     assert(rows.nonEmpty)
     val byProbe = rows.groupBy(_.getLong(0))
     byProbe.foreach { case (_, rs) =>

@@ -47,19 +47,17 @@ class RelationalSpec extends SparkSuite {
     // keep the exemption list explicit so new queries fail loudly:
     //  - agg_approx: HLL sketch not DuckDB-replicable (AggregatesSpec
     //    bounds it against the exact count)
-    //  - ann_lsh: needs the reference hash identity, not expressible
-    //    in DuckDB SQL (PipelineSpec property-tests it)
     //  - source_minhash_sim: typed MinHashAgg sketch (hash identity;
     //    MinHashAggSpec checks the estimate against true Jaccard)
     //  - hash_fns_native: xxhash64/murmur3/crc32 have no DuckDB
     //    equivalents (HashFnsSpec verifies each against an independent
     //    implementation + pinned vectors)
-    // (simhash and winnowing left this list in round 6: simhash via
-    // the interpolated-fingerprint oracle `simhash_neighbors`,
-    // winnowing via the shared-run guarantee oracle
-    // `winnow_containment`.)
-    val exempt = Set("agg_approx", "ann_lsh",
-      "source_minhash_sim", "hash_fns_native")
+    // (simhash, winnowing and ann_lsh left this list in round 6:
+    // simhash via the interpolated-fingerprint oracle
+    // `simhash_neighbors`, winnowing via the shared-run guarantee
+    // oracle `winnow_containment`, ann_lsh via the sign-bit-fold
+    // bucket replay — its bucket never was a hash.)
+    val exempt = Set("agg_approx", "source_minhash_sim", "hash_fns_native")
     assert((missing -- exempt).isEmpty, s"queries without oracle: $missing")
   }
 }
