@@ -1339,6 +1339,29 @@ object Pipeline {
         .orderBy($"probe_id", $"rn")
     }),
 
+    // L29: per-source quota caps — the anti-spam curation stage: no
+    // domain exceeds its share, whatever its raw volume. Doc cap
+    // plans as WindowGroupLimit (map-side partial limits — a spam
+    // domain ships maxDocs rows per partition, not its volume); token
+    // cap is the per-source greedy prefix via the two-phase offset
+    // pattern (no one-task per-source sort, no driver collect) —
+    // SourceCapSpec pins both plan shapes.
+    "source_cap_docs" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.SourceCap.capDocs(
+          Tables.documents(s, dir).select($"doc_id", $"source"),
+          "source", "doc_id", maxDocs = 15)
+        .orderBy($"doc_id")
+    }),
+    "source_cap_tokens" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      graft.operators.SourceCap.capTokens(
+          docs, "source", "doc_id", "n_tokens", budget = 800L)
+        .orderBy($"doc_id")
+    }),
+
     "winnow_containment" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val docs = Tables.documents(s, dir).select($"doc_id", $"text")
@@ -1835,6 +1858,28 @@ object Pipeline {
         |FROM g GROUP BY span_text
         |HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY span_text""".stripMargin,
+
+    // per-source caps: rank prefix / running-sum strict prefix, both
+    // scanned in doc_id order
+    "source_cap_docs" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+
+    "source_cap_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800
+        |ORDER BY doc_id""".stripMargin,
 
     // the guarantee, not the hash values: every pair sharing a
     // 6-token run (rebuilt here from gram STRINGS) must come out of
