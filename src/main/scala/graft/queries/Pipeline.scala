@@ -1339,6 +1339,39 @@ object Pipeline {
         .orderBy($"probe_id", $"rn")
     }),
 
+    // U3: group-level MinHash sketches via the typed MinHashAgg
+    // Aggregator — one 64-lane signature per source (algebraic:
+    // partial signatures merge map-side; 64 longs per group cross the
+    // shuffle regardless of group size), then pairwise estimated
+    // Jaccard between sources from lane agreement. Oracle-gated since
+    // round 6 via the interpolated-constants pattern: the per-source
+    // signatures (tiny — sources × 64 longs) ride into the oracle as
+    // literals at dump time, and DuckDB independently replays the
+    // pairwise join + lane-agreement arithmetic (k/64 is exact in
+    // doubles). The sketch-vs-true-Jaccard quality remains
+    // property-checked in MinHashAggSpec.
+    "source_minhash_sim" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val hashed = withShingleHashes(
+        Tables.documents(s, dir).select($"source", $"text")
+          .repartition($"source"), Seq("source"))
+      val sigs = hashed.select($"source", $"hs").as[(String, Seq[Long])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.functions.MinHashAgg(minhashSeedList.toArray)
+          .toColumn.name("sig"))
+        .toDF("source", "sig")
+      sourceSigCache.put(dir, sigs)
+      val a = sigs.select($"source".as("source_a"), $"sig".as("sig_a"))
+      val b = sigs.select($"source".as("source_b"), $"sig".as("sig_b"))
+      a.join(b, $"source_a" < $"source_b")
+        .select($"source_a", $"source_b",
+          (aggregate(
+            zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast("double") /
+            lit(MinHashSeeds.toDouble)).as("est_jaccard"))
+        .orderBy($"source_a", $"source_b")
+    }),
+
     // L29: per-source quota caps — the anti-spam curation stage: no
     // domain exceeds its share, whatever its raw volume. Doc cap
     // plans as WindowGroupLimit (map-side partial limits — a spam
@@ -1411,40 +1444,11 @@ object Pipeline {
     c
   }
 
-  /** Not SQL-expressible in DuckDB (both need the reference hash
-    * identity) → rows-only driver check; correctness is property-tested
-    * in PipelineSpec instead. */
-  val noOracleQueries: Map[String, Q] = Map(
-    // U3: group-level MinHash sketches via the typed MinHashAgg
-    // Aggregator — one 64-lane signature per source (algebraic: partial
-    // signatures merge map-side; 64 longs per group cross the shuffle
-    // regardless of group size), then pairwise estimated Jaccard
-    // between sources from lane agreement. The estimate is
-    // deterministic but hash-dependent → property-checked against the
-    // true shingle-set Jaccard in MinHashAggSpec instead of DuckDB.
-    "source_minhash_sim" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      val hashed = withShingleHashes(
-        Tables.documents(s, dir).select($"source", $"text")
-          .repartition($"source"), Seq("source"))
-      val sigs = hashed.select($"source", $"hs").as[(String, Seq[Long])]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(new graft.functions.MinHashAgg(minhashSeedList.toArray)
-          .toColumn.name("sig"))
-        .toDF("source", "sig")
-      val a = sigs.select($"source".as("source_a"), $"sig".as("sig_a"))
-      val b = sigs.select($"source".as("source_b"), $"sig".as("sig_b"))
-      a.join(b, $"source_a" < $"source_b")
-        .select($"source_a", $"source_b",
-          (aggregate(
-            zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, x) => acc + x).cast("double") /
-            lit(MinHashSeeds.toDouble)).as("est_jaccard"))
-        .orderBy($"source_a", $"source_b")
-    }),
-
-
-  )
+  /** Empty since round 6 — every Pipeline query is oracle-gated (the
+    * remaining repo-wide exemptions, `agg_approx` and
+    * `hash_fns_native`, live in their own modules). Kept so the
+    * SparkEntry aggregation stays stable. */
+  val noOracleQueries: Map[String, Q] = Map.empty
 
   /** Probe docs for `simhash_neighbors`: an exact-duplicate pair
     * (identical shingle sets ⇒ identical simhash ⇒ Hamming 0 — a
@@ -1690,6 +1694,33 @@ object Pipeline {
   private val simhashSqlCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-dir (source, 64-lane signature) frame behind
+    * `source_minhash_sim` — registered at query construction,
+    * collected only at oracle-dump time (sources × 64 longs, tiny). */
+  private val sourceSigCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val sourceSigSqlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** DuckDB mirror of `source_minhash_sim` given the engine's own
+    * signatures: pairwise lane agreement / 64 (exact in doubles) —
+    * the join and the agreement arithmetic are driver-checked; the
+    * signature values are the MinHashAgg sketch, quality-checked in
+    * MinHashAggSpec. */
+  private def sourceMinhashSimSql(sigs: Array[(String, Seq[Long])]): String = {
+    val rows = sigs.sortBy(_._1).map { case (src, sig) =>
+      s"('$src', ${sig.mkString("[", ", ", "]")}::BIGINT[])"
+    }.mkString(",\n    ")
+    s"""WITH s(source, sig) AS (VALUES
+       |    $rows)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(len(list_filter(range(1, ${MinHashSeeds + 1}),
+       |    i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $MinHashSeeds
+       |    AS est_jaccard
+       |FROM s a JOIN s b ON a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   /** The oracle map for ONE sf dir, keyed off the per-dir caches —
     * two dirs exercised in one JVM each get their own correct
     * data-dependent SQL (the last-set-dir convenience view above
@@ -1705,6 +1736,11 @@ object Pipeline {
         Map("simhash_neighbors" -> simhashSqlCache.computeIfAbsent(dir,
           _ => simhashNeighborsSql(f.collect()
             .map(r => (r.getLong(0), r.getLong(1))))))
+      }.getOrElse(Map.empty) ++ Option(sourceSigCache.get(dir))
+      .map { f =>
+        Map("source_minhash_sim" -> sourceSigSqlCache.computeIfAbsent(dir,
+          _ => sourceMinhashSimSql(f.collect()
+            .map(r => (r.getString(0), r.getSeq[Long](1))))))
       }.getOrElse(Map.empty)
 
   /** DuckDB mirror of `ivf_ann_learned`: identical structure to the

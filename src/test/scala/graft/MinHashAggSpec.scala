@@ -10,7 +10,7 @@ class MinHashAggSpec extends SparkSuite {
   import spark.implicits._
 
   test("source sketch similarity tracks true set Jaccard") {
-    val est = Pipeline.noOracleQueries("source_minhash_sim")(spark, sf)
+    val est = Pipeline.queries("source_minhash_sim")(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     assert(est.nonEmpty)
 

@@ -43,21 +43,20 @@ class RelationalSpec extends SparkSuite {
     // exactly as a Verify run does before dumping oracle_sql.json.
     SparkEntry.queries("ivf_ann_learned")(spark, sf)
     SparkEntry.queries("simhash_neighbors")(spark, sf)
+    SparkEntry.queries("source_minhash_sim")(spark, sf)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep the exemption list explicit so new queries fail loudly:
     //  - agg_approx: HLL sketch not DuckDB-replicable (AggregatesSpec
     //    bounds it against the exact count)
-    //  - source_minhash_sim: typed MinHashAgg sketch (hash identity;
-    //    MinHashAggSpec checks the estimate against true Jaccard)
     //  - hash_fns_native: xxhash64/murmur3/crc32 have no DuckDB
     //    equivalents (HashFnsSpec verifies each against an independent
     //    implementation + pinned vectors)
-    // (simhash, winnowing and ann_lsh left this list in round 6:
-    // simhash via the interpolated-fingerprint oracle
-    // `simhash_neighbors`, winnowing via the shared-run guarantee
-    // oracle `winnow_containment`, ann_lsh via the sign-bit-fold
-    // bucket replay — its bucket never was a hash.)
-    val exempt = Set("agg_approx", "source_minhash_sim", "hash_fns_native")
+    // (simhash, winnowing, ann_lsh and source_minhash_sim left this
+    // list in round 6: the first two via downstream-guarantee /
+    // interpolated-fingerprint oracles, ann_lsh via the sign-bit-fold
+    // bucket replay — its bucket never was a hash — and
+    // source_minhash_sim via interpolated per-source signatures.)
+    val exempt = Set("agg_approx", "hash_fns_native")
     assert((missing -- exempt).isEmpty, s"queries without oracle: $missing")
   }
 }
