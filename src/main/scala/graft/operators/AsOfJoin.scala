@@ -132,6 +132,56 @@ object AsOfJoin {
       .drop("__asof_k" +: "__asof_ts" +: extraKeys: _*)
   }
 
+  /** Forward as-of join — the SUCCESSOR-side twin of [[asofNative]]:
+    * for every probe row, the EARLIEST build row with the same key
+    * and build time strictly after the probe time (`strict = true` —
+    * the reference's strict-successor contract,
+    * `/root/reference/src/algo/search.rs:82-124`, including its
+    * probe-after-last ⇒ `None` edge as an all-null payload) or
+    * at-or-after (`strict = false`).
+    *
+    * Realized by TIME REVERSAL over the proven floor machinery
+    * rather than a second exec: with integer (microsecond) times,
+    * `min {bts : bts > pts}` = the floor match of `-pts − 1` against
+    * `{-bts}` — so both sides negate their times (the strict variant
+    * advances the probe by one unit, exact at Spark's microsecond
+    * timestamp resolution) and the SAME merge / broadcast / Auto
+    * planner, skew levers and null contract apply unchanged. Time
+    * columns must be timestamps or integral numerics (a documented
+    * requirement of the exact ±1-unit strictness shift). */
+  def asofForward(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: Column, buildKey: Column,
+      probeTs: Column, buildTs: Column,
+      payload: Seq[String],
+      strict: Boolean = true,
+      buildSide: graft.plans.AsOfBuildSide = graft.plans.AsOfBuildSide.Auto)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    def negated(df: DataFrame, ts: Column, bump: Long, as: String) = {
+      val dt = df.select(ts).schema.head.dataType
+      val micros = dt match {
+        case TimestampType => unix_micros(ts)
+        // NTZ: reinterpret in the session zone — order-preserving in
+        // any fixed-offset zone (this library pins UTC); a DST zone
+        // could fold the repeated fall-back hour, like any NTZ→instant
+        // interpretation
+        case TimestampNTZType => unix_micros(ts.cast(TimestampType))
+        case ByteType | ShortType | IntegerType | LongType => ts.cast("long")
+        case other => throw new IllegalArgumentException(
+          s"asofForward needs timestamp or integral times, got $other")
+      }
+      df.withColumn(as, -(micros + lit(bump)))
+    }
+    val p = negated(probe, probeTs, if (strict) 1L else 0L, "__asof_fwd_pts")
+    val b = negated(build, buildTs, 0L, "__asof_fwd_bts")
+    planNative(p, b, probeKey, buildKey,
+      p("__asof_fwd_pts"), b("__asof_fwd_bts"),
+      payload, extraKeys = Nil, buildSide)
+      .drop("__asof_fwd_pts")
+  }
+
   /** [[asofNative]] with the build side forced broadcast: zero shuffle
     * on either side — the probe streams through unmoved and every row
     * answers a floor binary search against the broadcast build runs

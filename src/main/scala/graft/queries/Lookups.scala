@@ -127,6 +127,32 @@ object Lookups {
     "asof_join_auto" -> ((s: SparkSession, dir: String) =>
       asofFixture(s, dir)(AsOfJoin.asofNative(_, _, _, _, _, _, _))),
 
+    // J9 forward: the successor-side twin — for every urgent order,
+    // the customer's EARLIEST strictly-later non-urgent order (the
+    // reference's strict-successor search as a JOIN, search.rs:82-124,
+    // incl. its after-last ⇒ None edge as nulls). Same Auto planner
+    // via time reversal; build pre-deduped to one row per (key, ts)
+    // with deterministic min-side tie-breaks.
+    "asof_join_forward" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val probe = Tables.orders(s, dir)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val build = Tables.orders(s, dir)
+        .filter($"o_orderpriority" =!= "1-URGENT")
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(min($"o_orderkey").as("next_orderkey"),
+          min_by($"o_totalprice", $"o_orderkey").as("next_totalprice"))
+        .select($"o_custkey".as("b_custkey"),
+          $"o_orderdate".as("next_orderdate"),
+          $"next_orderkey", $"next_totalprice")
+      AsOfJoin.asofForward(probe, build,
+          probe("o_custkey"), build("b_custkey"),
+          probe("o_orderdate"), build("next_orderdate"),
+          Seq("next_orderkey", "next_orderdate", "next_totalprice"))
+        .orderBy($"o_orderkey")
+    }),
+
     // J9 SQL surface: the SAME shared fixture through pure SQL text —
     // the graft_asof table-valued function plans the custom merge
     // operator from view names (AsOfJoin.registerSqlTableFunction),
@@ -234,6 +260,29 @@ object Lookups {
     "asof_join_broadcast" -> asofOracleSql,
     "asof_join_auto" -> asofOracleSql,
     "asof_sql" -> asofOracleSql,
+
+    // forward as-of: DuckDB's ASOF keyword is floor-only, so the
+    // oracle spells the successor with a correlated LATERAL top-1 —
+    // strictly-later (>), earliest first
+    "asof_join_forward" ->
+      """WITH build AS (
+        |  SELECT o_custkey AS b_custkey, o_orderdate AS next_orderdate,
+        |         min(o_orderkey) AS next_orderkey,
+        |         arg_min(o_totalprice, o_orderkey) AS next_totalprice
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |SELECT p.o_orderkey, p.o_custkey, p.o_orderdate,
+        |       n.next_orderkey, n.next_orderdate, n.next_totalprice
+        |FROM probe p LEFT JOIN LATERAL (
+        |  SELECT b.next_orderkey, b.next_orderdate, b.next_totalprice
+        |  FROM build b
+        |  WHERE b.b_custkey = p.o_custkey
+        |    AND b.next_orderdate > p.o_orderdate
+        |  ORDER BY b.next_orderdate LIMIT 1) n ON TRUE
+        |ORDER BY p.o_orderkey""".stripMargin,
   )
 
   // lazy: referenced by the `oracle` val above during object init

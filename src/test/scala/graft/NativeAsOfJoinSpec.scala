@@ -98,6 +98,57 @@ class NativeAsOfJoinSpec extends SparkSuite {
       "threshold -1 must disable auto-broadcast")
   }
 
+  test("forward as-of: strict successor contract and after-last nulls") {
+    val probe = Seq((1L, 10), (1L, 11), (1L, 100), (2L, 5)).toDF("k", "ts")
+    val build = Seq((1L, 10, "a"), (1L, 12, "b"), (3L, 1, "z"))
+      .toDF("bk", "bts", "v")
+    val out = AsOfJoin.asofForward(probe, build,
+        probe("k"), build("bk"), probe("ts"), build("bts"), Seq("v"))
+      .orderBy($"k", $"ts").collect()
+    // ts=10: the SAME-instant build row must not match (strict) — the
+    // next one does; ts=11 -> b; ts=100 after last -> null; key 2 -> null
+    assert(out(0).getString(2) == "b", "strictly-after skips the ts=10 row")
+    assert(out(1).getString(2) == "b")
+    assert(out(2).isNullAt(2), "probe after last build row -> null")
+    assert(out(3).isNullAt(2), "keyless probe -> null")
+    // inclusive variant takes the same-instant row
+    val incl = AsOfJoin.asofForward(probe, build,
+        probe("k"), build("bk"), probe("ts"), build("bts"), Seq("v"),
+        strict = false)
+      .orderBy($"k", $"ts").collect()
+    assert(incl(0).getString(2) == "a", "at-or-after takes the ts=10 row")
+  }
+
+  test("forward as-of equals the window successor spelling on the fixture") {
+    val probe = Tables.orders(spark, sf)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val build = Tables.orders(spark, sf)
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(min($"o_orderkey").as("next_orderkey"))
+      .select($"o_custkey".as("b_custkey"),
+        $"o_orderdate".as("next_orderdate"), $"next_orderkey")
+    val fwd = AsOfJoin.asofForward(probe, build,
+        probe("o_custkey"), build("b_custkey"),
+        probe("o_orderdate"), build("next_orderdate"), Seq("next_orderkey"))
+      .select($"o_orderkey", $"next_orderkey")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    // independent spelling: per-probe min over the strictly-later builds
+    val want = probe.join(build,
+        probe("o_custkey") === build("b_custkey") &&
+          build("next_orderdate") > probe("o_orderdate"), "left")
+      .groupBy($"o_orderkey")
+      .agg(min_by($"next_orderkey", $"next_orderdate").as("nk"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(fwd == want)
+    assert(fwd.valuesIterator.exists(_ != null) &&
+      fwd.valuesIterator.exists(_ == null),
+      "fixture must exercise both match and after-last cases")
+  }
+
   test("the asof_join_auto query entry broadcasts at the oracle sf") {
     // the CORRECTNESS row drives the Auto stats path; this pins that at
     // test scale the decision lands on the broadcast exec (so the
