@@ -131,6 +131,29 @@ object EventTime {
         .orderBy($"cohort_week", $"week_no")
     }),
 
+    // T12: top session paths — the path-analysis sibling of the
+    // funnel: sessionize per user (the T3 session_window semantics,
+    // 30-min gap), write each session as its (ts, event_id)-ordered
+    // event-type sequence, and rank paths by session count. Scale
+    // shape: the per-session list is bounded by the session (never a
+    // per-user history), built by one keyed aggregation; the path
+    // ranking is a TakeOrderedAndProject over the (small) distinct
+    // path relation. Deterministic everywhere: event_id breaks ts
+    // ties in the sequence; (count DESC, path) totally orders the
+    // top-k boundary.
+    "event_paths" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val paths = Tables.events(s, dir)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct($"ts", $"event_id", $"event_type"))),
+          e => e.getField("event_type")), ">").as("path"))
+      paths.groupBy($"path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy($"n_sessions".desc, $"path")
+        .limit(20)
+    }),
+
     // T10 via the reusable operator: windowFunnel gives per-user
     // depth; a stage's user count is |level >= i| (an entity at
     // level i completed every earlier stage by construction, so the
@@ -269,5 +292,28 @@ object EventTime {
         |UNION ALL SELECT '2_click', COUNT(*) FROM c
         |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
         |ORDER BY stage""".stripMargin,
+
+    // the session assignment of the session_window oracle (>= gap or
+    // first ⇒ new session), then string_agg in (ts, event_id) order
+    "event_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e),
+        |p AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
   )
 }
