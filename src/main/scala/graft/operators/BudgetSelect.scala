@@ -90,6 +90,98 @@ object BudgetSelect extends Logging {
       total => (BigInt(total) * num / den).toLong)
   }
 
+  /** Stratified [[selectFraction]]: the greedy (score DESC, id ASC)
+    * scan admits rows INDEPENDENTLY per stratum, each stratum's
+    * budget an exact `num/den` fraction of ITS OWN non-null-scored
+    * total — "the best 40% of tokens of each language", the
+    * mixture-aware curation step (a global budget would let one
+    * high-scoring stratum starve the rest). Same machinery, per
+    * group: the driver walks the (stratum × score grid) relation —
+    * still bounded by [[MaxStrata]], enforced — and emits per-stratum
+    * thresholds + boundary remainders; whole strata above each
+    * threshold are a broadcast-join filter, and ALL boundary groups
+    * run ONE shared two-phase offset prefix-sum partitioned by
+    * (stratum, partition) — no per-stratum job, no single-task sort,
+    * no driver row data. NULL scores and NULL strata are never
+    * selected. */
+  def selectFractionPerStratum(df: DataFrame, stratumCol: String,
+      idCol: String, scoreCol: String, valueCol: String,
+      num: Long, den: Long): DataFrame = {
+    require(num >= 0L && den > 0L, s"bad budget fraction $num/$den")
+    val s = df.sparkSession
+    import s.implicits._
+    val strat = col(stratumCol)
+    val id = col(idCol)
+    val v = coalesce(col(valueCol), lit(0L))
+    val score = col(scoreCol).cast("double")
+
+    val cells = df.where(score.isNotNull)
+      .groupBy(strat.as("__g"), score.as("__s")).agg(sum(v).as("__t"))
+      .limit(MaxStrata + 1)
+      .collect().map(r => (r.get(0), r.getDouble(1), r.getLong(2)))
+    require(cells.length <= MaxStrata,
+      s"BudgetSelect: over $MaxStrata distinct (stratum, score) cells — " +
+        "the threshold-decomposition design requires a quantized score " +
+        "domain (round/bucket scores before selecting)")
+    // per stratum: descending-score walk → threshold + remainder
+    val walks = cells.groupBy(_._1).map { case (g, rows) =>
+      val total = rows.map(_._3).sum
+      val budget = (BigInt(total) * num / den).toLong
+      var acc = 0L
+      var boundary = Option.empty[(Double, Long)]
+      rows.sortBy(-_._2).foreach { case (_, q, t) =>
+        if (boundary.isEmpty) {
+          if (acc + t <= budget) acc += t
+          else boundary = Some((q, budget - acc))
+        }
+      }
+      (g, boundary)
+    }
+    // strata where everything fits: keep whole (theta = -inf sentinel;
+    // scores are real values, never -inf)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val thetaRows = walks.toSeq.map { case (g, b) =>
+      Row(g, b.map(_._1).getOrElse(Double.NegativeInfinity),
+        b.map(_._2).getOrElse(0L))
+    }
+    val thetaDf = broadcast(s.createDataFrame(
+      thetaRows.asJava,
+      StructType(Seq(
+        StructField("__g", df.select(strat).schema.head.dataType),
+        StructField("__theta", DoubleType),
+        StructField("__rem", LongType)))))
+    val withTheta = df.where(score.isNotNull)
+      .join(thetaDf, strat === col("__g"))
+    val full = withTheta.where(score > col("__theta"))
+      .drop("__g", "__theta", "__rem")
+
+    // every boundary group in ONE two-phase pass, keyed by (stratum,
+    // partition) — the [[SourceCap.capTokens]] shape with per-group
+    // remainders riding the broadcast threshold relation
+    val b0 = withTheta.where(score === col("__theta"))
+      .repartitionByRange(strat, id)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offs = b0.groupBy(col("__g").as("__og"), col("__pid"))
+      .agg(sum(v).as("__pt"))
+      .withColumn("__off", coalesce(
+        sum(col("__pt")).over(Window.partitionBy(col("__og"))
+          .orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__og"), col("__pid").as("__opid"), col("__off"))
+    val w = Window.partitionBy(strat, col("__pid")).orderBy(id)
+    val boundaryKept = b0
+      .join(offs, col("__g") === col("__og") && col("__pid") === col("__opid"))
+      .withColumn("__cum", sum(v).over(w) + col("__off"))
+      .where(col("__cum") <= col("__rem"))
+      .drop("__g", "__theta", "__rem", "__pid", "__og", "__opid",
+        "__off", "__cum")
+
+    full.unionByName(boundaryKept)
+  }
+
   private def run(df: DataFrame, idCol: String, scoreCol: String,
       valueCol: String, budgetOf: Long => Long): DataFrame = {
     val s = df.sparkSession

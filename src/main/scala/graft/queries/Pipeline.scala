@@ -881,6 +881,21 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // L22 stratified: the mixture-aware budget — the best 2/5 of
+    // tokens of EACH language independently (a global budget would
+    // let one high-scoring stratum starve the rest). Same bounded
+    // decomposition per group; all boundary strata share ONE
+    // two-phase prefix-sum pass.
+    "budget_select_stratified" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val scored = Tables.documents(s, dir).select($"doc_id", $"lang",
+        qualityOf($"text").as("quality"),
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      graft.operators.BudgetSelect.selectFractionPerStratum(scored,
+          "lang", "doc_id", "quality", "n_tokens", 2, 5)
+        .orderBy($"doc_id")
+    }),
+
     // L5 (language-ID heuristic): per-doc stopword-profile scores with
     // an argmax prediction — the standard cheap lang-ID mechanism,
     // fully deterministic so the oracle replicates it verbatim. The
@@ -2296,6 +2311,22 @@ object Pipeline {
          |       WHEN quality >= 0.625 THEN 'review'
          |       ELSE 'drop' END AS band
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    // per-language greedy scans: strict prefix of (quality DESC,
+    // doc_id) within each language, each under an integral 2/5 of
+    // that language's own token total
+    "budget_select_stratified" ->
+      s"""WITH $qualitySqlCte,
+         |o AS (
+         |  SELECT doc_id, lang, quality, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY quality DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    SUM(n_tokens) OVER (PARTITION BY lang) * 2 // 5 AS budget
+         |  FROM q)
+         |SELECT doc_id, lang, quality, n_tokens FROM o
+         |WHERE cum <= budget
+         |ORDER BY doc_id""".stripMargin,
 
     // the sequential greedy scan the engine reproduces without a
     // global window: strict prefix of (quality DESC, doc_id) under an

@@ -79,6 +79,44 @@ class BudgetSelectSpec extends SparkSuite {
     assert(got == ((0L until 123L).toSet + 2000L))
   }
 
+  test("stratified selection equals the per-stratum greedy scan") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 500L).map { i =>
+      (i, Seq("en", "es", "de", "fr")(rnd.nextInt(4)),
+        Seq(0.0, 0.25, 0.5, 0.75, 1.0)(rnd.nextInt(5)),
+        rnd.nextInt(21).toLong)
+    }
+    val got = BudgetSelect.selectFractionPerStratum(
+        rows.toDF("id", "g", "score", "v"), "g", "id", "score", "v", 2, 5)
+      .select($"id").as[Long].collect().toSet
+    val want = rows.groupBy(_._2).valuesIterator.flatMap { grp =>
+      val budget = grp.map(_._4).sum * 2 / 5
+      var acc = 0L
+      grp.sortBy(r => (-r._3, r._1))
+        .takeWhile { r => acc += r._4; acc <= budget }.map(_._1)
+    }.toSet
+    assert(got == want)
+    // per-stratum budgets hold individually
+    val byG = rows.filter(r => got.contains(r._1)).groupBy(_._2)
+    byG.foreach { case (g, sel) =>
+      val budget = rows.filter(_._2 == g).map(_._4).sum * 2 / 5
+      assert(sel.map(_._4).sum <= budget, s"stratum $g over budget")
+    }
+  }
+
+  test("stratified: null strata and null scores are never selected; plan clean") {
+    val df = Seq(
+      (1L, Some("en"), Some(1.0), 5L), (2L, None, Some(1.0), 5L),
+      (3L, Some("en"), None, 5L), (4L, Some("en"), Some(0.5), 5L)
+    ).toDF("id", "g", "score", "v")
+    val sel = BudgetSelect.selectFractionPerStratum(
+      df, "g", "id", "score", "v", 1, 1)
+    assert(sel.select($"id").as[Long].collect().toSet == Set(1L, 4L))
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"one-task stage leaked:\n${plan.take(2000)}")
+  }
+
   test("null values cost 0 and an all-null-value stratum does not NPE") {
     // stratum 0.5 has ONLY null values (sums to 0, admitted for free);
     // null-valued rows elsewhere are admitted without consuming budget
