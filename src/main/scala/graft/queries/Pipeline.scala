@@ -881,6 +881,35 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // L5 (statistical quality): per-doc mean unigram log-probability
+    // under the corpus's own unigram distribution — the cheap
+    // perplexity-style filter (an atypical-token-salad doc scores
+    // far below prose). Shape: one token-keyed count (map-side
+    // combinable), one token-keyed join (AQE handles the stopword
+    // skew like any shuffle join), one doc-keyed mean; the corpus
+    // total rides a ONE-ROW broadcast (nested-loop in name only —
+    // the build side is a single aggregate row, the canonical
+    // scalar-subquery shape, allowlisted in PlanAuditSpec).
+    // Per-token log terms are quantized BEFORE summing (the dsum
+    // recipe) so the per-doc mean is order-free and engine-exact.
+    "unigram_logprob" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+      val totalDf = broadcast(vocab.agg(sum($"n").as("__total")))
+      toks
+        .join(vocab, "tok")
+        .crossJoin(totalDf)
+        .select($"doc_id",
+          floor(log($"n".cast("double") / $"__total".cast("double")) *
+            lit(10000.0) + lit(0.5)).as("qlp"))
+        .groupBy($"doc_id")
+        .agg((sum($"qlp").cast("double") / lit(10000.0) / count(lit(1)))
+          .as("mean_logprob"))
+        .orderBy($"doc_id")
+    }),
+
     // L22 stratified: the mixture-aware budget — the best 2/5 of
     // tokens of EACH language independently (a global budget would
     // let one high-scoring stratum starve the rest). Same bounded
@@ -2311,6 +2340,23 @@ object Pipeline {
          |       WHEN quality >= 0.625 THEN 'review'
          |       ELSE 'drop' END AS band
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    // identical ln/division shapes; per-token terms quantized before
+    // the (order-free) integer sum, mirrored from the dsum recipe
+    "unigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM v),
+        |q AS (
+        |  SELECT t.doc_id,
+        |    CAST(FLOOR(ln(CAST(v.n AS DOUBLE) / CAST(tot.total AS DOUBLE))
+        |      * 10000.0 + 0.5) AS BIGINT) AS qlp
+        |  FROM t JOIN v USING (tok) CROSS JOIN tot)
+        |SELECT doc_id,
+        |  CAST(SUM(qlp) AS DOUBLE) / 10000.0 / COUNT(*) AS mean_logprob
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // per-language greedy scans: strict prefix of (quality DESC,
     // doc_id) within each language, each under an integral 2/5 of

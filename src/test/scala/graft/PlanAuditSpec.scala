@@ -18,11 +18,14 @@ class PlanAuditSpec extends SparkSuite {
   private val cartesianOk = Set("join_cross")
 
   // Nested-loop joins: only non-equi (theta/brute-force-scoring)
-  // operators with an explicitly broadcast dimension side, plus the
+  // operators with an explicitly broadcast dimension side, the
   // group-sketch pairing whose both sides are per-GROUP relations
-  // (cardinality = number of groups, not rows).
+  // (cardinality = number of groups, not rows), and the one-row
+  // corpus-total broadcast behind unigram_logprob (the scalar-
+  // subquery shape: the nested "loop" iterates a single row).
   private val nestedLoopOk =
-    Set("join_theta", "join_cross", "cosine_knn", "source_minhash_sim")
+    Set("join_theta", "join_cross", "cosine_knn", "source_minhash_sim",
+      "unigram_logprob")
 
   test("no unintended cartesian products") {
     plans.foreach { case (name, p) =>
