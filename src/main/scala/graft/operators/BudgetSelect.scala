@@ -158,26 +158,13 @@ object BudgetSelect extends Logging {
       .drop("__g", "__theta", "__rem")
 
     // every boundary group in ONE two-phase pass, keyed by (stratum,
-    // partition) — the [[SourceCap.capTokens]] shape with per-group
-    // remainders riding the broadcast threshold relation
-    val b0 = withTheta.where(score === col("__theta"))
-      .repartitionByRange(strat, id)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val offs = b0.groupBy(col("__g").as("__og"), col("__pid"))
-      .agg(sum(v).as("__pt"))
-      .withColumn("__off", coalesce(
-        sum(col("__pt")).over(Window.partitionBy(col("__og"))
-          .orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__og"), col("__pid").as("__opid"), col("__off"))
-    val w = Window.partitionBy(strat, col("__pid")).orderBy(id)
-    val boundaryKept = b0
-      .join(offs, col("__g") === col("__og") && col("__pid") === col("__opid"))
-      .withColumn("__cum", sum(v).over(w) + col("__off"))
+    // partition) — the shared [[PrefixSum.withRunningSum]] machine
+    // with per-group remainders riding the broadcast threshold
+    // relation
+    val boundaryKept = PrefixSum.withRunningSum(
+        withTheta.where(score === col("__theta")), Seq(strat), id, v, "__cum")
       .where(col("__cum") <= col("__rem"))
-      .drop("__g", "__theta", "__rem", "__pid", "__og", "__opid",
-        "__off", "__cum")
+      .drop("__g", "__theta", "__rem", "__cum")
 
     full.unionByName(boundaryKept)
   }
@@ -239,7 +226,11 @@ object BudgetSelect extends Logging {
     val offsets = psums.map { case (pid, t) => val o = off; off += t; (pid, o) }
     import s.implicits._
     val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    // ROWS frame: with the default RANGE frame, id-ties would each
+    // read the running sum including their peers (id is unique by
+    // contract, but the frame should not depend on it)
     val w = Window.partitionBy(col("__pid")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val boundaryKept = b0.join(offDf, "__pid")
       .withColumn("__cum", sum(v).over(w) + col("__off"))
       .where(col("__cum") <= rem)

@@ -61,14 +61,38 @@ object ConnectedComponents extends Logging {
     *                so it throws rather than returning wrong labels
     * @param checkpointDir when given, lineage truncation uses reliable
     *                `checkpoint()` into this directory (fault-tolerant;
-    *                the dir is set on the SparkContext); when absent,
-    *                `localCheckpoint()` (executor-memory, faster)
+    *                set on the SparkContext for the duration of the
+    *                call; on exit the session dir is pointed back under
+    *                the caller's prior directory — `setCheckpointDir`
+    *                nests a fresh UUID, so "restored" means the same
+    *                tree, not the same leaf);
+    *                when absent, `localCheckpoint()` (executor-memory,
+    *                faster)
     * @return DataFrame[node, component]
     */
   def components(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    val reliable = checkpointDir.isDefined
+    // setCheckpointDir is SESSION-GLOBAL state: remember the caller's
+    // dir and restore it on exit so unrelated checkpoints elsewhere in
+    // the application don't silently land under (and get reaped with)
+    // ours. The files this call writes are finished by then — a
+    // dir change never relocates existing checkpoints.
+    val sc = edges.sparkSession.sparkContext
+    val priorDir = sc.getCheckpointDir
+    checkpointDir.foreach { d =>
+      if (priorDir.exists(_ != d)) logInfo(
+        s"temporarily overriding session checkpoint dir ${priorDir.get} -> $d")
+      sc.setCheckpointDir(d)
+    }
+    try componentsImpl(edges, aCol, bCol, maxIter,
+      reliable = checkpointDir.isDefined)
+    finally if (checkpointDir.isDefined) priorDir.foreach(sc.setCheckpointDir)
+  }
+
+  private def componentsImpl(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int, reliable: Boolean): DataFrame = {
+    require(!reliable || edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable checkpoint mode requires a checkpoint dir")
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     // In reliable mode superseded iterations live as files under the

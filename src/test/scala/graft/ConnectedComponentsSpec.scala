@@ -87,6 +87,23 @@ class ConnectedComponentsSpec extends SparkSuite {
       // reliable mode must actually have checkpointed into the dir
       val wrote = java.nio.file.Files.walk(dir).count() > 1
       assert(wrote, s"no checkpoint files written under $dir")
+      // and must not leave the session-global checkpoint dir pointed at
+      // our (caller-reapable) directory when the caller had its own
+      val prior = java.nio.file.Files.createTempDirectory("graft-cc-prior")
+      try {
+        spark.sparkContext.setCheckpointDir(prior.toString)
+        ConnectedComponents.components(edges.toDF("a", "b"), "a", "b",
+          checkpointDir = Some(dir.toString)).collect()
+        // setCheckpointDir UUID-nests, so "restored" means back under
+        // the caller's tree, not under ours
+        val after = spark.sparkContext.getCheckpointDir
+        assert(after.exists(_.contains(prior.toString)),
+          s"components() must restore the caller's checkpoint dir, got $after")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(prior).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse

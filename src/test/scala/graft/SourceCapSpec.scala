@@ -77,9 +77,10 @@ class SourceCapSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       s"one-task stage leaked:\n${plan.take(2000)}")
-    // the corpus-side window partitions by (source, __pid) — a window
-    // keyed by source alone would re-serialize each source in 1 task
-    assert(plan.contains("__pid"),
+    // the corpus-side window partitions by (source, __psPid) — a
+    // window keyed by source alone would re-serialize each source in
+    // one task
+    assert(plan.contains("__psPid"),
       s"offset two-phase missing from the plan:\n${plan.take(2000)}")
   }
 }
