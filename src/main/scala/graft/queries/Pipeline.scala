@@ -910,6 +910,77 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // L9 (corpus n-gram table): the word-3-gram count table with a
+    // min-count threshold — the LM-style corpus statistic ("which
+    // phrases recur"), and the raw material for boilerplate mining.
+    // Shape: generator → gram-keyed count (map-side combinable: each
+    // distinct gram ships at most once per input partition) →
+    // threshold filter → bounded top-k (TakeOrderedAndProject), so
+    // the result stays bounded whatever the corpus size; grams below
+    // the threshold never leave the aggregation.
+    "ngram_counts" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(split($"text", " ").as("ws"))
+        .filter(size($"ws") >= 3)
+        .select(explode(transform(
+          sequence(lit(1), size($"ws") - 2),
+          i => concat_ws(" ", slice($"ws", i, lit(3))))).as("gram"))
+        .groupBy($"gram").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 3)
+        .orderBy($"cnt".desc, $"gram")
+        .limit(100)
+    }),
+
+    // L9 (keyword search): BM25-scored retrieval (k1=1.2, b=0.75,
+    // Lucene's +1 idf so scores stay positive) for a set of term
+    // queries — the inverted-index scoring loop as ONE dataflow.
+    // Scale shape: the query relation is TINY and broadcast; corpus
+    // tokens are semi-joined against it BEFORE the tf aggregation, so
+    // only matching (doc, term) pairs ever shuffle; document length
+    // joins back by doc_id (equi-shuffle); corpus totals ride a
+    // one-row broadcast (the allowlisted scalar-subquery shape).
+    // Determinism: per-(doc, term) scores are quantized BEFORE the
+    // per-(query, doc) sum (the dsum recipe) and the ranking orders
+    // by the INTEGER quantized score + doc_id, so both rank and score
+    // are engine-exact.
+    "bm25_search" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val qterms = Seq(
+        (0L, "hash"), (0L, "join"),
+        (1L, "scan"), (1L, "filter"), (1L, "vector"),
+        (2L, "customer"), (2L, "merge"), (2L, "slow"))
+        .toDF("query_id", "term")
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("ws"))
+      val dl = docs.select($"doc_id", size($"ws").cast("long").as("dl"))
+      val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+        sum($"dl").as("sum_dl")))
+      val tf = docs.select($"doc_id", explode($"ws").as("term"))
+        .join(broadcast(qterms.select($"term").distinct()), "term")
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val idf = log(($"n_docs".cast("double") - $"df".cast("double") +
+        lit(0.5)) / ($"df".cast("double") + lit(0.5)) + lit(1.0))
+      val tfn = ($"tf".cast("double") * lit(2.2)) /
+        ($"tf".cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          ($"dl".cast("double") /
+            ($"sum_dl".cast("double") / $"n_docs".cast("double")))))
+      val w = Window.partitionBy($"query_id").orderBy($"sq".desc, $"doc_id")
+      tf.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .join(broadcast(qterms), "term")
+        .select($"query_id", $"doc_id",
+          floor(idf * tfn * lit(10000.0) + lit(0.5)).as("qs"))
+        .groupBy($"query_id", $"doc_id").agg(sum($"qs").as("sq"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"rank", $"doc_id",
+          ($"sq".cast("double") / lit(10000.0)).as("score"))
+        .orderBy($"query_id", $"rank")
+    }),
+
     // L22 stratified: the mixture-aware budget — the best 2/5 of
     // tokens of EACH language independently (a global budget would
     // let one high-scoring stratum starve the rest). Same bounded
@@ -2357,6 +2428,62 @@ object Pipeline {
         |SELECT doc_id,
         |  CAST(SUM(qlp) AS DOUBLE) / 10000.0 / COUNT(*) AS mean_logprob
         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the count table is hash-free, so the oracle replays it verbatim
+    // from the gram strings (same slicing as winnow_containment)
+    "ngram_counts" ->
+      """WITH g AS (
+        |  SELECT unnest([array_to_string(ws[i:i+2], ' ')
+        |                 for i in range(1, len(ws) - 1)]) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3)
+        |SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+        |HAVING COUNT(*) >= 3
+        |ORDER BY cnt DESC, gram LIMIT 100""".stripMargin,
+
+    // identical expression shape per (doc, term): ln-idf times the
+    // k1/b-normalized tf, quantized per row, integer-summed per
+    // (query, doc), ranked on the integer score — engine-exact
+    "bm25_search" ->
+      """WITH qt(query_id, term) AS (VALUES
+        |    (0, 'hash'), (0, 'join'),
+        |    (1, 'scan'), (1, 'filter'), (1, 'vector'),
+        |    (2, 'customer'), (2, 'merge'), (2, 'slow')),
+        |dl AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |       FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |            CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  WHERE term IN (SELECT term FROM qt)
+        |  GROUP BY doc_id, term),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |q AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(FLOOR(
+        |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |         (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) /
+        |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        (CAST(dl AS DOUBLE) /
+        |         (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 10000.0 + 0.5) AS BIGINT) AS qs
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats JOIN qt USING (term)),
+        |sc AS (SELECT query_id, doc_id, CAST(SUM(qs) AS BIGINT) AS sq
+        |       FROM q GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, sq,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |                           ORDER BY sq DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(rank AS BIGINT) AS rank, doc_id,
+        |  CAST(sq AS DOUBLE) / 10000.0 AS score
+        |FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // per-language greedy scans: strict prefix of (quality DESC,
     // doc_id) within each language, each under an integral 2/5 of
