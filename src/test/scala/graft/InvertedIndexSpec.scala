@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.InvertedIndex
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The inverted-index layout contract, tested the IvfCellLayoutSpec
+  * way: a term lookup over a bucket-partitioned postings layout must
+  * LIST only the query terms' bucket directories, and the indexed
+  * BM25 must agree row-for-row with the brute `bm25_search` query. */
+class InvertedIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val root = "/tmp/graft_inverted_index/postings"
+  private val NB = 8
+
+  private lazy val docs = Tables.documents(spark, sf)
+    .select($"doc_id", $"text")
+
+  private lazy val layoutWritten: Unit = {
+    val dl = docs.select(size(split($"text", " ")).cast("long").as("dl"))
+    InvertedIndex.writeTermLayout(
+      InvertedIndex.buildPostings(docs, NB),
+      dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")),
+      root)
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+    df.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail(s"no file scan in:\n${df.queryExecution.executedPlan}"))
+
+  test("engine and driver bucket functions agree") {
+    val sample = docs.select(explode(split($"text", " ")).as("term"))
+      .distinct().limit(50)
+      .withColumn("b", InvertedIndex.bucketCol($"term", NB))
+      .as[(String, Long)].collect()
+    sample.foreach { case (t, b) =>
+      assert(InvertedIndex.bucketOf(t, NB) == b, s"bucket mismatch for '$t'")
+    }
+  }
+
+  test("term lookup lists only the query terms' buckets; term filter pushed") {
+    layoutWritten
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val terms = Seq("hash", "join", "vector")
+      val want = terms.map(InvertedIndex.bucketOf(_, NB)).distinct.sorted
+      val pruned = InvertedIndex.lookupTerms(spark, root, terms, NB)
+      val scan = scanOf(pruned)
+      assert(scan.selectedPartitions.partitionCount == want.length,
+        s"expected buckets $want, got ${scan.selectedPartitions.partitionCount}")
+      val full = scanOf(spark.read.parquet(root))
+      assert(full.selectedPartitions.partitionCount == NB)
+      assert(scan.metadata("PushedFilters").contains("In(term"),
+        s"term filter not pushed: ${scan.metadata("PushedFilters")}")
+      // and the pruned postings are exactly the terms' postings
+      val brute = InvertedIndex.buildPostings(docs, NB)
+        .filter($"term".isin(terms: _*))
+        .select($"term", $"doc_id", $"tf").as[(String, Long, Long)]
+        .collect().sorted.toSeq
+      val got = pruned.select($"term", $"doc_id", $"tf")
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(got == brute)
+    }
+  }
+
+  test("indexed BM25 equals the brute bm25_search row-for-row") {
+    layoutWritten
+    val queries = Seq(
+      (0L, "hash"), (0L, "join"),
+      (1L, "scan"), (1L, "filter"), (1L, "vector"),
+      (2L, "customer"), (2L, "merge"), (2L, "slow"))
+    val indexed = InvertedIndex.bm25(spark, root, queries, NB, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val brute = SparkEntry.queries("bm25_search")(spark, sf)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(indexed == brute)
+  }
+}
