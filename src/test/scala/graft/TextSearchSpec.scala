@@ -40,6 +40,21 @@ class TextSearchSpec extends SparkSuite {
       }
   }
 
+  test("plan shapes: bm25 broadcasts the query terms; ngram top-k bounded") {
+    val bm = SparkEntry.queries("bm25_search")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the token→query-term semi-join must be a broadcast hash join so
+    // non-matching tokens die map-side, BEFORE the tf shuffle
+    assert(bm.contains("BroadcastHashJoin"),
+      s"query-term filter not broadcast:\n${bm.take(1500)}")
+    val ng = SparkEntry.queries("ngram_counts")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the bounded top-k must plan as TakeOrderedAndProject (per-
+    // partition partial top-k, never a global sort of the gram table)
+    assert(ng.contains("TakeOrderedAndProject"),
+      s"top-k not bounded:\n${ng.take(1500)}")
+  }
+
   test("ngram_counts equals a brute-force recount; threshold holds") {
     val got = SparkEntry.queries("ngram_counts")(spark, sf)
       .as[(String, Long)].collect()
