@@ -189,6 +189,27 @@ object Aggregates {
           count(lit(1)).as("n_docs"))
         .orderBy($"lang")
     }),
+
+    // G10: equal-width numeric histogram — the profiling aggregate
+    // behind every "distribution of X" question. min/max ride a
+    // one-row broadcast (the scalar-subquery shape); the bin id is
+    // pure per-row IEEE arithmetic with identical expression shape in
+    // both engines (floor is exact; the top edge folds into the last
+    // bin via least), so the histogram is engine-exact. Scale shape:
+    // one all-partition min/max agg (two doubles) + one map-side-
+    // combinable count keyed by the 10-valued bin id.
+    "agg_histogram" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val bounds = broadcast(Tables.orders(s, dir)
+        .agg(min($"o_totalprice").as("mn"), max($"o_totalprice").as("mx")))
+      Tables.orders(s, dir)
+        .select($"o_totalprice")
+        .crossJoin(bounds)
+        .select(least(floor(($"o_totalprice" - $"mn") * lit(10.0) /
+          ($"mx" - $"mn")), lit(9L)).as("bin"))
+        .groupBy($"bin").agg(count(lit(1)).as("n_orders"))
+        .orderBy($"bin")
+    }),
   )
 
   /** G5: HLL approximate distinct — not DuckDB-replicable (different
@@ -208,6 +229,18 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical per-row arithmetic: (x - mn) * 10.0 / (mx - mn),
+    // floored, top edge folded into bin 9
+    "agg_histogram" ->
+      """WITH b AS (
+        |  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        |  FROM orders)
+        |SELECT LEAST(CAST(FLOOR((o_totalprice - mn) * 10.0 / (mx - mn))
+        |    AS BIGINT), 9) AS bin,
+        |  COUNT(*) AS n_orders
+        |FROM orders CROSS JOIN b
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+
     "agg_stats" ->
       s"""SELECT l_returnflag, n_rows, min_qty, max_qty,
          |  ${sqlQ6("(s2 - s1 * s1 / n_rows) / (n_rows - 1) / 1.0e8")} AS var_qty,

@@ -183,6 +183,17 @@ object Pipeline {
     (-3L, "de", "der hund und die katze sehen das auto und der mann liest das buch"),
     (-2L, "es", "el perro corre por la playa y la casa de el sol es de la madre"))
 
+  /** `(source, text)` probe docs unioned into `tfidf_terms` AND its
+    * oracle. The synthetic vocabulary is shared by every source, so
+    * corpus-only idf is ln(1)=0 everywhere and the per-source ranking
+    * would be decided by the term tiebreak alone; these rows plant
+    * terms confined to one or two sources, making tf·idf actually
+    * separate — the oracle then checks the scoring mechanism, not
+    * just the tie order. (No single quotes: interpolated into SQL.) */
+  private[queries] val tfidfProbes: Seq[(String, String)] = Seq(
+    ("src0", "zephyr zephyr zephyr quark quark glome"),
+    ("src1", "quark zephyrine glome glome"))
+
   /** Multi-line probe docs unioned into `line_dedup` AND its oracle:
     * the synthetic corpus has no newlines (each doc is one unique
     * line), so these carry the mechanism — a boilerplate line shared
@@ -930,6 +941,35 @@ object Pipeline {
         .filter($"cnt" >= 3)
         .orderBy($"cnt".desc, $"gram")
         .limit(100)
+    }),
+
+    // L9 (faceted text analysis): top TF-IDF terms per source — "what
+    // is each source about", the profiling sibling of bm25_search.
+    // Shape: one map-side-combinable (source, term) count, one
+    // term-keyed equi-join for document frequency (vocab-sized, NOT
+    // broadcast — vocabulary outgrows broadcast at corpus scale), the
+    // source count on a one-row broadcast, top-5 per source by the
+    // integer quantized score (engine-exact ranking).
+    "tfidf_terms" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir).select($"source", $"text")
+        .unionAll(tfidfProbes.toDF("source", "text"))
+      val tf = d.select($"source", explode(split($"text", " ")).as("term"))
+        .groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+      val ns = broadcast(tf.agg(countDistinct($"source").as("n_sources")))
+      val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"source").orderBy($"qs".desc, $"term")
+      tf.join(dfq, "term")
+        .crossJoin(ns)
+        .select($"source", $"term",
+          floor($"tf".cast("double") *
+            log($"n_sources".cast("double") / $"df".cast("double")) *
+            lit(1000000.0) + lit(0.5)).as("qs"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"source", $"rank", $"term",
+          ($"qs".cast("double") / lit(1000000.0)).as("tfidf"))
+        .orderBy($"source", $"rank")
     }),
 
     // L9 (keyword search): BM25-scored retrieval (k1=1.2, b=0.75,
@@ -2440,6 +2480,37 @@ object Pipeline {
         |SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
         |HAVING COUNT(*) >= 3
         |ORDER BY cnt DESC, gram LIMIT 100""".stripMargin,
+
+    // tf · ln(n_sources/df) with identical expression shape, ranked
+    // on the integer quantized score; the planted zephyr/quark/glome
+    // rows make the idf mechanism discriminating
+    "tfidf_terms" ->
+      s"""WITH d AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES ${tfidfProbes.map {
+            case (src, tx) => s"(${sqlText(src)}, ${sqlText(tx)})"
+          }.mkString(", ")}) pr(source, text)),
+         |tf AS (
+         |  SELECT source, term, COUNT(*) AS tf
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+         |        FROM d)
+         |  GROUP BY source, term),
+         |ns AS (SELECT COUNT(DISTINCT source) AS n_sources FROM tf),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |q AS (
+         |  SELECT source, term,
+         |    CAST(FLOOR(CAST(tf AS DOUBLE) *
+         |      ln(CAST(n_sources AS DOUBLE) / CAST(df AS DOUBLE)) *
+         |      1000000.0 + 0.5) AS BIGINT) AS qs
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN ns),
+         |r AS (SELECT source, term, qs,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |                           ORDER BY qs DESC, term) AS rank
+         |      FROM q)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, term,
+         |  CAST(qs AS DOUBLE) / 1000000.0 AS tfidf
+         |FROM r WHERE rank <= 5
+         |ORDER BY source, rank""".stripMargin,
 
     // identical expression shape per (doc, term): ln-idf times the
     // k1/b-normalized tf, quantized per row, integer-summed per
