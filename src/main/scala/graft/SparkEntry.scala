@@ -25,6 +25,8 @@ object SparkEntry {
       graft.queries.Scalars.queries ++
       graft.queries.Scalars.noOracleQueries ++
       graft.queries.EventTime.queries ++
+      graft.queries.Mutations.queries ++
+      graft.queries.Layout.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.Pipeline.noOracleQueries
 
@@ -47,5 +49,7 @@ object SparkEntry {
       graft.queries.Aggregates.oracle ++
       graft.queries.Windows.oracle ++
       graft.queries.Scalars.oracle ++
-      graft.queries.EventTime.oracle
+      graft.queries.EventTime.oracle ++
+      graft.queries.Mutations.oracle ++
+      graft.queries.Layout.oracle
 }

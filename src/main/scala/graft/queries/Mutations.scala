@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M-family: mutation application over append-only storage —
+  * [[graft.operators.Merge]] exercised as oracle-gated queries. The
+  * changelog is DERIVED deterministically from the fixture tables
+  * (updates, conflicting re-updates, deletes, and inserts carved out
+  * of `orders` by key residue) so DuckDB can rebuild the identical log
+  * and replay the identical fold.
+  */
+object Mutations {
+
+  /** The orders snapshot columns, in order — both engines project the
+    * merged result to exactly these. */
+  private val OrderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // M1: CDC apply / MERGE INTO — fold a derived changelog into the
+    // orders snapshot. The log plants every interesting case: an
+    // update (+50), a LATER conflicting update on half those keys
+    // (+100 — latest-wins is observable), deletes, and inserts under
+    // fresh (negated) keys. Scale shape: one window shuffle of the
+    // small log; the snapshot moves only through a key anti-join that
+    // AQE broadcasts when the log is small.
+    "merge_upsert" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      def tagged(df: DataFrame, op: String, seq: Long): DataFrame =
+        df.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+      val u1 = tagged(o.filter($"o_orderkey" % 7 === 3)
+        .withColumn("o_totalprice", $"o_totalprice" + 50.0), "U", 1L)
+      val u2 = tagged(o.filter($"o_orderkey" % 14 === 3)
+        .withColumn("o_totalprice", $"o_totalprice" + 100.0), "U", 2L)
+      val d = tagged(o.filter($"o_orderkey" % 7 === 5), "D", 1L)
+      val i = tagged(o.filter($"o_orderkey" % 11 === 2)
+        .withColumn("o_orderkey", -$"o_orderkey"), "I", 1L)
+      val changes = u1.unionByName(u2).unionByName(d).unionByName(i)
+      Merge.applyChangelog(o, changes, Seq("o_orderkey"), "seq", "op")
+        .orderBy($"o_orderkey")
+    }),
+
+    // M2: SCD2 history — validity intervals over a per-user state
+    // changelog (events collapsed to one deterministic state per (user,
+    // ts)). One per-key window; nothing else moves.
+    "scd2_history" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ch = Tables.events(s, dir)
+        .filter($"user_id" % 5 === 0)
+        .groupBy($"user_id", $"ts").agg(min($"event_type").as("state"))
+      Merge.scd2(ch, Seq("user_id"), "ts")
+        .select($"user_id", $"state", $"valid_from", $"valid_to",
+          $"is_current")
+        .orderBy($"user_id", $"valid_from")
+    }),
+  )
+
+  private def chSelect(cols: String*): String = OrderCols.map { c =>
+    cols.collectFirst { case e if e.startsWith(s"$c=") =>
+      s"${e.stripPrefix(s"$c=")} AS $c" }.getOrElse(c)
+  }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "merge_upsert" ->
+      s"""WITH ch AS (
+         |  SELECT ${chSelect("o_totalprice=o_totalprice + 50.0")},
+         |    'U' AS op, 1 AS seq FROM orders WHERE o_orderkey % 7 = 3
+         |  UNION ALL
+         |  SELECT ${chSelect("o_totalprice=o_totalprice + 100.0")},
+         |    'U', 2 FROM orders WHERE o_orderkey % 14 = 3
+         |  UNION ALL
+         |  SELECT ${chSelect()}, 'D', 1 FROM orders WHERE o_orderkey % 7 = 5
+         |  UNION ALL
+         |  SELECT ${chSelect("o_orderkey=-o_orderkey")},
+         |    'I', 1 FROM orders WHERE o_orderkey % 11 = 2),
+         |latest AS (
+         |  SELECT * FROM (
+         |    SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+         |      ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1)
+         |SELECT ${chSelect()} FROM orders o
+         |WHERE NOT EXISTS (SELECT 1 FROM latest l
+         |                  WHERE l.o_orderkey = o.o_orderkey)
+         |UNION ALL
+         |SELECT ${chSelect()} FROM latest WHERE op <> 'D'
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "scd2_history" ->
+      """WITH ch AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    MIN(event_type) AS state
+        |  FROM events WHERE user_id % 5 = 0 GROUP BY 1, 2)
+        |SELECT user_id, state, ts AS valid_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    AS is_current
+        |FROM ch
+        |ORDER BY user_id, valid_from""".stripMargin,
+  )
+}
