@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.GraftFunctions.fnv1a_seeded
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{Bridge => B}
+
+/** Broadcast Bloom-filter membership — the scale path for "drop every
+  * corpus row whose key is in this (much smaller) set" when the set is
+  * still too large to ship as a literal IN-list but its BITSET is a
+  * few KB–MB: decontamination against eval/benchmark keys, blocklist
+  * filtering, incremental-ingest "seen before" pre-checks.
+  *
+  * Shape: [[build]] is one narrow pass over the key set (k seeded
+  * FNV-1a positions per key, exploded) into a `bit_or` aggregate keyed
+  * by bitset WORD — at most `numBits/64` groups whatever the key
+  * count — collected into one Long array. [[mightContain]] compiles
+  * that array into a pure codegen'd column predicate (array literal +
+  * bit tests — no UDF, no join, no shuffle): the 100 TB corpus side is
+  * a FILTER. Bloom answers are one-sided (false positives only), so an
+  * exact-semantics caller confirms the (tiny) candidate set with a
+  * real join afterwards — see the `bloom_decontaminate` query — and
+  * the corpus never shuffles on the key.
+  *
+  * Hash family: position i = `pmod(fnv1a_seeded(i, key), numBits)` —
+  * the reference's seeded-init family (`fnv1a.rs:26-28`), identical
+  * expression on the build and probe sides by construction.
+  */
+object BloomSet {
+
+  /** Bitsets above this many BITS (2^26 = 8 MiB of words) stop being
+    * sane plan literals / broadcast payloads — fail fast instead. */
+  val MaxBits: Long = 1L << 26
+
+  /** An immutable built filter: `words(w) bit b` set ⇔ some inserted
+    * key hashed to position 64w+b. */
+  final case class Filter(words: Array[Long], numBits: Long, k: Int) {
+    /** Set-bit count → effective false-positive rate estimate
+      * (1 - e^{-kn/m})^k with the actual bit density. */
+    def bitDensity: Double =
+      words.map(java.lang.Long.bitCount).sum.toDouble / numBits
+  }
+
+  private def shl(one: Column, by: Column): Column =
+    B.column(ShiftLeft(B.expression(one), B.expression(by)))
+  private def shr(v: Column, by: Column): Column =
+    B.column(ShiftRight(B.expression(v), B.expression(by)))
+
+  /** k hash positions of `key` in [0, numBits). */
+  private def positions(key: Column, numBits: Long, k: Int): Seq[Column] =
+    (0 until k).map(i => pmod(fnv1a_seeded(i.toLong, key), lit(numBits)))
+
+  /** Build the filter over the distinct values of `key` in `keys`.
+    * NULL keys are skipped (a NULL never "is in" the set — callers
+    * decide their own NULL policy, as [[mightContain]] returns NULL
+    * for NULL probes). One pass + one word-keyed aggregation; driver
+    * memory is `numBits/64` longs regardless of key count. */
+  def build(keys: DataFrame, key: Column, numBits: Long, k: Int): Filter = {
+    require(numBits > 0 && numBits % 64 == 0 && numBits <= MaxBits,
+      s"numBits must be a positive multiple of 64 <= $MaxBits, got $numBits")
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    val pos = explode(array(positions(key, numBits, k): _*)).as("pos")
+    val rows = keys.where(key.isNotNull)
+      .select(pos)
+      .select(shr(col("pos"), lit(6)).as("w"),
+        shl(lit(1L), pmod(col("pos"), lit(64L))).as("m"))
+      .groupBy(col("w")).agg(bit_or(col("m")).as("bits"))
+      .collect()
+    val words = new Array[Long]((numBits / 64).toInt)
+    rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    Filter(words, numBits, k)
+  }
+
+  /** Pure-expression membership probe: true ⇒ maybe present, false ⇒
+    * DEFINITELY absent, NULL for NULL keys. The filter rides the plan
+    * as an array literal, so the probe is a codegen'd per-row filter —
+    * nothing joins, nothing shuffles. */
+  def mightContain(key: Column, f: Filter): Column = {
+    val wordsLit = typedlit(f.words.toSeq)
+    positions(key, f.numBits, f.k).map { p =>
+      shr(element_at(wordsLit, (shr(p, lit(6)) + lit(1)).cast("int")),
+        pmod(p, lit(64L))).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+}

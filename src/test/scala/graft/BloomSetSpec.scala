@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.BloomSet
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter contracts: membership is one-sided (NO false
+  * negatives, bounded false positives), NULL probes stay NULL, the
+  * probe is a pure filter (no join/shuffle on the corpus side), and
+  * the bloom_decontaminate composition equals the plain exact
+  * anti-join it accelerates. */
+class BloomSetSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val keys = (0 until 500).map(i => s"key-$i")
+  private lazy val filter =
+    BloomSet.build(keys.toDF("k"), $"k", numBits = 1L << 13, k = 5)
+
+  test("no false negatives: every inserted key probes true") {
+    val misses = keys.toDF("k")
+      .filter(!BloomSet.mightContain($"k", filter))
+      .count()
+    assert(misses == 0L)
+  }
+
+  test("false positives are rare and pruning is real") {
+    val probes = (0 until 2000).map(i => s"other-$i").toDF("k")
+    val hits = probes.filter(BloomSet.mightContain($"k", filter)).count()
+    // m/n = 16.4 bits/key, k=5 → theoretical fp ~ 0.5%; allow 5x slack
+    assert(hits <= 50, s"$hits of 2000 absent keys probed true")
+    assert(hits < 2000, "filter prunes nothing")
+  }
+
+  test("NULL probe stays NULL; NULL build keys are skipped") {
+    val f = BloomSet.build(
+      Seq(Some("a"), None, Some("b")).toDF("k"), $"k", 64 * 8, 3)
+    val r = Seq(Some("a"), None).toDF("k")
+      .select(BloomSet.mightContain($"k", f).as("m"))
+      .collect().map(x => if (x.isNullAt(0)) null else x.getBoolean(0))
+    assert(r(0) == true && r(1) == null)
+  }
+
+  test("build rejects bad parameters") {
+    intercept[IllegalArgumentException] {
+      BloomSet.build(keys.toDF("k"), $"k", 100, 5) // not a multiple of 64
+    }
+    intercept[IllegalArgumentException] {
+      BloomSet.build(keys.toDF("k"), $"k", BloomSet.MaxBits * 2, 5)
+    }
+    intercept[IllegalArgumentException] {
+      BloomSet.build(keys.toDF("k"), $"k", 1L << 13, 0)
+    }
+  }
+
+  test("bit density matches the expected fill") {
+    // n=500, k=5, m=8192 → density 1 - e^{-kn/m} ≈ 0.263
+    assert(filter.bitDensity > 0.15 && filter.bitDensity < 0.40,
+      s"density ${filter.bitDensity}")
+  }
+
+  test("bloom_decontaminate equals the plain exact anti-join") {
+    val got = SparkEntry.queries("bloom_decontaminate")(spark, sf)
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val base = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang", $"source")
+    val probes = base.filter($"doc_id" % 13 === 0 && $"doc_id" % 2 === 1)
+      .select((-$"doc_id").as("doc_id"), $"text", $"lang", $"source")
+    val want = base.unionByName(probes)
+      .join(base.filter($"doc_id" % 13 === 0).select($"text").distinct(),
+        Seq("text"), "left_anti")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"))
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("the corpus side never shuffles: all joins broadcast") {
+    val p = SparkEntry.queries("bloom_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled through a sort-merge join:\n${p.take(1500)}")
+    assert(p.contains("fnv1a("),
+      "bloom probe expression missing from the plan")
+  }
+}
