@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.ZOrder
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Y-family: storage-layout arithmetic as oracle-gated queries. The
+  * layout WRITERS ([[graft.operators.OutputSizing]], [[graft.operators
+  * .ZOrder.writeZOrdered]]) are file-system effects pinned by specs;
+  * the layout KEYS they cluster on are pure integer expressions, and
+  * those are what the oracle can hash-check exactly.
+  */
+object Layout {
+
+  /** bits per dimension for the orders z-map: custkey < 2^16 and
+    * epoch-day < 2^16 hold at every fixture sf (and the operator masks
+    * above them by contract). */
+  private val ZBits = 16
+
+  private val sqlDay =
+    "CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Y1: the z-order cell map of orders over (customer, order day) —
+    // the profiling query behind a zorder-layout decision: how many
+    // rows land in each coarse z cell (cell = z >> 20, i.e. 2^20 of
+    // z-space ≈ a 1024×1024 rectangle in (custkey, day)). Pure
+    // codegen'd bit arithmetic on the scan, one map-combinable count.
+    "zorder_cells" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val day = datediff($"o_orderdate".cast("date"),
+        to_date(lit("1970-01-01")))
+      Tables.orders(s, dir)
+        .select(ZOrder.zvalue($"o_custkey", day, ZBits).as("z"))
+        .groupBy(shiftright($"z", 20).as("cell"))
+        .agg(count(lit(1)).as("n_orders"),
+          min($"z").as("min_z"), max($"z").as("max_z"))
+        .orderBy($"cell")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // identical unrolled interleave (ZOrder.zvalueSql) — engine and
+    // oracle share the term generator, so the bit arithmetic cannot
+    // drift
+    "zorder_cells" ->
+      s"""SELECT (z >> 20) AS cell, COUNT(*) AS n_orders,
+         |  MIN(z) AS min_z, MAX(z) AS max_z
+         |FROM (SELECT ${ZOrder.zvalueSql(
+              "CAST(o_custkey AS BIGINT)", sqlDay, ZBits)} AS z
+         |      FROM orders)
+         |GROUP BY 1 ORDER BY cell""".stripMargin,
+  )
+}
