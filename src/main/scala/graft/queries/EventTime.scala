@@ -172,6 +172,38 @@ object EventTime {
         }.reduce(_ unionAll _)
         .orderBy($"stage")
     }),
+
+    // T13: regular-grid resampling + gap fill — the time-series
+    // normalization step feeding any chart/model that expects one row
+    // per (entity, period): snap events to 1-day buckets, materialize
+    // EVERY day between an entity's first and last active day
+    // (sequence + explode — the grid is generated distributed, per
+    // key, never on the driver), zero-fill empty days' counts, and
+    // carry the last observed daily value forward across gaps.
+    // Scale shape: one (user, day) aggregation (map-combinable), one
+    // tiny per-user min/max agg that explodes into the grid, one
+    // co-partitioned left join, and a per-user window whose partition
+    // is bounded by the date span — never a global sort.
+    "time_resample" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .filter($"user_id" % 25 === 3)
+        .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("day_value"))
+      val grid = daily.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id",
+          explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day",
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          coalesce($"day_value", lit(0.0)).as("day_value"),
+          last($"day_value", ignoreNulls = true).over(w).as("ffill_value"))
+        .orderBy($"user_id", $"day")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -315,5 +347,26 @@ object EventTime {
         |SELECT path, COUNT(*) AS n_sessions
         |FROM p GROUP BY path
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    // per-user day grid via generate_series; same zero-fill and
+    // IGNORE NULLS carry-forward
+    "time_resample" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |    COUNT(*) AS n_events, ${sqlDsum("value")} AS day_value
+         |  FROM events WHERE user_id % 25 = 3 GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT user_id,
+         |    unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS day
+         |  FROM daily GROUP BY user_id)
+         |SELECT g.user_id, g.day,
+         |  COALESCE(d.n_events, 0) AS n_events,
+         |  COALESCE(d.day_value, 0.0) AS day_value,
+         |  LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+         |    PARTITION BY g.user_id ORDER BY g.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+         |FROM grid g LEFT JOIN daily d
+         |  ON g.user_id = d.user_id AND g.day = d.day
+         |ORDER BY g.user_id, g.day""".stripMargin,
   )
 }

@@ -625,6 +625,39 @@ object Pipeline {
         .orderBy($"train_doc", $"eval_doc")
     }),
 
+    // L23b: EXACT-text decontamination at broadcast-bitset cost — the
+    // bloom-filter companion to the LSH pass, for the verbatim "drop
+    // anything whose text appears in the eval set" rule. The eval keys
+    // fold into a Bloom bitset (one narrow pass over the SMALL side,
+    // `operators.BloomSet`); the corpus side is then a pure codegen'd
+    // FILTER — no join, no shuffle, the 100 TB shape — and only the
+    // tiny bloom-surviving candidate set enters the exact confirm
+    // semi-join (bloom errors are one-sided: the confirm join removes
+    // the overshoot, so the result is EXACT and oracle-checkable).
+    // Planted probes: copies of odd eval docs under negated ids make
+    // contaminated NON-eval rows exist, so the confirm join does more
+    // than re-find the eval set itself.
+    "bloom_decontaminate" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+        .select($"doc_id", $"text", $"lang", $"source")
+      val probes = base.filter($"doc_id" % 13 === 0 && $"doc_id" % 2 === 1)
+        .select((-$"doc_id").as("doc_id"), $"text", $"lang", $"source")
+      val docs = base.unionByName(probes)
+      val evalTexts = base.filter($"doc_id" % 13 === 0).select($"text")
+      val bloom = graft.operators.BloomSet.build(
+        evalTexts, $"text", numBits = 1L << 14, k = 5)
+      val candidates = docs
+        .filter(coalesce(
+          graft.operators.BloomSet.mightContain($"text", bloom), lit(false)))
+        .join(broadcast(evalTexts.distinct()), Seq("text"), "left_semi")
+        .select($"doc_id")
+      docs.join(broadcast(candidates), Seq("doc_id"), "left_anti")
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang", $"source")
+    }),
+
     // L24: cross-document repeated spans — the exact-substring member
     // of the dedup family (memorization audit): every 8-token span
     // that appears in >= 2 distinct docs, with occurrence counts.
@@ -1248,6 +1281,27 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"),
           min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
         .orderBy($"lang", $"split")
+    }),
+
+    // L20b: stratified exact-k sample — "exactly 20 uniform docs per
+    // language" (eval-set carving, per-stratum inspection pulls). The
+    // uniform order is the keyed md5 hash (retry-stable, partitioning-
+    // invariant, oracle-replayable — never rand()); exact-k per
+    // stratum is row_number ≤ k, which Spark 4 plans as a
+    // WindowGroupLimit: each map task keeps at most k rows per
+    // stratum BEFORE the shuffle, so the sample — not the corpus —
+    // moves.
+    "stratified_sample" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val k = 20
+      val w = Window.partitionBy($"lang").orderBy($"hv", $"doc_id")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang",
+          graft.operators.Sampling.keyHash32($"doc_id", "strat:v1:").as("hv"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= k)
+        .select($"lang", $"rn", $"doc_id")
+        .orderBy($"lang", $"rn")
     }),
 
     // L21: deterministic per-stratum mixture resampling — the
@@ -2119,6 +2173,24 @@ object Pipeline {
          |  jaccard
          |FROM x ORDER BY train_doc, eval_doc""".stripMargin,
 
+    // exact-text anti-join over the same planted corpus — the bloom
+    // bitset is an engine-side pruning detail the oracle need not
+    // replay, because the confirm join makes the result exact
+    "bloom_decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, lang, source FROM documents),
+        |corpus AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT -doc_id, text, lang, source FROM base
+        |  WHERE doc_id % 13 = 0 AND doc_id % 2 = 1),
+        |ev AS (SELECT text FROM base WHERE doc_id % 13 = 0)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM corpus d
+        |WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.text = d.text)
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
     // byte-true frame/thumb mirror over the hex image of encode(text):
     // frame i covers bytes [i*(n-8) DIV 3, +8); thumb byte j is input
     // byte floor(j*n/16)
@@ -2152,6 +2224,20 @@ object Pipeline {
          |SELECT lang, split, COUNT(*) AS n_docs,
          |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // same md5-prefix fold (salt 'strat:v1:'), same (hv, doc_id)
+    // ranking — both engines draw the identical per-language sample
+    "stratified_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    ${sqlMd5Fold32("strat:v1:", "CAST(doc_id AS VARCHAR)")} AS hv
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+         |  FROM h)
+         |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id
+         |FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
 
     // same md5-prefix hash as hash_split (salt 'mix:v1:'); whole-copy
     // and fractional-threshold CASEs interpolate the engine's integer

@@ -84,8 +84,11 @@ class PlanAuditSpec extends SparkSuite {
   test("topk_per_group keeps the WindowGroupLimit rank pushdown") {
     // Spark 4 turns `row_number <= k` above a window into a
     // per-partition group limit BEFORE the shuffle/sort — the plan
-    // shape that makes top-k-per-group viable at 100 TB. Pin it.
-    assert(plans("topk_per_group").contains("WindowGroupLimit"),
-      s"rank filter not pushed:\n${plans("topk_per_group").take(1500)}")
+    // shape that makes top-k-per-group (and the stratified exact-k
+    // sample) viable at 100 TB. Pin it.
+    Seq("topk_per_group", "stratified_sample").foreach { name =>
+      assert(plans(name).contains("WindowGroupLimit"),
+        s"$name rank filter not pushed:\n${plans(name).take(1500)}")
+    }
   }
 }
