@@ -77,6 +77,17 @@ object GraftFunctions {
       BoundedMinSetAgg(ExpressionUtils.expression(id), cap)
         .toAggregateExpression())
 
+  /** Misra–Gries frequent-items summary: `struct(n, items)` with the
+    * exact non-null input count and ≤ `cap` candidate keys whose
+    * underestimating counts still satisfy the mergeable guarantee
+    * (every key with true frequency > n/(cap+1) is present). The
+    * candidate half of exact heavy hitters — confirm with a bounded
+    * recount (see `heavy_hitters`). */
+  def misra_gries(key: Column, cap: Int): Column =
+    ExpressionUtils.column(
+      MisraGriesAgg(ExpressionUtils.expression(key), cap)
+        .toAggregateExpression())
+
   /** Streaming word-3-gram generator (custom UDTF): one output row
     * per positional gram, no gram array materialization. Use in a
     * select like explode: `df.select($"id", shingle_hashes($"text"))`. */

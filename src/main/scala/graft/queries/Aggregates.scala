@@ -210,6 +210,27 @@ object Aggregates {
         .groupBy($"bin").agg(count(lit(1)).as("n_orders"))
         .orderBy($"bin")
     }),
+
+    // G11: one-pass table profile — the ANALYZE-style data-quality
+    // snapshot (row count, per-column non-null counts, exact distinct
+    // cardinalities, numeric/date ranges) a pipeline runs before
+    // trusting a new snapshot. Multiple exact distincts in one agg
+    // plan via Spark's Expand (rows × #distinct-columns shuffle of
+    // slim (gid, key) tuples) — one logical pass, map-side partials,
+    // no driver state.
+    "column_profile" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.orders(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count($"o_custkey").as("nn_custkey"),
+        count_distinct($"o_custkey").as("ndv_custkey"),
+        count_distinct($"o_orderstatus").as("ndv_status"),
+        count_distinct($"o_orderpriority").as("ndv_priority"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"),
+        min($"o_orderdate").as("min_date"),
+        max($"o_orderdate").as("max_date"))
+    }),
   )
 
   /** G5: HLL approximate distinct — not DuckDB-replicable (different
@@ -229,6 +250,18 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "column_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(o_custkey) AS nn_custkey,
+        |  COUNT(DISTINCT o_custkey) AS ndv_custkey,
+        |  COUNT(DISTINCT o_orderstatus) AS ndv_status,
+        |  COUNT(DISTINCT o_orderpriority) AS ndv_priority,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  CAST(MIN(o_orderdate) AS TIMESTAMP) AS min_date,
+        |  CAST(MAX(o_orderdate) AS TIMESTAMP) AS max_date
+        |FROM orders""".stripMargin,
+
     // identical per-row arithmetic: (x - mn) * 10.0 / (mx - mn),
     // floored, top edge folded into bin 9
     "agg_histogram" ->

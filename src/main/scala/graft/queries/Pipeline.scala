@@ -1283,6 +1283,57 @@ object Pipeline {
         .orderBy($"lang", $"split")
     }),
 
+    // L36: exact corpus heavy hitters WITHOUT a vocabulary shuffle —
+    // same one-sided-overshoot-then-confirm shape as the bloom pass:
+    // a single ObjectHashAggregate of cap-bounded Misra–Gries
+    // summaries (a few KB per partition, whatever the vocabulary)
+    // yields a candidate set PROVABLY ⊇ every term with freq ≥ n/64
+    // (cap 256 ⇒ guarantee at n/257); the exact recount then touches
+    // only those ≤ 256 candidates (broadcast semi-join + a ≤ 256-key
+    // groupBy), so the final (term, cnt) set is exact and the full
+    // term domain never shuffles.
+    "heavy_hitters" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      def toks = Tables.documents(s, dir)
+        .select(explode(split($"text", " ")).as("term"))
+        .filter(length($"term") > 0)
+      val summary = toks
+        .agg(graft.functions.GraftFunctions.misra_gries($"term", 256).as("s"))
+        .select($"s.n".as("n"), $"s.items.key".as("cands"))
+        .localCheckpoint() // 1 row; both branches below reuse it
+      val cands = summary.select(explode($"cands").as("term"))
+      toks.join(broadcast(cands), Seq("term"), "left_semi")
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(summary.select($"n")))
+        .filter($"cnt" * 64 >= $"n")
+        .select($"term", $"cnt")
+        .orderBy($"cnt".desc, $"term")
+    }),
+
+    // L37: deterministic weighted sampling without replacement
+    // (Efraimidis–Spirakis): rank by -ln(u)/w with u drawn from the
+    // keyed md5 hash — the top-50 by ascending key IS a weight-
+    // proportional sample, retry-stable and partitioning-invariant
+    // like every sampler here (never rand()). The score is quantized
+    // per row pre-ranking so both engines order identically; the scan
+    // is a TakeOrderedAndProject (per-partition top-50, merge of 50s).
+    "weighted_sample" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val u = (graft.operators.Sampling.keyHash32($"doc_id", "wsamp:v1:") +
+        lit(1L)).cast("double") / lit(4294967296.0) // in (0, 1]
+      val top = Tables.documents(s, dir)
+        .filter($"n_chars" > 0)
+        .select($"doc_id", $"n_chars",
+          floor(-log(u) / $"n_chars" * lit(1.0e9) + lit(0.5))
+            .cast("long").as("qs"))
+        .orderBy($"qs".asc, $"doc_id")
+        .limit(50)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy($"qs", $"doc_id")).cast("long"))
+        .select($"rank", $"doc_id", $"n_chars", $"qs")
+        .orderBy($"rank")
+    }),
+
     // L20b: stratified exact-k sample — "exactly 20 uniform docs per
     // language" (eval-set carving, per-stratum inspection pulls). The
     // uniform order is the keyed md5 hash (retry-stable, partitioning-
@@ -2224,6 +2275,37 @@ object Pipeline {
          |SELECT lang, split, COUNT(*) AS n_docs,
          |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // the MG summary is an engine-side pruning detail the oracle need
+    // not replay — the confirm recount makes the result the plain
+    // exact frequency filter
+    "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT term FROM toks WHERE length(term) > 0),
+        |n AS (SELECT COUNT(*) AS n FROM t),
+        |c AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term)
+        |SELECT term, cnt FROM c CROSS JOIN n
+        |WHERE cnt * 64 >= n
+        |ORDER BY cnt DESC, term""".stripMargin,
+
+    // same md5 fold (salt 'wsamp:v1:'), same -ln(u)/w arithmetic
+    // quantized pre-ranking — both engines draw the identical sample
+    "weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars,
+         |    ${sqlMd5Fold32("wsamp:v1:", "CAST(doc_id AS VARCHAR)")} AS hv
+         |  FROM documents WHERE n_chars > 0),
+         |q AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(FLOOR(-ln((hv + 1) / 4294967296.0) / n_chars
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS qs
+         |  FROM h),
+         |r AS (SELECT * FROM q ORDER BY qs, doc_id LIMIT 50)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY qs, doc_id) AS BIGINT)
+         |    AS rank,
+         |  doc_id, n_chars, qs
+         |FROM r ORDER BY rank""".stripMargin,
 
     // same md5-prefix fold (salt 'strat:v1:'), same (hv, doc_id)
     // ranking — both engines draw the identical per-language sample

@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.{GraftFunctions, MisraGriesBuffer}
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries contracts: the summary never exceeds its capacity,
+  * counts only ever undercount, every key above the n/(cap+1)
+  * frequency bound survives — including through merges and
+  * serialization — and the heavy_hitters composition is EXACT. */
+class MisraGriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("buffer: capacity bound, undercount-only, guarantee threshold") {
+    val buf = new MisraGriesBuffer(4)
+    // adversarial stream: one heavy key interleaved with 40 singletons
+    val stream = (0 until 40).flatMap(i => Seq("hot", s"x$i")) ++ Seq("hot")
+    stream.foreach(k => buf.add(k))
+    assert(buf.total == stream.length)
+    assert(buf.counters.size <= 4)
+    val est = buf.sorted().toMap
+    // hot: true 41 of 81; bound says est >= 41 - 81/5 > 24
+    assert(est.contains("hot") && est("hot") <= 41 && est("hot") > 24)
+    est.foreach { case (k, c) =>
+      assert(c <= stream.count(_ == k), s"$k overcounted")
+    }
+  }
+
+  test("merge keeps the guarantee; serialize round-trips") {
+    val a = new MisraGriesBuffer(8)
+    val b = new MisraGriesBuffer(8)
+    (0 until 300).foreach(i => a.add(if (i % 3 == 0) "big" else s"a$i"))
+    (0 until 300).foreach(i => b.add(if (i % 2 == 0) "big" else s"b$i"))
+    val ser = MisraGriesBuffer.deserialize(8, b.serialized())
+    assert(ser.total == b.total && ser.sorted().toSeq == b.sorted().toSeq)
+    a.mergeFrom(ser)
+    assert(a.total == 600)
+    assert(a.counters.size <= 8)
+    // big: true 250 of 600; bound 600/9 ≈ 67 → est ≥ 183 > 0, present
+    val est = a.sorted().toMap
+    assert(est.contains("big") && est("big") <= 250 && est("big") >= 183)
+  }
+
+  test("aggregate: candidates cover every true frequent key") {
+    val words = Seq.fill(500)("the") ++ Seq.fill(300)("of") ++
+      (0 until 2000).map(i => s"w$i")
+    val df = words.toDF("term")
+      .agg(GraftFunctions.misra_gries($"term", 64).as("s"))
+      .select($"s.n".as("n"), $"s.items.key".as("keys"))
+      .as[(Long, Seq[String])].head()
+    assert(df._1 == words.length)
+    assert(df._2.length <= 64)
+    assert(df._2.contains("the") && df._2.contains("of"))
+  }
+
+  test("heavy_hitters query equals the direct exact computation") {
+    val got = SparkEntry.queries("heavy_hitters")(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("term"))
+      .filter(length($"term") > 0)
+    val n = toks.count()
+    val want = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * 64 >= n)
+      .orderBy($"cnt".desc, $"term")
+      .as[(String, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "threshold too high — nothing qualifies at sf0.001")
+  }
+
+  test("heavy_hitters plans: MG pass is object-hash; confirm is broadcast") {
+    // stage 1 (runs at construction, checkpointed): one
+    // ObjectHashAggregate of MG summaries — partial per partition,
+    // merged once; the raw vocabulary never shuffles
+    val p1 = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("term"))
+      .filter(length($"term") > 0)
+      .agg(GraftFunctions.misra_gries($"term", 256).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("misra_gries"), "MG aggregate missing")
+    assert(p1.contains("ObjectHashAggregate"), "MG should plan object-hash")
+    // stage 2: the recount joins via broadcast only — no sort-merge
+    val p2 = SparkEntry.queries("heavy_hitters")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("SortMergeJoin"),
+      s"candidate confirm shuffled:\n${p2.take(1200)}")
+  }
+}

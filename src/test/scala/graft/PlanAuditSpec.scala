@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSuite {
   // subquery shape: the nested "loop" iterates a single row).
   private val nestedLoopOk =
     Set("join_theta", "join_cross", "cosine_knn", "source_minhash_sim",
-      "unigram_logprob", "bm25_search", "tfidf_terms", "agg_histogram")
+      "unigram_logprob", "bm25_search", "tfidf_terms", "agg_histogram",
+      "heavy_hitters")
 
   test("no unintended cartesian products") {
     plans.foreach { case (name, p) =>
