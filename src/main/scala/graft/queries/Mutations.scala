@@ -19,29 +19,35 @@ object Mutations {
   private val OrderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
+  /** The deterministic derived changelog over `orders`: an update
+    * (+50) on keys ≡3 (mod 7), a LATER conflicting update (+100) on
+    * the ≡3 (mod 14) half (latest-wins observable), deletes on ≡5
+    * (mod 7), inserts under fresh negated keys on ≡2 (mod 11).
+    * (key, seq) pairs are unique by construction. */
+  private def derivedChangelog(o: DataFrame): DataFrame = {
+    def tagged(df: DataFrame, op: String, seq: Long): DataFrame =
+      df.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+    val u1 = tagged(o.filter(col("o_orderkey") % 7 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 50.0), "U", 1L)
+    val u2 = tagged(o.filter(col("o_orderkey") % 14 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0), "U", 2L)
+    val d = tagged(o.filter(col("o_orderkey") % 7 === 5), "D", 1L)
+    val i = tagged(o.filter(col("o_orderkey") % 11 === 2)
+      .withColumn("o_orderkey", -col("o_orderkey")), "I", 1L)
+    u1.unionByName(u2).unionByName(d).unionByName(i)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // M1: CDC apply / MERGE INTO — fold a derived changelog into the
-    // orders snapshot. The log plants every interesting case: an
-    // update (+50), a LATER conflicting update on half those keys
-    // (+100 — latest-wins is observable), deletes, and inserts under
-    // fresh (negated) keys. Scale shape: one window shuffle of the
-    // small log; the snapshot moves only through a key anti-join that
-    // AQE broadcasts when the log is small.
+    // M1: CDC apply / MERGE INTO — fold the derived changelog into the
+    // orders snapshot. Scale shape: one window shuffle of the small
+    // log; the snapshot moves only through a key anti-join that AQE
+    // broadcasts when the log is small.
     "merge_upsert" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val o = Tables.orders(s, dir)
-      def tagged(df: DataFrame, op: String, seq: Long): DataFrame =
-        df.withColumn("op", lit(op)).withColumn("seq", lit(seq))
-      val u1 = tagged(o.filter($"o_orderkey" % 7 === 3)
-        .withColumn("o_totalprice", $"o_totalprice" + 50.0), "U", 1L)
-      val u2 = tagged(o.filter($"o_orderkey" % 14 === 3)
-        .withColumn("o_totalprice", $"o_totalprice" + 100.0), "U", 2L)
-      val d = tagged(o.filter($"o_orderkey" % 7 === 5), "D", 1L)
-      val i = tagged(o.filter($"o_orderkey" % 11 === 2)
-        .withColumn("o_orderkey", -$"o_orderkey"), "I", 1L)
-      val changes = u1.unionByName(u2).unionByName(d).unionByName(i)
-      Merge.applyChangelog(o, changes, Seq("o_orderkey"), "seq", "op")
+      Merge.applyChangelog(o, derivedChangelog(o),
+          Seq("o_orderkey"), "seq", "op")
         .orderBy($"o_orderkey")
     }),
 
@@ -58,6 +64,31 @@ object Mutations {
           $"is_current")
         .orderBy($"user_id", $"valid_from")
     }),
+
+    // M3: snapshot diff — the audit tool next to MERGE: what changed
+    // between snapshot A and snapshot B (added / removed / changed
+    // keys, old vs new values). B is the merge_upsert result, so the
+    // diff must recover exactly the changelog's effects — the
+    // round-trip check a migration runs after a backfill. Scale
+    // shape: ONE co-partitioned full outer join on the key; 'same'
+    // rows are filtered before anything else happens to them.
+    "snapshot_diff" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val merged = Merge.applyChangelog(o, derivedChangelog(o),
+        Seq("o_orderkey"), "seq", "op")
+      o.select($"o_orderkey", $"o_totalprice".as("old_price"))
+        .join(merged.select($"o_orderkey", $"o_totalprice".as("new_price")),
+          Seq("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when($"old_price".isNull, "added")
+            .when($"new_price".isNull, "removed")
+            .when($"old_price" =!= $"new_price", "changed")
+            .otherwise("same"))
+        .filter($"change_type" =!= "same")
+        .select($"o_orderkey", $"change_type", $"old_price", $"new_price")
+        .orderBy($"o_orderkey")
+    }),
   )
 
   private def chSelect(cols: String*): String = OrderCols.map { c =>
@@ -65,29 +96,36 @@ object Mutations {
       s"${e.stripPrefix(s"$c=")} AS $c" }.getOrElse(c)
   }.mkString(", ")
 
+  /** Shared CTE chain rebuilding the changelog and its fold — the
+    * merge_upsert oracle and the snapshot_diff oracle must see the
+    * SAME merged relation. */
+  private val mergedCtes: String =
+    s"""ch AS (
+       |  SELECT ${chSelect("o_totalprice=o_totalprice + 50.0")},
+       |    'U' AS op, 1 AS seq FROM orders WHERE o_orderkey % 7 = 3
+       |  UNION ALL
+       |  SELECT ${chSelect("o_totalprice=o_totalprice + 100.0")},
+       |    'U', 2 FROM orders WHERE o_orderkey % 14 = 3
+       |  UNION ALL
+       |  SELECT ${chSelect()}, 'D', 1 FROM orders WHERE o_orderkey % 7 = 5
+       |  UNION ALL
+       |  SELECT ${chSelect("o_orderkey=-o_orderkey")},
+       |    'I', 1 FROM orders WHERE o_orderkey % 11 = 2),
+       |latest AS (
+       |  SELECT * FROM (
+       |    SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+       |      ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1),
+       |merged AS (
+       |  SELECT ${chSelect()} FROM orders o
+       |  WHERE NOT EXISTS (SELECT 1 FROM latest l
+       |                    WHERE l.o_orderkey = o.o_orderkey)
+       |  UNION ALL
+       |  SELECT ${chSelect()} FROM latest WHERE op <> 'D')""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "merge_upsert" ->
-      s"""WITH ch AS (
-         |  SELECT ${chSelect("o_totalprice=o_totalprice + 50.0")},
-         |    'U' AS op, 1 AS seq FROM orders WHERE o_orderkey % 7 = 3
-         |  UNION ALL
-         |  SELECT ${chSelect("o_totalprice=o_totalprice + 100.0")},
-         |    'U', 2 FROM orders WHERE o_orderkey % 14 = 3
-         |  UNION ALL
-         |  SELECT ${chSelect()}, 'D', 1 FROM orders WHERE o_orderkey % 7 = 5
-         |  UNION ALL
-         |  SELECT ${chSelect("o_orderkey=-o_orderkey")},
-         |    'I', 1 FROM orders WHERE o_orderkey % 11 = 2),
-         |latest AS (
-         |  SELECT * FROM (
-         |    SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
-         |      ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1)
-         |SELECT ${chSelect()} FROM orders o
-         |WHERE NOT EXISTS (SELECT 1 FROM latest l
-         |                  WHERE l.o_orderkey = o.o_orderkey)
-         |UNION ALL
-         |SELECT ${chSelect()} FROM latest WHERE op <> 'D'
-         |ORDER BY o_orderkey""".stripMargin,
+      s"""WITH $mergedCtes
+         |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
 
     "scd2_history" ->
       """WITH ch AS (
@@ -100,5 +138,17 @@ object Mutations {
         |    AS is_current
         |FROM ch
         |ORDER BY user_id, valid_from""".stripMargin,
+
+    "snapshot_diff" ->
+      s"""WITH $mergedCtes
+         |SELECT COALESCE(o.o_orderkey, m.o_orderkey) AS o_orderkey,
+         |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+         |       WHEN m.o_orderkey IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS change_type,
+         |  o.o_totalprice AS old_price, m.o_totalprice AS new_price
+         |FROM orders o FULL JOIN merged m ON o.o_orderkey = m.o_orderkey
+         |WHERE o.o_orderkey IS NULL OR m.o_orderkey IS NULL
+         |   OR o.o_totalprice <> m.o_totalprice
+         |ORDER BY o_orderkey""".stripMargin,
   )
 }

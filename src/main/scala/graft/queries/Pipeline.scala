@@ -1310,6 +1310,29 @@ object Pipeline {
         .orderBy($"cnt".desc, $"term")
     }),
 
+    // L38: fuzzy key matching / entity resolution at distance 1 —
+    // SymSpell deletion-variant blocking: candidates are an equi-join
+    // on exploded deletion neighborhoods (|s|+1 slim rows per input,
+    // bounded buckets), never an all-pairs cartesian, and recall is
+    // exact BY CONSTRUCTION (distance-≤1 strings always share a
+    // variant), so the levenshtein verify only removes false
+    // candidates. The oracle runs the brute-force all-pairs scan the
+    // blocking replaces — if blocking ever lost a pair, the hash
+    // compare would catch it. Probes: typo'd names (one substituted
+    // character) under negated keys.
+    "fuzzy_match" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val base = Tables.customer(s, dir).select($"c_custkey", $"c_name")
+      val probes = base.filter($"c_custkey" % 37 === 5)
+        .select((-$"c_custkey").as("c_custkey"),
+          concat($"c_name".substr(1, 9), lit("X"),
+            $"c_name".substr(lit(11), length($"c_name") - 10)).as("c_name"))
+      graft.operators.FuzzyMatch.pairsWithin1(
+          base.unionByName(probes), "c_custkey", "c_name")
+        .select($"key_a", $"key_b", $"dist".cast("long").as("dist"))
+        .orderBy($"key_a", $"key_b")
+    }),
+
     // L37: deterministic weighted sampling without replacement
     // (Efraimidis–Spirakis): rank by -ln(u)/w with u drawn from the
     // keyed md5 hash — the top-50 by ascending key IS a weight-
@@ -2288,6 +2311,22 @@ object Pipeline {
         |SELECT term, cnt FROM c CROSS JOIN n
         |WHERE cnt * 64 >= n
         |ORDER BY cnt DESC, term""".stripMargin,
+
+    // brute-force all-pairs with the same planted probes — the
+    // deletion blocking is engine-side pruning with provably exact
+    // recall, so the oracle need not replay it
+    "fuzzy_match" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name FROM customer
+        |  UNION ALL
+        |  SELECT -c_custkey,
+        |    substr(c_name, 1, 9) || 'X' || substr(c_name, 11)
+        |  FROM customer WHERE c_custkey % 37 = 5)
+        |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY key_a, key_b""".stripMargin,
 
     // same md5 fold (salt 'wsamp:v1:'), same -ln(u)/w arithmetic
     // quantized pre-ranking — both engines draw the identical sample

@@ -175,9 +175,41 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
         .orderBy($"prio_rank")
     }),
+
+    // F5: unpivot/melt — wide→long reshaping (the inverse of G6
+    // pivot): lineitem's four measure columns melt into (metric,
+    // value) rows, then a per-metric profile. Spark's Expand-based
+    // unpivot emits the long rows map-side — one narrow generator,
+    // one map-combinable aggregation; nothing shuffles wide rows.
+    "unpivot_melt" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .unpivot(
+          Array($"l_orderkey"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+          "metric", "value")
+        .groupBy($"metric")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("total"),
+          min($"value").as("min_v"), max($"value").as("max_v"))
+        .orderBy($"metric")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    // portable UNION ALL spelling of the melt; same per-metric profile
+    "unpivot_melt" ->
+      s"""WITH m AS (
+         |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_discount', l_discount FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_tax', l_tax FROM lineitem)
+         |SELECT metric, COUNT(*) AS n, ${sqlDsum("value")} AS total,
+         |  MIN(value) AS min_v, MAX(value) AS max_v
+         |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
+
     // NULL-excluding orphan predicate on both sides (SQL-standard RI);
     // parent NULL keys filtered so NOT IN can't collapse to NULL
     "ri_audit" ->
