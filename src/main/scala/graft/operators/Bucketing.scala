@@ -1,34 +1,37 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
-/** Bucketed-table support (SURVEY.md §2 J8 note / §4 co-located joins):
-  * writing both sides of a recurring fact–fact join bucketed AND
-  * sorted by the join key lets every subsequent sort-merge join read
-  * co-located, pre-sorted buckets — zero Exchange, zero Sort in the
-  * join plan. At 100 TB this converts the single most expensive
-  * recurring shuffle (fact ⋈ fact) into a scan-side property paid once
-  * at write time.
+/** Bucketed table layout — the co-located join: when two tables are
+  * written bucketed (and sorted) by the same key into the same bucket
+  * count, a join between them needs NO shuffle and NO sort — each
+  * task zips bucket i with bucket i. At 100 TB this converts the
+  * recurring fact⋈fact join from the cluster's largest exchange into
+  * a local merge per bucket; the price is paid once, at write time.
+  *
+  * Spark's bucketing lives behind the session catalog (`bucketBy`
+  * requires `saveAsTable`), so these helpers speak table names, not
+  * paths. Bucket count must match on both sides for the exchange-free
+  * plan; Spark also elides the per-task Sort when `sortBy` matches
+  * the join key (pinned in BucketingSpec).
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table (parquet). */
-  def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
-    df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(table)
-
-  /** Join two bucketed tables on their bucket key — pinned to the
-    * sort-merge strategy (the co-located plan this operator exists
-    * for); with both tables bucketed+sorted on `key` at the same
-    * bucket count, the join has no shuffle and no sort. Without the
-    * pin, Catalyst would broadcast a small side and never exercise the
-    * bucket layout. */
-  def bucketedJoin(spark: SparkSession, leftTable: String,
-      rightTable: String, key: String): DataFrame = {
-    val l = spark.table(leftTable)
-    val r = spark.table(rightTable).hint("merge")
-    l.join(r, l(key) === r(key))
+  /** Write `df` as a bucketed, per-bucket-sorted parquet table. */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+      keys: Seq[String]): Unit = {
+    require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
+    require(keys.nonEmpty, "bucketing needs at least one key")
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
   }
+
+  def table(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
+
+  def drop(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $name")
 }

@@ -130,9 +130,50 @@ object Windows {
         .unionByName(lab(a.exceptAll(b), "except_all"))
         .orderBy($"op", $"nationkey")
     }),
+
+    // O8: distributed exact NTILE — global quantile bucketing without
+    // the one-task global sort `ntile() OVER (ORDER BY …)` plans. The
+    // global rank comes from the shared two-phase offset prefix-sum
+    // ([[graft.operators.PrefixSum]] with no groups: range-partition
+    // by the order key, per-partition running count, tiny per-
+    // partition offset relation), the bucket from pure arithmetic on
+    // (rank, n) — the same Bresenham floor((r-1)·k/n) both engines
+    // replay. Output: per-decile row counts and price ranges (decile
+    // boundaries are the audit: min of bucket d ≥ max of bucket d−1).
+    "exact_ntile" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_totalprice")
+      val ranked = graft.operators.PrefixSum.withRunningSum(
+        o, Seq.empty, struct($"o_totalprice", $"o_orderkey"),
+        lit(1L), "rank")
+      val n = o.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .select($"o_totalprice",
+          floor(($"rank" - lit(1L)).cast("double") * lit(10.0) / $"n")
+            .as("decile"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_orders"),
+          min($"o_totalprice").as("min_price"),
+          max($"o_totalprice").as("max_price"))
+        .orderBy($"decile")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    // identical rank + Bresenham bucket arithmetic; the oracle MAY
+    // use the naive global window — it is the semantics, not the plan
+    "exact_ntile" ->
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM orders)
+        |SELECT CAST(FLOOR(CAST(rn - 1 AS DOUBLE) * 10.0 / n) AS BIGINT)
+        |    AS decile,
+        |  COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
+
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(row_number() OVER w AS BIGINT) AS rn,
