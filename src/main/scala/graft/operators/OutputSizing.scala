@@ -71,4 +71,46 @@ object OutputSizing extends Logging {
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** The ARITHMETIC file map behind [[writeGridClustered]]: cell
+    * `key div width` (64-bit integer division — exact at any key
+    * magnitude). Unlike `repartitionByRange`'s sampled boundaries this
+    * map is a pure expression, so the same cell → (row count, key
+    * range) relation is DuckDB-replayable and the clustering claim is
+    * driver-checkable, not just spec-narrated (the `zorder_cells`
+    * pattern). Caller contract: `key` is non-negative. */
+  def gridCell(key: Column, width: Long): Column = {
+    require(width > 0, s"grid width must be > 0, got $width")
+    ExpressionUtilsBridge.intDiv(key.cast("long"),
+      org.apache.spark.sql.functions.lit(width))
+  }
+
+  /** DuckDB twin of [[gridCell]] over a BIGINT SQL expression. */
+  def gridCellSql(key: String, width: Long): String = s"(($key) // $width)"
+
+  /** Write `df` clustered into one file per occupied grid cell of
+    * `key` (cell = `key div width`): each output file holds exactly
+    * one contiguous, DISJOINT key range `[c*width, (c+1)*width)`,
+    * sorted within — footer min/max stats prune key predicates to the
+    * files whose cell they touch, and the file count equals the
+    * occupied-cell count of the driver-checked `clustered_file_map`
+    * relation. The repartition co-locates whole cells, so dynamic
+    * `partitionBy` emits exactly one file per cell directory. */
+  def writeGridClustered(df: DataFrame, path: String, key: Column,
+      width: Long): Unit = {
+    df.withColumn("__cell", gridCell(key, width))
+      .repartition(org.apache.spark.sql.functions.col("__cell"))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").partitionBy("__cell").parquet(path)
+  }
+}
+
+/** 64-bit `div` as a Column (Column `/` is double division, exactness
+  * ends at 2^53) — shared spelling with [[ZOrder.scaleTo]]. */
+private[operators] object ExpressionUtilsBridge {
+  import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide}
+  import org.apache.spark.sql.graftbridge.{Bridge => B}
+  def intDiv(a: Column, b: Column): Column =
+    B.column(IntegralDivide(B.expression(a), B.expression(b),
+      evalMode = EvalMode.LEGACY))
 }

@@ -59,11 +59,12 @@ object ZOrder {
     val d = hi - lo + 1L
     require(d <= (Long.MaxValue >> bits),
       s"range width $d * 2^$bits overflows the 64-bit scale arithmetic")
-    // exact integral division: x/d spelled as (x - x%d)/d — the
-    // float division at the end divides an exact multiple and the
-    // quotient is < 2^bits, so the result is integer-exact
+    // exact 64-bit integer division (SQL `div`): the double-division
+    // spelling would be exact only while the dividend fits a double's
+    // 53-bit mantissa — above that the long→double rounding can land
+    // one grid cell low
     val x = (c.cast("long") - lit(lo)) * lit(1L << bits)
-    ((x - pmod(x, lit(d))) / lit(d)).cast("long")
+    ExpressionUtilsBridge.intDiv(x, lit(d))
   }
 
   /** Scala-side reference (for specs): interleave two ints. */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.ZOrder
+import graft.operators.{Bucketing, OutputSizing, ZOrder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,40 @@ object Layout {
           min($"z").as("min_z"), max($"z").as("max_z"))
         .orderBy($"cell")
     }),
+
+    // J8/Y: the bucket map behind Bucketing.writeBucketed — for each of
+    // the 8 buckets orders would hash into, its row count and key
+    // range. This is the layout-planning query (are buckets balanced?
+    // what key range does a bucket-pruned scan touch?) AND a driver-
+    // checked pin of the bucket-id arithmetic itself: the oracle
+    // recomputes murmur3_x86_32 from the public spec with no shared
+    // code (Bucketing.bucketMapSql). BucketingSpec ties the same
+    // expression to the physical file suffixes a bucketed write emits.
+    "bucket_layout" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey")
+        .groupBy(Bucketing.bucketId($"o_orderkey", 8).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+        .orderBy($"bucket")
+    }),
+
+    // L33: the grid-clustered file map behind OutputSizing
+    // .writeGridClustered — one row per output file the writer emits:
+    // its cell, row count, and exact key range. Cells are disjoint
+    // contiguous ranges BY ARITHMETIC (cell = key div width), so the
+    // oracle replays the whole layout relation; OutputSizingSpec pins
+    // the writer to this same map (one file per occupied cell,
+    // footer-pruned reads). Width 4096 over o_orderkey.
+    "clustered_file_map" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy(OutputSizing.gridCell($"o_orderkey", 4096L).as("cell"))
+        .agg(count(lit(1)).as("n_rows"),
+          min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+        .orderBy($"cell")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -52,5 +86,18 @@ object Layout {
               "CAST(o_custkey AS BIGINT)", sqlDay, ZBits)} AS z
          |      FROM orders)
          |GROUP BY 1 ORDER BY cell""".stripMargin,
+
+    // independent murmur3_x86_32 reimplementation — see bucketMapSql
+    "bucket_layout" ->
+      s"""SELECT bucket, COUNT(*) AS n_rows,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM ${Bucketing.bucketMapSql("o_orderkey", 8, "orders")}
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "clustered_file_map" ->
+      s"""SELECT ${OutputSizing.gridCellSql("o_orderkey", 4096L)} AS cell,
+         |  COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
+         |  MAX(o_orderkey) AS max_key
+         |FROM orders GROUP BY 1 ORDER BY cell""".stripMargin,
   )
 }

@@ -18,7 +18,8 @@ class BucketingSpec extends SparkSuite {
       .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
     Bucketing.writeBucketed(orders, "bspec_orders", 8, Seq("o_orderkey"))
     Bucketing.writeBucketed(items, "bspec_items", 8, Seq("o_orderkey"))
-    try withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+    try withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        Bucketing.SortedScanConf -> "true") {
       val joined = Bucketing.table(spark, "bspec_orders")
         .join(Bucketing.table(spark, "bspec_items"), "o_orderkey")
       val p = joined.queryExecution.executedPlan.toString
@@ -38,6 +39,24 @@ class BucketingSpec extends SparkSuite {
       Bucketing.drop(spark, "bspec_orders")
       Bucketing.drop(spark, "bspec_items")
     }
+  }
+
+  test("bucketId matches the bucket-file suffixes a bucketed write emits") {
+    val orders = Tables.orders(spark, sf).select($"o_orderkey")
+    Bucketing.writeBucketed(orders, "bspec_map", 8, Seq("o_orderkey"))
+    try {
+      // every row must sit in the file whose _NNNNN suffix equals
+      // bucketId(key, 8) — this is the expression bucket_layout
+      // oracle-checks, so the driver-gated arithmetic IS the layout
+      val mismatches = Bucketing.table(spark, "bspec_map")
+        .select($"o_orderkey",
+          regexp_extract(input_file_name(), "_(\\d{5})(?:\\.|c)", 1)
+            .cast("int").as("file_bucket"),
+          Bucketing.bucketId($"o_orderkey", 8).as("expr_bucket"))
+        .filter($"file_bucket" =!= $"expr_bucket")
+        .count()
+      assert(mismatches == 0L)
+    } finally Bucketing.drop(spark, "bspec_map")
   }
 
   test("mismatched bucket counts fall back to a shuffled join") {

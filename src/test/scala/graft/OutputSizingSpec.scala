@@ -38,6 +38,45 @@ class OutputSizingSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("writeGridClustered: one file per occupied cell, matching the driver map") {
+    val out = s"$base/grid"
+    val df = Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice")
+    OutputSizing.writeGridClustered(df, out, $"o_orderkey", 4096L)
+    // the driver-checked clustered_file_map relation (cell → n_rows,
+    // key range), recomputed here from the data
+    val want = df.groupBy(OutputSizing.gridCell($"o_orderkey", 4096L).as("cell"))
+      .agg(count(lit(1)).as("n"), min($"o_orderkey").as("lo"),
+        max($"o_orderkey").as("hi"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // physical layout: one cell dir per occupied cell, ONE file each,
+    // holding exactly that cell's rows — in its [c*w, (c+1)*w) range
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("__cell=")).toSeq
+    assert(dirs.map(_.getName.stripPrefix("__cell=").toLong).sorted ==
+      want.map(_._1))
+    dirs.foreach { d =>
+      assert(partFiles(d.getAbsolutePath).length == 1,
+        s"cell dir ${d.getName} must hold exactly one file")
+    }
+    val got = spark.read.parquet(out)
+      .groupBy($"__cell".cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"), min($"o_orderkey").as("lo"),
+        max($"o_orderkey").as("hi"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+    got.foreach { case (c, _, lo, hi) =>
+      assert(lo >= c * 4096L && hi < (c + 1) * 4096L,
+        s"cell $c holds keys outside its range: [$lo, $hi]")
+    }
+    // a key predicate reads only its cell's file (partition pruning
+    // on the cell dir + footer min/max inside)
+    val probe = want(want.length / 2)
+    val scanned = spark.read.parquet(out)
+      .filter($"o_orderkey" === probe._3)
+      .select(input_file_name()).distinct().count()
+    assert(scanned == 1L)
+  }
+
   test("writeClustered gives every file a disjoint sorted key range") {
     val out = s"$base/clustered"
     val df = Tables.orders(spark, sf)
