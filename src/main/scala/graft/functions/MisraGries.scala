@@ -33,23 +33,37 @@ final class MisraGriesBuffer(val cap: Int) {
   val counters = new java.util.HashMap[String, Long](cap * 2)
 
   def add(key: String, w: Long = 1L): Unit = {
+    require(w > 0L, s"misra_gries weight must be > 0, got $w")
     total += w
     val cur = counters.get(key)
     if (cur != 0L || counters.containsKey(key)) counters.put(key, cur + w)
-    else if (counters.size < cap) counters.put(key, w)
-    else decrementAll(w)
+    else {
+      // Weighted MG (Berinde et al.): insert the arriving key at its
+      // full weight, then restore the cap by subtracting the
+      // (cap+1)-th largest count from everything. Decrementing by w
+      // WITHOUT inserting would discard the arrival's entire weight
+      // and break the > n/(cap+1) guarantee for heavy weighted keys.
+      counters.put(key, w)
+      if (counters.size > cap) shrinkToCap()
+    }
   }
 
-  /** The classic all-counter decrement (arrival of an untracked key
-    * while the table is full): every counter — and the arriving
-    * item — gives up `w`. Dropping weight only deepens the
-    * undercount, so the guarantee direction is preserved. */
-  private def decrementAll(w: Long): Unit = {
-    val it = counters.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val nv = e.getValue - w
-      if (nv <= 0L) it.remove() else e.setValue(nv)
+  /** Subtract the (cap+1)-th largest count from every counter and
+    * drop non-positives — counts only ever UNDERestimate, so the
+    * guarantee direction is preserved; afterwards at most `cap`
+    * counters remain (everything at or below the subtrahend dies). */
+  private def shrinkToCap(): Unit = {
+    val counts = new Array[Long](counters.size)
+    var i = 0
+    val vit = counters.values().iterator()
+    while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+    java.util.Arrays.sort(counts)
+    val sub = counts(counts.length - cap - 1)
+    val eit = counters.entrySet().iterator()
+    while (eit.hasNext) {
+      val e = eit.next()
+      val nv = e.getValue - sub
+      if (nv <= 0L) eit.remove() else e.setValue(nv)
     }
   }
 
@@ -61,21 +75,7 @@ final class MisraGriesBuffer(val cap: Int) {
       val cur = counters.get(e.getKey)
       counters.put(e.getKey, cur + e.getValue)
     }
-    if (counters.size > cap) {
-      // subtract the (cap+1)-th largest count from everything
-      val counts = new Array[Long](counters.size)
-      var i = 0
-      val vit = counters.values().iterator()
-      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
-      java.util.Arrays.sort(counts)
-      val sub = counts(counts.length - cap - 1)
-      val eit = counters.entrySet().iterator()
-      while (eit.hasNext) {
-        val e = eit.next()
-        val nv = e.getValue - sub
-        if (nv <= 0L) eit.remove() else e.setValue(nv)
-      }
-    }
+    if (counters.size > cap) shrinkToCap()
   }
 
   /** (key, estimate) pairs, count DESC then key ASC — deterministic

@@ -42,6 +42,12 @@ object Funnel {
     require(stages.nonEmpty, "windowFunnel needs at least one stage")
     require(stages.distinct.length == stages.length,
       s"stages must be distinct, got $stages")
+    // the chain-join working columns and the t_entry output would
+    // silently collide with same-named caller columns
+    val reserved = Seq("__e", "__t", "__m", "t_entry")
+      .filter(events.columns.contains)
+    require(reserved.isEmpty,
+      s"events must not contain reserved column(s) ${reserved.mkString(", ")}")
     val t: Column = col(timeCol)
     val ty: Column = col(typeCol)
     val first = events.filter(ty === stages.head)

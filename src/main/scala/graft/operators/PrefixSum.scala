@@ -63,7 +63,10 @@ object PrefixSum {
       .agg(sum(value).as("__psPt"))
       .withColumn("__psOff", coalesce(sum(col("__psPt")).over(offWin), lit(0L)))
       .drop("__psPt")
-    val joinCond = (groups.zip(gRef).map { case (g, r) => g === r } :+
+    // null-safe equality: groupBy above treats NULL as a real group,
+    // so the join-back must too — `===` would silently drop every
+    // NULL-group row from the output
+    val joinCond = (groups.zip(gRef).map { case (g, r) => g <=> r } :+
       (col("__psPid") === col("__psOpid"))).reduce(_ && _)
     val cumWin = Window.partitionBy((groups :+ col("__psPid")): _*)
       .orderBy(order)

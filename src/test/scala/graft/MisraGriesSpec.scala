@@ -25,6 +25,27 @@ class MisraGriesSpec extends SparkSuite {
     }
   }
 
+  test("weighted add keeps the guarantee for heavy weighted arrivals") {
+    // cap=1, stream (a,1),(b,1000): b's true weight 1000 > n/2 = 500.5
+    // — decrement-without-insert would drop b entirely
+    val buf = new MisraGriesBuffer(1)
+    buf.add("a", 1L)
+    buf.add("b", 1000L)
+    val est = buf.sorted().toMap
+    assert(est.contains("b"), "heavy weighted arrival lost")
+    assert(est("b") <= 1000L && est("b") >= 1000L - 1001L / 2)
+    assert(buf.counters.size <= 1 && buf.total == 1001L)
+    // undercount-only across a longer weighted stream
+    val b2 = new MisraGriesBuffer(3)
+    val ws = (0 until 100).map(i => (s"k${i % 7}", (i % 5 + 1).toLong))
+    ws.foreach { case (k, w) => b2.add(k, w) }
+    val truth = ws.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(b2.counters.size <= 3)
+    b2.sorted().foreach { case (k, c) =>
+      assert(c <= truth(k), s"$k overcounted: $c > ${truth(k)}")
+    }
+  }
+
   test("merge keeps the guarantee; serialize round-trips") {
     val a = new MisraGriesBuffer(8)
     val b = new MisraGriesBuffer(8)

@@ -45,6 +45,24 @@ class PrefixSumSpec extends SparkSuite {
     assert(got.sameElements(naive))
   }
 
+  test("NULL group keys form a real group and are never dropped") {
+    val df = rows.map { case (g, i, v) =>
+      (if (i % 5 == 0) null else g, i, v) }.toDF("g", "id", "v")
+      .repartition(9)
+    val got = PrefixSum.withRunningSum(df, Seq(col("g")), col("id"),
+        coalesce(col("v"), lit(0L)), "cum")
+      .select("g", "id", "cum").as[(Option[String], Long, Long)]
+      .collect().sorted
+    assert(got.length == rows.length, "NULL-group rows dropped")
+    val naive = df.withColumn("cum",
+        sum(coalesce(col("v"), lit(0L))).over(
+          Window.partitionBy(col("g")).orderBy(col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("g", "id", "cum").as[(Option[String], Long, Long)]
+      .collect().sorted
+    assert(got.sameElements(naive))
+  }
+
   test("original columns pass through unchanged") {
     val df = rows.toDF("g", "id", "v")
     val out = PrefixSum.withRunningSum(df, Seq(col("g")), col("id"),
