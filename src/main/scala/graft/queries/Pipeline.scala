@@ -54,6 +54,57 @@ object Pipeline {
     * sharper bands at the same threshold). */
   private val MinHashJaccardTau = 0.5
 
+  /** The fixed term queries shared by `bm25_search` (brute corpus
+    * scan) and `bm25_indexed` (term-bucket layout) — identical inputs
+    * so both run against the identical oracle SQL. */
+  private val Bm25QueryTerms: Seq[(Long, String)] = Seq(
+    (0L, "hash"), (0L, "join"),
+    (1L, "scan"), (1L, "filter"), (1L, "vector"),
+    (2L, "customer"), (2L, "merge"), (2L, "slow"))
+
+  /** One oracle for both BM25 spellings (brute and indexed) — they
+    * must agree row-for-row, so they share the SQL literally. */
+  private val Bm25OracleSql: String =
+    """WITH qt(query_id, term) AS (VALUES
+      |    (0, 'hash'), (0, 'join'),
+      |    (1, 'scan'), (1, 'filter'), (1, 'vector'),
+      |    (2, 'customer'), (2, 'merge'), (2, 'slow')),
+      |dl AS (SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |       FROM documents),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |            CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  WHERE term IN (SELECT term FROM qt)
+      |  GROUP BY doc_id, term),
+      |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |q AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    CAST(FLOOR(
+      |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+      |         (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+      |      ((CAST(tf AS DOUBLE) * 2.2) /
+      |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |        (CAST(dl AS DOUBLE) /
+      |         (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |      * 10000.0 + 0.5) AS BIGINT) AS qs
+      |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN stats JOIN qt USING (term)),
+      |sc AS (SELECT query_id, doc_id, CAST(SUM(qs) AS BIGINT) AS sq
+      |       FROM q GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, sq,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id
+      |                           ORDER BY sq DESC, doc_id) AS rank
+      |      FROM sc)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(rank AS BIGINT) AS rank, doc_id,
+      |  CAST(sq AS DOUBLE) / 10000.0 AS score
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Distinct word 3-gram shingles of a single-spaced lowercase text
     * column (the documents fixture is exactly that). */
   private def shingles(text: Column): Column = {
@@ -661,6 +712,11 @@ object Pipeline {
     // L24: cross-document repeated spans — the exact-substring member
     // of the dedup family (memorization audit): every 8-token span
     // that appears in >= 2 distinct docs, with occurrence counts.
+    // Hot-gram note: unlike the winnow/simhash searches this query
+    // generates NO doc pairs — a boilerplate span shared by m docs
+    // costs O(m) aggregation rows (partial-combined per partition),
+    // never O(m²), so it needs no CandidatePairs guard; the only
+    // per-key reduce is one count/min row per span fingerprint.
     // Span STRINGS never shuffle: all counting happens on the 128-bit
     // two-lane span fingerprint (same birthday-bound contract as
     // exact_dedup — a collision at 100 TB gram counts is ~1e-11), and
@@ -1019,11 +1075,7 @@ object Pipeline {
     // are engine-exact.
     "bm25_search" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val qterms = Seq(
-        (0L, "hash"), (0L, "join"),
-        (1L, "scan"), (1L, "filter"), (1L, "vector"),
-        (2L, "customer"), (2L, "merge"), (2L, "slow"))
-        .toDF("query_id", "term")
+      val qterms = Bm25QueryTerms.toDF("query_id", "term")
       val docs = Tables.documents(s, dir)
         .select($"doc_id", split($"text", " ").as("ws"))
       val dl = docs.select($"doc_id", size($"ws").cast("long").as("dl"))
@@ -1051,6 +1103,31 @@ object Pipeline {
         .filter($"rank" <= 10)
         .select($"query_id", $"rank", $"doc_id",
           ($"sq".cast("double") / lit(10000.0)).as("score"))
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // L30 (indexed twin): the SAME BM25 search answered from the
+    // written term-bucket layout instead of a corpus scan — build
+    // postings, materialize them `partitionBy(bucket)` (+ the one-row
+    // stats relation), then read back ONLY the query terms' buckets
+    // (directory pruning at listing time; the residual term IN-filter
+    // is pushed to the parquet scan). Shares the brute query's oracle
+    // SQL verbatim, so the layout's pruning path itself — write,
+    // listing-time prune, pushed filter, join-free scoring — is
+    // driver-checked to produce identical rows. The layout lands in a
+    // per-sfdir temp path at construction time (the learnedCents
+    // run-a-job-at-construction pattern); a production caller writes
+    // it once and queries it repeatedly.
+    "bm25_indexed" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val posts = graft.operators.InvertedIndex.buildPostings(docs, 16)
+      val stats = docs.select(size(split($"text", " ")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_term_index_" +
+        math.abs(dir.hashCode).toString
+      graft.operators.InvertedIndex.writeTermLayout(posts, stats, path)
+      graft.operators.InvertedIndex.bm25(s, path, Bm25QueryTerms, 16, 10)
         .orderBy($"query_id", $"rank")
     }),
 
@@ -1548,20 +1625,30 @@ object Pipeline {
     // probe pair guarantees a nonzero count fires at any sf.
     "simhash_neighbors" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val fps = simhashFrame(s, dir)
-      val banded = fps.select($"doc_id", $"simhash",
+      // The fp frame is 16 bytes/doc; checkpointing it means the
+      // shingle+simhash pass runs ONCE even though the plan reads it
+      // three times (banding, and the two per-side hash fetches after
+      // pair generation) — the production shape is a persisted
+      // fingerprint table for exactly this reason.
+      val fps = simhashFrame(s, dir).localCheckpoint()
+      val banded = fps.select($"doc_id",
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_no"),
             shiftrightunsigned($"simhash", b * 16)
               .bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*)).as("bk"))
-        .select($"doc_id", $"simhash",
+        .select($"doc_id",
           $"bk.band_no".as("band_no"), $"bk.band_val".as("band_val"))
-      val near = banded.as("a")
-        .join(banded.as("b"), Seq("band_no", "band_val"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-        .distinct()
+      // Skew-proof candidate generation: a 16-bit band value shared by
+      // m boilerplate docs would hand a naive self-join task m² pairs;
+      // CandidatePairs hash-chunks hot buckets so per-task work stays
+      // ≤ cap² regardless of bucket size (same guard as
+      // minhash_neardup). Pigeonhole recall is unchanged — the pair
+      // set is identical to the self-join's, exactly once each.
+      val pairs = graft.operators.CandidatePairs.fromBuckets(
+        banded, Seq("band_no", "band_val"), "doc_id", "doc_a", "doc_b")
+      val near = pairs
+        .join(fps.select($"doc_id".as("doc_a"), $"simhash".as("ha")), Seq("doc_a"))
+        .join(fps.select($"doc_id".as("doc_b"), $"simhash".as("hb")), Seq("doc_b"))
         .filter(bit_count($"ha".bitwiseXOR($"hb")) <= 3)
       val cnt = near.select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_near"))
@@ -1689,11 +1776,14 @@ object Pipeline {
           sequence(lit(1), size($"ws") - (W - 1)),
           i => F.fnv1a(concat_ws(" ", slice($"ws", i, lit(W)))))).as("gfp"))
         .distinct()
-      val pairs = grams.as("a")
-        .join(grams.as("b"), col("a.gfp") === col("b.gfp") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      // Skew-proof shared-run pair generation: a 6-gram of site-wide
+      // boilerplate sits in thousands of docs, and a naive gfp
+      // self-join hands one task all C(m,2) pairs of that gram.
+      // CandidatePairs hash-chunks hot grams (same guard as
+      // minhash_neardup / simhash_neighbors); the pair set is
+      // identical to the self-join's.
+      val pairs = graft.operators.CandidatePairs.fromBuckets(
+        grams, Seq("gfp"), "doc_id", "doc_a", "doc_b")
       val fps = winnowFingerprints(docs)
       val fa = fps.select($"doc_id".as("doc_a"), $"fps".as("fps_a"))
       val fb = fps.select($"doc_id".as("doc_b"), $"fps".as("fps_b"))
@@ -2722,46 +2812,10 @@ object Pipeline {
     // identical expression shape per (doc, term): ln-idf times the
     // k1/b-normalized tf, quantized per row, integer-summed per
     // (query, doc), ranked on the integer score — engine-exact
-    "bm25_search" ->
-      """WITH qt(query_id, term) AS (VALUES
-        |    (0, 'hash'), (0, 'join'),
-        |    (1, 'scan'), (1, 'filter'), (1, 'vector'),
-        |    (2, 'customer'), (2, 'merge'), (2, 'slow')),
-        |dl AS (SELECT doc_id,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-        |       FROM documents),
-        |stats AS (SELECT COUNT(*) AS n_docs,
-        |            CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
-        |tf AS (
-        |  SELECT doc_id, term, COUNT(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |        FROM documents)
-        |  WHERE term IN (SELECT term FROM qt)
-        |  GROUP BY doc_id, term),
-        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        |q AS (
-        |  SELECT qt.query_id, tf.doc_id,
-        |    CAST(FLOOR(
-        |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
-        |         (CAST(df AS DOUBLE) + 0.5) + 1.0) *
-        |      ((CAST(tf AS DOUBLE) * 2.2) /
-        |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-        |        (CAST(dl AS DOUBLE) /
-        |         (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
-        |      * 10000.0 + 0.5) AS BIGINT) AS qs
-        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
-        |  CROSS JOIN stats JOIN qt USING (term)),
-        |sc AS (SELECT query_id, doc_id, CAST(SUM(qs) AS BIGINT) AS sq
-        |       FROM q GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, sq,
-        |        ROW_NUMBER() OVER (PARTITION BY query_id
-        |                           ORDER BY sq DESC, doc_id) AS rank
-        |      FROM sc)
-        |SELECT CAST(query_id AS BIGINT) AS query_id,
-        |  CAST(rank AS BIGINT) AS rank, doc_id,
-        |  CAST(sq AS DOUBLE) / 10000.0 AS score
-        |FROM r WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "bm25_search" -> Bm25OracleSql,
+    // the indexed twin must produce the identical result set — same
+    // oracle, so the layout path is driver-checked end to end
+    "bm25_indexed" -> Bm25OracleSql,
 
     // per-language greedy scans: strict prefix of (quality DESC,
     // doc_id) within each language, each under an integral 2/5 of

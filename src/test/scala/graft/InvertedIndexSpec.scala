@@ -78,4 +78,15 @@ class InvertedIndexSpec extends SparkSuite {
       .as[(Long, Long, Long, Double)].collect().sorted.toSeq
     assert(indexed == brute)
   }
+
+  test("the bm25_indexed driver row writes its layout and matches brute") {
+    val got = SparkEntry.queries("bm25_indexed")(spark, sf)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val brute = SparkEntry.queries("bm25_search")(spark, sf)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
 }

@@ -262,6 +262,16 @@ class PipelineSpec extends SparkSuite {
       s"mean IVF recall vs exact top-5 too low: ${hit.sum / hit.size}")
   }
 
+  test("winnow_containment candidates route through CandidatePairs") {
+    // the gram self-join guard: candidate generation must use the
+    // bounded bucket aggregation, so a boilerplate 6-gram in m docs
+    // is hash-chunked instead of one task owning C(m,2) pairs
+    val plan = SparkEntry.queries("winnow_containment")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_min_set"),
+      s"gram candidates bypass CandidatePairs:\n${plan.take(1200)}")
+  }
+
   test("winnowing: shared ≥6-token run ⇒ shared fingerprint; density < grams") {
     // The winnowing guarantee, on planted docs: doc 1 and doc 2 share
     // a 10-token run inside otherwise-disjoint text ⇒ at least one

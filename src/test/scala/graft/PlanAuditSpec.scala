@@ -25,8 +25,8 @@ class PlanAuditSpec extends SparkSuite {
   // subquery shape: the nested "loop" iterates a single row).
   private val nestedLoopOk =
     Set("join_theta", "join_cross", "cosine_knn", "source_minhash_sim",
-      "unigram_logprob", "bm25_search", "tfidf_terms", "agg_histogram",
-      "heavy_hitters", "exact_ntile")
+      "unigram_logprob", "bm25_search", "bm25_indexed", "tfidf_terms",
+      "agg_histogram", "heavy_hitters", "exact_ntile")
 
   test("no unintended cartesian products") {
     plans.foreach { case (name, p) =>

@@ -53,6 +53,26 @@ class SimHash64Spec extends SparkSuite {
     assert(rows(4).isNullAt(0))
   }
 
+  test("simhash_neighbors is skew-proof AND equals the brute all-pairs count") {
+    val q = SparkEntry.queries("simhash_neighbors")(spark, sf)
+    // candidate generation must route through CandidatePairs' bounded
+    // bucket aggregation — the naive band self-join would hand one
+    // task m² pairs for an m-doc boilerplate band
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_min_set"),
+      s"banded candidates bypass CandidatePairs:\n${plan.take(1200)}")
+    // the banded+chunked search must still be exact: every doc's
+    // Hamming≤3 neighbor count equals the brute all-pairs scan
+    val fps = graft.queries.Pipeline.simhashFrame(spark, sf)
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect()
+    val brute = fps.map { case (id, h) =>
+      id -> fps.count { case (o, oh) =>
+        o != id && java.lang.Long.bitCount(h ^ oh) <= 3 }.toLong
+    }.sortBy(_._1).toSeq
+    val got = q.as[(Long, Long)].collect().toSeq
+    assert(got == brute)
+  }
+
   test("simhash64 codegen matches interpreted eval") {
     val hashed = Tables.documents(spark, sf).limit(50)
       .select(transform(split($"text", " "), w => F.fnv1a(w)).as("hs"))
