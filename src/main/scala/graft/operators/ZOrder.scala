@@ -67,6 +67,72 @@ object ZOrder {
     ExpressionUtilsBridge.intDiv(x, lit(d))
   }
 
+  /** The slot layout of a d-dimensional interleave with per-dimension
+    * bit budgets: round r hands one z slot to every dimension whose
+    * budget exceeds r, in declaration order — so low-order bits of
+    * every dimension pack into the low z bits (coarse cells split all
+    * dimensions first), and a dimension with a bigger budget keeps
+    * splitting alone after the others exhaust. Equal budgets reproduce
+    * [[zvalue]]'s layout exactly. Returns (dim index, source bit,
+    * z position). */
+  private def zSlots(bits: Seq[Int]): Seq[(Int, Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int, Int)]
+    var z = 0
+    for (r <- 0 until bits.max; i <- bits.indices if bits(i) > r) {
+      out += ((i, r, z)); z += 1
+    }
+    out.result()
+  }
+
+  /** Morton code of d ≥ 2 dimensions with PER-DIMENSION bit budgets —
+    * the general form of [[zvalue]] (which it reproduces bit-for-bit
+    * at d = 2 with equal budgets). Unequal budgets are the practical
+    * default: give a high-cardinality key 16 bits and a day column 10,
+    * and the z splits keep carrying real entropy instead of burning
+    * slots on a dimension that stopped distinguishing files. Same
+    * caller contract per dimension as [[zvalue]]: values in
+    * [0, 2^bits_i), higher bits masked off; budgets must sum to ≤ 63
+    * to keep z positive in a signed 64-bit lane. */
+  def zvalueN(dims: Seq[(Column, Int)]): Column = {
+    require(dims.size >= 2, s"zvalueN needs >= 2 dimensions, got ${dims.size}")
+    dims.foreach { case (_, b) =>
+      require(b >= 1 && b <= 31, s"bits must be in [1,31], got $b") }
+    val total = dims.map(_._2).sum
+    require(total <= 63, s"bit budgets sum to $total > 63")
+    val longs = dims.map(_._1.cast("long"))
+    zSlots(dims.map(_._2)).map { case (i, b, z) =>
+      shiftleft(shiftright(longs(i), b).bitwiseAND(lit(1L)), z)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** [[zvalueN]] as portable SQL over BIGINT-valued expressions. */
+  def zvalueNSql(dims: Seq[(String, Int)]): String = {
+    require(dims.size >= 2, s"zvalueN needs >= 2 dimensions, got ${dims.size}")
+    require(dims.map(_._2).sum <= 63, "bit budgets sum past 63")
+    zSlots(dims.map(_._2)).map { case (i, b, z) =>
+      s"((((${dims(i)._1}) >> $b) & 1) << $z)"
+    }.mkString("(", " | ", ")")
+  }
+
+  /** Scala-side reference (for specs): d-dim interleave. */
+  private[graft] def zvalueNRef(vals: Seq[Long], bits: Seq[Int]): Long =
+    zSlots(bits).foldLeft(0L) { case (acc, (i, b, z)) =>
+      acc | (((vals(i) >> b) & 1L) << z)
+    }
+
+  /** Write `df` clustered by the d-dimensional z-value: every file
+    * covers a bounded box in ALL d dimensions, so footer min/max
+    * stats prune reads for predicates on any of them. */
+  def writeZOrderedN(df: DataFrame, path: String, nFiles: Int,
+      dims: Seq[(Column, Int)]): Unit = {
+    require(nFiles > 0, s"nFiles must be > 0, got $nFiles")
+    df.withColumn("__z", zvalueN(dims))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Scala-side reference (for specs): interleave two ints. */
   private[graft] def zvalueRef(a: Long, b: Long, bits: Int): Long =
     (0 until bits).foldLeft(0L) { (acc, i) =>
