@@ -73,6 +73,26 @@ object Layout {
           min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
         .orderBy($"cell")
     }),
+
+    // Y1 at d=3: the cell map of the (custkey, day, totalprice-unit)
+    // three-way interleave with UNEQUAL budgets (16, 10, 10) — the
+    // profiling query behind a writeZOrderedN layout. The oracle
+    // replays the exact slot layout via the shared zvalueNSql
+    // generator, so the round-robin budgeted interleave itself is
+    // driver-checked.
+    "zorder3_cells" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val day = datediff($"o_orderdate".cast("date"),
+        to_date(lit("1970-01-01")))
+      Tables.orders(s, dir)
+        .select(ZOrder.zvalueN(Seq(
+          $"o_custkey" -> 16, day -> 10,
+          floor($"o_totalprice" / 1000.0).cast("long") -> 10)).as("z"))
+        .groupBy(shiftright($"z", 24).as("cell"))
+        .agg(count(lit(1)).as("n_orders"),
+          min($"z").as("min_z"), max($"z").as("max_z"))
+        .orderBy($"cell")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -99,5 +119,14 @@ object Layout {
          |  COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
          |  MAX(o_orderkey) AS max_key
          |FROM orders GROUP BY 1 ORDER BY cell""".stripMargin,
+
+    "zorder3_cells" ->
+      s"""SELECT (z >> 24) AS cell, COUNT(*) AS n_orders,
+         |  MIN(z) AS min_z, MAX(z) AS max_z
+         |FROM (SELECT ${ZOrder.zvalueNSql(Seq(
+              "CAST(o_custkey AS BIGINT)" -> 16, sqlDay -> 10,
+              "CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT)" -> 10))} AS z
+         |      FROM orders)
+         |GROUP BY 1 ORDER BY cell""".stripMargin,
   )
 }
