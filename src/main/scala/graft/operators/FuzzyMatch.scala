@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: variant buckets are bounded by how many strings share
   * a deletion image (alphabet-sized in practice, never corpus-sized);
-  * each bucket's pairs are generated by the join itself, and the
-  * per-pair verify is one levenshtein on short strings. For distance
-  * k > 1, chain k deletion rounds (not provided — distance 1 covers
-  * the key-dedup use; deeper fuzz belongs to the MinHash family).
+  * pair generation routes through [[CandidatePairs]] so even a
+  * degenerate bucket (mass-produced near-identical keys, short
+  * strings collapsing onto one image) is hash-chunked instead of
+  * handed to one task; the per-pair verify is one levenshtein on
+  * short strings.
+  *
+  * Distance 2 ([[pairsWithin]] k=2) explodes the TWO-deletion
+  * neighborhood: ~L²/2 variants per L-char string (≈ 170 for an
+  * 18-char key) — the standard SymSpell space/recall trade. Deeper
+  * fuzz belongs to the MinHash family.
   */
 object FuzzyMatch {
 
@@ -37,24 +43,45 @@ object FuzzyMatch {
         concat(s.substr(lit(1), i - lit(1)),
           s.substr(i + lit(1), length(s) - i)))))
 
+  /** The ≤2-deletion neighborhood: [[deletionVariants]] of every
+    * 1-deletion variant, flattened — contains every string reachable
+    * by deleting 0, 1, or 2 characters. */
+  def deletionVariants2(s: Column): Column =
+    array_distinct(flatten(
+      transform(deletionVariants(s), v => deletionVariants(v))))
+
   /** All pairs of `df` rows whose `nameCol` strings are within
-    * Levenshtein distance 1 (and not the same row), as
+    * Levenshtein distance `k` (k = 1 or 2, not the same row), as
     * `(key_a, key_b, name_a, name_b, dist)` with `key_a < key_b`.
-    * `keyCol` must be a unique BIGINT row id. */
-  def pairsWithin1(df: DataFrame, keyCol: String,
-      nameCol: String): DataFrame = {
-    val vars = df
-      .select(col(keyCol).as("__k"), col(nameCol).as("__n"),
-        explode(deletionVariants(col(nameCol))).as("__v"))
-    val a = vars.select(col("__k").as("key_a"), col("__n").as("name_a"),
-      col("__v"))
-    val b = vars.select(col("__k").as("key_b"), col("__n").as("name_b"),
-      col("__v"))
-    a.join(b, Seq("__v"))
-      .filter(col("key_a") < col("key_b"))
-      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"))
-      .distinct() // a pair can share several variants
+    * `keyCol` must be a unique BIGINT row id.
+    *
+    * SymSpell recall: lev(a, b) ≤ k ⇒ the k-deletion neighborhoods
+    * intersect, so the variant equi-join (skew-proofed through
+    * CandidatePairs) has perfect recall and the levenshtein verify
+    * only removes false candidates — the result equals the brute
+    * all-pairs scan the oracle runs. */
+  def pairsWithin(df: DataFrame, keyCol: String, nameCol: String,
+      k: Int): DataFrame = {
+    require(k == 1 || k == 2, s"pairsWithin supports k in {1, 2}, got $k")
+    val neighborhood =
+      if (k == 1) deletionVariants(col(nameCol))
+      else deletionVariants2(col(nameCol))
+    val vars = df.select(col(keyCol).as("__k"),
+      explode(neighborhood).as("__v"))
+    val pairs = CandidatePairs.fromBuckets(
+      vars, Seq("__v"), "__k", "key_a", "key_b")
+    val names = df.select(col(keyCol), col(nameCol))
+    pairs
+      .join(names.select(col(keyCol).as("key_a"),
+        col(nameCol).as("name_a")), Seq("key_a"))
+      .join(names.select(col(keyCol).as("key_b"),
+        col(nameCol).as("name_b")), Seq("key_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= k)
+      .select("key_a", "key_b", "name_a", "name_b", "dist")
   }
+
+  /** [[pairsWithin]] at distance 1 (the key-dedup default). */
+  def pairsWithin1(df: DataFrame, keyCol: String,
+      nameCol: String): DataFrame = pairsWithin(df, keyCol, nameCol, 1)
 }

@@ -1,8 +1,16 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Row shapes for the streaming packing twin. */
+case class PackChunkRow(doc_id: Long, chunk_id: Long, n_tokens: Long,
+    bucket: Int)
+case class PackAssignment(bucket: Int, doc_id: Long, chunk_id: Long,
+    n_tokens: Long, seq_id: Long)
+private[operators] case class PackBucketState(before: Long)
 
 /** Sequence packing — grouping chunk rows into fixed-token-budget
   * training sequences, the last step between a chunked corpus and a
@@ -59,5 +67,47 @@ object Packing {
       .select(col("bucket"), col("seq_id"), col("n_chunks"), col("n_tokens"),
         col("__first.doc_id").as("first_doc"),
         col("__first.chunk_id").as("first_chunk"))
+  }
+
+  /** The STREAMING twin of [[packChunks]]: per-chunk sequence
+    * assignments over an unbounded chunk stream. Offset packing is a
+    * per-bucket running recurrence, which is exactly what
+    * `flatMapGroupsWithState` distributes: each bucket's state is ONE
+    * long (its cumulative token count), each arriving chunk is
+    * assigned `before div budget` and advances the state — so the
+    * assignment stream equals the batch window's, provided chunks
+    * arrive in `(doc_id, chunk_id)` order per bucket (the ingest
+    * contract; intra-micro-batch order is restored by a local sort of
+    * the group's rows). The streamable unit is the ASSIGNMENT — a
+    * sequence is only complete once its bucket's offset passes the
+    * next budget boundary, so per-sequence aggregates remain a batch
+    * (or windowed downstream) concern. StreamingCurationSpec pins
+    * stream-vs-batch parity.
+    */
+  def packChunksStream(chunks: DataFrame, budget: Int, nBuckets: Int = 64,
+      salt: String = "pack:v1:"): Dataset[PackAssignment] = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val s = chunks.sparkSession
+    import s.implicits._
+    chunks
+      .withColumn("bucket",
+        pmod(Sampling.keyHash32(col("doc_id"), salt), lit(nBuckets.toLong))
+          .cast("int"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("bucket"))
+      .as[PackChunkRow]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[PackBucketState, PackAssignment](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket, rows, state) =>
+          var before = state.getOption.map(_.before).getOrElse(0L)
+          val out = rows.toArray.sortBy(r => (r.doc_id, r.chunk_id)).map { r =>
+            val seq = before / budget
+            before += r.n_tokens
+            PackAssignment(bucket, r.doc_id, r.chunk_id, r.n_tokens, seq)
+          }
+          state.update(PackBucketState(before))
+          out.iterator
+      }
   }
 }

@@ -1387,6 +1387,35 @@ object Pipeline {
         .orderBy($"cnt".desc, $"term")
     }),
 
+    // L36 grouped: per-SOURCE exact heavy terms — the mixture-audit
+    // sibling of heavy_hitters ("which terms dominate each source's
+    // slice", the per-domain boilerplate detector). Same two-pass
+    // shape, grouped: one ObjectHashAggregate of per-source MG
+    // summaries (each a few KB — a million sources is a few GB spread
+    // over the cluster, and the raw vocabulary never shuffles), then
+    // an exact recount of candidate (source, term) pairs only,
+    // broadcast-semi-joined before the count shuffle. Exactness: a
+    // term at freq ≥ n_s/64 clears the per-source MG guarantee
+    // threshold n_s/257, so candidates cover every qualifying term
+    // and the recount+filter restores exact counts.
+    "source_heavy_terms" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      def toks = Tables.documents(s, dir)
+        .select($"source", explode(split($"text", " ")).as("term"))
+        .filter(length($"term") > 0)
+      val summaries = toks.groupBy($"source")
+        .agg(graft.functions.GraftFunctions.misra_gries($"term", 256).as("s"))
+        .select($"source", $"s.n".as("n"), $"s.items.key".as("cands"))
+        .localCheckpoint() // one row per source; both branches reuse it
+      val cands = summaries.select($"source", explode($"cands").as("term"))
+      toks.join(broadcast(cands), Seq("source", "term"), "left_semi")
+        .groupBy($"source", $"term").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(summaries.select($"source", $"n")), Seq("source"))
+        .filter($"cnt" * 64 >= $"n")
+        .select($"source", $"term", $"cnt")
+        .orderBy($"source", $"cnt".desc, $"term")
+    }),
+
     // L38: fuzzy key matching / entity resolution at distance 1 —
     // SymSpell deletion-variant blocking: candidates are an equi-join
     // on exploded deletion neighborhoods (|s|+1 slim rows per input,
@@ -1406,6 +1435,25 @@ object Pipeline {
             $"c_name".substr(lit(11), length($"c_name") - 10)).as("c_name"))
       graft.operators.FuzzyMatch.pairsWithin1(
           base.unionByName(probes), "c_custkey", "c_name")
+        .select($"key_a", $"key_b", $"dist".cast("long").as("dist"))
+        .orderBy($"key_a", $"key_b")
+    }),
+
+    // L38 at distance 2: the same SymSpell construction one deletion
+    // deeper (two-deletion neighborhoods, ~L²/2 variants per key —
+    // the documented space/recall trade). Probes carry TWO adjacent
+    // substitutions, invisible to distance-1 matching; the brute
+    // all-pairs oracle checks both recall (the planted pairs appear,
+    // with dist-1 pairs intact) and precision (nothing past 2).
+    "fuzzy_match2" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val base = Tables.customer(s, dir).select($"c_custkey", $"c_name")
+      val probes = base.filter($"c_custkey" % 53 === 7)
+        .select((-$"c_custkey").as("c_custkey"),
+          concat($"c_name".substr(1, 8), lit("XY"),
+            $"c_name".substr(lit(11), length($"c_name") - 10)).as("c_name"))
+      graft.operators.FuzzyMatch.pairsWithin(
+          base.unionByName(probes), "c_custkey", "c_name", 2)
         .select($"key_a", $"key_b", $"dist".cast("long").as("dist"))
         .orderBy($"key_a", $"key_b")
     }),
@@ -2402,6 +2450,22 @@ object Pipeline {
         |WHERE cnt * 64 >= n
         |ORDER BY cnt DESC, term""".stripMargin,
 
+    // the per-source twin: exact grouped heavy terms — the MG
+    // candidate pass is engine-side pruning with a per-source
+    // guarantee margin, so the oracle is the plain grouped count
+    "source_heavy_terms" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |t AS (SELECT source, term, COUNT(*) AS cnt FROM toks
+        |      WHERE length(term) > 0 GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n
+        |       FROM t GROUP BY 1)
+        |SELECT t.source AS source, term, cnt
+        |FROM t JOIN ns ON t.source = ns.source
+        |WHERE cnt * 64 >= n
+        |ORDER BY t.source, cnt DESC, term""".stripMargin,
+
     // brute-force all-pairs with the same planted probes — the
     // deletion blocking is engine-side pruning with provably exact
     // recall, so the oracle need not replay it
@@ -2416,6 +2480,19 @@ object Pipeline {
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY key_a, key_b""".stripMargin,
+
+    "fuzzy_match2" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name FROM customer
+        |  UNION ALL
+        |  SELECT -c_custkey,
+        |    substr(c_name, 1, 8) || 'XY' || substr(c_name, 11)
+        |  FROM customer WHERE c_custkey % 53 = 7)
+        |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY key_a, key_b""".stripMargin,
 
     // same md5 fold (salt 'wsamp:v1:'), same -ln(u)/w arithmetic

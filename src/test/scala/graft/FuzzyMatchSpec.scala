@@ -46,6 +46,51 @@ class FuzzyMatchSpec extends SparkSuite {
       got.contains((1L, 5L, 1)) && !got.exists(p => p._1 == 1L && p._2 == 2L))
   }
 
+  test("pairsWithin k=2 equals brute force; catches what distance 1 missed") {
+    val names = Seq(
+      (1L, "martha"), (2L, "marhta"),   // transposition = dist 2 — now IN
+      (3L, "marta"), (4L, "martha"), (5L, "xartha"),
+      (6L, "mxrthx"),                   // two substitutions from martha
+      (7L, "completely"), (8L, "different"))
+    val df = names.toDF("k", "n")
+    val got = FuzzyMatch.pairsWithin(df, "k", "n", 2)
+      .select($"key_a", $"key_b", $"dist")
+      .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val brute = (for {
+      (ka, na) <- names; (kb, nb) <- names
+      if ka < kb
+      d = levDist(na, nb) if d <= 2
+    } yield (ka, kb, d)).sortBy(p => (p._1, p._2))
+    assert(got == brute)
+    assert(got.contains((1L, 2L, 2)) && got.contains((1L, 6L, 2)))
+  }
+
+  test("deletionVariants2 contains all 0/1/2-deletion images") {
+    val got = Seq("abcd").toDF("s")
+      .select(FuzzyMatch.deletionVariants2($"s").as("v"))
+      .as[Seq[String]].head().toSet
+    val want = (for {
+      s <- Set("abcd")
+      i <- 0 to s.length
+      s1 = if (i == 0) s else s.patch(i - 1, "", 1)
+      j <- 0 to s1.length
+    } yield if (j == 0) s1 else s1.patch(j - 1, "", 1))
+    assert(got == want)
+  }
+
+  test("fuzzy_match2 query recovers double-substitution probes") {
+    val rows = SparkEntry.queries("fuzzy_match2")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val probeKeys = Tables.customer(spark, sf)
+      .filter($"c_custkey" % 53 === 7).select($"c_custkey")
+      .as[Long].collect().toSet
+    assert(probeKeys.nonEmpty)
+    probeKeys.foreach { k =>
+      assert(rows.exists(r => r._1 == -k && r._2 == k && r._3 == 2L),
+        s"double-typo probe for key $k not recovered")
+    }
+  }
+
   test("fuzzy_match query: probes matched, plan is equi-join only") {
     val df = SparkEntry.queries("fuzzy_match")(spark, sf)
     val rows = df.as[(Long, Long, Long)].collect()

@@ -88,6 +88,24 @@ class MisraGriesSpec extends SparkSuite {
     assert(got.nonEmpty, "threshold too high — nothing qualifies at sf0.001")
   }
 
+  test("source_heavy_terms equals the direct per-source exact computation") {
+    val got = SparkEntry.queries("source_heavy_terms")(spark, sf)
+      .as[(String, String, Long)].collect().toSeq
+    val toks = Tables.documents(spark, sf)
+      .select($"source", explode(split($"text", " ")).as("term"))
+      .filter(length($"term") > 0)
+    val ns = toks.groupBy($"source").agg(count(lit(1)).as("n"))
+    val want = toks.groupBy($"source", $"term").agg(count(lit(1)).as("cnt"))
+      .join(ns, "source")
+      .filter($"cnt" * 64 >= $"n")
+      .orderBy($"source", $"cnt".desc, $"term")
+      .select($"source", $"term", $"cnt")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.map(_._1).distinct.size > 1,
+      "fixture should yield heavy terms for multiple sources")
+  }
+
   test("heavy_hitters plans: MG pass is object-hash; confirm is broadcast") {
     // stage 1 (runs at construction, checkpointed): one
     // ObjectHashAggregate of MG summaries — partial per partition,

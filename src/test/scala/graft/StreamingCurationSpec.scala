@@ -136,4 +136,46 @@ class StreamingCurationSpec extends SparkSuite {
     assert(streamed == batch)
     assert(streamed.count(_._1 == 2L) > 1, "long doc must chunk in-stream")
   }
+
+  test("offset packing over a stream equals the batch window packer") {
+    // packChunksStream carries ONE long of state per bucket; feeding
+    // the chunk relation in (doc_id, chunk_id) order across THREE
+    // micro-batches must reproduce the batch window assignment
+    // exactly — including sequences that straddle micro-batch
+    // boundaries mid-fill.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val chunkRows = (0L until 60L).flatMap { d =>
+      (0L until (1 + rnd.nextInt(4)).toLong).map(c =>
+        (d, c, (3 + rnd.nextInt(9)).toLong))
+    }
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = graft.operators.Packing.packChunksStream(
+        input.toDF().toDF("doc_id", "chunk_id", "n_tokens"),
+        budget = 16, nBuckets = 4)
+      .writeStream.format("memory").queryName("s_pack")
+      .outputMode("append").start()
+    try {
+      chunkRows.grouped(25).foreach { batch =>
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("s_pack")
+      .groupBy($"bucket", $"seq_id")
+      .agg(count(lit(1)).as("n_chunks"), sum($"n_tokens").as("n_tokens"),
+        min(struct($"doc_id", $"chunk_id")).as("f"))
+      .select($"bucket", $"seq_id", $"n_chunks", $"n_tokens",
+        $"f.doc_id", $"f.chunk_id")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Packing.packChunks(
+        chunkRows.toDF("doc_id", "chunk_id", "n_tokens"),
+        budget = 16, nBuckets = 4)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // state really straddled batches: some sequence's chunks arrived
+    // in different micro-batches — guaranteed if any bucket has more
+    // chunks than fit one sequence
+    assert(streamed.exists(_._3 > 1), "no multi-chunk sequences formed")
+  }
 }
