@@ -231,6 +231,20 @@ object Aggregates {
         min($"o_orderdate").as("min_date"),
         max($"o_orderdate").as("max_date"))
     }),
+
+    // G12: join-key skew spectrum — the diagnosis query behind every
+    // salting / broadcast / AQE-skew decision: for each multiplicity
+    // m, how many l_orderkey values occur m times. Two partial-
+    // aggregated shuffles, output bounded by distinct multiplicities
+    // (tiny); the tail of this relation IS the skew report (a key at
+    // m = 10^6 means a 10^12-row join blowup on that key).
+    "key_skew_spectrum" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("mult"))
+        .groupBy($"mult").agg(count(lit(1)).as("n_keys"))
+        .orderBy($"mult")
+    }),
   )
 
   /** G5: HLL approximate distinct — not DuckDB-replicable (different
@@ -250,6 +264,12 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "key_skew_spectrum" ->
+      """SELECT mult, COUNT(*) AS n_keys FROM (
+        |  SELECT l_orderkey, COUNT(*) AS mult
+        |  FROM lineitem GROUP BY 1)
+        |GROUP BY 1 ORDER BY mult""".stripMargin,
+
     "column_profile" ->
       """SELECT COUNT(*) AS n_rows,
         |  COUNT(o_custkey) AS nn_custkey,

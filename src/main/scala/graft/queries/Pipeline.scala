@@ -1416,6 +1416,67 @@ object Pipeline {
         .orderBy($"source", $"cnt".desc, $"term")
     }),
 
+    // L2 incremental: near-dup detection of a NEW batch against the
+    // EXISTING corpus — the continuous-ingestion sibling of
+    // incremental_dedup, one notch fuzzier: "is today's crawl a
+    // near-copy of anything we already hold". Scale shape: the
+    // corpus's band keys are its persisted LSH index (16 bytes + band
+    // id per row; text stays at rest); the batch's bands SEMI-JOIN
+    // that index first, so only corpus members co-bucketed with the
+    // batch enter pair generation at all — work scales with the
+    // increment, not the corpus. Pair generation itself reuses the
+    // skew-proof CandidatePairs path (batch ids sign-flipped so cross
+    // pairs are exactly the a<0<=b rows), and the exact string-level
+    // Jaccard verify touches text only for candidates. The oracle
+    // replays the full cross-product Jaccard scan over the same
+    // batch/corpus split — banding recall and the verify are both
+    // driver-checked. Probes: appended-token twins of corpus docs
+    // planted in the batch (jaccard (W-2)/(W-1) ≥ τ for W ≥ 4).
+    "incremental_neardup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val (lshRows, lshBands) =
+        graft.operators.LshTuning.minhashBands(MinHashJaccardTau, MinHashSeeds)
+      val base = Tables.documents(s, dir).select($"doc_id", $"text")
+      val corpus = base.filter($"doc_id" % 10 =!= 0)
+      val batch = base.filter($"doc_id" % 10 === 0)
+        .unionAll(corpus.filter($"doc_id" % 23 === 3)
+          .select(($"doc_id" + 10000000L).as("doc_id"),
+            concat($"text", lit(" incrementalprobe")).as("text")))
+      def bands(docs: DataFrame) = {
+        val hashed = withShingleHashes(
+          docs.repartition($"doc_id"), Seq("doc_id"))
+        hashed.select($"doc_id", minhashSig($"hs").as("sig"))
+          .select($"doc_id", explode(bandKeys($"sig", lshRows, lshBands)).as("bk"))
+          .select($"doc_id", $"bk.band_no".as("band_no"),
+            $"bk.band_hash".as("band_hash"))
+      }
+      // sign-flip batch ids so the union's a<b pairs classify by sign
+      val batchBands = bands(batch)
+        .select((-$"doc_id" - 1L).as("doc_id"), $"band_no", $"band_hash")
+      val corpusBands = bands(corpus)
+        .join(batchBands.select($"band_no", $"band_hash"),
+          Seq("band_no", "band_hash"), "left_semi")
+      // unionByName: the semi-join above reorders columns (USING keys
+      // first), so a positional union would shear doc_id into band_hash
+      val cand = graft.operators.CandidatePairs.fromBuckets(
+          batchBands.unionByName(corpusBands),
+          Seq("band_no", "band_hash"), "doc_id", "doc_a", "doc_b")
+        .filter($"doc_a" < 0 && $"doc_b" >= 0)
+        .select((-$"doc_a" - 1L).as("batch_doc"), $"doc_b".as("corpus_doc"))
+      val batchTexts = batch.select($"doc_id".as("batch_doc"),
+        $"text".as("text_a"))
+      val corpusTexts = corpus.select($"doc_id".as("corpus_doc"),
+        $"text".as("text_b"))
+      cand.join(batchTexts, "batch_doc").join(corpusTexts, "corpus_doc")
+        .select($"batch_doc", $"corpus_doc",
+          shingles($"text_a").as("sh_a"), shingles($"text_b").as("sh_b"))
+        .select($"batch_doc", $"corpus_doc",
+          q6(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+            size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
+        .filter($"jaccard" >= MinHashJaccardTau)
+        .orderBy($"batch_doc", $"corpus_doc")
+    }),
+
     // L38: fuzzy key matching / entity resolution at distance 1 —
     // SymSpell deletion-variant blocking: candidates are an equi-join
     // on exploded deletion neighborhoods (|s|+1 slim rows per input,
@@ -2280,6 +2341,37 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the cross-split brute scan the banded incremental search must
+    // equal: every (batch, corpus) pair at string Jaccard >= tau
+    "incremental_neardup" ->
+      s"""WITH batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text || ' incrementalprobe'
+         |  FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 23 = 3),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+         |shb AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ws) >= 3 THEN
+         |      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |                     for i in range(1, len(ws) - 1)])
+         |    ELSE [text] END AS s
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM batch)),
+         |shc AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ws) >= 3 THEN
+         |      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |                     for i in range(1, len(ws) - 1)])
+         |    ELSE [text] END AS s
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM corpus))
+         |SELECT batch_doc, corpus_doc, jaccard FROM (
+         |  SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+         |    ${sqlQ6("CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) / len(list_distinct(list_concat(b.s, c.s)))")} AS jaccard
+         |  FROM shb b CROSS JOIN shc c) t
+         |WHERE jaccard >= 0.5
+         |ORDER BY batch_doc, corpus_doc""".stripMargin,
 
     // transitive closure of the SAME exact-Jaccard pair set, via a
     // recursive CTE: reach(node, lbl) holds every label that can flow

@@ -262,6 +262,40 @@ class PipelineSpec extends SparkSuite {
       s"mean IVF recall vs exact top-5 too low: ${hit.sum / hit.size}")
   }
 
+  test("incremental_neardup: probes recovered; corpus bands semi-pruned") {
+    val df = SparkEntry.queries("incremental_neardup")(spark, sf)
+    val rows = df.as[(Long, Long, Double)].collect()
+    // every planted appended-token twin (id = source + 10^7) matches
+    // its source corpus doc above tau
+    val probeSrcs = Tables.documents(spark, sf)
+      .filter($"doc_id" % 10 =!= 0 && $"doc_id" % 23 === 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(probeSrcs.nonEmpty)
+    val recovered = probeSrcs.count(src =>
+      rows.exists(r => r._1 == src + 10000000L && r._2 == src && r._3 >= 0.5))
+    // short docs can fall under tau legitimately; most must recover
+    assert(recovered * 2 > probeSrcs.size,
+      s"only $recovered of ${probeSrcs.size} planted twins recovered")
+    // the scale claim: corpus bands pass through a semi-join against
+    // the batch's bands before pair generation (work ∝ increment)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"corpus side not semi-pruned by batch bands:\n${plan.take(1200)}")
+    assert(plan.contains("bounded_min_set"),
+      "pair generation bypasses CandidatePairs")
+  }
+
+  test("key_skew_spectrum: mass conservation and spectrum shape") {
+    val rows = SparkEntry.queries("key_skew_spectrum")(spark, sf)
+      .as[(Long, Long)].collect()
+    val li = Tables.lineitem(spark, sf)
+    // sum(mult * n_keys) = corpus rows; sum(n_keys) = distinct keys
+    assert(rows.map(r => r._1 * r._2).sum == li.count())
+    assert(rows.map(_._2).sum ==
+      li.select($"l_orderkey").distinct().count())
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+  }
+
   test("winnow_containment candidates route through CandidatePairs") {
     // the gram self-join guard: candidate generation must use the
     // bounded bucket aggregation, so a boilerplate 6-gram in m docs
