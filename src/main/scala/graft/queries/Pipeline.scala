@@ -1416,6 +1416,61 @@ object Pipeline {
         .orderBy($"source", $"cnt".desc, $"term")
     }),
 
+    // L20 audit: per-cluster quality stats over the near-dup closure —
+    // the post-dedup sanity report ("are my clusters tight or is the
+    // threshold admitting junk"): size, pair count, min and mean
+    // within-cluster Jaccard per cluster. Pairs and components are the
+    // L2/L20 machinery unchanged; the mean is summed in QUANTIZED
+    // INTEGER space (floor(j*1e6+0.5) per pair) so the order-free sum
+    // is engine-exact, then divided back once. Output is bounded by
+    // cluster count.
+    "cluster_stats" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pairs = minhashNearDupPairs(
+        Tables.documents(s, dir).select($"doc_id", $"text"), MinHashJaccardTau)
+      val comp = graft.operators.ConnectedComponents.components(
+        pairs, "doc_a", "doc_b")
+      val sizes = comp.groupBy($"component".as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      pairs
+        .join(comp.select($"node".as("doc_a"), $"component".as("cluster_id")),
+          "doc_a")
+        .groupBy($"cluster_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min($"jaccard").as("min_jaccard"),
+          sum(floor($"jaccard" * 1000000.0 + 0.5).cast("long")).as("__jsum"))
+        .join(sizes, "cluster_id")
+        .select($"cluster_id", $"cluster_size", $"n_pairs", $"min_jaccard",
+          q6($"__jsum".cast("double") / ($"n_pairs" * 1000000.0))
+            .as("mean_jaccard"))
+        .orderBy($"cluster_id")
+    }),
+
+    // L26 sibling: random-projection dimensionality reduction — the
+    // 64d→16d shuffle/storage lever BEFORE quantization: project onto
+    // the 16 deterministic ±1 hyperplanes (norm 8 exactly, so dot/8
+    // is the unit-direction coordinate), quantize each lane to 1e-6
+    // on the integer grid (CSV lanes — driver rows are scalar), and
+    // carry the JL norm estimate ||p||·√(64/16) next to the true norm
+    // as the per-row quality audit. Pure per-row projection, no
+    // shuffle; the oracle replays the identical plane literals.
+    "embed_project" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val lanes = emb.select($"vec_id", $"v",
+        array((0 until 16).map(h =>
+          floor(dot($"v", planeLit(h)) / 8.0 * 1000000.0 + 0.5)
+            .cast("long")): _*).as("p"))
+      lanes.select($"vec_id",
+        array_join(transform($"p", x => x.cast("string")), ",").as("p_csv"),
+        q6(sqrt(foldSum(transform($"p", x =>
+          (x.cast("double") / 1000000.0) * (x.cast("double") / 1000000.0))))
+          * 2.0).as("norm_est"),
+        q6(l2norm($"v")).as("norm_in"))
+        .orderBy($"vec_id")
+    }),
+
     // L2 incremental: near-dup detection of a NEW batch against the
     // EXISTING corpus — the continuous-ingestion sibling of
     // incremental_dedup, one notch fuzzier: "is today's crawl a
@@ -2341,6 +2396,59 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the same recursive closure as neardup_clusters, with jaccard
+    // kept at the pair level; the mean sums quantized integers
+    "cluster_stats" ->
+      s"""WITH RECURSIVE $shingleSqlCte,
+         |pj AS (
+         |  SELECT doc_a, doc_b, jaccard FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      ${sqlQ6("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s)))")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+         |  WHERE jaccard >= 0.5),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pj
+         |      UNION ALL SELECT doc_b, doc_a FROM pj),
+         |n AS (SELECT DISTINCT u AS node FROM e),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node),
+         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+         |       FROM comp GROUP BY 1),
+         |ag AS (
+         |  SELECT comp.cluster_id, COUNT(*) AS n_pairs,
+         |    MIN(jaccard) AS min_jaccard,
+         |    SUM(CAST(FLOOR(jaccard * 1000000.0 + 0.5) AS BIGINT)) AS jsum
+         |  FROM pj JOIN comp ON pj.doc_a = comp.node GROUP BY 1)
+         |SELECT ag.cluster_id, CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs, min_jaccard,
+         |  ${sqlQ6("CAST(jsum AS DOUBLE) / (n_pairs * 1000000.0)")} AS mean_jaccard
+         |FROM ag JOIN sz ON ag.cluster_id = sz.cluster_id
+         |ORDER BY ag.cluster_id""".stripMargin,
+
+    // identical plane literals, identical left-fold dot and floor
+    // quantization — the projection is replayed lane by lane
+    "embed_project" ->
+      s"""WITH pl(pid, c) AS (VALUES
+         |    ${(0 until 16).map(h => s"(${h + 1}, ${planeSql(h)})").mkString(",\n    ")}),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pr AS (
+         |  SELECT vec_id, pid,
+         |    CAST(FLOOR(${sqlDot("e.v", "pl.c")} / 8.0 * 1000000.0 + 0.5)
+         |      AS BIGINT) AS p
+         |  FROM e CROSS JOIN pl),
+         |lanes AS (
+         |  SELECT vec_id,
+         |    string_agg(CAST(p AS VARCHAR), ',' ORDER BY pid) AS p_csv,
+         |    list(CAST(p AS DOUBLE) / 1000000.0 ORDER BY pid) AS pv
+         |  FROM pr GROUP BY vec_id)
+         |SELECT l.vec_id, l.p_csv,
+         |  ${sqlQ6("sqrt(list_reduce(list_prepend(0.0, list_transform(l.pv, x -> x * x)), (acc, x) -> acc + x)) * 2.0")} AS norm_est,
+         |  ${sqlQ6(sqlNorm("e.v"))} AS norm_in
+         |FROM lanes l JOIN e ON e.vec_id = l.vec_id
+         |ORDER BY l.vec_id""".stripMargin,
 
     // the cross-split brute scan the banded incremental search must
     // equal: every (batch, corpus) pair at string Jaccard >= tau

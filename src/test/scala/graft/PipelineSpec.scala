@@ -262,6 +262,38 @@ class PipelineSpec extends SparkSuite {
       s"mean IVF recall vs exact top-5 too low: ${hit.sum / hit.size}")
   }
 
+  test("cluster_stats: sizes and pair counts are consistent with the closure") {
+    val rows = SparkEntry.queries("cluster_stats")(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, size, nPairs, minJ, meanJ) =>
+      assert(size >= 2, "a cluster needs at least one pair")
+      // pair count bounded by C(size, 2); jaccards ordered and in range
+      assert(nPairs >= size - 1 && nPairs <= size * (size - 1) / 2)
+      assert(minJ >= 0.5 && minJ <= meanJ + 1e-9 && meanJ <= 1.0)
+    }
+    // cluster membership total equals the nodes of the pair graph
+    val pairs = SparkEntry.queries("minhash_neardup")(spark, sf)
+    val nodes = pairs.select($"doc_a").union(pairs.select($"doc_b"))
+      .distinct().count()
+    assert(rows.map(_._2).sum == nodes)
+  }
+
+  test("embed_project: JL norm estimate tracks the true norm") {
+    val rows = SparkEntry.queries("embed_project")(spark, sf)
+      .as[(Long, String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, csv, _, _) =>
+      assert(csv.split(",").length == 16, "16 projection lanes expected")
+    }
+    // random projection is unbiased: the mean norm ratio is ~1 with
+    // per-vector spread; a generous band still catches a wrong scale
+    // factor (√(d/k) off by √2 would land at 0.7 or 1.4)
+    val ratios = rows.map { case (_, _, est, tru) => est / tru }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.85 && mean < 1.15, s"mean norm ratio $mean off")
+  }
+
   test("incremental_neardup: probes recovered; corpus bands semi-pruned") {
     val df = SparkEntry.queries("incremental_neardup")(spark, sf)
     val rows = df.as[(Long, Long, Double)].collect()
