@@ -141,6 +141,30 @@ object EventTime {
     // path relation. Deterministic everywhere: event_id breaks ts
     // ties in the sequence; (count DESC, path) totally orders the
     // top-k boundary.
+    // T14: event-type transition matrix — P(next | current) per user
+    // stream, the Markov-chain profile behind "what do users do after
+    // X" and the input to next-event models. One user-partitioned
+    // window (lead) — the corpus shuffles once on user_id, counts are
+    // map-combinable, output bounded by #types². Probabilities are
+    // quantized integer-count ratios, engine-exact.
+    "event_transitions" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+      val counts = pairs
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy($"from_type").agg(sum($"n").as("__tot"))
+      counts.join(totals, "from_type")
+        .select($"from_type", $"to_type", $"n",
+          q6($"n".cast("double") / $"__tot").as("p"))
+        .orderBy($"from_type", $"to_type")
+    }),
+
     "event_paths" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val paths = Tables.events(s, dir)
@@ -327,6 +351,22 @@ object EventTime {
 
     // the session assignment of the session_window oracle (>= gap or
     // first ⇒ new session), then string_agg in (ts, event_id) order
+    "event_transitions" ->
+      """WITH pr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n
+        |      FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, n,
+        |  CAST(FLOOR(CAST(n AS DOUBLE) / tot * 1000000.0 + 0.5) AS DOUBLE)
+        |    / 1000000.0 AS p
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
+
     "event_paths" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id, event_type,

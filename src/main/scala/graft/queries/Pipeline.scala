@@ -1416,6 +1416,23 @@ object Pipeline {
         .orderBy($"source", $"cnt".desc, $"term")
     }),
 
+    // L41: BPE merge-candidate table — the first iteration of
+    // byte-pair-encoding tokenizer training: counts of every adjacent
+    // character pair over the corpus, top-50. The merge loop repeats
+    // this count-and-merge; the count is the distributed heavy step
+    // (key space bounded by alphabet², map-combinable, output capped
+    // by TakeOrderedAndProject whatever the corpus size).
+    "bpe_pairs" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(length($"text") >= 2)
+        .select(explode(transform(sequence(lit(1), length($"text") - 1),
+          i => $"text".substr(i, lit(2)))).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"pair")
+        .limit(50)
+    }),
+
     // L20 audit: per-cluster quality stats over the near-dup closure —
     // the post-dedup sanity report ("are my clusters tight or is the
     // threshold admitting junk"): size, pair count, min and mean
@@ -2396,6 +2413,14 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "bpe_pairs" ->
+      """SELECT pair, COUNT(*) AS cnt FROM (
+        |  SELECT unnest([substr(text, i, 2) for i in range(1, len(text))])
+        |    AS pair
+        |  FROM documents WHERE len(text) >= 2)
+        |GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
 
     // the same recursive closure as neardup_clusters, with jaccard
     // kept at the pair level; the mean sums quantized integers

@@ -262,6 +262,33 @@ class PipelineSpec extends SparkSuite {
       s"mean IVF recall vs exact top-5 too low: ${hit.sum / hit.size}")
   }
 
+  test("event_transitions: rows are a stochastic matrix over real pairs") {
+    val rows = SparkEntry.queries("event_transitions")(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // per from_type the probabilities sum to ~1 (quantization slack)
+    rows.groupBy(_._1).foreach { case (from, grp) =>
+      val psum = grp.map(_._4).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"$from probabilities sum to $psum")
+    }
+    // total transition count = events - one per user with >= 1 event
+    val ev = Tables.events(spark, sf)
+    val want = ev.count() - ev.select($"user_id").distinct().count()
+    assert(rows.map(_._3).sum == want)
+  }
+
+  test("bpe_pairs: 50 two-char pairs, descending, counts conserve") {
+    val rows = SparkEntry.queries("bpe_pairs")(spark, sf)
+      .as[(String, Long)].collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_._1.length == 2))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+    // the top pair count can never exceed total adjacent positions
+    val totalPos = Tables.documents(spark, sf)
+      .select(sum(greatest(length($"text") - 1, lit(0)))).as[Long].head()
+    assert(rows.head._2 <= totalPos)
+  }
+
   test("cluster_stats: sizes and pair counts are consistent with the closure") {
     val rows = SparkEntry.queries("cluster_stats")(spark, sf)
       .as[(Long, Long, Long, Double, Double)].collect()
