@@ -141,6 +141,50 @@ object EventTime {
     // path relation. Deterministic everywhere: event_id breaks ts
     // ties in the sequence; (count DESC, path) totally orders the
     // top-k boundary.
+    // T15: trailing-window time-series aggregate — per user, daily
+    // event counts with the trailing-7-day running total (the feature
+    // column behind "activity in the last week" models). One
+    // map-combinable (user, day) count, then ONE user-partitioned
+    // RANGE window over integer day offsets — at 100 TB each user's
+    // series is tiny; the shuffle key is user_id, never the corpus.
+    "rolling_7d" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy($"user_id",
+          datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("n_7d", sum($"n_events").over(w))
+        .orderBy($"user_id", $"day")
+    }),
+
+    // T16: time-decayed activity score — Σ exp(−Δdays/7) per user at
+    // the corpus's last-event reference time: the recency-weighted
+    // engagement feature. Per-event terms are quantized to the 1e-4
+    // grid BEFORE the order-free integer sum (the dsum recipe), so
+    // cross-engine libm/apply-order differences cannot leak into the
+    // result. One broadcast scalar (reference day), one keyed agg.
+    "decayed_activity" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val day = datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+        .cast("long")
+      val ref = Tables.events(s, dir).agg(max(day).as("ref_day"))
+      Tables.events(s, dir)
+        .select($"user_id", day.as("day"))
+        .crossJoin(broadcast(ref))
+        .select($"user_id",
+          floor(exp(($"day" - $"ref_day").cast("double") / 7.0) * 10000.0
+            + 0.5).cast("long").as("qterm"))
+        .groupBy($"user_id")
+        .agg((sum($"qterm").cast("double") / 10000.0).as("decayed_score"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    }),
+
     // T14: event-type transition matrix — P(next | current) per user
     // stream, the Markov-chain profile behind "what do users do after
     // X" and the input to next-event models. One user-partitioned
@@ -351,6 +395,35 @@ object EventTime {
 
     // the session assignment of the session_window oracle (>= gap or
     // first ⇒ new session), then string_agg in (ts, event_id) order
+    "rolling_7d" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(SUM(n_events) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM d ORDER BY user_id, day""".stripMargin,
+
+    "decayed_activity" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM events),
+        |r AS (SELECT MAX(day) AS ref_day FROM d),
+        |q AS (
+        |  SELECT user_id,
+        |    CAST(FLOOR(exp(CAST(day - ref_day AS DOUBLE) / 7.0) * 10000.0
+        |      + 0.5) AS BIGINT) AS qterm
+        |  FROM d CROSS JOIN r)
+        |SELECT user_id, CAST(SUM(qterm) AS DOUBLE) / 10000.0
+        |    AS decayed_score,
+        |  COUNT(*) AS n_events
+        |FROM q GROUP BY 1 ORDER BY user_id""".stripMargin,
+
     "event_transitions" ->
       """WITH pr AS (
         |  SELECT event_type AS from_type,

@@ -1416,6 +1416,30 @@ object Pipeline {
         .orderBy($"source", $"cnt".desc, $"term")
     }),
 
+    // L42: per-source length outliers — the distribution-shift alarm
+    // of a mixture pipeline: docs whose token count sits > 2σ from
+    // their own source's mean (truncated scrapes, concatenation bugs,
+    // spam padding). Mean/variance come from EXACT integer sums
+    // (count, Σx, Σx²) so the z arithmetic is identical IEEE both
+    // engines; one map-combinable stats agg + one broadcast-sized
+    // join back (stats relation = one row per source).
+    "length_outliers" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      val stats = docs.groupBy($"source").agg(
+        count(lit(1)).as("n"), sum($"n_tokens").as("s1"),
+        sum($"n_tokens" * $"n_tokens").as("s2"))
+      val mean = $"s1".cast("double") / $"n"
+      val variance = $"s2".cast("double") / $"n" - mean * mean
+      docs.join(broadcast(stats), "source")
+        .filter(variance > 0.0)
+        .select($"doc_id", $"source", $"n_tokens",
+          q6(($"n_tokens".cast("double") - mean) / sqrt(variance)).as("z"))
+        .filter(abs($"z") > 2.0)
+        .orderBy($"doc_id")
+    }),
+
     // L41: BPE merge-candidate table — the first iteration of
     // byte-pair-encoding tokenizer training: counts of every adjacent
     // character pair over the corpus, top-50. The merge loop repeats
@@ -2413,6 +2437,24 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // identical exact-integer-sums z arithmetic, same op order
+    "length_outliers" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |st AS (
+         |  SELECT source, COUNT(*) AS n,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS s1,
+         |    CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS s2
+         |  FROM d GROUP BY 1)
+         |SELECT doc_id, d.source AS source, n_tokens,
+         |  ${sqlQ6("(CAST(n_tokens AS DOUBLE) - CAST(s1 AS DOUBLE) / n) / sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))")} AS z
+         |FROM d JOIN st ON d.source = st.source
+         |WHERE CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0.0
+         |  AND abs(${sqlQ6("(CAST(n_tokens AS DOUBLE) - CAST(s1 AS DOUBLE) / n) / sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))")}) > 2.0
+         |ORDER BY doc_id""".stripMargin,
 
     "bpe_pairs" ->
       """SELECT pair, COUNT(*) AS cnt FROM (

@@ -262,6 +262,46 @@ class PipelineSpec extends SparkSuite {
       s"mean IVF recall vs exact top-5 too low: ${hit.sum / hit.size}")
   }
 
+  test("rolling_7d: trailing window equals the brute per-user scan") {
+    val rows = SparkEntry.queries("rolling_7d")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val daily = rows.groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    rows.foreach { case (u, d, _, n7) =>
+      val want = (d - 6 to d).map(daily(u).getOrElse(_, 0L)).sum
+      assert(n7 == want, s"user $u day $d")
+    }
+  }
+
+  test("decayed_activity: monotone in recency, bounded by count") {
+    val rows = SparkEntry.queries("decayed_activity")(spark, sf)
+      .as[(Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, score, n) =>
+      assert(score > 0.0 && score <= n.toDouble + 1e-9, s"user $u")
+    }
+  }
+
+  test("length_outliers: every flagged doc really is > 2 sigma off") {
+    val rows = SparkEntry.queries("length_outliers")(spark, sf)
+      .as[(Long, String, Long, Double)].collect()
+    assert(rows.nonEmpty, "fixture should contain some outliers")
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("nt"))
+      .as[(Long, String, Long)].collect()
+    val bySource = docs.groupBy(_._2)
+    rows.foreach { case (id, src, nt, z) =>
+      val xs = bySource(src).map(_._3.toDouble)
+      val mean = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => x * x).sum / xs.length - mean * mean)
+      val want = (nt - mean) / sd
+      assert(math.abs(z - want) < 1e-4, s"doc $id z=$z want=$want")
+      assert(math.abs(z) > 2.0)
+    }
+  }
+
   test("event_transitions: rows are a stochastic matrix over real pairs") {
     val rows = SparkEntry.queries("event_transitions")(spark, sf)
       .as[(String, String, Long, Double)].collect()
