@@ -67,6 +67,10 @@ object Pipeline {
   private val termIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-dir two-snapshot layout roots (`schema_evolution`). */
+  private val schemaEvoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** One oracle for both BM25 spellings (brute and indexed) — they
     * must agree row-for-row, so they share the SQL literally. */
   private val Bm25OracleSql: String =
@@ -1428,6 +1432,36 @@ object Pipeline {
         .orderBy($"source", $"cnt".desc, $"term")
     }),
 
+    // S11: schema evolution across parquet snapshots — a corpus that
+    // gained columns mid-history must still read as ONE relation:
+    // snapshot A carries (doc_id, lang), snapshot B (doc_id, source,
+    // n_chars); a mergeSchema read unions the schemas and NULL-fills
+    // the absent columns. The query writes both snapshots at
+    // construction (write-once per dir) and profiles the merged
+    // relation; the oracle replays the union-by-name semantics from
+    // the base table, so the merge-read path itself is driver-checked.
+    "schema_evolution" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val root = schemaEvoCache.computeIfAbsent(dir, d => {
+        val docs = Tables.documents(s, d)
+        val r = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo_" +
+          math.abs(d.hashCode).toString
+        docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"lang")
+          .write.mode("overwrite").parquet(s"$r/snap=a")
+        docs.filter($"doc_id" % 2 === 1)
+          .select($"doc_id", $"source", $"n_chars")
+          .write.mode("overwrite").parquet(s"$r/snap=b")
+        r
+      })
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$root/snap=a", s"$root/snap=b")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"lang").as("nn_lang"),
+          count($"source").as("nn_source"),
+          count($"n_chars").as("nn_chars"),
+          count_distinct($"doc_id").as("ndv_doc"))
+    }),
+
     // L42: per-source length outliers — the distribution-shift alarm
     // of a mixture pipeline: docs whose token count sits > 2σ from
     // their own source's mean (truncated scrapes, concatenation bugs,
@@ -2452,6 +2486,23 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // union-by-name semantics replayed from the base table — the
+    // engine side must NULL-fill exactly these columns
+    "schema_evolution" ->
+      """WITH a AS (
+        |  SELECT doc_id, lang, NULL AS source, NULL::BIGINT AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |b AS (
+        |  SELECT doc_id, NULL AS lang, source, n_chars
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT COUNT(*) AS n_rows,
+        |  COUNT(lang) AS nn_lang,
+        |  COUNT(source) AS nn_source,
+        |  COUNT(n_chars) AS nn_chars,
+        |  COUNT(DISTINCT doc_id) AS ndv_doc
+        |FROM u""".stripMargin,
 
     // identical exact-integer-sums z arithmetic, same op order
     "length_outliers" ->

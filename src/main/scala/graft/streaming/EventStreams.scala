@@ -109,6 +109,39 @@ object EventStreams {
   final case class UserEvent(event_id: Long, user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+  final case class TypedEvent(event_id: Long, user_id: Long, ts: Long,
+      event_type: String)
+  final case class Transition(user_id: Long, from_type: String,
+      to_type: String)
+  // public: the state encoder's generated code must reach the class
+  final case class LastEvent(ts: Long, event_id: Long, event_type: String)
+
+  /** T14 live: per-user event-type transitions over an unbounded
+    * stream — the state is ONE row (the user's latest event); each
+    * arriving event emits its (previous → current) transition and
+    * advances the state, so the emitted multiset equals the batch
+    * lead-window pairing when events arrive per user in (ts, event_id)
+    * order (intra-micro-batch order restored by a local sort). The
+    * downstream count/normalize is an ordinary streaming or batch
+    * aggregation over the emitted pairs. */
+  def transitionStream(events: Dataset[TypedEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[TypedEvent], state: GroupState[LastEvent]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            last.foreach(p =>
+              out += Transition(userId, p.event_type, e.event_type))
+            last = Some(LastEvent(e.ts, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** T6: arbitrary per-key state — a running per-user counter kept in
     * GroupState, emitting the updated total on every micro-batch. */
   def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {

@@ -124,6 +124,40 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamed event transitions equal the batch lead window (T14)") {
+    implicit val sqlCtx = spark.sqlContext
+    // fixture slice, fed in (ts, event_id) order across micro-batches
+    val evs = Tables.events(spark, sf)
+      .filter($"user_id" < 10)
+      .select($"event_id", $"user_id",
+        unix_micros($"ts").as("ts"), $"event_type")
+      .as[EventStreams.TypedEvent].collect()
+      .sortBy(e => (e.ts, e.event_id)).toSeq
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams.transitionStream(input.toDS())
+      .writeStream.format("memory").queryName("t_trans")
+      .outputMode("append").start()
+    try {
+      evs.grouped(200).foreach { b =>
+        input.addData(b)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("t_trans")
+      .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    // batch twin over the same slice
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val batch = evs.toDF()
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful running totals accumulate across micro-batches (T6)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.UserEvent]
