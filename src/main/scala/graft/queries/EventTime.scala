@@ -141,6 +141,34 @@ object EventTime {
     // path relation. Deterministic everywhere: event_id breaks ts
     // ties in the sequence; (count DESC, path) totally orders the
     // top-k boundary.
+    // T17: inter-event gap spectrum — the histogram that JUSTIFIES a
+    // session timeout (the 30-minute threshold in T3/T12 should come
+    // from the knee of this distribution, not folklore): per log2
+    // bucket of gap seconds, how many adjacent event pairs. One
+    // user-partitioned lag window + a bounded-key count (≤ 64
+    // buckets); the corpus shuffles once on user_id.
+    "session_gaps" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id")
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .filter($"prev_ts".isNotNull)
+        .select((unix_timestamp($"ts") - unix_timestamp($"prev_ts"))
+          .as("gap_s"))
+        .filter($"gap_s" >= 0)
+        // floor(log2) via binary-string length — EXACT integer
+        // arithmetic (a libm log2 would flip floor at power-of-two
+        // boundaries by one ulp between engines)
+        .groupBy(when($"gap_s" === 0, lit(-1L))
+          .otherwise((length(bin($"gap_s")) - 1).cast("long"))
+          .as("log2_bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min($"gap_s").as("min_gap"), max($"gap_s").as("max_gap"))
+        .orderBy($"log2_bucket")
+    }),
+
     // T15: trailing-window time-series aggregate — per user, daily
     // event counts with the trailing-7-day running total (the feature
     // column behind "activity in the last week" models). One
@@ -395,6 +423,24 @@ object EventTime {
 
     // the session assignment of the session_window oracle (>= gap or
     // first ⇒ new session), then string_agg in (ts, event_id) order
+    "session_gaps" ->
+      """WITH g AS (
+        |  SELECT CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_s
+        |  FROM (
+        |    SELECT ts, lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_ts
+        |    FROM events) t
+        |  WHERE prev_ts IS NOT NULL),
+        |b AS (
+        |  SELECT CASE WHEN gap_s = 0 THEN -1
+        |    ELSE length(format('{:b}', gap_s)) - 1 END AS log2_bucket,
+        |    gap_s
+        |  FROM g WHERE gap_s >= 0)
+        |SELECT CAST(log2_bucket AS BIGINT) AS log2_bucket,
+        |  COUNT(*) AS n_gaps,
+        |  MIN(gap_s) AS min_gap, MAX(gap_s) AS max_gap
+        |FROM b GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
+
     "rolling_7d" ->
       """WITH d AS (
         |  SELECT user_id,

@@ -1486,6 +1486,30 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // L45: n-gram novelty score — the inverse of dup_spans: what
+    // fraction of a doc's distinct 3-gram shingles appears in NO
+    // other document. High novelty = unique content worth keeping;
+    // near-zero = templated/boilerplate. Counting runs on shingle
+    // HASHES (text never shuffles; exact_dedup's birthday-bound
+    // contract), df via one gram-keyed count, reassembly via one
+    // doc-keyed sum — both map-combinable.
+    "novelty_score" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val grams = withShingleHashes(
+        Tables.documents(s, dir).select($"doc_id", $"text")
+          .repartition($"doc_id"), Seq("doc_id"))
+        .select($"doc_id", explode($"hs").as("g"))
+      val df = grams.groupBy($"g")
+        .agg(count_distinct($"doc_id").as("df"))
+      grams.join(df, "g")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"df" === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select($"doc_id", $"n_grams", $"n_unique",
+          q6($"n_unique".cast("double") / $"n_grams").as("novelty"))
+        .orderBy($"doc_id")
+    }),
+
     // L41: BPE merge-candidate table — the first iteration of
     // byte-pair-encoding tokenizer training: counts of every adjacent
     // character pair over the corpus, top-50. The merge loop repeats
@@ -2521,6 +2545,22 @@ object Pipeline {
          |WHERE CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0.0
          |  AND abs(${sqlQ6("(CAST(n_tokens AS DOUBLE) - CAST(s1 AS DOUBLE) / n) / sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))")}) > 2.0
          |ORDER BY doc_id""".stripMargin,
+
+    // shingle STRINGS stand in for the engine's hash identities —
+    // distinct-per-doc grams, df over docs, same ratio arithmetic
+    "novelty_score" ->
+      s"""WITH $shingleSqlCte,
+         |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         |d AS (SELECT gram, COUNT(DISTINCT doc_id) AS df
+         |      FROM g GROUP BY 1)
+         |SELECT g.doc_id,
+         |  COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique,
+         |  ${sqlQ6("CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS novelty
+         |FROM g JOIN d ON g.gram = d.gram
+         |GROUP BY g.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
 
     "bpe_pairs" ->
       """SELECT pair, COUNT(*) AS cnt FROM (

@@ -262,6 +262,30 @@ class PipelineSpec extends SparkSuite {
       s"mean IVF recall vs exact top-5 too low: ${hit.sum / hit.size}")
   }
 
+  test("session_gaps: buckets partition all adjacent pairs exactly") {
+    val rows = SparkEntry.queries("session_gaps")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, _, lo, hi) =>
+      if (b == -1L) assert(lo == 0L && hi == 0L)
+      else assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"bucket $b range [$lo,$hi] outside [2^$b, 2^${b + 1})")
+    }
+    val ev = Tables.events(spark, sf)
+    val want = ev.count() - ev.select($"user_id").distinct().count()
+    assert(rows.map(_._2).sum == want, "every adjacent pair bucketed once")
+  }
+
+  test("novelty_score: ratios in range; exact-dup probes score zero-ish") {
+    val rows = SparkEntry.queries("novelty_score")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { case (id, n, u, s) =>
+      assert(u >= 0 && u <= n && s >= 0.0 && s <= 1.0, s"doc $id")
+    }
+    assert(rows.exists(_._4 > 0.5), "some docs should be mostly novel")
+  }
+
   test("rolling_7d: trailing window equals the brute per-user scan") {
     val rows = SparkEntry.queries("rolling_7d")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
