@@ -94,18 +94,60 @@ object GraftFunctions {
   def shingle_hashes(text: Column): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text)))
 
-  /** Register `fnv1a` / `fnv1a_seeded` for the SQL surface of this
-    * session (`fnv1a_seeded(seed, cols...)` — seed is any bigint
-    * expression). */
+  /** Register the library's custom functions for the SQL surface of
+    * this session — every codegen'd scalar kernel plus the two typed
+    * aggregates, so `spark.sql` text reaches the same expressions the
+    * Column API builds (`fnv1a_seeded(seed, cols...)` — seed is any
+    * bigint expression; `bounded_min_set(id, cap)` / `misra_gries(key,
+    * cap)` take a literal int cap). */
   def registerSql(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal int, got $other")
+    }
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction(
       "fnv1a", exprs => Fnv1aHash(exprs, Fnv1aCore.OffsetBasis), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    r.createOrReplaceTempFunction(
       "fnv1a_seeded", exprs => Fnv1aSeededHash(exprs), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    r.createOrReplaceTempFunction(
       "dotd", { exprs =>
         require(exprs.length == 2, "dotd(a, b) takes two array<double>")
         DotProductD(exprs.head, exprs(1))
+      }, "built-in")
+    r.createOrReplaceTempFunction(
+      "simhash64", { exprs =>
+        require(exprs.length == 1, "simhash64(hashes) takes one array<bigint>")
+        SimHash64(exprs.head)
+      }, "built-in")
+    r.createOrReplaceTempFunction(
+      "byte_sum", { exprs =>
+        require(exprs.length == 1, "byte_sum(b) takes one binary column")
+        ByteSum(exprs.head)
+      }, "built-in")
+    r.createOrReplaceTempFunction(
+      "shingle_hash_set", { exprs =>
+        require(exprs.length == 1, "shingle_hash_set(text) takes one column")
+        ShingleHashSet(exprs.head)
+      }, "built-in")
+    r.createOrReplaceTempFunction(
+      "shingle_hashes", { exprs =>
+        require(exprs.length == 1, "shingle_hashes(text) takes one column")
+        ShingleHashes(exprs.head)
+      }, "built-in")
+    r.createOrReplaceTempFunction(
+      "bounded_min_set", { exprs =>
+        require(exprs.length == 2, "bounded_min_set(id, cap)")
+        BoundedMinSetAgg(exprs.head, intLit(exprs(1), "bounded_min_set cap"))
+          .toAggregateExpression()
+      }, "built-in")
+    r.createOrReplaceTempFunction(
+      "misra_gries", { exprs =>
+        require(exprs.length == 2, "misra_gries(key, cap)")
+        MisraGriesAgg(exprs.head, intLit(exprs(1), "misra_gries cap"))
+          .toAggregateExpression()
       }, "built-in")
   }
 }

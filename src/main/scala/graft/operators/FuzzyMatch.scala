@@ -76,8 +76,11 @@ object FuzzyMatch {
         col(nameCol).as("name_a")), Seq("key_a"))
       .join(names.select(col(keyCol).as("key_b"),
         col(nameCol).as("name_b")), Seq("key_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= k)
+      // thresholded levenshtein: the DP row-min early-exit returns -1
+      // past k instead of finishing the full O(|a|·|b|) table — the
+      // per-candidate verify cost is O(k·|a|) at scale
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), k))
+      .filter(col("dist") >= 0)
       .select("key_a", "key_b", "name_a", "name_b", "dist")
   }
 
