@@ -1560,6 +1560,29 @@ object Pipeline {
         .orderBy($"cluster_id")
     }),
 
+    // L20 policy variant: near-dup dedup keeping the BEST member per
+    // cluster — min-id canonicals (neardup_dedup) are reproducible
+    // but arbitrary; a curation pipeline keeps the highest-QUALITY
+    // member (ties → smallest id, still deterministic). Same closure
+    // machinery; the canonical choice is one per-cluster argmax over
+    // (quality, −doc_id) struct ordering.
+    "neardup_dedup_quality" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val comp = nearDupComponents(s, dir)
+      val q = docs.select($"doc_id".as("node"), qualityOf($"text").as("quality"))
+      val canon = comp.join(q, "node")
+        .groupBy($"component")
+        .agg(max(struct($"quality", (-$"node").as("negid"))).as("m"))
+        .select($"component", (-$"m.negid").as("keep_doc"))
+      val dropped = comp.join(canon, "component")
+        .filter($"node" =!= $"keep_doc")
+        .select($"node".as("doc_id"))
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
     // L26 sibling: random-projection dimensionality reduction — the
     // 64d→16d shuffle/storage lever BEFORE quantization: project onto
     // the 16 deterministic ±1 hyperplanes (norm 8 exactly, so dot/8
@@ -2670,6 +2693,23 @@ object Pipeline {
       s"""WITH RECURSIVE $neardupClosureSqlCte
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // same closure; canonical = per-cluster argmax (quality, -doc_id)
+    "neardup_dedup_quality" ->
+      s"""WITH RECURSIVE $neardupClosureSqlCte,
+         |${qualityCteSql("dq", "documents", Seq.empty)},
+         |keep AS (
+         |  SELECT cluster_id, node AS keep_doc FROM (
+         |    SELECT comp.cluster_id, comp.node,
+         |      row_number() OVER (PARTITION BY comp.cluster_id
+         |        ORDER BY dq.quality DESC, comp.node) AS rn
+         |    FROM comp JOIN dq ON dq.doc_id = comp.node) t
+         |  WHERE rn = 1)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT node FROM comp JOIN keep USING (cluster_id)
+         |  WHERE node <> keep_doc)
          |ORDER BY doc_id""".stripMargin,
 
     // pure-SQL mirror: 8-token span strings built directly (the hash

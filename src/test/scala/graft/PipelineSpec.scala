@@ -353,6 +353,22 @@ class PipelineSpec extends SparkSuite {
     assert(rows.head._2 <= totalPos)
   }
 
+  test("neardup_dedup_quality keeps exactly one member per cluster, the best") {
+    val kept = SparkEntry.queries("neardup_dedup_quality")(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val minId = SparkEntry.queries("neardup_dedup")(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    // same survivor COUNT (one per cluster + all singletons), possibly
+    // different member choice
+    assert(kept.size == minId.size)
+    val pairs = SparkEntry.queries("minhash_neardup")(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    // no two kept docs may still be near-dups of each other
+    pairs.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b)), s"near-dup pair ($a, $b) both kept")
+    }
+  }
+
   test("cluster_stats: sizes and pair counts are consistent with the closure") {
     val rows = SparkEntry.queries("cluster_stats")(spark, sf)
       .as[(Long, Long, Long, Double, Double)].collect()
