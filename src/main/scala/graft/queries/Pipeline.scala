@@ -1486,6 +1486,33 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // L47: per-source discrete length quantiles — the mixture report
+    // ("how long are each source's docs") a curation run reads before
+    // setting length gates. DISCRETE quantiles (value at row
+    // ceil(p·n), 1-based over the (n_tokens, doc_id) order) — pure
+    // integer index arithmetic, no interpolation, so both engines
+    // select the identical element; one per-source window + one
+    // conditional agg. The (n_tokens, doc_id) tiebreak makes the
+    // selected row unique even among equal lengths.
+    "source_length_quantiles" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy($"source").orderBy($"n_tokens", $"doc_id")
+      val ranked = docs
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"source"))
+          .cast("long"))
+      def at(p: Double) =
+        max(when($"rn" === greatest(lit(1L),
+          ceil(lit(p) * $"n").cast("long")), $"n_tokens"))
+      ranked.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          at(0.5).as("p50"), at(0.9).as("p90"), at(0.99).as("p99"))
+        .orderBy($"source")
+    }),
+
     // L45: n-gram novelty score — the inverse of dup_spans: what
     // fraction of a doc's distinct 3-gram shingles appears in NO
     // other document. High novelty = unique content worth keeping;
@@ -2568,6 +2595,27 @@ object Pipeline {
          |WHERE CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0.0
          |  AND abs(${sqlQ6("(CAST(n_tokens AS DOUBLE) - CAST(s1 AS DOUBLE) / n) / sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))")}) > 2.0
          |ORDER BY doc_id""".stripMargin,
+
+    // same discrete ceil-index selection, same IEEE p·n product
+    "source_length_quantiles" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tokens, doc_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM d)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |  MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+        |      THEN n_tokens END) AS p50,
+        |  MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT))
+        |      THEN n_tokens END) AS p90,
+        |  MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT))
+        |      THEN n_tokens END) AS p99
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     // shingle STRINGS stand in for the engine's hash identities —
     // distinct-per-doc grams, df over docs, same ratio arithmetic

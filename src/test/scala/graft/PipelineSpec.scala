@@ -262,6 +262,23 @@ class PipelineSpec extends SparkSuite {
       s"mean IVF recall vs exact top-5 too low: ${hit.sum / hit.size}")
   }
 
+  test("source_length_quantiles: discrete quantiles hit real elements in order") {
+    val rows = SparkEntry.queries("source_length_quantiles")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val lengths = Tables.documents(spark, sf)
+      .select($"source", size(split($"text", " ")).cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    rows.foreach { case (src, n, p50, p90, p99) =>
+      val xs = lengths(src).map(_._2).sorted
+      assert(n == xs.length)
+      assert(p50 <= p90 && p90 <= p99)
+      // each quantile is an actual element at its ceil index
+      assert(p50 == xs(math.max(1, math.ceil(0.5 * n).toLong).toInt - 1))
+      assert(p99 == xs(math.max(1, math.ceil(0.99 * n).toLong).toInt - 1))
+    }
+  }
+
   test("session_gaps: buckets partition all adjacent pairs exactly") {
     val rows = SparkEntry.queries("session_gaps")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
