@@ -66,10 +66,16 @@ object FuzzyMatch {
     val neighborhood =
       if (k == 1) deletionVariants(col(nameCol))
       else deletionVariants2(col(nameCol))
+    // bucket on the variant's 64-bit fingerprint, not the string: the
+    // candidate shuffle moves 8-byte keys instead of (L·variants)
+    // bytes of text; a hash collision only ADDS a false candidate,
+    // which the exact levenshtein verify removes
     val vars = df.select(col(keyCol).as("__k"),
       explode(neighborhood).as("__v"))
+      .select(col("__k"), graft.functions.GraftFunctions.fnv1a(col("__v"))
+        .as("__vh"))
     val pairs = CandidatePairs.fromBuckets(
-      vars, Seq("__v"), "__k", "key_a", "key_b")
+      vars, Seq("__vh"), "__k", "key_a", "key_b")
     val names = df.select(col(keyCol), col(nameCol))
     pairs
       .join(names.select(col(keyCol).as("key_a"),

@@ -1721,19 +1721,27 @@ object Pipeline {
 
     // L38 at distance 2: the same SymSpell construction one deletion
     // deeper (two-deletion neighborhoods, ~L²/2 variants per key —
-    // the documented space/recall trade). Probes carry TWO adjacent
-    // substitutions, invisible to distance-1 matching; the brute
-    // all-pairs oracle checks both recall (the planted pairs appear,
-    // with dist-1 pairs intact) and precision (nothing past 2).
+    // the documented space/recall trade). The key space matters at
+    // distance 2: sequential zero-padded ids (customer names) make a
+    // DENSE match graph — any two ids differing in ≤ 2 digit
+    // positions match, so the pair OUTPUT is quadratic BY DEFINITION
+    // (measured 80 s at sf0.1 — dist-2 dedup of near-sequential keys
+    // is a semantic pathology, not an operator one). Document text
+    // prefixes carry real entropy (475/500 distinct at sf0.01), so
+    // matches are sparse and the planted probes carry the mechanism.
+    // Probes: TWO adjacent substitutions, invisible to distance-1
+    // matching; the brute all-pairs oracle checks recall AND
+    // precision.
     "fuzzy_match2" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val base = Tables.customer(s, dir).select($"c_custkey", $"c_name")
-      val probes = base.filter($"c_custkey" % 53 === 7)
-        .select((-$"c_custkey").as("c_custkey"),
-          concat($"c_name".substr(1, 8), lit("XY"),
-            $"c_name".substr(lit(11), length($"c_name") - 10)).as("c_name"))
+      val base = Tables.documents(s, dir)
+        .select($"doc_id", $"text".substr(1, 20).as("k"))
+      val probes = base.filter($"doc_id" % 37 === 5)
+        .select((-$"doc_id" - 1L).as("doc_id"),
+          concat($"k".substr(1, 8), lit("XY"),
+            $"k".substr(lit(11), length($"k") - 10)).as("k"))
       graft.operators.FuzzyMatch.pairsWithin(
-          base.unionByName(probes), "c_custkey", "c_name", 2)
+          base.unionByName(probes), "doc_id", "k", 2)
         .select($"key_a", $"key_b", $"dist".cast("long").as("dist"))
         .orderBy($"key_a", $"key_b")
     }),
@@ -2945,15 +2953,16 @@ object Pipeline {
 
     "fuzzy_match2" ->
       """WITH c AS (
-        |  SELECT c_custkey, c_name FROM customer
+        |  SELECT doc_id, substr(text, 1, 20) AS k FROM documents
         |  UNION ALL
-        |  SELECT -c_custkey,
-        |    substr(c_name, 1, 8) || 'XY' || substr(c_name, 11)
-        |  FROM customer WHERE c_custkey % 53 = 7)
-        |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
-        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |  SELECT -doc_id - 1,
+        |    substr(substr(text, 1, 20), 1, 8) || 'XY'
+        |      || substr(substr(text, 1, 20), 11)
+        |  FROM documents WHERE doc_id % 37 = 5)
+        |SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+        |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.k, b.k) <= 2
         |ORDER BY key_a, key_b""".stripMargin,
 
     // same md5 fold (salt 'wsamp:v1:'), same -ln(u)/w arithmetic

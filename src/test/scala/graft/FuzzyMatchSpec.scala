@@ -81,13 +81,13 @@ class FuzzyMatchSpec extends SparkSuite {
   test("fuzzy_match2 query recovers double-substitution probes") {
     val rows = SparkEntry.queries("fuzzy_match2")(spark, sf)
       .as[(Long, Long, Long)].collect()
-    val probeKeys = Tables.customer(spark, sf)
-      .filter($"c_custkey" % 53 === 7).select($"c_custkey")
+    val probeKeys = Tables.documents(spark, sf)
+      .filter($"doc_id" % 37 === 5).select($"doc_id")
       .as[Long].collect().toSet
     assert(probeKeys.nonEmpty)
     probeKeys.foreach { k =>
-      assert(rows.exists(r => r._1 == -k && r._2 == k && r._3 == 2L),
-        s"double-typo probe for key $k not recovered")
+      assert(rows.exists(r => r._1 == -k - 1L && r._2 == k && r._3 == 2L),
+        s"double-typo probe for doc $k not recovered")
     }
   }
 
