@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.Fnv1aCore
 import graft.functions.{GraftFunctions => F}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Inverted-index layout for keyword search — the scale path behind
@@ -65,6 +65,25 @@ object InvertedIndex {
     corpusStats.write.mode("overwrite").parquet(path + ".stats")
   }
 
+  /** Append a NEW batch's postings into an existing term layout — the
+    * index-maintenance path of a continuously-fed corpus: bucket
+    * directories gain files, nothing is rewritten, and the stats
+    * relation gains one row (merged at read time by [[bm25]]).
+    * Caller contract: the batch is already deduplicated against the
+    * indexed corpus (the `incremental_dedup` stage) — re-appending a
+    * doc double-counts it, exactly as in any postings-merge index.
+    * Stream usage: `events.writeStream.foreachBatch((b, _) =>
+    * appendPostings(b, path, n))`. */
+  def appendPostings(docs: DataFrame, path: String, nBuckets: Int): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    buildPostings(docs, nBuckets)
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
+    docs.select(size(split($"text", " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      .write.mode(SaveMode.Append).parquet(path + ".stats")
+  }
+
   /** Postings of exactly `terms`, reading ONLY their buckets: the
     * literal bucket IN-filter prunes unprobed directories at listing
     * time; the term IN-filter is pushed to the parquet scan inside
@@ -87,7 +106,9 @@ object InvertedIndex {
     import org.apache.spark.sql.expressions.Window
     val posts = lookupTerms(spark, path,
       queries.map(_._2).distinct, nBuckets)
-    val stats = broadcast(spark.read.parquet(path + ".stats"))
+    // stats rows accumulate one per append — merge at read time
+    val stats = broadcast(spark.read.parquet(path + ".stats")
+      .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl")))
     val dfreq = posts.groupBy($"term").agg(count(lit(1)).as("df"))
     val idf = log(($"n_docs".cast("double") - $"df".cast("double") +
       lit(0.5)) / ($"df".cast("double") + lit(0.5)) + lit(1.0))

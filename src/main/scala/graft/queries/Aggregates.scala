@@ -232,6 +232,25 @@ object Aggregates {
         max($"o_orderdate").as("max_date"))
     }),
 
+    // G13: exact join-size estimate — |orders ⋈ lineitem| on the key
+    // WITHOUT running the join: Σ_k cA(k)·cB(k) over the two key-count
+    // relations. The planner statistic behind broadcast/skew/AQE
+    // decisions, and the guard a pipeline runs before a join it
+    // suspects is quadratic (pairs with G12's spectrum). Two
+    // partial-aggregated counts + one join of count relations
+    // (distinct keys, not rows) + one scalar sum.
+    "join_size_estimate" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ca = Tables.orders(s, dir)
+        .groupBy($"o_orderkey".as("k")).agg(count(lit(1)).as("ca"))
+      val cb = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey".as("k")).agg(count(lit(1)).as("cb"))
+      ca.join(cb, "k")
+        .agg(sum($"ca" * $"cb").as("join_rows"),
+          count(lit(1)).as("matched_keys"),
+          max($"ca" * $"cb").as("max_key_contrib"))
+    }),
+
     // G12: join-key skew spectrum — the diagnosis query behind every
     // salting / broadcast / AQE-skew decision: for each multiplicity
     // m, how many l_orderkey values occur m times. Two partial-
@@ -264,6 +283,16 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_size_estimate" ->
+      """WITH ca AS (SELECT o_orderkey AS k, COUNT(*) AS ca
+        |            FROM orders GROUP BY 1),
+        |cb AS (SELECT l_orderkey AS k, COUNT(*) AS cb
+        |       FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(ca * cb) AS BIGINT) AS join_rows,
+        |  COUNT(*) AS matched_keys,
+        |  CAST(MAX(ca * cb) AS BIGINT) AS max_key_contrib
+        |FROM ca JOIN cb USING (k)""".stripMargin,
+
     "key_skew_spectrum" ->
       """SELECT mult, COUNT(*) AS n_keys FROM (
         |  SELECT l_orderkey, COUNT(*) AS mult

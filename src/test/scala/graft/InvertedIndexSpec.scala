@@ -79,6 +79,43 @@ class InvertedIndexSpec extends SparkSuite {
     assert(indexed == brute)
   }
 
+  test("streamed appendPostings maintains the index: search == full rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root2 = "/tmp/graft_inverted_index/maintained"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root2))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root2 + ".stats"))
+    // initial build over half the corpus...
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val dl = half.select(size(split($"text", " ")).cast("long").as("dl"))
+    InvertedIndex.writeTermLayout(
+      InvertedIndex.buildPostings(half, NB),
+      dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")), root2)
+    // ...the other half arrives as a stream, appended batch-wise
+    val rest = docs.filter($"doc_id" % 2 === 1)
+      .as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        InvertedIndex.appendPostings(b, root2, NB)
+      }.start()
+    try {
+      rest.grouped(rest.size / 2 + 1).foreach { batch =>
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val queries = Seq((0L, "hash"), (0L, "join"), (1L, "scan"))
+    val maintained = InvertedIndex.bm25(spark, root2, queries, NB, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    layoutWritten
+    val rebuilt = InvertedIndex.bm25(spark, root, queries, NB, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(maintained == rebuilt && maintained.nonEmpty)
+  }
+
   test("the bm25_indexed driver row writes its layout and matches brute") {
     val got = SparkEntry.queries("bm25_indexed")(spark, sf)
       .select("query_id", "rank", "doc_id", "score")
