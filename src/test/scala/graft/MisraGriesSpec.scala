@@ -106,6 +106,47 @@ class MisraGriesSpec extends SparkSuite {
       "fixture should yield heavy terms for multiple sources")
   }
 
+  test("misra_gries aggregates a STREAM: windowed summaries match batch") {
+    // the trending-terms shape: MG summaries per event-time window
+    // over an unbounded stream — TypedImperativeAggregate buffers
+    // must serialize through the state store and merge across
+    // micro-batches
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = (0 until 600).map { i =>
+      (new java.sql.Timestamp(60000L * (i / 200)),
+        if (i % 3 == 0) "hot" else s"w${i % 40}")
+    }
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = input.toDF().toDF("ts", "term")
+      .groupBy(window($"ts", "1 minute").as("w"))
+      .agg(GraftFunctions.misra_gries($"term", 16).as("s"))
+      .select($"w.start".as("start"), $"s.n".as("n"),
+        $"s.items.key".as("keys"))
+      .writeStream.format("memory").queryName("s_mg")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(150).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("s_mg")
+      .as[(java.sql.Timestamp, Long, Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3.toSet))).toMap
+    val batch = rows.toDF("ts", "term")
+      .groupBy(window($"ts", "1 minute").as("w"))
+      .agg(GraftFunctions.misra_gries($"term", 16).as("s"))
+      .select($"w.start".as("start"), $"s.n".as("n"),
+        $"s.items.key".as("keys"))
+      .as[(java.sql.Timestamp, Long, Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3.toSet))).toMap
+    assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+    // exact totals always agree; candidate sets both contain the
+    // guaranteed-frequent key (merge order may vary the margins)
+    streamed.foreach { case (w, (n, keys)) =>
+      assert(n == batch(w)._1, s"window $w total")
+      assert(keys.contains("hot") && batch(w)._2.contains("hot"))
+    }
+  }
+
   test("heavy_hitters plans: MG pass is object-hash; confirm is broadcast") {
     // stage 1 (runs at construction, checkpointed): one
     // ObjectHashAggregate of MG summaries — partial per partition,
