@@ -1945,6 +1945,29 @@ object Pipeline {
       fullCurationStages(s, dir).packed.orderBy($"bucket", $"seq_id")
     }),
 
+    // L28 report: the SAME ten-stage chain as a funnel — row counts
+    // at each major stage, the run report every curation owner reads
+    // ("where did my corpus go"). The oracle shares full_curation's
+    // CTE chain verbatim, so the funnel is a per-stage view of the
+    // replayed pipeline, never a second implementation. Each count is
+    // one scalar agg over an already-planned stage frame.
+    "curation_funnel" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val st = fullCurationStages(s, dir)
+      val input = Tables.documents(s, dir).select($"doc_id")
+        .unionAll(fullCurationProbes.toDF("doc_id", "text").select($"doc_id"))
+      def cnt(no: Long, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(no).as("stage_no"), lit(name).as("stage"), $"n_rows")
+      cnt(1L, "input", input)
+        .unionAll(cnt(2L, "after_exact_dedup", st.afterExact))
+        .unionAll(cnt(3L, "train_survivors", st.survivors))
+        .unionAll(cnt(4L, "quality_gated", st.gated))
+        .unionAll(cnt(5L, "budget_selected", st.selected))
+        .unionAll(cnt(6L, "packed_sequences", st.packed))
+        .orderBy($"stage_no")
+    }),
+
     // L3: SimHash Hamming-neighbor counts — the fingerprint
     // (bit i = majority vote of bit i over the doc's shingle hashes;
     // SimHash64 codegen kernel, bit-parity-pinned in SimHash64Spec)
@@ -3162,7 +3185,36 @@ object Pipeline {
     // cross-split contamination, line dedup, redaction, quality gate,
     // the greedy cumulative-sum budget, then the chunk + pack math
     "full_curation" ->
-      s"""WITH RECURSIVE d0 AS (
+      s"""WITH RECURSIVE $fullCurationSqlCtes
+         |SELECT bucket, CAST(bef // 64 AS BIGINT) AS seq_id,
+         |  COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  MIN({'doc_id': doc_id, 'chunk_id': chunk_id}).doc_id AS first_doc,
+         |  MIN({'doc_id': doc_id, 'chunk_id': chunk_id}).chunk_id AS first_chunk
+         |FROM st GROUP BY bucket, bef // 64
+         |ORDER BY bucket, seq_id""".stripMargin,
+
+    // the same ten-stage chain, reported as a funnel: row counts at
+    // each major stage — the run report every curation owner reads
+    "curation_funnel" ->
+      s"""WITH RECURSIVE $fullCurationSqlCtes,
+         |sq AS (SELECT DISTINCT bucket, bef // 64 AS seq_id FROM st)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_no, 'input' AS stage,
+         |    COUNT(*) AS n_rows FROM d0
+         |  UNION ALL SELECT 2, 'after_exact_dedup', COUNT(*) FROM ed
+         |  UNION ALL SELECT 3, 'train_survivors', COUNT(*) FROM surv
+         |  UNION ALL SELECT 4, 'quality_gated', COUNT(*) FROM g
+         |  UNION ALL SELECT 5, 'budget_selected', COUNT(*) FROM sel
+         |  UNION ALL SELECT 6, 'packed_sequences', COUNT(*) FROM sq)
+         |ORDER BY stage_no""".stripMargin,
+  ) ++ staticOracleTail
+
+  /** The full_curation oracle's CTE chain (everything up to and
+    * including `st`) — shared verbatim with `curation_funnel`, so the
+    * funnel counts are per-stage views of the SAME replayed pipeline,
+    * not a second implementation. Must follow `WITH RECURSIVE`. */
+  private def fullCurationSqlCtes: String =
+      s"""d0 AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL SELECT * FROM (VALUES ${sqlProbeValues(fullCurationProbes)}) pr(doc_id, text)),
          |ed AS (
@@ -3247,14 +3299,11 @@ object Pipeline {
          |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket
          |      ORDER BY doc_id, chunk_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
-         |  FROM bk)
-         |SELECT bucket, CAST(bef // 64 AS BIGINT) AS seq_id,
-         |  COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-         |  MIN({'doc_id': doc_id, 'chunk_id': chunk_id}).doc_id AS first_doc,
-         |  MIN({'doc_id': doc_id, 'chunk_id': chunk_id}).chunk_id AS first_chunk
-         |FROM st GROUP BY bucket, bef // 64
-         |ORDER BY bucket, seq_id""".stripMargin,
+         |  FROM bk)""".stripMargin
 
+  /** The oracle entries that syntactically follow the extracted
+    * full-curation CTE chain — concatenated into [[staticOracle]]. */
+  private lazy val staticOracleTail: Map[String, String] = Map(
     // positional (NON-distinct) 3-grams — unlike the dedup CTE
     "shingle_vocab" ->
       """WITH g AS (

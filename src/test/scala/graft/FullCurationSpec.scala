@@ -84,4 +84,20 @@ class FullCurationSpec extends SparkSuite {
         s"sequence exceeds the bounded-overflow contract: $r")
     }
   }
+
+  test("curation_funnel is monotone and lands on the stage frames") {
+    import spark.implicits._
+    val funnel = SparkEntry.queries("curation_funnel")(spark, sf)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(funnel.map(_._2).toSeq == Seq("input", "after_exact_dedup",
+      "train_survivors", "quality_gated", "budget_selected",
+      "packed_sequences"))
+    // doc-stage counts shrink monotonically (stages only remove rows)
+    val docStages = funnel.take(5).map(_._3)
+    docStages.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"funnel grew: $docStages")
+    }
+    assert(funnel(2)._3 == st.survivors.count())
+    assert(funnel.last._3 == st.packed.count())
+  }
 }
