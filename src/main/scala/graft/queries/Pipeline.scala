@@ -539,7 +539,18 @@ object Pipeline {
     * O(corpus²)-risk step (candidate pairs) stays the LSH band
     * shuffle, and eval/train labeling is a projection (md5 of the id),
     * not a join against a split table. */
+  /** Construction is expensive (the LSH checkpoint + the CC loop run
+    * jobs) and TWO queries consume the stages (`full_curation`,
+    * `curation_funnel`) — cache per dir so a Verify/Bench JVM builds
+    * the chain once. The frames themselves stay lazy. */
+  private val curationStagesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CurationStages]()
+
   private[graft] def fullCurationStages(
+      s: SparkSession, dir: String): CurationStages =
+    curationStagesCache.computeIfAbsent(dir, d => buildCurationStages(s, d))
+
+  private def buildCurationStages(
       s: SparkSession, dir: String): CurationStages = {
     import s.implicits._
     import graft.operators.{BudgetSelect, Chunking, ConnectedComponents,

@@ -106,6 +106,15 @@ class MisraGriesSpec extends SparkSuite {
       "fixture should yield heavy terms for multiple sources")
   }
 
+  test("source_heavy_terms plan: grouped MG is object-hash; recount broadcast") {
+    val p = SparkEntry.queries("source_heavy_terms")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("misra_gries") && p.contains("ObjectHashAggregate"),
+      "grouped MG pass must plan object-hash")
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate recount shuffled through a sort-merge join:\n${p.take(1200)}")
+  }
+
   test("misra_gries aggregates a STREAM: windowed summaries match batch") {
     // the trending-terms shape: MG summaries per event-time window
     // over an unbounded stream — TypedImperativeAggregate buffers
