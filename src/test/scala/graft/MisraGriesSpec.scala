@@ -107,12 +107,21 @@ class MisraGriesSpec extends SparkSuite {
   }
 
   test("source_heavy_terms plan: grouped MG is object-hash; recount broadcast") {
-    val p = SparkEntry.queries("source_heavy_terms")(spark, sf)
+    // stage 1 (checkpointed at construction, so pinned standalone):
+    // one grouped ObjectHashAggregate of MG summaries
+    val p1 = Tables.documents(spark, sf)
+      .select($"source", explode(split($"text", " ")).as("term"))
+      .filter(length($"term") > 0)
+      .groupBy($"source")
+      .agg(GraftFunctions.misra_gries($"term", 256).as("s"))
       .queryExecution.executedPlan.toString
-    assert(p.contains("misra_gries") && p.contains("ObjectHashAggregate"),
+    assert(p1.contains("misra_gries") && p1.contains("ObjectHashAggregate"),
       "grouped MG pass must plan object-hash")
-    assert(!p.contains("SortMergeJoin"),
-      s"candidate recount shuffled through a sort-merge join:\n${p.take(1200)}")
+    // stage 2: the recount joins only via broadcast — no sort-merge
+    val p2 = SparkEntry.queries("source_heavy_terms")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("SortMergeJoin"),
+      s"candidate recount shuffled through a sort-merge join:\n${p2.take(1200)}")
   }
 
   test("misra_gries aggregates a STREAM: windowed summaries match batch") {
