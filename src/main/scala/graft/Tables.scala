@@ -23,16 +23,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
-  /** `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects; read it as nano-precision Long and
-    * convert to a (µs) timestamp with exact integer arithmetic. The
-    * driver data is µs-aligned (verified: `epoch_ns(ts) % 1000 = 0`
-    * for all rows), so the conversion is lossless. */
+  /** `events.ts` has shipped as two physical types across fixture
+    * generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects, so it is read as nano-precision Long (legacy conf) and
+    * converted with exact integer arithmetic (driver data is
+    * µs-aligned: `epoch_ns(ts) % 1000 = 0` on all rows, lossless) —
+    * and plain TIMESTAMP(MICROS) without UTC adjustment, which Spark
+    * reads as TIMESTAMP_NTZ and we cast to the session-zone timestamp
+    * (session tz is pinned UTC, so the instant is identical to the
+    * nanos path). Dispatch on the embedded schema, not the fixture
+    * generation. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

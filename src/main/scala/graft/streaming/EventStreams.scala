@@ -18,21 +18,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** S9: file-based streaming source over the events layout. The
-    * physical files carry TIMESTAMP(NANOS) which Spark's reader
-    * rejects; like Tables.events we read nanos as Long and convert
-    * losslessly (the fixture is µs-aligned). */
+  /** S9: file-based streaming source over the events layout. A stream
+    * source needs a declared schema, and the events fixture has shipped
+    * `ts` as two physical types across generations (TIMESTAMP(NANOS) —
+    * unreadable by the vectorized reader, so read as nano Long and
+    * converted with exact integer arithmetic; and unadjusted
+    * TIMESTAMP(MICROS) = TIMESTAMP_NTZ). Probe the footer ONCE with a
+    * batch read of the already-present files (a file stream is defined
+    * over an existing layout) and declare the matching schema; both
+    * paths normalize to a session-zone (UTC) timestamp identical to
+    * Tables.events. */
   def fileSource(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val physical = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(physical).parquet(path)
+    physical("ts").dataType match {
+      case LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => stream
+    }
   }
 
   /** T1 + T4: watermarked tumbling 1-hour counts per event type. */

@@ -216,11 +216,16 @@ class EventStreamsSpec extends SparkSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     new java.io.File(srcDir).mkdirs()
     // Two halves of events, delivered across a stop/restart boundary.
-    // Split the RAW file (ts still nanos-long) so the halves match the
-    // file source's declared schema.
+    // Split the RAW file (whatever physical ts type this fixture
+    // generation carries) so the halves match the schema fileSource
+    // probes from the footer.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    val mid = raw.agg(percentile_approx($"ts", lit(0.5), lit(100000))
+    val rawTs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => $"ts"
+      case _ => unix_micros($"ts".cast("timestamp"))
+    }
+    val mid = raw.agg(percentile_approx(rawTs, lit(0.5), lit(100000))
       .cast("long")).collect().head.getLong(0)
     val all = Tables.events(spark, sf)
     // the file source lists plain files (no subdir recursion) — land
@@ -233,7 +238,7 @@ class EventStreamsSpec extends SparkSuite {
       java.nio.file.Files.copy(part.toPath,
         java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
     }
-    deliver(raw.filter($"ts" <= mid), "batch1")
+    deliver(raw.filter(rawTs <= mid), "batch1")
     def run(): Unit = {
       val src = EventStreams.fileSource(spark, srcDir)
       val q = EventStreams.tumblingCounts(src)
@@ -245,7 +250,7 @@ class EventStreamsSpec extends SparkSuite {
       q.awaitTermination(120000)
     }
     run() // first run processes batch1, then stops
-    deliver(raw.filter($"ts" > mid), "batch2")
+    deliver(raw.filter(rawTs > mid), "batch2")
     run() // restart from the checkpoint picks up ONLY batch2
     // Exactly-once across the restart: the union of emissions equals
     // the single-run batch twin (same watermark finalization rule),
