@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.EventTime.queries ++
       graft.queries.Mutations.queries ++
       graft.queries.Layout.queries ++
+      graft.queries.Graph.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.Pipeline.noOracleQueries
 
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.queries.Scalars.oracle ++
       graft.queries.EventTime.oracle ++
       graft.queries.Mutations.oracle ++
-      graft.queries.Layout.oracle
+      graft.queries.Layout.oracle ++
+      graft.queries.Graph.oracle
 }

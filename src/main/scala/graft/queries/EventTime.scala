@@ -300,9 +300,76 @@ object EventTime {
           last($"day_value", ignoreNulls = true).over(w).as("ffill_value"))
         .orderBy($"user_id", $"day")
     }),
+
+    // T18/J11: interval-overlap join via bin replication
+    // ([[graft.operators.IntervalJoin]]) — for each even-user session,
+    // how many odd-user sessions were concurrently active ("concurrent
+    // load" analytics). Sessions are the 30-min-gap islands derived
+    // with one per-user window; the overlap join replicates each
+    // session to the 1-hour epoch bins it covers and meets on the bin
+    // key — a plain AQE-splittable equi-join instead of the NLJ the
+    // raw overlap predicate would plan, with exactly-once pair
+    // emission via the first-shared-bin rule (no distinct). The
+    // oracle replays the raw quadratic predicate — feasible only at
+    // test scale, which is the point of the binning.
+    "interval_overlap" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 1800L * 1000000L
+      val ev = Tables.events(s, dir)
+        .select($"user_id", unix_micros($"ts").as("t"))
+      val wOrd = Window.partitionBy($"user_id").orderBy($"t")
+      val sess = ev
+        .withColumn("brk",
+          when(lag($"t", 1).over(wOrd).isNull ||
+            $"t" - lag($"t", 1).over(wOrd) > gapUs, 1L).otherwise(0L))
+        .withColumn("sid", sum($"brk").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sid")
+        .agg(min($"t").as("s"), max($"t").as("e"))
+      val lhs = sess.filter($"user_id" % 2 === 0)
+        .select($"user_id".as("l_user"), $"s".as("l_s"), $"e".as("l_e"))
+      val rhs = sess.filter($"user_id" % 2 === 1)
+        .select($"s".as("r_s"), $"e".as("r_e"))
+      graft.operators.IntervalJoin
+        .overlapCounts(lhs, Seq("l_user", "l_s"), "l_s", "l_e",
+          rhs, "r_s", "r_e", width = 3600L * 1000000L)
+        .select($"l_user".as("user_id"), $"l_s".as("sess_start_us"),
+          $"n_overlaps")
+        .orderBy($"user_id", $"sess_start_us")
+    }),
   )
 
+  /** Gaps-and-islands session intervals shared by the interval_overlap
+    * oracle: (user_id, s, e) in epoch µs, 30-min gap rule identical to
+    * the engine's window derivation. */
+  private val sessionIvCte =
+    """ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |d AS (
+      |  SELECT user_id, t,
+      |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |      OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+      |        > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM ev),
+      |si AS (
+      |  SELECT user_id, t,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d),
+      |iv AS (
+      |  SELECT user_id, sid, MIN(t) AS s, MAX(t) AS e
+      |  FROM si GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "interval_overlap" ->
+      s"""WITH $sessionIvCte
+         |SELECT a.user_id, a.s AS sess_start_us,
+         |  CAST(COUNT(*) AS BIGINT) AS n_overlaps
+         |FROM iv a JOIN iv b
+         |  ON a.user_id % 2 = 0 AND b.user_id % 2 = 1
+         |  AND ${graft.operators.IntervalJoin.overlapSql("a.s", "a.e", "b.s", "b.e")}
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "tumbling_window" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
          |  CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,

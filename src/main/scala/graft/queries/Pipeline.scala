@@ -650,6 +650,34 @@ object Pipeline {
         MinHashJaccardTau)
     }),
 
+    // L49: cross-source near-dup overlap matrix — the corpus audit
+    // behind mixture decisions ("how much of source A is near-copied
+    // in source B?"). Rides the SAME LSH pass as minhash_neardup
+    // (the pair set is the only heavy stage; the matrix is two
+    // broadcast-able id joins + one tiny agg keyed by a bounded
+    // source×source domain). The jaccard mass column sums the
+    // q6-quantized scores as exact integer micro-units, so the matrix
+    // is engine-exact.
+    "source_overlap" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pairs = minhashNearDupPairs(
+        Tables.documents(s, dir).select($"doc_id", $"text"),
+        MinHashJaccardTau)
+      val src = Tables.documents(s, dir).select($"doc_id", $"source")
+      pairs
+        .join(src.select($"doc_id".as("doc_a"), $"source".as("src_a")),
+          "doc_a")
+        .join(src.select($"doc_id".as("doc_b"), $"source".as("src_b")),
+          "doc_b")
+        .select(least($"src_a", $"src_b").as("source_1"),
+          greatest($"src_a", $"src_b").as("source_2"), $"jaccard")
+        .groupBy($"source_1", $"source_2")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(floor($"jaccard" * lit(1000000.0) + lit(0.5)))
+            .cast("long").as("jacc_micro_sum"))
+        .orderBy($"source_1", $"source_2")
+    }),
+
     // L2 closure: near-dup PAIRS -> duplicate CLUSTERS. Pairs alone
     // under-delete (A~B, B~C, A!~C leaves B and C both kept whichever
     // pair member you drop); the transitive closure is what the dedup
@@ -2602,6 +2630,26 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same all-pairs Jaccard CTE as minhash_neardup, aggregated into
+    // the source×source matrix; the mass column replays the integer
+    // micro-unit sum exactly
+    "source_overlap" ->
+      s"""WITH $shingleSqlCte,
+         |p AS (
+         |  SELECT doc_a, doc_b, jaccard FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      ${sqlQ6("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s)))")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+         |  WHERE jaccard >= 0.5)
+         |SELECT LEAST(da.source, db.source) AS source_1,
+         |  GREATEST(da.source, db.source) AS source_2,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CAST(FLOOR(jaccard * 1000000.0 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS jacc_micro_sum
+         |FROM p JOIN documents da ON p.doc_a = da.doc_id
+         |       JOIN documents db ON p.doc_b = db.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // union-by-name semantics replayed from the base table — the
     // engine side must NULL-fill exactly these columns

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.PageRank
+import org.apache.spark.sql.functions._
+
+/** Pins [[graft.operators.PageRank]] to an in-memory integer
+  * reimplementation of the same recursion (identical DIV/sum
+  * arithmetic), plus the structural invariants: dangling leak bound,
+  * determinism, edge hygiene, and plan shape (no cartesian). */
+class PageRankSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** The identical integer recursion, sequentially. */
+  private def reference(edges: Seq[(Long, Long)], iterations: Int,
+      scale: Long = 1000000L, num: Long = 85L,
+      den: Long = 100L): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val base = ((den - num) * scale) / den
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iterations) {
+      val in = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(p => r(p._1) / outdeg(p._1)).sum
+      }
+      r = nodes.map(n => n -> (base + (num * in.getOrElse(n, 0L)) / den)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iterations: Int): Map[Long, Long] =
+    PageRank.ranks(edges.toDF("s", "d"), "s", "d", iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("hand graph: equals the sequential integer recursion exactly") {
+    // 1 -> 2,3; 2 -> 3; 3 -> 1; 4 -> 3 (4 is a source; 3 is central)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+    for (k <- Seq(1, 3, 5)) {
+      assert(run(edges, k) == reference(edges, k), s"iterations=$k")
+    }
+  }
+
+  test("random graph: equals the sequential recursion, every node present") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val got = run(edges, 4)
+    val want = reference(edges, 4)
+    assert(got == want)
+    val nodes = edges.filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(got.keySet == nodes)
+  }
+
+  test("dangling nodes leak mass; total never exceeds n*scale") {
+    // 1 -> 2, 2 has no out-edges: 2's damped mass leaks each round
+    val edges = Seq((1L, 2L))
+    val r = run(edges, 3)
+    val total = r.values.sum
+    assert(total <= 2L * 1000000L)
+    assert(r(2L) > r(1L)) // 2 receives, 1 only holds the base
+    assert(run(edges, 3) == reference(edges, 3))
+  }
+
+  test("duplicate edges and self-loops do not change the result") {
+    val clean = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val noisy = clean ++ clean ++ Seq((1L, 1L), (2L, 2L))
+    assert(run(clean, 3) == run(noisy, 3))
+  }
+
+  test("star hub outranks leaves and the recursion is deterministic") {
+    val edges = (2L to 30L).flatMap(i => Seq((i, 1L), (1L, i)))
+    val a = run(edges, 3)
+    val b = run(edges, 3)
+    assert(a == b)
+    assert(a(1L) > a(2L) * 5, "hub must dominate leaf rank")
+  }
+
+  test("plan: no cartesian product, no nested loop join") {
+    val df = PageRank.ranks(
+      Seq((1L, 2L), (2L, 3L)).toDF("s", "d"), "s", "d", 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("bad parameters fail fast") {
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    intercept[IllegalArgumentException](PageRank.ranks(e, "s", "d", 0))
+    intercept[IllegalArgumentException](PageRank.ranks(e, "s", "d", 1, scale = 0L))
+    intercept[IllegalArgumentException](
+      PageRank.ranks(e, "s", "d", 1, dampNum = 101L, dampDen = 100L))
+  }
+}
