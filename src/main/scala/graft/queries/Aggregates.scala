@@ -211,6 +211,46 @@ object Aggregates {
         .orderBy($"bin")
     }),
 
+    // G14: equi-depth histogram — the NDV-aware companion of the
+    // equal-width G10: per group, 8 buckets holding ~n/8 rows each.
+    // Two-pass shape that survives scale: pass 1 derives the 7
+    // interior cut points as DISCRETE order statistics (value at rank
+    // ceil(j/8·n) — the L47 ceil-index recipe, value-at-rank is
+    // deterministic under ties because the sorted price multiset is;
+    // the rank window runs per bounded stratum at test scale and is
+    // the one piece a 100 TB run swaps for approx_percentile — the
+    // binning pass below stays EXACT whatever produced the cuts).
+    // Pass 2 is map-side only: one broadcast join of the 3-row cut
+    // table, bucket = 1 + Σ (price > c_j) in pure integer arithmetic,
+    // then a map-combinable count — the fact table is never globally
+    // sorted.
+    "agg_histogram_eqdepth" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .select($"l_returnflag".as("flag"), $"l_extendedprice".as("price"))
+      val ranked = li
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"flag").orderBy($"price")))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy($"flag")))
+      val cutCols = (1 to 7).map { j =>
+        max(when($"rn" === greatest(lit(1L),
+          ceil(lit(j / 8.0) * $"n").cast("long")), $"price")).as(s"c$j")
+      }
+      val cuts = broadcast(
+        ranked.groupBy($"flag").agg(cutCols.head, cutCols.tail: _*))
+      val bucket = (1 to 7)
+        .map(j => ($"price" > col(s"c$j")).cast("int"))
+        .reduce(_ + _) + lit(1)
+      li.join(cuts, "flag")
+        .select($"flag", bucket.as("bucket"), $"price")
+        .groupBy($"flag", $"bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"price").as("min_price"), max($"price").as("max_price"))
+        .orderBy($"flag", $"bucket")
+    }),
+
     // G11: one-pass table profile — the ANALYZE-style data-quality
     // snapshot (row count, per-column non-null counts, exact distinct
     // cardinalities, numeric/date ranges) a pipeline runs before
@@ -322,6 +362,35 @@ object Aggregates {
         |  COUNT(*) AS n_orders
         |FROM orders CROSS JOIN b
         |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // same discrete ceil-index cut points (the L47 recipe) and the
+    // same integer bucket arithmetic 1 + Σ (price > c_j)
+    "agg_histogram_eqdepth" -> {
+      val cutSelects = (1 to 7).map { j =>
+        s"""    MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(${j / 8.0} * n)
+           |      AS BIGINT)) THEN price END) AS c$j""".stripMargin
+      }.mkString(",\n")
+      val bucketExpr = (1 to 7)
+        .map(j => s"CAST(price > c$j AS INT)").mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT l_returnflag AS flag, l_extendedprice AS price
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT flag, price,
+         |    CAST(row_number() OVER (PARTITION BY flag ORDER BY price)
+         |      AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY flag) AS BIGINT) AS n
+         |  FROM d),
+         |cw AS (
+         |  SELECT flag,
+         |$cutSelects
+         |  FROM r GROUP BY flag)
+         |SELECT d.flag, 1 + $bucketExpr AS bucket,
+         |  COUNT(*) AS n_rows, MIN(price) AS min_price,
+         |  MAX(price) AS max_price
+         |FROM d JOIN cw ON d.flag = cw.flag
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "agg_stats" ->
       s"""SELECT l_returnflag, n_rows, min_qty, max_qty,

@@ -53,4 +53,30 @@ class AggregatesSpec extends SparkSuite {
     val leaf = rows.filter(_.getLong(2) == 0).map(_.getLong(3)).sum
     assert(total == leaf, "grand total must equal sum of leaves")
   }
+
+  test("agg_histogram_eqdepth: ~n/8 per bucket, ranges ordered, broadcast binning") {
+    val df = Aggregates.queries("agg_histogram_eqdepth")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cut-point binning must be a broadcast join, got:\n$plan")
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (flag, bs) =>
+      assert(bs.map(_._2).sorted.toSeq == (1 to 8), s"flag=$flag buckets")
+      val n = bs.map(_._3).sum
+      // equi-depth up to ties: every bucket within 20% of n/8
+      bs.foreach { case (_, b, cnt, mn, mx) =>
+        assert(mn <= mx)
+        assert(math.abs(cnt - n / 8.0) <= 0.2 * n / 8.0 + 1,
+          s"flag=$flag bucket=$b count=$cnt n=$n not equi-depth")
+      }
+      // bucket value ranges are disjoint and ordered
+      val sorted = bs.sortBy(_._2)
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(pair(0)._5 <= pair(1)._4, s"flag=$flag overlap")
+      }
+    }
+  }
 }
