@@ -65,6 +65,37 @@ object Mutations {
         .orderBy($"user_id", $"valid_from")
     }),
 
+    // M4: point-in-time (PIT) join — the READ side of SCD2: enrich
+    // facts with the dimension state that was valid AT each fact's
+    // timestamp. Composition of two proven pieces: Merge.scd2 builds
+    // the validity history (one per-key window over the small change
+    // set), and the J9 as-of machinery picks the latest state with
+    // valid_from <= fact ts (inclusive at the change instant — the
+    // standard SCD2 read contract; the valid_to bound is implied
+    // because valid_to = the next valid_from). Facts before a user's
+    // first state row surface as NULL state (left as-of). Scale
+    // shape: the as-of planner broadcasts the bounded history or
+    // merges co-clustered, per its stats; the fact table never moves
+    // through anything but its own as-of shuffle.
+    "scd2_pit" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).filter($"user_id" % 5 === 0)
+      val ch = ev.filter($"event_type".isin("signup", "purchase"))
+        .groupBy($"user_id", $"ts").agg(min($"event_type").as("state"))
+      val hist = Merge.scd2(ch, Seq("user_id"), "ts")
+        .select($"user_id".as("h_user"), $"valid_from",
+          $"state".as("h_state"))
+      val probe = ev.filter(!$"event_type".isin("signup", "purchase"))
+        .select($"event_id", $"user_id", $"ts")
+      graft.operators.AsOfJoin.asofNative(probe, hist,
+          probe("user_id"), hist("h_user"),
+          probe("ts"), hist("valid_from"),
+          Seq("h_state", "valid_from"))
+        .select($"event_id", $"user_id", $"ts",
+          $"h_state".as("state_at_event"), $"valid_from".as("state_since"))
+        .orderBy($"event_id")
+    }),
+
     // M3: snapshot diff — the audit tool next to MERGE: what changed
     // between snapshot A and snapshot B (added / removed / changed
     // keys, old vs new values). B is the merge_upsert result, so the
@@ -126,6 +157,27 @@ object Mutations {
     "merge_upsert" ->
       s"""WITH $mergedCtes
          |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
+
+    // DuckDB's ASOF JOIN is exactly the PIT floor semantics (latest
+    // change row with ts <= fact ts, inclusive); state_since = that
+    // change's ts = the engine's valid_from
+    "scd2_pit" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type
+        |  FROM events WHERE user_id % 5 = 0),
+        |ch AS (
+        |  SELECT user_id, ts, MIN(event_type) AS state
+        |  FROM ev WHERE event_type IN ('signup', 'purchase')
+        |  GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT event_id, user_id, ts FROM ev
+        |  WHERE event_type NOT IN ('signup', 'purchase'))
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  c.state AS state_at_event, c.ts AS state_since
+        |FROM probe p ASOF LEFT JOIN ch c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "scd2_history" ->
       """WITH ch AS (

@@ -1080,6 +1080,33 @@ object Pipeline {
         .limit(100)
     }),
 
+    // L50: per-source unigram entropy — the diversity/quality scalar a
+    // mixture pipeline tracks per source (template farms and spam
+    // collapse entropy; natural prose sits near the language's
+    // ceiling). H = Σ (c/n)·ln(n/c) over the source's term
+    // distribution, each term quantized to integer micro-nats BEFORE
+    // the order-free sum (the dsum recipe at 1e-6), so the scalar is
+    // engine-exact. Shape: one map-combinable (source, term) count,
+    // one tiny per-source total, one broadcast-able join back — the
+    // same cost class as ngram_counts.
+    "source_entropy" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val counts = Tables.documents(s, dir)
+        .select($"source", explode(split($"text", " ")).as("w"))
+        .groupBy($"source", $"w").agg(count(lit(1)).as("cnt"))
+      val tot = counts.groupBy($"source")
+        .agg(sum($"cnt").as("n"), count(lit(1)).as("types"))
+      counts.join(tot, "source")
+        .select($"source", $"n", $"types",
+          floor(($"cnt".cast("double") / $"n") *
+            log($"n".cast("double") / $"cnt") * lit(1000000.0) + lit(0.5))
+            .cast("long").as("t"))
+        .groupBy($"source")
+        .agg(max($"n").as("n_tokens"), max($"types").as("n_types"),
+          (sum($"t").cast("double") / lit(1000000.0)).as("entropy_nats"))
+        .orderBy($"source")
+    }),
+
     // L9 (faceted text analysis): top TF-IDF terms per source — "what
     // is each source about", the profiling sibling of bm25_search.
     // Shape: one map-side-combinable (source, term) count, one
@@ -2630,6 +2657,25 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // identical IEEE term expression (c/n)·ln(n/c), identical 1e-6
+    // quantization, order-free integer sum
+    "source_entropy" ->
+      """WITH c AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |n AS (
+        |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS types
+        |  FROM c GROUP BY 1)
+        |SELECT c.source, MAX(n.n) AS n_tokens, MAX(n.types) AS n_types,
+        |  CAST(SUM(CAST(FLOOR((CAST(cnt AS DOUBLE) / n) *
+        |    ln(CAST(n AS DOUBLE) / cnt) * 1000000.0 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 1000000.0 AS entropy_nats
+        |FROM c JOIN n ON c.source = n.source
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same all-pairs Jaccard CTE as minhash_neardup, aggregated into
     // the source×source matrix; the mass column replays the integer

@@ -118,4 +118,32 @@ class MergeSpec extends SparkSuite {
       if (k % 11 == 2) assert(merged(-k) == orders(k), s"key $k not inserted")
     }
   }
+
+  test("scd2_pit: facts get the state valid AT their timestamp") {
+    // The query's semantics on a hand-checkable slice: every enriched
+    // fact must carry the latest state change at-or-before its ts,
+    // NULL before the first change — the driver-side floor scan is
+    // the ground truth.
+    val df = SparkEntry.queries("scd2_pit")(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getTimestamp(2), Option(r.getString(3)),
+      Option(r.getTimestamp(4)))).toSeq
+    assert(got.nonEmpty)
+    val changes = Tables.events(spark, sf)
+      .filter($"user_id" % 5 === 0 &&
+        $"event_type".isin("signup", "purchase"))
+      .groupBy($"user_id", $"ts").agg(min($"event_type").as("state"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2.getTime).toSeq }
+    val withState = got.count(_._4.isDefined)
+    assert(withState > 0, "no fact found any state")
+    assert(got.exists(_._4.isEmpty), "fixture should have pre-state facts")
+    got.foreach { case (eid, uid, ts, state, since) =>
+      val floor = changes
+        .getOrElse(uid, Seq.empty[(Long, java.sql.Timestamp, String)])
+        .filter(_._2.getTime <= ts.getTime).lastOption
+      assert(state == floor.map(_._3), s"event $eid state mismatch")
+      assert(since == floor.map(_._2), s"event $eid since mismatch")
+    }
+  }
 }

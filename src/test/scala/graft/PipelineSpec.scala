@@ -516,4 +516,29 @@ class PipelineSpec extends SparkSuite {
     val (en3, es3, de3, predDe) = rows("de")
     assert(predDe == "de" && de3 > 0 && de3 > es3 && de3 > en3)
   }
+
+  test("source_entropy: bounded by ln(types) and equals the direct sum") {
+    val rows = Pipeline.queries("source_entropy")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, types, h) =>
+      assert(h >= 0.0, s"$src negative entropy")
+      assert(h <= math.log(types.toDouble) + 1e-6,
+        s"$src entropy $h above ln($types)")
+      assert(n >= types)
+    }
+    // exact micro-nat recomputation for one source from the raw text
+    val (src0, n0, _, h0) = rows.minBy(_._1)
+    val counts = Tables.documents(spark, sf)
+      .filter($"source" === src0)
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").count().collect().map(_.getLong(1))
+    val n = counts.sum
+    assert(n == n0)
+    val micro = counts.map { c =>
+      math.floor((c.toDouble / n) * math.log(n.toDouble / c) * 1e6 + 0.5).toLong
+    }.sum
+    assert(h0 == micro.toDouble / 1e6, s"$src0 entropy mismatch")
+  }
 }
