@@ -78,13 +78,25 @@ object PageRank extends Logging {
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+    // Checkpointed PRE-PARTITIONED on src: `checkpoint` preserves the
+    // child plan's output partitioning, so every round's edges⋈ranks
+    // join finds the big side already clustered on the join key and
+    // shuffles only the O(nodes) rank relation — the per-round data
+    // movement is ranks out (hash by src) and contributions back
+    // (hash by dst), never the edge set.
     val e = e0
       .join(e0.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src"))
       .localCheckpoint()
 
+    // Also materialized once: every round's left join re-reads the
+    // node set, and without the checkpoint each reference would
+    // recompute the O(edges) union+distinct (measured ~40% of the
+    // query at sf0.1). O(nodes) storage — tiny next to the edges.
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
+      .localCheckpoint()
 
     val base = ((dampDen - dampNum) * scale) / dampDen // Scala long div
     var r = nodes.select(col("node"), lit(scale).as("rank"))

@@ -1107,6 +1107,36 @@ object Pipeline {
         .orderBy($"source")
     }),
 
+    // L51: per-source distribution drift — KL(source ‖ corpus) over
+    // unigram distributions, the pairwise companion of L50: "how far
+    // has this source drifted from the corpus mixture" (crawler
+    // drift alarms, mixture reweighting). D = Σ_w p_s(w)·ln(p_s(w)/
+    // p_c(w)) — finite by construction since every source term is in
+    // the corpus. Same micro-nat integer-quantization recipe as
+    // entropy (engine-exact); shape: the (source, term) count feeds
+    // BOTH distributions (corpus counts are one more map-combinable
+    // agg over it), joined back on the term key (vocab-keyed equi
+    // join, NOT broadcast — vocabulary outgrows broadcast at corpus
+    // scale, the tfidf_terms contract).
+    "source_kl" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val counts = Tables.documents(s, dir)
+        .select($"source", explode(split($"text", " ")).as("w"))
+        .groupBy($"source", $"w").agg(count(lit(1)).as("cs"))
+      val corpus = counts.groupBy($"w").agg(sum($"cs").as("cc"))
+      val tot = broadcast(counts.agg(sum($"cs").as("ntot")))
+      val perSrc = counts.groupBy($"source").agg(sum($"cs").as("ns"))
+      counts.join(corpus, "w").join(perSrc, "source").crossJoin(tot)
+        .select($"source",
+          floor(($"cs".cast("double") / $"ns") *
+            log(($"cs".cast("double") / $"ns") /
+              ($"cc".cast("double") / $"ntot")) *
+            lit(1000000.0) + lit(0.5)).cast("long").as("t"))
+        .groupBy($"source")
+        .agg((sum($"t").cast("double") / lit(1000000.0)).as("kl_nats"))
+        .orderBy($"source")
+    }),
+
     // L9 (faceted text analysis): top TF-IDF terms per source — "what
     // is each source about", the profiling sibling of bm25_search.
     // Shape: one map-side-combinable (source, term) count, one
@@ -2657,6 +2687,26 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // identical IEEE term expression (cs/ns)·ln((cs/ns)/(cc/ntot)),
+    // identical micro-nat quantization, order-free integer sum
+    "source_kl" ->
+      """WITH c AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cs
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |corp AS (SELECT w, CAST(SUM(cs) AS BIGINT) AS cc FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS ntot FROM c),
+        |ns AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM c GROUP BY 1)
+        |SELECT c.source,
+        |  CAST(SUM(CAST(FLOOR((CAST(cs AS DOUBLE) / ns) *
+        |    ln((CAST(cs AS DOUBLE) / ns) / (CAST(cc AS DOUBLE) / ntot)) *
+        |    1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS kl_nats
+        |FROM c JOIN corp ON c.w = corp.w
+        |       JOIN ns ON c.source = ns.source
+        |       CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical IEEE term expression (c/n)·ln(n/c), identical 1e-6
     // quantization, order-free integer sum

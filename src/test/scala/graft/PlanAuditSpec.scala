@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSuite {
   private val nestedLoopOk =
     Set("join_theta", "join_cross", "cosine_knn", "source_minhash_sim",
       "unigram_logprob", "bm25_search", "bm25_indexed", "tfidf_terms",
-      "agg_histogram", "heavy_hitters", "exact_ntile", "decayed_activity")
+      "agg_histogram", "heavy_hitters", "exact_ntile", "decayed_activity",
+      "source_kl") // one-row corpus-total broadcast (scalar-subquery shape)
 
   test("no unintended cartesian products") {
     plans.foreach { case (name, p) =>
