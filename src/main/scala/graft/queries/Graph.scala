@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.PageRank
+import graft.operators.{PageRank, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,30 @@ object Graph {
         .limit(40)
         .select($"node".as("partkey"), $"rank")
     }),
+
+    // L52: triangle enumeration over the SUPPORTED co-purchase graph
+    // (pairs bought together in >= 2 orders — the support threshold is
+    // what separates signal edges from one-off basket noise, and it is
+    // a plain HAVING on the map-combinable pair count). Triangles =
+    // "cliques of 3 frequently-co-bought parts", the cohesion motif
+    // behind bundle/community detection. The operator orients edges by
+    // (degree, id) rank so every triangle is found exactly once at its
+    // lowest-rank vertex and a hub's wedge fan-out is bounded by its
+    // OUT-degree (Suri-Vassilvitskii) — the oracle replays the naive
+    // id-ordered 3-way join, feasible only because the thresholded
+    // test graph is small (which is the point of the orientation).
+    "copurchase_triangles" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+      val supported = li.as("a")
+        .join(li.as("b"), Seq("l_orderkey"))
+        .filter($"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter($"w" >= 2)
+      Triangles.triangles(supported, "u", "v")
+        .orderBy($"n1", $"n2", $"n3")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -55,5 +79,19 @@ object Graph {
       s"""WITH pr AS (${PageRank.ranksSql(EdgesSql, PrIterations)})
          |SELECT node AS partkey, rank FROM pr
          |ORDER BY rank DESC, node LIMIT 40""".stripMargin,
+
+    // naive id-ordered 3-way join over the same supported edge list —
+    // u < v < w triples enumerate each triangle exactly once
+    "copurchase_triangles" ->
+      """WITH p AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT u, v FROM p WHERE w >= 2)
+        |SELECT a.u AS n1, a.v AS n2, b.v AS n3
+        |FROM e a JOIN e b ON a.v = b.u
+        |         JOIN e c ON c.u = a.u AND c.v = b.v
+        |ORDER BY 1, 2, 3""".stripMargin,
   )
 }
