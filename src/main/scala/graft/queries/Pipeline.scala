@@ -1457,6 +1457,40 @@ object Pipeline {
         .orderBy($"probe_id", $"rn")
     }),
 
+    // L53: product-quantization ANN (ADC scoring) — the compression
+    // layer of a production vector index: 4 per-subspace 16-centroid
+    // codebooks (learned with the same deterministic Lloyd recipe as
+    // ivf_ann_learned, cached per dir) encode each 64-dim vector as 4
+    // small codes; a probe precomputes its 4×16 dot table and every
+    // corpus vector scores as 4 table lookups summed in codebook
+    // order — the raw corpus vectors are never read at scoring time
+    // (at scale the codes column is what ships: ~64× less wire than
+    // the floats, and it composes with the IVF cell layout for
+    // IVF-PQ). The scored scan is the cosine_knn brute-force shape at
+    // test scale (broadcast probes; at 100 TB the IVF prune runs
+    // first); the oracle interpolates the learned codebooks and
+    // replays encode + ADC exactly.
+    "pq_ann" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.PqIndex
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val books = pqBooks(s, dir)
+      val corpus = PqIndex.encode(emb, books).drop("v")
+      val probes = PqIndex.probeTables(
+        emb.filter($"vec_id" < 20).select($"vec_id".as("probe_id"), $"v"),
+        "v", books).drop("v")
+      val wTop = Window.partitionBy($"probe_id")
+        .orderBy($"adc".desc, $"vec_id")
+      corpus.crossJoin(broadcast(probes))
+        .filter($"vec_id" =!= $"probe_id")
+        .select($"probe_id", $"vec_id", q6(PqIndex.adcDot(PqM)).as("adc"))
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter($"rn" <= 5)
+        .select($"probe_id", $"rn", $"vec_id".as("neighbor_id"), $"adc")
+        .orderBy($"probe_id", $"rn")
+    }),
+
     // L1-adjacent: deterministic hash-based train/valid/test split
     // (operators.Sampling) — md5-keyed thresholds, so the selection is
     // retry-stable, partitioning-invariant, shuffle-free, and exactly
@@ -2272,6 +2306,31 @@ object Pipeline {
     c
   }
 
+  /** PQ shape shared by `pq_ann`, its spec, and its oracle: 4
+    * subspaces × 16 centroids over the 64-dim embeddings. */
+  private[graft] val PqM = 4
+  private[graft] val PqK = 16
+  private[graft] val PqDim = 64
+
+  /** Per-dir learned PQ codebooks — the [[learnedCents]] pattern: the
+    * m·k·(d/m) doubles are driver-trivial, the learn runs once per
+    * dir per JVM, and the oracle interpolates the SAME values. */
+  private val pqBooksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private[graft] def pqBooks(s: SparkSession,
+      dir: String): Array[Array[Array[Double]]] = {
+    val b = pqBooksCache.computeIfAbsent(dir, d => {
+      import s.implicits._
+      graft.operators.PqIndex.learnCodebooks(
+        Tables.embeddings(s, d)
+          .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+        PqDim, PqM, PqK, 3)
+    })
+    learnedCentDir = Some(dir)
+    b
+  }
+
   /** Empty since round 6 — every Pipeline query is oracle-gated (the
     * remaining repo-wide exemptions, `agg_approx` and
     * `hash_fns_native`, live in their own modules). Kept so the
@@ -2559,6 +2618,8 @@ object Pipeline {
   def oracleFor(dir: String): Map[String, String] =
     staticOracle ++ Option(learnedCentCache.get(dir))
       .map(c => Map("ivf_ann_learned" -> ivfLearnedSql(c)))
+      .getOrElse(Map.empty) ++ Option(pqBooksCache.get(dir))
+      .map(b => Map("pq_ann" -> pqAnnSql(b)))
       .getOrElse(Map.empty) ++ Option(simhashFrameCache.get(dir))
       .map { f =>
         Map("simhash_neighbors" -> simhashSqlCache.computeIfAbsent(dir,
@@ -2604,6 +2665,54 @@ object Pipeline {
        |    CAST(row_number() OVER (PARTITION BY probe_id
        |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM scored)
        |SELECT probe_id, rn, vec_id AS neighbor_id, cos_sim
+       |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+  }
+
+  /** DuckDB mirror of `pq_ann` given the learned codebooks: identical
+    * per-subspace encode (argmax `dot − hn`, lowest-cid tiebreak via
+    * the rank window), identical ADC table dots, and the 4-term sum
+    * spelled LEFT-ASSOCIATIVE (`p1 + p2 + p3 + p4`) to match the
+    * engine's fixed fold order — double addition is not associative,
+    * so a SUM() aggregate would not be a faithful replay. */
+  private def pqAnnSql(books: Array[Array[Array[Double]]]): String = {
+    val sub = books.head.head.length
+    val rows = books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, i) =>
+        val lit = c.map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
+        s"(${j + 1}, ${i + 1}, $lit, ${(c.map(x => x * x).sum / 2.0).toString})"
+      }
+    }.mkString(",\n    ")
+    val adcSum = (1 to PqM).map(j => s"p$j").mkString(" + ")
+    val pPivots = (1 to PqM).map(j =>
+      s"MAX(CASE WHEN cd.j = $j THEN pt.pd END) AS p$j").mkString(",\n    ")
+    s"""WITH cb(j, cid, c, hn) AS (VALUES
+       |    $rows),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sc AS (
+       |  SELECT e.vec_id, cb.j, cb.cid,
+       |    ${sqlDot(s"list_slice(e.v, (cb.j - 1) * $sub + 1, cb.j * $sub)", "cb.c")} AS pd
+       |  FROM e CROSS JOIN cb),
+       |cd AS (
+       |  SELECT vec_id, j, cid AS code FROM (
+       |    SELECT vec_id, j, cid,
+       |      row_number() OVER (PARTITION BY vec_id, j
+       |        ORDER BY pd - hn DESC, cid) AS rn
+       |    FROM sc JOIN cb USING (j, cid)) t
+       |  WHERE rn = 1),
+       |pt AS (
+       |  SELECT vec_id AS probe_id, j, cid, pd FROM sc WHERE vec_id < 20),
+       |adc AS (
+       |  SELECT pt.probe_id, cd.vec_id,
+       |    $pPivots
+       |  FROM cd JOIN pt ON pt.j = cd.j AND pt.cid = cd.code
+       |    AND cd.vec_id <> pt.probe_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, ${sqlQ6(adcSum)} AS adc,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY ${sqlQ6(adcSum)} DESC, vec_id) AS BIGINT) AS rn
+       |  FROM adc)
+       |SELECT probe_id, rn, vec_id AS neighbor_id, adc
        |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
   }
 

@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSuite {
     Set("join_theta", "join_cross", "cosine_knn", "source_minhash_sim",
       "unigram_logprob", "bm25_search", "bm25_indexed", "tfidf_terms",
       "agg_histogram", "heavy_hitters", "exact_ntile", "decayed_activity",
-      "source_kl") // one-row corpus-total broadcast (scalar-subquery shape)
+      "source_kl", // one-row corpus-total broadcast (scalar-subquery shape)
+      "pq_ann") // brute ADC scan vs broadcast probes (cosine_knn shape)
 
   test("no unintended cartesian products") {
     plans.foreach { case (name, p) =>
