@@ -1491,6 +1491,46 @@ object Pipeline {
         .orderBy($"probe_id", $"rn")
     }),
 
+    // L53+L7: IVF-PQ — the standard production ANN index shape,
+    // composing the two driver-checked pieces: the IVF cell prune
+    // (probe searches its nprobe=4 best learned cells, touching
+    // nprobe/k of the corpus) and PQ-ADC scoring inside the surviving
+    // cells (reading only the 4 codes, never the floats). Both
+    // codebook families come from the per-dir deterministic Lloyd
+    // caches, so the oracle replays cell assignment, PQ encode, and
+    // ADC scoring end-to-end from interpolated literals.
+    "ivfpq_ann" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.{IvfIndex, PqIndex}
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cents = learnedCents(s, dir)
+      val books = pqBooks(s, dir)
+      val corpus = PqIndex.encode(IvfIndex.assignCells(emb, cents), books)
+        .drop("v")
+      val wCell = Window.partitionBy($"probe_id")
+        .orderBy($"score".desc, $"cid0")
+      val pdCols = (1 to PqM).map(j => col(s"pd_$j"))
+      val probeCells = PqIndex.probeTables(
+          emb.filter($"vec_id" < 20)
+            .select($"vec_id".as("probe_id"), $"v"), "v", books)
+        .select(($"probe_id" +: pdCols) :+
+          posexplode(IvfIndex.scoresCol($"v", cents)).as(Seq("cid0", "score")): _*)
+        .withColumn("cell", ($"cid0" + 1).cast("long"))
+        .withColumn("cr", row_number().over(wCell))
+        .filter($"cr" <= 4)
+        .select($"probe_id" +: $"cell" +: pdCols: _*)
+      val wTop = Window.partitionBy($"probe_id")
+        .orderBy($"adc".desc, $"vec_id")
+      corpus.join(broadcast(probeCells), Seq("cell"))
+        .filter($"vec_id" =!= $"probe_id")
+        .select($"probe_id", $"vec_id", q6(PqIndex.adcDot(PqM)).as("adc"))
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter($"rn" <= 5)
+        .select($"probe_id", $"rn", $"vec_id".as("neighbor_id"), $"adc")
+        .orderBy($"probe_id", $"rn")
+    }),
+
     // L1-adjacent: deterministic hash-based train/valid/test split
     // (operators.Sampling) — md5-keyed thresholds, so the selection is
     // retry-stable, partitioning-invariant, shuffle-free, and exactly
@@ -2620,6 +2660,10 @@ object Pipeline {
       .map(c => Map("ivf_ann_learned" -> ivfLearnedSql(c)))
       .getOrElse(Map.empty) ++ Option(pqBooksCache.get(dir))
       .map(b => Map("pq_ann" -> pqAnnSql(b)))
+      .getOrElse(Map.empty) ++ (for {
+        c <- Option(learnedCentCache.get(dir))
+        b <- Option(pqBooksCache.get(dir))
+      } yield Map("ivfpq_ann" -> ivfPqSql(c, b)))
       .getOrElse(Map.empty) ++ Option(simhashFrameCache.get(dir))
       .map { f =>
         Map("simhash_neighbors" -> simhashSqlCache.computeIfAbsent(dir,
@@ -2674,14 +2718,18 @@ object Pipeline {
     * spelled LEFT-ASSOCIATIVE (`p1 + p2 + p3 + p4`) to match the
     * engine's fixed fold order — double addition is not associative,
     * so a SUM() aggregate would not be a faithful replay. */
-  private def pqAnnSql(books: Array[Array[Array[Double]]]): String = {
-    val sub = books.head.head.length
-    val rows = books.zipWithIndex.flatMap { case (book, j) =>
+  /** The VALUES rows of the PQ codebook relation `cb(j, cid, c, hn)`. */
+  private def pqCbValues(books: Array[Array[Array[Double]]]): String =
+    books.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (c, i) =>
         val lit = c.map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
         s"(${j + 1}, ${i + 1}, $lit, ${(c.map(x => x * x).sum / 2.0).toString})"
       }
     }.mkString(",\n    ")
+
+  private def pqAnnSql(books: Array[Array[Array[Double]]]): String = {
+    val sub = books.head.head.length
+    val rows = pqCbValues(books)
     val adcSum = (1 to PqM).map(j => s"p$j").mkString(" + ")
     val pPivots = (1 to PqM).map(j =>
       s"MAX(CASE WHEN cd.j = $j THEN pt.pd END) AS p$j").mkString(",\n    ")
@@ -2706,6 +2754,66 @@ object Pipeline {
        |    $pPivots
        |  FROM cd JOIN pt ON pt.j = cd.j AND pt.cid = cd.code
        |    AND cd.vec_id <> pt.probe_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, ${sqlQ6(adcSum)} AS adc,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY ${sqlQ6(adcSum)} DESC, vec_id) AS BIGINT) AS rn
+       |  FROM adc)
+       |SELECT probe_id, rn, vec_id AS neighbor_id, adc
+       |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+  }
+
+  /** DuckDB mirror of `ivfpq_ann`: the [[ivfLearnedSql]] cell CTEs
+    * composed with the [[pqAnnSql]] encode/ADC CTEs — candidates are
+    * restricted to (corpus cell ∈ probe's top-4 cells) before the ADC
+    * pivot, exactly like the engine's cell join. */
+  private def ivfPqSql(cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): String = {
+    val sub = books.head.head.length
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      val lit = c.map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
+      s"(${i + 1}, $lit, ${(c.map(x => x * x).sum / 2.0).toString})"
+    }.mkString(",\n    ")
+    val adcSum = (1 to PqM).map(j => s"p$j").mkString(" + ")
+    val pPivots = (1 to PqM).map(j =>
+      s"MAX(CASE WHEN cd.j = $j THEN pt.pd END) AS p$j").mkString(",\n    ")
+    s"""WITH cents(ccid, cc, chn) AS (VALUES
+       |    $centRows),
+       |cb(j, cid, c, hn) AS (VALUES
+       |    ${pqCbValues(books)}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT e.vec_id, cents.ccid,
+       |        ${sqlDot("e.v", "cents.cc")} - cents.chn AS s
+       |      FROM e CROSS JOIN cents),
+       |cells AS (SELECT vec_id, CAST(ccid AS BIGINT) AS cell FROM (
+       |    SELECT vec_id, ccid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+       |    FROM d) t WHERE rn = 1),
+       |pcells AS (SELECT vec_id AS probe_id, CAST(ccid AS BIGINT) AS cell FROM (
+       |    SELECT vec_id, ccid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+       |    FROM d WHERE vec_id < 20) t WHERE rn <= 4),
+       |sc AS (
+       |  SELECT e.vec_id, cb.j, cb.cid,
+       |    ${sqlDot(s"list_slice(e.v, (cb.j - 1) * $sub + 1, cb.j * $sub)", "cb.c")} AS pd
+       |  FROM e CROSS JOIN cb),
+       |cd AS (
+       |  SELECT vec_id, j, cid AS code FROM (
+       |    SELECT vec_id, j, cid,
+       |      row_number() OVER (PARTITION BY vec_id, j
+       |        ORDER BY pd - hn DESC, cid) AS rn
+       |    FROM sc JOIN cb USING (j, cid)) t
+       |  WHERE rn = 1),
+       |pt AS (
+       |  SELECT vec_id AS probe_id, j, cid, pd FROM sc WHERE vec_id < 20),
+       |adc AS (
+       |  SELECT pt.probe_id, cd.vec_id,
+       |    $pPivots
+       |  FROM cd JOIN pt ON pt.j = cd.j AND pt.cid = cd.code
+       |    AND cd.vec_id <> pt.probe_id
+       |  JOIN cells cl ON cl.vec_id = cd.vec_id
+       |  JOIN pcells pc ON pc.probe_id = pt.probe_id AND pc.cell = cl.cell
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT probe_id, vec_id, ${sqlQ6(adcSum)} AS adc,

@@ -88,4 +88,24 @@ class PqIndexSpec extends SparkSuite {
       s"mean ADC recall@5 $mean below floor (random baseline $random, " +
         s"k=$K codes on ${vs.size} vecs)")
   }
+
+  test("ivfpq_ann: the IVF prune only removes candidates (vs pq_ann)") {
+    // Same ADC scores, smaller candidate set: every IVF-PQ neighbor
+    // must appear in the unpruned PQ ranking with the same score, at
+    // the same or better (numerically equal-or-lower-rank) position
+    // is NOT guaranteed — but score equality per (probe, neighbor) is.
+    val pq = graft.queries.Pipeline.queries("pq_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivfpq = graft.queries.Pipeline.queries("ivfpq_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(ivfpq.nonEmpty)
+    // the pruned top-5 can surface pairs outside the unpruned top-5;
+    // check score agreement on the overlap, which must be substantial
+    val overlap = ivfpq.filter { case (p, n, _) => pq.contains((p, n)) }
+    assert(overlap.size >= ivfpq.length / 2,
+      s"only ${overlap.size}/${ivfpq.length} IVF-PQ pairs in PQ top-5")
+    overlap.foreach { case (p, n, adc) =>
+      assert(pq((p, n)) == adc, s"ADC drift for ($p, $n)")
+    }
+  }
 }
