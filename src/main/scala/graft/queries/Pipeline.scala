@@ -1080,6 +1080,37 @@ object Pipeline {
         .limit(100)
     }),
 
+    // L55: Poisson-bootstrap uncertainty — the error bar on a corpus
+    // statistic WITHOUT resampling rows (Chamandy et al., "Estimating
+    // Uncertainty for Massive Data Streams", Google TR 2012): each row
+    // gets an independent Poisson(1) weight per replicate, drawn
+    // DETERMINISTICALLY from the keyed-md5 uniform (the hash_split
+    // machinery — retry-stable, partitioning-invariant, and exactly
+    // replayable by the oracle). The inverse-CDF thresholds are
+    // integer literals in the 2^32 hash space, weights cap at 7
+    // (truncated tail mass 1e-5, identical truncation both engines);
+    // per-replicate sums are exact integers, so the 32 replicate
+    // means are engine-exact. Shape: one shuffle-free 32× explode +
+    // one map-combinable agg keyed by the 32-value replicate id —
+    // the spread of the replicate means IS the bootstrap CI.
+    "bootstrap_means" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val u = graft.operators.Sampling.keyHash32(
+        concat($"doc_id".cast("string"), lit(":"), $"rep".cast("string")),
+        BootSalt)
+      val w = BootThresholds.map(t => (u >= lit(t)).cast("int"))
+        .reduce(_ + _)
+      Tables.documents(s, dir)
+        .select($"doc_id", $"n_chars",
+          explode(sequence(lit(1), lit(BootB))).as("rep"))
+        .select($"rep".cast("long").as("rep"), $"n_chars", w.as("w"))
+        .groupBy($"rep")
+        .agg(sum($"w").as("n_eff"),
+          q6(sum($"w" * $"n_chars").cast("double") / sum($"w"))
+            .as("mean_chars"))
+        .orderBy($"rep")
+    }),
+
     // L50: per-source unigram entropy — the diversity/quality scalar a
     // mixture pipeline tracks per source (template farms and spam
     // collapse entropy; natural prose sits near the language's
@@ -2346,6 +2377,24 @@ object Pipeline {
     c
   }
 
+  /** Poisson-bootstrap shape shared by `bootstrap_means` and its
+    * oracle: 32 replicates, weights from the Poisson(1) inverse CDF
+    * over the 2^32 keyed-hash space, truncated at weight 7 (tail mass
+    * ~1e-5 — the SAME truncation in both engines because the
+    * thresholds are these exact integer literals). */
+  private[graft] val BootB = 32
+  private[graft] val BootSalt = "boot:v1:"
+  private[graft] val BootThresholds: Seq[Long] = {
+    var pmf = math.exp(-1.0)
+    var cdf = pmf
+    (0 until 7).map { k =>
+      val t = math.floor(cdf * 4294967296.0).toLong
+      pmf = pmf / (k + 1)
+      cdf += pmf
+      t
+    }
+  }
+
   /** PQ shape shared by `pq_ann`, its spec, and its oracle: 4
     * subspaces × 16 centroids over the 64-dim embeddings. */
   private[graft] val PqM = 4
@@ -2904,6 +2953,25 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same md5 fold (salt boot:v1:), same integer inverse-CDF
+    // thresholds, exact integer weighted sums per replicate
+    "bootstrap_means" -> {
+      val wExpr = BootThresholds.map(t => s"CAST(u >= $t AS INT)")
+        .mkString(" + ")
+      s"""WITH r AS (
+         |  SELECT doc_id, n_chars, unnest(range(1, ${BootB + 1})) AS rep
+         |  FROM documents),
+         |h AS (
+         |  SELECT rep, n_chars,
+         |    ${sqlMd5Fold32(BootSalt, "doc_id || ':' || rep")} AS u
+         |  FROM r),
+         |wts AS (
+         |  SELECT rep, n_chars, ($wExpr) AS w FROM h)
+         |SELECT rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+         |  ${sqlQ6("CAST(SUM(w * n_chars) AS DOUBLE) / CAST(SUM(w) AS BIGINT)")} AS mean_chars
+         |FROM wts GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // identical IEEE term expression (cs/ns)·ln((cs/ns)/(cc/ntot)),
     // identical micro-nat quantization, order-free integer sum

@@ -517,6 +517,23 @@ class PipelineSpec extends SparkSuite {
     assert(predDe == "de" && de3 > 0 && de3 > es3 && de3 > en3)
   }
 
+  test("bootstrap_means: replicates bracket the true mean, Poisson-ish n_eff") {
+    val rows = Pipeline.queries("bootstrap_means")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 32 && rows.map(_._1).toSet == (1L to 32L).toSet)
+    val stats = Tables.documents(spark, sf)
+      .agg(count(lit(1)), avg($"n_chars")).first()
+    val (n, trueMean) = (stats.getLong(0), stats.getDouble(1))
+    rows.foreach { case (rep, nEff, m) =>
+      // Poisson(1) total weight concentrates at n (sd √n): ±20% is >6σ
+      assert(math.abs(nEff - n) <= 0.2 * n, s"rep $rep n_eff=$nEff vs n=$n")
+      assert(math.abs(m - trueMean) <= 0.2 * trueMean,
+        s"rep $rep mean=$m vs true=$trueMean")
+    }
+    // replicates genuinely vary (the CI is not degenerate)
+    assert(rows.map(_._3).distinct.length > 10)
+  }
+
   test("source_entropy: bounded by ln(types) and equals the direct sum") {
     val rows = Pipeline.queries("source_entropy")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

@@ -44,6 +44,8 @@ class RelationalSpec extends SparkSuite {
     SparkEntry.queries("ivf_ann_learned")(spark, sf)
     SparkEntry.queries("simhash_neighbors")(spark, sf)
     SparkEntry.queries("source_minhash_sim")(spark, sf)
+    SparkEntry.queries("pq_ann")(spark, sf)
+    SparkEntry.queries("ivfpq_ann")(spark, sf)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep the exemption list explicit so new queries fail loudly:
     //  - agg_approx: HLL sketch not DuckDB-replicable (AggregatesSpec
