@@ -96,6 +96,27 @@ object Mutations {
         .orderBy($"event_id")
     }),
 
+    // M5: time travel — reconstruct the SCD2 dimension AS OF a fixed
+    // instant: the rows whose validity interval covers the timestamp
+    // (valid_from <= t < valid_to, open current rows included). The
+    // scan-time read of what scd2_pit does per fact row; a pure
+    // filter over the history — no join, pushdown-friendly, and at
+    // scale the valid_from/valid_to min-max file stats prune
+    // non-covering files.
+    "scd2_snapshot_at" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val asOf = lit("2024-01-15 00:00:00").cast("timestamp")
+      val ch = Tables.events(s, dir)
+        .filter($"user_id" % 5 === 0 &&
+          $"event_type".isin("signup", "purchase"))
+        .groupBy($"user_id", $"ts").agg(min($"event_type").as("state"))
+      Merge.scd2(ch, Seq("user_id"), "ts")
+        .filter($"valid_from" <= asOf &&
+          ($"valid_to".isNull || $"valid_to" > asOf))
+        .select($"user_id", $"state", $"valid_from", $"valid_to")
+        .orderBy($"user_id")
+    }),
+
     // M3: snapshot diff — the audit tool next to MERGE: what changed
     // between snapshot A and snapshot B (added / removed / changed
     // keys, old vs new values). B is the merge_upsert result, so the
@@ -157,6 +178,23 @@ object Mutations {
     "merge_upsert" ->
       s"""WITH $mergedCtes
          |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
+
+    // same gaps-and-islands history, same covering-interval filter
+    "scd2_snapshot_at" ->
+      """WITH ch AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    MIN(event_type) AS state
+        |  FROM events
+        |  WHERE user_id % 5 = 0 AND event_type IN ('signup', 'purchase')
+        |  GROUP BY 1, 2),
+        |h AS (
+        |  SELECT user_id, state, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        |  FROM ch)
+        |SELECT user_id, state, valid_from, valid_to FROM h
+        |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+        |ORDER BY user_id""".stripMargin,
 
     // DuckDB's ASOF JOIN is exactly the PIT floor semantics (latest
     // change row with ts <= fact ts, inclusive); state_since = that
