@@ -146,4 +146,24 @@ class MergeSpec extends SparkSuite {
       assert(since == floor.map(_._2), s"event $eid since mismatch")
     }
   }
+
+  test("scd2_snapshot_at agrees with the per-user floor at the instant") {
+    // M5 must be M4 evaluated at one fixed t: for every user with a
+    // version covering t, the snapshot row carries the floor state;
+    // users whose first version is after t are absent.
+    val t = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val snap = SparkEntry.queries("scd2_snapshot_at")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Tables.events(spark, sf)
+      .filter($"user_id" % 5 === 0 &&
+        $"event_type".isin("signup", "purchase"))
+      .groupBy($"user_id", $"ts").agg(min($"event_type").as("state"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+      .groupBy(_._1).flatMap { case (uid, vs) =>
+        vs.sortBy(_._2.getTime).filter(_._2.getTime <= t.getTime)
+          .lastOption.map(v => uid -> v._3)
+      }
+    assert(snap == expected)
+    assert(snap.nonEmpty)
+  }
 }
