@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Distributed PageRank over an edge list — the graph-centrality
@@ -115,6 +115,113 @@ object PageRank extends Logging {
             expr(s"($dampNum * COALESCE(c, 0L)) DIV $dampDen")).as("rank"))
     }
     r
+  }
+
+  /** Weighted, seed-personalized variant — TrustRank (Gyöngyi,
+    * Garcia-Molina, Pedersen, "Combating Web Spam with TrustRank",
+    * VLDB'04): teleport mass returns ONLY to the `seed` nodes, so
+    * rank measures proximity to a trusted set rather than global
+    * centrality — the production form of source-authority weighting
+    * for corpus curation (seeds = editorially trusted domains). Edge
+    * weights (multiplicities) steer the walk: `contrib = (rank · w)
+    * DIV strength(u)`, strength = Σ out-weights. Same integer-exact,
+    * unrolled-oracle contract as [[ranks]]; duplicate (src, dst) rows
+    * SUM their weights. Overflow headroom: num · n · scale · w_max
+    * must stay under 2^63 — size `scale` accordingly.
+    *
+    * Base mass: every node starts at `scale`; each round, seeds get
+    * the whole teleport budget `((den-num) · scale · n) DIV den DIV
+    * |seeds|` (mass n·scale redistributes over the seed set — the
+    * dangling/non-seed leak is the standard formulation), plus the
+    * damped weighted in-flow.
+    *
+    * @param seedPred  deterministic membership predicate on the node
+    *                  id column (evaluated on the derived node set)
+    */
+  def ranksSeeded(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      iterations: Int, scale: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && scale >= 1L &&
+      dampNum >= 0L && dampNum <= dampDen && dampDen >= 1L,
+      s"bad parameters ($iterations, $scale, $dampNum/$dampDen)")
+
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst") && col("w") > 0L)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    val e = e0
+      .join(e0.groupBy("src").agg(sum(col("w")).as("strength")), "src")
+      .repartition(col("src"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .withColumn("is_seed", seedPred(col("node")))
+      .localCheckpoint()
+    // teleport budget per seed, fixed integers computed once
+    val Row(nNodes: Long, nSeeds: Long) = nodes
+      .agg(count(lit(1)), sum(col("is_seed").cast("long"))).head()
+    require(nSeeds > 0L, "seed predicate selected no nodes")
+    val seedBase = (((dampDen - dampNum) * scale * nNodes) / dampDen) / nSeeds
+
+    var r = nodes.select(col("node"), col("is_seed"), lit(scale).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(r.select(col("node").as("src"), col("rank").as("src_rank")),
+          "src")
+        .select(col("dst").as("node"),
+          expr("(src_rank * w) DIV strength").as("contrib"))
+        .groupBy("node")
+        .agg(sum(col("contrib")).as("c"))
+      r = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed"), lit(seedBase)).otherwise(lit(0L)) +
+            expr(s"($dampNum * COALESCE(c, 0L)) DIV $dampDen")).as("rank"))
+    }
+    r.select("node", "rank")
+  }
+
+  /** Oracle twin of [[ranksSeeded]]: `edgesSql` selects (src, dst, w);
+    * `seedSql` is a boolean SQL predicate over a column named `node`.
+    * The seed count and teleport budget are replayed inside. */
+  def ranksSeededSql(edgesSql: String, seedSql: String, iterations: Int,
+      scale: Long = 1000000L, dampNum: Long = 85L,
+      dampDen: Long = 100L): String = {
+    require(iterations >= 1)
+    val rounds = (1 to iterations).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    (CASE WHEN n.is_seed THEN sb.seed_base ELSE 0 END)
+         |      + ($dampNum * COALESCE(c.c, 0)) // $dampDen AS rank
+         |  FROM nodes n CROSS JOIN sb LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(SUM((r.rank * e.w) // e.strength) AS BIGINT) AS c
+         |    FROM e JOIN $prev r ON e.src = r.node
+         |    GROUP BY 1) c ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+       |  FROM ($edgesSql) WHERE src <> dst AND w > 0 GROUP BY 1, 2),
+       |e AS (
+       |  SELECT e0.src, e0.dst, e0.w, s.strength
+       |  FROM e0 JOIN (SELECT src, CAST(SUM(w) AS BIGINT) AS strength
+       |                FROM e0 GROUP BY 1) s ON e0.src = s.src),
+       |nodes AS (
+       |  SELECT node, ($seedSql) AS is_seed FROM
+       |    (SELECT src AS node FROM e0 UNION SELECT dst FROM e0) n),
+       |sb AS (
+       |  SELECT ((($dampDen - $dampNum) * $scale *
+       |      (SELECT COUNT(*) FROM nodes)) // $dampDen)
+       |    // (SELECT CAST(SUM(CAST(is_seed AS INT)) AS BIGINT)
+       |        FROM nodes) AS seed_base),
+       |r0 AS (SELECT node, is_seed, CAST($scale AS BIGINT) AS rank
+       |       FROM nodes),
+       |$rounds
+       |SELECT node, rank FROM r$iterations""".stripMargin
   }
 
   /** The identical computation as unrolled ANSI SQL (DuckDB-ready) —

@@ -96,6 +96,26 @@ object Graph {
         .orderBy($"n1", $"n2", $"n3")
     }),
 
+    // L57: weighted seed-personalized rank (TrustRank) — teleport
+    // mass returns only to the trusted seed set (part ids ≡ 0 mod
+    // 97), and co-purchase multiplicities weight the walk, so rank
+    // measures WEIGHTED PROXIMITY TO TRUST rather than global
+    // centrality — the production form of source-authority weighting
+    // (seed = editorially trusted domains). Same integer-exact
+    // recursion, same shared pair cache; the two driver scalars
+    // (node/seed counts) are the only collected values.
+    "part_trustrank" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pairs = pairCounts(s, dir)
+      val edges = pairs.select($"u".as("src"), $"v".as("dst"), $"w")
+        .unionAll(pairs.select($"v".as("src"), $"u".as("dst"), $"w"))
+      PageRank.ranksSeeded(edges, "src", "dst", "w",
+          n => n % 97 === 0, PrIterations)
+        .orderBy($"rank".desc, $"node")
+        .limit(40)
+        .select($"node".as("partkey"), $"rank")
+    }),
+
     // L56: community detection on the supported co-purchase graph —
     // the mode-aggregation member of the iterative-graph family
     // (components = min, rank = sum, communities = neighbor-label
@@ -134,6 +154,26 @@ object Graph {
         |FROM e a JOIN e b ON a.v = b.u
         |         JOIN e c ON c.u = a.u AND c.v = b.v
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "part_trustrank" -> {
+      val weightedEdges =
+        """SELECT u AS src, v AS dst, w FROM (
+          |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2) p
+          |UNION ALL
+          |SELECT v AS src, u AS dst, w FROM (
+          |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2) p""".stripMargin
+      s"""WITH tr AS (
+         |${PageRank.ranksSeededSql(weightedEdges, "node % 97 = 0",
+            PrIterations)})
+         |SELECT node AS partkey, rank FROM tr
+         |ORDER BY rank DESC, node LIMIT 40""".stripMargin
+    },
 
     "part_communities" ->
       s"""WITH lpa AS (

@@ -83,6 +83,63 @@ class PageRankSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  /** Sequential twin of ranksSeeded (weighted + seed teleport). */
+  private def referenceSeeded(edges: Seq[(Long, Long, Long)],
+      seeds: Long => Boolean, iterations: Int, scale: Long = 1000000L,
+      num: Long = 85L, den: Long = 100L): Map[Long, Long] = {
+    val e = edges.filter(t => t._1 != t._2 && t._3 > 0)
+      .groupBy(t => (t._1, t._2))
+      .map { case ((s, d), ts) => (s, d, ts.map(_._3).sum) }.toSeq
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val strength = e.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val nSeeds = nodes.count(seeds)
+    val seedBase = (((den - num) * scale * nodes.size) / den) / nSeeds
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iterations) {
+      val in = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(t => (r(t._1) * t._3) / strength(t._1)).sum
+      }
+      r = nodes.map(n => n ->
+        ((if (seeds(n)) seedBase else 0L) +
+          (num * in.getOrElse(n, 0L)) / den)).toMap
+    }
+    r
+  }
+
+  test("seeded+weighted rank equals the sequential recursion") {
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong,
+      rnd.nextInt(40).toLong, (rnd.nextInt(5) + 1).toLong))
+    val got = PageRank.ranksSeeded(edges.toDF("s", "d", "w"),
+        "s", "d", "w", n => n % 7 === 0, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == referenceSeeded(edges, _ % 7 == 0, 3))
+  }
+
+  test("trust is local: the seed's neighbor outranks the far end of a path") {
+    // 0(seed) - 1 - 2 - 3 - 4: rank must decay with distance from trust
+    val edges = (0L to 3L).flatMap(i => Seq((i, i + 1, 1L), (i + 1, i, 1L)))
+    val r = PageRank.ranksSeeded(edges.toDF("s", "d", "w"),
+        "s", "d", "w", n => n === 0, 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L))
+  }
+
+  test("heavier edges pull more rank at equal topology") {
+    // both 1 and 2 feed 0's mass; the heavy edge wins
+    val edges = Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+    val r = PageRank.ranksSeeded(edges.toDF("s", "d", "w"),
+        "s", "d", "w", n => n === 0, 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L))
+  }
+
+  test("empty seed set fails fast") {
+    intercept[IllegalArgumentException](
+      PageRank.ranksSeeded(Seq((1L, 2L, 1L)).toDF("s", "d", "w"),
+        "s", "d", "w", _ => org.apache.spark.sql.functions.lit(false), 1))
+  }
+
   test("bad parameters fail fast") {
     val e = Seq((1L, 2L)).toDF("s", "d")
     intercept[IllegalArgumentException](PageRank.ranks(e, "s", "d", 0))
