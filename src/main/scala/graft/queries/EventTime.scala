@@ -301,6 +301,32 @@ object EventTime {
         .orderBy($"user_id", $"day")
     }),
 
+    // T19: cumulative distinct users over time — the growth curve
+    // behind every "total users to date" dashboard. The naive
+    // spelling (per day, COUNT(DISTINCT user) over all history) is
+    // quadratic in days×users; the scale-safe rewrite is FIRST-TOUCH
+    // + PREFIX SUM: one per-user min (map-combinable), one per-day
+    // count of first touches, one running sum over the day axis —
+    // the global window runs over #days rows (bounded by the date
+    // span, the time_resample contract), never over events.
+    "cumulative_uniques" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val firstTouch = Tables.events(s, dir)
+        .groupBy($"user_id").agg(min(date_trunc("day", $"ts")).as("day"))
+        .groupBy($"day").agg(count(lit(1)).as("new_users"))
+      val days = Tables.events(s, dir)
+        .groupBy(date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(firstTouch, Seq("day"), "left")
+        .select($"day", $"n_events",
+          coalesce($"new_users", lit(0L)).as("new_users"))
+        .withColumn("cum_users", sum($"new_users").over(w))
+        .orderBy($"day")
+    }),
+
     // T18/J11: interval-overlap join via bin replication
     // ([[graft.operators.IntervalJoin]]) — for each even-user session,
     // how many odd-user sessions were concurrently active ("concurrent
@@ -361,6 +387,23 @@ object EventTime {
       |  FROM si GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "cumulative_uniques" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(date_trunc('day', ts)) AS day
+        |  FROM events GROUP BY 1),
+        |nu AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        |  FROM f GROUP BY 1),
+        |d AS (
+        |  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(d.day AS TIMESTAMP) AS day, n_events,
+        |  COALESCE(new_users, 0) AS new_users,
+        |  CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY d.day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM d LEFT JOIN nu ON d.day = nu.day
+        |ORDER BY day""".stripMargin,
+
     "interval_overlap" ->
       s"""WITH $sessionIvCte
          |SELECT a.user_id, a.s AS sess_start_us,

@@ -153,6 +153,24 @@ object Lookups {
         .orderBy($"o_orderkey")
     }),
 
+    // J9 tolerance: as-of WITH MAX STALENESS — the production variant
+    // every sensor/price enrichment needs ("the latest reading, but
+    // only if it is < 30 days old"). Floor semantics unchanged; a
+    // match older than the tolerance degrades to the no-match NULLs
+    // (the row itself survives — left semantics). Spelled as the
+    // shared fixture through the native planner + one conditional
+    // projection, so the staleness rule costs nothing at scale.
+    "asof_join_tolerance" -> ((s: SparkSession, dir: String) =>
+      asofFixture(s, dir) { (p, b, pk, bk, pts, bts, pay) =>
+        val j = AsOfJoin.asofNative(p, b, pk, bk, pts, bts, pay)
+        val fresh =
+          datediff(col("o_orderdate"), col("prev_orderdate")) <= 30
+        j.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          when(fresh, col("prev_orderkey")).as("prev_orderkey"),
+          when(fresh, col("prev_orderdate")).as("prev_orderdate"),
+          when(fresh, col("prev_totalprice")).as("prev_totalprice"))
+      }),
+
     // J9 SQL surface: the SAME shared fixture through pure SQL text —
     // the graft_asof table-valued function plans the custom merge
     // operator from view names (AsOfJoin.registerSqlTableFunction),
@@ -260,6 +278,28 @@ object Lookups {
     "asof_join_broadcast" -> asofOracleSql,
     "asof_join_auto" -> asofOracleSql,
     "asof_sql" -> asofOracleSql,
+
+    // the floor oracle + the identical 30-day staleness CASE
+    "asof_join_tolerance" ->
+      """WITH build AS (
+        |  SELECT o_custkey AS b_custkey, o_orderdate AS prev_orderdate,
+        |         max(o_orderkey) AS prev_orderkey,
+        |         arg_max(o_totalprice, o_orderkey) AS prev_totalprice
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |SELECT p.o_orderkey, p.o_custkey, p.o_orderdate,
+        |  CASE WHEN date_diff('day', b.prev_orderdate, p.o_orderdate) <= 30
+        |       THEN b.prev_orderkey END AS prev_orderkey,
+        |  CASE WHEN date_diff('day', b.prev_orderdate, p.o_orderdate) <= 30
+        |       THEN b.prev_orderdate END AS prev_orderdate,
+        |  CASE WHEN date_diff('day', b.prev_orderdate, p.o_orderdate) <= 30
+        |       THEN b.prev_totalprice END AS prev_totalprice
+        |FROM probe p ASOF LEFT JOIN build b
+        |  ON p.o_custkey = b.b_custkey AND p.o_orderdate >= b.prev_orderdate
+        |ORDER BY p.o_orderkey""".stripMargin,
 
     // forward as-of: DuckDB's ASOF keyword is floor-only, so the
     // oracle spells the successor with a correlated LATERAL top-1 —
