@@ -100,6 +100,24 @@ object Windows {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     }),
 
+    // O8: keyset pagination — the scale-safe spelling of OFFSET:
+    // "the next 100 rows after cursor (price, key)". OFFSET n scans
+    // and discards n rows on every page (O(n·pages) total); the
+    // keyset predicate is sargable, pushes to the scan, and every
+    // page costs one TakeOrderedAndProject over the filtered
+    // remainder. The cursor tuple is the last row of the previous
+    // page under the same (price DESC, key ASC) total order.
+    "keyset_page" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val (cPrice, cKey) = (400000.0, 0L)
+      Tables.orders(s, dir)
+        .filter($"o_totalprice" < cPrice ||
+          ($"o_totalprice" === cPrice && $"o_orderkey" > cKey))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    }),
+
     // O2: partition-local sort — no global exchange; the oracle compare
     // is order-insensitive, the plan shape is asserted in WindowsSpec.
     "partition_sort" -> ((s: SparkSession, dir: String) => {
@@ -229,6 +247,14 @@ object Windows {
     "top_k" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "keyset_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice < 400000.0
+        |   OR (o_totalprice = 400000.0 AND o_orderkey > 0)
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
 
