@@ -117,6 +117,55 @@ object Mutations {
         .orderBy($"user_id")
     }),
 
+    // M6: incremental view maintenance (IVM) — keep a materialized
+    // per-customer aggregate current under the changelog WITHOUT
+    // recomputing it: the delta pass touches only the AFFECTED keys
+    // (join of the latest-per-key log against the old snapshot),
+    // computes per-customer (count, sum) contributions deltas, and
+    // merges them into the base view with one full-outer join. At
+    // 100 TB the base view never re-aggregates — the work is
+    // O(changelog), not O(table). Sums are maintained as exact
+    // integer 1e-4 units (per-row quantize-then-sum), so
+    // "base + delta" is bitwise equal to the oracle's full recompute
+    // over the merged snapshot — the equivalence that makes IVM
+    // trustworthy.
+    "ivm_agg_maintain" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val q4 = (c: org.apache.spark.sql.Column) =>
+        floor(c * lit(10000.0) + lit(0.5)).cast("long")
+      val o = Tables.orders(s, dir)
+      // the standing view: per-customer count + exact integer sum
+      val base = o.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n0"), sum(q4($"o_totalprice")).as("s0"))
+      // latest-per-key netting of the small changelog
+      val wk = Window.partitionBy($"o_orderkey").orderBy($"seq".desc)
+      val latest = derivedChangelog(o)
+        .withColumn("rn", row_number().over(wk)).filter($"rn" === 1)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"op")
+      // old contributions of the affected keys (absent for inserts)
+      val old = o.select($"o_orderkey",
+        $"o_custkey".as("old_custkey"), q4($"o_totalprice").as("old_s"))
+      val delta = latest.join(old, Seq("o_orderkey"), "left")
+        .select(
+          coalesce($"o_custkey", $"old_custkey").as("o_custkey"),
+          (when($"op" =!= "D", lit(1L)).otherwise(lit(0L)) -
+            when($"old_custkey".isNotNull, lit(1L)).otherwise(lit(0L)))
+            .as("dn"),
+          (when($"op" =!= "D", q4($"o_totalprice")).otherwise(lit(0L)) -
+            coalesce($"old_s", lit(0L))).as("ds"))
+        .groupBy($"o_custkey")
+        .agg(sum($"dn").as("dn"), sum($"ds").as("ds"))
+      base.join(delta, Seq("o_custkey"), "full_outer")
+        .select($"o_custkey",
+          (coalesce($"n0", lit(0L)) + coalesce($"dn", lit(0L)))
+            .as("n_orders"),
+          (coalesce($"s0", lit(0L)) + coalesce($"ds", lit(0L)))
+            .as("total_q4"))
+        .filter($"n_orders" > 0)
+        .orderBy($"o_custkey")
+    }),
+
     // M3: snapshot diff — the audit tool next to MERGE: what changed
     // between snapshot A and snapshot B (added / removed / changed
     // keys, old vs new values). B is the merge_upsert result, so the
@@ -178,6 +227,16 @@ object Mutations {
     "merge_upsert" ->
       s"""WITH $mergedCtes
          |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
+
+    // the ORACLE IS THE FULL RECOMPUTE over the merged snapshot — if
+    // base+delta hash-matches it, the incremental path is proven
+    // equivalent to recomputation
+    "ivm_agg_maintain" ->
+      s"""WITH $mergedCtes
+         |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS total_q4
+         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same gaps-and-islands history, same covering-interval filter
     "scd2_snapshot_at" ->
