@@ -123,6 +123,25 @@ object EventStreams {
   // public: the state encoder's generated code must reach the class
   final case class LastEvent(ts: Long, event_id: Long, event_type: String)
 
+  /** T19 live: streaming first-touch counts — the growth-curve feed
+    * (`cumulative_uniques`' per-day new_users column) computed on an
+    * unbounded stream: the first arrival per user_id survives
+    * dropDuplicates, then a per-day count. STATE CAVEAT, documented
+    * deliberately: "distinct ever" state is inherently unbounded (one
+    * entry per user forever — no watermark can evict it without
+    * changing the semantics); at 100 TB the production variants are
+    * dropDuplicatesWithinWatermark (bounded horizon, approximate
+    * "new") or a Bloom-backed membership store. Emitted day counts
+    * equal the batch first-touch aggregation when events arrive in
+    * event-time order (the transitions-spec contract). */
+  def firstTouchCounts(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("user_id")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("new_users"))
+      .select(col("w.start").as("day"), col("new_users"))
+
   /** T14 live: per-user event-type transitions over an unbounded
     * stream — the state is ONE row (the user's latest event); each
     * arriving event emits its (previous → current) transition and

@@ -158,6 +158,29 @@ class EventStreamsSpec extends SparkSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming first-touch counts equal the batch twin (T19)") {
+    implicit val sqlCtx = spark.sqlContext
+    // event-time-ordered feed (the documented contract: first arrival
+    // = first touch) across several micro-batches
+    val ordered = sample.sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Ev]
+    val q = EventStreams.firstTouchCounts(input.toDF())
+      .writeStream.format("memory").queryName("t_firsttouch")
+      .outputMode("complete").start()
+    try {
+      ordered.grouped(100).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("t_firsttouch")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    val batch = sample.toDF()
+      .groupBy($"user_id").agg(min(date_trunc("day", $"ts")).as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful running totals accumulate across micro-batches (T6)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.UserEvent]
