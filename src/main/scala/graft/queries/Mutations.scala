@@ -117,6 +117,35 @@ object Mutations {
         .orderBy($"user_id")
     }),
 
+    // M7: changelog compaction — net a (possibly long) log down to AT
+    // MOST ONE effective op per key before shipping it downstream:
+    // latest-wins per key, then classify against the snapshot —
+    // update of an existing key stays 'U', an op on an absent key
+    // becomes 'I' (unless it is a delete of nothing = no-op), a
+    // delete of an existing key stays 'D'. Consumers replaying the
+    // compacted log reach the same state with O(affected keys) work —
+    // the standard CDC topic-compaction contract. Shape: one window
+    // over the small log + one key join against the snapshot (only
+    // keys, broadcast-able).
+    "changelog_compact" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir)
+      val wk = Window.partitionBy($"o_orderkey").orderBy($"seq".desc)
+      val latest = derivedChangelog(o)
+        .withColumn("rn", row_number().over(wk)).filter($"rn" === 1)
+      val existing = o.select($"o_orderkey", lit(true).as("exists0"))
+      latest.join(existing, Seq("o_orderkey"), "left")
+        .withColumn("net_op",
+          when($"op" === "D" && $"exists0".isNull, lit(null))
+            .when($"op" === "D", lit("D"))
+            .when($"exists0".isNull, lit("I"))
+            .otherwise(lit("U")))
+        .filter($"net_op".isNotNull)
+        .select($"o_orderkey", $"net_op", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
     // M6: incremental view maintenance (IVM) — keep a materialized
     // per-customer aggregate current under the changelog WITHOUT
     // recomputing it: the delta pass touches only the AFFECTED keys
@@ -227,6 +256,19 @@ object Mutations {
     "merge_upsert" ->
       s"""WITH $mergedCtes
          |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
+
+    // same latest CTE as the merge oracle, same presence
+    // classification
+    "changelog_compact" ->
+      s"""WITH $mergedCtes
+         |SELECT l.o_orderkey,
+         |  CASE WHEN l.op = 'D' THEN 'D'
+         |       WHEN o.o_orderkey IS NULL THEN 'I'
+         |       ELSE 'U' END AS net_op,
+         |  l.o_totalprice
+         |FROM latest l LEFT JOIN orders o ON l.o_orderkey = o.o_orderkey
+         |WHERE NOT (l.op = 'D' AND o.o_orderkey IS NULL)
+         |ORDER BY l.o_orderkey""".stripMargin,
 
     // the ORACLE IS THE FULL RECOMPUTE over the merged snapshot — if
     // base+delta hash-matches it, the incremental path is proven

@@ -64,6 +64,21 @@ class IntervalJoinSpec extends SparkSuite {
     }
   }
 
+  test("planted hot bin: every interval in one bin stays correct") {
+    // the adversarial shape for the binned join — all intervals share
+    // one bin (a single hot equi-join key); output must still be the
+    // exact overlap set, each pair once (AQE may split the key at
+    // scale, the first-shared-bin rule holds under any split)
+    val rnd = new scala.util.Random(17)
+    val l = Seq.tabulate(60)(i =>
+      (i.toLong, rnd.nextInt(50).toLong, (rnd.nextInt(50) + 50).toLong))
+    val r = Seq.tabulate(80)(i =>
+      ((1000 + i).toLong, rnd.nextInt(50).toLong, (rnd.nextInt(50) + 50).toLong))
+    val got = viaOp(l, r, 1000000L) // one bin holds everything
+    assert(got.size == got.toSet.size)
+    assert(got.toSet == brute(l, r))
+  }
+
   test("overlapCounts groups per left row") {
     val l = Seq((1L, 0L, 10L), (2L, 100L, 110L)).toDF("lid", "ls", "le")
     val r = Seq((7L, 5L, 6L), (8L, 9L, 20L), (9L, 500L, 600L))
