@@ -27,4 +27,35 @@ class SaltingSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == plain)
   }
+
+  test("AQE splits the skewed partition of a shuffle join (skew=true)") {
+    // The runtime half of the skew story (Salting is the static half
+    // for operators AQE can't touch): a planted hot key must make
+    // OptimizeSkewedJoin mark the SMJ and split the partition — the
+    // mechanism the 100 TB contract leans on for plain equi-joins.
+    import org.apache.spark.sql.functions._
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val hot = spark.range(0, 60000)
+        .select(lit(1L).as("k"), col("id").as("payload"))
+      val rest = spark.range(0, 500)
+        .select((col("id") + 2).as("k"), col("id").as("payload"))
+      val right = spark.range(0, 3000)
+        .select((col("id") % 600 + 1).as("k"), col("id").as("r"))
+      val j = hot.unionAll(rest).join(right, "k")
+      // execute THIS plan (df.count() would run a column-pruned twin
+      // and leave j's adaptive plan unfinalized)
+      val n = j.queryExecution.toRdd.count()
+      assert(n > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split SMJ in the final adaptive plan:\n${plan.take(2000)}")
+    }
+  }
 }
