@@ -1080,6 +1080,30 @@ object Pipeline {
         .limit(100)
     }),
 
+    // L58: padding-waste audit — the batching decision behind
+    // length-bucketed dataloaders: batching examples padded to the
+    // next power-of-two length, how many tokens are padding per
+    // bucket? (The answer drives bucket granularity and packing-vs-
+    // padding tradeoffs.) Bucket = next pow2 via the EXACT
+    // binary-string-length log2 (the session_gaps trick — a libm
+    // log2 flips floor at pow2 boundaries between engines); one
+    // map-combinable agg keyed by ≤ ~16 bucket values.
+    "padding_waste" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(size(split($"text", " ")).cast("long").as("n_tokens"))
+        .withColumn("bucket", when($"n_tokens" <= 1L, lit(1L))
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n_tokens - 1)) AS INT))")))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("total_tokens"),
+          sum($"bucket" - $"n_tokens").as("total_padding"),
+          q6(sum($"bucket" - $"n_tokens").cast("double") / sum($"bucket"))
+            .as("waste_frac"))
+        .orderBy($"bucket")
+    }),
+
     // L55: Poisson-bootstrap uncertainty — the error bar on a corpus
     // statistic WITHOUT resampling rows (Chamandy et al., "Estimating
     // Uncertainty for Massive Data Streams", Google TR 2012): each row
@@ -2953,6 +2977,22 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same binary-string-length pow2 bucket, same sum shapes
+    "padding_waste" ->
+      s"""WITH d AS (
+         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |b AS (
+         |  SELECT n, CASE WHEN n <= 1 THEN 1
+         |    ELSE (CAST(1 AS BIGINT) << length(format('{:b}', n - 1)))
+         |    END AS bucket
+         |  FROM d)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(bucket - n) AS BIGINT) AS total_padding,
+         |  ${sqlQ6("CAST(SUM(bucket - n) AS DOUBLE) / CAST(SUM(bucket) AS BIGINT)")} AS waste_frac
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // same md5 fold (salt boot:v1:), same integer inverse-CDF
     // thresholds, exact integer weighted sums per replicate
