@@ -226,29 +226,36 @@ object Aggregates {
     // sorted.
     "agg_histogram_eqdepth" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val li = Tables.lineitem(s, dir)
-        .select($"l_returnflag".as("flag"), $"l_extendedprice".as("price"))
-      val ranked = li
-        .withColumn("rn",
-          row_number().over(Window.partitionBy($"flag").orderBy($"price")))
-        .withColumn("n",
-          count(lit(1)).over(Window.partitionBy($"flag")))
-      val cutCols = (1 to 7).map { j =>
-        max(when($"rn" === greatest(lit(1L),
-          ceil(lit(j / 8.0) * $"n").cast("long")), $"price")).as(s"c$j")
-      }
-      val cuts = broadcast(
-        ranked.groupBy($"flag").agg(cutCols.head, cutCols.tail: _*))
-      val bucket = (1 to 7)
-        .map(j => ($"price" > col(s"c$j")).cast("int"))
-        .reduce(_ + _) + lit(1)
-      li.join(cuts, "flag")
-        .select($"flag", bucket.as("bucket"), $"price")
-        .groupBy($"flag", $"bucket")
-        .agg(count(lit(1)).as("n_rows"),
-          min($"price").as("min_price"), max($"price").as("max_price"))
-        .orderBy($"flag", $"bucket")
+      eqDepthHistogram(s, dir).orderBy($"flag", $"bucket")
+    }),
+
+    // G15: histogram-driven selectivity bounds — the reason an
+    // optimizer keeps G14's histogram: estimate |price <= C| per
+    // group from bucket stats alone. Buckets wholly below C give the
+    // certain LOWER bound; straddling buckets add their full count
+    // for the UPPER bound; the true count must sit inside [lo, hi] BY
+    // CONSTRUCTION — and that containment is what the driver checks
+    // (both bounds, the actual, and the bucket stats are all exact
+    // integers). Shape: the G14 two-pass histogram + one
+    // map-combinable conditional agg over its 24-row output + the
+    // exact count (one scan).
+    "selectivity_bounds" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cutoff = 50000.0
+      val hist = eqDepthHistogram(s, dir)
+      val bounds = hist.groupBy($"flag")
+        .agg(sum(when($"max_price" <= cutoff, $"n_rows").otherwise(0L))
+          .as("lower_est"),
+          sum(when($"min_price" <= cutoff, $"n_rows").otherwise(0L))
+            .as("upper_est"))
+      val actual = Tables.lineitem(s, dir)
+        .filter($"l_extendedprice" <= cutoff)
+        .groupBy($"l_returnflag".as("flag"))
+        .agg(count(lit(1)).as("actual"))
+      bounds.join(actual, Seq("flag"), "left")
+        .select($"flag", coalesce($"actual", lit(0L)).as("actual"),
+          $"lower_est", $"upper_est")
+        .orderBy($"flag")
     }),
 
     // G11: one-pass table profile — the ANALYZE-style data-quality
@@ -322,6 +329,71 @@ object Aggregates {
     }),
   )
 
+  /** The G14 two-pass equi-depth histogram shared by
+    * `agg_histogram_eqdepth` and `selectivity_bounds`:
+    * (flag, bucket, n_rows, min_price, max_price), 8 buckets per
+    * l_returnflag over l_extendedprice. Pass 1 derives the 7 interior
+    * cut points as discrete order statistics (the L47 ceil-index
+    * recipe — value-at-rank is deterministic under ties); pass 2 bins
+    * map-side against the broadcast cut table. */
+  private def eqDepthHistogram(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("flag"), $"l_extendedprice".as("price"))
+    val ranked = li
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"flag").orderBy($"price")))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy($"flag")))
+    val cutCols = (1 to 7).map { j =>
+      max(when($"rn" === greatest(lit(1L),
+        ceil(lit(j / 8.0) * $"n").cast("long")), $"price")).as(s"c$j")
+    }
+    val cuts = broadcast(
+      ranked.groupBy($"flag").agg(cutCols.head, cutCols.tail: _*))
+    val bucket = (1 to 7)
+      .map(j => ($"price" > col(s"c$j")).cast("int"))
+      .reduce(_ + _) + lit(1)
+    li.join(cuts, "flag")
+      .select($"flag", bucket.as("bucket"), $"price")
+      .groupBy($"flag", $"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"price").as("min_price"), max($"price").as("max_price"))
+  }
+
+  /** Shared DuckDB CTE chain of the G14 histogram (`d`, `r`, `cw`,
+    * `h`) — one spelling for the histogram oracle and the
+    * selectivity-bounds oracle so cut points cannot drift. */
+  private val eqDepthCtes: String = {
+    val cutSelects = (1 to 7).map { j =>
+      s"""    MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(${j / 8.0} * n)
+         |      AS BIGINT)) THEN price END) AS c$j""".stripMargin
+    }.mkString(",\n")
+    val bucketExpr = (1 to 7)
+      .map(j => s"CAST(price > c$j AS INT)").mkString(" + ")
+    s"""d AS (
+       |  SELECT l_returnflag AS flag, l_extendedprice AS price
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT flag, price,
+       |    CAST(row_number() OVER (PARTITION BY flag ORDER BY price)
+       |      AS BIGINT) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY flag) AS BIGINT) AS n
+       |  FROM d),
+       |cw AS (
+       |  SELECT flag,
+       |$cutSelects
+       |  FROM r GROUP BY flag),
+       |h AS (
+       |  SELECT d.flag, 1 + $bucketExpr AS bucket,
+       |    COUNT(*) AS n_rows, MIN(price) AS min_price,
+       |    MAX(price) AS max_price
+       |  FROM d JOIN cw ON d.flag = cw.flag
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "join_size_estimate" ->
       """WITH ca AS (SELECT o_orderkey AS k, COUNT(*) AS ca
@@ -365,32 +437,30 @@ object Aggregates {
 
     // same discrete ceil-index cut points (the L47 recipe) and the
     // same integer bucket arithmetic 1 + Σ (price > c_j)
-    "agg_histogram_eqdepth" -> {
-      val cutSelects = (1 to 7).map { j =>
-        s"""    MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(${j / 8.0} * n)
-           |      AS BIGINT)) THEN price END) AS c$j""".stripMargin
-      }.mkString(",\n")
-      val bucketExpr = (1 to 7)
-        .map(j => s"CAST(price > c$j AS INT)").mkString(" + ")
-      s"""WITH d AS (
-         |  SELECT l_returnflag AS flag, l_extendedprice AS price
-         |  FROM lineitem),
-         |r AS (
-         |  SELECT flag, price,
-         |    CAST(row_number() OVER (PARTITION BY flag ORDER BY price)
-         |      AS BIGINT) AS rn,
-         |    CAST(COUNT(*) OVER (PARTITION BY flag) AS BIGINT) AS n
-         |  FROM d),
-         |cw AS (
+    "agg_histogram_eqdepth" ->
+      s"""WITH $eqDepthCtes
+         |SELECT flag, bucket, n_rows, min_price, max_price
+         |FROM h ORDER BY 1, 2""".stripMargin,
+
+    // the histogram's PURPOSE made driver-checkable: certain
+    // lower/upper selectivity bounds from bucket stats, with the
+    // exact count proven inside them
+    "selectivity_bounds" ->
+      s"""WITH $eqDepthCtes,
+         |bd AS (
          |  SELECT flag,
-         |$cutSelects
-         |  FROM r GROUP BY flag)
-         |SELECT d.flag, 1 + $bucketExpr AS bucket,
-         |  COUNT(*) AS n_rows, MIN(price) AS min_price,
-         |  MAX(price) AS max_price
-         |FROM d JOIN cw ON d.flag = cw.flag
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
+         |    CAST(SUM(CASE WHEN max_price <= 50000.0 THEN n_rows
+         |      ELSE 0 END) AS BIGINT) AS lower_est,
+         |    CAST(SUM(CASE WHEN min_price <= 50000.0 THEN n_rows
+         |      ELSE 0 END) AS BIGINT) AS upper_est
+         |  FROM h GROUP BY 1),
+         |a AS (
+         |  SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS actual
+         |  FROM lineitem WHERE l_extendedprice <= 50000.0 GROUP BY 1)
+         |SELECT bd.flag, COALESCE(a.actual, 0) AS actual,
+         |  lower_est, upper_est
+         |FROM bd LEFT JOIN a ON bd.flag = a.flag
+         |ORDER BY 1""".stripMargin,
 
     "agg_stats" ->
       s"""SELECT l_returnflag, n_rows, min_qty, max_qty,

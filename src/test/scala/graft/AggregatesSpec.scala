@@ -54,6 +54,20 @@ class AggregatesSpec extends SparkSuite {
     assert(total == leaf, "grand total must equal sum of leaves")
   }
 
+  test("selectivity_bounds: the exact count sits inside the bucket bounds") {
+    val rows = Aggregates.queries("selectivity_bounds")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, actual, lo, hi) =>
+      assert(lo <= actual && actual <= hi,
+        s"flag=$flag actual=$actual outside [$lo, $hi]")
+      // bounds are informative: the gap is at most the straddling
+      // buckets, never the whole group
+      assert(hi - lo < hi.max(1L), s"flag=$flag degenerate bounds")
+    }
+  }
+
   test("agg_histogram_eqdepth: ~n/8 per bucket, ranges ordered, broadcast binning") {
     val df = Aggregates.queries("agg_histogram_eqdepth")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
