@@ -969,6 +969,43 @@ object Pipeline {
         .orderBy($"probe_id", $"rn")
     }),
 
+    // L59: contrastive hard-negative mining — the training-pair
+    // generator for retrieval/embedding models: for each anchor doc,
+    // the semantically CLOSEST documents that are NOT near-duplicates
+    // (near-dups would be false negatives and poison the contrastive
+    // loss — the standard filtered-hard-negative recipe). Pure
+    // composition of two proven pieces: the brute cosine ranking
+    // (embeddings share ids with documents) anti-joined against the
+    // L2 near-dup pair set, re-ranked after the filter. Scale path:
+    // swap the brute scorer for ivfpq_ann's pruned scorer; the
+    // anti-join key is the compact id pair either way.
+    "hard_negatives" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val probes = emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("probe_id"), $"v".as("pv"))
+      val pairs = minhashNearDupPairs(
+          Tables.documents(s, dir).select($"doc_id", $"text"),
+          MinHashJaccardTau)
+        .select($"doc_a", $"doc_b")
+      val sym = pairs
+        .unionAll(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+        .select($"doc_a".as("probe_id"), $"doc_b".as("vec_id"))
+      val w = Window.partitionBy($"probe_id")
+        .orderBy($"cos_sim".desc, $"vec_id")
+      emb.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+        .select($"probe_id", $"vec_id",
+          q6(dot($"v", $"pv") / (l2norm($"v") * l2norm($"pv")))
+            .as("cos_sim"))
+        .join(sym, Seq("probe_id", "vec_id"), "left_anti")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 5)
+        .select($"probe_id", $"rn", $"vec_id".as("negative_id"),
+          $"cos_sim")
+        .orderBy($"probe_id", $"rn")
+    }),
+
     // L5 (per-doc): token statistics and quality signals. The subword
     // estimate is the BPE-ish proxy: greedy ≤4-char non-space chunks
     // (both engines' regex engines chunk greedily and identically).
@@ -3814,6 +3851,36 @@ object Pipeline {
          |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn
          |  FROM scored)
          |SELECT probe_id, rn, vec_id AS neighbor_id, cos_sim
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY probe_id, rn""".stripMargin,
+
+    // the cosine ranking CTE + NOT EXISTS against the (probe-bounded)
+    // near-dup pair set, re-ranked after the filter
+    "hard_negatives" ->
+      s"""WITH $shingleSqlCte,
+         |prs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      ${sqlQ6("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s)))")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      AND (a.doc_id < 20 OR b.doc_id < 20)) t
+         |  WHERE jaccard >= 0.5),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id,
+         |    ${sqlQ6("list_reduce(list_prepend(0.0, list_transform(list_zip(c.embedding::DOUBLE[], p.embedding::DOUBLE[]), z -> z[1] * z[2])), (acc, x) -> acc + x) / (sqrt(list_reduce(list_prepend(0.0, list_transform(c.embedding::DOUBLE[], x -> x * x)), (acc, x) -> acc + x)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding::DOUBLE[], x -> x * x)), (acc, x) -> acc + x)))")} AS cos_sim
+         |  FROM embeddings c JOIN embeddings p
+         |    ON p.vec_id < 20 AND c.vec_id <> p.vec_id),
+         |filt AS (
+         |  SELECT * FROM scored k WHERE NOT EXISTS (
+         |    SELECT 1 FROM prs
+         |    WHERE (prs.doc_a = k.probe_id AND prs.doc_b = k.vec_id)
+         |       OR (prs.doc_b = k.probe_id AND prs.doc_a = k.vec_id))),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn
+         |  FROM filt)
+         |SELECT probe_id, rn, vec_id AS negative_id, cos_sim
          |FROM ranked WHERE rn <= 5
          |ORDER BY probe_id, rn""".stripMargin,
 
