@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * to detect community structures in large-scale networks", Phys.
   * Rev. E 2007). Communities split where connectivity is thin —
   * unlike components, a bridge edge does not merge two dense
-  * clusters.
+  * clusters. ([X] extension op over the reference's capability
+  * envelope, `main.rs:3` — it has no graph surface.)
   *
   * DETERMINISTIC variant (classic LPA breaks ties randomly and
   * converges non-deterministically — useless for a driver-checked
