@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSuite {
       "unigram_logprob", "bm25_search", "bm25_indexed", "tfidf_terms",
       "agg_histogram", "heavy_hitters", "exact_ntile", "decayed_activity",
       "source_kl", // one-row corpus-total broadcast (scalar-subquery shape)
-      "pq_ann") // brute ADC scan vs broadcast probes (cosine_knn shape)
+      "pq_ann", // brute ADC scan vs broadcast probes (cosine_knn shape)
+      "hard_negatives") // the cosine_knn brute scorer + an anti-join
 
   test("no unintended cartesian products") {
     plans.foreach { case (name, p) =>
