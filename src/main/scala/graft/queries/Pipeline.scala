@@ -1564,23 +1564,37 @@ object Pipeline {
     // replays encode + ADC exactly.
     "pq_ann" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      import graft.operators.PqIndex
-      val emb = Tables.embeddings(s, dir)
-        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val books = pqBooks(s, dir)
-      val corpus = PqIndex.encode(emb, books).drop("v")
-      val probes = PqIndex.probeTables(
-        emb.filter($"vec_id" < 20).select($"vec_id".as("probe_id"), $"v"),
-        "v", books).drop("v")
-      val wTop = Window.partitionBy($"probe_id")
-        .orderBy($"adc".desc, $"vec_id")
-      corpus.crossJoin(broadcast(probes))
-        .filter($"vec_id" =!= $"probe_id")
-        .select($"probe_id", $"vec_id", q6(PqIndex.adcDot(PqM)).as("adc"))
-        .withColumn("rn", row_number().over(wTop).cast("long"))
-        .filter($"rn" <= 5)
+      pqAdcTop5(s, dir)
         .select($"probe_id", $"rn", $"vec_id".as("neighbor_id"), $"adc")
         .orderBy($"probe_id", $"rn")
+    }),
+
+    // L60: ANN quality report — "measure, don't guess" as a
+    // first-class DRIVER-CHECKED query: per probe, how many of the
+    // exact inner-product top-5 the PQ-ADC ranking recovered. The
+    // evaluation both engines replay end-to-end (codes, tables, both
+    // rankings, the overlap count) is the number a 100 TB vector
+    // deployment watches when retuning m/k — here it is
+    // hash-gated, not a narrative claim.
+    "ann_recall" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val probes = emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("probe_id"), $"v".as("pv"))
+      val wEx = Window.partitionBy($"probe_id")
+        .orderBy($"d".desc, $"vec_id")
+      val exact = emb.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+        .select($"probe_id", $"vec_id", q6(dot($"v", $"pv")).as("d"))
+        .withColumn("rn", row_number().over(wEx).cast("long"))
+        .filter($"rn" <= 5)
+        .select($"probe_id", $"vec_id")
+      val approx = pqAdcTop5(s, dir)
+        .select($"probe_id", $"vec_id", lit(1L).as("hit"))
+      exact.join(approx, Seq("probe_id", "vec_id"), "left")
+        .groupBy($"probe_id")
+        .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
+        .orderBy($"probe_id")
     }),
 
     // L53+L7: IVF-PQ — the standard production ANN index shape,
@@ -2456,6 +2470,29 @@ object Pipeline {
     }
   }
 
+  /** The shared PQ-ADC top-5 ranking behind `pq_ann` and
+    * `ann_recall`: (probe_id, vec_id, adc, rn ≤ 5). Corpus encoded to
+    * codes, probes carry their ADC tables, brute scan at test scale
+    * (the cosine_knn shape — at 100 TB the IVF prune runs first). */
+  private def pqAdcTop5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.PqIndex
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val books = pqBooks(s, dir)
+    val corpus = PqIndex.encode(emb, books).drop("v")
+    val probes = PqIndex.probeTables(
+      emb.filter($"vec_id" < 20).select($"vec_id".as("probe_id"), $"v"),
+      "v", books).drop("v")
+    val wTop = Window.partitionBy($"probe_id")
+      .orderBy($"adc".desc, $"vec_id")
+    corpus.crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id", q6(PqIndex.adcDot(PqM)).as("adc"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter($"rn" <= 5)
+  }
+
   /** PQ shape shared by `pq_ann`, its spec, and its oracle: 4
     * subspaces × 16 centroids over the 64-dim embeddings. */
   private[graft] val PqM = 4
@@ -2769,7 +2806,8 @@ object Pipeline {
     staticOracle ++ Option(learnedCentCache.get(dir))
       .map(c => Map("ivf_ann_learned" -> ivfLearnedSql(c)))
       .getOrElse(Map.empty) ++ Option(pqBooksCache.get(dir))
-      .map(b => Map("pq_ann" -> pqAnnSql(b)))
+      .map(b => Map("pq_ann" -> pqAnnSql(b),
+        "ann_recall" -> annRecallSql(b)))
       .getOrElse(Map.empty) ++ (for {
         c <- Option(learnedCentCache.get(dir))
         b <- Option(pqBooksCache.get(dir))
@@ -2837,13 +2875,40 @@ object Pipeline {
       }
     }.mkString(",\n    ")
 
-  private def pqAnnSql(books: Array[Array[Array[Double]]]): String = {
+  private def pqAnnSql(books: Array[Array[Array[Double]]]): String =
+    s"""WITH ${pqCoreCtes(books)}
+       |SELECT probe_id, rn, vec_id AS neighbor_id, adc
+       |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+
+  /** DuckDB mirror of `ann_recall`: the PQ core CTEs + the exact
+    * inner-product ranking + the top-5 overlap count — the recall
+    * evaluation replayed end-to-end. */
+  private def annRecallSql(books: Array[Array[Array[Double]]]): String =
+    s"""WITH ${pqCoreCtes(books)},
+       |ex AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id,
+       |    CAST(row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${sqlQ6(sqlDot("c.v", "p.v"))} DESC, c.vec_id)
+       |      AS BIGINT) AS rn
+       |  FROM e c JOIN e p ON p.vec_id < 20 AND c.vec_id <> p.vec_id)
+       |SELECT ex5.probe_id,
+       |  CAST(SUM(CASE WHEN pq5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits
+       |FROM (SELECT probe_id, vec_id FROM ex WHERE rn <= 5) ex5
+       |LEFT JOIN (SELECT probe_id, vec_id FROM ranked WHERE rn <= 5) pq5
+       |  ON pq5.probe_id = ex5.probe_id AND pq5.vec_id = ex5.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The PQ encode/table/ADC/rank CTE chain (`cb`, `e`, `sc`, `cd`,
+    * `pt`, `adc`, `ranked`) shared by [[pqAnnSql]] and
+    * [[annRecallSql]]. */
+  private def pqCoreCtes(books: Array[Array[Array[Double]]]): String = {
     val sub = books.head.head.length
     val rows = pqCbValues(books)
     val adcSum = (1 to PqM).map(j => s"p$j").mkString(" + ")
     val pPivots = (1 to PqM).map(j =>
       s"MAX(CASE WHEN cd.j = $j THEN pt.pd END) AS p$j").mkString(",\n    ")
-    s"""WITH cb(j, cid, c, hn) AS (VALUES
+    s"""cb(j, cid, c, hn) AS (VALUES
        |    $rows),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |sc AS (
@@ -2869,9 +2934,7 @@ object Pipeline {
        |  SELECT probe_id, vec_id, ${sqlQ6(adcSum)} AS adc,
        |    CAST(row_number() OVER (PARTITION BY probe_id
        |      ORDER BY ${sqlQ6(adcSum)} DESC, vec_id) AS BIGINT) AS rn
-       |  FROM adc)
-       |SELECT probe_id, rn, vec_id AS neighbor_id, adc
-       |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+       |  FROM adc)""".stripMargin
   }
 
   /** DuckDB mirror of `ivfpq_ann`: the [[ivfLearnedSql]] cell CTEs

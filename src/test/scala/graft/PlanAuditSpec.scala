@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkSuite {
       "agg_histogram", "heavy_hitters", "exact_ntile", "decayed_activity",
       "source_kl", // one-row corpus-total broadcast (scalar-subquery shape)
       "pq_ann", // brute ADC scan vs broadcast probes (cosine_knn shape)
-      "hard_negatives") // the cosine_knn brute scorer + an anti-join
+      "hard_negatives", // the cosine_knn brute scorer + an anti-join
+      "ann_recall") // both brute rankings (exact + ADC) vs broadcast probes
 
   test("no unintended cartesian products") {
     plans.foreach { case (name, p) =>
