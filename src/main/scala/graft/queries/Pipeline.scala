@@ -1172,6 +1172,20 @@ object Pipeline {
         .orderBy($"rep")
     }),
 
+    // L61: per-source quality mix — the tier table a mixture pipeline
+    // reweights from ("how much of source X clears quality 0.875?"):
+    // the L5 quality score is a small discrete domain (quarters of
+    // the four gate scores), so the full (source, quality) histogram
+    // is exact, tiny, and map-combinable.
+    "source_quality_mix" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"source", qualityOf($"text").as("quality"))
+        .groupBy($"source", $"quality")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source", $"quality")
+    }),
+
     // L50: per-source unigram entropy — the diversity/quality scalar a
     // mixture pipeline tracks per source (template farms and spam
     // collapse entropy; natural prose sits near the language's
@@ -3077,6 +3091,12 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same quality CTE (source carried), exact discrete histogram
+    "source_quality_mix" ->
+      s"""WITH ${qualityCteSql("q", "documents", Seq("source"))}
+         |SELECT source, quality, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // same binary-string-length pow2 bucket, same sum shapes
     "padding_waste" ->

@@ -193,6 +193,23 @@ object Relational {
           min($"value").as("min_v"), max($"value").as("max_v"))
         .orderBy($"metric")
     }),
+
+    // S12: whole-catalog profile — the one-shot ANALYZE inventory a
+    // pipeline runs against a new data drop: every table's row count
+    // and column count in one relation. Counts are independent
+    // map-combinable scans unioned AFTER aggregation (10 one-row
+    // frames — the union never moves data rows); column counts come
+    // from the embedded schemas.
+    "catalog_profile" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.Tables.all.map { t =>
+        val df = if (t == "events") graft.Tables.events(s, dir)
+          else graft.Tables(s, dir, t)
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("table_name"), $"n_rows",
+            lit(df.columns.length.toLong).as("n_cols"))
+      }.reduce(_ unionAll _).orderBy($"table_name")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -209,6 +226,19 @@ object Relational {
          |SELECT metric, COUNT(*) AS n, ${sqlDsum("value")} AS total,
          |  MIN(value) AS min_v, MAX(value) AS max_v
          |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
+
+    // column counts pinned from the fixture schemas (FIXTURES.md) —
+    // a column-set drift fails this row loudly, which is the point of
+    // a catalog check
+    "catalog_profile" -> {
+      val cols = Map("region" -> 2, "nation" -> 3, "customer" -> 5,
+        "supplier" -> 4, "part" -> 6, "orders" -> 6, "lineitem" -> 11,
+        "events" -> 6, "documents" -> 5, "embeddings" -> 3)
+      graft.Tables.all.map { t =>
+        s"""SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(${cols(t)} AS BIGINT) AS n_cols FROM $t""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
 
     // NULL-excluding orphan predicate on both sides (SQL-standard RI);
     // parent NULL keys filtered so NOT IN can't collapse to NULL
