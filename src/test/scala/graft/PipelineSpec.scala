@@ -534,6 +534,38 @@ class PipelineSpec extends SparkSuite {
     assert(rows.map(_._3).distinct.length > 10)
   }
 
+  test("padding_waste: buckets are tight powers of two, sums conserve") {
+    val rows = Pipeline.queries("padding_waste")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (bucket, _, _, _) =>
+      assert((bucket & (bucket - 1)) == 0L, s"bucket $bucket not a pow2")
+    }
+    val total = Tables.documents(spark, sf)
+      .select(explode(split($"text", " "))).count()
+    assert(rows.map(_._3).sum == total, "token mass must conserve")
+    // tightness: a doc in bucket b has b/2 < n_tokens <= b, so
+    // per-bucket padding < tokens_in_bucket (except the 1-bucket)
+    rows.filter(_._1 > 1).foreach { case (b, nd, toks, pad) =>
+      assert(pad < toks + nd, s"bucket $b padding $pad too large")
+    }
+  }
+
+  test("cumulative_uniques: monotone and lands on the true distinct count") {
+    val got = graft.SparkEntry.queries("cumulative_uniques")(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.nonEmpty)
+    got.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(0)._4 <= p(1)._4, "cum_users must be monotone")
+    }
+    val totalUsers = Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(got.last._4 == totalUsers)
+    assert(got.map(_._3).sum == totalUsers, "first touches partition users")
+  }
+
   test("source_entropy: bounded by ln(types) and equals the direct sum") {
     val rows = Pipeline.queries("source_entropy")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

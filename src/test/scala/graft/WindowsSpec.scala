@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.Windows
+import org.apache.spark.sql.functions.col
 
 /** Plan-shape assertions for sorts/limits: the point of O2/O4 is what
   * they do NOT do at scale (full global sorts). */
@@ -29,5 +30,17 @@ class WindowsSpec extends SparkSuite {
     purchases.foreach { r => assert(!r.isNullAt(3)) }
     // and at least one user has a pre-first-purchase null prefix
     assert(rows.exists(r => r.isNullAt(3)))
+  }
+
+  test("keyset_page is exactly the slice of the total order after the cursor") {
+    val full = Tables.orders(spark, sf)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val afterCursor = full.filter { case (k, p) =>
+      p < 400000.0 || (p == 400000.0 && k > 0L) }.take(100)
+    val page = Windows.queries("keyset_page")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(page.toSeq == afterCursor.toSeq)
   }
 }
