@@ -1172,6 +1172,60 @@ object Pipeline {
         .orderBy($"rep")
     }),
 
+    // L63: bigram LM scoring — the sharper sibling of L5b's unigram
+    // log-prob: per doc, the mean add-one-smoothed bigram log
+    // probability under the corpus's own bigram model (fluency
+    // filtering — word salad scores far below natural prose even
+    // when its unigrams look fine). Per-bigram terms are quantized
+    // to integer micro-nats BEFORE the order-free sum, so the score
+    // is engine-exact. Shape: one bigram explode feeding BOTH count
+    // models (map-combinable), two vocab-keyed equi joins back, one
+    // one-row vocab broadcast (the unigram_logprob scalar shape).
+    "bigram_logprob" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val bg = Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .filter(size($"ws") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
+        .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+      val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val v = broadcast(Tables.documents(s, dir)
+        .select(explode(split($"text", " ")).as("w"))
+        .agg(count_distinct($"w").as("vocab")))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(v)
+        .select($"doc_id",
+          floor(log(($"c2" + lit(1L)).cast("double") / ($"c1" + $"vocab")) *
+            lit(1000000.0) + lit(0.5)).cast("long").as("t"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum($"t").cast("double") / lit(1000000.0) / count(lit(1)))
+            .as("mean_logprob"))
+        .orderBy($"doc_id")
+    }),
+
+    // L62: per-source duplication rate — "which sources are mostly
+    // copies of something" (crawler echo chambers, mirror detection,
+    // the dedup-priority input next to L49's pair matrix). Cluster
+    // members come from the SAME LSH + closure pass as
+    // neardup_clusters; singletons are the non-members (docs never in
+    // any near-dup pair). Exact integer counts + one q6 ratio.
+    "source_dup_rate" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+      val members = nearDupComponents(s, dir)
+        .select($"node".as("doc_id"), lit(1L).as("is_dup"))
+      docs.join(members, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce($"is_dup", lit(0L))).as("n_dup_docs"))
+        .select($"source", $"n_docs", $"n_dup_docs",
+          q6($"n_dup_docs".cast("double") / $"n_docs").as("dup_rate"))
+        .orderBy($"source")
+    }),
+
     // L61: per-source quality mix — the tier table a mixture pipeline
     // reweights from ("how much of source X clears quality 0.875?"):
     // the L5 quality score is a small discrete domain (quarters of
@@ -3091,6 +3145,42 @@ object Pipeline {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // identical bigram extraction (1-based here, 0-based subscripts
+    // engine-side — same pairs), identical smoothing arithmetic and
+    // micro-nat quantization
+    "bigram_logprob" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+         |  FROM d, UNNEST(range(1, len(ws))) AS u(i)
+         |  WHERE len(ws) >= 2),
+         |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+         |       FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+         |       FROM bg GROUP BY 1),
+         |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab FROM
+         |      (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+         |t AS (
+         |  SELECT bg.doc_id,
+         |    CAST(FLOOR(ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.vocab))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS t
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(t) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_logprob
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same recursive closure as the cluster oracles; membership =
+    // appearing in `comp`
+    "source_dup_rate" ->
+      s"""WITH RECURSIVE $neardupClosureSqlCte
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_docs,
+         |  ${sqlQ6("CAST(SUM(CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS dup_rate
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same quality CTE (source carried), exact discrete histogram
     "source_quality_mix" ->

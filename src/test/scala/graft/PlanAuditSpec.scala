@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSuite {
       "source_kl", // one-row corpus-total broadcast (scalar-subquery shape)
       "pq_ann", // brute ADC scan vs broadcast probes (cosine_knn shape)
       "hard_negatives", // the cosine_knn brute scorer + an anti-join
-      "ann_recall") // both brute rankings (exact + ADC) vs broadcast probes
+      "ann_recall", // both brute rankings (exact + ADC) vs broadcast probes
+      "bigram_logprob") // one-row vocab broadcast (unigram_logprob shape)
 
   test("no unintended cartesian products") {
     plans.foreach { case (name, p) =>
