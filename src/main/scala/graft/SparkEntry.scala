@@ -20,10 +20,10 @@ object SparkEntry {
       graft.queries.Joins.queries ++
       graft.queries.Lookups.queries ++
       graft.queries.Aggregates.queries ++
-      graft.queries.Aggregates.noOracleQueries ++
+      graft.queries.Aggregates.approxQueries ++
       graft.queries.Windows.queries ++
       graft.queries.Scalars.queries ++
-      graft.queries.Scalars.noOracleQueries ++
+      graft.queries.Scalars.nativeHashQueries ++
       graft.queries.EventTime.queries ++
       graft.queries.Mutations.queries ++
       graft.queries.Layout.queries ++
@@ -37,11 +37,14 @@ object SparkEntry {
     staticOracles ++ graft.queries.Pipeline.oracle
 
   /** [[oracleSql]] with the data-dependent entries keyed to ONE sf dir
-    * (the `ivf_ann_learned` oracle interpolates that dir's learned
-    * centroids) — what Verify dumps, so a JVM that touched several
-    * dirs still writes the right oracle for the dir it verified. */
+    * (learned centroids, engine hash/estimate literals) — what Verify
+    * dumps, so a JVM that touched several dirs still writes the right
+    * oracle for the dir it verified. */
   def oracleSqlFor(sfDir: String): Map[String, String] =
-    staticOracles ++ graft.queries.Pipeline.oracleFor(sfDir)
+    staticOracles ++
+      graft.queries.Aggregates.oracleFor(sfDir) ++
+      graft.queries.Scalars.oracleFor(sfDir) ++
+      graft.queries.Pipeline.oracleFor(sfDir)
 
   private def staticOracles: Map[String, String] =
     graft.queries.Relational.oracle ++

@@ -313,21 +313,79 @@ object Aggregates {
     }),
   )
 
-  /** G5: HLL approximate distinct — not DuckDB-replicable (different
-    * sketch), so no oracle entry: the driver records the weaker
-    * rows-only check. A spec asserts the estimate lands within the
-    * configured rsd of the exact count. */
-  val noOracleQueries: Map[String, Q] = Map(
+  /** G5: HLL approximate distinct. The sketch itself is not
+    * DuckDB-replicable (different algorithm), so the estimate rides
+    * into the oracle as an interpolated literal while everything
+    * checkable IS checked: the query also emits the exact distinct
+    * count and a `within_bound` flag (|approx − exact| ≤ 3·rsd·exact,
+    * rsd = 0.02), and [[oracleFor]] replays the exact count, the row
+    * count, AND the bound check from DuckDB's own COUNT(DISTINCT) —
+    * so a drifting estimate flips `within_bound` on the oracle side
+    * and fails the hash compare. AggregatesSpec asserts the bound
+    * directly as well. */
+  val approxQueries: Map[String, Q] = Map(
     "agg_approx" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      Tables.orders(s, dir)
+      val base = Tables.orders(s, dir)
         .groupBy($"o_orderpriority")
         .agg(
           approx_count_distinct($"o_custkey", 0.02).as("approx_custs"),
+          countDistinct($"o_custkey").as("exact_custs"),
           count(lit(1)).as("n_orders"))
+      approxFrameCache.computeIfAbsent(dir,
+        _ => base.select($"o_orderpriority", $"approx_custs"))
+      lastOracleDir = Some(dir)
+      base
+        .withColumn("within_bound",
+          abs($"approx_custs" - $"exact_custs") <=
+            lit(ApproxBoundFactor) * $"exact_custs")
         .orderBy($"o_orderpriority")
     }),
   )
+
+  /** 3·rsd with rsd = 0.02 — the SAME double literal the oracle SQL
+    * casts from, so both engines compare against bit-identical
+    * thresholds. */
+  private val ApproxBoundFactor = 0.06
+
+  private val approxFrameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val approxSqlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @volatile private var lastOracleDir: Option[String] = None
+
+  /** DuckDB mirror of `agg_approx`: the engine's HLL estimates as
+    * VALUES literals; exact counts, row counts, and the 3·rsd bound
+    * check recomputed from DuckDB's own aggregation. */
+  private def aggApproxSql(rows: Array[(String, Long)]): String = {
+    val vals = rows.sortBy(_._1)
+      .map { case (p, a) => s"('$p', $a)" }.mkString(",\n    ")
+    s"""WITH est(o_orderpriority, approx_custs) AS (VALUES
+       |    $vals),
+       |ex AS (SELECT o_orderpriority,
+       |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+       |    CAST(COUNT(*) AS BIGINT) AS n_orders
+       |  FROM orders GROUP BY 1)
+       |SELECT ex.o_orderpriority, CAST(est.approx_custs AS BIGINT) AS approx_custs,
+       |  ex.exact_custs, ex.n_orders,
+       |  abs(est.approx_custs - ex.exact_custs)
+       |    <= CAST($ApproxBoundFactor AS DOUBLE) * ex.exact_custs AS within_bound
+       |FROM ex JOIN est USING (o_orderpriority)
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
+  /** [[staticOracle]] plus the data-dependent `agg_approx` entry for
+    * `dir`, present once that dir's query has been constructed (which
+    * warms its cache) — the Pipeline.oracleFor contract. */
+  def oracleFor(dir: String): Map[String, String] =
+    staticOracle ++ Option(approxFrameCache.get(dir)).map { f =>
+      Map("agg_approx" -> approxSqlCache.computeIfAbsent(dir, _ =>
+        aggApproxSql(f.collect()
+          .map(r => (r.getString(0), r.getLong(1))))))
+    }.getOrElse(Map.empty)
+
+  def oracle: Map[String, String] =
+    lastOracleDir.map(oracleFor).getOrElse(staticOracle)
 
   /** The G14 two-pass equi-depth histogram shared by
     * `agg_histogram_eqdepth` and `selectivity_bounds`:
@@ -394,7 +452,7 @@ object Aggregates {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  private val staticOracle: Map[String, String] = Map(
     "join_size_estimate" ->
       """WITH ca AS (SELECT o_orderkey AS k, COUNT(*) AS ca
         |            FROM orders GROUP BY 1),

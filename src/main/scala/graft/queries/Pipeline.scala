@@ -2506,7 +2506,12 @@ object Pipeline {
     * doubles held per dir are driver-trivial. */
   private val learnedCentCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
-  @volatile private var learnedCentDir: Option[String] = None
+
+  /** The dir whose data-dependent oracle caches were warmed most
+    * recently — consumed only by the no-arg [[oracle]] convenience
+    * view (the driver's single-dir contract); each cache is still
+    * independently Option-guarded in [[oracleFor]]. */
+  @volatile private var lastOracleDir: Option[String] = None
 
   private def learnedCents(s: SparkSession, dir: String): Array[Array[Double]] = {
     val c = learnedCentCache.computeIfAbsent(dir, d => {
@@ -2516,7 +2521,7 @@ object Pipeline {
           .select($"vec_id", $"embedding".cast("array<double>").as("v")),
         16, 3)
     })
-    learnedCentDir = Some(dir)
+    lastOracleDir = Some(dir)
     c
   }
 
@@ -2582,14 +2587,15 @@ object Pipeline {
           .select($"vec_id", $"embedding".cast("array<double>").as("v")),
         PqDim, PqM, PqK, 3)
     })
-    learnedCentDir = Some(dir)
+    lastOracleDir = Some(dir)
     b
   }
 
-  /** Empty since round 6 — every Pipeline query is oracle-gated (the
-    * remaining repo-wide exemptions, `agg_approx` and
-    * `hash_fns_native`, live in their own modules). Kept so the
-    * SparkEntry aggregation stays stable. */
+  /** Empty since round 6 — every Pipeline query is oracle-gated, and
+    * since round 8 so is every query repo-wide (`agg_approx` and
+    * `hash_fns_native` closed via interpolated-literal oracles in
+    * their own modules). Kept so the SparkEntry aggregation stays
+    * stable. */
   val noOracleQueries: Map[String, Q] = Map.empty
 
   /** Probe docs for `simhash_neighbors`: an exact-duplicate pair
@@ -2829,7 +2835,7 @@ object Pipeline {
     * through `SparkEntry.oracleSql`, also a `def`) precisely so the
     * data-dependent entries can appear. */
   def oracle: Map[String, String] =
-    learnedCentDir.map(oracleFor).getOrElse(staticOracle)
+    lastOracleDir.map(oracleFor).getOrElse(staticOracle)
 
   /** One SQL string per dir: the collect behind the interpolation runs
     * ONCE at first dump, never inside the query plan itself. */

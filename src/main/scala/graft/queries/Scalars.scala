@@ -150,15 +150,21 @@ object Scalars {
 
   /** X9 completion: the non-cryptographic hash family — xxhash64,
     * murmur3 (Spark's `hash`), crc32. DuckDB has no compatible
-    * implementations (its `hash` is a different algorithm), so no SQL
-    * oracle — the driver records the rows-only check and HashFnsSpec
-    * verifies every column against an INDEPENDENT implementation
-    * (java.util.zip.CRC32; in-spec reimplementations of public XXH64 /
-    * Murmur3_x86_32 with Spark's documented seed 42) plus pinned
-    * literal vectors. */
-  val noOracleQueries: Map[String, Q] = Map(
+    * implementations (its `hash` is a different algorithm), so the
+    * oracle is data-dependent: constructing the query caches the
+    * per-dir (doc_id, text) frame, and [[oracleFor]] interpolates the
+    * expected values computed by
+    * [[graft.functions.IndependentHashes]] — public-spec
+    * reimplementations never touching Spark's code paths — as VALUES
+    * literals (the `simhash_neighbors` pattern). HashFnsSpec
+    * additionally pins boundary-length vectors incl. the CRC-32
+    * standard check value. */
+  val nativeHashQueries: Map[String, Q] = Map(
     "hash_fns_native" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
+      hashDocsCache.computeIfAbsent(dir,
+        d => Tables.documents(s, d).select($"doc_id", $"text"))
+      lastOracleDir = Some(dir)
       Tables.documents(s, dir)
         .select($"doc_id",
           xxhash64($"text").as("xxh64"),
@@ -168,7 +174,52 @@ object Scalars {
     }),
   )
 
-  val oracle: Map[String, String] = Map(
+  /** Per-dir (doc_id, text) frames behind the `hash_fns_native`
+    * oracle — frame construction is lazy; the collect (and the
+    * independent hashing of each text) happens once per dir at
+    * oracle-build time, memoized in [[hashSqlCache]]. */
+  private val hashDocsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val hashSqlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @volatile private var lastOracleDir: Option[String] = None
+
+  /** DuckDB mirror of `hash_fns_native`: one VALUES row per document
+    * carrying the three expected hashes of its UTF-8 bytes, computed
+    * by [[graft.functions.IndependentHashes]] (Spark's documented
+    * seed 42 for xxhash64/murmur3). */
+  private def hashNativeSql(rows: Array[(Long, Long, Long, Long)]): String = {
+    val vals = rows.sortBy(_._1)
+      .map { case (id, x, m, c) => s"($id, $x, $m, $c)" }
+      .mkString(",\n    ")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(xxh64 AS BIGINT) AS xxh64,
+       |  CAST(murmur3 AS BIGINT) AS murmur3,
+       |  CAST(crc32 AS BIGINT) AS crc32
+       |FROM (VALUES
+       |    $vals) v(doc_id, xxh64, murmur3, crc32)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[staticOracle]] plus the data-dependent `hash_fns_native` entry
+    * for `dir`, present once that dir's query has been constructed
+    * (which warms its cache) — the Pipeline.oracleFor contract. */
+  def oracleFor(dir: String): Map[String, String] =
+    staticOracle ++ Option(hashDocsCache.get(dir)).map { f =>
+      Map("hash_fns_native" -> hashSqlCache.computeIfAbsent(dir, _ =>
+        hashNativeSql(f.collect().map { r =>
+          val b = r.getString(1).getBytes("UTF-8")
+          (r.getLong(0),
+            graft.functions.IndependentHashes.xxh64(b, 42L),
+            graft.functions.IndependentHashes.murmur3x86_32(b, 42).toLong,
+            graft.functions.IndependentHashes.crc32(b))
+        })))
+    }.getOrElse(Map.empty)
+
+  def oracle: Map[String, String] =
+    lastOracleDir.map(oracleFor).getOrElse(staticOracle)
+
+  private val staticOracle: Map[String, String] = Map(
     "string_fns" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_len,

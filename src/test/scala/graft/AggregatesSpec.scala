@@ -7,16 +7,19 @@ class AggregatesSpec extends SparkSuite {
   import spark.implicits._
 
   test("agg_approx HLL estimate lands within 3x the configured rsd") {
-    val approx = Aggregates.noOracleQueries("agg_approx")(spark, sf)
-      .select($"o_orderpriority", $"approx_custs").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Aggregates.approxQueries("agg_approx")(spark, sf)
+      .select($"o_orderpriority", $"approx_custs", $"exact_custs",
+        $"within_bound").collect()
     val exact = Tables.orders(spark, sf)
       .groupBy($"o_orderpriority").agg(countDistinct($"o_custkey").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, n) =>
-      val err = math.abs(approx(k).toDouble - n) / n
-      assert(err <= 0.06, s"$k: approx ${approx(k)} vs exact $n (err $err)")
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      val (k, approx, ex) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(ex == exact(k), s"$k: emitted exact $ex vs recomputed ${exact(k)}")
+      val err = math.abs(approx.toDouble - ex) / ex
+      assert(err <= 0.06, s"$k: approx $approx vs exact $ex (err $err)")
+      assert(r.getBoolean(3), s"$k: within_bound flag disagrees with bound")
     }
   }
 

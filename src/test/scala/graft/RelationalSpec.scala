@@ -46,19 +46,19 @@ class RelationalSpec extends SparkSuite {
     SparkEntry.queries("source_minhash_sim")(spark, sf)
     SparkEntry.queries("pq_ann")(spark, sf)
     SparkEntry.queries("ivfpq_ann")(spark, sf)
+    SparkEntry.queries("agg_approx")(spark, sf)
+    SparkEntry.queries("hash_fns_native")(spark, sf)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // keep the exemption list explicit so new queries fail loudly:
-    //  - agg_approx: HLL sketch not DuckDB-replicable (AggregatesSpec
-    //    bounds it against the exact count)
-    //  - hash_fns_native: xxhash64/murmur3/crc32 have no DuckDB
-    //    equivalents (HashFnsSpec verifies each against an independent
-    //    implementation + pinned vectors)
+    // The exemption list is EMPTY since round 8: agg_approx closed via
+    // the interpolated-estimate + oracle-side 3·rsd bound check,
+    // hash_fns_native via IndependentHashes VALUES literals. Keep the
+    // empty set so any new query without an oracle fails loudly here.
     // (simhash, winnowing, ann_lsh and source_minhash_sim left this
     // list in round 6: the first two via downstream-guarantee /
     // interpolated-fingerprint oracles, ann_lsh via the sign-bit-fold
     // bucket replay — its bucket never was a hash — and
     // source_minhash_sim via interpolated per-source signatures.)
-    val exempt = Set("agg_approx", "hash_fns_native")
+    val exempt = Set.empty[String]
     assert((missing -- exempt).isEmpty, s"queries without oracle: $missing")
   }
 }
