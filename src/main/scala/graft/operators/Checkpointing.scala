@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared lineage-truncation plumbing for the iterative graph family
+  * ([[PageRank]], [[LabelPropagation]]; [[ConnectedComponents]] carries
+  * its own variant with per-iteration unpersist). Iterative dataflows
+  * must cut lineage each materialization or the plan grows without
+  * bound — but `localCheckpoint()` stores blocks in executor memory
+  * only, so at real cluster scale losing ONE executor mid-job loses
+  * the job. Callers that run long (many rounds, 100 TB inputs) pass a
+  * reliable `dir`; local/test callers omit it and keep the faster
+  * executor-memory path. Results are bitwise identical either way —
+  * truncation changes where blocks live, not what they contain.
+  */
+object Checkpointing {
+
+  /** Runs `body` with a truncation function: reliable `checkpoint()`
+    * under `dir` when given, else `localCheckpoint()`.
+    *
+    * `SparkContext.setCheckpointDir` is SESSION-GLOBAL state, so the
+    * caller's prior dir is restored on exit (the
+    * [[ConnectedComponents.components]] contract: `setCheckpointDir`
+    * nests a fresh UUID per call, so "restored" means the same tree,
+    * not the same leaf — files already written are never relocated).
+    * Checkpoint files under `dir` outlive the call; the caller owns
+    * reaping them.
+    */
+  def withTruncation[T](session: org.apache.spark.sql.SparkSession,
+      dir: Option[String])(body: (DataFrame => DataFrame) => T): T = {
+    val sc = session.sparkContext
+    val prior = sc.getCheckpointDir
+    dir.foreach(sc.setCheckpointDir)
+    val ckpt: DataFrame => DataFrame =
+      if (dir.isDefined) _.checkpoint() else _.localCheckpoint()
+    try body(ckpt)
+    finally if (dir.isDefined) prior.foreach(sc.setCheckpointDir)
+  }
+}

@@ -33,10 +33,18 @@ object LabelPropagation {
   /** Labels after `rounds` synchronous LPA rounds:
     * DataFrame[node: long, label: long]. Label = node id at round 0;
     * every node appearing in an edge participates (self-loops and
-    * duplicate edges are dropped). */
+    * duplicate edges are dropped).
+    *
+    * @param checkpointDir when given, the symmetrized edge relation is
+    *                reliably `checkpoint()`ed into this directory
+    *                (fault-tolerant at cluster scale); when absent,
+    *                `localCheckpoint()` (executor-memory, faster).
+    *                Bitwise-identical labels either way (deterministic
+    *                tie-break; see LabelPropagationSpec). */
   def communities(edges: DataFrame, aCol: String, bCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    Checkpointing.withTruncation(edges.sparkSession, checkpointDir) { ckpt =>
     // id-canonical (lo, hi) BEFORE distinct — an input carrying both
     // (a,b) and (b,a) is one undirected edge, not a double-weight one
     val und = edges
@@ -45,9 +53,8 @@ object LabelPropagation {
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val sym = und
-      .unionAll(und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+    val sym = ckpt(und
+      .unionAll(und.select(col("v").as("u"), col("u").as("v"))))
 
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -63,6 +70,7 @@ object LabelPropagation {
         .select(col("node"), col("label"))
     }
     labels
+    }
   }
 
   /** The identical recursion as unrolled ANSI SQL — the oracle twin.

@@ -38,9 +38,11 @@ import org.apache.spark.sql.functions._
   * map-side-combinable integer sum keyed by dst — no broadcast of
   * anything O(nodes), no driver-side graph, no convergence probe (the
   * round count is a parameter, as in production web-rank jobs). The
-  * edge relation (+outdeg) is materialized ONCE via `localCheckpoint`
-  * so an expensive upstream edge generator (e.g. a self-join) never
-  * re-runs across rounds, and lineage stays O(1) per round.
+  * edge relation (+outdeg) is materialized ONCE — reliably checkpointed
+  * when `checkpointDir` is given (cluster fault tolerance), else
+  * `localCheckpoint` — so an expensive upstream edge generator (e.g. a
+  * self-join) never re-runs across rounds, and lineage stays O(1) per
+  * round.
   * Long-overflow headroom: `num · n · scale` must stay under 2^63 —
   * at web scale (n = 1e10) use scale = 1e4 (documented knob), which
   * still separates ranks to 1e-4 of a unit.
@@ -60,14 +62,24 @@ object PageRank extends Logging {
     *                   reproducibility/overflow knob
     * @param dampNum    damping numerator (default 85)
     * @param dampDen    damping denominator (default 100: d = 0.85)
+    * @param checkpointDir when given, materializations use reliable
+    *                   `checkpoint()` into this directory
+    *                   (fault-tolerant at cluster scale — an executor
+    *                   loss re-reads files instead of killing the
+    *                   job); when absent, `localCheckpoint()`
+    *                   (executor-memory, faster). Bitwise-identical
+    *                   results either way (integer arithmetic; see
+    *                   PageRankSpec).
     */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, scale: Long = 1000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(scale >= 1L, s"scale must be >= 1, got $scale")
     require(dampNum >= 0L && dampNum <= dampDen && dampDen >= 1L,
       s"damping $dampNum/$dampDen is not in [0,1]")
+    Checkpointing.withTruncation(edges.sparkSession, checkpointDir) { ckpt =>
 
     // Distinct edge set with per-src out-degree attached ONCE —
     // materialized so iterations re-read, never re-run the upstream
@@ -84,19 +96,17 @@ object PageRank extends Logging {
     // shuffles only the O(nodes) rank relation — the per-round data
     // movement is ranks out (hash by src) and contributions back
     // (hash by dst), never the edge set.
-    val e = e0
+    val e = ckpt(e0
       .join(e0.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .repartition(col("src"))
-      .localCheckpoint()
+      .repartition(col("src")))
 
     // Also materialized once: every round's left join re-reads the
     // node set, and without the checkpoint each reference would
     // recompute the O(edges) union+distinct (measured ~40% of the
     // query at sf0.1). O(nodes) storage — tiny next to the edges.
-    val nodes = e.select(col("src").as("node"))
+    val nodes = ckpt(e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     val base = ((dampDen - dampNum) * scale) / dampDen // Scala long div
     var r = nodes.select(col("node"), lit(scale).as("rank"))
@@ -115,6 +125,7 @@ object PageRank extends Logging {
             expr(s"($dampNum * COALESCE(c, 0L)) DIV $dampDen")).as("rank"))
     }
     r
+    }
   }
 
   /** Weighted, seed-personalized variant — TrustRank (Gyöngyi,
@@ -141,25 +152,25 @@ object PageRank extends Logging {
   def ranksSeeded(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       iterations: Int, scale: Long = 1000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1 && scale >= 1L &&
       dampNum >= 0L && dampNum <= dampDen && dampDen >= 1L,
       s"bad parameters ($iterations, $scale, $dampNum/$dampDen)")
+    Checkpointing.withTruncation(edges.sparkSession, checkpointDir) { ckpt =>
 
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
       .filter(col("src") =!= col("dst") && col("w") > 0L)
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-    val e = e0
+    val e = ckpt(e0
       .join(e0.groupBy("src").agg(sum(col("w")).as("strength")), "src")
-      .repartition(col("src"))
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+      .repartition(col("src")))
+    val nodes = ckpt(e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
-      .withColumn("is_seed", seedPred(col("node")))
-      .localCheckpoint()
+      .withColumn("is_seed", seedPred(col("node"))))
     // teleport budget per seed, fixed integers computed once
     val Row(nNodes: Long, nSeeds: Long) = nodes
       .agg(count(lit(1)), sum(col("is_seed").cast("long"))).head()
@@ -182,6 +193,7 @@ object PageRank extends Logging {
             expr(s"($dampNum * COALESCE(c, 0L)) DIV $dampDen")).as("rank"))
     }
     r.select("node", "rank")
+    }
   }
 
   /** Oracle twin of [[ranksSeeded]]: `edgesSql` selects (src, dst, w);

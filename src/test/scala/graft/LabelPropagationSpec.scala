@@ -64,4 +64,26 @@ class LabelPropagationSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("reliable checkpointDir mode is bitwise-equal and writes the dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpa-ckpt")
+    try {
+      val rnd = new scala.util.Random(41)
+      val edges = Seq.fill(150)(
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      // deterministic tie-break ⇒ bitwise equality across truncation
+      // modes, not merely the same partition structure
+      val reliable = LabelPropagation.communities(
+          edges.toDF("x", "y"), "x", "y", 3,
+          checkpointDir = Some(dir.toString))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == run(edges, 3))
+      assert(java.nio.file.Files.walk(dir).count() > 1,
+        s"no checkpoint files written under $dir")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
