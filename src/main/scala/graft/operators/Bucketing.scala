@@ -36,15 +36,22 @@ object Bucketing {
     * each write task holds exactly one bucket's rows and emits
     * exactly one file per bucket — the layout pays its sort once, at
     * write time, as advertised.
+    *
+    * @param sortCols extra per-bucket sort columns appended AFTER the
+    *                 bucket keys — the as-of layout (bucket by key,
+    *                 sort by (key, time)) so a clustered-merge as-of
+    *                 over two such tables needs neither Exchange nor
+    *                 Sort (NativeAsOfJoinSpec pins this)
     */
   def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
     require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
     require(keys.nonEmpty, "bucketing needs at least one key")
+    val sort = keys ++ sortCols
     df.repartition(nBuckets, keys.map(df.col): _*)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
+      .sortBy(sort.head, sort.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }

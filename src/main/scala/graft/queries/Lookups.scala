@@ -187,7 +187,50 @@ object Lookups {
              |  'o_custkey', 'b_custkey', 'o_orderdate', 'prev_orderdate',
              |  '${payload.mkString(",")}')""".stripMargin)
       }),
+
+    // J9 zero-exchange: the SAME fixture with both sides WRITTEN
+    // bucketed on the key (8 buckets, per-bucket sorted (key, time))
+    // and the clustered-merge exec run over the bucketed tables — the
+    // scan's HashPartitioning satisfies the exec's
+    // ClusteredDistribution, so the plan has NO Exchange on either
+    // side (NativeAsOfJoinSpec pins this; with sorted-scan reporting
+    // on, no Sort either). This is the checked form of the
+    // AsOfJoinExec scaladoc claim "none if the input is already
+    // clustered": the recurring 100 TB as-of pays its shuffle once at
+    // write time. Shares the DuckDB ASOF oracle with the other five
+    // spellings.
+    "asof_bucketed" -> ((s: SparkSession, dir: String) =>
+      asofFixture(s, dir) { (probe, build, _, _, _, _, payload) =>
+        // sorted-bucket-scan reporting is session-wide but only
+        // affects reads of catalog bucketed tables — which only this
+        // query performs
+        s.conf.set(graft.operators.Bucketing.SortedScanConf, "true")
+        val (pt, bt) = bucketedAsOfTables(s, dir, probe, build)
+        AsOfJoin.asofMerge(pt, bt,
+          pt("o_custkey"), bt("b_custkey"),
+          pt("o_orderdate"), bt("prev_orderdate"), payload)
+      }),
   )
+
+  /** Per-(JVM, dir) bucketed copies of the as-of fixture sides: write
+    * once (the layout's whole point — the shuffle is paid at write
+    * time), read back as catalog tables for every later call. */
+  private val bucketedTablesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedAsOfTables(s: SparkSession, dir: String,
+      probe: DataFrame, build: DataFrame): (DataFrame, DataFrame) = {
+    val (pName, bName) = bucketedTablesCache.computeIfAbsent(dir, d => {
+      val tag = Integer.toHexString(d.hashCode).takeRight(8)
+      val (p, b) = (s"asof_bkt_probe_$tag", s"asof_bkt_build_$tag")
+      graft.operators.Bucketing.writeBucketed(
+        probe, p, 8, Seq("o_custkey"), Seq("o_orderdate"))
+      graft.operators.Bucketing.writeBucketed(
+        build, b, 8, Seq("b_custkey"), Seq("prev_orderdate"))
+      (p, b)
+    })
+    (s.table(pName), s.table(bName))
+  }
 
   /** The shared as-of fixture query: urgent orders probed against the
     * customer's non-urgent order history, run through the given as-of
@@ -278,6 +321,7 @@ object Lookups {
     "asof_join_broadcast" -> asofOracleSql,
     "asof_join_auto" -> asofOracleSql,
     "asof_sql" -> asofOracleSql,
+    "asof_bucketed" -> asofOracleSql,
 
     // the floor oracle + the identical 30-day staleness CASE
     "asof_join_tolerance" ->

@@ -352,4 +352,45 @@ class NativeAsOfJoinSpec extends SparkSuite {
     assert(agg.count() > 0)
     assert(native.isInstanceOf[ClassicDataset[_]])
   }
+
+  test("bucketed inputs: as-of merge plans with NO Exchange and NO Sort") {
+    // the checked form of AsOfJoinExec's "none if the input is already
+    // clustered" scaladoc claim — both sides written bucketed on the
+    // key (sorted (key, time) within buckets), the exec's
+    // ClusteredDistribution is satisfied by the scan's
+    // HashPartitioning and its ordering by the sorted single-file
+    // buckets, so the recurring as-of moves NOTHING at read time
+    val (probe, build) = probeBuild()
+    graft.operators.Bucketing.writeBucketed(
+      probe, "asof_spec_probe", 8, Seq("o_custkey"), Seq("o_orderdate"))
+    graft.operators.Bucketing.writeBucketed(
+      build, "asof_spec_build", 8, Seq("b_custkey"), Seq("prev_orderdate"))
+    try withSQLConf(
+        graft.operators.Bucketing.SortedScanConf -> "true") {
+      val pt = spark.table("asof_spec_probe")
+      val bt = spark.table("asof_spec_build")
+      val joined = AsOfJoin.asofMerge(pt, bt,
+        pt("o_custkey"), bt("b_custkey"),
+        pt("o_orderdate"), bt("prev_orderdate"),
+        Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
+      val exec = joined.queryExecution.executedPlan.toString
+      assert(exec.contains("AsOfJoin"), s"wrong exec:\n${exec.take(1200)}")
+      assert(!exec.contains("Exchange"),
+        s"bucketed as-of still shuffles:\n${exec.take(1500)}")
+      assert(!"(?m)^\\s*[+:]- Sort ".r.findFirstIn(exec).isDefined,
+        s"bucketed as-of still sorts:\n${exec.take(1500)}")
+      // and the zero-movement plan returns the same rows as the
+      // shuffled merge over the unbucketed frames
+      val (probe2, build2) = probeBuild()
+      val merge = AsOfJoin.asofMerge(probe2, build2,
+        probe2("o_custkey"), build2("b_custkey"),
+        probe2("o_orderdate"), build2("prev_orderdate"),
+        Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
+      assert(joined.exceptAll(merge).isEmpty &&
+        merge.exceptAll(joined).isEmpty)
+    } finally {
+      graft.operators.Bucketing.drop(spark, "asof_spec_probe")
+      graft.operators.Bucketing.drop(spark, "asof_spec_build")
+    }
+  }
 }
