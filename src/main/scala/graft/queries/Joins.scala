@@ -122,6 +122,101 @@ object Joins {
         .agg(count(lit(1)).as("n_richer_customers"))
         .orderBy($"s_suppkey")
     }),
+
+    // ---- Composed multi-join analytics (the TPC-H Q3/Q5/Q10 shapes):
+    // the coverage class the single-shape rows above can't regression-
+    // protect — join ORDER and per-edge strategy choices across 3-6
+    // tables. Every fact⋈fact edge carries an explicit `merge` hint
+    // (at the oracle sf Catalyst would broadcast a 15k-row fact side;
+    // at 100 TB customer/orders/lineitem are all huge — the pinned
+    // shuffle-on-key plan is the one that survives the scale-up) and
+    // every genuine dimension is broadcast. JoinsSpec pins both.
+
+    // Q3 shape: shipping-priority top-k — segment-filtered customers
+    // ⋈ open orders ⋈ shipped-later lineitems, revenue per order,
+    // top-10 via TakeOrderedAndProject (never a global sort). Filters
+    // reach the scans; the deterministic tie-break (revenue DESC,
+    // orderkey) makes top-k oracle-exact under the dsum quantization.
+    "tpch_q3" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cut = lit("1998-06-01").cast("timestamp")
+      val c = Tables.customer(s, dir)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val o = Tables.orders(s, dir).filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val l = Tables.lineitem(s, dir).filter($"l_shipdate" > cut)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      c.join(o.hint("merge"), $"c_custkey" === $"o_custkey")
+        .join(l.hint("merge"), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+
+    // Q5 shape: local-supplier volume — 6 tables; region→nation→
+    // supplier prune broadcast-side, the customer⋈orders⋈lineitem
+    // chain shuffles on its keys, and the c_nationkey = s_nationkey
+    // "local" equality rides the supplier join as a second key (never
+    // a post-join filter over a wider join).
+    "tpch_q5" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val dims = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
+        .join(Tables.region(s, dir).filter($"r_name" === "ASIA"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"s_suppkey", $"s_nationkey", $"n_name")
+      Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+        .join(Tables.orders(s, dir)
+          .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+          .select($"o_orderkey", $"o_custkey").hint("merge"),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_suppkey", $"l_extendedprice",
+            $"l_discount").hint("merge"),
+          $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(dims), $"l_suppkey" === $"s_suppkey" &&
+          $"c_nationkey" === $"s_nationkey")
+        .groupBy($"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    }),
+
+    // Q10 shape: returned-item revenue per customer — 4 tables, top-20
+    // customers by lost revenue in a quarter, nation broadcast onto
+    // the aggregated output (join AFTER the heavy agg: the dimension
+    // decorates 20-ish groups, not 60k lineitems... conceptually — the
+    // agg keys on c_nationkey so the join input is one row per
+    // customer, still bounded).
+    "tpch_q10" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-04-01").cast("timestamp")
+      Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")
+        .join(Tables.orders(s, dir)
+          .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+          .select($"o_orderkey", $"o_custkey").hint("merge"),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables.lineitem(s, dir)
+          .filter($"l_returnflag" === "R")
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+          .hint("merge"),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")
+        .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .as("revenue"))
+        .join(broadcast(Tables.nation(s, dir)),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"n_name",
+          $"revenue")
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -184,5 +279,48 @@ object Joins {
         |FROM customer JOIN supplier ON s_acctbal < c_acctbal
         |GROUP BY s_suppkey
         |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-01'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01'
+         |GROUP BY 1, 2
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "tpch_q5" ->
+      s"""SELECT n_name,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY 1
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
   )
 }

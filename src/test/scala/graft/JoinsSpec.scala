@@ -45,4 +45,56 @@ class JoinsSpec extends SparkSuite {
     val fo = Joins.queries("join_full_outer")(spark, sf).collect()
     assert(fo.map(_.getInt(0)).distinct.length == fo.length, "one row per nation")
   }
+
+  private def countOf(p: String, token: String): Int =
+    p.sliding(token.length).count(_ == token)
+
+  test("tpch_q3: both fact-fact joins sort-merge; top-k never global-sorts") {
+    val p = plan("tpch_q3")
+    assert(countOf(p, "SortMergeJoin") == 2,
+      s"customer-orders and orders-lineitem must both shuffle on key:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      "no fact side may be broadcast (it won't fit at 100 TB)")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must plan as TakeOrderedAndProject, not a global sort:\n$p")
+  }
+
+  test("tpch_q5: facts merge-join, dimension chain broadcasts, filters push") {
+    val p = plan("tpch_q5")
+    assert(countOf(p, "SortMergeJoin") == 2,
+      s"customer-orders and orders-lineitem must both shuffle on key:\n$p")
+    assert(countOf(p, "BroadcastHashJoin") >= 1,
+      s"the supplier/nation/region dim side must broadcast:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      s"region filter must reach the scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date range must reach the scan:\n$p")
+  }
+
+  test("tpch_q10: returnflag filter pushes; nation joins after the agg") {
+    val p = plan("tpch_q10")
+    assert(countOf(p, "SortMergeJoin") == 2)
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must reach the lineitem scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+    // nation decorates the aggregated (per-customer) rows: the
+    // BroadcastHashJoin must sit ABOVE the final HashAggregate in the
+    // operator listing (smaller string index = closer to the root)
+    val bhj = p.indexOf("BroadcastHashJoin")
+    val agg = p.indexOf("HashAggregate")
+    assert(bhj >= 0 && agg >= 0 && bhj < agg,
+      s"nation must join after the aggregate:\n$p")
+  }
+
+  test("tpch composed queries return sane top-k rows") {
+    val q3 = Joins.queries("tpch_q3")(spark, sf).collect()
+    assert(q3.length <= 10 && q3.nonEmpty)
+    // revenue sorted non-increasing with key tie-break
+    val rev3 = q3.map(_.getDouble(2))
+    assert(rev3.zip(rev3.tail).forall { case (a, b) => a >= b })
+    val q5 = Joins.queries("tpch_q5")(spark, sf).collect()
+    assert(q5.nonEmpty && q5.length <= 5, "one row per ASIA nation at most")
+    val q10 = Joins.queries("tpch_q10")(spark, sf).collect()
+    assert(q10.length <= 20 && q10.nonEmpty)
+  }
 }
