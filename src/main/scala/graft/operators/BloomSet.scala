@@ -42,10 +42,12 @@ object BloomSet {
     *    approach "always maybe".
     *
     * Eval/blocklist sets (the decontamination use case) sit well under
-    * 10^7. Callers with 10^8+-key sets should NOT want a bigger
-    * broadcast literal anyway — keep the filter as a cheap pre-prune
-    * and rely on the exact confirm join (`bloom_decontaminate`'s
-    * shape), or shard the key set into multiple filters. */
+    * 10^7. Through the 10^7–10^8 range, [[buildSharded]] holds this
+    * envelope by sharding the KEY SET across up to [[MaxShards]]
+    * per-shard bitsets (spec-pinned at 2×10^7 keys in BloomSetSpec).
+    * Past that, no broadcast literal is sane — keep the filter as a
+    * cheap pre-prune and rely on the exact confirm join
+    * (`bloom_decontaminate`'s shape). */
   val MaxBits: Long = 1L << 26
 
   /** An immutable built filter: `words(w) bit b` set ⇔ some inserted
@@ -101,11 +103,84 @@ object BloomSet {
     * DEFINITELY absent, NULL for NULL keys. The filter rides the plan
     * as an array literal, so the probe is a codegen'd per-row filter —
     * nothing joins, nothing shuffles. */
-  def mightContain(key: Column, f: Filter): Column = {
-    val wordsLit = typedlit(f.words.toSeq)
-    positions(key, f.numBits, f.k).map { p =>
-      shr(element_at(wordsLit, (shr(p, lit(6)) + lit(1)).cast("int")),
+  def mightContain(key: Column, f: Filter): Column =
+    wordTests(key, typedlit(f.words.toSeq), f.numBits, f.k)
+
+  /** The k bit-tests against a words array (either a 1-D literal or
+    * the shard row an outer element_at selected). */
+  private def wordTests(key: Column, words: Column, numBits: Long,
+      k: Int): Column =
+    positions(key, numBits, k).map { p =>
+      shr(element_at(words, (shr(p, lit(6)) + lit(1)).cast("int")),
         pmod(p, lit(64L))).bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
+
+  // ---- Sharded filters: past MaxBits, shard the KEY SET ----
+
+  /** Hard ceiling on shard count: 64 shards × MaxBits = 2^32 bits
+    * (512 MiB of words) — beyond any sane plan literal. The sharded
+    * family exists to hold the fp envelope through the 10^7–10^8-key
+    * range, not to replace the confirm join above it. */
+  val MaxShards: Int = 64
+
+  /** Seed of the shard-selector hash — outside the position-lane
+    * family ([[laneSeed]] of a negative index), so shard choice and
+    * in-shard positions stay decorrelated. */
+  private val ShardSeed: Long = laneSeed(-1)
+
+  /** A key-sharded filter: key k lives ONLY in shard
+    * `pmod(fnv1a_seeded(ShardSeed, k), nShards)`, each shard its own
+    * ≤ MaxBits bitset over ~n/nShards keys — so total capacity scales
+    * linearly in shards while per-shard fp math is unchanged. */
+  final case class ShardedFilter(shards: Array[Array[Long]],
+      numBitsPerShard: Long, k: Int) {
+    def nShards: Int = shards.length
+    def totalBits: Long = numBitsPerShard * nShards
+    def bitDensity: Double =
+      shards.map(_.map(java.lang.Long.bitCount(_).toLong).sum).sum
+        .toDouble / totalBits
+  }
+
+  /** The shard a key belongs to, in [0, nShards). */
+  def shardOf(key: Column, nShards: Int): Column =
+    pmod(fnv1a_seeded(ShardSeed, key), lit(nShards.toLong))
+
+  /** [[build]] for key sets past the single-filter envelope: one pass,
+    * one (shard, word)-keyed aggregation — at most
+    * nShards·numBitsPerShard/64 groups whatever the key count — and
+    * nShards word arrays on the driver. Same plan shape as [[build]];
+    * only the aggregate key gains the shard column. */
+  def buildSharded(keys: DataFrame, key: Column, nShards: Int,
+      numBitsPerShard: Long, k: Int): ShardedFilter = {
+    require(nShards >= 1 && nShards <= MaxShards,
+      s"nShards must be in [1,$MaxShards], got $nShards")
+    require(numBitsPerShard > 0 && numBitsPerShard % 64 == 0 &&
+      numBitsPerShard <= MaxBits,
+      s"numBitsPerShard must be a positive multiple of 64 <= $MaxBits, " +
+        s"got $numBitsPerShard")
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    val pos = explode(array(positions(key, numBitsPerShard, k): _*)).as("pos")
+    val rows = keys.where(key.isNotNull)
+      .select(shardOf(key, nShards).as("shard"), pos)
+      .select(col("shard"), shr(col("pos"), lit(6)).as("w"),
+        shl(lit(1L), pmod(col("pos"), lit(64L))).as("m"))
+      .groupBy(col("shard"), col("w")).agg(bit_or(col("m")).as("bits"))
+      .collect()
+    val words = Array.fill(nShards)(new Array[Long]((numBitsPerShard / 64).toInt))
+    rows.foreach(r => words(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+    ShardedFilter(words, numBitsPerShard, k)
+  }
+
+  /** Membership probe against a sharded filter — still one pure
+    * codegen'd predicate, no join, no shuffle: the shard hash indexes
+    * an array-of-arrays literal (strictly better than OR-ing per-shard
+    * predicates: O(k) bit tests regardless of shard count), then the
+    * k bit-tests run against that shard's words. Same one-sided
+    * contract as [[mightContain]]. */
+  def mightContainSharded(key: Column, f: ShardedFilter): Column = {
+    val shardsLit = typedlit(f.shards.map(_.toSeq).toSeq)
+    val shardWords = element_at(shardsLit,
+      (shardOf(key, f.nShards) + lit(1)).cast("int"))
+    wordTests(key, shardWords, f.numBitsPerShard, f.k)
   }
 }

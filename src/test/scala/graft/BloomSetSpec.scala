@@ -49,6 +49,51 @@ class BloomSetSpec extends SparkSuite {
       s"fp rate off the documented envelope: $fp of 20000")
   }
 
+  test("sharded build holds the fp envelope past the MaxBits cap") {
+    // 2x10^7 keys — DOUBLE the single-filter envelope boundary, where
+    // one MaxBits filter saturates (density ~0.70, no-confirm fp
+    // ~24%). Four shards give 4x the bits: ~5x10^6 keys per 2^26-bit
+    // shard → density ≈ 1 - e^{-4n/m} ≈ 0.258, fp ≈ density^4 ≈ 0.4%.
+    // The probe stays one pure codegen'd predicate (shard hash indexes
+    // an array-of-arrays literal; no join, no shuffle).
+    val n = 20000000L
+    val f = BloomSet.buildSharded(
+      spark.range(n).select($"id".cast("string").as("k")),
+      $"k", nShards = 4, numBitsPerShard = BloomSet.MaxBits, k = 4)
+    assert(f.totalBits == BloomSet.MaxBits * 4)
+    val density = f.bitDensity
+    assert(density > 0.20 && density < 0.32,
+      s"expected fill ~0.26 with 4 shards at 2x10^7 keys, got $density")
+    // no false negatives on a slice of the inserted keys
+    val present = spark.range(0, n, 1000) // 20k inserted keys
+      .select($"id".cast("string").as("k"))
+    assert(present.filter(!BloomSet.mightContainSharded($"k", f)).count() == 0L)
+    // measured fp on 20k absent keys ≈ 0.4%; generous band, and far
+    // below the ~24% a saturated single filter would read
+    val probes = spark.range(20000)
+      .select(concat(lit("absent-"), $"id").as("k"))
+    val fp = probes.filter(BloomSet.mightContainSharded($"k", f)).count()
+    assert(fp <= 400, s"fp rate off the sharded envelope: $fp of 20000")
+    // shards partition the key space: shardOf is total and in-range
+    val shards = spark.range(1000).select($"id".cast("string").as("k"))
+      .select(BloomSet.shardOf($"k", 4).as("s"))
+      .agg(min($"s"), max($"s")).head()
+    assert(shards.getLong(0) >= 0L && shards.getLong(1) <= 3L)
+  }
+
+  test("sharded build rejects bad parameters") {
+    intercept[IllegalArgumentException] {
+      BloomSet.buildSharded(keys.toDF("k"), $"k", 0, 1L << 13, 4)
+    }
+    intercept[IllegalArgumentException] {
+      BloomSet.buildSharded(keys.toDF("k"), $"k",
+        BloomSet.MaxShards + 1, 1L << 13, 4)
+    }
+    intercept[IllegalArgumentException] {
+      BloomSet.buildSharded(keys.toDF("k"), $"k", 2, BloomSet.MaxBits * 2, 4)
+    }
+  }
+
   test("NULL probe stays NULL; NULL build keys are skipped") {
     val f = BloomSet.build(
       Seq(Some("a"), None, Some("b")).toDF("k"), $"k", 64 * 8, 3)
