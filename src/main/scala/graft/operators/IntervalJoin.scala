@@ -40,11 +40,22 @@ object IntervalJoin {
     * identity); rows with end < start are dropped (empty intervals).
     *
     * @param width bin width in the same unit as the bounds
+    * @param maxBinsPerRow loud per-row replication cap: a row spanning
+    *              more than this many bins FAILS THE TASK (runtime
+    *              `assert_true`, not a silent filter) instead of
+    *              exploding an unbounded array — one malformed or
+    *              extreme-span row (e.g. end = Long.MaxValue from a
+    *              sentinel) would otherwise OOM a task or trip
+    *              sequence()'s element limit and sink the whole job.
+    *              A row legitimately hitting the default 4096 means
+    *              `width` is mis-chosen for the data — widen it.
     */
   def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
       right: DataFrame, rStart: String, rEnd: String,
-      width: Long): DataFrame = {
+      width: Long, maxBinsPerRow: Long = 4096L): DataFrame = {
     require(width >= 1L, s"bin width must be >= 1, got $width")
+    require(maxBinsPerRow >= 1L,
+      s"maxBinsPerRow must be >= 1, got $maxBinsPerRow")
     val clash = left.columns.toSet.intersect(right.columns.toSet)
     require(clash.isEmpty,
       s"left/right column names must be disjoint, both have: " +
@@ -52,6 +63,15 @@ object IntervalJoin {
 
     def binned(df: DataFrame, s: String, e: String): DataFrame =
       df.filter(col(s) >= 0 && col(e) >= col(s))
+        // assert_true returns NULL when the bound holds (coalesce →
+        // keep the row) and fails the task with the offending bounds
+        // in the message when it doesn't — survives column pruning
+        // because it rides a filter, not a projected-away column
+        .where(coalesce(assert_true(
+          expr(s"$e DIV ${width}L - $s DIV ${width}L") < lit(maxBinsPerRow),
+          concat(lit(s"interval spans more than $maxBinsPerRow bins " +
+            s"(width=$width): $s="), col(s), lit(s", $e="), col(e))),
+          lit(true)))
         .withColumn("__bin",
           explode(expr(s"sequence($s DIV ${width}L, $e DIV ${width}L)")))
 

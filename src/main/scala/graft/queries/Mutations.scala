@@ -175,14 +175,19 @@ object Mutations {
       // old contributions of the affected keys (absent for inserts)
       val old = o.select($"o_orderkey",
         $"o_custkey".as("old_custkey"), q4($"o_totalprice").as("old_s"))
-      val delta = latest.join(old, Seq("o_orderkey"), "left")
-        .select(
-          coalesce($"o_custkey", $"old_custkey").as("o_custkey"),
-          (when($"op" =!= "D", lit(1L)).otherwise(lit(0L)) -
-            when($"old_custkey".isNotNull, lit(1L)).otherwise(lit(0L)))
-            .as("dn"),
-          (when($"op" =!= "D", q4($"o_totalprice")).otherwise(lit(0L)) -
-            coalesce($"old_s", lit(0L))).as("ds"))
+      // TWO delta rows per affected key — retract from the OLD row's
+      // group, apply to the NEW row's group — so an update that moves
+      // a row between grouping keys (o_custkey) maintains both groups
+      // correctly (the general IVM recipe; when the key is unchanged
+      // the rows land in the same group and net to the same delta)
+      val affected = latest.join(old, Seq("o_orderkey"), "left")
+      val retract = affected.filter($"old_custkey".isNotNull)
+        .select($"old_custkey".as("o_custkey"),
+          lit(-1L).as("dn"), (-$"old_s").as("ds"))
+      val applied = affected.filter($"op" =!= "D")
+        .select($"o_custkey",
+          lit(1L).as("dn"), q4($"o_totalprice").as("ds"))
+      val delta = retract.unionAll(applied)
         .groupBy($"o_custkey")
         .agg(sum($"dn").as("dn"), sum($"ds").as("ds"))
       base.join(delta, Seq("o_custkey"), "full_outer")

@@ -137,7 +137,31 @@ object EventStreams {
   def firstTouchCounts(events: DataFrame,
       watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
+      // ORDER CAVEAT (silent at runtime, so stated at the code too):
+      // dropDuplicates keeps the first ARRIVAL per user, not the
+      // earliest EVENT TIME — a late-but-within-watermark first event
+      // arriving after a later one attributes the first touch to the
+      // wrong day, diverging from the batch twin. And this state never
+      // evicts (one entry per user forever). Both are the price of
+      // exact "distinct ever" semantics; use
+      // [[firstTouchCountsBounded]] when a bounded horizon is
+      // acceptable.
       .dropDuplicates("user_id")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("new_users"))
+      .select(col("w.start").as("day"), col("new_users"))
+
+  /** The production-bounded variant of [[firstTouchCounts]]:
+    * `dropDuplicatesWithinWatermark` evicts a user's dedup entry once
+    * the watermark passes it, so state is bounded by the horizon's
+    * churn instead of all-time distinct users. Semantics change
+    * accordingly — a user returning after a full watermark gap counts
+    * as "new" again (re-activation, not strictly first touch), the
+    * standard trade every at-scale growth feed makes. */
+  def firstTouchCountsBounded(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id")
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(count(lit(1)).as("new_users"))
       .select(col("w.start").as("day"), col("new_users"))

@@ -181,6 +181,31 @@ class EventStreamsSpec extends SparkSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("bounded first-touch (withinWatermark) equals the batch twin on an in-horizon feed") {
+    implicit val sqlCtx = spark.sqlContext
+    // while every event sits inside one watermark horizon the bounded
+    // variant must agree with the exact one (divergence only begins
+    // when a user RETURNS after a full watermark gap — re-activation)
+    val ordered = sample.sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Ev]
+    val q = EventStreams.firstTouchCountsBounded(
+        input.toDF(), watermark = "10 days")
+      .writeStream.format("memory").queryName("t_firsttouch_b")
+      .outputMode("complete").start()
+    try {
+      ordered.grouped(100).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("t_firsttouch_b")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    val batch = sample.toDF()
+      .groupBy($"user_id").agg(min(date_trunc("day", $"ts")).as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful running totals accumulate across micro-batches (T6)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.UserEvent]

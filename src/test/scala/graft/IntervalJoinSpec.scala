@@ -111,4 +111,24 @@ class IntervalJoinSpec extends SparkSuite {
       IntervalJoin.overlapJoin(l.withColumnRenamed("id", "lid"), "s", "e",
         r, "s2", "e2", 0L))
   }
+
+  test("an extreme-span row fails the job loudly, never explodes unbounded") {
+    // one sentinel row (end = 10^12 at width 10 → 10^11 bins) must
+    // fail with the replication-cap message, not OOM the task or trip
+    // sequence()'s element limit
+    val l = Seq((1L, 0L, 1000000000000L)).toDF("lid", "s", "e")
+    val r = Seq((2L, 0L, 5L)).toDF("rid", "s2", "e2")
+    val ex = intercept[Throwable] {
+      IntervalJoin.overlapJoin(l, "s", "e", r, "s2", "e2", 10L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("spans more than")),
+      s"wrong failure: $ex")
+    // a generous explicit cap admits the same row
+    val wide = IntervalJoin.overlapJoin(l, "s", "e", r, "s2", "e2",
+      1000000000L, maxBinsPerRow = 8192L)
+    assert(wide.count() == 1L)
+  }
 }
