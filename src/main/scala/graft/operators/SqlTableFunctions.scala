@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graftbridge.{Bridge => B}
+import org.apache.spark.sql.types.StringType
+
+/** SQL table-valued surface for the curation operators — the
+  * `graft_asof` pattern ([[AsOfJoin.registerSqlTableFunction]])
+  * generalized: each operator registers as a temp table function whose
+  * STRING-LITERAL arguments name views and parameters, so the whole
+  * pipeline is drivable from pure `spark.sql(...)` text (BI tools,
+  * notebooks, SQL-only jobs) while planning the exact same DataFrame
+  * machinery — same skew guards, same shuffle shapes, nothing
+  * re-implemented on the SQL path. SqlTableFunctionsSpec pins parity
+  * row-for-row against the library calls.
+  */
+object SqlTableFunctions {
+
+  /** Register every graft TVF (idempotent; temp-function scope):
+    *
+    *  - `graft_asof(...)` — see [[AsOfJoin.registerSqlTableFunction]]
+    *  - `graft_chunk(docs_view, max_tokens, overlap[, min_tokens])` —
+    *    [[Chunking.chunkDocs]] over a (doc_id, text) view
+    *  - `graft_minhash_pairs(docs_view, tau)` —
+    *    [[graft.queries.Pipeline.minhashNearDupPairs]]: exact word-
+    *    3-gram Jaccard ≥ tau pairs, LSH-banded from tau
+    *  - `graft_bm25(index_path, queries_view, n_buckets, k)` —
+    *    [[InvertedIndex.bm25]] top-k per query over a written index;
+    *    the (query_id, term) view is collected at plan time (query
+    *    sets are bounded by construction — they are the SMALL side)
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    AsOfJoin.registerSqlTableFunction(spark)
+    register(spark, "graft_chunk", 3, 4) { args =>
+      val docs = spark.table(args(0))
+      val minTokens = args.lift(3).map(_.toInt).getOrElse(1)
+      Chunking.chunkDocs(docs, args(1).toInt, args(2).toInt, minTokens)
+    }
+    register(spark, "graft_minhash_pairs", 2, 2) { args =>
+      graft.queries.Pipeline.minhashNearDupPairs(
+        spark.table(args(0)), args(1).toDouble)
+    }
+    register(spark, "graft_bm25", 4, 4) { args =>
+      val queries = spark.table(args(1))
+        .select("query_id", "term").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      InvertedIndex.bm25(spark, args(0), queries,
+        args(2).toInt, args(3).toInt)
+    }
+  }
+
+  /** The shared literal-args plumbing: evaluate the call's expressions
+    * as non-null string literals, delegate to `build`, return the
+    * analyzed plan. */
+  private def register(spark: SparkSession, name: String,
+      minArgs: Int, maxArgs: Int)(
+      build: Seq[String] => org.apache.spark.sql.DataFrame): Unit =
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      name, { exprs: Seq[Expression] =>
+        val args = exprs.map { e =>
+          require(e.foldable && e.dataType == StringType,
+            s"$name arguments must be string literals")
+          val v = e.eval(null)
+          require(v != null, s"$name arguments must not be NULL")
+          v.toString
+        }
+        require(args.length >= minArgs && args.length <= maxArgs,
+          s"$name takes $minArgs to $maxArgs arguments, got ${args.length}")
+        val plan: LogicalPlan = B.analyzed(build(args))
+        plan
+      }, "built-in")
+}

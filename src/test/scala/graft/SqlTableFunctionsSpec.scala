@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Chunking, InvertedIndex, SqlTableFunctions}
+import org.apache.spark.sql.functions._
+
+/** The SQL TVF surface must plan the SAME machinery as the library
+  * calls — parity row-for-row, no SQL-path reimplementation. */
+class SqlTableFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+    .select($"doc_id", $"text")
+
+  private def same(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.columns.toSeq == b.columns.toSeq)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() > 0, "parity on an empty result proves nothing")
+  }
+
+  test("graft_chunk equals Chunking.chunkDocs") {
+    SqlTableFunctions.registerAll(spark)
+    docs.createOrReplaceTempView("tvf_docs")
+    same(
+      spark.sql("SELECT * FROM graft_chunk('tvf_docs', '64', '16')"),
+      Chunking.chunkDocs(docs, 64, 16))
+    // optional min_tokens argument
+    same(
+      spark.sql("SELECT * FROM graft_chunk('tvf_docs', '64', '16', '8')"),
+      Chunking.chunkDocs(docs, 64, 16, minTokens = 8))
+  }
+
+  test("graft_minhash_pairs equals minhashNearDupPairs") {
+    SqlTableFunctions.registerAll(spark)
+    docs.createOrReplaceTempView("tvf_docs")
+    same(
+      spark.sql("SELECT * FROM graft_minhash_pairs('tvf_docs', '0.5')"),
+      graft.queries.Pipeline.minhashNearDupPairs(docs, 0.5))
+  }
+
+  test("graft_bm25 equals InvertedIndex.bm25 over a written index") {
+    SqlTableFunctions.registerAll(spark)
+    val root = "/tmp/graft_tvf_index/postings"
+    val nb = 8
+    InvertedIndex.writeTermLayout(
+      InvertedIndex.buildPostings(docs, nb),
+      docs.select(size(split($"text", " ")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")),
+      root)
+    val queries = Seq((1L, "data"), (1L, "model"), (2L, "training"))
+    queries.toDF("query_id", "term").createOrReplaceTempView("tvf_queries")
+    same(
+      spark.sql(
+        s"SELECT * FROM graft_bm25('$root', 'tvf_queries', '$nb', '10')"),
+      InvertedIndex.bm25(spark, root, queries, nb, k = 10))
+  }
+
+  test("malformed TVF calls fail loudly") {
+    SqlTableFunctions.registerAll(spark)
+    docs.createOrReplaceTempView("tvf_docs")
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_chunk('tvf_docs')"))
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_minhash_pairs('tvf_docs', 0.5)"))
+  }
+}
