@@ -47,6 +47,19 @@ object Bucketing {
       keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
     require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
     require(keys.nonEmpty, "bucketing needs at least one key")
+    // Overwrite semantics across JVMs: the session catalog is
+    // in-memory, so a managed table written by a PREVIOUS process is
+    // unknown to this one while its warehouse location still exists on
+    // disk — saveAsTable would then fail with LOCATION_ALREADY_EXISTS.
+    // Drop the catalog entry (removes files when known) and reap any
+    // orphaned location before writing.
+    val spark = df.sparkSession
+    drop(spark, table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val sort = keys ++ sortCols
     df.repartition(nBuckets, keys.map(df.col): _*)
       .write.mode(SaveMode.Overwrite)
