@@ -1617,6 +1617,37 @@ object Pipeline {
         .orderBy($"probe_id", $"rn")
     }),
 
+    // L64: semantic cluster profile — the k-means view of the corpus
+    // the embedding-side curation decisions read (topic balance,
+    // semantic dedup candidates, outlier clusters): every vector
+    // assigned to its nearest LEARNED centroid (the ivf_ann_learned
+    // cells, same deterministic Lloyd centroids, same first-max
+    // tiebreak), then per cluster: size, id range, and the integer
+    // cosine-affinity mass (sum of q6-quantized cos(v, centroid)
+    // micro-units — order-free, engine-exact; divide by n_vecs for
+    // the mean affinity). One scan + one map-combinable aggregate
+    // keyed by ≤ k cells; centroids ride the plan as literals — no
+    // join, no second pass. Oracle replays assignment AND affinity
+    // from the interpolated centroids.
+    "semantic_clusters" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.IvfIndex
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cents = learnedCents(s, dir)
+      val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+      IvfIndex.assignCells(emb, cents)
+        .withColumn("c", element_at(centsLit, $"cell".cast("int")))
+        .select($"cell", $"vec_id",
+          q6(dot($"v", $"c") / (l2norm($"v") * l2norm($"c"))).as("cos"))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          min($"vec_id").as("min_vec"), max($"vec_id").as("max_vec"),
+          sum(floor($"cos" * lit(1000000.0) + lit(0.5))).cast("long")
+            .as("cos_mass_6"))
+        .orderBy($"cell")
+    }),
+
     // L53: product-quantization ANN (ADC scoring) — the compression
     // layer of a production vector index: 4 per-subspace 16-centroid
     // codebooks (learned with the same deterministic Lloyd recipe as
@@ -2878,7 +2909,8 @@ object Pipeline {
     * the rows-only check applies. */
   def oracleFor(dir: String): Map[String, String] =
     staticOracle ++ Option(learnedCentCache.get(dir))
-      .map(c => Map("ivf_ann_learned" -> ivfLearnedSql(c)))
+      .map(c => Map("ivf_ann_learned" -> ivfLearnedSql(c),
+        "semantic_clusters" -> semanticClustersSql(c)))
       .getOrElse(Map.empty) ++ Option(pqBooksCache.get(dir))
       .map(b => Map("pq_ann" -> pqAnnSql(b),
         "ann_recall" -> annRecallSql(b)))
@@ -2932,6 +2964,37 @@ object Pipeline {
        |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM scored)
        |SELECT probe_id, rn, vec_id AS neighbor_id, cos_sim
        |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+  }
+
+  /** DuckDB mirror of `semantic_clusters` given the learned
+    * centroids: identical assignment (argmax `dot − hn`, lowest-cid
+    * first-max tiebreak via the rank window — the ivfLearnedSql
+    * `cells` CTE) and identical per-row q6 cosine, summed as exact
+    * integer micro-units so the mass is aggregation-order-free. */
+  private def semanticClustersSql(cents: Array[Array[Double]]): String = {
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      val lit = c.map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
+      s"(${i + 1}, $lit, ${(c.map(x => x * x).sum / 2.0).toString})"
+    }.mkString(",\n    ")
+    s"""WITH cents(cid, c, hn) AS (VALUES
+       |    $rows),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT e.vec_id, cents.cid, ${sqlDot("e.v", "cents.c")} - cents.hn AS s
+       |      FROM e CROSS JOIN cents),
+       |cells AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM d) t WHERE rn = 1),
+       |j AS (
+       |  SELECT cells.cell, cells.vec_id,
+       |    ${sqlQ6(sqlDot("e.v", "cents.c") + " / (" + sqlNorm("e.v") + " * " + sqlNorm("cents.c") + ")")} AS cos
+       |  FROM cells JOIN e ON e.vec_id = cells.vec_id
+       |  JOIN cents ON cents.cid = cells.cell)
+       |SELECT cell, COUNT(*) AS n_vecs,
+       |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec,
+       |  CAST(SUM(CAST(FLOOR(cos * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+       |    AS cos_mass_6
+       |FROM j GROUP BY 1 ORDER BY cell""".stripMargin
   }
 
   /** DuckDB mirror of `pq_ann` given the learned codebooks: identical
