@@ -57,6 +57,12 @@ object GraftFunctions {
   def simhash64(hashes: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(hashes)))
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) inside whole-stage
+    * codegen — the canonicalization in front of text dedup keys. */
+  def unicode_normalize(c: Column, form: String = "NFC"): Column =
+    ExpressionUtils.column(
+      UnicodeNormalize(ExpressionUtils.expression(c), form))
+
   /** Codegen'd unsigned-byte sum of a binary column (multimodal
     * byte features — `byte_sum(b) / octet_length(b)` is byte-mean). */
   def byte_sum(b: Column): Column =

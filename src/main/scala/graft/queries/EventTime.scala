@@ -169,6 +169,45 @@ object EventTime {
         .orderBy($"log2_bucket")
     }),
 
+    // T20: duration-capped sessionization — inactivity sessions (6-hour
+    // gap) additionally SPLIT at a 2-hour duration cap
+    // measured from the session start (the "no infinite session" rule
+    // every production sessionizer carries: a bot that pings every
+    // minute forever must not accrete one unbounded session, which is
+    // both an analytics artifact and unbounded per-key streaming
+    // state). The cap assignment is closed-form — sub-session =
+    // floor(elapsed-since-session-start / cap) — so it stays two
+    // windows + two map-combinable aggregations; nothing iterates.
+    // Scale shape: everything partitions by user_id; per-user series
+    // are tiny at any corpus size.
+    "capped_sessions" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sessioned = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id")
+        .withColumn("prev_ts", lag($"ts", 1).over(wSeq))
+        .withColumn("is_new",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") >= 21600, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum($"is_new").over(wSeq))
+      val wSess = Window.partitionBy($"user_id", $"sess")
+      val perCapped = sessioned
+        .withColumn("sess_start", min($"ts").over(wSess))
+        .withColumn("sub", floor(
+          (unix_timestamp($"ts") - unix_timestamp($"sess_start")) /
+            lit(7200.0)).cast("long"))
+        .groupBy($"user_id", $"sess", $"sub")
+        .agg(count(lit(1)).as("cnt"))
+      perCapped.groupBy($"user_id")
+        .agg(max($"sess").as("n_sessions"),
+          count(lit(1)).as("n_capped"),
+          sum($"cnt").as("n_events"),
+          max($"cnt").as("max_capped_events"))
+        .orderBy($"user_id")
+    }),
+
     // T15: trailing-window time-series aggregate — per user, daily
     // event counts with the trailing-7-day running total (the feature
     // column behind "activity in the last week" models). One
@@ -550,6 +589,34 @@ object EventTime {
         |  COUNT(*) AS n_gaps,
         |  MIN(gap_s) AS min_gap, MAX(gap_s) AS max_gap
         |FROM b GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
+
+    // the same gap rule, the same closed-form duration split
+    "capped_sessions" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) >= 21600
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessed AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS sess
+        |  FROM seq),
+        |sub AS (
+        |  SELECT user_id, sess,
+        |    CAST(FLOOR(date_diff('second',
+        |      MIN(ts) OVER (PARTITION BY user_id, sess), ts) / 7200.0)
+        |      AS BIGINT) AS sub
+        |  FROM sessed),
+        |cap AS (
+        |  SELECT user_id, sess, sub, COUNT(*) AS cnt
+        |  FROM sub GROUP BY 1, 2, 3)
+        |SELECT user_id, MAX(sess) AS n_sessions,
+        |  COUNT(*) AS n_capped, CAST(SUM(cnt) AS BIGINT) AS n_events,
+        |  MAX(cnt) AS max_capped_events
+        |FROM cap GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "rolling_7d" ->
       """WITH d AS (

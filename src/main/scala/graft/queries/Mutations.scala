@@ -224,6 +224,50 @@ object Mutations {
         .select($"o_orderkey", $"change_type", $"old_price", $"new_price")
         .orderBy($"o_orderkey")
     }),
+
+    // M8: cascading subject-erasure (GDPR-style) with audit — delete a
+    // request set of customers and everything reachable from them
+    // (customer -> orders -> lineitem), emitting per-table deleted /
+    // retained counts plus a retained-key checksum so the audit proves
+    // WHICH rows survived, not just how many. Scale shape: the request
+    // set is tiny (deletion requests) and broadcast against customer
+    // and orders; the derived order-key set can be arbitrarily large at
+    // 100 TB, so lineitem reaches it through an un-hinted equi-join
+    // (AQE broadcasts it when small, shuffles when not) — never a
+    // driver collect. Counts and key sums are map-side-combinable
+    // integer aggregates.
+    "cascade_delete" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val delCust = Tables.customer(s, dir)
+        .filter($"c_acctbal" < 0 && $"c_mktsegment" === "BUILDING")
+        .select($"c_custkey".as("_delk"))
+      val delOrders = Tables.orders(s, dir)
+        .join(broadcast(delCust), $"o_custkey" === $"_delk", "left_semi")
+        .select($"o_orderkey".as("_delk"))
+      def audit(rows: DataFrame, key: String, del: DataFrame,
+          name: String, hintBroadcast: Boolean): DataFrame = {
+        val d = (if (hintBroadcast) broadcast(del) else del)
+          .withColumn("_hit", lit(1))
+        rows.select(col(key).as("_k"))
+          .join(d, col("_k") === col("_delk"), "left_outer")
+          .agg(
+            sum(when(col("_hit").isNotNull, 1L).otherwise(0L))
+              .as("n_deleted"),
+            sum(when(col("_hit").isNull, 1L).otherwise(0L))
+              .as("n_retained"),
+            sum(when(col("_hit").isNull, col("_k")).otherwise(0L))
+              .as("retained_key_sum"))
+          .select(lit(name).as("tbl"), col("n_deleted"),
+            col("n_retained"), col("retained_key_sum"))
+      }
+      audit(Tables.customer(s, dir), "c_custkey", delCust,
+          "customer", hintBroadcast = true)
+        .unionByName(audit(Tables.orders(s, dir), "o_orderkey", delOrders,
+          "orders", hintBroadcast = true))
+        .unionByName(audit(Tables.lineitem(s, dir), "l_orderkey", delOrders,
+          "lineitem", hintBroadcast = false))
+        .orderBy($"tbl")
+    }),
   )
 
   private def chSelect(cols: String*): String = OrderCols.map { c =>
@@ -346,5 +390,43 @@ object Mutations {
          |WHERE o.o_orderkey IS NULL OR m.o_orderkey IS NULL
          |   OR o.o_totalprice <> m.o_totalprice
          |ORDER BY o_orderkey""".stripMargin,
+
+    // the same request set, the same two-hop cascade, counts + the
+    // retained-key checksum recomputed from scratch
+    "cascade_delete" ->
+      """WITH delc AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_acctbal < 0 AND c_mktsegment = 'BUILDING'),
+        |delo AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+        |a AS (
+        |  SELECT 'customer' AS tbl,
+        |    CAST(SUM(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_deleted,
+        |    CAST(SUM(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN d.c_custkey IS NULL THEN c.c_custkey
+        |      ELSE 0 END) AS BIGINT) AS retained_key_sum
+        |  FROM customer c LEFT JOIN delc d ON c.c_custkey = d.c_custkey
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    CAST(SUM(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(SUM(CASE WHEN d.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(SUM(CASE WHEN d.o_orderkey IS NULL THEN o.o_orderkey
+        |      ELSE 0 END) AS BIGINT)
+        |  FROM orders o LEFT JOIN delo d ON o.o_orderkey = d.o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    CAST(SUM(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(SUM(CASE WHEN d.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(SUM(CASE WHEN d.o_orderkey IS NULL THEN l.l_orderkey
+        |      ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN delo d ON l.l_orderkey = d.o_orderkey)
+        |SELECT * FROM a ORDER BY tbl""".stripMargin,
   )
 }

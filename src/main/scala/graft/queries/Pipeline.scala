@@ -62,6 +62,41 @@ object Pipeline {
     (1L, "scan"), (1L, "filter"), (1L, "vector"),
     (2L, "customer"), (2L, "merge"), (2L, "slow"))
 
+  /** The brute-scan BM25 ranking shared by `bm25_search` (top-10 with
+    * scores) and `hybrid_rrf` (top-20 lexical arm): (query_id, doc_id,
+    * sq = quantized integer score, rank), rank <= limit. Scale shape
+    * is documented on `bm25_search`, whose body this is. */
+  private def bm25Ranked(s: SparkSession, dir: String,
+      limit: Int): DataFrame = {
+    import s.implicits._
+    val qterms = Bm25QueryTerms.toDF("query_id", "term")
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+    val dl = docs.select($"doc_id", size($"ws").cast("long").as("dl"))
+    val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+      sum($"dl").as("sum_dl")))
+    val tf = docs.select($"doc_id", explode($"ws").as("term"))
+      .join(broadcast(qterms.select($"term").distinct()), "term")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val idf = log(($"n_docs".cast("double") - $"df".cast("double") +
+      lit(0.5)) / ($"df".cast("double") + lit(0.5)) + lit(1.0))
+    val tfn = ($"tf".cast("double") * lit(2.2)) /
+      ($"tf".cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+        ($"dl".cast("double") /
+          ($"sum_dl".cast("double") / $"n_docs".cast("double")))))
+    val w = Window.partitionBy($"query_id").orderBy($"sq".desc, $"doc_id")
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(stats)
+      .join(broadcast(qterms), "term")
+      .select($"query_id", $"doc_id",
+        floor(idf * tfn * lit(10000.0) + lit(0.5)).as("qs"))
+      .groupBy($"query_id", $"doc_id").agg(sum($"qs").as("sq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= limit)
+  }
+
   /** Per-dir written term-index paths (`bm25_indexed`) — build once
     * per JVM, exactly the persisted-index production shape. */
   private val termIndexCache =
@@ -73,8 +108,11 @@ object Pipeline {
 
   /** One oracle for both BM25 spellings (brute and indexed) — they
     * must agree row-for-row, so they share the SQL literally. */
-  private val Bm25OracleSql: String =
-    """WITH qt(query_id, term) AS (VALUES
+  /** The BM25 scoring CTE chain (ends in `sc(query_id, doc_id, sq)`)
+    * shared by the `bm25_search`/`bm25_indexed` oracle and the
+    * lexical arm of the `hybrid_rrf` oracle. */
+  private val Bm25CtesSql: String =
+    """qt(query_id, term) AS (VALUES
       |    (0, 'hash'), (0, 'join'),
       |    (1, 'scan'), (1, 'filter'), (1, 'vector'),
       |    (2, 'customer'), (2, 'merge'), (2, 'slow')),
@@ -103,7 +141,10 @@ object Pipeline {
       |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
       |  CROSS JOIN stats JOIN qt USING (term)),
       |sc AS (SELECT query_id, doc_id, CAST(SUM(qs) AS BIGINT) AS sq
-      |       FROM q GROUP BY 1, 2),
+      |       FROM q GROUP BY 1, 2)""".stripMargin
+
+  private val Bm25OracleSql: String =
+    s"""WITH $Bm25CtesSql,
       |r AS (SELECT query_id, doc_id, sq,
       |        ROW_NUMBER() OVER (PARTITION BY query_id
       |                           ORDER BY sq DESC, doc_id) AS rank
@@ -637,6 +678,84 @@ object Pipeline {
         .filter($"rn" === 1)
         .select($"doc_id", $"lang", $"source", $"n_chars")
         .orderBy($"doc_id")
+    }),
+
+    // L65: sub-document segment dedup with reassembly — the
+    // paragraph-dedup recipe (dedup below doc granularity, keep the
+    // first occurrence corpus-wide, reassemble what survives) for a
+    // corpus whose docs are single-line word streams: segments are
+    // positional 25-word windows, so both engines split identically.
+    // Scale shape: the corpus-wide winner election shuffles a 128-bit
+    // two-lane fingerprint (16 bytes, near-uniform), never segment
+    // text; reassembly shuffles surviving (doc_id, seg_idx, text)
+    // once, keyed by doc_id, and orders via array_sort of collected
+    // structs (collect_list arrival order is never relied upon).
+    "segment_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val SegW = 25
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .withColumn("total_segs",
+          ((size($"ws") + lit(SegW - 1)) / lit(SegW)).cast("long"))
+      val segs = docs.select($"doc_id",
+        posexplode(transform(
+          sequence(lit(0), ($"total_segs" - 1).cast("int")),
+          i => array_join(
+            slice($"ws", i * lit(SegW) + lit(1), lit(SegW)), " "))))
+        .withColumnRenamed("pos", "seg_idx")
+        .withColumnRenamed("col", "seg_text")
+      val w = Window.partitionBy($"fp1", $"fp2")
+        .orderBy($"doc_id", $"seg_idx")
+      val kept = segs
+        .withColumn("fp1", F.fnv1a($"seg_text"))
+        .withColumn("fp2", F.fnv1a_seeded(Lane2Seed, $"seg_text"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+      val reassembled = kept.groupBy($"doc_id")
+        .agg(count(lit(1)).as("kept_segs"),
+          length(array_join(transform(
+            array_sort(collect_list(struct($"seg_idx", $"seg_text"))),
+            t => t.getField("seg_text")), " ")).cast("long").as("new_len"))
+      docs.select($"doc_id", $"total_segs")
+        .join(reassembled, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"total_segs",
+          coalesce($"kept_segs", lit(0L)).as("kept_segs"),
+          coalesce($"new_len", lit(0L)).as("new_len"))
+        .orderBy($"doc_id")
+    }),
+
+    // L66: balanced shard assignment (snake draft) — split a scored
+    // corpus into N equal-work output shards (data-parallel training
+    // readers want shards balanced by TOKENS, not docs). Deterministic
+    // and one-pass: global token-descending rank, then shard =
+    // snake(rank) — block b takes ranks in forward order when b is
+    // even, reversed when odd, so each consecutive block of N heavy
+    // docs spreads across all N shards and no shard accumulates a
+    // head-of-distribution bias. The global rank comes from the
+    // two-phase PrefixSum offset pattern (range-partition + tiny
+    // per-partition offset relation), NOT a single-task global
+    // window — the 100 TB shape.
+    "shard_assign" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val NShards = 8
+      val scored = Tables.documents(s, dir)
+        .select($"doc_id",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+      val ordKey = struct((-$"n_tokens").as("neg_tokens"),
+        $"doc_id".as("tie"))
+      graft.operators.PrefixSum
+        .withRunningSum(scored, Seq.empty, ordKey, lit(1L), "rn")
+        .withColumn("block", expr(s"(rn - 1) div $NShards"))
+        .withColumn("pos", (($"rn" - 1) % NShards).cast("long"))
+        .withColumn("shard",
+          when($"block" % 2 === 0, $"pos")
+            .otherwise(lit(NShards - 1) - $"pos"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("tok_sum"),
+          max($"n_tokens").as("max_tokens"),
+          min($"n_tokens").as("min_tokens"))
+        .orderBy($"shard")
     }),
 
     // L2: MinHash + LSH near-dedup over the documents fixture — the
@@ -1340,34 +1459,53 @@ object Pipeline {
     // are engine-exact.
     "bm25_search" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val qterms = Bm25QueryTerms.toDF("query_id", "term")
-      val docs = Tables.documents(s, dir)
-        .select($"doc_id", split($"text", " ").as("ws"))
-      val dl = docs.select($"doc_id", size($"ws").cast("long").as("dl"))
-      val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
-        sum($"dl").as("sum_dl")))
-      val tf = docs.select($"doc_id", explode($"ws").as("term"))
-        .join(broadcast(qterms.select($"term").distinct()), "term")
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      val idf = log(($"n_docs".cast("double") - $"df".cast("double") +
-        lit(0.5)) / ($"df".cast("double") + lit(0.5)) + lit(1.0))
-      val tfn = ($"tf".cast("double") * lit(2.2)) /
-        ($"tf".cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
-          ($"dl".cast("double") /
-            ($"sum_dl".cast("double") / $"n_docs".cast("double")))))
-      val w = Window.partitionBy($"query_id").orderBy($"sq".desc, $"doc_id")
-      tf.join(broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(stats)
-        .join(broadcast(qterms), "term")
-        .select($"query_id", $"doc_id",
-          floor(idf * tfn * lit(10000.0) + lit(0.5)).as("qs"))
-        .groupBy($"query_id", $"doc_id").agg(sum($"qs").as("sq"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= 10)
+      bm25Ranked(s, dir, 10)
         .select($"query_id", $"rank", $"doc_id",
           ($"sq".cast("double") / lit(10000.0)).as("score"))
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // L67: hybrid retrieval with reciprocal-rank fusion — the RAG-era
+    // retrieval recipe: a lexical arm (the L30 BM25 scorer, top-20)
+    // and a semantic arm (brute cosine over the query's anchor
+    // embedding — the fixture has no text encoder, so query q's
+    // vector is embedding q, the standard eval-harness stand-in;
+    // the scale path swaps in ivfpq_ann's pruned scorer unchanged)
+    // fused per (query, doc) as RRF: Σ 1/(60 + rank). Determinism:
+    // the fusion score is computed in exact integer micro-units
+    // (floor(1e6/(60+rank)) — 1e6/x for x ≤ 80 is > 1e4 ulps away
+    // from the nearest wrong integer, so floor is engine-exact) and
+    // ranking orders by (rrf_micro DESC, doc_id). Scale shape: each
+    // arm ends in a per-query top-k (tiny); the fusion join and
+    // re-rank touch ≤ 2k rows per query whatever the corpus size.
+    "hybrid_rrf" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val lex = bm25Ranked(s, dir, 20)
+        .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val probes = emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("probe_id"), $"v".as("pv"))
+      val wSem = Window.partitionBy($"query_id")
+        .orderBy($"cos_sim".desc, $"doc_id")
+      val sem = emb.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+        .select($"probe_id".as("query_id"), $"vec_id".as("doc_id"),
+          q6(dot($"v", $"pv") / (l2norm($"v") * l2norm($"pv")))
+            .as("cos_sim"))
+        .withColumn("sem_rank", row_number().over(wSem).cast("long"))
+        .filter($"sem_rank" <= 20)
+        .select($"query_id", $"doc_id", $"sem_rank")
+      val wFuse = Window.partitionBy($"query_id")
+        .orderBy($"rrf_micro".desc, $"doc_id")
+      lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(floor(lit(1000000.0) / (lit(60) + $"lex_rank")),
+            lit(0L)) +
+          coalesce(floor(lit(1000000.0) / (lit(60) + $"sem_rank")),
+            lit(0L)))
+        .withColumn("rank", row_number().over(wFuse).cast("long"))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"rank", $"doc_id", $"rrf_micro")
         .orderBy($"query_id", $"rank")
     }),
 
@@ -4201,6 +4339,96 @@ object Pipeline {
     // the indexed twin must produce the identical result set — same
     // oracle, so the layout path is driver-checked end to end
     "bm25_indexed" -> Bm25OracleSql,
+
+    // the same BM25 chain (top-20) full-joined with the brute cosine
+    // ranking (top-20), fused in exact integer micro-units
+    "hybrid_rrf" ->
+      s"""WITH $Bm25CtesSql,
+         |lex AS (
+         |  SELECT * FROM (
+         |    SELECT query_id, doc_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY sq DESC, doc_id) AS BIGINT) AS lex_rank
+         |    FROM sc) WHERE lex_rank <= 20),
+         |semsc AS (
+         |  SELECT p.vec_id AS query_id, c.vec_id AS doc_id,
+         |    ${sqlQ6("list_reduce(list_prepend(0.0, list_transform(list_zip(c.embedding::DOUBLE[], p.embedding::DOUBLE[]), z -> z[1] * z[2])), (acc, x) -> acc + x) / (sqrt(list_reduce(list_prepend(0.0, list_transform(c.embedding::DOUBLE[], x -> x * x)), (acc, x) -> acc + x)) * sqrt(list_reduce(list_prepend(0.0, list_transform(p.embedding::DOUBLE[], x -> x * x)), (acc, x) -> acc + x)))")} AS cos_sim
+         |  FROM embeddings c JOIN embeddings p
+         |    ON p.vec_id < 3 AND c.vec_id <> p.vec_id),
+         |sem AS (
+         |  SELECT * FROM (
+         |    SELECT query_id, doc_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS sem_rank
+         |    FROM semsc) WHERE sem_rank <= 20),
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, m.query_id) AS query_id,
+         |    COALESCE(l.doc_id, m.doc_id) AS doc_id,
+         |    COALESCE(CAST(FLOOR(1000000.0 / (60 + l.lex_rank))
+         |      AS BIGINT), 0) +
+         |    COALESCE(CAST(FLOOR(1000000.0 / (60 + m.sem_rank))
+         |      AS BIGINT), 0) AS rrf_micro
+         |  FROM lex l FULL JOIN sem m
+         |    ON l.query_id = m.query_id AND l.doc_id = m.doc_id),
+         |r AS (
+         |  SELECT query_id, doc_id, rrf_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+         |  FROM fused)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+         |  CAST(rrf_micro AS BIGINT) AS rrf_micro
+         |FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // positional 25-word segmenter, first-occurrence winner on the
+    // RAW segment text (the fingerprint election is collision-
+    // equivalent at any conceivable test scale), ordered string_agg
+    // reassembly
+    "segment_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tot AS (
+        |  SELECT doc_id,
+        |    CAST(CEIL(len(ws) / 25.0) AS BIGINT) AS total_segs FROM w),
+        |seg AS (
+        |  SELECT w.doc_id, g.i AS seg_idx,
+        |    array_to_string(ws[(g.i*25+1):(g.i*25+25)], ' ') AS seg_text
+        |  FROM w, LATERAL (SELECT unnest(range(
+        |    CAST(CEIL(len(ws) / 25.0) AS BIGINT))) AS i) g),
+        |keep AS (
+        |  SELECT * FROM (
+        |    SELECT seg.*, ROW_NUMBER() OVER (PARTITION BY seg_text
+        |      ORDER BY doc_id, seg_idx) AS rn FROM seg) WHERE rn = 1),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_segs,
+        |    CAST(length(string_agg(seg_text, ' ' ORDER BY seg_idx))
+        |      AS BIGINT) AS new_len
+        |  FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id, t.total_segs,
+        |  CAST(COALESCE(a.kept_segs, 0) AS BIGINT) AS kept_segs,
+        |  CAST(COALESCE(a.new_len, 0) AS BIGINT) AS new_len
+        |FROM tot t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // the same token-descending global rank, the same snake fold
+    "shard_assign" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM s),
+        |a AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+        |      ELSE 7 - ((rn - 1) % 8) END AS BIGINT) AS shard
+        |  FROM r)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+        |  MAX(n_tokens) AS max_tokens, MIN(n_tokens) AS min_tokens
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
 
     // per-language greedy scans: strict prefix of (quality DESC,
     // doc_id) within each language, each under an integral 2/5 of

@@ -36,6 +36,34 @@ object Scalars {
         .orderBy($"doc_id")
     }),
 
+    // X10: Unicode normalization (UAX #15) as a codegen'd native
+    // expression — the canonicalization in front of dedup keys
+    // (precomposed vs combining-mark spellings must fingerprint
+    // identically). The fixture corpus is pure ASCII (where NFC is
+    // the identity — itself worth pinning), so each row also carries
+    // a constructed non-NFC suffix ("cafe" + COMBINING ACUTE) whose
+    // normalization collapses a combining pair to one precomposed
+    // code point: the oracle checks the full normalized STRING per
+    // row against DuckDB's independent nfc_normalize (utf8proc),
+    // plus both length counts. NFKC/NFKD forms (no DuckDB twin) are
+    // golden-vector-checked in UnicodeNormalizeSpec.
+    "unicode_norm" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          concat(substring($"text", 1, 16), lit(" caf"),
+            lit("é")).as("raw"))
+        .select($"doc_id",
+          length($"raw").cast("long").as("raw_len"),
+          graft.functions.GraftFunctions
+            .unicode_normalize($"raw", "NFC").as("nfc"))
+        .select($"doc_id", $"raw_len",
+          length($"nfc").cast("long").as("nfc_len"),
+          ($"raw_len" =!= length($"nfc").cast("long")).as("changed"),
+          $"nfc")
+        .orderBy($"doc_id")
+    }),
+
     // X3 + X4: math and conditional functions over lineitem.
     "cond_math" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -232,6 +260,20 @@ object Scalars {
         |  lang || ':' || source AS lang_source,
         |  trim('  pad  ') AS trimmed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // independent normalizer (utf8proc) on the identically
+    // constructed raw string; chr(769) = COMBINING ACUTE ACCENT
+    "unicode_norm" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    substring(text, 1, 16) || ' caf' || 'e' || chr(769) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS BIGINT) AS raw_len,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len,
+        |  length(raw) <> length(nfc_normalize(raw)) AS changed,
+        |  nfc_normalize(raw) AS nfc
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "cond_math" ->
       s"""SELECT l_orderkey, l_linenumber, l_quantity,
