@@ -341,7 +341,88 @@ object Aggregates {
             lit(ApproxBoundFactor) * $"exact_custs")
         .orderBy($"o_orderpriority")
     }),
+
+    // G16: count-min sketch — the mergeable point-frequency sketch
+    // (Cormode & Muthukrishnan, J. Algorithms 2005) next to the HLL
+    // (G5: distinct), Misra–Gries (L36: heavy hitters), and Bloom
+    // (L34: membership) family members. The sketch IS a DataFrame —
+    // one map-combinable count per (row, bucket) cell over d seeded
+    // FNV lanes — so updates distribute and two sketches merge by
+    // adding cells; estimates = MIN over a key's d cells. Output: the
+    // top-20 keys' exact count, estimate, and the CMS contract check
+    // (est ≥ exact always; overshoot ≤ 3·N/w here) — the oracle
+    // replays probe selection, exact counts, N, and the bound from
+    // the engine's interpolated estimates (the agg_approx pattern;
+    // the hash itself is the only non-replayable piece).
+    "cms_freq" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.functions.{GraftFunctions => F}
+      def cellArr(key: org.apache.spark.sql.Column) =
+        explode(array((1 to CmsDepth).map(i =>
+          struct(lit(i).as("r"),
+            pmod(F.fnv1a_seeded(i.toLong, key), lit(CmsWidth)).as("b"))): _*))
+      val li = Tables.lineitem(s, dir).select($"l_partkey")
+      val cells = li.select(cellArr($"l_partkey").as("cell"))
+        .groupBy($"cell.r".as("r"), $"cell.b".as("b"))
+        .agg(count(lit(1)).as("c"))
+      val exact = li.groupBy($"l_partkey").agg(count(lit(1)).as("exact_cnt"))
+      val probes = exact.orderBy($"exact_cnt".desc, $"l_partkey")
+        .limit(CmsProbeK)
+      val total = li.agg(count(lit(1)).as("n"))
+      val out = probes
+        .select($"l_partkey", $"exact_cnt", cellArr($"l_partkey").as("cell"))
+        .select($"l_partkey", $"exact_cnt",
+          $"cell.r".as("r"), $"cell.b".as("b"))
+        .join(cells, Seq("r", "b"))
+        .groupBy($"l_partkey", $"exact_cnt")
+        .agg(min($"c").as("est_cnt"))
+        .crossJoin(broadcast(total))
+        .withColumn("within_bound",
+          when($"est_cnt" >= $"exact_cnt" &&
+            $"est_cnt" <= $"exact_cnt" + expr(s"(3 * n) DIV $CmsWidth"),
+            1L).otherwise(0L))
+        .select($"l_partkey", $"exact_cnt", $"est_cnt", $"within_bound")
+        .orderBy($"exact_cnt".desc, $"l_partkey")
+      cmsFrameCache.computeIfAbsent(dir,
+        _ => out.select($"l_partkey", $"est_cnt"))
+      lastOracleDir = Some(dir)
+      out
+    }),
   )
+
+  /** CMS shape: d seeded FNV lanes × w buckets. w = 2048 keeps the
+    * additive overshoot bound 3·N/w comfortably above the fixture's
+    * collision noise at every sf while the sketch (d·w cells) stays
+    * ~100× smaller than the sf0.1 key space. */
+  private val CmsDepth = 4
+  private val CmsWidth = 2048L
+  private val CmsProbeK = 20
+
+  private val cmsFrameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val cmsSqlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** DuckDB mirror of `cms_freq`: the engine's estimates as VALUES
+    * literals; probe selection, exact counts, N, and the bound check
+    * recomputed from DuckDB's own aggregation. */
+  private def cmsFreqSql(rows: Array[(Long, Long)]): String = {
+    val vals = rows.sortBy(_._1)
+      .map { case (k, e) => s"($k, $e)" }.mkString(",\n    ")
+    s"""WITH est(l_partkey, est_cnt) AS (VALUES
+       |    $vals),
+       |ex AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+       |  FROM lineitem GROUP BY 1),
+       |probes AS (SELECT l_partkey, exact_cnt FROM ex
+       |  ORDER BY exact_cnt DESC, l_partkey LIMIT $CmsProbeK),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
+       |SELECT p.l_partkey, p.exact_cnt, CAST(est.est_cnt AS BIGINT) AS est_cnt,
+       |  CASE WHEN est.est_cnt >= p.exact_cnt
+       |    AND est.est_cnt <= p.exact_cnt + (3 * n) // $CmsWidth
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS within_bound
+       |FROM probes p JOIN est USING (l_partkey) CROSS JOIN tot
+       |ORDER BY exact_cnt DESC, l_partkey""".stripMargin
+  }
 
   /** 3·rsd with rsd = 0.02 — the SAME double literal the oracle SQL
     * casts from, so both engines compare against bit-identical
@@ -382,6 +463,10 @@ object Aggregates {
       Map("agg_approx" -> approxSqlCache.computeIfAbsent(dir, _ =>
         aggApproxSql(f.collect()
           .map(r => (r.getString(0), r.getLong(1))))))
+    }.getOrElse(Map.empty) ++ Option(cmsFrameCache.get(dir)).map { f =>
+      Map("cms_freq" -> cmsSqlCache.computeIfAbsent(dir, _ =>
+        cmsFreqSql(f.collect()
+          .map(r => (r.getLong(0), r.getLong(1))))))
     }.getOrElse(Map.empty)
 
   def oracle: Map[String, String] =

@@ -403,6 +403,79 @@ object EventTime {
           $"n_overlaps")
         .orderBy($"user_id", $"sess_start_us")
     }),
+
+    // T21: time-series linear interpolation — per user, estimate the
+    // purchase-value level AT each click event from the bracketing
+    // purchase events (the feature-alignment primitive behind "sensor
+    // value at label time": floor S5 + successor S6 fused with the
+    // interior linear estimate). Exactness: values quantized to
+    // integer micro-units, time to epoch seconds, and the interior
+    // point is the exact integer floor of (v0·(t1−t)+v1·(t−t0))/(t1−t0)
+    // — numerator and denominator nonnegative, so Spark's DIV
+    // (truncate) and DuckDB's // (floor) agree. Scale shape: two
+    // user-partitioned fill windows over the merged series — the
+    // window_fill pattern run both directions; shuffle key is
+    // user_id, never the corpus.
+    "time_interpolate" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val marked = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type",
+          expr("unix_micros(ts) DIV 1000000").as("t_s"),
+          when($"event_type" === "purchase",
+            floor($"value" * lit(1000000.0) + lit(0.5)).cast("long"))
+            .as("vm"))
+      val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wPrev = ord.rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = ord.rowsBetween(0, Window.unboundedFollowing)
+      marked
+        .withColumn("v0", last($"vm", ignoreNulls = true).over(wPrev))
+        .withColumn("t0", last(when($"vm".isNotNull, $"t_s"),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("v1", first($"vm", ignoreNulls = true).over(wNext))
+        .withColumn("t1", first(when($"vm".isNotNull, $"t_s"),
+          ignoreNulls = true).over(wNext))
+        .filter($"event_type" === "click" &&
+          $"v0".isNotNull && $"v1".isNotNull)
+        .withColumn("im", when($"t1" === $"t0", $"v0").otherwise(
+          expr("(v0 * (t1 - t_s) + v1 * (t_s - t0)) DIV (t1 - t0)")))
+        .select($"event_id", $"user_id",
+          ($"im".cast("double") / lit(1000000.0)).as("value_interp"))
+        .orderBy($"event_id")
+    }),
+
+    // T22: trailing-baseline anomaly flags — per event type, each
+    // day's count tested against the 7 prior observed days: anomalous
+    // iff |x − μ| > 2σ, evaluated EXACTLY in integers as
+    // (7x − S)² > 4·(7·Q − S²) (multiply the z²>4 inequality through
+    // by 49·var's denominator — no sqrt, no double division, so the
+    // flag is engine-exact). The operational twin of G15's
+    // selectivity bounds: one map-combinable daily count, one
+    // type-partitioned ROWS window; days without a full 7-day
+    // baseline are withheld (no partial-window guesses).
+    "rolling_anomaly" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("base_n", count($"n").over(w))
+        .withColumn("s1", sum($"n").over(w))
+        .withColumn("s2", sum($"n" * $"n").over(w))
+        .filter($"base_n" === 7)
+        .withColumn("is_anomaly",
+          when((lit(7L) * $"n" - $"s1") * (lit(7L) * $"n" - $"s1") >
+            lit(4L) * (lit(7L) * $"s2" - $"s1" * $"s1"), 1L)
+            .otherwise(0L))
+        .select($"event_type", $"day", $"n".as("n_events"),
+          $"s1".as("base_sum"), $"is_anomaly")
+        .orderBy($"event_type", $"day")
+    }),
   )
 
   /** Gaps-and-islands session intervals shared by the interval_overlap
@@ -629,6 +702,56 @@ object EventTime {
         |  CAST(SUM(n_events) OVER (PARTITION BY user_id ORDER BY day
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
         |FROM d ORDER BY user_id, day""".stripMargin,
+
+    "time_interpolate" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    epoch_us(ts) // 1000000 AS t_s,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) END AS vm
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, event_type, t_s,
+        |    last_value(vm IGNORE NULLS) OVER w0 AS v0,
+        |    last_value(CASE WHEN vm IS NOT NULL THEN t_s END IGNORE NULLS)
+        |      OVER w0 AS t0,
+        |    first_value(vm IGNORE NULLS) OVER w1 AS v1,
+        |    first_value(CASE WHEN vm IS NOT NULL THEN t_s END IGNORE NULLS)
+        |      OVER w1 AS t1
+        |  FROM m
+        |  WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w1 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  CAST(CASE WHEN t1 = t0 THEN v0
+        |    ELSE (v0 * (t1 - t_s) + v1 * (t_s - t0)) // (t1 - t0) END
+        |    AS DOUBLE) / 1000000.0 AS value_interp
+        |FROM b
+        |WHERE event_type = 'click' AND v0 IS NOT NULL AND v1 IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "rolling_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, day, n,
+        |    COUNT(n) OVER w AS base_n,
+        |    CAST(SUM(n) OVER w AS BIGINT) AS s1,
+        |    CAST(SUM(n * n) OVER w AS BIGINT) AS s2
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n AS n_events, s1 AS base_sum,
+        |  CASE WHEN (7 * n - s1) * (7 * n - s1)
+        |         > 4 * (7 * s2 - s1 * s1)
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_anomaly
+        |FROM b WHERE base_n = 7
+        |ORDER BY event_type, day""".stripMargin,
 
     "decayed_activity" ->
       """WITH d AS (

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{LabelPropagation, PageRank, Triangles}
+import graft.operators.{HopLevels, KCore, LabelPropagation, PageRank, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,17 @@ object Graph {
   /** Fixed LPA round count — deterministic by construction (VERDICT
     * on classic LPA's random tie-breaks: not oracle-checkable). */
   private val LpaRounds = 3
+
+  /** k-core threshold and synchronous peel rounds — KCoreSpec pins
+    * that the fixture graph's peel converges within this depth (one
+    * extra round changes nothing), so the fixed-round recursion IS
+    * the true 3-core on the test graphs. */
+  private val CoreK = 3L
+  private val CoreRounds = 4
+
+  /** BFS expansion rounds — the reachability horizon; nodes farther
+    * than this from the seed set are reported unreached. */
+  private val HopRounds = 3
 
   /** The support-thresholded co-purchase edge CTE shared by the
     * triangle and community oracles. */
@@ -133,6 +144,35 @@ object Graph {
         .filter($"n_parts" >= 2)
         .orderBy($"label")
     }),
+
+    // L68: k-core of the supported co-purchase graph — the robustness
+    // pre-filter (a node survives only while >= k of its co-purchase
+    // partners also survive; one-off hub spokes peel away). Output =
+    // surviving parts with their in-core degree. Fixed synchronous
+    // peel depth; KCoreSpec pins the fixture converges inside it, so
+    // this IS the true 3-core here.
+    "part_kcore" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      KCore.core(pairCounts(s, dir).filter($"w" >= 2), "u", "v",
+          CoreK, CoreRounds)
+        .orderBy($"node")
+        .select($"node".as("partkey"), $"degree")
+    }),
+
+    // L69: BFS hop levels from the trusted seed set (part ids ≡ 0 mod
+    // 97 — the TrustRank seed idiom) over the supported co-purchase
+    // graph: the discrete "link distance from trust" signal, reported
+    // as the per-level reachability profile (count + id range) so the
+    // result stays compact and order-stable at any sf.
+    "part_hops" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      HopLevels.levels(pairCounts(s, dir).filter($"w" >= 2), "u", "v",
+          n => n % 97 === 0, HopRounds)
+        .groupBy($"level")
+        .agg(count(lit(1)).as("n_nodes"),
+          min($"node").as("min_part"), max($"node").as("max_part"))
+        .orderBy($"level")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -184,5 +224,16 @@ object Graph {
          |  FROM lpa GROUP BY 1)
          |SELECT label, n_parts, min_part, max_part FROM g
          |WHERE n_parts >= 2 ORDER BY label""".stripMargin,
+
+    "part_kcore" ->
+      s"""WITH core AS (${KCore.coreSql(SupportedEdgesSql, CoreK, CoreRounds)})
+         |SELECT node AS partkey, degree FROM core ORDER BY partkey""".stripMargin,
+
+    "part_hops" ->
+      s"""WITH lv AS (
+         |${HopLevels.levelsSql(SupportedEdgesSql, "node % 97 = 0", HopRounds)})
+         |SELECT level, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  MIN(node) AS min_part, MAX(node) AS max_part
+         |FROM lv GROUP BY 1 ORDER BY level""".stripMargin,
   )
 }

@@ -217,6 +217,56 @@ object Joins {
         .orderBy($"revenue".desc, $"c_custkey")
         .limit(20)
     }),
+
+    // Q18 shape: large-volume orders — the group-HAVING semi pattern
+    // (filter a fact by an aggregate OVER ITSELF, then decorate). The
+    // per-order quantity total is computed ONCE and plays both roles
+    // (the HAVING filter and the output column) — classic Q18 spells
+    // it as a correlated IN-subquery that Catalyst would decorrelate
+    // into exactly this aggregate + join. Both joins are fact⋈fact →
+    // merge-pinned; the agg precedes the joins so only qualifying
+    // orders (46 at sf0.01) reach them.
+    "tpch_q18" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val oq = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(dsum($"l_quantity").as("total_qty"))
+        .filter($"total_qty" > 300.0)
+      Tables.customer(s, dir).select($"c_custkey", $"c_name")
+        .join(Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+            $"o_totalprice").hint("merge"),
+          $"c_custkey" === $"o_custkey")
+        .join(oq.hint("merge"), $"o_orderkey" === $"l_orderkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice", $"total_qty")
+        .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+        .limit(100)
+    }),
+
+    // Q22 shape: dormant wealthy customers — scalar-aggregate
+    // threshold (one-row broadcast; exact under davg quantization) +
+    // anti join against recent orders + per-nation rollup. The classic
+    // Q22 global-lost-opportunity report with the fixture's schema
+    // (no phone column → nation key is the grouping dimension; "never
+    // ordered" → "no order since the cutoff", which keeps the row
+    // non-empty on a fixture where every customer has SOME order).
+    "tpch_q22" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cut = lit("1999-01-01").cast("timestamp")
+      val c = Tables.customer(s, dir)
+      val thr = c.filter($"c_acctbal" > 0.0)
+        .agg(davg($"c_acctbal").as("thr"))
+      val active = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= cut).select($"o_custkey")
+      c.crossJoin(broadcast(thr))
+        .filter($"c_acctbal" > $"thr")
+        .join(active.hint("merge"), $"c_custkey" === $"o_custkey",
+          "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_custs"), dsum($"c_acctbal").as("total_bal"))
+        .orderBy($"c_nationkey")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -322,5 +372,32 @@ object Joins {
          |GROUP BY 1, 2, 3, 4
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin,
+
+    "tpch_q18" ->
+      s"""WITH oq AS (
+         |  SELECT l_orderkey, ${sqlDsum("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING ${sqlDsum("l_quantity")} > 300.0)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+         |  o_totalprice, total_qty
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN oq ON o_orderkey = l_orderkey
+         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+         |LIMIT 100""".stripMargin,
+
+    "tpch_q22" ->
+      s"""WITH thr AS (
+         |  SELECT ${sqlDavg("c_acctbal")} AS thr
+         |  FROM customer WHERE c_acctbal > 0.0)
+         |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+         |  ${sqlDsum("c_acctbal")} AS total_bal
+         |FROM customer CROSS JOIN thr
+         |WHERE c_acctbal > thr
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey
+         |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+         |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
   )
 }

@@ -118,6 +118,20 @@ object Windows {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     }),
 
+    // O9: 2-D skyline (Pareto frontier) — the parts no other part
+    // beats on BOTH price (min) and size (max). NOT the quadratic
+    // NOT-EXISTS self-join: the 2-D skyline is a prefix-max scan,
+    // distributed with the PrefixSum two-phase offset pattern
+    // (operators.Skyline scaladoc). Pure comparisons — engine-exact
+    // on doubles.
+    "pareto_frontier" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Skyline
+        .frontier2d(Tables.part(s, dir), "p_retailprice", "p_size")
+        .select($"p_partkey", $"p_name", $"p_retailprice", $"p_size")
+        .orderBy($"p_retailprice", $"p_partkey")
+    }),
+
     // O2: partition-local sort — no global exchange; the oracle compare
     // is order-insensitive, the plan shape is asserted in WindowsSpec.
     "partition_sort" -> ((s: SparkSession, dir: String) => {
@@ -261,6 +275,20 @@ object Windows {
     "partition_sort" ->
       """SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber
         |FROM lineitem""".stripMargin,
+
+    "pareto_frontier" ->
+      """WITH g AS (
+        |  SELECT p_retailprice AS cost, MAX(p_size) AS gmax
+        |  FROM part GROUP BY 1),
+        |r AS (
+        |  SELECT cost, gmax,
+        |    MAX(gmax) OVER (ORDER BY cost
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |  FROM g)
+        |SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+        |FROM part p JOIN r ON p.p_retailprice = r.cost
+        |WHERE p.p_size = r.gmax AND (r.prev IS NULL OR r.gmax > r.prev)
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
 
     "set_ops" ->
       """WITH a AS (SELECT CAST(c_nationkey AS INTEGER) AS nationkey

@@ -86,6 +86,32 @@ class JoinsSpec extends SparkSuite {
       s"nation must join after the aggregate:\n$p")
   }
 
+  test("tpch_q18: agg-before-join; both joins merge; top-k planned") {
+    val p = plan("tpch_q18")
+    assert(countOf(p, "SortMergeJoin") == 2,
+      s"customer-orders and orders-bigorders must both shuffle on key:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      "no fact side may be broadcast (it won't fit at 100 TB)")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the quantity rollup must run BELOW its join (filter the fact by
+    // the aggregate, then join the survivors): some HashAggregate
+    // appears deeper in the listing than the last SortMergeJoin
+    val lastSmj = p.lastIndexOf("SortMergeJoin")
+    assert(p.indexOf("HashAggregate", lastSmj) > lastSmj,
+      s"per-order quantity agg must be computed under the join:\n$p")
+  }
+
+  test("tpch_q22: one-row threshold broadcasts; anti join shuffles on key") {
+    val p = plan("tpch_q22")
+    assert(p.contains("LeftAnti"),
+      s"dormancy test must plan as an anti join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"the anti join against orders must shuffle on key, not broadcast " +
+        s"the order side (huge at 100 TB):\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the scalar threshold must ride a one-row broadcast:\n$p")
+  }
+
   test("tpch composed queries return sane top-k rows") {
     val q3 = Joins.queries("tpch_q3")(spark, sf).collect()
     assert(q3.length <= 10 && q3.nonEmpty)
@@ -96,5 +122,10 @@ class JoinsSpec extends SparkSuite {
     assert(q5.nonEmpty && q5.length <= 5, "one row per ASIA nation at most")
     val q10 = Joins.queries("tpch_q10")(spark, sf).collect()
     assert(q10.length <= 20 && q10.nonEmpty)
+    val q18 = Joins.queries("tpch_q18")(spark, sf).collect()
+    assert(q18.length <= 100, "top-100 cap")
+    assert(q18.forall(_.getDouble(5) > 300.0), "HAVING must hold")
+    val q22 = Joins.queries("tpch_q22")(spark, sf).collect()
+    assert(q22.forall(_.getLong(1) >= 1L))
   }
 }

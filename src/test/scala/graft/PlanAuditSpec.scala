@@ -31,7 +31,12 @@ class PlanAuditSpec extends SparkSuite {
       "pq_ann", // brute ADC scan vs broadcast probes (cosine_knn shape)
       "hard_negatives", // the cosine_knn brute scorer + an anti-join
       "ann_recall", // both brute rankings (exact + ADC) vs broadcast probes
-      "bigram_logprob") // one-row vocab broadcast (unigram_logprob shape)
+      "bigram_logprob", // one-row vocab broadcast (unigram_logprob shape)
+      "hybrid_rrf", // its vector arm is the cosine_knn brute scorer
+                    // (broadcast probes); the scale path swaps in
+                    // ivfpq_ann unchanged
+
+      "tpch_q22") // one-row acctbal-threshold broadcast (scalar-subquery shape)
 
   test("no unintended cartesian products") {
     plans.foreach { case (name, p) =>
