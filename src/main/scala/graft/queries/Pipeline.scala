@@ -797,6 +797,32 @@ object Pipeline {
         .orderBy($"source_1", $"source_2")
     }),
 
+    // L70: split-leakage REPAIR — decontaminate (L23) lists the
+    // cross-split near-dup pairs; this emits the fix: every near-dup
+    // cluster is moved WHOLLY into its canonical member's split (the
+    // component id — min doc_id — anchors the cluster, so the repair
+    // is deterministic and idempotent). Output = the migration
+    // matrix (from_split, to_split, moved-doc counts) a pipeline
+    // operator would apply before export. Rides the same closure as
+    // neardup_clusters; the only additions are two broadcast-able
+    // id-equi joins against the split labeling.
+    "split_repair" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val comp = nearDupComponents(s, dir)
+      val splits = Tables.documents(s, dir).select($"doc_id",
+        graft.operators.Sampling.splitLabel($"doc_id", 0.8, 0.1)
+          .as("split"))
+      comp
+        .join(splits.withColumnRenamed("doc_id", "node"), "node")
+        .join(splits.select($"doc_id".as("component"),
+          $"split".as("to_split")), "component")
+        .filter($"split" =!= $"to_split")
+        .groupBy($"split".as("from_split"), $"to_split")
+        .agg(count(lit(1)).as("n_moved"),
+          min($"node").as("min_doc"), max($"node").as("max_doc"))
+        .orderBy($"from_split", $"to_split")
+    }),
+
     // L2 closure: near-dup PAIRS -> duplicate CLUSTERS. Pairs alone
     // under-delete (A~B, B~C, A!~C leaves B and C both kept whichever
     // pair member you drop); the transitive closure is what the dedup
@@ -3825,6 +3851,25 @@ object Pipeline {
          |SELECT lang, split, COUNT(*) AS n_docs,
          |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // the neardup closure x the hash_split labeling: move each
+    // clustered doc to its cluster canonical's split
+    "split_repair" ->
+      s"""WITH RECURSIVE $neardupClosureSqlCte,
+         |lab AS (
+         |  SELECT doc_id, $sqlSplitCase AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      ${sqlMd5Fold32("split:v1:", "CAST(doc_id AS VARCHAR)")} AS v
+         |    FROM documents)),
+         |m AS (
+         |  SELECT comp.node, la.split AS from_split, lb.split AS to_split
+         |  FROM comp JOIN lab la ON la.doc_id = comp.node
+         |            JOIN lab lb ON lb.doc_id = comp.cluster_id
+         |  WHERE la.split <> lb.split)
+         |SELECT from_split, to_split, CAST(COUNT(*) AS BIGINT) AS n_moved,
+         |  MIN(node) AS min_doc, MAX(node) AS max_doc
+         |FROM m GROUP BY 1, 2 ORDER BY from_split, to_split""".stripMargin,
 
     // the MG summary is an engine-side pruning detail the oracle need
     // not replay — the confirm recount makes the result the plain
