@@ -356,11 +356,7 @@ object Aggregates {
     // the hash itself is the only non-replayable piece).
     "cms_freq" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      import graft.functions.{GraftFunctions => F}
-      def cellArr(key: org.apache.spark.sql.Column) =
-        explode(array((1 to CmsDepth).map(i =>
-          struct(lit(i).as("r"),
-            pmod(F.fnv1a_seeded(i.toLong, key), lit(CmsWidth)).as("b"))): _*))
+      def cellArr = cmsCellArr _
       val li = Tables.lineitem(s, dir).select($"l_partkey")
       val cells = li.select(cellArr($"l_partkey").as("cell"))
         .groupBy($"cell.r".as("r"), $"cell.b".as("b"))
@@ -397,6 +393,18 @@ object Aggregates {
   private val CmsDepth = 4
   private val CmsWidth = 2048L
   private val CmsProbeK = 20
+
+  /** The CMS update: a key's d (row, bucket) cells. Shared by
+    * `cms_freq` and its streaming twin (StreamingCurationSpec) — the
+    * sketch is a plain streaming-aggregable relation, so incremental
+    * maintenance is just `groupBy(r, b).count` in update/complete
+    * mode. */
+  private[graft] def cmsCellArr(key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    explode(array((1 to CmsDepth).map(i =>
+      struct(lit(i).as("r"),
+        pmod(graft.functions.GraftFunctions.fnv1a_seeded(i.toLong, key),
+          lit(CmsWidth)).as("b"))): _*))
 
   private val cmsFrameCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

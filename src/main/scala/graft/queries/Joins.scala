@@ -267,6 +267,43 @@ object Joins {
         .agg(count(lit(1)).as("n_custs"), dsum($"c_acctbal").as("total_bal"))
         .orderBy($"c_nationkey")
     }),
+
+    // Q21 shape: the multi-correlated-EXISTS pattern — suppliers who
+    // were the SOLE late supplier on a multi-supplier order ("late" =
+    // shipped > 60 days after order date; the fixture carries no
+    // commit/receipt dates). Classic Q21 is EXISTS + NOT EXISTS over
+    // the same fact table; decorrelated here as one semi and one anti
+    // join over the deduped (order, supplier) relations — both
+    // merge-pinned (fact⋈fact both sides at 100 TB), with the
+    // supplier-differs inequality riding each join as a residual
+    // predicate on the equi key, never a post-join filter.
+    "tpch_q21" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_suppkey").distinct()
+      val late = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+        .join(Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_orderdate").hint("merge"),
+          $"l_orderkey" === $"o_orderkey")
+        .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .select($"l_orderkey", $"l_suppkey").distinct()
+      val others = l.select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
+      val lateOthers = late
+        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
+      late
+        .join(others.hint("merge"),
+          $"l_orderkey" === $"ok" && $"l_suppkey" =!= $"sk", "left_semi")
+        .join(lateOthers.hint("merge"),
+          $"l_orderkey" === $"ok" && $"l_suppkey" =!= $"sk", "left_anti")
+        .groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+        .select($"s_name", $"s_suppkey", $"numwait")
+        .orderBy($"numwait".desc, $"s_suppkey")
+        .limit(10)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -399,5 +436,25 @@ object Joins {
          |    WHERE o_custkey = c_custkey
          |      AND o_orderdate >= TIMESTAMP '1999-01-01')
          |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    "tpch_q21" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |late AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |sole AS (
+        |  SELECT w.l_orderkey, w.l_suppkey FROM late w
+        |  WHERE EXISTS (SELECT 1 FROM l o2
+        |      WHERE o2.l_orderkey = w.l_orderkey
+        |        AND o2.l_suppkey <> w.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late l2
+        |      WHERE l2.l_orderkey = w.l_orderkey
+        |        AND l2.l_suppkey <> w.l_suppkey))
+        |SELECT s_name, s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM sole JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 10""".stripMargin,
   )
 }

@@ -93,9 +93,86 @@ object Layout {
           min($"z").as("min_z"), max($"z").as("max_z"))
         .orderBy($"cell")
     }),
+
+    // Y3: zone-map pruning effectiveness audit — the data-skipping
+    // report a layout decision is judged by: for three derived range
+    // probes (~1%, ~20%, 100% of key space), how many grid-clustered
+    // files would the scan planner touch, how many rows ride along,
+    // and how many actually match. files = the 4096-wide grid cells
+    // of clustered_file_map (one file per cell by construction of
+    // OutputSizing.writeGridClustered); "touched" = file [min,max]
+    // overlaps the probe — exactly the parquet row-group min/max skip
+    // rule. The probe relation is 3 rows broadcast over the bounded
+    // per-file stats relation (the real pruning planner's cost shape:
+    // linear in FILES, never in rows).
+    "prune_audit" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir).select($"o_orderkey")
+      val stats = o
+        .groupBy(OutputSizing.gridCell($"o_orderkey", 4096L).as("cell"))
+        .agg(count(lit(1)).as("n_rows"),
+          min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+      val probes = o.agg(max($"o_orderkey").as("mx"))
+        .select(explode(array(
+          struct(lit(1L).as("probe_id"), expr("mx DIV 100").as("lo"),
+            expr("2 * (mx DIV 100)").as("hi")),
+          struct(lit(2L).as("probe_id"), expr("mx DIV 10").as("lo"),
+            expr("3 * (mx DIV 10)").as("hi")),
+          struct(lit(3L).as("probe_id"), lit(0L).as("lo"),
+            $"mx".as("hi")))).as("p"))
+        .select($"p.probe_id".as("probe_id"), $"p.lo".as("lo"),
+          $"p.hi".as("hi"))
+      val totals = stats.agg(count(lit(1)).as("n_files_total"))
+      val touched = stats.crossJoin(broadcast(probes))
+        .filter($"min_key" <= $"hi" && $"max_key" >= $"lo")
+        .groupBy($"probe_id", $"lo", $"hi")
+        .agg(count(lit(1)).as("n_files_touched"),
+          sum($"n_rows").as("n_rows_scanned"))
+      val matching = o.crossJoin(broadcast(probes))
+        .filter($"o_orderkey" >= $"lo" && $"o_orderkey" <= $"hi")
+        .groupBy($"probe_id")
+        .agg(count(lit(1)).as("n_rows_matching"))
+      touched.join(matching, Seq("probe_id"))
+        .crossJoin(broadcast(totals))
+        .select($"probe_id", $"lo", $"hi", $"n_files_touched",
+          $"n_files_total", $"n_rows_scanned", $"n_rows_matching")
+        .orderBy($"probe_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "prune_audit" ->
+      s"""WITH o AS (SELECT o_orderkey FROM orders),
+         |stats AS (
+         |  SELECT ${OutputSizing.gridCellSql("o_orderkey", 4096L)} AS cell,
+         |    COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
+         |    MAX(o_orderkey) AS max_key
+         |  FROM o GROUP BY 1),
+         |mxv AS (SELECT MAX(o_orderkey) AS mx FROM o),
+         |probes(probe_id, lo, hi) AS (
+         |  SELECT CAST(1 AS BIGINT), mx // 100, 2 * (mx // 100) FROM mxv
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), mx // 10, 3 * (mx // 10) FROM mxv
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT), mx FROM mxv),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files_total
+         |        FROM stats),
+         |touched AS (
+         |  SELECT probe_id, lo, hi,
+         |    CAST(COUNT(*) AS BIGINT) AS n_files_touched,
+         |    CAST(SUM(n_rows) AS BIGINT) AS n_rows_scanned
+         |  FROM stats JOIN probes
+         |    ON min_key <= hi AND max_key >= lo
+         |  GROUP BY 1, 2, 3),
+         |matching AS (
+         |  SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_rows_matching
+         |  FROM o JOIN probes ON o_orderkey >= lo AND o_orderkey <= hi
+         |  GROUP BY 1)
+         |SELECT t.probe_id, t.lo, t.hi, t.n_files_touched,
+         |  tot.n_files_total, t.n_rows_scanned, m.n_rows_matching
+         |FROM touched t JOIN matching m USING (probe_id) CROSS JOIN tot
+         |ORDER BY probe_id""".stripMargin,
+
     // identical unrolled interleave (ZOrder.zvalueSql) — engine and
     // oracle share the term generator, so the bit arithmetic cannot
     // drift

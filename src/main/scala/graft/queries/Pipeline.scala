@@ -1607,6 +1607,51 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // L71: code-switch detection — the language-MIX signal doc-level
+    // language ID (L5's lang_id_heuristic) cannot see: a document
+    // whose 25-word segments vote for different languages is usually
+    // concatenation noise (scraped boilerplate, wrong-merge) and a
+    // known quality hazard for language-filtered corpora. Same
+    // positional segmentation as segment_dedup (L65), same stopword
+    // vote as lang_id_heuristic per segment, then per doc: segment
+    // count, adjacent-segment switches, distinct languages, mixed
+    // flag. One explode + one doc-partitioned window + one
+    // map-combinable agg; shuffle key is doc_id.
+    "code_switch" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val SegW = 25
+      val segs = Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .select($"doc_id",
+          posexplode(transform(
+            sequence(lit(0),
+              (((size($"ws") + lit(SegW - 1)) / lit(SegW)) - 1).cast("int")),
+            i => slice($"ws", i * lit(SegW) + lit(1), lit(SegW)))))
+        .withColumnRenamed("pos", "seg_idx")
+        .withColumnRenamed("col", "seg_ws")
+      def cnt(words: Seq[String]) =
+        size(filter($"seg_ws", w => words.map(lit(_) === w).reduce(_ || _)))
+      val scored = segs.select($"doc_id", $"seg_idx",
+          cnt(Seq("the", "a", "of")).as("en_c"),
+          cnt(Seq("el", "la", "de")).as("es_c"),
+          cnt(Seq("der", "die", "das")).as("de_c"))
+        .withColumn("seg_lang",
+          when($"en_c" >= $"es_c" && $"en_c" >= $"de_c", "en")
+            .when($"es_c" >= $"de_c", "es")
+            .otherwise("de"))
+      val w = Window.partitionBy($"doc_id").orderBy($"seg_idx")
+      scored
+        .withColumn("switch",
+          when(lag($"seg_lang", 1).over(w).isNotNull &&
+            lag($"seg_lang", 1).over(w) =!= $"seg_lang", 1L).otherwise(0L))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_segs"), sum($"switch").as("n_switches"),
+          countDistinct($"seg_lang").as("n_langs"))
+        .withColumn("mixed", when($"n_langs" > 1, 1L).otherwise(0L))
+        .orderBy($"doc_id")
+    }),
+
     // L5 (faceted): corpus profile per language.
     "lang_profile" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -4520,6 +4565,42 @@ object Pipeline {
          |    ${langIdProbes.map { case (id, lg, tx) =>
               s"UNION ALL SELECT $id, '$lg', '$tx'" }.mkString("\n    ")})))
          |ORDER BY doc_id""".stripMargin,
+
+    // same positional segmentation as segment_dedup, same stopword
+    // vote as lang_id_heuristic, per segment
+    "code_switch" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |seg AS (
+        |  SELECT w.doc_id, g.i AS seg_idx,
+        |    ws[(g.i*25+1):(g.i*25+25)] AS seg_ws
+        |  FROM w, LATERAL (SELECT unnest(range(
+        |    CAST(CEIL(len(ws) / 25.0) AS BIGINT))) AS i) g),
+        |sc AS (
+        |  SELECT doc_id, seg_idx,
+        |    len(list_filter(seg_ws, x -> x = 'the' OR x = 'a' OR x = 'of')) AS en_c,
+        |    len(list_filter(seg_ws, x -> x = 'el' OR x = 'la' OR x = 'de')) AS es_c,
+        |    len(list_filter(seg_ws, x -> x = 'der' OR x = 'die' OR x = 'das')) AS de_c
+        |  FROM seg),
+        |lng AS (
+        |  SELECT doc_id, seg_idx,
+        |    CASE WHEN en_c >= es_c AND en_c >= de_c THEN 'en'
+        |         WHEN es_c >= de_c THEN 'es' ELSE 'de' END AS seg_lang
+        |  FROM sc),
+        |sw AS (
+        |  SELECT doc_id, seg_lang,
+        |    CASE WHEN lag(seg_lang) OVER (PARTITION BY doc_id
+        |        ORDER BY seg_idx) IS NOT NULL
+        |      AND lag(seg_lang) OVER (PARTITION BY doc_id
+        |        ORDER BY seg_idx) <> seg_lang
+        |      THEN 1 ELSE 0 END AS switch
+        |  FROM lng)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(SUM(switch) AS BIGINT) AS n_switches,
+        |  CAST(COUNT(DISTINCT seg_lang) AS BIGINT) AS n_langs,
+        |  CASE WHEN COUNT(DISTINCT seg_lang) > 1
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS mixed
+        |FROM sw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       s"""SELECT doc_id,

@@ -115,6 +115,30 @@ object Relational {
         .orderBy($"n_nationkey")
     }),
 
+    // S13: hive-partitioned layout + STATIC partition pruning — the
+    // directory-level skip that precedes every row-group zone-map
+    // (Y3): documents written partitionBy(lang) once per dir (same
+    // _SUCCESS gate as csv_json_source), read back with a partition
+    // filter. At 100 TB a lang='en' scan lists ONLY the en=...
+    // directory — the other partitions are never opened, which the
+    // plan proves via PartitionFilters (pinned in RelationalSpec);
+    // the oracle verifies the round trip + filter semantics from the
+    // original parquet.
+    "partitioned_source" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tmp = s"/tmp/graft_sources/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$tmp/docs_by_lang/_SUCCESS").exists())
+        Tables.documents(s, dir).write.mode("overwrite")
+          .partitionBy("lang").parquet(s"$tmp/docs_by_lang")
+      s.read.parquet(s"$tmp/docs_by_lang")
+        .filter($"lang" === "en")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"source")
+    }),
+
     // S7 (columnar beyond parquet): ORC source/sink round trip — the
     // same once-per-dir materialization gate; ORC is self-describing,
     // so the read declares no schema (embedded, like parquet).
@@ -328,6 +352,13 @@ object Relational {
       """SELECT s_suppkey, s_name, n_name
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY s_suppkey""".stripMargin,
+
+    "partitioned_source" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "inmem_lookup" ->
       s"""SELECT CAST(prio_rank AS BIGINT) AS prio_rank, COUNT(*) AS n_orders,

@@ -36,7 +36,9 @@ class PlanAuditSpec extends SparkSuite {
                     // (broadcast probes); the scale path swaps in
                     // ivfpq_ann unchanged
 
-      "tpch_q22") // one-row acctbal-threshold broadcast (scalar-subquery shape)
+      "tpch_q22", // one-row acctbal-threshold broadcast (scalar-subquery shape)
+      "prune_audit") // 3-row probe broadcast over the bounded per-file
+                     // stats relation (the pruning planner's own shape)
 
   test("no unintended cartesian products") {
     plans.foreach { case (name, p) =>

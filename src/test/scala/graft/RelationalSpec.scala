@@ -47,6 +47,7 @@ class RelationalSpec extends SparkSuite {
     SparkEntry.queries("pq_ann")(spark, sf)
     SparkEntry.queries("ivfpq_ann")(spark, sf)
     SparkEntry.queries("agg_approx")(spark, sf)
+    SparkEntry.queries("cms_freq")(spark, sf)
     SparkEntry.queries("hash_fns_native")(spark, sf)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // The exemption list is EMPTY since round 8: agg_approx closed via
@@ -60,5 +61,14 @@ class RelationalSpec extends SparkSuite {
     // source_minhash_sim via interpolated per-source signatures.)
     val exempt = Set.empty[String]
     assert((missing -- exempt).isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("partitioned_source prunes non-matching lang partitions at the scan") {
+    val df = graft.queries.Relational.queries("partitioned_source")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter must prune DIRECTORIES (static partition pruning), " +
+        s"not rows:\n${p.take(1500)}")
+    assert(df.count() > 0)
   }
 }

@@ -178,4 +178,34 @@ class StreamingCurationSpec extends SparkSuite {
     // chunks than fit one sequence
     assert(streamed.exists(_._3 > 1), "no multi-chunk sequences formed")
   }
+
+  test("count-min sketch cells maintain incrementally over a stream") {
+    // the G16 sketch is a plain (row, bucket) count relation, so the
+    // streaming build is just groupBy(r, b).count in complete mode —
+    // no custom state. Two micro-batches prove the merge: the final
+    // streamed cells must equal the one-shot batch sketch over the
+    // union (CMS mergeability = counter addition).
+    implicit val sqlCtx = spark.sqlContext
+    val keys = (1 to 300).map(i => (i % 37).toLong)
+    val input = MemoryStream[Long]
+    val q = input.toDF()
+      .select(graft.queries.Aggregates.cmsCellArr($"value").as("cell"))
+      .groupBy($"cell.r".as("r"), $"cell.b".as("b")).count()
+      .writeStream.format("memory").queryName("s_cms")
+      .outputMode("complete").start()
+    try {
+      input.addData(keys.take(150))
+      q.processAllAvailable()
+      input.addData(keys.drop(150))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_cms").collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val batch = keys.toDF("value")
+      .select(graft.queries.Aggregates.cmsCellArr($"value").as("cell"))
+      .groupBy($"cell.r".as("r"), $"cell.b".as("b")).count()
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
