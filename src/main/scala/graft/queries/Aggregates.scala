@@ -177,6 +177,48 @@ object Aggregates {
         .orderBy($"l_returnflag")
     }),
 
+    // G17: EXACT order statistics WITHOUT sorting the group — G8's
+    // approx_percentile trades exactness for one pass; the classic
+    // exact spelling (rank window over each group) sorts entire
+    // groups in single tasks, which dies when a group is the whole
+    // fact table. Two-pass bucket-prune selection instead: pass 1 is
+    // a map-combinable (group, bucket) histogram + a tiny cumulative
+    // scan over ~100 bucket rows per group that locates the bucket
+    // holding the k-th value; pass 2 ranks ONLY that bucket's rows
+    // (~1% of the group at SelWidth). Targets are exact integer
+    // ranks — k50 = ceil(n/2), k90 = ceil(9n/10) — so the selected
+    // VALUE is deterministic under ties whatever the tie order.
+    "exact_median_2pass" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(s, dir)
+        .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"))
+      val withB = base
+        .withColumn("b", floor($"v" / lit(SelWidth)).cast("long"))
+      val hist = withB.groupBy($"g", $"b").agg(count(lit(1)).as("c"))
+      val tot = hist.groupBy($"g").agg(sum($"c").as("n"))
+      val targets = tot.select($"g", $"n",
+        expr("(n + 1) DIV 2").as("k50"),
+        expr("(9 * n + 9) DIV 10").as("k90"))
+      val wcum = Window.partitionBy($"g").orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist
+        .withColumn("bbase", coalesce(sum($"c").over(wcum), lit(0L)))
+      def pick(kCol: String, label: String) =
+        cum.join(targets.select($"g", col(kCol).as("k")), "g")
+          .filter($"bbase" < $"k" && $"bbase" + $"c" >= $"k")
+          .select($"g", lit(label).as("quantile"), $"k", $"b", $"bbase")
+      val sel = pick("k50", "p50").unionAll(pick("k90", "p90"))
+      val wRank = Window.partitionBy($"g", $"quantile").orderBy($"v")
+      withB.join(sel, Seq("g", "b"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter($"rn" === $"k" - $"bbase")
+        .join(tot, "g")
+        .select($"g".as("l_returnflag"), $"quantile", $"n".as("n_rows"),
+          $"v".as("value"))
+        .orderBy($"l_returnflag", $"quantile")
+    }),
+
     // G7: group → sorted array, serialized to a stable string (both
     // engines agree on a comma-joined sorted set; raw array compare
     // would hinge on engine-internal ordering).
@@ -385,6 +427,11 @@ object Aggregates {
       out
     }),
   )
+
+  /** G17 bucket width for the two-pass exact selection: the
+    * l_extendedprice domain (~[900, 105k] at every sf) spans ~100
+    * buckets, so pass 2 ranks ~1% of each group instead of all of it. */
+  private val SelWidth = 1024.0
 
   /** CMS shape: d seeded FNV lanes × w buckets. w = 2048 keeps the
     * additive overshoot bound 3·N/w comfortably above the fixture's
@@ -708,6 +755,23 @@ object Aggregates {
         |  quantile_disc(l_quantity, 0.95) AS q95
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // rank-window spelling — the semantics, not the engine's two-pass
+    // plan; identical integer rank targets
+    "exact_median_2pass" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT g AS l_returnflag, q.quantile, CAST(MAX(n) AS BIGINT)
+        |    AS n_rows,
+        |  MAX(CASE WHEN q.quantile = 'p50' AND rn = (n + 1) // 2 THEN v
+        |           WHEN q.quantile = 'p90' AND rn = (9 * n + 9) // 10 THEN v
+        |      END) AS value
+        |FROM r CROSS JOIN (VALUES ('p50'), ('p90')) q(quantile)
+        |GROUP BY 1, 2 ORDER BY l_returnflag, quantile""".stripMargin,
 
     "agg_collect" ->
       """SELECT lang,

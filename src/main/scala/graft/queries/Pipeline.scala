@@ -1857,6 +1857,37 @@ object Pipeline {
         .orderBy($"cell")
     }),
 
+    // L72: incremental index append + drift audit — production vector
+    // indexes do NOT relearn centroids per ingest batch: arrivals are
+    // assigned to the EXISTING cells (shuffle-free per-row argmax, the
+    // L7 assignment), and a drift signal decides when relearning is
+    // due. Arrivals = vec_id ≡ 0 mod 7 re-ingested; output per cell:
+    // existing/appended counts plus the exact integer cos-affinity
+    // mass of each population — appended mass per vector falling
+    // below the existing population's is the relearn trigger. The
+    // oracle replays assignment AND both masses from the interpolated
+    // centroids.
+    "ivf_append" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.IvfIndex
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cents = learnedCents(s, dir)
+      val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+      IvfIndex.assignCells(emb, cents)
+        .withColumn("c", element_at(centsLit, $"cell".cast("int")))
+        .select($"cell", $"vec_id",
+          when($"vec_id" % 7 === 0, 1L).otherwise(0L).as("is_new"),
+          floor(q6(dot($"v", $"c") / (l2norm($"v") * l2norm($"c")))
+            * lit(1000000.0) + lit(0.5)).cast("long").as("cos6"))
+        .groupBy($"cell")
+        .agg(sum(lit(1L) - $"is_new").as("n_existing"),
+          sum($"is_new").as("n_appended"),
+          sum((lit(1L) - $"is_new") * $"cos6").as("cos_mass_existing_6"),
+          sum($"is_new" * $"cos6").as("cos_mass_appended_6"))
+        .orderBy($"cell")
+    }),
+
     // L53: product-quantization ANN (ADC scoring) — the compression
     // layer of a production vector index: 4 per-subspace 16-centroid
     // codebooks (learned with the same deterministic Lloyd recipe as
@@ -3119,7 +3150,8 @@ object Pipeline {
   def oracleFor(dir: String): Map[String, String] =
     staticOracle ++ Option(learnedCentCache.get(dir))
       .map(c => Map("ivf_ann_learned" -> ivfLearnedSql(c),
-        "semantic_clusters" -> semanticClustersSql(c)))
+        "semantic_clusters" -> semanticClustersSql(c),
+        "ivf_append" -> ivfAppendSql(c)))
       .getOrElse(Map.empty) ++ Option(pqBooksCache.get(dir))
       .map(b => Map("pq_ann" -> pqAnnSql(b),
         "ann_recall" -> annRecallSql(b)))
@@ -3203,6 +3235,38 @@ object Pipeline {
        |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec,
        |  CAST(SUM(CAST(FLOOR(cos * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
        |    AS cos_mass_6
+       |FROM j GROUP BY 1 ORDER BY cell""".stripMargin
+  }
+
+  /** DuckDB mirror of `ivf_append` — same cells/cos replay as
+    * [[semanticClustersSql]], split by the arrival predicate. */
+  private def ivfAppendSql(cents: Array[Array[Double]]): String = {
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      val lit = c.map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
+      s"(${i + 1}, $lit, ${(c.map(x => x * x).sum / 2.0).toString})"
+    }.mkString(",\n    ")
+    s"""WITH cents(cid, c, hn) AS (VALUES
+       |    $rows),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT e.vec_id, cents.cid, ${sqlDot("e.v", "cents.c")} - cents.hn AS s
+       |      FROM e CROSS JOIN cents),
+       |cells AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM d) t WHERE rn = 1),
+       |j AS (
+       |  SELECT cells.cell, cells.vec_id,
+       |    CASE WHEN cells.vec_id % 7 = 0 THEN 1 ELSE 0 END AS is_new,
+       |    CAST(FLOOR(${sqlQ6(sqlDot("e.v", "cents.c") + " / (" +
+            sqlNorm("e.v") + " * " + sqlNorm("cents.c") + ")")}
+       |      * 1000000.0 + 0.5) AS BIGINT) AS cos6
+       |  FROM cells JOIN e ON e.vec_id = cells.vec_id
+       |  JOIN cents ON cents.cid = cells.cell)
+       |SELECT cell,
+       |  CAST(SUM(1 - is_new) AS BIGINT) AS n_existing,
+       |  CAST(SUM(is_new) AS BIGINT) AS n_appended,
+       |  CAST(SUM((1 - is_new) * cos6) AS BIGINT) AS cos_mass_existing_6,
+       |  CAST(SUM(is_new * cos6) AS BIGINT) AS cos_mass_appended_6
        |FROM j GROUP BY 1 ORDER BY cell""".stripMargin
   }
 

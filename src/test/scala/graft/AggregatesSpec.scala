@@ -96,4 +96,28 @@ class AggregatesSpec extends SparkSuite {
       }
     }
   }
+
+  test("exact_median_2pass equals the full-sort order statistic; " +
+      "the rank window sees only the selected bucket") {
+    import spark.implicits._
+    val out = graft.queries.Aggregates.queries("exact_median_2pass")(spark, sf)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // brute force: sort each group fully, take the same integer ranks
+    val byFlag = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_returnflag", $"l_extendedprice")
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+    byFlag.foreach { case (g, vs) =>
+      val n = vs.length
+      assert(got((g, "p50")) == vs((n + 1) / 2 - 1), s"$g p50")
+      assert(got((g, "p90")) == vs((9 * n + 9) / 10 - 1), s"$g p90")
+    }
+    // the two-pass contract: the rank Window's input carries the
+    // bucket-selection join (never the raw full-group scan)
+    val p = out.queryExecution.optimizedPlan.toString
+    val winAt = p.indexOf("Window")
+    assert(winAt >= 0 && p.indexOf("Join", winAt) >= 0,
+      s"rank window must sit above the bucket-prune join:\n${p.take(2000)}")
+  }
 }

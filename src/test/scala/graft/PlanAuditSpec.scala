@@ -37,8 +37,9 @@ class PlanAuditSpec extends SparkSuite {
                     // ivfpq_ann unchanged
 
       "tpch_q22", // one-row acctbal-threshold broadcast (scalar-subquery shape)
-      "prune_audit") // 3-row probe broadcast over the bounded per-file
+      "prune_audit", // 3-row probe broadcast over the bounded per-file
                      // stats relation (the pruning planner's own shape)
+      "cms_freq") // one-row corpus-total broadcast (scalar-subquery shape)
 
   test("no unintended cartesian products") {
     plans.foreach { case (name, p) =>
