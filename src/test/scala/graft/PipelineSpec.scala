@@ -315,6 +315,87 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("rolling_anomaly: flags equal the brute trailing-baseline scan") {
+    val rows = SparkEntry.queries("rolling_anomaly")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // brute: per type, daily counts over OBSERVED days in day order
+    val daily = Tables.events(spark, sf)
+      .groupBy($"event_type",
+        datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+          .cast("long").as("day"))
+      .count().as[(String, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._2, r._3))).toMap
+    val expect = daily.toSeq.flatMap { case (t, series) =>
+      series.zipWithIndex.drop(7).map { case ((d, x), i) =>
+        val base = series.slice(i - 7, i).map(_._2)
+        val s1 = base.sum; val s2 = base.map(b => b * b).sum
+        val flag = if ((7 * x - s1) * (7 * x - s1) > 4 * (7 * s2 - s1 * s1))
+          1L else 0L
+        (t, d) -> ((x, s1, flag))
+      }
+    }.toMap
+    assert(rows.length == expect.size, "row count = days with full baseline")
+    rows.foreach { case (t, d, n, s, fl) =>
+      assert(expect((t, d)) == ((n, s, fl)), s"$t day $d")
+    }
+  }
+
+  test("time_interpolate: equals the brute bracketing scan; edges withheld") {
+    val got = SparkEntry.queries("time_interpolate")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type",
+        expr("unix_micros(ts) DIV 1000000").as("t"), $"value",
+        unix_micros($"ts").as("tus"))
+      .as[(Long, Long, String, Long, Double, Long)]
+      .collect()
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._6, r._1))
+      seq.zipWithIndex.foreach { case ((id, _, typ, t, _, _), i) =>
+        if (typ == "click") {
+          val before = seq.take(i + 1).filter(_._3 == "purchase").lastOption
+          val after = seq.drop(i + 1).filter(_._3 == "purchase").headOption
+          (before, after) match {
+            case (Some(b), Some(a)) =>
+              val (v0, t0) = (math.floor(b._5 * 1e6 + 0.5).toLong, b._4)
+              val (v1, t1) = (math.floor(a._5 * 1e6 + 0.5).toLong, a._4)
+              val im = if (t1 == t0) v0
+                else (v0 * (t1 - t) + v1 * (t - t0)) / (t1 - t0)
+              assert(got(id)._2 == im.toDouble / 1e6, s"event $id")
+            case _ =>
+              assert(!got.contains(id), s"unbracketed probe $id must be withheld")
+          }
+        }
+      }
+    }
+  }
+
+  test("split_repair: applying the migration makes every cluster one-split") {
+    val pairs = graft.queries.Pipeline.minhashNearDupPairs(
+      Tables.documents(spark, sf).select($"doc_id", $"text"), 0.5)
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    val split = Tables.documents(spark, sf).select($"doc_id",
+        graft.operators.Sampling.splitLabel($"doc_id", 0.8, 0.1))
+      .as[(Long, String)].collect().toMap
+    // after repair: final split = canonical's split
+    val finalSplit = comp.map { case (node, c) => node -> split(c) }.toMap
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(m => finalSplit(m._1)).distinct.length == 1,
+        s"cluster $c straddles splits after repair")
+    }
+    // the reported matrix counts exactly the moved docs
+    val moved = comp.count { case (node, c) => split(node) != split(c) }
+    val matrixTotal = SparkEntry.queries("split_repair")(spark, sf)
+      .agg(coalesce(sum($"n_moved"), lit(0L))).as[Long].collect().head
+    assert(matrixTotal == moved.toLong, "migration matrix mass")
+  }
+
   test("decayed_activity: monotone in recency, bounded by count") {
     val rows = SparkEntry.queries("decayed_activity")(spark, sf)
       .as[(Long, Double, Long)].collect()
