@@ -30,6 +30,13 @@ object SqlTableFunctions {
     *    [[InvertedIndex.bm25]] top-k per query over a written index;
     *    the (query_id, term) view is collected at plan time (query
     *    sets are bounded by construction — they are the SMALL side)
+    *  - `graft_skyline(view, cost_col, gain_col)` —
+    *    [[Skyline.frontier2d]]: the 2-D Pareto frontier of any view
+    *  - `graft_kcore(edges_view, a_col, b_col, k, rounds)` —
+    *    [[KCore.core]]: fixed-round synchronous k-core peel
+    *  - `graft_hops(edges_view, a_col, b_col, seed_mod, rounds)` —
+    *    [[HopLevels.levels]]: BFS hop distance from the seed set
+    *    {node : node ≡ 0 (mod seed_mod)}
     */
   def registerAll(spark: SparkSession): Unit = {
     AsOfJoin.registerSqlTableFunction(spark)
@@ -48,6 +55,20 @@ object SqlTableFunctions {
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       InvertedIndex.bm25(spark, args(0), queries,
         args(2).toInt, args(3).toInt)
+    }
+    register(spark, "graft_skyline", 3, 3) { args =>
+      Skyline.frontier2d(spark.table(args(0)), args(1), args(2))
+    }
+    register(spark, "graft_kcore", 5, 5) { args =>
+      KCore.core(spark.table(args(0)), args(1), args(2),
+        args(3).toLong, args(4).toInt)
+    }
+    register(spark, "graft_hops", 5, 5) { args =>
+      val m = args(3).toLong
+      require(m >= 1L, s"graft_hops seed_mod must be >= 1, got $m")
+      HopLevels.levels(spark.table(args(0)), args(1), args(2),
+        n => n % m === org.apache.spark.sql.functions.lit(0L),
+        args(4).toInt)
     }
   }
 

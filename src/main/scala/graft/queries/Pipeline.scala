@@ -952,6 +952,39 @@ object Pipeline {
         .orderBy($"span_text")
     }),
 
+    // L73: benchmark-contamination RATE — decontaminate (L23) and
+    // dup_spans (L24) find WHICH docs/spans collide; the number a
+    // model card reports is the per-eval-doc fraction of 8-gram spans
+    // also present anywhere in train (the WMT/eval-overlap metric).
+    // Gram identity travels as the 128-bit two-lane FNV fingerprint
+    // (16 bytes on the shuffle, never span strings — the dup_spans
+    // contract); the train side ships its DISTINCT fp set only.
+    "eval_overlap_rate" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val W = 8
+      val labeled = Tables.documents(s, dir)
+        .withColumn("split",
+          graft.operators.Sampling.splitLabel($"doc_id", 0.8, 0.1))
+        .select($"doc_id", $"split", split($"text", " ").as("ws"))
+        .filter(size($"ws") >= W)
+      val g = labeled.select($"doc_id", $"split",
+          explode(transform(sequence(lit(1), size($"ws") - (W - 1)), i =>
+            concat_ws(" ", slice($"ws", i, lit(W))))).as("sp"))
+        .select($"doc_id", $"split", F.fnv1a($"sp").as("fp1"),
+          F.fnv1a_seeded(Lane2Seed, $"sp").as("fp2"))
+      val trainFps = g.filter($"split" === "train")
+        .select($"fp1", $"fp2").distinct()
+      g.filter($"split" =!= "train")
+        .join(trainFps.withColumn("hit", lit(1L)), Seq("fp1", "fp2"),
+          "left_outer")
+        .groupBy($"doc_id", $"split")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
+        .withColumn("contamination_q6",
+          q6($"n_contaminated".cast("double") / $"n_grams"))
+        .orderBy($"doc_id")
+    }),
+
     // L2 end-to-end: the corpus after near-dup removal — every cluster
     // keeps exactly its canonical (smallest-id) member; singletons pass
     // through untouched. The anti-join is an equi-shuffle on doc_id;
@@ -3960,6 +3993,35 @@ object Pipeline {
          |SELECT lang, split, COUNT(*) AS n_docs,
          |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // pure-SQL mirror: 8-token span STRINGS (the fp identity is an
+    // engine-side transport detail, invisible in the result contract)
+    // x the hash_split label CTE
+    "eval_overlap_rate" ->
+      s"""WITH lab AS (
+         |  SELECT doc_id, $sqlSplitCase AS split, ws FROM (
+         |    SELECT doc_id,
+         |      ${sqlMd5Fold32("split:v1:", "CAST(doc_id AS VARCHAR)")} AS v,
+         |      string_split(text, ' ') AS ws
+         |    FROM documents)),
+         |g AS (
+         |  SELECT doc_id, split,
+         |    unnest([array_to_string(ws[i:i+7], ' ')
+         |            for i in range(1, len(ws) - 6)]) AS sp
+         |  FROM lab WHERE len(ws) >= 8),
+         |train AS (SELECT DISTINCT sp FROM g WHERE split = 'train'),
+         |agg AS (
+         |  SELECT e.doc_id, e.split,
+         |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(CASE WHEN t.sp IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_contaminated
+         |  FROM g e LEFT JOIN train t ON e.sp = t.sp
+         |  WHERE e.split <> 'train'
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, split, n_grams, n_contaminated,
+         |  ${sqlQ6("CAST(n_contaminated AS DOUBLE) / n_grams")}
+         |    AS contamination_q6
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     // the neardup closure x the hash_split labeling: move each
     // clustered doc to its cluster canonical's split

@@ -55,6 +55,29 @@ class SqlTableFunctionsSpec extends SparkSuite {
       InvertedIndex.bm25(spark, root, queries, nb, k = 10))
   }
 
+  test("graft_skyline / graft_kcore / graft_hops equal the library calls") {
+    SqlTableFunctions.registerAll(spark)
+    Tables.part(spark, sf).select($"p_partkey", $"p_retailprice", $"p_size")
+      .createOrReplaceTempView("tvf_parts")
+    same(
+      spark.sql(
+        "SELECT * FROM graft_skyline('tvf_parts', 'p_retailprice', 'p_size')"),
+      graft.operators.Skyline.frontier2d(
+        Tables.part(spark, sf)
+          .select($"p_partkey", $"p_retailprice", $"p_size"),
+        "p_retailprice", "p_size"))
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L),
+      (5L, 6L)).toDF("a", "b")
+    edges.createOrReplaceTempView("tvf_edges")
+    same(
+      spark.sql("SELECT * FROM graft_kcore('tvf_edges', 'a', 'b', '2', '3')"),
+      graft.operators.KCore.core(edges, "a", "b", 2L, 3))
+    same(
+      spark.sql("SELECT * FROM graft_hops('tvf_edges', 'a', 'b', '2', '2')"),
+      graft.operators.HopLevels.levels(edges, "a", "b",
+        n => n % 2 === lit(0L), 2))
+  }
+
   test("malformed TVF calls fail loudly") {
     SqlTableFunctions.registerAll(spark)
     docs.createOrReplaceTempView("tvf_docs")
