@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   /** The frontier rows of `df` (all columns pass through).
-    * `gainCol` must be castable to long (comparison sentinel). */
+    * `gainCol` must be INTEGRAL (it is compared as long — a
+    * fractional gain would be silently truncated); `costCol` may be
+    * any orderable type. */
   def frontier2d(df: DataFrame, costCol: String, gainCol: String): DataFrame = {
     val g = df
       .groupBy(col(costCol).as("__skCost"))

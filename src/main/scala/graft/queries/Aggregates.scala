@@ -177,6 +177,37 @@ object Aggregates {
         .orderBy($"l_returnflag")
     }),
 
+    // G18: per-group least-squares fit from EXACT integer power sums —
+    // the one-pass distributed regression (price ~ quantity per
+    // returnflag): slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), every
+    // sum an exact quantized integer (the agg_stats recipe), the final
+    // division the only double op — engine-exact, map-combinable,
+    // associative. The closed form IS the scale answer: no gradient
+    // loop, no driver matrix, one HashAggregate whatever n is.
+    "ols_fit" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val qx = floor($"l_quantity" * lit(10000.0) + lit(0.5))
+        .cast("decimal(19,0)")
+      val qy = floor($"l_extendedprice" * lit(10000.0) + lit(0.5))
+        .cast("decimal(19,0)")
+      val slope = ($"n" * $"sxy" - $"sx" * $"sy") /
+        ($"n" * $"sxx" - $"sx" * $"sx")
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(qx).cast("double").as("sx"),
+          sum(qy).cast("double").as("sy"),
+          sum(qx * qy).cast("double").as("sxy"),
+          sum(qx * qx).cast("double").as("sxx"))
+        .select($"l_returnflag", $"n",
+          // slope is unit-free (the 1e4 quantization cancels);
+          // intercept carries it once
+          q6(slope).as("slope_q6"),
+          q6((($"sy" - slope * $"sx") / $"n") / lit(10000.0))
+            .as("intercept_q6"))
+        .orderBy($"l_returnflag")
+    }),
+
     // G17: EXACT order statistics WITHOUT sorting the group — G8's
     // approx_percentile trades exactness for one pass; the classic
     // exact spelling (rank window over each group) sorts entire
@@ -692,6 +723,21 @@ object Aggregates {
         |           * CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS syy,
         |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))
         |           * CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "ols_fit" ->
+      s"""SELECT l_returnflag, n,
+        |  ${sqlQ6("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope_q6,
+        |  ${sqlQ6("((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) / 10000.0")} AS intercept_q6
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))
+        |           * CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))
+        |           * CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sxx
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
 
