@@ -43,14 +43,7 @@ object HopLevels {
       checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     Checkpointing.withTruncation(edges.sparkSession, checkpointDir) { ckpt =>
-      val und = edges
-        .select(
-          least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
-          greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-      val sym = ckpt(und
-        .unionAll(und.select(col("v").as("u"), col("u").as("v"))))
+      val sym = ckpt(EdgeHygiene.symmetrized(edges, aCol, bCol))
 
       val nodes = sym.select(col("u").as("node")).distinct()
       var lv = ckpt(nodes.filter(isSeed(col("node")))
@@ -84,11 +77,7 @@ object HopLevels {
          |    WHERE f.level = ${i - 1}) t
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH und AS (
-       |  SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
-       |  FROM ($edgesSql) WHERE u <> v),
-       |sym AS (
-       |  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+    s"""WITH ${EdgeHygiene.symSqlCte(edgesSql)},
        |l0 AS (
        |  SELECT node, 0 AS level FROM
        |    (SELECT DISTINCT u AS node FROM sym) n WHERE $seedPred),

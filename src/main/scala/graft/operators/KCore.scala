@@ -49,14 +49,7 @@ object KCore {
     require(k >= 1L, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     Checkpointing.withTruncation(edges.sparkSession, checkpointDir) { ckpt =>
-      val und = edges
-        .select(
-          least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
-          greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-      var sym = ckpt(und
-        .unionAll(und.select(col("v").as("u"), col("u").as("v"))))
+      var sym = ckpt(EdgeHygiene.symmetrized(edges, aCol, bCol))
 
       def degrees(e: DataFrame): DataFrame =
         e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
@@ -87,20 +80,21 @@ object KCore {
     * (node, degree). */
   def coreSql(edgesSql: String, k: Long, rounds: Int): String = {
     require(k >= 1L && rounds >= 1)
+    // MATERIALIZED is load-bearing: each round references the
+    // previous THREE times (the edge scan + both endpoint semi
+    // filters), so an inlining planner would expand e_rounds into
+    // 3^rounds base scans — at depth 10 that exhausts file handles
+    // before it exhausts patience
     val steps = (1 to rounds).map { i =>
       val prev = if (i == 1) "sym" else s"e${i - 1}"
-      s"""k$i AS (
+      s"""k$i AS MATERIALIZED (
          |  SELECT u AS node FROM $prev GROUP BY 1 HAVING COUNT(*) >= $k),
-         |e$i AS (
+         |e$i AS MATERIALIZED (
          |  SELECT e.u, e.v FROM $prev e
          |  JOIN k$i a ON e.u = a.node
          |  JOIN k$i b ON e.v = b.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH und AS (
-       |  SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
-       |  FROM ($edgesSql) WHERE u <> v),
-       |sym AS (
-       |  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+    s"""WITH ${EdgeHygiene.symSqlCte(edgesSql)},
        |$steps
        |SELECT u AS node, COUNT(*) AS degree FROM e$rounds
        |GROUP BY 1 HAVING COUNT(*) >= $k""".stripMargin

@@ -45,16 +45,7 @@ object LabelPropagation {
       rounds: Int, checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     Checkpointing.withTruncation(edges.sparkSession, checkpointDir) { ckpt =>
-    // id-canonical (lo, hi) BEFORE distinct — an input carrying both
-    // (a,b) and (b,a) is one undirected edge, not a double-weight one
-    val und = edges
-      .select(
-        least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
-        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-    val sym = ckpt(und
-      .unionAll(und.select(col("v").as("u"), col("u").as("v"))))
+    val sym = ckpt(EdgeHygiene.symmetrized(edges, aCol, bCol))
 
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -90,11 +81,7 @@ object LabelPropagation {
          |    GROUP BY 1, 2) t
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH und AS (
-       |  SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
-       |  FROM ($edgesSql) WHERE u <> v),
-       |sym AS (
-       |  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+    s"""WITH ${EdgeHygiene.symSqlCte(edgesSql)},
        |l0 AS (
        |  SELECT node, node AS label FROM
        |    (SELECT DISTINCT u AS node FROM sym) n),

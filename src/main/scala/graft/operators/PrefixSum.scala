@@ -46,11 +46,20 @@ object PrefixSum {
     * inclusive). All other columns pass through unchanged; with
     * `groups` empty the scan is global.
     */
+  /** Phase-1 of every two-phase prefix operator (shared with
+    * [[Skyline]]): range-partition on `cols` and FREEZE the partition
+    * assignment with an eager `localCheckpoint` — the offset pass and
+    * the scan pass must read IDENTICAL partition ids (a production
+    * run swaps the checkpoint for its usual corpus snapshot write). */
+  private[operators] def frozenRangePartition(df: DataFrame,
+      pidCol: String, cols: Seq[Column]): DataFrame =
+    df.repartitionByRange(cols: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .localCheckpoint()
+
   def withRunningSum(df: DataFrame, groups: Seq[Column], order: Column,
       value: Column, cumCol: String): DataFrame = {
-    val parted = df.repartitionByRange((groups :+ order): _*)
-      .withColumn("__psPid", spark_partition_id())
-      .localCheckpoint()
+    val parted = frozenRangePartition(df, "__psPid", groups :+ order)
     val gAlias = groups.zipWithIndex.map { case (g, i) => g.as(s"__psG$i") }
     val gRef = groups.indices.map(i => col(s"__psG$i"))
     val offWin = (if (gRef.isEmpty) Window.partitionBy()

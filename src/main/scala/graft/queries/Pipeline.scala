@@ -967,11 +967,15 @@ object Pipeline {
           graft.operators.Sampling.splitLabel($"doc_id", 0.8, 0.1))
         .select($"doc_id", $"split", split($"text", " ").as("ws"))
         .filter(size($"ws") >= W)
+      // materialized ONCE: both arms (train fp set + eval grams) read
+      // this relation — without the checkpoint the tokenize + explode
+      // + double-FNV pass runs twice (the Graph.pairCounts pattern)
       val g = labeled.select($"doc_id", $"split",
           explode(transform(sequence(lit(1), size($"ws") - (W - 1)), i =>
             concat_ws(" ", slice($"ws", i, lit(W))))).as("sp"))
         .select($"doc_id", $"split", F.fnv1a($"sp").as("fp1"),
           F.fnv1a_seeded(Lane2Seed, $"sp").as("fp2"))
+        .localCheckpoint()
       val trainFps = g.filter($"split" === "train")
         .select($"fp1", $"fp2").distinct()
       g.filter($"split" =!= "train")

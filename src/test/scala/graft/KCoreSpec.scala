@@ -60,20 +60,29 @@ class KCoreSpec extends SparkSuite {
     assert(reference(edges, 3L, 8) == converged)
   }
 
-  test("part_kcore's fixed depth converges on the sf0.001 fixture") {
-    val sf = "/root/testdata/sf0.001"
-    val li = spark.read.parquet(s"$sf/lineitem.parquet")
-      .select($"l_orderkey", $"l_partkey")
-    val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-      .filter($"a.l_partkey" < $"b.l_partkey")
-      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("w"))
-      .filter($"w" >= 2)
-    def at(r: Int): Map[Long, Long] =
-      KCore.core(pairs, "u", "v", 3L, r)
-        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
-    assert(at(4) == at(5), "one round past part_kcore's depth is a no-op")
+  test("part_kcore's fixed depth converges at BOTH the smoke and the " +
+      "verify scale factors") {
+    // sf0.001 = the suite fixture; sf0.01 = where the driver's oracle
+    // gate actually runs — non-convergence there would leave engine
+    // and oracle agreeing on a superset of the true 3-core, invisible
+    // to the gate (both unroll the same rounds)
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .filter($"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("w"))
+        .filter($"w" >= 2)
+      def at(r: Int): Map[Long, Long] =
+        KCore.core(pairs, "u", "v", 3L, r)
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      // 10 = Graph.CoreRounds (measured peel depths: sf0.001 = 0,
+      // sf0.01 = 8, sf0.1 = 2)
+      assert(at(10) == at(11),
+        s"one round past part_kcore's depth must be a no-op at $dir")
+    }
   }
 
   test("reliable checkpointDir mode is bitwise-equal") {
