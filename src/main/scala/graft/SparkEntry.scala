@@ -44,6 +44,7 @@ object SparkEntry {
     staticOracles ++
       graft.queries.Aggregates.oracleFor(sfDir) ++
       graft.queries.Scalars.oracleFor(sfDir) ++
+      graft.queries.Layout.oracleFor(sfDir) ++
       graft.queries.Pipeline.oracleFor(sfDir)
 
   private def staticOracles: Map[String, String] =

@@ -115,6 +115,50 @@ object BloomSet {
         pmod(p, lit(64L))).bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
 
+  // ---- Per-group bloom INDEX relations (file-skip indexes) ----
+
+  /** A DISTRIBUTED per-group bloom index: one row per (group, word)
+    * with the OR of that group's inserted bits — the Delta/Iceberg-
+    * style per-FILE bloom skip index as a plain relation. Unlike
+    * [[build]] nothing is collected or broadcast: the index lives
+    * partitioned (by group, like the files it describes) and probes
+    * reach it through a word-keyed equi-join. NULL keys skipped. */
+  def buildGroupedIndex(df: DataFrame, groups: Seq[Column], key: Column,
+      numBits: Long, k: Int): DataFrame = {
+    require(numBits > 0 && numBits % 64 == 0,
+      s"numBits must be a positive multiple of 64, got $numBits")
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    val pos = explode(array(positions(key, numBits, k): _*)).as("pos")
+    df.where(key.isNotNull)
+      .select((groups :+ pos): _*)
+      .select((groups :+ shr(col("pos"), lit(6)).as("w") :+
+        shl(lit(1L), pmod(col("pos"), lit(64L))).as("m")): _*)
+      .groupBy((groups :+ col("w")): _*)
+      .agg(bit_or(col("m")).as("bits"))
+  }
+
+  /** A probe key's per-word required-bit masks: array of
+    * struct(w: long, m: long) with lanes landing in the same word
+    * OR-merged — a group "maybe contains" the key iff for EVERY
+    * element some index row (group, w) has `bits & m == m`. */
+  def probeWordMasks(key: Column, numBits: Long, k: Int): Column = {
+    val pairs = positions(key, numBits, k).map(p =>
+      struct(shr(p, lit(6)).as("w"),
+        shl(lit(1L), pmod(p, lit(64L))).as("m")))
+    // merge same-word lanes: aggregate the array by w
+    aggregate(
+      array(pairs: _*),
+      array().cast("array<struct<w:bigint,m:bigint>>"),
+      (acc, x) =>
+        when(exists(acc, e => e.getField("w") === x.getField("w")),
+          transform(acc, e =>
+            when(e.getField("w") === x.getField("w"),
+              struct(e.getField("w").as("w"),
+                e.getField("m").bitwiseOR(x.getField("m")).as("m")))
+              .otherwise(e)))
+          .otherwise(array_append(acc, x)))
+  }
+
   // ---- Sharded filters: past MaxBits, shard the KEY SET ----
 
   /** Hard ceiling on shard count: 64 shards × MaxBits = 2^32 bits

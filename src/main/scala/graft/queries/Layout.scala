@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bucketing, OutputSizing, ZOrder}
+import graft.operators.{BloomSet, Bucketing, OutputSizing, ZOrder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -138,9 +138,133 @@ object Layout {
           $"n_files_total", $"n_rows_scanned", $"n_rows_matching")
         .orderBy($"probe_id")
     }),
+
+    // Y4: per-file BLOOM skip index — the point-lookup complement of
+    // Y3's zone maps: l_partkey is uncorrelated with the orderkey
+    // clustering, so min/max stats prune nothing for a partkey
+    // lookup; a per-cell bloom does (the Delta/Iceberg bloom-filter
+    // index). The index is a plain DISTRIBUTED relation — one row
+    // per (cell, bitset word), built by a map-combinable bit_or,
+    // never collected or broadcast — and probes reach it through a
+    // word-keyed equi-join. Output per derived probe key: cells the
+    // bloom would scan vs cells truly containing the key vs total —
+    // with the one-sided contract (maybe ⊇ actual) checked. The
+    // bloom counts are engine facts (seeded-FNV lanes have no DuckDB
+    // twin) interpolated into the oracle, which replays probes,
+    // actual containment, totals, and the bound (the cms pattern).
+    "bloom_file_skip" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cells = Tables.lineitem(s, dir)
+        .select(OutputSizing.gridCell($"l_orderkey", BloomCellW).as("cell"),
+          $"l_partkey")
+        .distinct()
+      val index = BloomSet.buildGroupedIndex(cells, Seq($"cell"),
+        $"l_partkey", BloomBits, BloomK)
+      val probes = Tables.lineitem(s, dir)
+        .agg(min($"l_partkey").as("mn"), max($"l_partkey").as("mx"))
+        .select(explode(array(
+          struct(lit(1L).as("probe_id"), $"mn".as("sk")),
+          struct(lit(2L).as("probe_id"),
+            expr("(mn + mx) DIV 2").as("sk")),
+          struct(lit(3L).as("probe_id"), $"mx".as("sk")))).as("p"))
+        .select($"p.probe_id".as("probe_id"), $"p.sk".as("sk"))
+      val pw = probes.select($"probe_id", $"sk",
+          explode(BloomSet.probeWordMasks($"sk", BloomBits, BloomK))
+            .as("pm"))
+        .select($"probe_id", $"sk", $"pm.w".as("w"), $"pm.m".as("m"))
+      val nw = pw.groupBy($"probe_id").agg(count(lit(1)).as("n_words"))
+      val maybeN = pw.join(index, "w")
+        .filter($"bits".bitwiseAND($"m") === $"m")
+        .groupBy($"probe_id", $"cell").agg(count(lit(1)).as("ok"))
+        .join(broadcast(nw), "probe_id").filter($"ok" === $"n_words")
+        .groupBy($"probe_id").agg(count(lit(1)).as("n_files_maybe"))
+      val actual = probes
+        .join(cells, probes("sk") === cells("l_partkey"), "left_outer")
+        .groupBy($"probe_id", $"sk")
+        .agg(countDistinct($"cell").as("n_files_actual"))
+      val total = cells.select($"cell").distinct()
+        .agg(count(lit(1)).as("n_files_total"))
+      val out = actual
+        .join(maybeN, Seq("probe_id"), "left_outer")
+        .crossJoin(broadcast(total))
+        .select($"probe_id", $"sk".as("partkey"),
+          coalesce($"n_files_maybe", lit(0L)).as("n_files_maybe"),
+          $"n_files_actual", $"n_files_total",
+          when(coalesce($"n_files_maybe", lit(0L)) >= $"n_files_actual" &&
+            coalesce($"n_files_maybe", lit(0L)) <= $"n_files_total", 1L)
+            .otherwise(0L).as("skip_sound"))
+        .orderBy($"probe_id")
+      bloomSkipCache.computeIfAbsent(dir,
+        _ => out.select($"probe_id", $"n_files_maybe"))
+      lastOracleDir = Some(dir)
+      out
+    }),
   )
 
-  val oracle: Map[String, String] = Map(
+  /** Y4 bloom-index shape: 64-order cells (so a cell's part set is a
+    * SELECTIVE subset of the part domain — the point of a bloom
+    * index; the orderkey zone map handles the clustered key) and
+    * 4096 bits x 4 lanes per cell ≈ 64 longs — a few hundred bytes
+    * per file, the Iceberg default class. */
+  private val BloomCellW = 64L
+  private val BloomBits = 4096L
+  private val BloomK = 4
+
+  private val bloomSkipCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val bloomSkipSqlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @volatile private var lastOracleDir: Option[String] = None
+
+  /** DuckDB mirror of `bloom_file_skip`: the engine's maybe-counts as
+    * VALUES literals; probes, true containment, totals, and the
+    * one-sided bound recomputed from DuckDB's own aggregation. */
+  private def bloomSkipSql(rows: Array[(Long, Long)]): String = {
+    val vals = rows.sortBy(_._1)
+      .map { case (p, m) => s"($p, $m)" }.mkString(",\n    ")
+    s"""WITH cells AS (
+       |  SELECT DISTINCT ${OutputSizing.gridCellSql("l_orderkey", BloomCellW)}
+       |    AS cell, l_partkey
+       |  FROM lineitem),
+       |bounds AS (SELECT MIN(l_partkey) AS mn, MAX(l_partkey) AS mx
+       |           FROM lineitem),
+       |probes AS (
+       |  SELECT CAST(1 AS BIGINT) AS probe_id, mn AS sk FROM bounds
+       |  UNION ALL SELECT CAST(2 AS BIGINT), (mn + mx) // 2 FROM bounds
+       |  UNION ALL SELECT CAST(3 AS BIGINT), mx FROM bounds),
+       |est(probe_id, n_files_maybe) AS (VALUES
+       |    $vals),
+       |act AS (
+       |  SELECT p.probe_id, p.sk,
+       |    CAST(COUNT(DISTINCT c.cell) AS BIGINT) AS n_files_actual
+       |  FROM probes p LEFT JOIN cells c ON c.l_partkey = p.sk
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(COUNT(DISTINCT cell) AS BIGINT)
+       |          AS n_files_total FROM cells)
+       |SELECT a.probe_id, a.sk AS partkey,
+       |  CAST(e.n_files_maybe AS BIGINT) AS n_files_maybe,
+       |  a.n_files_actual, tot.n_files_total,
+       |  CASE WHEN e.n_files_maybe >= a.n_files_actual
+       |    AND e.n_files_maybe <= tot.n_files_total
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS skip_sound
+       |FROM act a JOIN est e USING (probe_id) CROSS JOIN tot
+       |ORDER BY probe_id""".stripMargin
+  }
+
+  /** Static oracles plus the data-dependent bloom entry for `dir`
+    * once its query has been constructed (the Aggregates.oracleFor
+    * contract). */
+  def oracleFor(dir: String): Map[String, String] =
+    staticOracle ++ Option(bloomSkipCache.get(dir)).map { f =>
+      Map("bloom_file_skip" -> bloomSkipSqlCache.computeIfAbsent(dir, _ =>
+        bloomSkipSql(f.collect()
+          .map(r => (r.getLong(0), r.getLong(1))))))
+    }.getOrElse(Map.empty)
+
+  def oracle: Map[String, String] =
+    lastOracleDir.map(oracleFor).getOrElse(staticOracle)
+
+  private val staticOracle: Map[String, String] = Map(
     "prune_audit" ->
       s"""WITH o AS (SELECT o_orderkey FROM orders),
          |stats AS (

@@ -145,4 +145,40 @@ class BloomSetSpec extends SparkSuite {
     assert(p.contains("fnv1a("),
       "bloom probe expression missing from the plan")
   }
+
+  test("grouped index: zero false negatives per group, real skipping") {
+    import graft.operators.BloomSet
+    val rnd = new scala.util.Random(61)
+    // 40 groups x ~30 keys each from a 2000-key domain: any single
+    // group holds a SELECTIVE subset, so a correct index must skip
+    val rows = (0 until 40).flatMap(g =>
+      Seq.fill(30)((g.toLong, rnd.nextInt(2000).toLong)))
+    val df = rows.toDF("g", "key")
+    val index = BloomSet.buildGroupedIndex(df, Seq($"g"), $"key", 1024L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val membership = rows.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap
+    // probe every distinct key against every group via the mask math
+    val probeKeys = rows.map(_._2).distinct
+    val masks = probeKeys.toDF("key")
+      .select($"key", BloomSet.probeWordMasks($"key", 1024L, 4).as("pm"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getLong(1))))
+    var maybeCount = 0L
+    masks.foreach { case (key, wm) =>
+      (0L until 40L).foreach { g =>
+        val maybe = wm.forall { case (w, m) =>
+          (index.getOrElse((g, w), 0L) & m) == m }
+        if (maybe) maybeCount += 1
+        if (membership(key)(g))
+          assert(maybe, s"false negative: key $key group $g")
+      }
+    }
+    val trueCount = membership.values.map(_.size.toLong).sum
+    assert(maybeCount >= trueCount)
+    assert(maybeCount < probeKeys.size * 40L / 2,
+      "the index must actually skip most (key, group) pairs")
+  }
 }

@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSuite {
       "tpch_q22", // one-row acctbal-threshold broadcast (scalar-subquery shape)
       "prune_audit", // 3-row probe broadcast over the bounded per-file
                      // stats relation (the pruning planner's own shape)
-      "cms_freq") // one-row corpus-total broadcast (scalar-subquery shape)
+      "cms_freq", // one-row corpus-total broadcast (scalar-subquery shape)
+      "bloom_file_skip") // one-row file-total broadcast (same shape)
 
   test("no unintended cartesian products") {
     plans.foreach { case (name, p) =>
