@@ -250,6 +250,49 @@ object Aggregates {
         .orderBy($"l_returnflag", $"quantile")
     }),
 
+    // G19: EXACT weighted order statistic without a group sort — the
+    // skew-robust "typical price" where each row carries a weight
+    // (shipped quantity): min v with cumweight(≤ v) ≥ ⌈(W+1)/2⌉,
+    // deterministic under value ties whatever the tie order. Same
+    // bucket-prune selection as G17 generalized to weights: pass 1 =
+    // map-combinable (group, bucket) WEIGHT histogram + the bounded
+    // ~100-bucket cum scan locating the target bucket; pass 2
+    // aggregates only that bucket's per-VALUE weight sums (the value
+    // window runs over one bucket's distinct values, never the
+    // group). Integer weights (the dsum quantization of quantity)
+    // make target and crossing engine-exact; the oracle is the
+    // independent full-window spelling over every value.
+    "weighted_median_2pass" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(s, dir)
+        .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"),
+          floor($"l_quantity" * lit(10000.0) + lit(0.5)).cast("long")
+            .as("wt"))
+      val withB = base.withColumn("b", floor($"v" / lit(SelWidth)).cast("long"))
+      val hist = withB.groupBy($"g", $"b").agg(sum($"wt").as("c"))
+      val tot = hist.groupBy($"g").agg(sum($"c").as("w"))
+      val targets = tot.select($"g", $"w", expr("(w + 1) DIV 2").as("k"))
+      val wcum = Window.partitionBy($"g").orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sel = hist
+        .withColumn("bbase", coalesce(sum($"c").over(wcum), lit(0L)))
+        .join(targets, "g")
+        .filter($"bbase" < $"k" && $"bbase" + $"c" >= $"k")
+        .select($"g", $"k", $"b", $"bbase")
+      val wv = Window.partitionBy($"g").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withB.join(sel, Seq("g", "b"))
+        .groupBy($"g", $"v", $"k", $"bbase").agg(sum($"wt").as("wv"))
+        .withColumn("cw", sum($"wv").over(wv))
+        .filter($"cw" >= $"k" - $"bbase")
+        .groupBy($"g").agg(min($"v").as("wmedian"))
+        .join(tot, "g")
+        .select($"g".as("l_returnflag"), $"w".as("total_weight"),
+          $"wmedian")
+        .orderBy($"l_returnflag")
+    }),
+
     // G7: group → sorted array, serialized to a stable string (both
     // engines agree on a comma-joined sorted set; raw array compare
     // would hinge on engine-internal ordering).
@@ -825,5 +868,25 @@ object Aggregates {
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // independent spelling: full per-value window over the WHOLE
+    // group (no bucket pruning) — verifies the two-pass selection
+    "weighted_median_2pass" ->
+      """WITH w AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT) AS wt
+        |  FROM lineitem),
+        |tot AS (SELECT g, CAST(SUM(wt) AS BIGINT) AS w FROM w GROUP BY 1),
+        |pv AS (SELECT g, v, CAST(SUM(wt) AS BIGINT) AS wv
+        |       FROM w GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, v, SUM(wv) OVER (PARTITION BY g ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cw
+        |  FROM pv)
+        |SELECT c.g AS l_returnflag, tot.w AS total_weight,
+        |  MIN(c.v) AS wmedian
+        |FROM cum c JOIN tot ON c.g = tot.g
+        |WHERE c.cw >= (tot.w + 1) // 2
+        |GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -304,6 +304,71 @@ object Joins {
         .orderBy($"numwait".desc, $"s_suppkey")
         .limit(10)
     }),
+
+    // Q7 shape: the SELF-ALIASED-dimension pattern — the same nation
+    // dimension plays two roles (supplier's nation, customer's
+    // nation) in one join tree, the one composed-join shape the
+    // Q3/Q5/Q10 star rows don't cover (join reorder must keep the two
+    // aliases distinct; a planner bug that collapses them changes
+    // every pair). Bidirectional NATION_3↔NATION_7 trade volume per
+    // year: lineitem ⋈ orders ⋈ customer all merge-pinned (every one
+    // of them huge at 100 TB), supplier + both nation aliases
+    // broadcast, the pair filter riding the joins.
+    "tpch_q7" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val n1 = Tables.nation(s, dir)
+        .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+      val pair = ($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+        ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+          .hint("merge"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.supplier(s, dir)
+          .select($"s_suppkey", $"s_nationkey")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(Tables.customer(s, dir)
+          .select($"c_custkey", $"c_nationkey").hint("merge"),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(n1), $"s_nationkey" === $"sn_key")
+        .join(broadcast(n2), $"c_nationkey" === $"cn_key")
+        .filter(pair)
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("l_year"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    }),
+
+    // Q17 shape: the PER-GROUP correlated-scalar-threshold pattern —
+    // the one decorrelation class Q18 (self-HAVING) and Q22 (global
+    // scalar) don't cover: each fact row is filtered against an
+    // aggregate of its OWN group ("small-quantity orders": lineitems
+    // under 20% of their part's average quantity), reported per brand.
+    // Decorrelated as one per-partkey aggregate (map-combinable;
+    // davg-quantized so the 0.2·avg cut is engine-exact) joined back
+    // to the fact on the SAME key — agg output is O(|part|), itself
+    // huge at 100 TB, so the join-back is merge-pinned, never
+    // broadcast; the brand dimension decorates via broadcast. The
+    // partkey shuffle is paid once and reused by both the aggregate
+    // and the join-back sides.
+    "tpch_q17" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, dir)
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      val thr = l.groupBy($"l_partkey")
+        .agg(davg($"l_quantity").as("avg_qty"))
+      l.join(thr.hint("merge"), "l_partkey")
+        .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+        .join(broadcast(Tables.part(s, dir)
+          .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(
+          count(lit(1)).as("n_small"),
+          (dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly"))
+        .orderBy($"p_brand")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -456,5 +521,33 @@ object Joins {
         |GROUP BY 1, 2
         |ORDER BY numwait DESC, s_suppkey
         |LIMIT 10""".stripMargin,
+
+    "tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         |  COUNT(*) AS n_items,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "tpch_q17" ->
+      s"""WITH thr AS (
+         |  SELECT l_partkey, ${sqlDavg("l_quantity")} AS avg_qty
+         |  FROM lineitem GROUP BY 1)
+         |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_small,
+         |  ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lineitem
+         |JOIN thr USING (l_partkey)
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE l_quantity < 0.2 * avg_qty
+         |GROUP BY 1 ORDER BY p_brand""".stripMargin,
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{BloomSet, Bucketing, OutputSizing, ZOrder}
+import graft.operators.{BloomSet, Bucketing, OutputSizing, PrefixSum, ZOrder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -199,7 +199,35 @@ object Layout {
       lastOracleDir = Some(dir)
       out
     }),
+
+    // Y5: small-file compaction plan — the maintenance op behind
+    // Delta OPTIMIZE / Iceberg rewriteDataFiles: coalesce ADJACENT
+    // undersized files (the 256-wide grid cells, ~60 rows each at
+    // sf0.01) into jobs of ≈ CompactTarget rows. Grouping only
+    // adjacent cells is the load-bearing choice: output files stay
+    // range-disjoint, so the clustering (and every zone-map prune of
+    // Y3) survives compaction. job = exclusive-prefix-rows DIV
+    // target — integer-exact greedy bin packing; the running sum runs
+    // over the FILE-STATS relation (bounded, one row per file — the
+    // planner cost shape, linear in files never rows) through the
+    // two-phase PrefixSum, never a single-task global window.
+    "compaction_plan" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val stats = Tables.orders(s, dir)
+        .groupBy(OutputSizing.gridCell($"o_orderkey", 256L).as("cell"))
+        .agg(count(lit(1)).as("n_rows"),
+          min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+      PrefixSum.withRunningSum(stats, Seq.empty, $"cell", $"n_rows", "cum")
+        .withColumn("job", expr(s"(cum - n_rows) DIV $CompactTarget"))
+        .groupBy($"job")
+        .agg(count(lit(1)).as("n_files"), sum($"n_rows").as("n_rows"),
+          min($"min_key").as("min_key"), max($"max_key").as("max_key"))
+        .orderBy($"job")
+    }),
   )
+
+  /** Y5 target rows per compaction job. */
+  private val CompactTarget = 1000L
 
   /** Y4 bloom-index shape: 64-order cells (so a cell's part set is a
     * SELECTIVE subset of the part domain — the point of a bloom
@@ -320,6 +348,22 @@ object Layout {
          |  COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
          |  MAX(o_orderkey) AS max_key
          |FROM orders GROUP BY 1 ORDER BY cell""".stripMargin,
+
+    "compaction_plan" ->
+      s"""WITH stats AS (
+         |  SELECT ${OutputSizing.gridCellSql("o_orderkey", 256L)} AS cell,
+         |    COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
+         |    MAX(o_orderkey) AS max_key
+         |  FROM orders GROUP BY 1),
+         |cum AS (
+         |  SELECT *, SUM(n_rows) OVER (ORDER BY cell
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM stats)
+         |SELECT CAST(cum - n_rows AS BIGINT) // $CompactTarget AS job,
+         |  CAST(COUNT(*) AS BIGINT) AS n_files,
+         |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         |  MIN(min_key) AS min_key, MAX(max_key) AS max_key
+         |FROM cum GROUP BY 1 ORDER BY job""".stripMargin,
 
     "zorder3_cells" ->
       s"""SELECT (z >> 24) AS cell, COUNT(*) AS n_orders,

@@ -268,6 +268,33 @@ object Mutations {
           "lineitem", hintBroadcast = false))
         .orderBy($"tbl")
     }),
+
+    // M9: k-anonymity audit — the privacy gate next to PII redaction
+    // (L15) and cascading erasure (M8): before a table with
+    // quasi-identifiers ships, count the QI groups smaller than k (a
+    // row in a size-1 group is re-identifiable from (nation, segment,
+    // balance band) alone). One map-combinable group count over the
+    // QI tuple, then three bounded rollups of the group-size relation
+    // — the group relation is QI-domain-sized, never row-sized, at
+    // any scale. floor(bal/1000) banding is IEEE-identical in both
+    // engines.
+    "k_anonymity" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val g = Tables.customer(s, dir)
+        .groupBy($"c_nationkey", $"c_mktsegment",
+          floor($"c_acctbal" / lit(1000.0)).cast("long").as("bal_bucket"))
+        .agg(count(lit(1)).as("gsize"))
+      Seq(2L, 5L, 10L).map { k =>
+        g.agg(
+          count(lit(1)).as("n_groups"),
+          sum(when($"gsize" < k, 1L).otherwise(0L))
+            .as("n_violating_groups"),
+          sum(when($"gsize" < k, $"gsize").otherwise(0L))
+            .as("n_rows_at_risk"))
+          .select(lit(k).as("k"), $"n_groups", $"n_violating_groups",
+            $"n_rows_at_risk")
+      }.reduce(_ unionAll _).orderBy($"k")
+    }),
   )
 
   private def chSelect(cols: String*): String = OrderCols.map { c =>
@@ -428,5 +455,20 @@ object Mutations {
         |      ELSE 0 END) AS BIGINT)
         |  FROM lineitem l LEFT JOIN delo d ON l.l_orderkey = d.o_orderkey)
         |SELECT * FROM a ORDER BY tbl""".stripMargin,
+
+    "k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |    COUNT(*) AS gsize
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN gsize < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  CAST(SUM(CASE WHEN gsize < k THEN gsize ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk
+        |FROM g CROSS JOIN (VALUES (CAST(2 AS BIGINT)), (CAST(5 AS BIGINT)),
+        |  (CAST(10 AS BIGINT))) ks(k)
+        |GROUP BY 1 ORDER BY k""".stripMargin,
   )
 }

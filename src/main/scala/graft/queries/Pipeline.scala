@@ -1130,6 +1130,98 @@ object Pipeline {
         .orderBy($"doc_a")
     }),
 
+    // L74: EXACT near-dup pair join — prefix filtering (SSJoin/PPJoin
+    // family) over the word-3-gram shingle sets: every pair with
+    // Jaccard ≥ 1/2 with its exact similarity, no LSH misses, no
+    // false positives. The deterministic complement to
+    // minhash_neardup: banding can miss a qualifying pair
+    // (probabilistic recall); here the prefix-filter theorem
+    // guarantees complete candidates and an integer test
+    // (3·|∩| ≥ na+nb ⟺ J ≥ 1/2) makes the cut engine-exact. Shingle
+    // identity travels as the 8-byte hash (collision argument as
+    // shingle_vocab); the DuckDB oracle is the brute all-pairs join
+    // over shingle STRINGS, so it independently verifies both recall
+    // and precision of the whole candidate pipeline.
+    "exact_jaccard_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = withShingleHashes(Tables.documents(s, dir)
+        .select($"doc_id", $"text"), Seq("doc_id"))
+      graft.operators.SetSimJoin.selfJoin(d, "doc_id", "hs", 1, 2)
+        .select($"a".as("doc_a"), $"b".as("doc_b"),
+          $"n_a", $"n_b", $"n_inter", $"jaccard")
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // L75: vocabulary-growth curve (Heaps-law audit) — the corpus-
+    // acquisition signal: processing sources in their deterministic
+    // order, how many NEW distinct tokens does each contribute? A
+    // saturating curve says more of the same source family adds no
+    // lexical diversity; a spiking source is either valuable or noise
+    // (both worth a look). First-occurrence attribution is one
+    // map-combinable MIN over the (token → min source) relation —
+    // shuffle keys are tokens and (source, token), vocabulary-sized,
+    // never raw text; the cumulative vocab runs over the per-source
+    // relation, bounded by the source domain (20 here), so the window
+    // is the prune_audit class of bounded driver-shaped relations.
+    "vocab_growth" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+        .select($"source", explode(split($"text", " ")).as("tok"))
+        .distinct()
+      val newPer = d.groupBy($"tok").agg(min($"source").as("source"))
+        .groupBy($"source").agg(count(lit(1)).as("n_new"))
+      val distinctPer = d.groupBy($"source")
+        .agg(count(lit(1)).as("n_distinct"))
+      val w = Window.orderBy($"source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      distinctPer.join(newPer, Seq("source"), "left_outer")
+        .withColumn("n_new", coalesce($"n_new", lit(0L)))
+        .withColumn("cum_vocab", sum($"n_new").over(w))
+        .withColumn("new_rate",
+          q6($"n_new".cast("double") / $"n_distinct".cast("double")))
+        .orderBy($"source")
+    }),
+
+    // L76: Zipf / power-law fit of the token-frequency spectrum, per
+    // source — the lexical-health scalar next to L75's growth curve: a
+    // natural corpus runs slope ≈ −2 on the ln(count)→ln(#tokens)
+    // frequency-of-frequencies line (Zipf α≈1); template/boilerplate
+    // sources flatten it, spam steepens it. Fit = the G18 one-pass
+    // OLS recipe over the spectrum relation (one row per (source,
+    // count) — bounded by distinct counts, never vocabulary): ln
+    // inputs quantized per row to 1e-6 (the q6 contract for libm
+    // values), then exact integer power sums, the closed-form slope
+    // the only double math. No windows, no ranks — the rank-based
+    // Zipf spelling needs a per-source vocab sort; the spectrum
+    // spelling is map-combinable end to end.
+    "zipf_fit" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val spec = Tables.documents(s, dir)
+        .select($"source", explode(split($"text", " ")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+        .groupBy($"source", $"cnt").agg(count(lit(1)).as("n_toks"))
+      val qx = floor(log($"cnt".cast("double")) * lit(1000000.0) + lit(0.5))
+        .cast("decimal(19,0)")
+      val qy = floor(log($"n_toks".cast("double")) * lit(1000000.0) + lit(0.5))
+        .cast("decimal(19,0)")
+      val slope = ($"n" * $"sxy" - $"sx" * $"sy") /
+        ($"n" * $"sxx" - $"sx" * $"sx")
+      spec.groupBy($"source")
+        .agg(count(lit(1)).as("n"),
+          sum(qx).cast("double").as("sx"),
+          sum(qy).cast("double").as("sy"),
+          sum(qx * qy).cast("double").as("sxy"),
+          sum(qx * qx).cast("double").as("sxx"))
+        .filter($"n" >= 2) // ≥2 spectrum points ⟹ nonzero x variance
+        .select($"source", $"n".as("n_points"),
+          // ln quantizations cancel in the slope (unit-free); the
+          // intercept carries one factor of 1e6
+          q6(slope).as("slope_q6"),
+          q6((($"sy" - slope * $"sx") / $"n") / lit(1000000.0))
+            .as("intercept_q6"))
+        .orderBy($"source")
+    }),
+
     // L3/L4: brute-force cosine top-k — the exactness baseline. The
     // probe set (20 vectors) is broadcast against the corpus; ranking
     // uses the quantized score + neighbor id so both engines order
@@ -4438,6 +4530,68 @@ object Pipeline {
          |  ${sqlQ6("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s)))")} AS jaccard
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin,
+
+    // brute all-pairs over shingle STRINGS — independently verifies
+    // the prefix-filter candidates' recall AND precision
+    "exact_jaccard_join" ->
+      s"""WITH $shingleSqlCte,
+         |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(sa.n AS BIGINT) AS n_a,
+         |  CAST(sb.n AS BIGINT) AS n_b, n_inter,
+         |  ${sqlQ6("CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)")} AS jaccard
+         |FROM inter
+         |JOIN sz sa ON doc_a = sa.doc_id
+         |JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE 3 * n_inter >= sa.n + sb.n
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "vocab_growth" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT source, t.tok
+         |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)),
+         |np AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new
+         |  FROM (SELECT tok, MIN(source) AS source FROM d GROUP BY 1)
+         |  GROUP BY 1),
+         |dp AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct
+         |  FROM d GROUP BY 1)
+         |SELECT dp.source, n_distinct,
+         |  COALESCE(n_new, 0) AS n_new,
+         |  CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY dp.source
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab,
+         |  ${sqlQ6("CAST(COALESCE(n_new, 0) AS DOUBLE) / n_distinct")} AS new_rate
+         |FROM dp LEFT JOIN np ON dp.source = np.source
+         |ORDER BY dp.source""".stripMargin,
+
+    "zipf_fit" ->
+      s"""WITH spec AS (
+         |  SELECT source, cnt, CAST(COUNT(*) AS BIGINT) AS n_toks
+         |  FROM (
+         |    SELECT source, t.tok, COUNT(*) AS cnt
+         |    FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1, 2),
+         |sums AS (
+         |  SELECT source, COUNT(*) AS n,
+         |    CAST(SUM(CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(FLOOR(ln(CAST(n_toks AS DOUBLE)) * 1000000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS DECIMAL(19,0))
+         |           * CAST(FLOOR(ln(CAST(n_toks AS DOUBLE)) * 1000000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS DECIMAL(19,0))
+         |           * CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sxx
+         |  FROM spec GROUP BY 1
+         |  HAVING COUNT(*) >= 2)
+         |SELECT source, n AS n_points,
+         |  ${sqlQ6("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope_q6,
+         |  ${sqlQ6("((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) / 1000000.0")} AS intercept_q6
+         |FROM sums ORDER BY source""".stripMargin,
 
     "cosine_knn" ->
       s"""WITH scored AS (

@@ -154,6 +154,47 @@ object Relational {
         .orderBy($"s_suppkey")
     }),
 
+    // S16: bad-record quarantine channel — production ingestion never
+    // gets clean files: a 100 TB CSV drop has rows that fail the
+    // schema, and the job must split them into a quarantine relation
+    // WITHOUT failing (FAILFAST) or silently dropping them (DROPMALFORMED).
+    // PERMISSIVE mode + columnNameOfCorruptRecord is the Spark
+    // spelling: the malformed raw line lands in `_corrupt`, parsed
+    // fields that survived stay usable, and both channels come out of
+    // ONE scan. The dirty file derives from the parquet fixture (rows
+    // with c_custkey ≡ 0 mod 37 get a non-numeric acctbal —
+    // deterministic, _SUCCESS-gated like csv_json_source), so the
+    // oracle replays the corruption rule exactly.
+    "quarantine_channel" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val tmp = s"/tmp/graft_sources/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$tmp/customer_dirty/_SUCCESS").exists())
+        Tables.customer(s, dir)
+          .select(concat_ws(",",
+            $"c_custkey", $"c_name", $"c_nationkey",
+            when($"c_custkey" % 37 === 0, lit("N/A"))
+              .otherwise($"c_acctbal".cast("string")),
+            $"c_mktsegment").as("value"))
+          .write.mode("overwrite").text(s"$tmp/customer_dirty")
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", LongType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType),
+        StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(s"$tmp/customer_dirty")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"_corrupt").as("n_quarantined"),
+          dsum(coalesce($"c_acctbal", lit(0.0))).as("clean_bal"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // Data-quality audit: orphan-key rates per foreign-key edge — the
     // referential-integrity check an ingestion pipeline runs before
     // trusting a snapshot. Each edge is ONE pass: left join the child
@@ -234,6 +275,34 @@ object Relational {
             lit(df.columns.length.toLong).as("n_cols"))
       }.reduce(_ unionAll _).orderBy($"table_name")
     }),
+
+    // S15: metadata-only aggregates — MIN/MAX/COUNT over a 100 TB
+    // table answered from parquet FOOTER statistics, zero data pages
+    // read, when DSv2 aggregate pushdown is on
+    // (`spark.sql.parquet.aggregatePushdown`; the scan node reports
+    // `PushedAggregation`, pinned in RelationalSpec). The conf rides
+    // an isolated `newSession` (same SparkContext, own SQLConf) so
+    // the flag cannot leak into other queries' plans; the result is
+    // conf-independent — the oracle checks values, the spec checks
+    // that the plan is the footer-only shape.
+    "metadata_agg" -> ((s: SparkSession, dir: String) => {
+      val ns = s.newSession()
+      ns.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      // aggregate pushdown lives in the DSv2 scan path only; parquet
+      // defaults to the V1 FileScan, so route this session through V2
+      ns.conf.set("spark.sql.sources.useV1SourceList", "")
+      import ns.implicits._
+      // long + double columns only: parquet footer min/max for
+      // timestamps is not a pushable type (Spark excludes it), and one
+      // unpushable aggregate blocks the whole list
+      graft.Tables.lineitem(ns, dir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min($"l_orderkey").as("min_key"),
+          max($"l_orderkey").as("max_key"),
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -263,6 +332,22 @@ object Relational {
            |  CAST(${cols(t)} AS BIGINT) AS n_cols FROM $t""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
     },
+
+    // replay of the deterministic corruption rule from the clean
+    // parquet: quarantined ⟺ c_custkey ≡ 0 (mod 37)
+    "quarantine_channel" ->
+      s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN c_custkey % 37 = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_quarantined,
+         |  ${sqlDsum("CASE WHEN c_custkey % 37 = 0 THEN 0.0 ELSE c_acctbal END")} AS clean_bal
+         |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "metadata_agg" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
 
     // NULL-excluding orphan predicate on both sides (SQL-standard RI);
     // parent NULL keys filtered so NOT IN can't collapse to NULL

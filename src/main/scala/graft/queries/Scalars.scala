@@ -165,6 +165,36 @@ object Scalars {
         .orderBy($"doc_id")
     }),
 
+    // X11: BPE-style pre-tokenization census — the GPT-2-family
+    // pretokenizer splits text into letter runs / digit runs /
+    // punctuation runs BEFORE byte-pair merging; the run counts are
+    // the "fertility" signal (regex tokens per whitespace token) that
+    // decides tokenizer fit for a corpus. Runs over the RAW event
+    // payloads (`events.props`, JSON text — the documents fixture is
+    // pure lowercase words, where the census is degenerate). Three
+    // disjoint portable character-class regexes (identical semantics
+    // under Java regex and RE2) so the census is engine-exact; one
+    // scan, one map-combinable rollup per event type.
+    "regex_tokens" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val alpha = size(regexp_extract_all($"props", lit("[A-Za-z]+"), lit(0)))
+        .cast("long")
+      val num = size(regexp_extract_all($"props", lit("[0-9]+"), lit(0)))
+        .cast("long")
+      val punct = size(regexp_extract_all($"props", lit("[^A-Za-z0-9 ]+"),
+        lit(0))).cast("long")
+      Tables.events(s, dir)
+        .select($"event_type", alpha.as("a"), num.as("d"), punct.as("p"),
+          size(split($"props", " ")).cast("long").as("ws"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"a").as("n_alpha"), sum($"d").as("n_digit"),
+          sum($"p").as("n_punct"), sum($"ws").as("n_ws"),
+          q6((sum($"a") + sum($"d") + sum($"p")).cast("double") /
+            sum($"ws").cast("double")).as("fertility"))
+        .orderBy($"event_type")
+    }),
+
     // X9: standard cryptographic/checksum hashes (the non-fnv1a family).
     "hash_fns" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -342,5 +372,21 @@ object Scalars {
         |  md5(text) AS md5_hex,
         |  sha256(text) AS sha256_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "regex_tokens" ->
+      s"""WITH per_ev AS (
+         |  SELECT event_type,
+         |    CAST(len(regexp_extract_all(props, '[A-Za-z]+')) AS BIGINT) AS a,
+         |    CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS d,
+         |    CAST(len(regexp_extract_all(props, '[^A-Za-z0-9 ]+')) AS BIGINT) AS p,
+         |    CAST(len(string_split(props, ' ')) AS BIGINT) AS ws
+         |  FROM events)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(a) AS BIGINT) AS n_alpha,
+         |  CAST(SUM(d) AS BIGINT) AS n_digit,
+         |  CAST(SUM(p) AS BIGINT) AS n_punct,
+         |  CAST(SUM(ws) AS BIGINT) AS n_ws,
+         |  ${sqlQ6("CAST(SUM(a) + SUM(d) + SUM(p) AS DOUBLE) / SUM(ws)")} AS fertility
+         |FROM per_ev GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 }

@@ -64,6 +64,26 @@ class RelationalSpec extends SparkSuite {
     assert((missing -- exempt).isEmpty, s"queries without oracle: $missing")
   }
 
+  test("metadata_agg answers MIN/MAX/COUNT from parquet footers (PushedAggregation)") {
+    val df = graft.queries.Relational.queries("metadata_agg")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregate must push to the scan (footer-only read):\n${p.take(1500)}")
+    assert(p.contains("MIN(l_orderkey)") && p.contains("MAX(l_extendedprice)"),
+      s"all five aggregates must push down:\n${p.take(1500)}")
+    // values still correct (conf-independent result, footer-only plan)
+    val r = df.collect().head
+    val exact = Tables.lineitem(spark, sf)
+      .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_extendedprice")))
+      .collect().head
+    assert(r.getAs[Long]("n_rows") === exact.getLong(0))
+    assert(r.getAs[Long]("min_key") === exact.getLong(1))
+    assert(r.getAs[Double]("max_price") === exact.getDouble(2))
+    // the isolated newSession must not leak the conf into the shared session
+    assert(spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+      .forall(_ == "false"))
+  }
+
   test("partitioned_source prunes non-matching lang partitions at the scan") {
     val df = graft.queries.Relational.queries("partitioned_source")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
