@@ -37,6 +37,9 @@ object SqlTableFunctions {
     *  - `graft_hops(edges_view, a_col, b_col, seed_mod, rounds)` —
     *    [[HopLevels.levels]]: BFS hop distance from the seed set
     *    {node : node ≡ 0 (mod seed_mod)}
+    *  - `graft_setsim(sets_view, id_col, set_col, tau_num, tau_den)` —
+    *    [[SetSimJoin.selfJoin]]: every pair with exact Jaccard ≥
+    *    tau_num/tau_den over a (id, element-array) view
     */
   def registerAll(spark: SparkSession): Unit = {
     AsOfJoin.registerSqlTableFunction(spark)
@@ -69,6 +72,10 @@ object SqlTableFunctions {
       HopLevels.levels(spark.table(args(0)), args(1), args(2),
         n => n % m === org.apache.spark.sql.functions.lit(0L),
         args(4).toInt)
+    }
+    register(spark, "graft_setsim", 5, 5) { args =>
+      SetSimJoin.selfJoin(spark.table(args(0)), args(1), args(2),
+        args(3).toInt, args(4).toInt)
     }
   }
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{BloomSet, Bucketing, OutputSizing, PrefixSum, ZOrder}
+import graft.operators.{BloomSet, Bucketing, Hilbert, OutputSizing, PrefixSum, ZOrder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -200,6 +200,29 @@ object Layout {
       out
     }),
 
+    // Y6: d=2 HILBERT cell map over the same (custkey, day) domain as
+    // Y1's z-map — the locality-optimal space-filling curve:
+    // consecutive Hilbert indices are ALWAYS grid neighbors
+    // (HilbertSpec pins the adjacency invariant exhaustively), where
+    // consecutive z values jump across the plane at power-of-two
+    // boundaries, so a range probe's rectangle cuts fewer file
+    // boundaries under Hilbert clustering (the reason lakehouse
+    // OPTIMIZE implementations offer it next to Z-order). Engine side
+    // is the codegen'd HilbertIndex2 bit descent; the oracle replays
+    // it as a recursive-CTE — two independent implementations of the
+    // curve arithmetic, driver-compared.
+    "hilbert_cells" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val day = datediff($"o_orderdate".cast("date"),
+        to_date(lit("1970-01-01"))).cast("long")
+      Tables.orders(s, dir)
+        .select(Hilbert.hvalue($"o_custkey", day, ZBits).as("h"))
+        .groupBy(shiftright($"h", 20).as("cell"))
+        .agg(count(lit(1)).as("n_orders"),
+          min($"h").as("min_h"), max($"h").as("max_h"))
+        .orderBy($"cell")
+    }),
+
     // Y5: small-file compaction plan — the maintenance op behind
     // Delta OPTIMIZE / Iceberg rewriteDataFiles: coalesce ADJACENT
     // undersized files (the 256-wide grid cells, ~60 rows each at
@@ -348,6 +371,15 @@ object Layout {
          |  COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
          |  MAX(o_orderkey) AS max_key
          |FROM orders GROUP BY 1 ORDER BY cell""".stripMargin,
+
+    // independent recursive-CTE replay of the Hilbert bit descent
+    "hilbert_cells" ->
+      s"""SELECT (h >> 20) AS cell, COUNT(*) AS n_orders,
+         |  MIN(h) AS min_h, MAX(h) AS max_h
+         |FROM ${Hilbert.hvalueRecSql(
+             s"SELECT o_orderkey AS rk, CAST(o_custkey AS BIGINT) AS hx, " +
+               s"$sqlDay AS hy FROM orders", ZBits)} t
+         |GROUP BY 1 ORDER BY cell""".stripMargin,
 
     "compaction_plan" ->
       s"""WITH stats AS (

@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.HilbertCore
+import graft.operators.Hilbert
+import org.apache.spark.sql.functions._
+
+class HilbertSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("golden vectors on the 8x8 grid") {
+    val want = Seq(
+      (0L, 0L, 0L), (7L, 0L, 63L), (0L, 7L, 21L), (7L, 7L, 42L),
+      (3L, 4L, 31L), (5L, 2L, 55L))
+    want.foreach { case (x, y, d) =>
+      assert(HilbertCore.xy2d(3, x, y) === d, s"xy2d(3, $x, $y)")
+    }
+  }
+
+  test("bijective on the full 32x32 grid") {
+    val ds = for (x <- 0L until 32L; y <- 0L until 32L)
+      yield HilbertCore.xy2d(5, x, y)
+    assert(ds.distinct.size === 1024)
+    assert(ds.min === 0L && ds.max === 1023L)
+  }
+
+  test("locality: consecutive indices are ALWAYS grid neighbors") {
+    // the property Z-order does NOT have — this is the whole point of
+    // the curve, checked exhaustively at 64x64
+    val pos = new Array[(Long, Long)](64 * 64)
+    for (x <- 0L until 64L; y <- 0L until 64L)
+      pos(HilbertCore.xy2d(6, x, y).toInt) = (x, y)
+    (0 until 64 * 64 - 1).foreach { i =>
+      val ((x0, y0), (x1, y1)) = (pos(i), pos(i + 1))
+      assert(math.abs(x0 - x1) + math.abs(y0 - y1) === 1L,
+        s"d=$i ($x0,$y0) -> ($x1,$y1) not adjacent")
+    }
+    // contrast: the Z curve (bit interleave) breaks the same
+    // invariant hundreds of times on the same grid — Hilbert's zero
+    // is what buys the better file-boundary behavior
+    def z(x: Long, y: Long): Long =
+      (0 until 6).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val zpos = new Array[(Long, Long)](64 * 64)
+    for (x <- 0L until 64L; y <- 0L until 64L) zpos(z(x, y).toInt) = (x, y)
+    val zBreaks = (0 until 64 * 64 - 1).count { i =>
+      val ((x0, y0), (x1, y1)) = (zpos(i), zpos(i + 1))
+      math.abs(x0 - x1) + math.abs(y0 - y1) != 1L
+    }
+    assert(zBreaks > 100, s"expected many z-adjacency breaks, got $zBreaks")
+  }
+
+  test("codegen'd expression equals the interpreted core on fixture keys") {
+    val day = datediff($"o_orderdate".cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val rows = Tables.orders(spark, sf)
+      .select($"o_custkey", day.as("day"),
+        Hilbert.hvalue($"o_custkey", day, 16).as("h"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("h") ===
+        HilbertCore.xy2d(16, r.getAs[Long]("o_custkey"), r.getAs[Long]("day")))
+    }
+  }
+
+  test("oracle recursive-CTE agrees with the engine on the cell map") {
+    // the full driver compare runs in Verify; here: same cell ids and
+    // counts via the Spark-SQL side of the recursive CTE is not
+    // portable (Spark lacks WITH RECURSIVE), so pin the engine query
+    // shape instead: cells are disjoint and cover all orders
+    val df = graft.queries.Layout.queries("hilbert_cells")(spark, sf)
+    val total = df.agg(sum($"n_orders")).collect().head.getLong(0)
+    assert(total === Tables.orders(spark, sf).count())
+    val cells = df.select($"cell").collect().map(_.getLong(0))
+    assert(cells.distinct.length === cells.length)
+  }
+}

@@ -55,6 +55,16 @@ class SqlTableFunctionsSpec extends SparkSuite {
       InvertedIndex.bm25(spark, root, queries, nb, k = 10))
   }
 
+  test("graft_setsim equals SetSimJoin.selfJoin") {
+    SqlTableFunctions.registerAll(spark)
+    docs.select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
+      .createOrReplaceTempView("tvf_sets")
+    same(
+      spark.sql("SELECT * FROM graft_setsim('tvf_sets', 'doc_id', 'toks', '1', '2')"),
+      graft.operators.SetSimJoin.selfJoin(
+        spark.table("tvf_sets"), "doc_id", "toks", 1, 2))
+  }
+
   test("graft_skyline / graft_kcore / graft_hops equal the library calls") {
     SqlTableFunctions.registerAll(spark)
     Tables.part(spark, sf).select($"p_partkey", $"p_retailprice", $"p_size")
