@@ -223,6 +223,78 @@ object Layout {
         .orderBy($"cell")
     }),
 
+    // Y7: space-filling-curve decision harness — Y3 said "the skip
+    // ratio is the measurement"; this row applies that to the CURVE
+    // CHOICE itself: the same (custkey, day) domain scaled onto a
+    // 10-bit grid, clustered once under Z-order and once under
+    // Hilbert (128 cells each), probed with three rectangle shapes.
+    // Measured at sf0.01: the square probe ties (2 vs 2 files), the
+    // full-custkey/narrow-day band favors Z (16 vs 22 — Z's bit
+    // layout privileges its first dimension along that axis), the
+    // narrow-custkey/full-day band favors Hilbert (26 vs 32 —
+    // Hilbert treats the axes symmetrically). That trade IS the
+    // decision data a
+    // layout choice needs; neither curve dominates, which is why
+    // lakehouses offer both. All arithmetic integer (exact scaling =
+    // the scaleTo formula inline over broadcast bounds); per-curve
+    // stats relations are file-count-sized; probes are a 3-row
+    // broadcast (the prune_audit shape, PlanAudit-allowlisted).
+    "curve_compare" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val bits = 10
+      val shift = 13
+      val day = datediff($"o_orderdate".cast("date"),
+        to_date(lit("1970-01-01"))).cast("long")
+      val bounds = Tables.orders(s, dir)
+        .agg(min($"o_custkey").as("cmin"), max($"o_custkey").as("cmax"),
+          min(day).as("dmin"), max(day).as("dmax"))
+      val base = Tables.orders(s, dir)
+        .select($"o_custkey".as("c"), day.as("d"))
+        .crossJoin(broadcast(bounds))
+        .select($"c", $"d",
+          expr(s"((c - cmin) * ${1L << bits}) DIV (cmax - cmin + 1)")
+            .as("sx"),
+          expr(s"((d - dmin) * ${1L << bits}) DIV (dmax - dmin + 1)")
+            .as("sy"))
+      val cells = base.select(lit("hilbert").as("curve"),
+          shiftright(Hilbert.hvalue($"sx", $"sy", bits), shift).as("cell"),
+          $"c", $"d")
+        .unionAll(base.select(lit("zorder").as("curve"),
+          shiftright(ZOrder.zvalue($"sx", $"sy", bits), shift).as("cell"),
+          $"c", $"d"))
+      val stats = cells.groupBy($"curve", $"cell")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"c").as("minc"), max($"c").as("maxc"),
+          min($"d").as("mind"), max($"d").as("maxd"))
+      val probes = bounds.select(explode(array(
+          struct(lit(1L).as("probe_id"),
+            expr("cmin + (cmax - cmin) * 40 DIV 100").as("cl"),
+            expr("cmin + (cmax - cmin) * 50 DIV 100").as("ch"),
+            expr("dmin + (dmax - dmin) * 40 DIV 100").as("dl"),
+            expr("dmin + (dmax - dmin) * 50 DIV 100").as("dh")),
+          struct(lit(2L).as("probe_id"), $"cmin".as("cl"), $"cmax".as("ch"),
+            expr("dmin + (dmax - dmin) * 45 DIV 100").as("dl"),
+            expr("dmin + (dmax - dmin) * 55 DIV 100").as("dh")),
+          struct(lit(3L).as("probe_id"),
+            expr("cmin + (cmax - cmin) * 45 DIV 100").as("cl"),
+            expr("cmin + (cmax - cmin) * 55 DIV 100").as("ch"),
+            $"dmin".as("dl"), $"dmax".as("dh")))).as("p"))
+        .select($"p.probe_id".as("probe_id"), $"p.cl".as("cl"),
+          $"p.ch".as("ch"), $"p.dl".as("dl"), $"p.dh".as("dh"))
+      val totals = stats.groupBy($"curve")
+        .agg(count(lit(1)).as("n_files_total"))
+      stats.crossJoin(broadcast(probes))
+        .filter($"minc" <= $"ch" && $"maxc" >= $"cl" &&
+          $"mind" <= $"dh" && $"maxd" >= $"dl")
+        .groupBy($"probe_id", $"curve")
+        .agg(count(lit(1)).as("n_files_touched"),
+          sum($"n_rows").as("n_rows_scanned"))
+        .join(broadcast(totals), "curve")
+        .select($"probe_id", $"curve", $"n_files_touched",
+          $"n_files_total", $"n_rows_scanned")
+        .orderBy($"probe_id", $"curve")
+    }),
+
     // Y5: small-file compaction plan — the maintenance op behind
     // Delta OPTIMIZE / Iceberg rewriteDataFiles: coalesce ADJACENT
     // undersized files (the 256-wide grid cells, ~60 rows each at
@@ -371,6 +443,66 @@ object Layout {
          |  COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
          |  MAX(o_orderkey) AS max_key
          |FROM orders GROUP BY 1 ORDER BY cell""".stripMargin,
+
+    // both curves replayed independently: zvalueSql's unrolled
+    // interleave + the Hilbert recursive CTE over the same scaled
+    // coordinates and probes
+    "curve_compare" -> {
+      val B = 10
+      val day = sqlDay
+      s"""WITH b AS (
+         |  SELECT CAST(MIN(o_custkey) AS BIGINT) AS cmin,
+         |    CAST(MAX(o_custkey) AS BIGINT) AS cmax,
+         |    MIN($day) AS dmin, MAX($day) AS dmax
+         |  FROM orders),
+         |base AS (
+         |  SELECT o_orderkey AS rk, CAST(o_custkey AS BIGINT) AS c,
+         |    $day AS d,
+         |    ((o_custkey - cmin) * ${1L << B}) // (cmax - cmin + 1) AS sx,
+         |    (($day - dmin) * ${1L << B}) // (dmax - dmin + 1) AS sy
+         |  FROM orders CROSS JOIN b),
+         |zc AS (
+         |  SELECT rk, ${ZOrder.zvalueSql("sx", "sy", B)} AS idx
+         |  FROM base),
+         |hc AS ${Hilbert.hvalueRecSql(
+             "SELECT rk, sx AS hx, sy AS hy FROM base", B)},
+         |cells AS (
+         |  SELECT 'hilbert' AS curve, (hc.h >> 13) AS cell, c, d
+         |  FROM hc JOIN base USING (rk)
+         |  UNION ALL
+         |  SELECT 'zorder', (zc.idx >> 13), c, d
+         |  FROM zc JOIN base USING (rk)),
+         |stats AS (
+         |  SELECT curve, cell, COUNT(*) AS n_rows,
+         |    MIN(c) AS minc, MAX(c) AS maxc,
+         |    MIN(d) AS mind, MAX(d) AS maxd
+         |  FROM cells GROUP BY 1, 2),
+         |probes(probe_id, cl, ch, dl, dh) AS (
+         |  SELECT CAST(1 AS BIGINT), cmin + (cmax - cmin) * 40 // 100,
+         |    cmin + (cmax - cmin) * 50 // 100,
+         |    dmin + (dmax - dmin) * 40 // 100,
+         |    dmin + (dmax - dmin) * 50 // 100 FROM b
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), cmin, cmax,
+         |    dmin + (dmax - dmin) * 45 // 100,
+         |    dmin + (dmax - dmin) * 55 // 100 FROM b
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), cmin + (cmax - cmin) * 45 // 100,
+         |    cmin + (cmax - cmin) * 55 // 100, dmin, dmax FROM b),
+         |tot AS (
+         |  SELECT curve, CAST(COUNT(*) AS BIGINT) AS n_files_total
+         |  FROM stats GROUP BY 1)
+         |SELECT p.probe_id, s.curve AS curve,
+         |  CAST(COUNT(*) AS BIGINT) AS n_files_touched,
+         |  tot.n_files_total,
+         |  CAST(SUM(s.n_rows) AS BIGINT) AS n_rows_scanned
+         |FROM stats s
+         |JOIN probes p ON s.minc <= p.ch AND s.maxc >= p.cl
+         |  AND s.mind <= p.dh AND s.maxd >= p.dl
+         |JOIN tot ON s.curve = tot.curve
+         |GROUP BY 1, 2, 4
+         |ORDER BY p.probe_id, s.curve""".stripMargin
+    },
 
     // independent recursive-CTE replay of the Hilbert bit descent
     "hilbert_cells" ->

@@ -1222,6 +1222,63 @@ object Pipeline {
         .orderBy($"source")
     }),
 
+    // L78: positional phrase search — the capability BM25's
+    // bag-of-words postings (L30) cannot express: "these words, in
+    // this order, adjacent". The positional-postings spelling every
+    // search engine uses: one (doc, position) relation per phrase
+    // term, adjacency = an equi-join on (doc_id, pos+1). Scale shape:
+    // the postings for ONE term are df(term)-sized — the join ships
+    // only matching postings, never documents, and generalizes to
+    // k-word phrases as k−1 chained position joins. The oracle replays
+    // from the position-INDEXED token relation (list indexing over
+    // string_split — an independent spelling of tokenization and
+    // adjacency), counting overlapping occurrences correctly where a
+    // substring-count oracle would not.
+    "phrase_search" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      val t1 = toks.filter($"tok" === "table").select($"doc_id", $"pos")
+      val t2 = toks.filter($"tok" === "hash")
+        .select($"doc_id", ($"pos" - 1).as("pos"))
+      t1.join(t2, Seq("doc_id", "pos"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy($"doc_id")
+    }),
+
+    // L79: largest-remainder mixture apportionment — the EXACT-size
+    // companion to mixture_resample (L21): rate-based resampling hits
+    // a target mix in expectation; a training run that needs EXACTLY
+    // K examples needs apportionment. Hare-quota largest remainder:
+    // source i gets floor(K·n_i/N) seats, and the R = K − Σfloor
+    // leftover seats go to the largest remainders (K·n_i mod N,
+    // source-asc tie-break — deterministic, every quantity integer).
+    // The arithmetic runs on the per-source COUNT relation — bounded
+    // by the source domain, never rows — so the remainder-rank window
+    // is the prune_audit class; the downstream take-per-source is
+    // L35's stratified exact-k machinery.
+    "mixture_apportion" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val k = 300L
+      val per = Tables.documents(s, dir)
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      val tot = per.agg(sum($"n_docs").as("n_total"))
+      val quotas = per.crossJoin(broadcast(tot))
+        .select($"source", $"n_docs",
+          expr(s"($k * n_docs) DIV n_total").as("base"),
+          expr(s"($k * n_docs) % n_total").as("rem"))
+      val leftover = quotas.agg((lit(k) - sum($"base")).as("leftover"))
+      val w = Window.orderBy($"rem".desc, $"source")
+      quotas
+        .withColumn("rrank", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(leftover))
+        .select($"source", $"n_docs",
+          ($"base" + when($"rrank" <= $"leftover", 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy($"source")
+    }),
+
     // L3/L4: brute-force cosine top-k — the exactness baseline. The
     // probe set (20 vectors) is broadcast against the corpus; ranking
     // uses the quantized score + neighbor id so both engines order
@@ -4550,6 +4607,43 @@ object Pipeline {
          |JOIN sz sb ON doc_b = sb.doc_id
          |WHERE 3 * n_inter >= sa.n + sb.n
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "mixture_apportion" ->
+      """WITH per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM per),
+        |quotas AS (
+        |  SELECT source, n_docs,
+        |    (300 * n_docs) // n_total AS base,
+        |    (300 * n_docs) % n_total AS rem
+        |  FROM per CROSS JOIN tot),
+        |lo AS (SELECT 300 - CAST(SUM(base) AS BIGINT) AS leftover
+        |       FROM quotas),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source)
+        |    AS BIGINT) AS rrank
+        |  FROM quotas)
+        |SELECT source, n_docs,
+        |  CAST(base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM ranked CROSS JOIN lo
+        |ORDER BY source""".stripMargin,
+
+    // independent tokenization + adjacency spelling (list indexing
+    // over string_split), overlap-correct where substring counting
+    // is not
+    "phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, ws[i + 1] AS tok, i AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents),
+        |    unnest(range(0, len(ws))) AS t(i))
+        |SELECT a.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM toks a JOIN toks b
+        |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.tok = 'table' AND b.tok = 'hash'
+        |GROUP BY 1 ORDER BY a.doc_id""".stripMargin,
 
     "vocab_growth" ->
       s"""WITH d AS (

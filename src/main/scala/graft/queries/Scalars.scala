@@ -195,6 +195,32 @@ object Scalars {
         .orderBy($"event_type")
     }),
 
+    // X12: VARIANT semi-structured path (Spark 4) — the open-format
+    // answer to schema-on-read JSON at scale: `parse_json` builds the
+    // binary variant ONCE at the scan and every downstream path
+    // extraction is a typed O(1) binary probe, where the from_json/
+    // get_json_object spelling re-parses text per extraction (and a
+    // variant-shredded parquet pushes the probe into the scan —
+    // `PushedVariantExtractions` in the DSv2 node). Typed existing
+    // path, missing path (NULL, no error), and a per-type rollup of
+    // the extracted value; oracle replays via DuckDB's JSON path
+    // extraction.
+    "json_variant" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_type",
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+          expr("variant_get(parse_json(props), '$.missing', 'bigint')")
+            .as("m"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count($"k").as("n_k"),
+          count($"m").as("n_missing_hits"),
+          sum($"k").as("k_sum"),
+          min($"k").as("k_min"), max($"k").as("k_max"))
+        .orderBy($"event_type")
+    }),
+
     // X9: standard cryptographic/checksum hashes (the non-fnv1a family).
     "hash_fns" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -372,6 +398,20 @@ object Scalars {
         |  md5(text) AS md5_hex,
         |  sha256(text) AS sha256_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "json_variant" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS n_k,
+        |  CAST(COUNT(CAST(json_extract(props, '$.missing') AS BIGINT))
+        |    AS BIGINT) AS n_missing_hits,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS k_sum,
+        |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS k_min,
+        |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS k_max
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "regex_tokens" ->
       s"""WITH per_ev AS (

@@ -671,4 +671,32 @@ class PipelineSpec extends SparkSuite {
     }.sum
     assert(h0 == micro.toDouble / 1e6, s"$src0 entropy mismatch")
   }
+
+  test("mixture_apportion: sum is exactly K, each alloc within 1 of quota") {
+    val rows = Pipeline.queries("mixture_apportion")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val k = 300L
+    assert(rows.map(_._3).sum === k, "largest remainder must hit K exactly")
+    val n = rows.map(_._2).sum
+    rows.foreach { case (src, ni, alloc) =>
+      val base = k * ni / n
+      assert(alloc == base || alloc == base + 1,
+        s"$src alloc $alloc outside [floor, floor+1] of quota $base")
+    }
+  }
+
+  test("phrase_search: counts equal an independent sliding-window scan") {
+    val got = Pipeline.queries("phrase_search")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ")
+        r.getLong(0) -> toks.sliding(2).count(w =>
+          w.length == 2 && w(0) == "table" && w(1) == "hash").toLong
+      }.filter(_._2 > 0).toMap
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
 }
