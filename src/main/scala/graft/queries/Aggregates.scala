@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import QueryUtil._
@@ -500,6 +500,79 @@ object Aggregates {
       lastOracleDir = Some(dir)
       out
     }),
+
+    // G20: KMV / theta sketch — the DISTINCT-INTERSECTION member of
+    // the sketch family (Beyer et al., SIGMOD'07), the one HLL cannot
+    // give: inclusion–exclusion over per-set HLLs loses all precision
+    // when the overlap is small relative to the union, while KMV
+    // estimates the intersection directly. Sketch = each set's k
+    // smallest distinct hash values in UNSIGNED order (the sign bit
+    // flipped so BoundedMinSetAgg's signed minima ARE unsigned
+    // minima); for a pair, θ = min of the two k-th values, estimate =
+    // |{common values < θ}| / frac(θ). Sketches are mergeable
+    // (bounded_min_set of a union = min-merge), k·8 bytes per source
+    // whatever the corpus. Output per source pair: exact token
+    // overlap (computed exactly by a vocab-keyed join — also in the
+    // engine), the KMV estimate, and a bound flag; the oracle replays
+    // exact overlaps and the bound check from the interpolated
+    // micro-integer estimates (the cms_freq pattern — the seeded
+    // hash is the only non-replayable piece).
+    "kmv_overlap" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      // universe = word-3-gram shingle hashes (the near-dup identity;
+      // per-source gram vocabularies run ~1.1–1.5k at sf0.01, so the
+      // k=256 sketches are genuinely in estimator mode there)
+      val th = Tables.documents(s, dir)
+        .select($"source",
+          explode(graft.functions.GraftFunctions.shingle_hash_set($"text"))
+            .as("h0"))
+        .distinct()
+      val hashed = th.select($"source",
+        $"h0".bitwiseXOR(lit(Long.MinValue)).as("h"))
+      val sk = hashed.groupBy($"source")
+        .agg(graft.functions.GraftFunctions.bounded_min_set($"h", KmvK)
+          .as("sk"))
+        .select($"source", $"sk.cnt".as("nd"), $"sk.ids".as("ids"))
+      def theta(nd: Column, ids: Column): Column =
+        when(nd <= KmvK.toLong, lit(Long.MaxValue))
+          .otherwise(element_at(ids, KmvK))
+      def frac(c: Column): Column =
+        (c.cast("double") + lit(9.223372036854776E18)) /
+          lit(1.8446744073709552E19)
+      val a = sk.select($"source".as("src_a"), $"nd".as("nd_a"),
+        $"ids".as("ids_a"))
+      val b = sk.select($"source".as("src_b"), $"nd".as("nd_b"),
+        $"ids".as("ids_b"))
+      val est = a.join(b, $"src_a" < $"src_b") // bounded source-domain cross
+        .withColumn("theta",
+          least(theta($"nd_a", $"ids_a"), theta($"nd_b", $"ids_b")))
+        .withColumn("common",
+          size(filter(array_intersect($"ids_a", $"ids_b"),
+            x => x < $"theta")).cast("long"))
+        .withColumn("est_micro",
+          floor($"common".cast("double") / frac($"theta") * lit(1000000.0) +
+            lit(0.5)).cast("long"))
+        .select($"src_a", $"src_b", $"est_micro")
+      val exact = th.select($"source".as("src_a"), $"h0")
+        .join(th.select($"source".as("src_b"), $"h0"), "h0")
+        .filter($"src_a" < $"src_b")
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("exact_overlap"))
+      val out = exact.join(est, Seq("src_a", "src_b"))
+        .withColumn("within_bound",
+          when(abs($"est_micro".cast("double") / lit(1000000.0) -
+            $"exact_overlap".cast("double")) <=
+            greatest(lit(KmvBoundRel) * $"exact_overlap".cast("double"),
+              lit(KmvBoundRel) * ($"est_micro".cast("double") /
+                lit(1000000.0))) + lit(KmvBoundAbs), 1L).otherwise(0L))
+        .select($"src_a", $"src_b", $"exact_overlap", $"est_micro",
+          $"within_bound")
+        .orderBy($"src_a", $"src_b")
+      kmvFrameCache.computeIfAbsent(dir,
+        _ => out.select($"src_a", $"src_b", $"est_micro"))
+      lastOracleDir = Some(dir)
+      out
+    }),
   )
 
   /** G17 bucket width for the two-pass exact selection: the
@@ -531,6 +604,59 @@ object Aggregates {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private val cmsSqlCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** G20 KMV shape: k = 256 minima per source (2 KiB/sketch) gives
+    * rse ≈ 1/√(k−2) ≈ 6% on the UNION; the INTERSECTION estimator
+    * conditions on the |common < θ| sample count, which at the
+    * fixture's smallest overlaps is ~5 samples — so the contract band
+    * is wide and symmetric (50% of max(exact, est) + 40 absolute;
+    * worst observed across all sfs needs ~0.5·exact + 21). At corpus
+    * scale the production setting (k = 4096, overlaps in the
+    * thousands) tightens the same estimator to a few percent — k is
+    * the knob, the shuffle shape does not change. */
+  private val KmvK = 256
+  private val KmvBoundRel = 0.5
+  private val KmvBoundAbs = 40.0
+
+  private val kmvFrameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val kmvSqlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** DuckDB mirror of `kmv_overlap`: the engine's micro-integer
+    * estimates as VALUES literals; exact overlaps and the bound check
+    * recomputed from DuckDB's own distinct-token join. */
+  private def kmvOverlapSql(rows: Array[(String, String, Long)]): String = {
+    val vals = rows.sortBy(r => (r._1, r._2))
+      .map { case (a, b, m) => s"('$a', '$b', $m)" }.mkString(",\n    ")
+    s"""WITH est(src_a, src_b, est_micro) AS (VALUES
+       |    $vals),
+       |sh AS (
+       |  SELECT source,
+       |    CASE WHEN len(ws) >= 3 THEN
+       |      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                     for i in range(1, len(ws) - 1)])
+       |    ELSE [text] END AS s
+       |  FROM (SELECT source, text, string_split(text, ' ') AS ws
+       |        FROM documents)),
+       |d AS (SELECT DISTINCT source, unnest(s) AS g FROM sh),
+       |ov AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(COUNT(*) AS BIGINT) AS exact_overlap
+       |  FROM d a JOIN d b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT o.src_a, o.src_b, o.exact_overlap,
+       |  CAST(e.est_micro AS BIGINT) AS est_micro,
+       |  CASE WHEN ABS(CAST(e.est_micro AS DOUBLE) / 1000000.0 -
+       |      CAST(o.exact_overlap AS DOUBLE)) <=
+       |      GREATEST($KmvBoundRel * CAST(o.exact_overlap AS DOUBLE),
+       |        $KmvBoundRel * (CAST(e.est_micro AS DOUBLE) / 1000000.0))
+       |      + $KmvBoundAbs
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+       |    AS within_bound
+       |FROM ov o JOIN est e ON o.src_a = e.src_a AND o.src_b = e.src_b
+       |ORDER BY o.src_a, o.src_b""".stripMargin
+  }
 
   /** DuckDB mirror of `cms_freq`: the engine's estimates as VALUES
     * literals; probe selection, exact counts, N, and the bound check
@@ -596,6 +722,10 @@ object Aggregates {
       Map("cms_freq" -> cmsSqlCache.computeIfAbsent(dir, _ =>
         cmsFreqSql(f.collect()
           .map(r => (r.getLong(0), r.getLong(1))))))
+    }.getOrElse(Map.empty) ++ Option(kmvFrameCache.get(dir)).map { f =>
+      Map("kmv_overlap" -> kmvSqlCache.computeIfAbsent(dir, _ =>
+        kmvOverlapSql(f.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))))))
     }.getOrElse(Map.empty)
 
   def oracle: Map[String, String] =

@@ -23,6 +23,48 @@ class AggregatesSpec extends SparkSuite {
     }
   }
 
+  test("kmv_overlap: full-sketch pairs are EXACT; all pairs in bound") {
+    val rows = Aggregates.approxQueries("kmv_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // per-source distinct-GRAM counts decide full-sketch mode (k=256)
+    val nd = Tables.documents(spark, sf)
+      .select($"source",
+        explode(graft.functions.GraftFunctions.shingle_hash_set($"text"))
+          .as("t")).distinct()
+      .groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (a, b, exact, estMicro, bound) =>
+      assert(bound === 1L, s"($a,$b) estimate outside the documented band")
+      if (nd(a) <= 256 && nd(b) <= 256) {
+        // θ = unsigned max ⇒ the sketches ARE the sets: estimate exact
+        assert(estMicro === exact * 1000000L,
+          s"($a,$b) full-sketch mode must be exact: $estMicro vs $exact")
+      }
+    }
+  }
+
+  test("kmv_overlap estimator mode (sf0.01, nd > k): bound holds for real") {
+    // at sf0.001 every sketch is full (exact mode); sf0.01 vocabularies
+    // (~700 distinct/source) exceed k=256, so this exercises the
+    // actual θ-estimator and its error band
+    val big = "/root/testdata/sf0.01"
+    val rows = Aggregates.approxQueries("kmv_overlap")(spark, big)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val estMode = rows.count { case (_, _, exact, estMicro, _) =>
+      estMicro % 1000000L != 0L || estMicro != exact * 1000000L
+    }
+    assert(estMode > 0, "expected at least one pair in estimator mode")
+    rows.foreach { case (a, b, exact, estMicro, bound) =>
+      val est = estMicro.toDouble / 1e6
+      assert(bound === 1L,
+        s"($a,$b) est $est vs exact $exact outside the documented band")
+    }
+  }
+
   test("agg_stats stddev matches Spark's native stddev_samp to 1e-6 relative") {
     val derived = Aggregates.queries("agg_stats")(spark, sf)
       .select($"l_returnflag", $"std_qty").collect()

@@ -40,7 +40,11 @@ class PlanAuditSpec extends SparkSuite {
       "prune_audit", // 3-row probe broadcast over the bounded per-file
                      // stats relation (the pruning planner's own shape)
       "cms_freq", // one-row corpus-total broadcast (scalar-subquery shape)
-      "bloom_file_skip") // one-row file-total broadcast (same shape)
+      "bloom_file_skip", // one-row file-total broadcast (same shape)
+      "mixture_apportion", // one-row total + leftover broadcasts over the
+                           // source-domain relation (scalar-subquery shape)
+      "curve_compare") // one-row bounds + 3-row probe broadcasts over
+                       // file-count-sized stats (the prune_audit shape)
 
   test("no unintended cartesian products") {
     plans.foreach { case (name, p) =>
