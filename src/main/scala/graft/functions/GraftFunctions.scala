@@ -155,5 +155,10 @@ object GraftFunctions {
         MisraGriesAgg(exprs.head, intLit(exprs(1), "misra_gries cap"))
           .toAggregateExpression()
       }, "built-in")
+    r.createOrReplaceTempFunction(
+      "hilbert2", { exprs =>
+        require(exprs.length == 3, "hilbert2(x, y, bits)")
+        HilbertIndex2(exprs.head, exprs(1), intLit(exprs(2), "hilbert2 bits"))
+      }, "built-in")
   }
 }

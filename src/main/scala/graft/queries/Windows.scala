@@ -118,6 +118,29 @@ object Windows {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     }),
 
+    // W6: rolling EXACT median (order-statistic window) — the
+    // robust-smoothing window neither engine ships natively at this
+    // contract: per user, the median of the trailing 7 event values
+    // under the (ts, event_id) total order. Selection, not
+    // interpolation — the emitted value is an actual data double, so
+    // it is engine-exact with no quantization; frames are ROWS with a
+    // unique tie-break, so frame CONTENTS are deterministic. Scale:
+    // partitions are user-sized; the per-row sort touches ≤ 7
+    // elements (the frame width), never the partition.
+    "rolling_median" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .withColumn("vals", collect_list($"value").over(w))
+        .select($"user_id", $"event_id",
+          size($"vals").cast("long").as("n_win"),
+          element_at(sort_array($"vals"),
+            expr("CAST((size(vals) + 1) DIV 2 AS INT)")).as("med"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // O9: 2-D skyline (Pareto frontier) — the parts no other part
     // beats on BOTH price (min) and size (max). NOT the quadratic
     // NOT-EXISTS self-join: the 2-D skyline is a prefix-max scan,
@@ -306,5 +329,15 @@ object Windows {
         |UNION ALL
         |SELECT 'except_all', nationkey FROM (SELECT nationkey FROM a EXCEPT ALL SELECT nationkey FROM b)
         |ORDER BY op, nationkey""".stripMargin,
+
+    "rolling_median" ->
+      """SELECT user_id, event_id, CAST(len(vals) AS BIGINT) AS n_win,
+        |  list_sort(vals)[(len(vals) + 1) // 2] AS med
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

@@ -27,6 +27,22 @@ class SqlFunctionsSpec extends SparkSuite {
     assert(viaSql == viaCol)
   }
 
+  test("hilbert2: SQL text equals the Column API and the core") {
+    F.registerSql(spark)
+    Tables.orders(spark, sf).limit(200)
+      .select($"o_orderkey", $"o_custkey",
+        (pmod($"o_orderkey", lit(1024))).as("y"))
+      .createOrReplaceTempView("sqlfn_hilbert")
+    val viaSql = spark.sql(
+      "SELECT o_orderkey, hilbert2(o_custkey, y, 16) AS h FROM sqlfn_hilbert")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val viaCol = spark.table("sqlfn_hilbert")
+      .select($"o_orderkey",
+        graft.operators.Hilbert.hvalue($"o_custkey", $"y", 16).as("h"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
   test("typed aggregates: SQL text equals the Column API") {
     F.registerSql(spark)
     Tables.documents(spark, sf).limit(200)

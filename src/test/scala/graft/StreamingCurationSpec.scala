@@ -208,4 +208,38 @@ class StreamingCurationSpec extends SparkSuite {
       .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("KMV sketch maintains incrementally over a stream (min-merge)") {
+    // the G20 sketch is bounded_min_set over hashes — an ordinary
+    // streaming-aggregable typed aggregate, so incremental
+    // maintenance is just groupBy(key).agg(...) in complete mode.
+    // Two micro-batches prove mergeability: the streamed sketch must
+    // equal the one-shot batch sketch over the union (min-merge).
+    implicit val sqlCtx = spark.sqlContext
+    val k = 16
+    val rows = (1 to 200).map(i => ((i % 3).toLong, i.toLong * 7919L))
+    val input = MemoryStream[(Long, Long)]
+    val agg = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"_1".as("g"),
+        graft.functions.GraftFunctions.fnv1a($"_2")
+          .bitwiseXOR(lit(Long.MinValue)).as("h"))
+      .groupBy($"g")
+      .agg(graft.functions.GraftFunctions.bounded_min_set($"h", k).as("sk"))
+      .select($"g", $"sk.cnt".as("cnt"), $"sk.ids".as("ids"))
+    val q = agg(input.toDF())
+      .writeStream.format("memory").queryName("s_kmv")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.take(100))
+      q.processAllAvailable()
+      input.addData(rows.drop(100))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_kmv").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2)))).toMap
+    val batch = agg(rows.toDF()).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.values.forall(_._2.length == k))
+  }
 }
