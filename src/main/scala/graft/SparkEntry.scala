@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Joins.queries ++
+      graft.queries.TpchShapes.queries ++
       graft.queries.Lookups.queries ++
       graft.queries.Aggregates.queries ++
       graft.queries.Aggregates.approxQueries ++
@@ -50,6 +51,7 @@ object SparkEntry {
   private def staticOracles: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Joins.oracle ++
+      graft.queries.TpchShapes.oracle ++
       graft.queries.Lookups.oracle ++
       graft.queries.Aggregates.oracle ++
       graft.queries.Windows.oracle ++

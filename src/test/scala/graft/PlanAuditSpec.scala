@@ -37,14 +37,20 @@ class PlanAuditSpec extends SparkSuite {
                     // ivfpq_ann unchanged
 
       "tpch_q22", // one-row acctbal-threshold broadcast (scalar-subquery shape)
+      "tpch_q11", // one-row global-total broadcast (scalar-subquery shape)
+      "tpch_q15", // one-row max-revenue broadcast (scalar-subquery shape)
       "prune_audit", // 3-row probe broadcast over the bounded per-file
                      // stats relation (the pruning planner's own shape)
       "cms_freq", // one-row corpus-total broadcast (scalar-subquery shape)
       "bloom_file_skip", // one-row file-total broadcast (same shape)
       "mixture_apportion", // one-row total + leftover broadcasts over the
                            // source-domain relation (scalar-subquery shape)
-      "curve_compare") // one-row bounds + 3-row probe broadcasts over
+      "curve_compare", // one-row bounds + 3-row probe broadcasts over
                        // file-count-sized stats (the prune_audit shape)
+      "kmv_overlap") // per-SOURCE sketch pairing (source_minhash_sim
+                     // shape): both sides are one-row-per-source
+                     // relations, the inequality dedupes the bounded
+                     // source×source domain
 
   test("no unintended cartesian products") {
     plans.foreach { case (name, p) =>
