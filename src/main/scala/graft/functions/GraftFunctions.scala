@@ -83,6 +83,16 @@ object GraftFunctions {
       BoundedMinSetAgg(ExpressionUtils.expression(id), cap)
         .toAggregateExpression())
 
+  /** Upper-triangle X^T X aggregate: `struct(cnt, cells)` with the
+    * exact vector count and d·(d+1)/2 integer micro-sums (×10⁶) of
+    * pairwise products in (i, j ≥ i) order — O(d²) task state however
+    * many rows, map-side combinable (the distributed Gram/covariance
+    * primitive). */
+  def gram_matrix(vec: Column, dim: Int): Column =
+    ExpressionUtils.column(
+      GramMatrixAgg(ExpressionUtils.expression(vec), dim)
+        .toAggregateExpression())
+
   /** Misra–Gries frequent-items summary: `struct(n, items)` with the
     * exact non-null input count and ≤ `cap` candidate keys whose
     * underestimating counts still satisfy the mergeable guarantee

@@ -2436,6 +2436,73 @@ object Pipeline {
         .orderBy($"vec_id")
     }),
 
+    // L80: distributed Gram matrix — X^T X over the embedding column
+    // in ONE aggregation pass via GramMatrixAgg: task state is the
+    // d·(d+1)/2 upper-triangle of exact integer micro-sums (O(d²)
+    // however many vectors), partials combine map-side, and only 2080
+    // longs cross the wire per partition. The covariance/PCA/whitening
+    // primitive: at 10⁹ vectors the plan is IDENTICAL — no per-pair
+    // explode (which would shuffle N·d² rows), no driver math. The
+    // (k → i,j) unflattening is a 2080-row static broadcast; the
+    // oracle replays the quantized products from the unnested lists.
+    "gram_matrix" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = PqDim // the embeddings fixture's vector dimensionality
+      val pairIdx = s.createDataFrame(
+        (for { i <- 0 until d; j <- i until d }
+          yield (i * d - i * (i - 1) / 2 + (j - i), i, j)))
+        .toDF("k", "i", "j")
+      Tables.embeddings(s, dir)
+        .agg(graft.functions.GraftFunctions.gram_matrix($"embedding", d)
+          .as("g"))
+        .select($"g.cnt".as("n_vecs"), posexplode($"g.cells"))
+        .withColumnRenamed("pos", "k").withColumnRenamed("col", "micro")
+        .join(broadcast(pairIdx), "k")
+        .select($"i", $"j", $"n_vecs",
+          ($"micro".cast("double") / lit(1000000.0)).as("gram"))
+        .orderBy($"i", $"j")
+    }),
+
+    // L81: PMI collocations — the classic phrase-mining score over
+    // adjacent word pairs: pmi = ln(p(x,y) / (p(x)·p(y))) with
+    // p(x,y) = c_xy/B and p(x) = c_x/N. Computed entirely in exact
+    // integer ln-micro units (the zipf_fit lane: each ln quantized
+    // per row to 1e-6, then SUMMED as longs — order-free and
+    // engine-exact). Shapes: bigrams come from a per-doc slice
+    // (never a positional self-join), the min-count filter lands
+    // BEFORE the two vocabulary-keyed count joins (equi joins that
+    // shuffle on the word — broadcast would not survive a 100 TB
+    // vocabulary), and N/B ride a one-row broadcast.
+    "pmi_collocations" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir).select(split($"text", " ").as("ws"))
+      val uni = toks.select(explode($"ws").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      val big = toks.filter(size($"ws") >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size($"ws") - 1),
+          i => struct(element_at($"ws", i).as("w1"),
+            element_at($"ws", i + 1).as("w2")))).as("p"))
+        .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_xy"))
+        .filter($"c_xy" >= 5)
+      val totals = toks.agg(
+        sum(size($"ws")).cast("long").as("n_tok"),
+        sum(greatest(size($"ws") - 1, lit(0))).cast("long").as("n_big"))
+      def l6(c: org.apache.spark.sql.Column) =
+        floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+      big
+        .join(uni.select($"w".as("w1"), $"c".as("c1")), "w1")
+        .join(uni.select($"w".as("w2"), $"c".as("c2")), "w2")
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi_micro", l6($"c_xy") + lit(2L) * l6($"n_tok") -
+          l6($"n_big") - l6($"c1") - l6($"c2"))
+        .select($"w1", $"w2", $"c_xy",
+          ($"pmi_micro".cast("double") / lit(1000000.0)).as("pmi"))
+        .orderBy($"pmi".desc, $"w1", $"w2")
+        .limit(50)
+    }),
+
     // L2 incremental: near-dup detection of a NEW batch against the
     // EXISTING corpus — the continuous-ingestion sibling of
     // incremental_dedup, one notch fuzzier: "is today's crawl a
@@ -3942,6 +4009,48 @@ object Pipeline {
          |  ${sqlQ6(sqlNorm("e.v"))} AS norm_in
          |FROM lanes l JOIN e ON e.vec_id = l.vec_id
          |ORDER BY l.vec_id""".stripMargin,
+
+    // the unnested-list replay of GramMatrixAgg's quantized products
+    "gram_matrix" ->
+      """WITH pairs AS (
+        |  SELECT CAST(a.i AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j
+        |  FROM range(64) a(i), range(64) b(j) WHERE a.i <= b.j),
+        |n AS (SELECT COUNT(*) AS n_vecs FROM embeddings)
+        |SELECT p.i, p.j, n.n_vecs,
+        |  CAST(SUM(CAST(FLOOR(
+        |      CAST(embedding[p.i + 1] AS DOUBLE) *
+        |      CAST(embedding[p.j + 1] AS DOUBLE) * 1000000.0 + 0.5)
+        |    AS BIGINT)) AS DOUBLE) / 1000000.0 AS gram
+        |FROM embeddings, pairs p, n
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    "pmi_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uc AS (
+        |  SELECT w, COUNT(*) AS c
+        |  FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+        |bg AS (
+        |  SELECT p['w1'] AS w1, p['w2'] AS w2
+        |  FROM (SELECT unnest([{'w1': ws[i], 'w2': ws[i + 1]}
+        |                      for i in range(1, len(ws))]) AS p
+        |        FROM toks WHERE len(ws) >= 2)),
+        |bc AS (
+        |  SELECT w1, w2, COUNT(*) AS c_xy
+        |  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |tot AS (
+        |  SELECT CAST(SUM(len(ws)) AS BIGINT) AS n_tok,
+        |    CAST(SUM(GREATEST(len(ws) - 1, 0)) AS BIGINT) AS n_big
+        |  FROM toks)
+        |SELECT w1, w2, c_xy, CAST(
+        |    CAST(FLOOR(ln(CAST(c_xy AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |  + 2 * CAST(FLOOR(ln(CAST(n_tok AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |  - CAST(FLOOR(ln(CAST(n_big AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |  - CAST(FLOOR(ln(CAST(u1.c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |  - CAST(FLOOR(ln(CAST(u2.c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |  AS DOUBLE) / 1000000.0 AS pmi
+        |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w, tot
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
 
     // the cross-split brute scan the banded incremental search must
     // equal: every (batch, corpus) pair at string Jaccard >= tau
