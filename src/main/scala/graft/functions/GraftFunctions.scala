@@ -166,6 +166,12 @@ object GraftFunctions {
           .toAggregateExpression()
       }, "built-in")
     r.createOrReplaceTempFunction(
+      "gram_matrix", { exprs =>
+        require(exprs.length == 2, "gram_matrix(vec, dim)")
+        GramMatrixAgg(exprs.head, intLit(exprs(1), "gram_matrix dim"))
+          .toAggregateExpression()
+      }, "built-in")
+    r.createOrReplaceTempFunction(
       "hilbert2", { exprs =>
         require(exprs.length == 3, "hilbert2(x, y, bits)")
         HilbertIndex2(exprs.head, exprs(1), intLit(exprs(2), "hilbert2 bits"))

@@ -153,6 +153,67 @@ object Lookups {
         .orderBy($"o_orderkey")
     }),
 
+    // J9 nearest: the |Δt|-minimizing twin — for every urgent order,
+    // the customer's CLOSEST non-urgent order in either direction
+    // (ties to the prior side, floor ≥ inclusive / successor >
+    // strict as in the parent spellings). Composed from one backward
+    // and one forward as-of pass over the same probe, met on the
+    // probe key — two clustered merges + one equi join, no windows
+    // over raw history. The sensor-alignment variant ("the reading
+    // nearest this event, before or after") the floor/successor pair
+    // can't express alone.
+    "asof_join_nearest" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val probe = Tables.orders(s, dir)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val nonUrgent = Tables.orders(s, dir)
+        .filter($"o_orderpriority" =!= "1-URGENT")
+      val buildB = nonUrgent.groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_orderkey").as("prev_orderkey"),
+          max_by($"o_totalprice", $"o_orderkey").as("prev_totalprice"))
+        .select($"o_custkey".as("bb_custkey"),
+          $"o_orderdate".as("prev_orderdate"),
+          $"prev_orderkey", $"prev_totalprice")
+      val buildF = nonUrgent.groupBy($"o_custkey", $"o_orderdate")
+        .agg(min($"o_orderkey").as("next_orderkey"),
+          min_by($"o_totalprice", $"o_orderkey").as("next_totalprice"))
+        .select($"o_custkey".as("bf_custkey"),
+          $"o_orderdate".as("next_orderdate"),
+          $"next_orderkey", $"next_totalprice")
+      val back = AsOfJoin.asofNative(probe, buildB,
+        probe("o_custkey"), buildB("bb_custkey"),
+        probe("o_orderdate"), buildB("prev_orderdate"),
+        Seq("prev_orderkey", "prev_orderdate", "prev_totalprice"))
+      val fwdProbe = probe.select($"o_orderkey".as("f_orderkey"),
+        $"o_custkey".as("f_custkey"), $"o_orderdate".as("f_orderdate"))
+      val fwd = AsOfJoin.asofForward(fwdProbe, buildF,
+        fwdProbe("f_custkey"), buildF("bf_custkey"),
+        fwdProbe("f_orderdate"), buildF("next_orderdate"),
+        Seq("next_orderkey", "next_orderdate", "next_totalprice"))
+      val gp = datediff($"o_orderdate", $"prev_orderdate")
+      val gn = datediff($"next_orderdate", $"o_orderdate")
+      back
+        .join(fwd.select($"f_orderkey", $"next_orderkey",
+          $"next_orderdate", $"next_totalprice"),
+          $"o_orderkey" === $"f_orderkey")
+        .withColumn("near_side",
+          when($"prev_orderdate".isNull && $"next_orderdate".isNull,
+            lit(null).cast("string"))
+            .when($"next_orderdate".isNull ||
+              ($"prev_orderdate".isNotNull && gp <= gn), lit("prev"))
+            .otherwise(lit("next")))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+          when($"near_side" === "prev", $"prev_orderkey")
+            .otherwise($"next_orderkey").as("near_orderkey"),
+          when($"near_side" === "prev", $"prev_orderdate")
+            .otherwise($"next_orderdate").as("near_orderdate"),
+          when($"near_side" === "prev", $"prev_totalprice")
+            .otherwise($"next_totalprice").as("near_totalprice"),
+          $"near_side")
+        .orderBy($"o_orderkey")
+    }),
+
     // J9 tolerance: as-of WITH MAX STALENESS — the production variant
     // every sensor/price enrichment needs ("the latest reading, but
     // only if it is < 30 days old"). Floor semantics unchanged; a
@@ -344,6 +405,59 @@ object Lookups {
         |FROM probe p ASOF LEFT JOIN build b
         |  ON p.o_custkey = b.b_custkey AND p.o_orderdate >= b.prev_orderdate
         |ORDER BY p.o_orderkey""".stripMargin,
+
+    // nearest as-of: the floor ASOF and the LATERAL successor, met on
+    // the probe key; the |Δt| tie goes to the prior side
+    "asof_join_nearest" ->
+      """WITH buildb AS (
+        |  SELECT o_custkey AS bb_custkey, o_orderdate AS prev_orderdate,
+        |         max(o_orderkey) AS prev_orderkey,
+        |         arg_max(o_totalprice, o_orderkey) AS prev_totalprice
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1, 2),
+        |buildf AS (
+        |  SELECT o_custkey AS bf_custkey, o_orderdate AS next_orderdate,
+        |         min(o_orderkey) AS next_orderkey,
+        |         arg_min(o_totalprice, o_orderkey) AS next_totalprice
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |back AS (
+        |  SELECT p.o_orderkey, p.o_custkey, p.o_orderdate,
+        |         b.prev_orderkey, b.prev_orderdate, b.prev_totalprice
+        |  FROM probe p ASOF LEFT JOIN buildb b
+        |    ON p.o_custkey = bb_custkey AND p.o_orderdate >= b.prev_orderdate),
+        |fwd AS (
+        |  SELECT p.o_orderkey, n.next_orderkey, n.next_orderdate,
+        |         n.next_totalprice
+        |  FROM probe p LEFT JOIN LATERAL (
+        |    SELECT b.next_orderkey, b.next_orderdate, b.next_totalprice
+        |    FROM buildf b
+        |    WHERE b.bf_custkey = p.o_custkey
+        |      AND b.next_orderdate > p.o_orderdate
+        |    ORDER BY b.next_orderdate LIMIT 1) n ON TRUE),
+        |sided AS (
+        |  SELECT back.*, fwd.next_orderkey, fwd.next_orderdate,
+        |    fwd.next_totalprice,
+        |    CASE WHEN prev_orderdate IS NULL AND next_orderdate IS NULL
+        |           THEN NULL
+        |         WHEN next_orderdate IS NULL OR (prev_orderdate IS NOT NULL
+        |           AND date_diff('day', prev_orderdate, o_orderdate) <=
+        |               date_diff('day', o_orderdate, next_orderdate))
+        |           THEN 'prev'
+        |         ELSE 'next' END AS near_side
+        |  FROM back JOIN fwd USING (o_orderkey))
+        |SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CASE WHEN near_side = 'prev' THEN prev_orderkey
+        |       ELSE next_orderkey END AS near_orderkey,
+        |  CASE WHEN near_side = 'prev' THEN prev_orderdate
+        |       ELSE next_orderdate END AS near_orderdate,
+        |  CASE WHEN near_side = 'prev' THEN prev_totalprice
+        |       ELSE next_totalprice END AS near_totalprice,
+        |  near_side
+        |FROM sided ORDER BY o_orderkey""".stripMargin,
 
     // forward as-of: DuckDB's ASOF keyword is floor-only, so the
     // oracle spells the successor with a correlated LATERAL top-1 —

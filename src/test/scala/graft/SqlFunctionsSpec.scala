@@ -73,4 +73,17 @@ class SqlFunctionsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("literal int"))
   }
+
+  test("gram_matrix: SQL text equals the Column API") {
+    F.registerSql(spark)
+    Tables.embeddings(spark, sf).limit(100)
+      .createOrReplaceTempView("sqlfn_emb")
+    val viaSql = spark.sql(
+      "SELECT gram_matrix(embedding, 64).cells AS c FROM sqlfn_emb")
+      .as[Seq[Long]].head()
+    val viaCol = spark.table("sqlfn_emb")
+      .agg(F.gram_matrix($"embedding", 64).getField("cells").as("c"))
+      .as[Seq[Long]].head()
+    assert(viaSql == viaCol && viaSql.length == 64 * 65 / 2)
+  }
 }
