@@ -2587,6 +2587,43 @@ object Pipeline {
         .orderBy($"key_a", $"key_b")
     }),
 
+    // L83: entity resolution — the COMPOSED record-linkage chain:
+    // dirty-record union → SymSpell d≤1 candidate pairs (FuzzyMatch;
+    // blocking + exact levenshtein verify, skew-proofed through
+    // CandidatePairs) → ConnectedComponents transitive closure →
+    // per-entity audit. The classic MDM/dedup product flow in one
+    // oracle row: two independently-corrupted copies of a record
+    // (substitutions at DIFFERENT positions — d=2 from each other,
+    // invisible to direct d≤1 matching) link only TRANSITIVELY
+    // through their clean parent, which is exactly what the closure
+    // is for. Keys are document text prefixes (real entropy — the
+    // fuzzy_match2 note: sequential zero-padded ids make d≤1 linkage
+    // degenerate by construction). Oracle = brute all-pairs
+    // levenshtein + recursive-CTE closure.
+    "record_linkage" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+        .select($"doc_id".as("rid"), $"text".substr(1, 20).as("k"))
+      val dirtyA = base.filter($"rid" % 37 === 5)
+        .select((-$"rid" - 1L).as("rid"),
+          concat($"k".substr(1, 8), lit("X"),
+            $"k".substr(lit(10), length($"k") - 9)).as("k"))
+      val dirtyB = base.filter($"rid" % 37 === 5)
+        .select((-$"rid" - 5000000L).as("rid"),
+          concat($"k".substr(1, 14), lit("Y"),
+            $"k".substr(lit(16), length($"k") - 15)).as("k"))
+      val records = base.unionByName(dirtyA).unionByName(dirtyB)
+      val pairs = graft.operators.FuzzyMatch
+        .pairsWithin(records, "rid", "k", 1)
+      graft.operators.ConnectedComponents
+        .components(pairs, "key_a", "key_b")
+        .groupBy($"component".as("entity"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when($"node" < 0L, 1L).otherwise(0L)).as("n_dirty"),
+          min($"node").as("min_id"), max($"node").as("max_id"))
+        .orderBy($"entity")
+    }),
+
     // L38 at distance 2: the same SymSpell construction one deletion
     // deeper (two-deletion neighborhoods, ~L²/2 variants per key —
     // the documented space/recall trade). The key space matters at
@@ -4362,6 +4399,38 @@ object Pipeline {
         |FROM c a JOIN c b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.k, b.k) <= 2
         |ORDER BY key_a, key_b""".stripMargin,
+
+    // brute all-pairs levenshtein + recursive-CTE undirected closure:
+    // the independent replay of blocking+verify+components
+    "record_linkage" ->
+      """WITH RECURSIVE rec AS (
+        |  SELECT doc_id AS rid, substr(text, 1, 20) AS k FROM documents
+        |  UNION ALL
+        |  SELECT -doc_id - 1,
+        |    substr(substr(text, 1, 20), 1, 8) || 'X'
+        |      || substr(substr(text, 1, 20), 10)
+        |  FROM documents WHERE doc_id % 37 = 5
+        |  UNION ALL
+        |  SELECT -doc_id - 5000000,
+        |    substr(substr(text, 1, 20), 1, 14) || 'Y'
+        |      || substr(substr(text, 1, 20), 16)
+        |  FROM documents WHERE doc_id % 37 = 5),
+        |lp AS (
+        |  SELECT a.rid AS u, b.rid AS v FROM rec a JOIN rec b
+        |  ON a.rid < b.rid AND levenshtein(a.k, b.k) <= 1),
+        |e AS (SELECT u, v FROM lp UNION SELECT v, u FROM lp),
+        |nodes AS (SELECT DISTINCT u AS node FROM e),
+        |r(a, b) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.a, e2.v FROM r JOIN e e2 ON r.b = e2.u),
+        |rs AS (SELECT a, b FROM r UNION SELECT node, node FROM nodes),
+        |lab AS (SELECT a AS node, MIN(b) AS entity FROM rs GROUP BY 1)
+        |SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  CAST(SUM(CASE WHEN node < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dirty,
+        |  MIN(node) AS min_id, MAX(node) AS max_id
+        |FROM lab GROUP BY 1 ORDER BY entity""".stripMargin,
 
     // same md5 fold (salt 'wsamp:v1:'), same -ln(u)/w arithmetic
     // quantized pre-ranking — both engines draw the identical sample
