@@ -250,6 +250,39 @@ object Aggregates {
         .orderBy($"l_returnflag", $"quantile")
     }),
 
+    // G21: exact MAD outlier audit — the ROBUST per-group outlier
+    // flag (median absolute deviation resists the contamination that
+    // drags mean/stddev z-scores toward the outliers they should
+    // flag): med = exact group median, mad = exact median of
+    // |v − med|, outlier ⇔ |v − med| > 3·MAD. Both medians ride the
+    // G17 bucket-prune selection (never a group sort); the base
+    // relation is scanned once per pass — the documented two-pass
+    // price of exact order statistics at 100 TB. All compares are on
+    // exactly-reproduced doubles (picked medians, IEEE subtraction),
+    // so the flag is engine-exact; the oracle is the independent
+    // full-window spelling of both medians.
+    "mad_outliers" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      // events.value is the fixture's heavy-tailed measure (the
+      // uniform price columns never exceed 3·MAD — max deviation on
+      // a uniform is 2·MAD — so they cannot exercise the flag)
+      val base = Tables.events(s, dir)
+        .select($"event_type".as("g"), $"value".as("v"))
+      val med = bucketMedian(base)
+      val dev = base.join(med, "g").withColumn("dv", abs($"v" - $"med"))
+      val mad = bucketMedian(dev.select($"g", $"dv".as("v")))
+        .withColumnRenamed("med", "mad")
+      val isOut = $"dv" > lit(3.0) * $"mad"
+      dev.join(mad, "g")
+        .groupBy($"g", $"med", $"mad")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+          dsum(when(isOut, $"v").otherwise(0.0)).as("outlier_mass"))
+        .select($"g".as("event_type"), $"n_rows", $"med", $"mad",
+          $"n_outliers", $"outlier_mass")
+        .orderBy($"event_type")
+    }),
+
     // G19: EXACT weighted order statistic without a group sort — the
     // skew-robust "typical price" where each row carries a weight
     // (shipped quantity): min v with cumweight(≤ v) ≥ ⌈(W+1)/2⌉,
@@ -579,6 +612,33 @@ object Aggregates {
     * l_extendedprice domain (~[900, 105k] at every sf) spans ~100
     * buckets, so pass 2 ranks ~1% of each group instead of all of it. */
   private val SelWidth = 1024.0
+
+  /** Exact lower-median per group via the G17 bucket-prune selection
+    * — (group, bucket) histogram + bounded cum scan locates the
+    * target bucket, then only THAT bucket's rows are ranked (the
+    * value window spans ~1/width of the group, never the group).
+    * Input (g, v) → output (g, med). Shared by `exact_median_2pass`'s
+    * family and both `mad_outliers` passes. */
+  private def bucketMedian(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val withB = df.withColumn("b", floor($"v" / lit(SelWidth)).cast("long"))
+    val hist = withB.groupBy($"g", $"b").agg(count(lit(1)).as("c"))
+    val targets = hist.groupBy($"g").agg(sum($"c").as("n"))
+      .select($"g", expr("(n + 1) DIV 2").as("k"))
+    val wcum = Window.partitionBy($"g").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sel = hist
+      .withColumn("bbase", coalesce(sum($"c").over(wcum), lit(0L)))
+      .join(targets, "g")
+      .filter($"bbase" < $"k" && $"bbase" + $"c" >= $"k")
+      .select($"g", $"k", $"b", $"bbase")
+    val wRank = Window.partitionBy($"g").orderBy($"v")
+    withB.join(sel, Seq("g", "b"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter($"rn" === $"k" - $"bbase")
+      .select($"g", $"v".as("med"))
+  }
 
   /** CMS shape: d seeded FNV lanes × w buckets. w = 2048 keeps the
     * additive overshoot bound 3·N/w comfortably above the fixture's
@@ -998,6 +1058,33 @@ object Aggregates {
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // independent spelling: both medians as full row_number windows
+    // over the whole group — verifies the two bucket-prune passes
+    "mad_outliers" ->
+      s"""WITH b AS (
+         |  SELECT event_type AS g, value AS v FROM events),
+         |r AS (
+         |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+         |    COUNT(*) OVER (PARTITION BY g) AS n
+         |  FROM b),
+         |med AS (SELECT g, v AS med FROM r WHERE rn = (n + 1) // 2),
+         |dev AS (
+         |  SELECT b.g, b.v, med.med, ABS(b.v - med.med) AS dv
+         |  FROM b JOIN med ON b.g = med.g),
+         |r2 AS (
+         |  SELECT g, dv, row_number() OVER (PARTITION BY g ORDER BY dv) AS rn,
+         |    COUNT(*) OVER (PARTITION BY g) AS n
+         |  FROM dev),
+         |mad AS (SELECT g, dv AS mad FROM r2 WHERE rn = (n + 1) // 2)
+         |SELECT d.g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MAX(d.med) AS med, MAX(m.mad) AS mad,
+         |  CAST(SUM(CASE WHEN d.dv > 3.0 * m.mad THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers,
+         |  ${sqlDsum("CASE WHEN d.dv > 3.0 * m.mad THEN d.v ELSE 0.0 END")}
+         |    AS outlier_mass
+         |FROM dev d JOIN mad m ON d.g = m.g
+         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // independent spelling: full per-value window over the WHOLE
     // group (no bucket pruning) — verifies the two-pass selection
