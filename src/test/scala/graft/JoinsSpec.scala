@@ -112,6 +112,39 @@ class JoinsSpec extends SparkSuite {
       s"the scalar threshold must ride a one-row broadcast:\n$p")
   }
 
+  test("tpch_q7: both nation aliases broadcast distinctly; facts merge") {
+    val p = plan("tpch_q7")
+    assert(countOf(p, "SortMergeJoin") >= 2,
+      s"lineitem-orders and orders-customer must shuffle on key:\n$p")
+    assert(countOf(p, "BroadcastHashJoin") == 3,
+      s"supplier + BOTH nation aliases must broadcast (a planner " +
+        s"collapse of the aliases would drop one):\n$p")
+  }
+
+  test("tpch_q17: per-part threshold joins back on a merge, never broadcast") {
+    val p = plan("tpch_q17")
+    assert(p.contains("SortMergeJoin"),
+      s"the agg output is O(|part|) — the join-back must shuffle on key:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the brand dimension must broadcast:\n$p")
+    // the partkey aggregate must sit under the join-back
+    val smj = p.indexOf("SortMergeJoin")
+    assert(p.indexOf("HashAggregate", smj) > smj,
+      s"per-part average must be computed below its join:\n$p")
+  }
+
+  test("tpch_q21: one semi and one anti join over the same fact") {
+    val p = plan("tpch_q21")
+    assert(p.contains("LeftSemi"),
+      s"the other-supplier EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"the no-other-late NOT EXISTS must plan as an anti join:\n$p")
+    assert(countOf(p, "SortMergeJoin") >= 3,
+      s"orders join, semi, and anti are all fact-fact — every one " +
+        s"shuffles on key:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("tpch composed queries return sane top-k rows") {
     val q3 = Joins.queries("tpch_q3")(spark, sf).collect()
     assert(q3.length <= 10 && q3.nonEmpty)
