@@ -86,6 +86,9 @@ class SqlTableFunctionsSpec extends SparkSuite {
       spark.sql("SELECT * FROM graft_hops('tvf_edges', 'a', 'b', '2', '2')"),
       graft.operators.HopLevels.levels(edges, "a", "b",
         n => n % 2 === lit(0L), 2))
+    same(
+      spark.sql("SELECT * FROM graft_scc('tvf_edges', 'a', 'b')"),
+      graft.operators.Scc.components(edges, "a", "b"))
   }
 
   test("malformed TVF calls fail loudly") {
