@@ -242,4 +242,33 @@ class StreamingCurationSpec extends SparkSuite {
     assert(streamed == batch && streamed.nonEmpty)
     assert(streamed.values.forall(_._2.length == k))
   }
+
+  test("Gram matrix maintains incrementally over a stream (partial merge)") {
+    // two micro-batches prove GramMatrixAgg's mergeability: the
+    // streamed X^T X must equal the one-shot batch over the union —
+    // the property that lets covariance track a live embedding feed
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = (1 to 60).map(i =>
+      (i % 2, Seq(i.toFloat / 7f, (i * 3 % 11).toFloat, -i.toFloat / 13f)))
+    val input = MemoryStream[(Int, Seq[Float])]
+    val agg = (df: org.apache.spark.sql.DataFrame) => df
+      .groupBy($"_1".as("g"))
+      .agg(graft.functions.GraftFunctions.gram_matrix($"_2", 3).as("gm"))
+      .select($"g", $"gm.cnt".as("cnt"), $"gm.cells".as("cells"))
+    val q = agg(input.toDF())
+      .writeStream.format("memory").queryName("s_gram")
+      .outputMode("complete").start()
+    try {
+      input.addData(vecs.take(25))
+      q.processAllAvailable()
+      input.addData(vecs.drop(25))
+      q.processAllAvailable()
+    } finally q.stop()
+    def slurp(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Long](2)))).toMap
+    val streamed = slurp(spark.table("s_gram").collect())
+    val batch = slurp(agg(vecs.toDF()).collect())
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.values.forall(_._2.length == 6))
+  }
 }
