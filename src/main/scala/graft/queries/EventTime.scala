@@ -214,6 +214,41 @@ object EventTime {
     // map-combinable (user, day) count, then ONE user-partitioned
     // RANGE window over integer day offsets — at 100 TB each user's
     // series is tiny; the shuffle key is user_id, never the corpus.
+    // T23: time-weighted average over IRREGULAR samples — the
+    // TWAP/VWAP-family statistic a plain AVG gets wrong on uneven
+    // arrival: each reading holds until the next one, so it weighs by
+    // its holding time. Per (event_type, day): Σ value·Δt / Σ Δt with
+    // Δt = seconds to the day's next event (the day's last reading
+    // has no holding interval and is excluded — both engines agree by
+    // construction). Integer-exact: micro-quantized value × whole-
+    // second Δt products sum as longs; the one double division runs
+    // on two exactly-reproduced operands. Window is partition-local
+    // per (type, day) with a deterministic (ts, event_id) tie-break.
+    "twap_daily" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type", $"day")
+        .orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"event_type", $"ts", $"event_id",
+          $"ts".cast("date").as("day"),
+          floor($"value" * lit(10000.0) + lit(0.5)).cast("long")
+            .as("v_micro"))
+        .withColumn("dt",
+          unix_timestamp(lead($"ts", 1).over(w)) - unix_timestamp($"ts"))
+        .filter($"dt".isNotNull)
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"dt").as("held_seconds"),
+          sum($"v_micro" * $"dt").as("mass"))
+        .filter($"held_seconds" > 0L)
+        .select($"event_type", $"day".cast("timestamp").as("day"),
+          $"n_intervals", $"held_seconds",
+          ($"mass".cast("double") / $"held_seconds".cast("double") /
+            lit(10000.0)).as("twap"))
+        .orderBy($"event_type", $"day")
+    }),
+
     "rolling_7d" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -691,6 +726,25 @@ object EventTime {
         |  COUNT(*) AS n_capped, CAST(SUM(cnt) AS BIGINT) AS n_events,
         |  MAX(cnt) AS max_capped_events
         |FROM cap GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "twap_daily" ->
+      """WITH e AS (
+        |  SELECT event_type, ts, event_id, CAST(ts AS DATE) AS day,
+        |    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS v_micro
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, day, v_micro,
+        |    date_diff('second', ts, lead(ts) OVER (
+        |      PARTITION BY event_type, day ORDER BY ts, event_id)) AS dt
+        |  FROM e)
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(dt) AS BIGINT) AS held_seconds,
+        |  CAST(SUM(v_micro * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE)
+        |    / 10000.0 AS twap
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY 1, 2 HAVING SUM(dt) > 0
+        |ORDER BY event_type, day""".stripMargin,
 
     "rolling_7d" ->
       """WITH d AS (

@@ -2463,6 +2463,53 @@ object Pipeline {
         .orderBy($"i", $"j")
     }),
 
+    // L84: one-pass correlation matrix — Pearson r for every feature
+    // pair of the embedding, derived ENTIRELY from one GramMatrixAgg
+    // pass via the constant-padding trick: appending 1.0 to each
+    // vector makes the (i, d) cells the per-dimension sums and the
+    // (d, d) cell the row count (×10⁶), so ONE O(d²)-state aggregate
+    // yields every Σxᵢxⱼ, Σxᵢ and n. r(i,j) = (n·Sij − Si·Sj) /
+    // √((n·Sii − Si²)(n·Sjj − Sj²)) — numerator and both variance
+    // terms are exact LONG arithmetic on micro-sums (headroom: with
+    // micro cells ~5e8 the cross products sit ~2.5e17 < 2⁶³; at 10⁹+
+    // rows switch the derivation to DECIMAL(38,0)); the only doubles
+    // are the final ÷/√ on exactly-reproduced operands, q6-quantized.
+    // The unflatten/derivation joins run on the 2145-cell relation —
+    // metadata-sized whatever the corpus.
+    "corr_matrix" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = PqDim
+      val dp = d + 1
+      val pairIdx = s.createDataFrame(
+        (for { i <- 0 until dp; j <- i until dp }
+          yield (i * dp - i * (i - 1) / 2 + (j - i), i, j)))
+        .toDF("k", "i", "j")
+      val cells = Tables.embeddings(s, dir)
+        .select(concat($"embedding".cast("array<double>"),
+          array(lit(1.0d))).as("v"))
+        .agg(graft.functions.GraftFunctions.gram_matrix($"v", dp).as("g"))
+        .select(posexplode($"g.cells"))
+        .withColumnRenamed("pos", "k").withColumnRenamed("col", "c")
+        .join(broadcast(pairIdx), "k")
+      val nMicro = cells.filter($"i" === d && $"j" === d)
+        .select($"c".as("n_micro"))
+      val sums = cells.filter($"i" < d && $"j" === d)
+        .select($"i".as("dim"), $"c".as("s"))
+      val diag = cells.filter($"i" === $"j" && $"i" < d)
+        .select($"i".as("dim"), $"c".as("ss"))
+      val moments = broadcast(sums.join(diag, "dim"))
+      cells.filter($"i" < $"j" && $"j" < d)
+        .join(moments.select($"dim".as("i"), $"s".as("si"), $"ss".as("sii")), "i")
+        .join(moments.select($"dim".as("j"), $"s".as("sj"), $"ss".as("sjj")), "j")
+        .crossJoin(broadcast(nMicro))
+        .select($"i", $"j",
+          q6(($"n_micro" * $"c" - $"si" * $"sj").cast("double") /
+            sqrt(($"n_micro" * $"sii" - $"si" * $"si").cast("double") *
+              ($"n_micro" * $"sjj" - $"sj" * $"sj").cast("double")))
+            .as("corr_q6"))
+        .orderBy($"i", $"j")
+    }),
+
     // L81: PMI collocations — the classic phrase-mining score over
     // adjacent word pairs: pmi = ln(p(x,y) / (p(x)·p(y))) with
     // p(x,y) = c_xy/B and p(x) = c_x/N. Computed entirely in exact
@@ -4046,6 +4093,38 @@ object Pipeline {
          |  ${sqlQ6(sqlNorm("e.v"))} AS norm_in
          |FROM lanes l JOIN e ON e.vec_id = l.vec_id
          |ORDER BY l.vec_id""".stripMargin,
+
+    // same constant-padding derivation replayed from unnested lists:
+    // exact BIGINT moments, one final double ÷/√ per pair
+    "corr_matrix" ->
+      """WITH e AS (
+        |  SELECT list_append(embedding::DOUBLE[], 1.0) AS v
+        |  FROM embeddings),
+        |dims AS (SELECT CAST(i AS INTEGER) AS i FROM range(65) t(i)),
+        |cells AS (
+        |  SELECT a.i, b.i AS j,
+        |    SUM(CAST(FLOOR(v[a.i + 1] * v[b.i + 1] * 1000000.0 + 0.5)
+        |      AS BIGINT)) AS c
+        |  FROM e, dims a, dims b WHERE a.i <= b.i
+        |  GROUP BY 1, 2),
+        |n AS (SELECT c AS n_micro FROM cells WHERE i = 64 AND j = 64),
+        |m AS (
+        |  SELECT s.i AS dim, s.c AS s, d.c AS ss
+        |  FROM (SELECT i, c FROM cells WHERE j = 64 AND i < 64) s
+        |  JOIN (SELECT i, c FROM cells WHERE i = j AND i < 64) d
+        |    ON s.i = d.i)
+        |SELECT p.i, p.j,
+        |  CAST(FLOOR(
+        |    CAST(n_micro * p.c - mi.s * mj.s AS DOUBLE) /
+        |    sqrt(CAST(n_micro * mi.ss - mi.s * mi.s AS DOUBLE) *
+        |         CAST(n_micro * mj.ss - mj.s * mj.s AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS corr_q6
+        |FROM cells p
+        |JOIN m mi ON p.i = mi.dim
+        |JOIN m mj ON p.j = mj.dim
+        |CROSS JOIN n
+        |WHERE p.i < p.j AND p.j < 64
+        |ORDER BY p.i, p.j""".stripMargin,
 
     // the unnested-list replay of GramMatrixAgg's quantized products
     "gram_matrix" ->

@@ -39,6 +39,8 @@ class PlanAuditSpec extends SparkSuite {
       "tpch_q22", // one-row acctbal-threshold broadcast (scalar-subquery shape)
       "tpch_q11", // one-row global-total broadcast (scalar-subquery shape)
       "pmi_collocations", // one-row N/B-totals broadcast (same shape)
+      "corr_matrix", // one-row n-cell broadcast over the 2145-cell
+                     // metadata relation (scalar-subquery shape)
       "prune_audit", // 3-row probe broadcast over the bounded per-file
                      // stats relation (the pruning planner's own shape)
       "cms_freq", // one-row corpus-total broadcast (scalar-subquery shape)
