@@ -175,6 +175,22 @@ object Graph {
         .orderBy($"level")
     }),
 
+    // L85: bounded-horizon weighted shortest paths — HopLevels'
+    // weighted sibling: cost = ⌈1000 / w⌉ per supported co-purchase
+    // edge (strong ties are cheap to traverse), exact min path cost
+    // from the trusted seeds over ≤ 3 edges. A cheaper 2-edge path
+    // through strong ties beats a direct weak tie — the signal hop
+    // counting cannot express. Integer costs end to end.
+    "part_shortest" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val e = pairCounts(s, dir).filter($"w" >= 2)
+        .select($"u", $"v", expr("(1000 + w - 1) DIV w").as("c"))
+      graft.operators.MinPlusPaths.distances(e, "u", "v", "c",
+          n => n % 97 === 0, HopRounds)
+        .orderBy($"node")
+        .select($"node".as("partkey"), $"dist")
+    }),
+
     // L82: strongly connected components of the DIRECTED regional
     // trade graph — supplier → customer when goods ship (≥ 2 lines),
     // customer → supplier when goods come back (a return line), both
@@ -280,6 +296,19 @@ object Graph {
       |  GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "part_shortest" -> {
+      val weighted =
+        """SELECT u, v, (1000 + w - 1) // w AS c FROM (
+          |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2) p WHERE w >= 2""".stripMargin
+      s"""WITH sp AS (
+         |WITH ${graft.operators.MinPlusPaths.distancesSql(weighted,
+            "node % 97 = 0", HopRounds)})
+         |SELECT node AS partkey, dist FROM sp ORDER BY partkey""".stripMargin
+    },
+
     "trade_scc" ->
       s"""WITH RECURSIVE $SccLabelSql
          |SELECT scc, CAST(COUNT(*) AS BIGINT) AS n_nodes,
