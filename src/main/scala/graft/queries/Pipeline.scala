@@ -1609,6 +1609,42 @@ object Pipeline {
     // agg over it), joined back on the term key (vocab-keyed equi
     // join, NOT broadcast — vocabulary outgrows broadcast at corpus
     // scale, the tfidf_terms contract).
+    // L86: PSI population drift — the deployment-monitoring twin of
+    // source_kl: Population Stability Index of the value distribution
+    // between two time windows (first vs second half-month), per
+    // event type — THE standard "did the feature distribution move"
+    // gate before a model retrain. PSI = Σ_bins (pA−pB)·ln(pA/pB)
+    // over fixed equal-width bins; per-bin terms are quantized to
+    // ln-micro before the order-free integer sum (the source_kl
+    // lane), and bins empty on either side are excluded and COUNTED
+    // (reported as skipped_bins — the epsilon-smoothing alternative
+    // would put a tuning constant inside an exactness contract).
+    "psi_drift" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cut = lit("2024-01-16").cast("timestamp")
+      val cnt = Tables.events(s, dir)
+        .select($"event_type", ($"ts" < cut).as("is_a"),
+          floor($"value" / lit(25.0)).cast("long").as("bin"))
+        .groupBy($"event_type", $"bin")
+        .agg(sum(when($"is_a", 1L).otherwise(0L)).as("ca"),
+          sum(when(!$"is_a", 1L).otherwise(0L)).as("cb"))
+      val tot = cnt.groupBy($"event_type")
+        .agg(sum($"ca").as("na"), sum($"cb").as("nb"),
+          sum(when($"ca" === 0L || $"cb" === 0L, 1L).otherwise(0L))
+            .as("skipped_bins"),
+          count(lit(1)).as("n_bins"))
+      val term = ($"ca".cast("double") / $"na" -
+        $"cb".cast("double") / $"nb") *
+        log(($"ca" * $"nb").cast("double") / ($"cb" * $"na").cast("double"))
+      cnt.join(tot, "event_type")
+        .filter($"ca" > 0L && $"cb" > 0L)
+        .select($"event_type", $"n_bins", $"skipped_bins", $"na", $"nb",
+          floor(term * lit(1000000.0) + lit(0.5)).cast("long").as("t"))
+        .groupBy($"event_type", $"n_bins", $"skipped_bins", $"na", $"nb")
+        .agg((sum($"t").cast("double") / lit(1000000.0)).as("psi"))
+        .orderBy($"event_type")
+    }),
+
     "source_kl" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val counts = Tables.documents(s, dir)
@@ -3904,6 +3940,34 @@ object Pipeline {
 
     // identical IEEE term expression (cs/ns)·ln((cs/ns)/(cc/ntot)),
     // identical micro-nat quantization, order-free integer sum
+    // same split, same bins, same ln-micro per-bin quantization
+    "psi_drift" ->
+      """WITH b AS (
+        |  SELECT event_type, ts < TIMESTAMP '2024-01-16' AS is_a,
+        |    CAST(FLOOR(value / 25.0) AS BIGINT) AS bin
+        |  FROM events),
+        |cnt AS (
+        |  SELECT event_type, bin,
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type,
+        |    CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN ca = 0 OR cb = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS skipped_bins,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bins
+        |  FROM cnt GROUP BY 1)
+        |SELECT c.event_type, n_bins, skipped_bins, na, nb,
+        |  CAST(SUM(CAST(FLOOR(
+        |    (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) *
+        |    ln(CAST(ca * nb AS DOUBLE) / CAST(cb * na AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS psi
+        |FROM cnt c JOIN tot ON c.event_type = tot.event_type
+        |WHERE ca > 0 AND cb > 0
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY c.event_type""".stripMargin,
+
     "source_kl" ->
       """WITH c AS (
         |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cs
