@@ -278,6 +278,72 @@ object Mutations {
     // — the group relation is QI-domain-sized, never row-sized, at
     // any scale. floor(bal/1000) banding is IEEE-identical in both
     // engines.
+    // M10: expectation-suite audit — the dbt-tests/Great-Expectations
+    // product shape: a battery of data-contract checks over one table
+    // evaluated in ONE pass each, reported as (check, n_violations,
+    // pass). Checks: key uniqueness, not-null, accepted values, value
+    // range, and referential integrity to customer — the contract
+    // battery every ingestion gate runs before publishing a table.
+    // Each check is a map-combinable count; the RI check is the only
+    // join (key-shuffled anti). Violations are counted, never
+    // collected.
+    "expectations_report" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val dupKeys = o.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+        .filter($"c" > 1L)
+        .agg(coalesce(sum($"c"), lit(0L)).as("n"))
+        .select(lit("unique_orderkey").as("check_name"), $"n")
+      val nulls = o.agg(
+        sum(when($"o_custkey".isNull || $"o_orderdate".isNull ||
+          $"o_totalprice".isNull, 1L).otherwise(0L)).as("n"))
+        .select(lit("not_null_core_cols").as("check_name"), $"n")
+      val accepted = o.agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"), 0L).otherwise(1L)).as("n"))
+        .select(lit("accepted_priorities").as("check_name"), $"n")
+      val range = o.agg(
+        sum(when($"o_totalprice" <= 0.0 || $"o_totalprice" > 1000000.0,
+          1L).otherwise(0L)).as("n"))
+        .select(lit("totalprice_range").as("check_name"), $"n")
+      val ri = o.join(Tables.customer(s, dir),
+          $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("fk_custkey").as("check_name"), $"n")
+      dupKeys.unionAll(nulls).unionAll(accepted).unionAll(range)
+        .unionAll(ri)
+        .select($"check_name", $"n".as("n_violations"),
+          ($"n" === 0L).as("pass"))
+        .orderBy($"check_name")
+    }),
+
+    // M11: l-diversity audit — k-anonymity's sensitive-attribute
+    // sibling: a QI group can be large (k-anonymous) yet expose its
+    // members if everyone shares one sensitive value; l-diversity
+    // requires ≥ l DISTINCT sensitive values per group (sensitive
+    // attribute: the order-priority mix of the customer's orders —
+    // fixture's stand-in for a medical code). One distinct-pair agg +
+    // bounded rollups, the k_anonymity shape.
+    "l_diversity" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val g = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).hint("merge"),
+          $"c_custkey" === $"o_custkey")
+        .groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(countDistinct($"o_orderpriority").as("l_div"),
+          count(lit(1)).as("gsize"))
+      Seq(2L, 3L, 5L).map { l =>
+        g.agg(
+          count(lit(1)).as("n_groups"),
+          sum(when($"l_div" < l, 1L).otherwise(0L))
+            .as("n_violating_groups"),
+          sum(when($"l_div" < l, $"gsize").otherwise(0L))
+            .as("n_rows_at_risk"))
+          .select(lit(l).as("l"), $"n_groups", $"n_violating_groups",
+            $"n_rows_at_risk")
+      }.reduce(_ unionAll _).orderBy($"l")
+    }),
+
     "k_anonymity" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val g = Tables.customer(s, dir)
@@ -455,6 +521,55 @@ object Mutations {
         |      ELSE 0 END) AS BIGINT)
         |  FROM lineitem l LEFT JOIN delo d ON l.l_orderkey = d.o_orderkey)
         |SELECT * FROM a ORDER BY tbl""".stripMargin,
+
+    "expectations_report" ->
+      """WITH dup AS (
+        |  SELECT COALESCE(SUM(c), 0) AS n FROM (
+        |    SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+        |    HAVING COUNT(*) > 1)),
+        |nn AS (
+        |  SELECT SUM(CASE WHEN o_custkey IS NULL OR o_orderdate IS NULL
+        |    OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS n FROM orders),
+        |acc AS (
+        |  SELECT SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH',
+        |    '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 0 ELSE 1 END)
+        |    AS n FROM orders),
+        |rng AS (
+        |  SELECT SUM(CASE WHEN o_totalprice <= 0.0
+        |    OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END) AS n
+        |  FROM orders),
+        |ri AS (
+        |  SELECT COUNT(*) AS n FROM orders
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer
+        |                    WHERE c_custkey = o_custkey))
+        |SELECT check_name, CAST(n AS BIGINT) AS n_violations, n = 0 AS pass
+        |FROM (
+        |  SELECT 'unique_orderkey' AS check_name, n FROM dup
+        |  UNION ALL SELECT 'not_null_core_cols', n FROM nn
+        |  UNION ALL SELECT 'accepted_priorities', n FROM acc
+        |  UNION ALL SELECT 'totalprice_range', n FROM rng
+        |  UNION ALL SELECT 'fk_custkey', n FROM ri)
+        |ORDER BY check_name""".stripMargin,
+
+    "l_diversity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    COUNT(DISTINCT o_orderpriority) AS l_div,
+        |    CAST(COUNT(*) AS BIGINT) AS gsize
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT CAST(l AS BIGINT) AS l, CAST(n_groups AS BIGINT) AS n_groups,
+        |  CAST(n_violating_groups AS BIGINT) AS n_violating_groups,
+        |  CAST(n_rows_at_risk AS BIGINT) AS n_rows_at_risk
+        |FROM (
+        |  SELECT ls.l, COUNT(*) AS n_groups,
+        |    SUM(CASE WHEN l_div < ls.l THEN 1 ELSE 0 END)
+        |      AS n_violating_groups,
+        |    SUM(CASE WHEN l_div < ls.l THEN gsize ELSE 0 END)
+        |      AS n_rows_at_risk
+        |  FROM g CROSS JOIN (VALUES (2), (3), (5)) ls(l)
+        |  GROUP BY 1)
+        |ORDER BY l""".stripMargin,
 
     "k_anonymity" ->
       """WITH g AS (
