@@ -175,6 +175,36 @@ object Graph {
         .orderBy($"level")
     }),
 
+    // L87: hierarchy rollup via aggregate-lattice reuse — the
+    // BOM/org-chart/geo-drilldown aggregation class over the
+    // fixture's radix hierarchy (ancestor at level k = partkey DIV
+    // 10^k: 2000 leaves → 200 → 20 → 2 → 1 node, depth 4). The point
+    // is the LATTICE: level k+1 re-aggregates level k's PARTIALS —
+    // each step shuffles the previous level's node count (2000 → 200
+    // → 20 → …), never the fact table; the naive spelling rescans
+    // the leaves once per level, 4× the input at 100 TB. Exact
+    // integer value lane; (node, level) is the identity (an id can
+    // appear at several levels of a radix tree).
+    "hierarchy_rollup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val leaves = Tables.part(s, dir)
+        .select($"p_partkey".as("node"),
+          floor($"p_retailprice" * lit(10000.0) + lit(0.5)).cast("long")
+            .as("v_micro"))
+      var cur = leaves
+      var acc: DataFrame = null
+      for (lvl <- 1 to 4) {
+        cur = cur
+          .select(expr("node DIV 10").as("node"), $"v_micro")
+          .groupBy($"node").agg(sum($"v_micro").as("v_micro"))
+        val tagged = cur.withColumn("level", lit(lvl).cast("long"))
+        acc = if (acc == null) tagged else acc.unionByName(tagged)
+      }
+      acc.select($"node", $"level",
+          ($"v_micro".cast("double") / lit(10000.0)).as("subtree_value"))
+        .orderBy($"level", $"node")
+    }),
+
     // L85: bounded-horizon weighted shortest paths — HopLevels'
     // weighted sibling: cost = ⌈1000 / w⌉ per supported co-purchase
     // edge (strong ties are cheap to traverse), exact min path cost
@@ -296,6 +326,20 @@ object Graph {
       |  GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // independent spelling: each level grouped DIRECTLY from the
+    // leaves (no lattice reuse) — verifies the partial re-aggregation
+    "hierarchy_rollup" -> {
+      val level = (k: Int) => {
+        val div = math.pow(10, k).toLong
+        s"""SELECT p_partkey // $div AS node, CAST($k AS BIGINT) AS level,
+           |  CAST(SUM(CAST(FLOOR(p_retailprice * 10000.0 + 0.5)
+           |    AS BIGINT)) AS DOUBLE) / 10000.0 AS subtree_value
+           |FROM part GROUP BY 1""".stripMargin
+      }
+      s"""${(1 to 4).map(level).mkString("\nUNION ALL\n")}
+         |ORDER BY level, node""".stripMargin
+    },
+
     "part_shortest" -> {
       val weighted =
         """SELECT u, v, (1000 + w - 1) // w AS c FROM (

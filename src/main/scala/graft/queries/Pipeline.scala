@@ -1279,6 +1279,41 @@ object Pipeline {
         .orderBy($"source")
     }),
 
+    // L88: exact per-group penny allocation — the FINANCIAL
+    // apportionment class (L79's largest-remainder at ROW level, one
+    // allocation per group): spread each order's integer cent total
+    // across its lines proportional to line value, exactly — Σ allocs
+    // ≡ the order total to the cent, no "lost penny". Every quantity
+    // integer (cents × micro-weights, products ≤ ~5e16 « 2⁶³); the
+    // remainder rank is a partition-local window with a deterministic
+    // line tie-break; lines pre-folded per (order, linenumber) —
+    // TESTDATA.md: (l_orderkey, l_linenumber) is NOT unique raw.
+    "penny_allocation" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val lines = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey", $"l_linenumber")
+        .agg(sum(floor($"l_extendedprice" * lit(10000.0) + lit(0.5))
+          .cast("long")).as("w"))
+      val tgt = Tables.orders(s, dir)
+        .select($"o_orderkey",
+          floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+            .as("t"))
+      val wOrd = Window.partitionBy($"l_orderkey")
+      val wRank = Window.partitionBy($"l_orderkey")
+        .orderBy($"rem".desc, $"l_linenumber")
+      lines
+        .join(tgt.hint("merge"), $"l_orderkey" === $"o_orderkey")
+        .withColumn("tw", sum($"w").over(wOrd))
+        .withColumn("base", expr("(t * w) DIV tw"))
+        .withColumn("rem", expr("(t * w) % tw"))
+        .withColumn("leftover", $"t" - sum($"base").over(wOrd))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .select($"l_orderkey", $"l_linenumber",
+          ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+            .as("alloc_cents"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
     // L3/L4: brute-force cosine top-k — the exactness baseline. The
     // probe set (20 vectors) is broadcast against the corpus; ranking
     // uses the quantized score + neighbor id so both engines order
@@ -4542,6 +4577,34 @@ object Pipeline {
         |FROM c a JOIN c b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.k, b.k) <= 2
         |ORDER BY key_a, key_b""".stripMargin,
+
+    // identical integer largest-remainder arithmetic, window spelling
+    "penny_allocation" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |o AS (
+        |  SELECT o_orderkey,
+        |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS t
+        |  FROM orders),
+        |j AS (
+        |  SELECT li.*, o.t,
+        |    CAST(SUM(w) OVER (PARTITION BY l_orderkey) AS BIGINT) AS tw
+        |  FROM li JOIN o ON l_orderkey = o_orderkey),
+        |b AS (
+        |  SELECT *, (t * w) // tw AS base, (t * w) % tw AS rem FROM j),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY rem DESC, l_linenumber) AS rk,
+        |    t - CAST(SUM(base) OVER (PARTITION BY l_orderkey) AS BIGINT)
+        |      AS leftover
+        |  FROM b)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc_cents
+        |FROM r ORDER BY 1, 2""".stripMargin,
 
     // brute all-pairs levenshtein + recursive-CTE undirected closure:
     // the independent replay of blocking+verify+components

@@ -102,6 +102,22 @@ class QueryInvariantsSpec extends SparkSuite {
     assert(got.map(_._1).toSeq == Seq(2L, 5L, 10L))
   }
 
+  test("penny_allocation: every order's cents are conserved exactly") {
+    val sums = q("penny_allocation")
+      .groupBy($"l_orderkey")
+      .agg(sum($"alloc_cents").as("s"))
+    val tgt = Tables.orders(spark, sf)
+      .select($"o_orderkey",
+        floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long").as("t"))
+    // only orders that HAVE lineitems get allocations
+    val joined = sums.join(tgt, $"l_orderkey" === $"o_orderkey")
+      .select($"s", $"t").as[(Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (s, t) =>
+      assert(s == t, "no lost or invented pennies")
+    }
+  }
+
   test("mad_outliers: flags equal a driver-side robust recount") {
     val got = q("mad_outliers")
       .select($"event_type", $"n_rows", $"med", $"mad", $"n_outliers")
