@@ -123,6 +123,27 @@ object Joins {
         .orderBy($"s_suppkey")
     }),
 
+    // J32: null-safe equi join (<=>) — the one equality semantic the
+    // family above lacks: NULL keys MATCH each other (a plain equi
+    // join silently drops every NULL row — the classic "where did my
+    // unattributed bucket go" bug). EqualNullSafe is still an equi
+    // key, so the plan is an ordinary shuffle-on-key join, never a
+    // nested loop; the NULL bucket is reported as key -1.
+    "join_nullsafe" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val a = c.select($"c_custkey".as("a_id"),
+        when($"c_custkey" % 7 === 3, lit(null))
+          .otherwise($"c_nationkey").as("ka"))
+      val b = c.select($"c_custkey".as("b_id"),
+        when($"c_custkey" % 5 === 2, lit(null))
+          .otherwise($"c_nationkey").as("kb"))
+      a.join(b.hint("merge"), $"ka" <=> $"kb")
+        .groupBy(coalesce($"ka", lit(-1)).as("k"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"k")
+    }),
+
     // ---- Composed multi-join analytics (the TPC-H Q3/Q5/Q10 shapes):
     // the coverage class the single-shape rows above can't regression-
     // protect — join ORDER and per-edge strategy choices across 3-6
@@ -431,6 +452,21 @@ object Joins {
         |FROM customer JOIN supplier ON s_acctbal < c_acctbal
         |GROUP BY s_suppkey
         |ORDER BY s_suppkey""".stripMargin,
+
+    "join_nullsafe" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS a_id,
+        |    CASE WHEN c_custkey % 7 = 3 THEN NULL
+        |         ELSE c_nationkey END AS ka
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey AS b_id,
+        |    CASE WHEN c_custkey % 5 = 2 THEN NULL
+        |         ELSE c_nationkey END AS kb
+        |  FROM customer)
+        |SELECT COALESCE(ka, -1) AS k, COUNT(*) AS n_pairs
+        |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+        |GROUP BY 1 ORDER BY k""".stripMargin,
 
     "tpch_q3" ->
       s"""SELECT l_orderkey, o_orderdate,
