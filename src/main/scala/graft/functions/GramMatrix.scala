@@ -117,6 +117,12 @@ case class GramMatrixAgg(
       val d = new Array[Double](dim)
       var i = 0
       while (i < dim) {
+        // fail fast: ArrayData.getDouble on a null slot silently
+        // returns garbage/0.0, which would corrupt the matrix AND
+        // diverge from the oracle (whose NULL products drop out of
+        // its SUM) — a null element is a contract violation, not data
+        require(!arr.isNullAt(i),
+          s"gram_matrix: null element at position $i (vectors must be dense)")
         d(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         i += 1
       }

@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   * practice one round labels every SCC whose min is not "shadowed"
   * by a smaller non-mutual ancestor/descendant.
   *
+  * Each outer round first TRIMS to fixpoint: nodes missing an in- or
+  * out-edge in the live subgraph cannot sit on a cycle and peel as
+  * singletons with cheap degree joins — DAG-shaped mass and chains
+  * (the min-label peel's worst case: one SCC per round) never reach
+  * the propagation passes. The `maxOuter` cap is a safety valve for
+  * adversarial cycle-chain topologies (an SCC chain deeper than
+  * maxOuter aborts loudly rather than running unbounded; raise the
+  * cap for such graphs).
+  *
   * Each propagation is the hash-min loop with POINTER JUMPING
   * (labels are node ids, so lbl(v) may adopt lbl(lbl(v)) — min over
   * ancestors is transitive), giving O(log diameter) rounds per
@@ -54,7 +63,7 @@ object Scc extends Logging {
     *         node's strongly connected component
     */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
-      maxOuter: Int = 40, maxProp: Int = 40,
+      maxOuter: Int = 100, maxProp: Int = 40,
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -65,22 +74,49 @@ object Scc extends Logging {
       var nodes = ckpt(live.select($"s".as("node"))
         .unionAll(live.select($"d".as("node"))).distinct())
       var out = spark.emptyDataset[(Long, Long)].toDF("node", "scc")
-      var outer = 0
-      while (!nodes.isEmpty) {
-        require(outer < maxOuter,
-          s"SCC peeling did not converge in $maxOuter rounds")
-        val fwd = propagate(live.select($"s".as("from"), $"d".as("to")),
-          nodes, maxProp, ckpt).withColumnRenamed("lbl", "f")
-        val bwd = propagate(live.select($"d".as("from"), $"s".as("to")),
-          nodes, maxProp, ckpt).withColumnRenamed("lbl", "b")
-        val both = ckpt(fwd.join(bwd, "node"))
-        out = out.unionAll(
-          both.filter($"f" === $"b").select($"node", $"f".as("scc")))
-        nodes = ckpt(both.filter($"f" =!= $"b").select($"node"))
+
+      def restrictLive(): Unit =
         live = ckpt(live
           .join(nodes.select($"node".as("s")), Seq("s"), "left_semi")
           .join(nodes.select($"node".as("d")), Seq("d"), "left_semi")
           .select($"s", $"d"))
+
+      var outer = 0
+      while (!nodes.isEmpty) {
+        require(outer < maxOuter,
+          s"SCC peeling did not converge in $maxOuter rounds")
+        // TRIM to fixpoint: a node without BOTH an in- and an
+        // out-edge in the live subgraph cannot sit on a cycle — it is
+        // its own SCC. Iterated trimming resolves DAG-shaped mass
+        // (and whole chains — the min-label peel's worst case, one
+        // SCC per round) with cheap degree joins instead of full
+        // forward/backward propagations. Bounded by maxProp per
+        // outer round: a partial trim is only a missed optimization.
+        var t = 0
+        var more = true
+        while (more && t < maxProp && !nodes.isEmpty) {
+          val cyclic = live.select($"s".as("node")).distinct()
+            .join(live.select($"d".as("node")).distinct(), "node")
+          val single = nodes.join(cyclic, Seq("node"), "left_anti")
+          if (single.isEmpty) more = false
+          else {
+            out = out.unionAll(single.select($"node", $"node".as("scc")))
+            nodes = ckpt(nodes.join(cyclic, Seq("node"), "left_semi"))
+            restrictLive()
+            t += 1
+          }
+        }
+        if (!nodes.isEmpty) {
+          val fwd = propagate(live.select($"s".as("from"), $"d".as("to")),
+            nodes, maxProp, ckpt).withColumnRenamed("lbl", "f")
+          val bwd = propagate(live.select($"d".as("from"), $"s".as("to")),
+            nodes, maxProp, ckpt).withColumnRenamed("lbl", "b")
+          val both = ckpt(fwd.join(bwd, "node"))
+          out = out.unionAll(
+            both.filter($"f" === $"b").select($"node", $"f".as("scc")))
+          nodes = ckpt(both.filter($"f" =!= $"b").select($"node"))
+          restrictLive()
+        }
         outer += 1
       }
       logInfo(s"SCC converged in $outer peel rounds")

@@ -40,9 +40,9 @@ object SqlTableFunctions {
     *  - `graft_setsim(sets_view, id_col, set_col, tau_num, tau_den)` —
     *    [[SetSimJoin.selfJoin]]: every pair with exact Jaccard ≥
     *    tau_num/tau_den over a (id, element-array) view
-    *  - `graft_scc(edges_view, src_col, dst_col)` —
-    *    [[Scc.components]]: strongly connected components of a
-    *    directed edge view, labels = min member id
+    *  - `graft_scc(edges_view, src_col, dst_col[, max_outer[,
+    *    max_prop]])` — [[Scc.components]]: strongly connected
+    *    components of a directed edge view, labels = min member id
     */
   def registerAll(spark: SparkSession): Unit = {
     AsOfJoin.registerSqlTableFunction(spark)
@@ -80,8 +80,10 @@ object SqlTableFunctions {
       SetSimJoin.selfJoin(spark.table(args(0)), args(1), args(2),
         args(3).toInt, args(4).toInt)
     }
-    register(spark, "graft_scc", 3, 3) { args =>
-      Scc.components(spark.table(args(0)), args(1), args(2))
+    register(spark, "graft_scc", 3, 5) { args =>
+      Scc.components(spark.table(args(0)), args(1), args(2),
+        maxOuter = args.lift(3).map(_.toInt).getOrElse(100),
+        maxProp = args.lift(4).map(_.toInt).getOrElse(40))
     }
   }
 

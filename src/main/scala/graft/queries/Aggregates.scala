@@ -268,9 +268,9 @@ object Aggregates {
       // a uniform is 2·MAD — so they cannot exercise the flag)
       val base = Tables.events(s, dir)
         .select($"event_type".as("g"), $"value".as("v"))
-      val med = bucketMedian(base)
+      val med = bucketMedian(base, width = 4.0)
       val dev = base.join(med, "g").withColumn("dv", abs($"v" - $"med"))
-      val mad = bucketMedian(dev.select($"g", $"dv".as("v")))
+      val mad = bucketMedian(dev.select($"g", $"dv".as("v")), width = 4.0)
         .withColumnRenamed("med", "mad")
       val isOut = $"dv" > lit(3.0) * $"mad"
       dev.join(mad, "g")
@@ -617,12 +617,15 @@ object Aggregates {
     * — (group, bucket) histogram + bounded cum scan locates the
     * target bucket, then only THAT bucket's rows are ranked (the
     * value window spans ~1/width of the group, never the group).
-    * Input (g, v) → output (g, med). Shared by `exact_median_2pass`'s
-    * family and both `mad_outliers` passes. */
-  private def bucketMedian(df: DataFrame): DataFrame = {
+    * Input (g, v) → output (g, med). `width` must match the input's
+    * domain or every row lands in one bucket and pass 2 degenerates
+    * to the group sort this recipe exists to avoid — callers pick it
+    * per column (SelWidth for the ~1e5-range price columns, ~4 for
+    * events.value's 0–490). */
+  private def bucketMedian(df: DataFrame, width: Double): DataFrame = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val withB = df.withColumn("b", floor($"v" / lit(SelWidth)).cast("long"))
+    val withB = df.withColumn("b", floor($"v" / lit(width)).cast("long"))
     val hist = withB.groupBy($"g", $"b").agg(count(lit(1)).as("c"))
     val targets = hist.groupBy($"g").agg(sum($"c").as("n"))
       .select($"g", expr("(n + 1) DIV 2").as("k"))

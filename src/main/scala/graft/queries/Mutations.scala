@@ -332,16 +332,20 @@ object Mutations {
         .groupBy($"c_nationkey", $"c_mktsegment")
         .agg(countDistinct($"o_orderpriority").as("l_div"),
           count(lit(1)).as("gsize"))
-      Seq(2L, 3L, 5L).map { l =>
-        g.agg(
+      // ONE fact-join pass: the QI-domain-sized group relation crosses
+      // the 3-row threshold frame (the oracle's own spelling) instead
+      // of re-running the merge join per threshold
+      val thresholds = s.createDataFrame(Seq(Tuple1(2L), Tuple1(3L),
+        Tuple1(5L))).toDF("l")
+      g.crossJoin(broadcast(thresholds))
+        .groupBy($"l")
+        .agg(
           count(lit(1)).as("n_groups"),
-          sum(when($"l_div" < l, 1L).otherwise(0L))
+          sum(when($"l_div" < $"l", 1L).otherwise(0L))
             .as("n_violating_groups"),
-          sum(when($"l_div" < l, $"gsize").otherwise(0L))
+          sum(when($"l_div" < $"l", $"gsize").otherwise(0L))
             .as("n_rows_at_risk"))
-          .select(lit(l).as("l"), $"n_groups", $"n_violating_groups",
-            $"n_rows_at_risk")
-      }.reduce(_ unionAll _).orderBy($"l")
+        .orderBy($"l")
     }),
 
     "k_anonymity" -> ((s: SparkSession, dir: String) => {

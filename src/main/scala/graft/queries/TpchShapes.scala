@@ -348,7 +348,7 @@ object TpchShapes {
 
     // Q20 shape: excess-volume suppliers — the NESTED two-level-
     // aggregate semi chain: per-(part, supplier) shipped volume vs
-    // 30% of the part's total (integer cross-multiply over micro
+    // 50% of the part's total (integer cross-multiply over micro
     // sums), then suppliers holding ANY excess position, as a semi
     // join. Both aggregates derive from ONE filtered scan and meet on
     // a merge-pinned partkey join; supplier decorates via broadcast.

@@ -41,6 +41,8 @@ class PlanAuditSpec extends SparkSuite {
       "pmi_collocations", // one-row N/B-totals broadcast (same shape)
       "corr_matrix", // one-row n-cell broadcast over the 2145-cell
                      // metadata relation (scalar-subquery shape)
+      "l_diversity", // 3-row threshold broadcast over the QI-domain-
+                     // sized group relation (prune_audit shape)
       "prune_audit", // 3-row probe broadcast over the bounded per-file
                      // stats relation (the pruning planner's own shape)
       "cms_freq", // one-row corpus-total broadcast (scalar-subquery shape)

@@ -106,6 +106,17 @@ class SccSpec extends SparkSuite {
     assert(nontrivial.size == 5, s"one SCC per region, got ${nontrivial.size}")
   }
 
+  test("a long directed chain resolves via trimming, not one-per-round peels") {
+    // 60 singleton SCCs on a path: without trimming, min-label FW-BW
+    // labels exactly one node per outer round (the review-found worst
+    // case); with trimming the whole chain peels inside the degree
+    // loop — prove it by capping outer rounds far below 60
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Scc.components(chain, "src", "dst", maxOuter = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 59L).map(i => i -> i).toMap)
+  }
+
   test("reliable checkpointDir mode is bitwise-equal to localCheckpoint") {
     val dir = java.nio.file.Files.createTempDirectory("scc-ckpt").toString
     val df = edges.toDF("src", "dst")
