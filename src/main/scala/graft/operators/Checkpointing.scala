@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.DataFrame
 
 /** Shared lineage-truncation plumbing for the iterative graph family
@@ -13,7 +14,27 @@ import org.apache.spark.sql.DataFrame
   * executor-memory path. Results are bitwise identical either way —
   * truncation changes where blocks live, not what they contain.
   */
-object Checkpointing {
+object Checkpointing extends Logging {
+
+  /** Drop the block-manager copy behind a `localCheckpoint`ed frame
+    * (the frame must no longer be used). No-op under `reliable` —
+    * reliable checkpoint files are reaped by the caller/dir owner,
+    * not the block manager. Reaches the checkpoint RDD through the
+    * LogicalRDD leaf — an INTERNAL Spark API: if an upgrade reshapes
+    * the leaf this degrades to a warning (blocks then live until the
+    * ContextCleaner or session end), never a failure. */
+  def free(df: DataFrame, reliable: Boolean): Unit =
+    if (!reliable) {
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      } match {
+        case Some(rdd) => rdd.unpersist(blocking = false)
+        case None => logWarning(
+          "no LogicalRDD leaf under a localCheckpoint'ed frame — Spark " +
+            "internal plan shape changed; superseded checkpoint blocks " +
+            "will not be freed eagerly")
+      }
+    }
 
   /** Runs `body` with a truncation function: reliable `checkpoint()`
     * under `dir` when given, else `localCheckpoint()`.

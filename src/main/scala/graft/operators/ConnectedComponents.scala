@@ -153,13 +153,5 @@ object ConnectedComponents extends Logging {
     * (blocks then live until the ContextCleaner or session end), not
     * a silent permanent leak. */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    } match {
-      case Some(rdd) => rdd.unpersist(blocking = false)
-      case None => logWarning(
-        "no LogicalRDD leaf under a localCheckpoint'ed frame — Spark " +
-          "internal plan shape changed; superseded checkpoint blocks " +
-          "will not be freed eagerly")
-    }
+    Checkpointing.free(df, reliable = false)
 }

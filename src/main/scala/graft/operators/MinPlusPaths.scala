@@ -38,7 +38,9 @@ object MinPlusPaths {
       cCol: String, isSeed: Column => Column, rounds: Int,
       checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val reliable = checkpointDir.isDefined
     Checkpointing.withTruncation(edges.sparkSession, checkpointDir) { ckpt =>
+      def free(df: DataFrame): Unit = Checkpointing.free(df, reliable)
       val sym = ckpt(edges
         .select(col(aCol).cast("long").as("u"),
           col(bCol).cast("long").as("v"), col(cCol).cast("long").as("c"))
@@ -57,14 +59,22 @@ object MinPlusPaths {
           .select(col("v").as("node"), (col("dist") + col("c")).as("dist"))
         val folded = ckpt(dist.unionAll(expanded)
           .groupBy("node").agg(min(col("dist")).as("dist")))
-        // delta frontier: nodes that improved (or appeared) this round
-        frontier = folded
+        // delta frontier: nodes that improved (or appeared) this
+        // round — materialized so the superseded dist (its only other
+        // reader) can be freed; the frontier shrinks, so this is the
+        // cheap side of the round
+        val prevFrontier = frontier
+        frontier = ckpt(folded
           .join(dist.select(col("node"), col("dist").as("prev")),
             Seq("node"), "left")
           .filter(col("prev").isNull || col("dist") < col("prev"))
-          .select(col("node"), col("dist"))
+          .select(col("node"), col("dist")))
+        if (prevFrontier ne dist) free(prevFrontier)
+        free(dist)
         dist = folded
       }
+      free(frontier)
+      free(sym)
       dist
     }
   }

@@ -67,19 +67,27 @@ object Scc extends Logging {
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val reliable = checkpointDir.isDefined
     Checkpointing.withTruncation(spark, checkpointDir) { ckpt =>
-      var live = ckpt(edges
-        .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
-        .filter($"s" =!= $"d").distinct())
-      var nodes = ckpt(live.select($"s".as("node"))
-        .unionAll(live.select($"d".as("node"))).distinct())
+      def free(df: DataFrame): Unit = Checkpointing.free(df, reliable)
+      val typed = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      // node set BEFORE dropping self-loops: a node whose only edge
+      // is (v, v) is trivially its own SCC and must still be labeled
+      // (it falls out of the first trim round, having no live edges)
+      var nodes = ckpt(typed.select($"s".as("node"))
+        .unionAll(typed.select($"d".as("node"))).distinct())
+      var live = ckpt(typed.filter($"s" =!= $"d").distinct())
       var out = spark.emptyDataset[(Long, Long)].toDF("node", "scc")
 
-      def restrictLive(): Unit =
+      def restrictLive(): Unit = {
+        val prev = live
         live = ckpt(live
           .join(nodes.select($"node".as("s")), Seq("s"), "left_semi")
           .join(nodes.select($"node".as("d")), Seq("d"), "left_semi")
           .select($"s", $"d"))
+        free(prev)
+      }
 
       var outer = 0
       while (!nodes.isEmpty) {
@@ -97,43 +105,57 @@ object Scc extends Logging {
         while (more && t < maxProp && !nodes.isEmpty) {
           val cyclic = live.select($"s".as("node")).distinct()
             .join(live.select($"d".as("node")).distinct(), "node")
-          val single = nodes.join(cyclic, Seq("node"), "left_anti")
+          // materialized once: the emptiness probe, the node-set
+          // update and the final out lineage all read THIS frame —
+          // without the ckpt each would re-run the degree joins
+          val single = ckpt(nodes.join(cyclic, Seq("node"), "left_anti")
+            .select($"node", $"node".as("scc")))
           if (single.isEmpty) more = false
           else {
-            out = out.unionAll(single.select($"node", $"node".as("scc")))
-            nodes = ckpt(nodes.join(cyclic, Seq("node"), "left_semi"))
+            out = out.unionAll(single)
+            val prevNodes = nodes
+            nodes = ckpt(nodes.join(single.select($"node"),
+              Seq("node"), "left_anti"))
+            free(prevNodes)
             restrictLive()
             t += 1
           }
         }
         if (!nodes.isEmpty) {
           val fwd = propagate(live.select($"s".as("from"), $"d".as("to")),
-            nodes, maxProp, ckpt).withColumnRenamed("lbl", "f")
+            nodes, maxProp, ckpt, free).withColumnRenamed("lbl", "f")
           val bwd = propagate(live.select($"d".as("from"), $"s".as("to")),
-            nodes, maxProp, ckpt).withColumnRenamed("lbl", "b")
+            nodes, maxProp, ckpt, free).withColumnRenamed("lbl", "b")
           val both = ckpt(fwd.join(bwd, "node"))
-          out = out.unionAll(
-            both.filter($"f" === $"b").select($"node", $"f".as("scc")))
+          free(fwd); free(bwd)
+          out = out.unionAll(ckpt(
+            both.filter($"f" === $"b").select($"node", $"f".as("scc"))))
+          val prevNodes = nodes
           nodes = ckpt(both.filter($"f" =!= $"b").select($"node"))
+          free(prevNodes); free(both)
           restrictLive()
         }
         outer += 1
       }
+      free(live)
       logInfo(s"SCC converged in $outer peel rounds")
       // the union of per-round label fragments is small (one row per
-      // node total); materialize so callers re-read, never re-peel
+      // node total) and each fragment is already materialized;
+      // checkpoint the union so callers re-read, never re-peel
       ckpt(out)
     }
   }
 
   /** Min-label fixpoint along `from → to` over the induced subgraph
     * on `nodes`: returns (node, lbl) with lbl = min id over the node
-    * and everything that reaches it via the given direction. */
-  private def propagate(adj0: DataFrame, nodes: DataFrame, maxProp: Int,
-      ckpt: DataFrame => DataFrame): DataFrame = {
-    val spark = adj0.sparkSession
+    * and everything that reaches it via the given direction. The
+    * caller owns freeing the returned frame; superseded iterations
+    * are freed here. */
+  private def propagate(adj: DataFrame, nodes: DataFrame, maxProp: Int,
+      ckpt: DataFrame => DataFrame,
+      free: DataFrame => Unit): DataFrame = {
+    val spark = adj.sparkSession
     import spark.implicits._
-    val adj = adj0
     var lbl = ckpt(nodes.select($"node", $"node".as("lbl")))
     var iter = 0
     var converged = lbl.isEmpty
@@ -148,11 +170,13 @@ object Scc extends Logging {
           least($"lbl", coalesce($"nmin", $"lbl")).as("lbl"),
           $"lbl".as("prev"))
       // pointer jumping: lbl(v) is an ancestor-or-self of v (in the
-      // traversal direction), so lbl(lbl(v)) is too — adopt its min
+      // traversal direction), so lbl(lbl(v)) is too; labels satisfy
+      // lbl(u) <= u, hence jmp = lbl(lbl(v)) <= lbl(v) — adopt it
       val hop = stepped.select($"node".as("lbl"), $"lbl".as("jmp"))
       val jumped = ckpt(stepped.join(hop, "lbl")
-        .select($"node", least($"lbl", $"jmp").as("lbl"), $"prev"))
+        .select($"node", $"jmp".as("lbl"), $"prev"))
       converged = jumped.filter($"lbl" =!= $"prev").isEmpty
+      free(lbl)
       lbl = jumped.select($"node", $"lbl")
       iter += 1
     }

@@ -294,24 +294,24 @@ object Mutations {
         .filter($"c" > 1L)
         .agg(coalesce(sum($"c"), lit(0L)).as("n"))
         .select(lit("unique_orderkey").as("check_name"), $"n")
-      val nulls = o.agg(
+      // the three row-predicate checks share ONE scan (three sums in
+      // a single aggregate, stacked to rows) — a 100 TB table is not
+      // scanned once per check
+      val rowChecks = o.agg(
         sum(when($"o_custkey".isNull || $"o_orderdate".isNull ||
-          $"o_totalprice".isNull, 1L).otherwise(0L)).as("n"))
-        .select(lit("not_null_core_cols").as("check_name"), $"n")
-      val accepted = o.agg(
+          $"o_totalprice".isNull, 1L).otherwise(0L)).as("nn"),
         sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH", "3-MEDIUM",
-          "4-NOT SPECIFIED", "5-LOW"), 0L).otherwise(1L)).as("n"))
-        .select(lit("accepted_priorities").as("check_name"), $"n")
-      val range = o.agg(
+          "4-NOT SPECIFIED", "5-LOW"), 0L).otherwise(1L)).as("acc"),
         sum(when($"o_totalprice" <= 0.0 || $"o_totalprice" > 1000000.0,
-          1L).otherwise(0L)).as("n"))
-        .select(lit("totalprice_range").as("check_name"), $"n")
+          1L).otherwise(0L)).as("rng"))
+        .select(expr("stack(3, 'not_null_core_cols', nn, " +
+          "'accepted_priorities', acc, 'totalprice_range', rng) " +
+          "AS (check_name, n)"))
       val ri = o.join(Tables.customer(s, dir),
           $"o_custkey" === $"c_custkey", "left_anti")
         .agg(count(lit(1)).as("n"))
         .select(lit("fk_custkey").as("check_name"), $"n")
-      dupKeys.unionAll(nulls).unionAll(accepted).unionAll(range)
-        .unionAll(ri)
+      dupKeys.unionAll(rowChecks).unionAll(ri)
         .select($"check_name", $"n".as("n_violations"),
           ($"n" === 0L).as("pass"))
         .orderBy($"check_name")

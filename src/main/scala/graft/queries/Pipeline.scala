@@ -4194,23 +4194,25 @@ object Pipeline {
          |ORDER BY l.vec_id""".stripMargin,
 
     // same constant-padding derivation replayed from unnested lists:
-    // exact BIGINT moments, one final double ÷/√ per pair
+    // exact BIGINT moments, one final double ÷/√ per pair (dims
+    // interpolated from PqDim so the two sides cannot drift)
     "corr_matrix" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT list_append(embedding::DOUBLE[], 1.0) AS v
         |  FROM embeddings),
-        |dims AS (SELECT CAST(i AS INTEGER) AS i FROM range(65) t(i)),
+        |dims AS (SELECT CAST(i AS INTEGER) AS i FROM range(${PqDim + 1}) t(i)),
         |cells AS (
         |  SELECT a.i, b.i AS j,
         |    SUM(CAST(FLOOR(v[a.i + 1] * v[b.i + 1] * 1000000.0 + 0.5)
         |      AS BIGINT)) AS c
         |  FROM e, dims a, dims b WHERE a.i <= b.i
         |  GROUP BY 1, 2),
-        |n AS (SELECT c AS n_micro FROM cells WHERE i = 64 AND j = 64),
+        |n AS (SELECT c AS n_micro FROM cells
+        |      WHERE i = $PqDim AND j = $PqDim),
         |m AS (
         |  SELECT s.i AS dim, s.c AS s, d.c AS ss
-        |  FROM (SELECT i, c FROM cells WHERE j = 64 AND i < 64) s
-        |  JOIN (SELECT i, c FROM cells WHERE i = j AND i < 64) d
+        |  FROM (SELECT i, c FROM cells WHERE j = $PqDim AND i < $PqDim) s
+        |  JOIN (SELECT i, c FROM cells WHERE i = j AND i < $PqDim) d
         |    ON s.i = d.i)
         |SELECT p.i, p.j,
         |  CAST(FLOOR(
@@ -4222,14 +4224,15 @@ object Pipeline {
         |JOIN m mi ON p.i = mi.dim
         |JOIN m mj ON p.j = mj.dim
         |CROSS JOIN n
-        |WHERE p.i < p.j AND p.j < 64
+        |WHERE p.i < p.j AND p.j < $PqDim
         |ORDER BY p.i, p.j""".stripMargin,
 
     // the unnested-list replay of GramMatrixAgg's quantized products
+    // (dimensionality interpolated from PqDim — the engine side's)
     "gram_matrix" ->
-      """WITH pairs AS (
+      s"""WITH pairs AS (
         |  SELECT CAST(a.i AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j
-        |  FROM range(64) a(i), range(64) b(j) WHERE a.i <= b.j),
+        |  FROM range($PqDim) a(i), range($PqDim) b(j) WHERE a.i <= b.j),
         |n AS (SELECT COUNT(*) AS n_vecs FROM embeddings)
         |SELECT p.i, p.j, n.n_vecs,
         |  CAST(SUM(CAST(FLOOR(
