@@ -89,6 +89,11 @@ class SqlTableFunctionsSpec extends SparkSuite {
     same(
       spark.sql("SELECT * FROM graft_scc('tvf_edges', 'a', 'b')"),
       graft.operators.Scc.components(edges, "a", "b"))
+    // optional round caps reach the operator (and don't change results)
+    same(
+      spark.sql("SELECT * FROM graft_scc('tvf_edges', 'a', 'b', '7', '9')"),
+      graft.operators.Scc.components(edges, "a", "b",
+        maxOuter = 7, maxProp = 9))
   }
 
   test("malformed TVF calls fail loudly") {
