@@ -250,6 +250,44 @@ object Aggregates {
         .orderBy($"l_returnflag", $"quantile")
     }),
 
+    // G22: engine-exact skewness / kurtosis — Spark's built-in
+    // skewness()/kurtosis() are order-dependent double folds (never
+    // hash-comparable across engines); this row computes both from
+    // EXACT integer power sums (the agg_corr recipe extended to 3rd
+    // and 4th moments): per-row micro-quantized q, then S1..S4 as
+    // exact wide-integer sums (q² fits a long; q³/q⁴ ride
+    // decimal(38,0) — headroom to |x| ~ 6e4 at 10⁹ rows), and the
+    // central-moment algebra is the ONLY double math, spelled
+    // identically in both engines on identical operands. Skew and
+    // kurtosis are scale-invariant, so the ×10⁴ quantization unit
+    // cancels exactly.
+    "agg_moments" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val q = floor($"value" * lit(10000.0) + lit(0.5)).cast("long")
+      val qd = q.cast("decimal(38,0)")
+      val q2 = (q * q).cast("decimal(38,0)")
+      val base = Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(qd).cast("double").as("s1"),
+          sum(q2).cast("double").as("s2"),
+          sum(q2 * qd).cast("double").as("s3"),
+          sum(q2 * q2).cast("double").as("s4"))
+      val nD = $"n".cast("double")
+      val mu = $"s1" / nD
+      val m2 = $"s2" / nD - mu * mu
+      val m3 = $"s3" / nD - lit(3.0) * mu * ($"s2" / nD) +
+        lit(2.0) * mu * mu * mu
+      val m4 = $"s4" / nD - lit(4.0) * mu * ($"s3" / nD) +
+        lit(6.0) * mu * mu * ($"s2" / nD) -
+        lit(3.0) * mu * mu * mu * mu
+      base.select($"event_type", $"n",
+        q6(mu / lit(10000.0)).as("mean"),
+        q6(m3 / (m2 * sqrt(m2))).as("skew_q6"),
+        q6(m4 / (m2 * m2) - lit(3.0)).as("kurt_q6"))
+        .orderBy($"event_type")
+    }),
+
     // G21: exact MAD outlier audit — the ROBUST per-group outlier
     // flag (median absolute deviation resists the contamination that
     // drags mean/stddev z-scores toward the outliers they should
@@ -1061,6 +1099,34 @@ object Aggregates {
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // same integer power sums (HUGEINT lane), central-moment algebra
+    // spelled in the identical double-op order
+    "agg_moments" ->
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS q
+         |  FROM events),
+         |a AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST(q * q AS HUGEINT)) AS DOUBLE) AS s2,
+         |    CAST(SUM(CAST(q * q AS HUGEINT) * q) AS DOUBLE) AS s3,
+         |    CAST(SUM(CAST(q * q AS HUGEINT) * CAST(q * q AS HUGEINT))
+         |      AS DOUBLE) AS s4
+         |  FROM b GROUP BY 1),
+         |m AS (
+         |  SELECT event_type, n, s1 / n AS mu, s2 / n AS r2,
+         |    s3 / n AS r3, s4 / n AS r4
+         |  FROM a)
+         |SELECT event_type, n,
+         |  ${sqlQ6("mu / 10000.0")} AS mean,
+         |  ${sqlQ6("(r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu) / " +
+            "((r2 - mu * mu) * sqrt(r2 - mu * mu))")} AS skew_q6,
+         |  ${sqlQ6("(r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - " +
+            "3.0 * mu * mu * mu * mu) / " +
+            "((r2 - mu * mu) * (r2 - mu * mu)) - 3.0")} AS kurt_q6
+         |FROM m ORDER BY event_type""".stripMargin,
 
     // independent spelling: both medians as full row_number windows
     // over the whole group — verifies the two bucket-prune passes

@@ -102,6 +102,26 @@ class QueryInvariantsSpec extends SparkSuite {
     assert(got.map(_._1).toSeq == Seq(2L, 5L, 10L))
   }
 
+  test("agg_moments: power-sum skew/kurtosis ≈ Spark's builtin folds") {
+    // the builtins are order-dependent double folds (why they can't
+    // be the oracle); they still agree with the exact-integer lane to
+    // well past the quantization grid
+    val got = q("agg_moments")
+      .select($"event_type", $"skew_q6", $"kurt_q6")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val ref = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(skewness($"value").as("s"), kurtosis($"value").as("k"))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    got.foreach { case (g, (sk, ku)) =>
+      val (rs, rk) = ref(g)
+      assert(math.abs(sk - rs) < 1e-2, s"$g skew $sk vs $rs")
+      assert(math.abs(ku - rk) < 1e-2, s"$g kurt $ku vs $rk")
+    }
+  }
+
   test("penny_allocation: every order's cents are conserved exactly") {
     val sums = q("penny_allocation")
       .groupBy($"l_orderkey")
