@@ -20,6 +20,17 @@ import org.apache.spark.sql.types._
   * independent of row count — the property that makes X^T X over 10⁹
   * vectors one ordinary aggregation pass: partials combine map-side,
   * and only d·(d+1)/2 longs ever cross the wire per partition.
+  *
+  * Overflow headroom (the dsum convention, stated here because the
+  * micro-sums are plain longs with no runtime guard): each cell sum
+  * must stay under 2⁶³ ≈ 9.2e18, i.e. rows · max|xᵢ·xⱼ| · 10⁶ <
+  * 9.2e18 — at 10⁹ rows that bounds element magnitudes to
+  * |x| ≲ 95 (x² ≤ 9.2e3); at unit-normalized embeddings (|x| ≤ 1,
+  * the intended input) the bound allows ~9e12 rows. Inputs with
+  * element magnitudes ~1e3 overflow SILENTLY at ~1e7 rows — callers
+  * outside the unit-scale envelope must pre-scale the vectors (the
+  * corr_matrix query standardizes per column first) or take the
+  * decimal lane (aggregate in DECIMAL via dsum-style SQL) instead.
   */
 final class GramBuffer(val dim: Int) {
   val cells = new Array[Long](dim * (dim + 1) / 2)

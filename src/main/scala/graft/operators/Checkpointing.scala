@@ -25,15 +25,18 @@ object Checkpointing extends Logging {
     * ContextCleaner or session end), never a failure. */
   def free(df: DataFrame, reliable: Boolean): Unit =
     if (!reliable) {
-      df.queryExecution.analyzed.collectFirst {
+      // collect (not collectFirst): a frame built over several
+      // checkpointed inputs — e.g. a union of per-round checkpoints —
+      // has one LogicalRDD leaf per input, and freeing only the first
+      // would silently pin the rest
+      val leaves = df.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      } match {
-        case Some(rdd) => rdd.unpersist(blocking = false)
-        case None => logWarning(
-          "no LogicalRDD leaf under a localCheckpoint'ed frame — Spark " +
-            "internal plan shape changed; superseded checkpoint blocks " +
-            "will not be freed eagerly")
       }
+      if (leaves.isEmpty) logWarning(
+        "no LogicalRDD leaf under a localCheckpoint'ed frame — Spark " +
+          "internal plan shape changed; superseded checkpoint blocks " +
+          "will not be freed eagerly")
+      else leaves.foreach(_.unpersist(blocking = false))
     }
 
   /** Runs `body` with a truncation function: reliable `checkpoint()`

@@ -519,7 +519,7 @@ object Aggregates {
           approx_count_distinct($"o_custkey", 0.02).as("approx_custs"),
           countDistinct($"o_custkey").as("exact_custs"),
           count(lit(1)).as("n_orders"))
-      approxFrameCache.computeIfAbsent(dir,
+      approxFrameCache.get(s, dir)(
         _ => base.select($"o_orderpriority", $"approx_custs"))
       lastOracleDir = Some(dir)
       base
@@ -566,7 +566,7 @@ object Aggregates {
             1L).otherwise(0L))
         .select($"l_partkey", $"exact_cnt", $"est_cnt", $"within_bound")
         .orderBy($"exact_cnt".desc, $"l_partkey")
-      cmsFrameCache.computeIfAbsent(dir,
+      cmsFrameCache.get(s, dir)(
         _ => out.select($"l_partkey", $"est_cnt"))
       lastOracleDir = Some(dir)
       out
@@ -639,7 +639,7 @@ object Aggregates {
         .select($"src_a", $"src_b", $"exact_overlap", $"est_micro",
           $"within_bound")
         .orderBy($"src_a", $"src_b")
-      kmvFrameCache.computeIfAbsent(dir,
+      kmvFrameCache.get(s, dir)(
         _ => out.select($"src_a", $"src_b", $"est_micro"))
       lastOracleDir = Some(dir)
       out
@@ -701,8 +701,7 @@ object Aggregates {
         pmod(graft.functions.GraftFunctions.fnv1a_seeded(i.toLong, key),
           lit(CmsWidth)).as("b"))): _*))
 
-  private val cmsFrameCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val cmsFrameCache = new SessionCache[DataFrame]
   private val cmsSqlCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -719,8 +718,7 @@ object Aggregates {
   private val KmvBoundRel = 0.5
   private val KmvBoundAbs = 40.0
 
-  private val kmvFrameCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val kmvFrameCache = new SessionCache[DataFrame]
   private val kmvSqlCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -785,8 +783,7 @@ object Aggregates {
     * thresholds. */
   private val ApproxBoundFactor = 0.06
 
-  private val approxFrameCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val approxFrameCache = new SessionCache[DataFrame]
   private val approxSqlCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   @volatile private var lastOracleDir: Option[String] = None
@@ -815,15 +812,15 @@ object Aggregates {
     * `dir`, present once that dir's query has been constructed (which
     * warms its cache) — the Pipeline.oracleFor contract. */
   def oracleFor(dir: String): Map[String, String] =
-    staticOracle ++ Option(approxFrameCache.get(dir)).map { f =>
+    staticOracle ++ approxFrameCache.peek(dir).map { f =>
       Map("agg_approx" -> approxSqlCache.computeIfAbsent(dir, _ =>
         aggApproxSql(f.collect()
           .map(r => (r.getString(0), r.getLong(1))))))
-    }.getOrElse(Map.empty) ++ Option(cmsFrameCache.get(dir)).map { f =>
+    }.getOrElse(Map.empty) ++ cmsFrameCache.peek(dir).map { f =>
       Map("cms_freq" -> cmsSqlCache.computeIfAbsent(dir, _ =>
         cmsFreqSql(f.collect()
           .map(r => (r.getLong(0), r.getLong(1))))))
-    }.getOrElse(Map.empty) ++ Option(kmvFrameCache.get(dir)).map { f =>
+    }.getOrElse(Map.empty) ++ kmvFrameCache.peek(dir).map { f =>
       Map("kmv_overlap" -> kmvSqlCache.computeIfAbsent(dir, _ =>
         kmvOverlapSql(f.collect()
           .map(r => (r.getString(0), r.getString(1), r.getLong(2))))))

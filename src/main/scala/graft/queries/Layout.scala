@@ -194,7 +194,7 @@ object Layout {
             coalesce($"n_files_maybe", lit(0L)) <= $"n_files_total", 1L)
             .otherwise(0L).as("skip_sound"))
         .orderBy($"probe_id")
-      bloomSkipCache.computeIfAbsent(dir,
+      bloomSkipCache.get(s, dir)(
         _ => out.select($"probe_id", $"n_files_maybe"))
       lastOracleDir = Some(dir)
       out
@@ -333,8 +333,7 @@ object Layout {
   private val BloomBits = 4096L
   private val BloomK = 4
 
-  private val bloomSkipCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val bloomSkipCache = new SessionCache[DataFrame]
   private val bloomSkipSqlCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   @volatile private var lastOracleDir: Option[String] = None
@@ -378,7 +377,7 @@ object Layout {
     * once its query has been constructed (the Aggregates.oracleFor
     * contract). */
   def oracleFor(dir: String): Map[String, String] =
-    staticOracle ++ Option(bloomSkipCache.get(dir)).map { f =>
+    staticOracle ++ bloomSkipCache.peek(dir).map { f =>
       Map("bloom_file_skip" -> bloomSkipSqlCache.computeIfAbsent(dir, _ =>
         bloomSkipSql(f.collect()
           .map(r => (r.getLong(0), r.getLong(1))))))

@@ -584,12 +584,11 @@ object Pipeline {
     * jobs) and TWO queries consume the stages (`full_curation`,
     * `curation_funnel`) — cache per dir so a Verify/Bench JVM builds
     * the chain once. The frames themselves stay lazy. */
-  private val curationStagesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, CurationStages]()
+  private val curationStagesCache = new SessionCache[CurationStages]
 
   private[graft] def fullCurationStages(
       s: SparkSession, dir: String): CurationStages =
-    curationStagesCache.computeIfAbsent(dir, d => buildCurationStages(s, d))
+    curationStagesCache.get(s, dir)(d => buildCurationStages(s, d))
 
   private def buildCurationStages(
       s: SparkSession, dir: String): CurationStages = {

@@ -61,3 +61,34 @@ object QueryUtil {
   def sqlDavg(expr: String): String =
     s"(CAST(SUM(CAST(FLOOR(($expr) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT($expr))"
 }
+
+/** Per-dir cache of session-bound values (DataFrames, catalog table
+  * names, structs of frames) shared across the query inventory, safe
+  * against SparkSession restarts within one JVM: an entry is reused
+  * only while the session it was built on is still the caller's live
+  * session. Without the check, a frame cached under the first caller's
+  * session outlives `spark.stop()` — the next session gets a frame
+  * that throws on first use, and a `localCheckpoint`'ed labeling pins
+  * executor blocks for the JVM lifetime. A stale entry is rebuilt on
+  * the caller's session and replaced in place (`compute` keeps the
+  * build atomic per key, matching the old computeIfAbsent contract).
+  */
+private[graft] final class SessionCache[V] {
+  private final class Entry(
+      val session: org.apache.spark.sql.SparkSession, val value: V)
+  private val m =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  def get(s: org.apache.spark.sql.SparkSession, dir: String)(
+      build: String => V): V =
+    m.compute(dir, (d, e) =>
+      if (e != null && (e.session eq s) && !s.sparkContext.isStopped) e
+      else new Entry(s, build(d))).value
+
+  /** Dump-time read: the cached value for `dir` if its owning session
+    * is still alive (oracle interpolation collects these frames right
+    * after the same session constructed the query, which refreshed
+    * the entry via [[get]]). */
+  def peek(dir: String): Option[V] =
+    Option(m.get(dir)).filterNot(_.session.sparkContext.isStopped)
+      .map(_.value)
+}

@@ -246,7 +246,7 @@ object Scalars {
   val nativeHashQueries: Map[String, Q] = Map(
     "hash_fns_native" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      hashDocsCache.computeIfAbsent(dir,
+      hashDocsCache.get(s, dir)(
         d => Tables.documents(s, d).select($"doc_id", $"text"))
       lastOracleDir = Some(dir)
       Tables.documents(s, dir)
@@ -262,8 +262,7 @@ object Scalars {
     * oracle — frame construction is lazy; the collect (and the
     * independent hashing of each text) happens once per dir at
     * oracle-build time, memoized in [[hashSqlCache]]. */
-  private val hashDocsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val hashDocsCache = new SessionCache[DataFrame]
   private val hashSqlCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   @volatile private var lastOracleDir: Option[String] = None
@@ -289,7 +288,7 @@ object Scalars {
     * for `dir`, present once that dir's query has been constructed
     * (which warms its cache) — the Pipeline.oracleFor contract. */
   def oracleFor(dir: String): Map[String, String] =
-    staticOracle ++ Option(hashDocsCache.get(dir)).map { f =>
+    staticOracle ++ hashDocsCache.peek(dir).map { f =>
       Map("hash_fns_native" -> hashSqlCache.computeIfAbsent(dir, _ =>
         hashNativeSql(f.collect().map { r =>
           val b = r.getString(1).getBytes("UTF-8")

@@ -97,9 +97,9 @@ class SccSpec extends SparkSuite {
       .groupBy($"l_suppkey", $"o_custkey", ($"l_returnflag" === "R").as("r"))
       .agg(count(lit(1)).as("w"))
     val fwd = e.filter(!$"r" && $"w" >= 2)
-      .select($"l_suppkey", $"o_custkey" + 10000L)
+      .select($"l_suppkey" * 2L, $"o_custkey" * 2L + 1L)
     val rev = e.filter($"r" && $"w" >= 1)
-      .select($"o_custkey" + 10000L, $"l_suppkey")
+      .select($"o_custkey" * 2L + 1L, $"l_suppkey" * 2L)
     val pairs = fwd.unionAll(rev).as[(Long, Long)].collect().toSeq
     assert(labeled == tarjan(pairs))
     val nontrivial = labeled.groupBy(_._2).filter(_._2.size >= 2)
