@@ -131,4 +131,52 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(dupes.forall(d => !kept.contains(d)))
     assert(kept.size == total - dupes.length)
   }
+
+  test("merge(labels, newEdges) equals a full recompute on random graphs") {
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val all = Seq.fill(240)(
+        (rnd.nextLong(150).abs, rnd.nextLong(150).abs))
+        .filter(e => e._1 != e._2)
+      val (oldE, newE) = all.splitAt(160)
+      val labels = ConnectedComponents.components(
+        oldE.toDF("a", "b"), "a", "b")
+      val got = ConnectedComponents.merge(labels, "node", "component",
+          newE.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ufComponents(all), s"seed=$seed")
+    }
+  }
+
+  test("merge with disjoint new edges: untouched labels pass through") {
+    val oldE = Seq((0L, 1L), (1L, 2L), (5L, 6L))
+    val labels = ConnectedComponents.components(oldE.toDF("a", "b"), "a", "b")
+    // new edges share no node with the labeling (incl. a self-loop,
+    // which must neither touch anything nor drop a label)
+    val newE = Seq((100L, 101L), (101L, 102L), (5L, 5L))
+    val got = ConnectedComponents.merge(labels, "node", "component",
+        newE.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ufComponents(oldE ++ newE.filter(e => e._1 != e._2)))
+  }
+
+  test("merge bridges two old clusters through a brand-new node") {
+    val oldE = Seq((0L, 1L), (1L, 2L), (10L, 11L))
+    val labels = ConnectedComponents.components(oldE.toDF("a", "b"), "a", "b")
+    val newE = Seq((2L, 50L), (50L, 10L))
+    val got = ConnectedComponents.merge(labels, "node", "component",
+        newE.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 0L, 11L -> 0L, 50L -> 0L))
+  }
+
+  test("fixture corpus: incremental cluster merge equals the full closure") {
+    val full = SparkEntry.queries("neardup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val incr = SparkEntry.queries("incremental_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(incr == full)
+    assert(incr.nonEmpty)
+  }
 }
