@@ -54,6 +54,13 @@ object Pipeline {
     * sharper bands at the same threshold). */
   private val MinHashJaccardTau = 0.5
 
+  /** Merge rounds for the `bpe_train` trainer (L90) — enough that the
+    * argmax chain does real multi-symbol merges on the fixture
+    * (merged symbols win later rounds) while the unrolled oracle CTE
+    * stays readable. Production trainers run the identical loop to
+    * vocab size; k is the only knob. */
+  private[graft] val BpeRounds = 8
+
   /** The fixed term queries shared by `bm25_search` (brute corpus
     * scan) and `bm25_indexed` (term-bucket layout) — identical inputs
     * so both run against the identical oracle SQL. */
@@ -2473,6 +2480,59 @@ object Pipeline {
         .limit(50)
     }),
 
+    // L90: BPE merge TRAINER — iterate L41's candidate counting into
+    // the actual tokenizer-training loop: k rounds of count adjacent
+    // pairs → argmax (count desc, pair asc — deterministic tie-break)
+    // → apply the merge corpus-wide. The 100 TB shape is the one real
+    // trainers use: the corpus is scanned ONCE into a word-frequency
+    // table (vocabulary-bounded — Heaps' law, not corpus-bounded);
+    // every round then touches only that table with one
+    // map-combinable pair count. Symbol sequences live as
+    // delimiter-wrapped strings (U+001F sym U+001F per symbol, U+001F
+    // any printable char so joined-string order == tuple order) and
+    // the merge is ONE literal string replace — both engines' replace
+    // is left-to-right non-overlapping, i.e. exactly greedy BPE
+    // application, so the spelling is engine-exact by construction.
+    // The argmax is a one-row broadcast folded into the plan (no
+    // driver collect); the oracle unrolls all k rounds as CTEs
+    // replaying count → argmax → merge → vocab census verbatim.
+    "bpe_train" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val U = "\u001f"
+      val D2 = U + U
+      def syms(c: org.apache.spark.sql.Column) = split(trim(c, U), D2)
+      val words = Tables.documents(s, dir)
+        .select(explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "")
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        // wrap every char: "abc" -> (U)a(U)(U)b(U)(U)c(U)
+        .select(regexp_replace($"w", "(.)", U + "$1" + U).as("seq"), $"cnt")
+        // materialize once: 2k+1 subplans per round chain re-read this
+        .localCheckpoint()
+      var cur = words
+      val roundRows = (1 to BpeRounds).map { r =>
+        val pc = cur
+          .select($"cnt", syms($"seq").as("s"))
+          .select($"cnt", explode(expr(
+            "zip_with(slice(s, 1, size(s)-1), slice(s, 2, size(s)-1), " +
+              "(x, y) -> struct(x AS a, y AS b))")).as("p"))
+          .groupBy($"p.a".as("a"), $"p.b".as("b"))
+          .agg(sum($"cnt").as("c"))
+        val best = pc.orderBy($"c".desc, $"a", $"b").limit(1)
+        val next = cur.crossJoin(broadcast(best))
+          .select(expr(s"replace(seq, concat('$U', a, '$D2', b, '$U'), " +
+            s"concat('$U', a, b, '$U'))").as("seq"), $"cnt")
+        val vocab = next.select(explode(syms($"seq")).as("sym"))
+          .agg(countDistinct($"sym").as("vocab_after"))
+        val row = best.crossJoin(broadcast(vocab))
+          .select(lit(r.toLong).as("merge_round"), $"a".as("left_sym"),
+            $"b".as("right_sym"), $"c".as("pair_count"), $"vocab_after")
+        cur = next
+        row
+      }
+      roundRows.reduce(_ unionAll _).orderBy($"merge_round")
+    }),
+
     // L20 audit: per-cluster quality stats over the near-dup closure —
     // the post-dedup sanity report ("are my clusters tight or is the
     // threshold admitting junk"): size, pair count, min and mean
@@ -4186,6 +4246,46 @@ object Pipeline {
         |  FROM documents WHERE len(text) >= 2)
         |GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    // every trainer round unrolled as CTEs replaying count -> argmax
+    // -> merge -> vocab census; replace() is left-to-right
+    // non-overlapping in both engines, i.e. greedy BPE application
+    "bpe_train" -> {
+      val rounds = (1 to BpeRounds).map { r =>
+        s"""p$r AS (
+           |  SELECT split_part(pq, chr(31), 1) AS a,
+           |    split_part(pq, chr(31), 2) AS b,
+           |    CAST(SUM(cnt) AS BIGINT) AS c FROM (
+           |    SELECT unnest([s[i] || chr(31) || s[i+1]
+           |                   for i in range(1, len(s))]) AS pq, cnt
+           |    FROM (SELECT string_split(trim(seq, chr(31)),
+           |                   chr(31) || chr(31)) AS s, cnt
+           |          FROM w${r - 1}))
+           |  GROUP BY 1, 2),
+           |b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+           |w$r AS (
+           |  SELECT replace(seq,
+           |      chr(31) || a || chr(31) || chr(31) || b || chr(31),
+           |      chr(31) || a || b || chr(31)) AS seq, cnt
+           |  FROM w${r - 1}, b$r),
+           |v$r AS (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS vs FROM (
+           |  SELECT unnest(string_split(trim(seq, chr(31)),
+           |    chr(31) || chr(31))) AS sym FROM w$r))""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to BpeRounds).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS merge_round, a AS left_sym,
+           |  b AS right_sym, c AS pair_count, vs AS vocab_after
+           |FROM b$r, v$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (
+         |  SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
+         |    AS seq, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY 1),
+         |$rounds
+         |$sel
+         |ORDER BY merge_round""".stripMargin
+    },
 
     // the same recursive closure as neardup_clusters, with jaccard
     // kept at the pair level; the mean sums quantized integers

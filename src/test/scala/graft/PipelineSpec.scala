@@ -451,6 +451,45 @@ class PipelineSpec extends SparkSuite {
     assert(rows.head._2 <= totalPos)
   }
 
+  test("bpe_train: equals a sequential in-memory BPE trainer") {
+    // independent reference: classic greedy BPE — word-frequency
+    // table, per-round pair count, argmax (count desc, pair asc),
+    // left-to-right non-overlapping merge application
+    val wordFreq = Tables.documents(spark, sf).select("text").as[String]
+      .collect().flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toList -> ws.length.toLong }
+    var cur: Map[List[String], Long] = wordFreq
+    val want = (1 to graft.queries.Pipeline.BpeRounds).map { r =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      cur.foreach { case (syms, cnt) =>
+        syms.zip(syms.drop(1)).foreach(p => pc(p) += cnt)
+      }
+      val ((a, b), c) = pc.minBy { case ((pa, pb), pcnt) => (-pcnt, pa, pb) }
+      def applyMerge(syms: List[String]): List[String] = {
+        val v = syms.toVector
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < v.length) {
+          if (i + 1 < v.length && v(i) == a && v(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += v(i); i += 1 }
+        }
+        out.toList
+      }
+      cur = cur.groupMapReduce(kv => applyMerge(kv._1))(_._2)(_ + _)
+      val vocab = cur.keysIterator.flatten.toSet.size.toLong
+      (r.toLong, a, b, c, vocab)
+    }
+    val got = SparkEntry.queries("bpe_train")(spark, sf)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+    // merged symbols must win at least one later round on the fixture
+    assert(got.exists(r => r._2.length > 1 || r._3.length > 1),
+      "expected a multi-symbol merge within the round budget")
+  }
+
   test("neardup_dedup_quality keeps exactly one member per cluster, the best") {
     val kept = SparkEntry.queries("neardup_dedup_quality")(spark, sf)
       .select($"doc_id").as[Long].collect().toSet

@@ -51,6 +51,9 @@ class PlanAuditSpec extends SparkSuite {
                            // source-domain relation (scalar-subquery shape)
       "curve_compare", // one-row bounds + 3-row probe broadcasts over
                        // file-count-sized stats (the prune_audit shape)
+      "bpe_train", // per-round one-row argmax + vocab-count broadcasts
+                   // over the word-frequency relation (scalar-subquery
+                   // shape, 2 per merge round)
       "kmv_overlap") // per-SOURCE sketch pairing (source_minhash_sim
                      // shape): both sides are one-row-per-source
                      // relations, the inequality dedupes the bounded
