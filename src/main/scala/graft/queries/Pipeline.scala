@@ -61,6 +61,12 @@ object Pipeline {
     * vocab size; k is the only knob. */
   private[graft] val BpeRounds = 8
 
+  /** df cap for `dup_span_runs` pair generation: a shared span in
+    * more docs than this is boilerplate (L14's department), not
+    * pairwise memorization evidence, and would fan out O(df²) pair
+    * rows per span. */
+  private val SpanDfCap = 16
+
   /** The fixed term queries shared by `bm25_search` (brute corpus
     * scan) and `bm25_indexed` (term-bucket layout) — identical inputs
     * so both run against the identical oracle SQL. */
@@ -1004,6 +1010,55 @@ object Pipeline {
           // min(doc_id) == the minimal representative's doc
           $"rep_doc".as("first_doc"))
         .orderBy($"span_text")
+    }),
+
+    // L91: maximal repeated-span RUNS — the memorization-audit
+    // contract (exact-substring dedup à la Lee et al.): L24 reports
+    // fixed 8-token shared windows, but overlapping windows of one
+    // long verbatim-shared passage are ONE finding, not n. Coalesce
+    // them per (doc_a, doc_b): shared windows meet on the 16-byte
+    // two-lane fingerprint (span text never shuffles — the dup_spans
+    // contract), and a maximal run is an ISLAND on the diagonal —
+    // constant (pos_a − pos_b) offset, consecutive pos_a — detected
+    // with the standard gaps-and-islands window (pos_a − row_number
+    // per (pair, offset) partition): ONE partitioned sort, no
+    // position self-join. The df cap (spans in ≤ 16 docs) bounds the
+    // pair fan-out under hot boilerplate spans (the CandidatePairs
+    // rationale); a dropped span sits in ≥ 17 docs — boilerplate for
+    // L14, not pairwise memorization evidence.
+    "dup_span_runs" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val W = 8
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .filter(size($"ws") >= W)
+      val grams = toks.select($"doc_id",
+        explode(transform(sequence(lit(1), size($"ws") - (W - 1)), i =>
+          struct(i.cast("long").as("pos"),
+            concat_ws(" ", slice($"ws", i, lit(W))).as("sp")))).as("g"))
+        .select($"doc_id", $"g.pos".as("pos"), F.fnv1a($"g.sp").as("fp1"),
+          F.fnv1a_seeded(Lane2Seed, $"g.sp").as("fp2"))
+      val eligible = grams.groupBy($"fp1", $"fp2")
+        .agg(count_distinct($"doc_id").as("n_docs"))
+        .filter($"n_docs" >= 2 && $"n_docs" <= SpanDfCap)
+        .select($"fp1", $"fp2")
+      val e = grams.join(eligible, Seq("fp1", "fp2"), "left_semi")
+      val shared = e
+        .select($"fp1", $"fp2", $"doc_id".as("doc_a"), $"pos".as("pos_a"))
+        .join(e.select($"fp1", $"fp2", $"doc_id".as("doc_b"),
+          $"pos".as("pos_b")), Seq("fp1", "fp2"))
+        .filter($"doc_a" < $"doc_b")
+        .withColumn("diag", $"pos_a" - $"pos_b")
+      shared
+        .withColumn("island", $"pos_a" - row_number().over(
+          Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pos_a")))
+        .groupBy($"doc_a", $"doc_b", $"diag", $"island")
+        .agg(min($"pos_a").as("start_a"), min($"pos_b").as("start_b"),
+          count(lit(1)).as("n_windows"))
+        .select($"doc_a", $"doc_b", $"start_a", $"start_b", $"n_windows",
+          ($"n_windows" + (W - 1)).as("run_tokens"))
+        .orderBy($"doc_a", $"doc_b", $"start_a", $"start_b")
     }),
 
     // L73: benchmark-contamination RATE — decontaminate (L23) and
@@ -4510,6 +4565,37 @@ object Pipeline {
         |FROM g GROUP BY span_text
         |HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY span_text""".stripMargin,
+
+    // strings replay the fingerprint identity; the same
+    // gaps-and-islands window coalesces diagonal-consecutive shared
+    // windows into maximal runs
+    "dup_span_runs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, u.pos AS pos, u.sp AS sp FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i, 'sp': array_to_string(ws[i:i+7], ' ')}
+        |              for i in range(1, len(ws) - 6)]) AS u
+        |    FROM t WHERE len(ws) >= 8)),
+        |el AS (SELECT sp FROM g GROUP BY sp
+        |       HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 16),
+        |sh AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.pos AS pos_a, b.pos AS pos_b
+        |  FROM g a JOIN g b ON a.sp = b.sp AND a.doc_id < b.doc_id
+        |  JOIN el ON el.sp = a.sp),
+        |r AS (
+        |  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+        |    pos_a - row_number() OVER (
+        |      PARTITION BY doc_a, doc_b, pos_a - pos_b
+        |      ORDER BY pos_a) AS island
+        |  FROM sh)
+        |SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(COUNT(*) + 7 AS BIGINT) AS run_tokens
+        |FROM r GROUP BY doc_a, doc_b, diag, island
+        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
 
     // per-source caps: rank prefix / running-sum strict prefix, both
     // scanned in doc_id order

@@ -451,6 +451,44 @@ class PipelineSpec extends SparkSuite {
     assert(rows.head._2 <= totalPos)
   }
 
+  test("dup_span_runs: equals brute maximal-run coalescing in memory") {
+    val W = 8
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val spans: Seq[(Long, Long, String)] = docs.toSeq.flatMap {
+      case (id, text) =>
+        val ws = text.split(" ")
+        if (ws.length < W) Seq.empty[(Long, Long, String)]
+        else (0 to ws.length - W).map(i =>
+          (id, (i + 1).toLong, ws.slice(i, i + W).mkString(" ")))
+    }
+    val dfBySpan = spans.groupBy(_._3)
+      .map { case (sp, occ) => sp -> occ.map(_._1).distinct.size }
+    val eligible =
+      dfBySpan.filter { case (_, d) => d >= 2 && d <= 16 }.keySet
+    val shared = spans.filter(s => eligible(s._3)).groupBy(_._3)
+      .values.flatMap { occ =>
+        for (a <- occ; b <- occ if a._1 < b._1)
+          yield (a._1, b._1, a._2, b._2)
+      }.toSeq
+    val want = shared.groupBy(r => (r._1, r._2, r._3 - r._4))
+      .flatMap { case ((da, db, diag), rows) =>
+        val ps = rows.map(_._3).sorted
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        for (p <- ps) {
+          if (runs.nonEmpty && runs.last._1 + runs.last._2 == p)
+            runs(runs.size - 1) = (runs.last._1, runs.last._2 + 1)
+          else runs += ((p, 1L))
+        }
+        runs.map { case (st, n) =>
+          (da, db, st, st - diag, n, n + W - 1) }
+      }.toSet
+    val got = SparkEntry.queries("dup_span_runs")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.exists(_._5 > 1), "expected a coalesced multi-window run")
+  }
+
   test("bpe_train: equals a sequential in-memory BPE trainer") {
     // independent reference: classic greedy BPE — word-frequency
     // table, per-round pair count, argmax (count desc, pair asc),
