@@ -57,13 +57,27 @@ object Aggregates {
         .groupBy($"l_returnflag")
         .agg(
           count(lit(1)).as("n"),
+          max(abs(qx)).as("qxmax"),
+          max(abs(qy)).as("qymax"),
           sum(qx).cast("double").as("sx"),
           sum(qy).cast("double").as("sy"),
           sum(qx * qx).cast("double").as("sxx"),
           sum(qy * qy).cast("double").as("syy"),
           sum(qx * qy).cast("double").as("sxy"))
         .select($"l_returnflag", $"n",
-          q6(($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1) / lit(1.0e8))
+          // envelope fail-fast (the agg_moments convention): within
+          // n ≤ 1e9, |qx| ≤ 1e7, |qy| ≤ 3e9 every product sum stays
+          // ≤ 9e27 — far under both widened-decimal lanes (Spark
+          // decimal(38,0), DuckDB HUGEINT), so the integer sums are
+          // provably exact; casts beyond 2^53 stay bitwise
+          // cross-engine (MomentsBoundary spec)
+          when($"n" > MomentsNMax || $"qxmax" > MomentsQMax ||
+              $"qymax" > CorrQyMax,
+            expr("raise_error('agg_corr: exactness envelope exceeded " +
+              "(n > 1e9, |x| > 1e3 or |y| > 3e5); raise the " +
+              "quantization unit or shard the group')").cast("double"))
+            .otherwise(
+              q6(($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1) / lit(1.0e8)))
             .as("covar_qty_price"),
           q6(($"n" * $"sxy" - $"sx" * $"sy") /
             (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
@@ -195,14 +209,22 @@ object Aggregates {
       Tables.lineitem(s, dir)
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"),
+          max(abs(qx)).as("qxmax"),
+          max(abs(qy)).as("qymax"),
           sum(qx).cast("double").as("sx"),
           sum(qy).cast("double").as("sy"),
           sum(qx * qy).cast("double").as("sxy"),
           sum(qx * qx).cast("double").as("sxx"))
         .select($"l_returnflag", $"n",
           // slope is unit-free (the 1e4 quantization cancels);
-          // intercept carries it once
-          q6(slope).as("slope_q6"),
+          // intercept carries it once. Envelope fail-fast = the
+          // agg_corr convention (same lanes, same bounds).
+          when($"n" > MomentsNMax || $"qxmax" > MomentsQMax ||
+              $"qymax" > CorrQyMax,
+            expr("raise_error('ols_fit: exactness envelope exceeded " +
+              "(n > 1e9, |x| > 1e3 or |y| > 3e5); raise the " +
+              "quantization unit or shard the group')").cast("double"))
+            .otherwise(q6(slope)).as("slope_q6"),
           q6((($"sy" - slope * $"sx") / $"n") / lit(10000.0))
             .as("intercept_q6"))
         .orderBy($"l_returnflag")
@@ -261,32 +283,8 @@ object Aggregates {
     // identically in both engines on identical operands. Skew and
     // kurtosis are scale-invariant, so the ×10⁴ quantization unit
     // cancels exactly.
-    "agg_moments" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      val q = floor($"value" * lit(10000.0) + lit(0.5)).cast("long")
-      val qd = q.cast("decimal(38,0)")
-      val q2 = (q * q).cast("decimal(38,0)")
-      val base = Tables.events(s, dir)
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(qd).cast("double").as("s1"),
-          sum(q2).cast("double").as("s2"),
-          sum(q2 * qd).cast("double").as("s3"),
-          sum(q2 * q2).cast("double").as("s4"))
-      val nD = $"n".cast("double")
-      val mu = $"s1" / nD
-      val m2 = $"s2" / nD - mu * mu
-      val m3 = $"s3" / nD - lit(3.0) * mu * ($"s2" / nD) +
-        lit(2.0) * mu * mu * mu
-      val m4 = $"s4" / nD - lit(4.0) * mu * ($"s3" / nD) +
-        lit(6.0) * mu * mu * ($"s2" / nD) -
-        lit(3.0) * mu * mu * mu * mu
-      base.select($"event_type", $"n",
-        q6(mu / lit(10000.0)).as("mean"),
-        q6(m3 / (m2 * sqrt(m2))).as("skew_q6"),
-        q6(m4 / (m2 * m2) - lit(3.0)).as("kurt_q6"))
-        .orderBy($"event_type")
-    }),
+    "agg_moments" -> ((s: SparkSession, dir: String) =>
+      momentsOf(Tables.events(s, dir), "event_type", "value")),
 
     // G21: exact MAD outlier audit — the ROBUST per-group outlier
     // flag (median absolute deviation resists the contamination that
@@ -781,6 +779,69 @@ object Aggregates {
   /** 3·rsd with rsd = 0.02 — the SAME double literal the oracle SQL
     * casts from, so both engines compare against bit-identical
     * thresholds. */
+  /** Exactness-envelope bounds for the power-sum aggregate family
+    * (agg_moments / agg_corr / ols_fit): within n ≤ MomentsNMax rows
+    * per group and micro-quantized magnitudes ≤ MomentsQMax (value/x
+    * lane, |v| ≤ 1e3) / CorrQyMax (price lane, |y| ≤ 3e5), every
+    * integer power sum stays ≥ 10× under its exact lane's cap (Spark
+    * widened decimal, DuckDB HUGEINT) — provably no silent overflow —
+    * and the only inexact step left is the final correctly-rounded
+    * decimal→double cast, bitwise equal across engines
+    * (MomentsBoundary spec pins the 2^53 boundary). Violations
+    * raise_error in-query instead of silently degrading. */
+  private[graft] val MomentsNMax = 1000000000L
+  private[graft] val MomentsQMax = 10000000L
+  private[graft] val CorrQyMax = 3000000000L
+
+  /** The G22 power-sum moments pipeline over (group, value), shared
+    * by `agg_moments` and MomentsBoundarySpec so the envelope test
+    * exercises the exact production spelling: micro-quantized q,
+    * exact integer power sums S1..S4 (q² long, q³/q⁴ decimal(38,0)),
+    * central-moment algebra as the ONLY double math. The
+    * exactness-envelope fail-fast is woven into the kept `mean`
+    * column (never prunable): within n ≤ 1e9 and |q| ≤ 1e7 the q⁴
+    * sum is ≤ 1e37 — the decimal(38,0) lane is provably exact — and
+    * the decimal→double casts beyond 2^53 stay bitwise cross-engine
+    * because both engines round correctly to nearest-even
+    * (MomentsBoundarySpec pins Spark to the IEEE reference at the
+    * boundary; the oracle gate exercises ~1e22 sums). Outside the
+    * envelope: raise the quantization unit or shard the group. */
+  private[graft] def momentsOf(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val q = floor(col(valueCol) * lit(10000.0) + lit(0.5)).cast("long")
+    val qd = q.cast("decimal(38,0)")
+    val q2 = (q * q).cast("decimal(38,0)")
+    val base = df
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        max(abs(q)).as("qmax"),
+        sum(qd).cast("double").as("s1"),
+        sum(q2).cast("double").as("s2"),
+        sum(q2 * qd).cast("double").as("s3"),
+        sum(q2 * q2).cast("double").as("s4"))
+    val nD = $"n".cast("double")
+    val mu = $"s1" / nD
+    val m2 = $"s2" / nD - mu * mu
+    val m3 = $"s3" / nD - lit(3.0) * mu * ($"s2" / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = $"s4" / nD - lit(4.0) * mu * ($"s3" / nD) +
+      lit(6.0) * mu * mu * ($"s2" / nD) -
+      lit(3.0) * mu * mu * mu * mu
+    val guarded = when(
+      $"n" > MomentsNMax || $"qmax" > MomentsQMax,
+      expr("raise_error('agg_moments: exactness envelope exceeded " +
+        "(n > 1e9 or |value| > 1e3); raise the quantization unit or " +
+        "shard the group')").cast("double"))
+      .otherwise(q6(mu / lit(10000.0)))
+    base.select(col(groupCol), $"n",
+      guarded.as("mean"),
+      q6(m3 / (m2 * sqrt(m2))).as("skew_q6"),
+      q6(m4 / (m2 * m2) - lit(3.0)).as("kurt_q6"))
+      .orderBy(col(groupCol))
+  }
+
   private val ApproxBoundFactor = 0.06
 
   private val approxFrameCache = new SessionCache[DataFrame]
@@ -982,10 +1043,16 @@ object Aggregates {
 
     "agg_corr" ->
       s"""SELECT l_returnflag, n,
-        |  ${sqlQ6("(sxy - sx * sy / n) / (n - 1) / 1.0e8")} AS covar_qty_price,
+        |  CASE WHEN n > 1000000000 OR qxmax > 10000000
+        |      OR qymax > 3000000000
+        |    THEN error('agg_corr: exactness envelope exceeded')
+        |    ELSE ${sqlQ6("(sxy - sx * sy / n) / (n - 1) / 1.0e8")}
+        |    END AS covar_qty_price,
         |  ${sqlQ6("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))")} AS corr_qty_price
         |FROM (
         |  SELECT l_returnflag, COUNT(*) AS n,
+        |    MAX(ABS(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT))) AS qxmax,
+        |    MAX(ABS(CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS BIGINT))) AS qymax,
         |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sx,
         |    CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sy,
         |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))
@@ -999,10 +1066,16 @@ object Aggregates {
 
     "ols_fit" ->
       s"""SELECT l_returnflag, n,
-        |  ${sqlQ6("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope_q6,
+        |  CASE WHEN n > 1000000000 OR qxmax > 10000000
+        |      OR qymax > 3000000000
+        |    THEN error('ols_fit: exactness envelope exceeded')
+        |    ELSE ${sqlQ6("(n * sxy - sx * sy) / (n * sxx - sx * sx)")}
+        |    END AS slope_q6,
         |  ${sqlQ6("((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) / 10000.0")} AS intercept_q6
         |FROM (
         |  SELECT l_returnflag, COUNT(*) AS n,
+        |    MAX(ABS(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT))) AS qxmax,
+        |    MAX(ABS(CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS BIGINT))) AS qymax,
         |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sx,
         |    CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sy,
         |    CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS DECIMAL(19,0))
@@ -1106,6 +1179,7 @@ object Aggregates {
          |  FROM events),
          |a AS (
          |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    MAX(ABS(q)) AS qmax,
          |    CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE) AS s1,
          |    CAST(SUM(CAST(q * q AS HUGEINT)) AS DOUBLE) AS s2,
          |    CAST(SUM(CAST(q * q AS HUGEINT) * q) AS DOUBLE) AS s3,
@@ -1113,11 +1187,13 @@ object Aggregates {
          |      AS DOUBLE) AS s4
          |  FROM b GROUP BY 1),
          |m AS (
-         |  SELECT event_type, n, s1 / n AS mu, s2 / n AS r2,
+         |  SELECT event_type, n, qmax, s1 / n AS mu, s2 / n AS r2,
          |    s3 / n AS r3, s4 / n AS r4
          |  FROM a)
          |SELECT event_type, n,
-         |  ${sqlQ6("mu / 10000.0")} AS mean,
+         |  CASE WHEN n > 1000000000 OR qmax > 10000000
+         |    THEN error('agg_moments: exactness envelope exceeded')
+         |    ELSE ${sqlQ6("mu / 10000.0")} END AS mean,
          |  ${sqlQ6("(r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu) / " +
             "((r2 - mu * mu) * sqrt(r2 - mu * mu))")} AS skew_q6,
          |  ${sqlQ6("(r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - " +
