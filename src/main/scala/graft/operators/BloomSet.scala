@@ -167,6 +167,24 @@ object BloomSet {
     * range, not to replace the confirm join above it. */
   val MaxShards: Int = 64
 
+  /** Size governor for the LITERAL sharded family: total bits above
+    * this (2^29 = 64 MiB of words) stop being a sane plan literal or
+    * driver collect — the filter would be embedded into every task's
+    * serialized plan and re-shipped per query. [[buildSharded]] and
+    * [[mightContainSharded]] fail fast at the bound with the routed
+    * escape: [[buildShardedIndex]] + [[maybeKeys]], the Y4-style
+    * DISTRIBUTED index relation (never collected, never a literal —
+    * probes reach it through a (shard, word)-keyed equi-join), which
+    * holds the identical membership contract at any size
+    * (spec-pinned parity in BloomSetSpec). */
+  val MaxLiteralBits: Long = 1L << 29
+
+  private def literalRouteMsg(totalBits: Long): String =
+    s"sharded bloom filter of $totalBits bits exceeds the " +
+      s"$MaxLiteralBits-bit plan-literal governor; build the " +
+      "distributed index instead (BloomSet.buildShardedIndex + " +
+      "maybeKeys — same membership contract, no literal)"
+
   /** Seed of the shard-selector hash — outside the position-lane
     * family ([[laneSeed]] of a negative index), so shard choice and
     * in-shard positions stay decorrelated. */
@@ -203,6 +221,8 @@ object BloomSet {
       s"numBitsPerShard must be a positive multiple of 64 <= $MaxBits, " +
         s"got $numBitsPerShard")
     require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    require(nShards.toLong * numBitsPerShard <= MaxLiteralBits,
+      literalRouteMsg(nShards.toLong * numBitsPerShard))
     val pos = explode(array(positions(key, numBitsPerShard, k): _*)).as("pos")
     val rows = keys.where(key.isNotNull)
       .select(shardOf(key, nShards).as("shard"), pos)
@@ -222,9 +242,49 @@ object BloomSet {
     * k bit-tests run against that shard's words. Same one-sided
     * contract as [[mightContain]]. */
   def mightContainSharded(key: Column, f: ShardedFilter): Column = {
+    require(f.totalBits <= MaxLiteralBits, literalRouteMsg(f.totalBits))
     val shardsLit = typedlit(f.shards.map(_.toSeq).toSeq)
     val shardWords = element_at(shardsLit,
       (shardOf(key, f.nShards) + lit(1)).cast("int"))
     wordTests(key, shardWords, f.numBitsPerShard, f.k)
+  }
+
+  /** The routed escape past [[MaxLiteralBits]]: the sharded filter as
+    * a DISTRIBUTED relation — one row per (shard, w, bits), exactly
+    * [[buildGroupedIndex]] with the shard hash as the group. Nothing
+    * is collected to the driver and nothing becomes a plan literal at
+    * any key count; bit-identical content to [[buildSharded]]'s words
+    * at the same parameters (the same positions/bit_or pipeline).
+    * Persist it partitioned by `shard` like any Y4 index. */
+  def buildShardedIndex(keys: DataFrame, key: Column, nShards: Int,
+      numBitsPerShard: Long, k: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    buildGroupedIndex(keys.where(key.isNotNull)
+        .select(key.as("__bk"), shardOf(key, nShards).as("shard")),
+      Seq(col("shard")), col("__bk"), numBitsPerShard, k)
+  }
+
+  /** DISTINCT probe keys the sharded index says are "maybe present"
+    * (the same one-sided contract as [[mightContainSharded]]): a key
+    * is maybe-present iff EVERY required word mask matches its
+    * shard's index rows. Callers left-semi join their relation on
+    * the returned `__k` column — the corpus never ships the index and
+    * the index never ships the corpus; the only shuffle is the
+    * (shard, w)-keyed probe join, sized by distinct probe keys × k.
+    */
+  def maybeKeys(probes: DataFrame, key: Column, index: DataFrame,
+      nShards: Int, numBitsPerShard: Long, k: Int): DataFrame = {
+    val pk = probes.where(key.isNotNull).select(key.as("__k")).distinct()
+      .select(col("__k"), shardOf(col("__k"), nShards).as("shard"),
+        explode(probeWordMasks(col("__k"), numBitsPerShard, k)).as("pm"))
+      .select(col("__k"), col("shard"),
+        col("pm.w").as("w"), col("pm.m").as("m"))
+    val need = pk.groupBy(col("__k")).agg(count(lit(1)).as("__need"))
+    pk.join(index, Seq("shard", "w"))
+      .filter(col("bits").bitwiseAND(col("m")) === col("m"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("__ok"))
+      .join(need, Seq("__k"))
+      .filter(col("__ok") === col("__need"))
+      .select(col("__k"))
   }
 }

@@ -94,6 +94,67 @@ class BloomSetSpec extends SparkSuite {
     }
   }
 
+  test("plan-literal governor: oversized sharded filters fail fast " +
+      "with the distributed-index route") {
+    // build-time: 64 shards x MaxBits = 2^32 bits — rejected before
+    // any job runs
+    val eb = intercept[IllegalArgumentException] {
+      BloomSet.buildSharded(keys.toDF("k"), $"k",
+        BloomSet.MaxShards, BloomSet.MaxBits, 4)
+    }
+    assert(eb.getMessage.contains("plan-literal governor") &&
+      eb.getMessage.contains("buildShardedIndex"))
+    // probe-time: a filter whose DECLARED geometry is past the bound
+    // (tiny placeholder arrays — the require must fire on totalBits
+    // before the arrays are ever touched)
+    val fake = BloomSet.ShardedFilter(
+      Array.fill(64)(Array(0L)), BloomSet.MaxBits, 4)
+    val ep = intercept[IllegalArgumentException] {
+      BloomSet.mightContainSharded($"k", fake)
+    }
+    assert(ep.getMessage.contains("plan-literal governor"))
+    // and the spec'd-envelope literal (4 x MaxBits = 2^28) stays
+    // under the governor — the boundary is above the proven envelope
+    assert(4L * BloomSet.MaxBits <= BloomSet.MaxLiteralBits)
+  }
+
+  test("distributed sharded index answers exactly like the literal " +
+      "sharded filter") {
+    val nShards = 4
+    val bits = 1L << 13
+    val kk = 4
+    val keySet = spark.range(5000).select($"id".cast("string").as("k"))
+    val f = BloomSet.buildSharded(keySet, $"k", nShards, bits, kk)
+    val index = BloomSet.buildShardedIndex(keySet, $"k", nShards, bits, kk)
+    // index content == collected words (same positions/bit_or lane)
+    val idxWords = index.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    f.shards.zipWithIndex.foreach { case (ws, s) =>
+      ws.zipWithIndex.foreach { case (bitsWord, w) =>
+        if (bitsWord != 0L)
+          assert(idxWords((s.toLong, w.toLong)) == bitsWord,
+            s"shard $s word $w differs")
+      }
+    }
+    // membership parity on present + absent probes
+    val probes = spark.range(0, 10000, 7)
+      .select($"id".cast("string").as("k"))
+      .unionAll(spark.range(3000)
+        .select(concat(lit("absent-"), $"id").as("k")))
+    val viaLiteral = probes
+      .filter(BloomSet.mightContainSharded($"k", f))
+      .as[String].collect().toSet
+    val viaIndex = BloomSet
+      .maybeKeys(probes, $"k", index, nShards, bits, kk)
+      .as[String].collect().toSet
+    assert(viaLiteral == viaIndex,
+      s"literal vs index disagree on ${(viaLiteral diff viaIndex) ++
+        (viaIndex diff viaLiteral)}")
+    // one-sided contract sanity: every inserted probe is maybe
+    assert(spark.range(0, 10000, 7).filter($"id" < 5000).count() ==
+      viaIndex.count(k => !k.startsWith("absent-") && k.toLong < 5000))
+  }
+
   test("NULL probe stays NULL; NULL build keys are skipped") {
     val f = BloomSet.build(
       Seq(Some("a"), None, Some("b")).toDF("k"), $"k", 64 * 8, 3)
