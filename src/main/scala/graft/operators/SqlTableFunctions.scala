@@ -43,6 +43,17 @@ object SqlTableFunctions {
     *  - `graft_scc(edges_view, src_col, dst_col[, max_outer[,
     *    max_prop]])` — [[Scc.components]]: strongly connected
     *    components of a directed edge view, labels = min member id
+    *  - `graft_neardup_dedup(docs_view, tau)` — the curation product
+    *    itself from SQL: LSH pairs at Jaccard ≥ tau → cluster
+    *    closure → drop non-canonical members; returns the view's
+    *    rows minus near-duplicates
+    *  - `graft_pack(chunks_view, budget[, n_buckets[, salt]])` —
+    *    [[Packing.packChunks]] offset sequence packing over a
+    *    (doc_id, chunk_id, n_tokens) view
+    *  - `graft_budget_select(view, id_col, score_col, value_col,
+    *    num[, den])` — [[BudgetSelect.select]] at absolute budget
+    *    `num`, or [[BudgetSelect.selectFraction]] at `num/den` of
+    *    the total when `den` is given
     */
   def registerAll(spark: SparkSession): Unit = {
     AsOfJoin.registerSqlTableFunction(spark)
@@ -84,6 +95,34 @@ object SqlTableFunctions {
       Scc.components(spark.table(args(0)), args(1), args(2),
         maxOuter = args.lift(3).map(_.toInt).getOrElse(100),
         maxProp = args.lift(4).map(_.toInt).getOrElse(40))
+    }
+    register(spark, "graft_neardup_dedup", 2, 2) { args =>
+      import org.apache.spark.sql.functions.col
+      val docs = spark.table(args(0))
+      val pairs = graft.queries.Pipeline.minhashNearDupPairs(
+        docs.select(col("doc_id"), col("text")), args(1).toDouble)
+      val dupes = ConnectedComponents.components(pairs, "doc_a", "doc_b")
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      docs.join(dupes, Seq("doc_id"), "left_anti")
+    }
+    register(spark, "graft_pack", 2, 4) { args =>
+      import org.apache.spark.sql.functions.col
+      Packing.packChunks(
+        spark.table(args(0))
+          .select(col("doc_id"), col("chunk_id"), col("n_tokens")),
+        args(1).toInt,
+        args.lift(2).map(_.toInt).getOrElse(64),
+        args.lift(3).getOrElse("pack:v1:"))
+    }
+    register(spark, "graft_budget_select", 5, 6) { args =>
+      val df = spark.table(args(0))
+      args.lift(5) match {
+        case Some(den) => BudgetSelect.selectFraction(df, args(1),
+          args(2), args(3), args(4).toLong, den.toLong)
+        case None => BudgetSelect.select(df, args(1), args(2), args(3),
+          args(4).toLong)
+      }
     }
   }
 

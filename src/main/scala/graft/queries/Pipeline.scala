@@ -1113,6 +1113,44 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // U5 curation twins: the three headline curation ops driven
+    // purely through SQL text (graft_neardup_dedup / graft_pack /
+    // graft_budget_select — operators.SqlTableFunctions). Each twin
+    // shares its library row's oracle VERBATIM, holding the SQL path
+    // to byte-identical results; SqlTableFunctionsSpec additionally
+    // pins DataFrame-level parity, so nothing is re-implemented on
+    // the text path.
+    "neardup_dedup_sql" -> ((s: SparkSession, dir: String) => {
+      graft.operators.SqlTableFunctions.registerAll(s)
+      Tables.documents(s, dir).createOrReplaceTempView("tvfq_documents")
+      s.sql("""SELECT doc_id, lang, source, n_chars
+              |FROM graft_neardup_dedup('tvfq_documents', '0.5')
+              |ORDER BY doc_id""".stripMargin)
+    }),
+
+    "pack_sql" -> ((s: SparkSession, dir: String) => {
+      graft.operators.SqlTableFunctions.registerAll(s)
+      import s.implicits._
+      Tables.documents(s, dir).select($"doc_id", $"text")
+        .createOrReplaceTempView("tvfq_docs")
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW tvfq_chunks AS " +
+        "SELECT * FROM graft_chunk('tvfq_docs', '16', '4')")
+      s.sql("SELECT * FROM graft_pack('tvfq_chunks', '64', '8') " +
+        "ORDER BY bucket, seq_id")
+    }),
+
+    "budget_select_sql" -> ((s: SparkSession, dir: String) => {
+      graft.operators.SqlTableFunctions.registerAll(s)
+      import s.implicits._
+      Tables.documents(s, dir).select($"doc_id",
+          qualityOf($"text").as("quality"),
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+        .createOrReplaceTempView("tvfq_scored")
+      s.sql("SELECT * FROM graft_budget_select(" +
+        "'tvfq_scored', 'doc_id', 'quality', 'n_tokens', '2', '5') " +
+        "ORDER BY doc_id")
+    }),
+
     // L26: symmetric int8 embedding quantization — the 4x shuffle/
     // storage lever vector search wants before ANN at 100 TB. Per
     // vector: scale = max|x|/127, q_i = floor(x_i*127/mx + 0.5)
@@ -3977,7 +4015,7 @@ object Pipeline {
        |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
   }
 
-  private val staticOracle: Map[String, String] = Map(
+  private val staticOracleBase: Map[String, String] = Map(
     // Oracle partitions by text directly — semantically identical to
     // the 128-bit fingerprint absent a collision (~1e-20 at 4B docs).
     "exact_dedup" ->
@@ -5105,6 +5143,14 @@ object Pipeline {
          |  UNION ALL SELECT 6, 'packed_sequences', COUNT(*) FROM sq)
          |ORDER BY stage_no""".stripMargin,
   ) ++ staticOracleTail
+
+  /** SQL-twin rows (`*_sql`): the TVF text path must produce the
+    * IDENTICAL result, so each twin shares its library row's oracle
+    * verbatim (the bm25_indexed pattern). */
+  private val staticOracle: Map[String, String] = staticOracleBase ++ Map(
+    "neardup_dedup_sql" -> staticOracleBase("neardup_dedup"),
+    "pack_sql" -> staticOracleBase("pack_sequences"),
+    "budget_select_sql" -> staticOracleBase("token_budget_select"))
 
   /** The full_curation oracle's CTE chain (everything up to and
     * including `st`) — shared verbatim with `curation_funnel`, so the

@@ -65,6 +65,42 @@ class SqlTableFunctionsSpec extends SparkSuite {
         spark.table("tvf_sets"), "doc_id", "toks", 1, 2))
   }
 
+  test("graft_neardup_dedup / graft_pack / graft_budget_select " +
+      "equal the library calls") {
+    SqlTableFunctions.registerAll(spark)
+    val full = Tables.documents(spark, sf)
+    full.createOrReplaceTempView("tvf_docs_full")
+    val pairs = graft.queries.Pipeline.minhashNearDupPairs(docs, 0.5)
+    val dupes = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+      .filter($"node" =!= $"component").select($"node".as("doc_id"))
+    same(
+      spark.sql("SELECT * FROM graft_neardup_dedup('tvf_docs_full', '0.5')"),
+      full.join(dupes, Seq("doc_id"), "left_anti"))
+
+    val chunks = Chunking.chunkDocs(docs, 16, 4)
+    chunks.createOrReplaceTempView("tvf_chunks_v")
+    same(
+      spark.sql("SELECT * FROM graft_pack('tvf_chunks_v', '64', '8')"),
+      graft.operators.Packing.packChunks(
+        chunks.select($"doc_id", $"chunk_id", $"n_tokens"), 64, 8))
+
+    val scored = docs.select($"doc_id",
+      (length($"text") % 64).cast("double").as("score"),
+      size(split($"text", " ")).cast("long").as("nt"))
+    scored.createOrReplaceTempView("tvf_scored")
+    same(
+      spark.sql("SELECT * FROM graft_budget_select(" +
+        "'tvf_scored', 'doc_id', 'score', 'nt', '5000')"),
+      graft.operators.BudgetSelect.select(
+        scored, "doc_id", "score", "nt", 5000L))
+    same(
+      spark.sql("SELECT * FROM graft_budget_select(" +
+        "'tvf_scored', 'doc_id', 'score', 'nt', '2', '5')"),
+      graft.operators.BudgetSelect.selectFraction(
+        scored, "doc_id", "score", "nt", 2, 5))
+  }
+
   test("graft_skyline / graft_kcore / graft_hops equal the library calls") {
     SqlTableFunctions.registerAll(spark)
     Tables.part(spark, sf).select($"p_partkey", $"p_retailprice", $"p_size")
