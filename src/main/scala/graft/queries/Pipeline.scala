@@ -546,6 +546,27 @@ object Pipeline {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** `(doc_id, band_no, band_hash)` LSH band keys of a
+    * (doc_id, text) relation at threshold `tau` — the persisted-index
+    * unit ([[graft.operators.BandIndex]]) and the in-query banding of
+    * [[minhashNearDupPairs]] / `incremental_neardup`, one spelling
+    * (banding computed FROM tau by LshTuning; signature/band stages
+    * as separate projections so CollapseProject never re-inlines the
+    * 64-reference expressions). */
+  private[graft] def minhashBandsOf(docs: DataFrame, tau: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (lshRows, lshBands) =
+      graft.operators.LshTuning.minhashBands(tau, MinHashSeeds)
+    val hashed = withShingleHashes(
+      docs.select($"doc_id", $"text").repartition($"doc_id"), Seq("doc_id"))
+    hashed.select($"doc_id", minhashSig($"hs").as("sig"))
+      .select($"doc_id",
+        explode(bandKeys($"sig", lshRows, lshBands)).as("bk"))
+      .select($"doc_id", $"bk.band_no".as("band_no"),
+        $"bk.band_hash".as("band_hash"))
+  }
+
   /** Shared front end of the cluster-closure queries: MinHash near-dup
     * pairs at the standard τ, closed into components. The CC driver
     * loop runs at DataFrame-construction time (like the k-means build
@@ -2839,22 +2860,13 @@ object Pipeline {
     // planted in the batch (jaccard (W-2)/(W-1) ≥ τ for W ≥ 4).
     "incremental_neardup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val (lshRows, lshBands) =
-        graft.operators.LshTuning.minhashBands(MinHashJaccardTau, MinHashSeeds)
       val base = Tables.documents(s, dir).select($"doc_id", $"text")
       val corpus = base.filter($"doc_id" % 10 =!= 0)
       val batch = base.filter($"doc_id" % 10 === 0)
         .unionAll(corpus.filter($"doc_id" % 23 === 3)
           .select(($"doc_id" + 10000000L).as("doc_id"),
             concat($"text", lit(" incrementalprobe")).as("text")))
-      def bands(docs: DataFrame) = {
-        val hashed = withShingleHashes(
-          docs.repartition($"doc_id"), Seq("doc_id"))
-        hashed.select($"doc_id", minhashSig($"hs").as("sig"))
-          .select($"doc_id", explode(bandKeys($"sig", lshRows, lshBands)).as("bk"))
-          .select($"doc_id", $"bk.band_no".as("band_no"),
-            $"bk.band_hash".as("band_hash"))
-      }
+      def bands(docs: DataFrame) = minhashBandsOf(docs, MinHashJaccardTau)
       // sign-flip batch ids so the union's a<b pairs classify by sign
       val batchBands = bands(batch)
         .select((-$"doc_id" - 1L).as("doc_id"), $"band_no", $"band_hash")

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.BandIndex
+import org.apache.spark.sql.functions._
+
+/** The persisted LSH band index must be maintainable by appends: a
+  * half-build plus streamed batch appends must equal a from-scratch
+  * full rebuild, both as raw index CONTENT and through the candidate
+  * probe (the InvertedIndexSpec appendPostings contract applied to
+  * band keys). */
+class BandIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val NB = 8
+  private val Tau = 0.5
+
+  private lazy val docs = Tables.documents(spark, sf)
+    .select($"doc_id", $"text")
+
+  private def indexRows(path: String): Seq[(Long, Int, Long, Long)] =
+    spark.read.parquet(path)
+      .select($"doc_id", $"band_no".cast("int"), $"band_hash",
+        $"bucket".cast("long"))
+      .as[(Long, Int, Long, Long)].collect().sorted.toSeq
+
+  test("streamed appendBands maintains the index: content and probe " +
+      "equal a full rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val full = "/tmp/graft_band_index/full"
+    val maintained = "/tmp/graft_band_index/maintained"
+    Seq(full, maintained).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+
+    // reference: one-shot build over the whole corpus
+    BandIndex.writeBandLayout(BandIndex.buildBands(docs, Tau, NB), full)
+
+    // maintained: half built, the other half arrives as a stream
+    val half = docs.filter($"doc_id" % 2 === 0)
+    BandIndex.writeBandLayout(BandIndex.buildBands(half, Tau, NB),
+      maintained)
+    val rest = docs.filter($"doc_id" % 2 === 1)
+      .as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          BandIndex.appendBands(b, maintained, Tau, NB)
+      }.start()
+    try {
+      rest.grouped(rest.size / 2 + 1).foreach { batch =>
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // raw content parity: every (doc, band, hash, bucket) row equal
+    val got = indexRows(maintained)
+    assert(got == indexRows(full) && got.nonEmpty)
+
+    // probe parity through both layouts, with planted near-dup twins
+    // so the candidate set is non-trivially non-empty
+    val batch = docs.filter($"doc_id" % 7 === 3)
+      .select(($"doc_id" + 5000000L).as("doc_id"),
+        concat($"text", lit(" bandprobe")).as("text"))
+    val viaMaintained = BandIndex
+      .probeCandidates(batch, maintained, Tau, NB)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val viaFull = BandIndex.probeCandidates(batch, full, Tau, NB)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(viaMaintained == viaFull && viaMaintained.nonEmpty)
+    // every planted twin must find its source doc among candidates
+    // (banding recall at J ≈ (W-1)/W is ~1 by construction)
+    val planted = batch.select($"doc_id").as[Long].collect().toSet
+    val recovered = viaMaintained.map(_._1).toSet
+    assert(planted.subsetOf(recovered),
+      s"missing twins: ${planted diff recovered}")
+    viaMaintained.foreach { case (b, c) =>
+      assert(b >= 5000000L && c < 5000000L,
+        "cross pairs must be batch x corpus")
+    }
+  }
+
+  test("the probe lists only the batch's buckets") {
+    // 16 band keys per doc into 64 buckets: one doc touches ≤ 16
+    // buckets, so the literal IN-prune must name a strict subset
+    val wide = 64
+    val path = "/tmp/graft_band_index/wide"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    BandIndex.writeBandLayout(BandIndex.buildBands(docs, Tau, wide), path)
+    val batch = docs.orderBy($"doc_id").limit(1)
+    val batchBuckets = BandIndex.buildBands(batch, Tau, wide)
+      .select($"bucket".cast("long")).distinct().as[Long].collect().toSet
+    assert(batchBuckets.size <= 16)
+    val absent = (0L until wide.toLong).toSet diff batchBuckets
+    assert(absent.nonEmpty, "one doc's bands must not cover 64 buckets")
+    val plan = BandIndex.probeCandidates(batch, path, Tau, wide)
+      .queryExecution.executedPlan.toString
+    // the parquet scan carries the literal bucket IN-prune (partition
+    // pruning happens at listing time — the plan names the IN list);
+    // extract it and pin it to exactly the batch's buckets
+    val inList = "bucket[^\\n]*? INSET ([0-9, ]+)".r
+      .findFirstMatchIn(plan)
+      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).toSet)
+    assert(inList.contains(batchBuckets),
+      s"partition IN-prune ${inList.orNull} != batch buckets " +
+        s"$batchBuckets in plan:\n${plan.take(1200)}")
+  }
+}
