@@ -528,6 +528,44 @@ class PipelineSpec extends SparkSuite {
       "expected a multi-symbol merge within the round budget")
   }
 
+  test("bpe_apply: per-source census equals sequential encoding with " +
+      "the trained merges") {
+    val merges = SparkEntry.queries("bpe_train")(spark, sf)
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1)
+      .map(r => (r._2, r._3)).toSeq
+    val memo = scala.collection.mutable.Map.empty[String, Long]
+    def encode(w: String): Long = memo.getOrElseUpdate(w, {
+      var syms = w.map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    })
+    val want = Tables.documents(spark, sf).select($"source", $"text")
+      .as[(String, String)].collect()
+      .flatMap { case (srcName, t) =>
+        t.split(" ").filter(_.nonEmpty).map(w => (srcName, w)) }
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (srcName, ws) =>
+        val words = ws.map(_._2)
+        val nC = words.map(_.length.toLong).sum
+        val nT = words.map(encode).sum
+        (srcName, words.length.toLong, nC, nT,
+          math.floor(nC.toDouble / nT.toDouble * 1e6 + 0.5) / 1e6)
+      }
+    val got = SparkEntry.queries("bpe_apply")(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+    // the merges must actually compress: fewer tokens than chars
+    assert(got.forall(r => r._4 < r._3))
+  }
+
   test("neardup_dedup_quality keeps exactly one member per cluster, the best") {
     val kept = SparkEntry.queries("neardup_dedup_quality")(spark, sf)
       .select($"doc_id").as[Long].collect().toSet
