@@ -264,6 +264,69 @@ object EventTime {
         .orderBy($"user_id", $"day")
     }),
 
+    // T24: position-based (U-shaped) multi-touch attribution — the
+    // marketing-analytics contract behind "which touchpoint earns the
+    // purchase": each purchase's value is split across the user's
+    // touch events in the 7 days before it — 40% to the first touch,
+    // 40% to the last, the remaining 20% shared by the middles — in
+    // EXACT INTEGER micro-units with largest-remainder distribution
+    // (the penny_allocation discipline: Σ credit ≡ purchase value,
+    // bit-for-bit, whatever the partitioning). Degenerate forms
+    // documented in the spelling: a solo touch takes everything; with
+    // no middles the residual rides the LAST touch. Shape: one
+    // user-keyed equi join (range residual rides it), one
+    // per-conversion window — conversions partition the window, so no
+    // group ever exceeds one user's 7-day activity; output bounded by
+    // touch-type × position.
+    "touch_attribution" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val conv = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("conv_id"),
+          $"ts".as("conv_ts"),
+          floor($"value" * lit(10000.0) + lit(0.5)).cast("long")
+            .as("v_micro"))
+      val touches = ev.filter($"event_type" =!= "purchase")
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+      val joined = touches.join(conv, "user_id")
+        .filter($"ts" < $"conv_ts" &&
+          $"ts" >= $"conv_ts" - expr("INTERVAL 7 DAYS"))
+      val w = Window.partitionBy($"conv_id").orderBy($"ts", $"event_id")
+      val pos = joined
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy($"conv_id")))
+      // all-integer allocation (DIV/%, never `/` — Spark's `/` on
+      // longs is double division); spelled as one SQL CASE so the
+      // oracle replays it token-for-token
+      val credit = expr("""CASE
+        WHEN cnt = 1 THEN v_micro
+        WHEN rn = 1 THEN (v_micro * 40) DIV 100
+        WHEN rn = cnt THEN CASE WHEN cnt = 2
+          THEN v_micro - ((v_micro * 40) DIV 100)
+          ELSE (v_micro * 40) DIV 100 END
+        ELSE (v_micro - 2 * ((v_micro * 40) DIV 100)) DIV (cnt - 2)
+          + CASE WHEN rn - 1 <=
+              (v_micro - 2 * ((v_micro * 40) DIV 100)) % (cnt - 2)
+            THEN 1 ELSE 0 END
+        END""")
+      val position =
+        when($"cnt" === 1L, "solo")
+          .when($"rn" === 1L, "first")
+          .when($"rn" === $"cnt", "last")
+          .otherwise("middle")
+      pos
+        .select($"event_type", position.as("touch_position"),
+          credit.as("credit_micro"))
+        .groupBy($"event_type", $"touch_position")
+        .agg(count(lit(1)).as("n_touches"),
+          sum($"credit_micro").as("credit_micro"))
+        .select($"event_type", $"touch_position", $"n_touches",
+          ($"credit_micro".cast("double") / 10000.0).as("credit"))
+        .orderBy($"event_type", $"touch_position")
+    }),
+
     // T16: time-decayed activity score — Σ exp(−Δdays/7) per user at
     // the corpus's last-event reference time: the recency-weighted
     // engagement feature. Per-event terms are quantized to the 1e-4
@@ -535,6 +598,47 @@ object EventTime {
       |  FROM si GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // identical CASE allocation replayed with // and % on BIGINTs
+    "touch_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, event_id AS conv_id, ts AS conv_ts,
+        |    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS v_micro
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT e.event_type, c.conv_id, c.v_micro, e.ts, e.event_id
+        |  FROM events e JOIN conv c ON e.user_id = c.user_id
+        |  WHERE e.event_type <> 'purchase'
+        |    AND e.ts < c.conv_ts AND e.ts >= c.conv_ts - INTERVAL 7 DAY),
+        |p AS (
+        |  SELECT event_type, v_micro,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY conv_id) AS cnt
+        |  FROM t),
+        |a AS (
+        |  SELECT event_type,
+        |    CASE WHEN cnt = 1 THEN 'solo' WHEN rn = 1 THEN 'first'
+        |         WHEN rn = cnt THEN 'last' ELSE 'middle'
+        |    END AS touch_position,
+        |    CASE
+        |      WHEN cnt = 1 THEN v_micro
+        |      WHEN rn = 1 THEN (v_micro * 40) // 100
+        |      WHEN rn = cnt THEN CASE WHEN cnt = 2
+        |        THEN v_micro - ((v_micro * 40) // 100)
+        |        ELSE (v_micro * 40) // 100 END
+        |      ELSE (v_micro - 2 * ((v_micro * 40) // 100)) // (cnt - 2)
+        |        + CASE WHEN rn - 1 <=
+        |            (v_micro - 2 * ((v_micro * 40) // 100)) % (cnt - 2)
+        |          THEN 1 ELSE 0 END
+        |    END AS credit_micro
+        |  FROM p)
+        |SELECT event_type, touch_position,
+        |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(CAST(SUM(credit_micro) AS BIGINT) AS DOUBLE) / 10000.0
+        |    AS credit
+        |FROM a GROUP BY 1, 2
+        |ORDER BY event_type, touch_position""".stripMargin,
+
     "cumulative_uniques" ->
       """WITH f AS (
         |  SELECT user_id, MIN(date_trunc('day', ts)) AS day

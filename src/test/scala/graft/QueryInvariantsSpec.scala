@@ -122,6 +122,38 @@ class QueryInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("touch_attribution: credit conserves each attributed purchase " +
+      "exactly; U-shape holds") {
+    val out = q("touch_attribution")
+      .select($"event_type", $"touch_position", $"n_touches",
+        floor($"credit" * 10000.0 + 0.5).cast("long").as("cm"))
+      .as[(String, String, Long, Long)].collect()
+    // driver-side replay: total credited micro == the micro value of
+    // every purchase that HAS at least one 7-day-lookback touch
+    val rows = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      .as[(Long, Long, java.sql.Timestamp, String, Double)].collect()
+    val sevenDaysMs = 7L * 24 * 3600 * 1000
+    val byUser = rows.groupBy(_._1)
+    var attributed = 0L
+    byUser.values.foreach { es =>
+      es.filter(_._4 == "purchase").foreach { p =>
+        val touches = es.filter(e => e._4 != "purchase" &&
+          e._3.getTime < p._3.getTime &&
+          e._3.getTime >= p._3.getTime - sevenDaysMs)
+        if (touches.nonEmpty)
+          attributed += math.floor(p._5 * 10000.0 + 0.5).toLong
+      }
+    }
+    assert(out.map(_._4).sum == attributed,
+      "total credited micro-units must equal the attributed purchases")
+    // structure: all four positions appear; solo+first+last+middle
+    // touch counts are positive at fixture scale
+    val positions = out.map(_._2).toSet
+    assert(positions == Set("solo", "first", "last", "middle"),
+      s"positions: $positions")
+  }
+
   test("penny_allocation: every order's cents are conserved exactly") {
     val sums = q("penny_allocation")
       .groupBy($"l_orderkey")
