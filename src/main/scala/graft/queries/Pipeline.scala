@@ -1383,6 +1383,46 @@ object Pipeline {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // L93: near-dup threshold-sensitivity curve — the audit a
+    // curation owner reads before FIXING τ: how many pairs (and how
+    // much similarity mass) each candidate threshold would admit.
+    // The raw fixture's pair spectrum is degenerate (everything sits
+    // at J ≥ 0.9), so planted truncation probes (prefix keeps of
+    // 75% / 55% / 35% of a doc's words under offset ids) populate
+    // the 0.3–0.8 band the curve must resolve. Pair generation is
+    // the EXACT prefix-filtered set-similarity join (L74 — full
+    // recall by construction at the rational base cut 3/10; LSH's
+    // probabilistic recall near τ would diverge from the brute
+    // oracle), and the per-τ totals are one conditional aggregation
+    // over the bounded pair relation. The oracle replays the brute
+    // all-pairs scan with the IDENTICAL integer base-cut rule and
+    // q6 division.
+    "neardup_threshold_curve" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir).select($"doc_id", $"text")
+      def probeOf(mod: Int, keepNum: Int, keepDen: Int) =
+        base.filter($"doc_id" % 31 === mod)
+          .select(($"doc_id" + lit(20000000L) * mod).as("doc_id"),
+            concat_ws(" ", slice(split($"text", " "), lit(1),
+              greatest(expr(s"(size(split(text, ' ')) * $keepNum) DIV $keepDen"),
+                lit(3)).cast("int"))).as("text"))
+      val docs = base
+        .unionByName(probeOf(1, 3, 4))
+        .unionByName(probeOf(2, 11, 20))
+        .unionByName(probeOf(3, 7, 20))
+      val d = withShingleHashes(docs, Seq("doc_id"))
+      val pairs = graft.operators.SetSimJoin.selfJoin(d, "doc_id", "hs", 3, 10)
+      val taus = (3 to 9).map(_ / 10.0)
+      pairs
+        .select(explode(array(taus.map(lit): _*)).as("tau"), $"jaccard")
+        .filter($"jaccard" >= $"tau")
+        .groupBy($"tau")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(floor($"jaccard" * lit(1000000.0) + lit(0.5))).cast("long")
+            .as("jacc_micro_sum"))
+        .orderBy($"tau")
+    }),
+
     // L75: vocabulary-growth curve (Heaps-law audit) — the corpus-
     // acquisition signal: processing sources in their deterministic
     // order, how many NEW distinct tokens does each contribute? A
@@ -4611,6 +4651,37 @@ object Pipeline {
         |  AS DOUBLE) / 1000000.0 AS pmi
         |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w, tot
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // brute all-pairs with the identical integer base-cut rule and
+    // q6 division; probes replayed verbatim
+    "neardup_threshold_curve" -> {
+      def probeSql(mod: Int, keepNum: Int, keepDen: Int) =
+        s"""SELECT doc_id + 20000000 * $mod AS doc_id,
+           |  array_to_string(ws[1:GREATEST((len(ws) * $keepNum) // $keepDen,
+           |    3)], ' ') AS text
+           |FROM (SELECT doc_id, string_split(text, ' ') AS ws
+           |      FROM documents WHERE doc_id % 31 = $mod)""".stripMargin
+      s"""WITH curvedocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL ${probeSql(1, 3, 4)}
+         |  UNION ALL ${probeSql(2, 11, 20)}
+         |  UNION ALL ${probeSql(3, 7, 20)}),
+         |${shingleSqlCteFor("curvedocs")},
+         |p AS (
+         |  SELECT ${sqlQ6("CAST(ni AS DOUBLE) / (na + nb - ni)")} AS jaccard
+         |  FROM (
+         |    SELECT len(a.s) AS na, len(b.s) AS nb,
+         |      len(list_intersect(a.s, b.s)) AS ni
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE ni * 13 >= (na + nb) * 3)
+         |SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CAST(FLOOR(jaccard * 1000000.0 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS jacc_micro_sum
+         |FROM p, (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+         |                        0.9]::DOUBLE[]) AS tau) g
+         |WHERE jaccard >= tau
+         |GROUP BY tau ORDER BY tau""".stripMargin
+    },
 
     // the cross-split brute scan the banded incremental search must
     // equal: every (batch, corpus) pair at string Jaccard >= tau

@@ -489,6 +489,19 @@ class PipelineSpec extends SparkSuite {
     assert(got.exists(_._5 > 1), "expected a coalesced multi-window run")
   }
 
+  test("neardup_threshold_curve: monotone and resolves the planted " +
+      "mid-band") {
+    val rows = SparkEntry.queries("neardup_threshold_curve")(spark, sf)
+      .as[(Double, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+    assert(rows.sliding(2).forall(p => p.head._2 >= p.last._2),
+      s"pair counts must be non-increasing in tau: $rows")
+    assert(rows.head._2 > rows.last._2,
+      "truncation probes must populate the mid-similarity band " +
+        "(otherwise the curve is flat and audits nothing)")
+    assert(rows.last._2 > 0, "the native >= 0.9 pairs must survive")
+  }
+
   test("bpe_train: equals a sequential in-memory BPE trainer") {
     // independent reference: classic greedy BPE — word-frequency
     // table, per-round pair count, argmax (count desc, pair asc),
