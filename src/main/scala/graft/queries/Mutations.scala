@@ -5,6 +5,8 @@ import graft.operators.Merge
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import QueryUtil.dsum
+
 /** M-family: mutation application over append-only storage —
   * [[graft.operators.Merge]] exercised as oracle-gated queries. The
   * changelog is DERIVED deterministically from the fixture tables
@@ -236,6 +238,37 @@ object Mutations {
     // (AQE broadcasts it when small, shuffles when not) — never a
     // driver collect. Counts and key sums are map-side-combinable
     // integer aggregates.
+    // M12: retention/TTL sweep — the delete-MANIFEST audit a
+    // data-governance pass runs before a physical purge: per event
+    // class, its policy window, how many rows fall outside it, how
+    // many survive, the oldest surviving timestamp, and the expired
+    // value mass. Reference "now" is the corpus's own max timestamp
+    // (one-row broadcast — the scalar-subquery shape), so the report
+    // is deterministic whenever it runs; the per-class policy is one
+    // CASE both engines spell identically and expiry is exact
+    // timestamp-minus-days arithmetic (µs precision, no date
+    // truncation drift). Single scan, map-combinable rollup, output
+    // bounded by the event-type domain.
+    "retention_sweep" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ttlCase = "CASE event_type WHEN 'error' THEN 7 " +
+        "WHEN 'view' THEN 10 WHEN 'click' THEN 14 " +
+        "WHEN 'signup' THEN 21 ELSE 25 END"
+      val ref = Tables.events(s, dir).agg(max($"ts").as("now_ts"))
+      Tables.events(s, dir)
+        .crossJoin(broadcast(ref))
+        .withColumn("ttl_days", expr(ttlCase).cast("long"))
+        .withColumn("expired", $"ts" <
+          $"now_ts" - expr("make_interval(0, 0, 0, ttl_days, 0, 0, 0)"))
+        .groupBy($"event_type", $"ttl_days")
+        .agg(sum(when($"expired", 1L).otherwise(0L)).as("n_expired"),
+          sum(when(!$"expired", 1L).otherwise(0L)).as("n_retained"),
+          min(when(!$"expired", $"ts")).as("oldest_retained_ts"),
+          dsum(when($"expired", $"value").otherwise(lit(0.0)))
+            .as("expired_value_mass"))
+        .orderBy($"event_type")
+    }),
+
     "cascade_delete" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val delCust = Tables.customer(s, dir)
@@ -399,6 +432,28 @@ object Mutations {
        |  SELECT ${chSelect()} FROM latest WHERE op <> 'D')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "retention_sweep" -> {
+      val ttlCase = "CASE event_type WHEN 'error' THEN 7 " +
+        "WHEN 'view' THEN 10 WHEN 'click' THEN 14 " +
+        "WHEN 'signup' THEN 21 ELSE 25 END"
+      s"""WITH ref AS (SELECT MAX(ts) AS now_ts FROM events),
+         |e AS (
+         |  SELECT event_type, ts, value,
+         |    CAST($ttlCase AS BIGINT) AS ttl_days,
+         |    ts < now_ts - ($ttlCase) * INTERVAL 1 DAY AS expired
+         |  FROM events, ref)
+         |SELECT event_type, ttl_days,
+         |  CAST(SUM(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_expired,
+         |  CAST(SUM(CASE WHEN NOT expired THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_retained,
+         |  MIN(CASE WHEN NOT expired THEN ts END) AS oldest_retained_ts,
+         |  ${QueryUtil.sqlDsum("CASE WHEN expired THEN value ELSE 0.0 END")}
+         |    AS expired_value_mass
+         |FROM e GROUP BY 1, 2
+         |ORDER BY event_type""".stripMargin
+    },
+
     "merge_upsert" ->
       s"""WITH $mergedCtes
          |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,

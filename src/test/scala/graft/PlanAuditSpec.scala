@@ -51,6 +51,8 @@ class PlanAuditSpec extends SparkSuite {
                            // source-domain relation (scalar-subquery shape)
       "curve_compare", // one-row bounds + 3-row probe broadcasts over
                        // file-count-sized stats (the prune_audit shape)
+      "retention_sweep", // one-row reference-now broadcast
+                         // (scalar-subquery shape)
       "bpe_train", // per-round one-row argmax + vocab-count broadcasts
                    // over the word-frequency relation (scalar-subquery
                    // shape, 2 per merge round)
