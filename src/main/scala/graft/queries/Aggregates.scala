@@ -101,6 +101,30 @@ object Aggregates {
     }),
 
     // G4: exact distinct counts — single- and multi-column.
+    // G23: exact per-group MODE with a deterministic tie-break —
+    // Spark's builtin mode() leaves ties engine-arbitrary, so it can
+    // never be hash-compared; the portable spelling is an argmax over
+    // the bounded (group × value) count relation: highest count wins,
+    // smallest value breaks ties. Two map-combinable aggregations —
+    // the count shuffle is (group, value)-keyed and the argmax rides
+    // a min_by over a (-count, value) struct ordering; window-free,
+    // one pass over the counts.
+    "agg_mode" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val counts = Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag", $"l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy($"l_returnflag")
+        .agg(min_by($"l_quantity", struct((-$"cnt").as("nc"),
+            $"l_quantity".as("v"))).as("mode_quantity"),
+          max($"cnt").as("n_mode"),
+          sum($"cnt").as("n_total"))
+        .select($"l_returnflag", $"mode_quantity", $"n_mode", $"n_total",
+          q6($"n_mode".cast("double") / $"n_total".cast("double"))
+            .as("mode_share"))
+        .orderBy($"l_returnflag")
+    }),
+
     "agg_distinct" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       Tables.orders(s, dir)
@@ -1093,6 +1117,23 @@ object Aggregates {
         |  max(o_orderkey) AS last_key
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // window spelling as the independent mirror of the min_by argmax
+    "agg_mode" ->
+      s"""WITH c AS (
+         |  SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM lineitem GROUP BY 1, 2),
+         |r AS (
+         |  SELECT l_returnflag, l_quantity, cnt,
+         |    row_number() OVER (PARTITION BY l_returnflag
+         |      ORDER BY cnt DESC, l_quantity) AS rn,
+         |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS tot
+         |  FROM c)
+         |SELECT l_returnflag, l_quantity AS mode_quantity,
+         |  cnt AS n_mode, CAST(tot AS BIGINT) AS n_total,
+         |  ${sqlQ6("CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)")} AS mode_share
+         |FROM r WHERE rn = 1
+         |ORDER BY l_returnflag""".stripMargin,
 
     "agg_distinct" ->
       """SELECT o_orderpriority,

@@ -327,6 +327,33 @@ object EventTime {
         .orderBy($"event_type", $"touch_position")
     }),
 
+    // T25: day-of-week seasonality profile — the weekly-cycle audit
+    // behind capacity planning and anomaly baselines: per event
+    // class, each weekday's share of events and its seasonality
+    // index against the flat-week expectation (share × 7; 1.0 = no
+    // weekly cycle). Counts and shares are exact integer ratios
+    // (q6); day-of-week uses Spark's 1=Sunday..7 convention, which
+    // the oracle mirrors as DuckDB's dayofweek + 1. One scan, two
+    // map-combinable aggs over a ≤ types×7 domain.
+    "dow_seasonality" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cells = Tables.events(s, dir)
+        .select($"event_type", dayofweek($"ts").cast("long").as("dow"),
+          $"value")
+        .groupBy($"event_type", $"dow")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("value_sum"))
+      val totals = cells.groupBy($"event_type")
+        .agg(sum($"n_events").as("n_total"))
+      cells.join(totals, "event_type")
+        .select($"event_type", $"dow", $"n_events",
+          q6($"n_events".cast("double") / $"n_total".cast("double"))
+            .as("share"),
+          q6($"n_events".cast("double") * lit(7.0) /
+            $"n_total".cast("double")).as("seasonality"),
+          $"value_sum")
+        .orderBy($"event_type", $"dow")
+    }),
+
     // T16: time-decayed activity score — Σ exp(−Δdays/7) per user at
     // the corpus's last-event reference time: the recency-weighted
     // engagement feature. Per-event terms are quantized to the 1e-4
@@ -598,6 +625,24 @@ object EventTime {
       |  FROM si GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6
+    "dow_seasonality" ->
+      s"""WITH cells AS (
+         |  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         |    CAST(COUNT(*) AS BIGINT) AS n_events,
+         |    ${sqlDsum("value")} AS value_sum
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS n_total
+         |      FROM cells GROUP BY 1)
+         |SELECT event_type, dow, n_events,
+         |  ${sqlQ6("CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE)")}
+         |    AS share,
+         |  ${sqlQ6("CAST(n_events AS DOUBLE) * 7.0 / CAST(n_total AS DOUBLE)")}
+         |    AS seasonality,
+         |  value_sum
+         |FROM cells JOIN t USING (event_type)
+         |ORDER BY event_type, dow""".stripMargin,
+
     // identical CASE allocation replayed with // and % on BIGINTs
     "touch_attribution" ->
       """WITH conv AS (
