@@ -640,12 +640,31 @@ object Pipeline {
     * loop runs at DataFrame-construction time (like the k-means build
     * in `ivf_ann_learned`) — the returned frame is the materialized
     * labeling (node, component = min doc_id of the cluster). */
-  private def nearDupComponents(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pairs = minhashNearDupPairs(
-      Tables.documents(s, dir).select($"doc_id", $"text"), MinHashJaccardTau)
-    graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
-  }
+  /** The STANDARD fixture pair set (documents at τ=0.5),
+    * materialized once per dir per JVM — the graph pairCache pattern:
+    * ~ten closure/audit queries consume this same LSH pass, so a
+    * Verify/Bench JVM pays the banding + verify once and every
+    * consumer reads the checkpointed (small, id-pair) relation. */
+  private val nearDupPairsCache = new SessionCache[DataFrame]
+
+  private[graft] def nearDupPairsCached(
+      s: SparkSession, dir: String): DataFrame =
+    nearDupPairsCache.get(s, dir) { d =>
+      import s.implicits._
+      minhashNearDupPairs(
+        Tables.documents(s, d).select($"doc_id", $"text"),
+        MinHashJaccardTau).localCheckpoint()
+    }
+
+  /** The standard closure labeling over [[nearDupPairsCached]], also
+    * per-dir — the CC driver loop runs once per JVM, not once per
+    * consuming query. */
+  private val nearDupCompCache = new SessionCache[DataFrame]
+
+  private def nearDupComponents(s: SparkSession, dir: String): DataFrame =
+    nearDupCompCache.get(s, dir)(d =>
+      graft.operators.ConnectedComponents.components(
+        nearDupPairsCached(s, d), "doc_a", "doc_b"))
 
   /** The merged (yesterday ∪ today) near-dup labeling behind
     * `incremental_clusters`: ONE LSH pass over the fixture corpus
@@ -898,9 +917,7 @@ object Pipeline {
     // test scale, which is the point of LSH.
     "minhash_neardup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      minhashNearDupPairs(
-        Tables.documents(s, dir).select($"doc_id", $"text"),
-        MinHashJaccardTau)
+      nearDupPairsCached(s, dir).orderBy($"doc_a", $"doc_b")
     }),
 
     // L49: cross-source near-dup overlap matrix — the corpus audit
@@ -913,9 +930,7 @@ object Pipeline {
     // is engine-exact.
     "source_overlap" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val pairs = minhashNearDupPairs(
-        Tables.documents(s, dir).select($"doc_id", $"text"),
-        MinHashJaccardTau)
+      val pairs = nearDupPairsCached(s, dir)
       val src = Tables.documents(s, dir).select($"doc_id", $"source")
       pairs
         .join(src.select($"doc_id".as("doc_a"), $"source".as("src_a")),
@@ -1004,8 +1019,7 @@ object Pipeline {
     // broadcast-able equi-joins on doc ids.
     "decontaminate" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-      val pairs = minhashNearDupPairs(docs, MinHashJaccardTau)
+      val pairs = nearDupPairsCached(s, dir)
       val lab = Tables.documents(s, dir).select($"doc_id",
         graft.operators.Sampling.splitLabel($"doc_id", 0.8, 0.1).as("split"))
       pairs
@@ -1640,9 +1654,7 @@ object Pipeline {
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       val probes = emb.filter($"vec_id" < 20)
         .select($"vec_id".as("probe_id"), $"v".as("pv"))
-      val pairs = minhashNearDupPairs(
-          Tables.documents(s, dir).select($"doc_id", $"text"),
-          MinHashJaccardTau)
+      val pairs = nearDupPairsCached(s, dir)
         .select($"doc_a", $"doc_b")
       val sym = pairs
         .unionAll(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
@@ -2775,13 +2787,11 @@ object Pipeline {
     // cluster count.
     "cluster_stats" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      // the pair set feeds BOTH the closure and the stats join —
-      // checkpoint it so the LSH pipeline (the heavy stage) runs once
-      val pairs = minhashNearDupPairs(
-        Tables.documents(s, dir).select($"doc_id", $"text"), MinHashJaccardTau)
-        .localCheckpoint()
-      val comp = graft.operators.ConnectedComponents.components(
-        pairs, "doc_a", "doc_b")
+      // the shared per-dir pair checkpoint feeds BOTH the closure and
+      // the stats join — the LSH pipeline (the heavy stage) runs once
+      // per JVM for the whole closure/audit family
+      val pairs = nearDupPairsCached(s, dir)
+      val comp = nearDupComponents(s, dir)
       val sizes = comp.groupBy($"component".as("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"))
       pairs
