@@ -2262,6 +2262,53 @@ object Pipeline {
 
     // L6: multimodal relation — text metadata joined to its embedding
     // vector (doc_id ↔ vec_id), vector features computed in-line.
+    // L95: per-source embedding centroid + dispersion — the semantic
+    // spread audit behind mixture decisions ("is source X one tight
+    // topic or a grab-bag"; a drifting centroid between snapshots is
+    // the semantic twin of L51's KL drift). Exactness: per-(source,
+    // dim) sums run in q4 micro-integers (order-free), the centroid
+    // is one double division per dim spelled identically in both
+    // engines, and cosines fold sequentially (the cosine_knn dot
+    // contract) before q6. Shape: one posexplode shuffle keyed by
+    // (source, dim) — 64 slim rows per vector — then one broadcast
+    // of the ≤ sources×64 centroid relation back onto the vectors;
+    // at 10⁹ vectors both aggregations stay map-combinable and the
+    // centroid relation stays tiny.
+    "source_centroids" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .join(Tables.documents(s, dir)
+          .select($"doc_id".as("vec_id"), $"source"), "vec_id")
+      val cells = e.select($"source", posexplode($"v").as(Seq("i", "x")))
+        .groupBy($"source", $"i")
+        .agg(sum(floor($"x" * lit(10000.0) + lit(0.5)).cast("long"))
+          .as("sq"), count(lit(1)).as("n"))
+        .select($"source", $"i",
+          ($"sq".cast("double") / $"n".cast("double") / lit(10000.0))
+            .as("c"))
+      val cent = cells.groupBy($"source")
+        .agg(array_sort(collect_list(struct($"i", $"c"))).as("ic"))
+        .select($"source", expr("transform(ic, p -> p.c)").as("cvec"))
+      val scored = e.join(broadcast(cent), "source")
+        .select($"source",
+          q6(dot($"v", $"cvec") / (l2norm($"v") * l2norm($"cvec")))
+            .as("cs"))
+      val stats = scored.groupBy($"source")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(floor($"cs" * lit(1000000.0) + lit(0.5)).cast("long"))
+            .as("csum"),
+          min($"cs").as("min_cos"))
+      stats
+        .join(cent.select($"source", q6(l2norm($"cvec"))
+          .as("centroid_norm")), "source")
+        .select($"source", $"n_vecs", $"centroid_norm",
+          q6($"csum".cast("double") / ($"n_vecs" * lit(1000000.0)))
+            .as("mean_cos"),
+          $"min_cos")
+        .orderBy($"source")
+    }),
+
     "doc_embed_join" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -5579,6 +5626,43 @@ object Pipeline {
          |SELECT probe_id, rn, vec_id AS neighbor_id, cos_sim
          |FROM ranked WHERE rn <= 5
          |ORDER BY probe_id, rn""".stripMargin,
+
+    // micro-integer centroid lanes + the cosine_knn sequential-fold
+    // dot, per source
+    "source_centroids" ->
+      s"""WITH e AS (
+         |  SELECT d.source, v.vec_id, v.embedding::DOUBLE[] AS emb
+         |  FROM embeddings v JOIN documents d ON v.vec_id = d.doc_id),
+         |x AS (
+         |  SELECT source, u.i AS i,
+         |    CAST(FLOOR(u.x * 10000.0 + 0.5) AS BIGINT) AS q
+         |  FROM (SELECT source,
+         |          unnest([{'i': i, 'x': emb[i]}
+         |                  for i in range(1, len(emb) + 1)]) AS u
+         |        FROM e)),
+         |cc AS (
+         |  SELECT source, i,
+         |    CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) / 10000.0 AS c
+         |  FROM x GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT source, list(c ORDER BY i) AS cvec FROM cc GROUP BY 1),
+         |scored AS (
+         |  SELECT e.source,
+         |    ${sqlQ6("list_reduce(list_prepend(0.0, list_transform(list_zip(emb, cvec), z -> z[1] * z[2])), (acc, x) -> acc + x) / (sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x * x)), (acc, x) -> acc + x)) * sqrt(list_reduce(list_prepend(0.0, list_transform(cvec, x -> x * x)), (acc, x) -> acc + x)))")} AS cs
+         |  FROM e JOIN cent ON e.source = cent.source),
+         |st AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |    CAST(SUM(CAST(FLOOR(cs * 1000000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS csum,
+         |    MIN(cs) AS min_cos
+         |  FROM scored GROUP BY 1)
+         |SELECT st.source, n_vecs,
+         |  ${sqlQ6("sqrt(list_reduce(list_prepend(0.0, list_transform(cvec, x -> x * x)), (acc, x) -> acc + x))")} AS centroid_norm,
+         |  ${sqlQ6("CAST(csum AS DOUBLE) / (n_vecs * 1000000.0)")} AS mean_cos,
+         |  min_cos
+         |FROM st JOIN cent ON st.source = cent.source
+         |ORDER BY st.source""".stripMargin,
 
     // the cosine ranking CTE + NOT EXISTS against the (probe-bounded)
     // near-dup pair set, re-ranked after the filter
