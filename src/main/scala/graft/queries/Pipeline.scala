@@ -1455,6 +1455,30 @@ object Pipeline {
         .orderBy($"tau")
     }),
 
+    // O10: source-fair interleaved ranking — the EXPORT ORDER of a
+    // balanced curation run: rank docs per source by quality, then
+    // merge round-robin (all sources' rank-1 docs before any rank-2)
+    // so no prolific source floods the head of the dataset. The
+    // global order is the deterministic (rank, source, id) triple;
+    // the emitted prefix is a TakeOrderedAndProject (never a global
+    // sort), and the position column is a window over the bounded
+    // 100-row result only — the 100 TB shape: per-source windows
+    // shuffle once on source, the head is top-k machinery.
+    "fair_interleave" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ranked = Tables.documents(s, dir)
+        .select($"doc_id", $"source", qualityOf($"text").as("quality"))
+        .withColumn("src_rank", row_number().over(
+          Window.partitionBy($"source")
+            .orderBy($"quality".desc, $"doc_id")).cast("long"))
+      ranked.orderBy($"src_rank", $"source", $"doc_id").limit(100)
+        .withColumn("out_pos", row_number().over(
+          Window.orderBy($"src_rank", $"source", $"doc_id")).cast("long"))
+        .select($"out_pos", $"doc_id", $"source", $"src_rank", $"quality")
+        .orderBy($"out_pos")
+    }),
+
     // L75: vocabulary-growth curve (Heaps-law audit) — the corpus-
     // acquisition signal: processing sources in their deterministic
     // order, how many NEW distinct tokens does each contribute? A
@@ -4726,6 +4750,22 @@ object Pipeline {
         |  AS DOUBLE) / 1000000.0 AS pmi
         |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w, tot
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // per-source quality rank + the identical deterministic
+    // round-robin triple
+    "fair_interleave" ->
+      s"""WITH ${qualityCteSql("dq", "documents", Seq.empty)},
+         |r AS (
+         |  SELECT d.doc_id, d.source, dq.quality,
+         |    CAST(row_number() OVER (PARTITION BY d.source
+         |      ORDER BY dq.quality DESC, d.doc_id) AS BIGINT) AS src_rank
+         |  FROM documents d JOIN dq ON dq.doc_id = d.doc_id),
+         |h AS (SELECT * FROM r
+         |      ORDER BY src_rank, source, doc_id LIMIT 100)
+         |SELECT CAST(row_number() OVER (
+         |    ORDER BY src_rank, source, doc_id) AS BIGINT) AS out_pos,
+         |  doc_id, source, src_rank, quality
+         |FROM h ORDER BY out_pos""".stripMargin,
 
     // brute all-pairs with the identical integer base-cut rule and
     // q6 division; probes replayed verbatim
