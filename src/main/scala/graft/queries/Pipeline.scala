@@ -666,6 +666,107 @@ object Pipeline {
       graft.operators.ConnectedComponents.components(
         nearDupPairsCached(s, d), "doc_a", "doc_b"))
 
+  /** The L96 incremental-curation funnel — cached per dir (stage 2's
+    * banding + verify and stage 3's closure run construction-time
+    * jobs; the funnel is tiny). */
+  private val incrCurationCache = new SessionCache[DataFrame]
+
+  private def incrementalCurationFunnel(
+      s: SparkSession, dir: String): DataFrame =
+    incrCurationCache.get(s, dir) { d =>
+      import s.implicits._
+      val base = Tables.documents(s, d).select($"doc_id", $"text")
+      val corpus = base.filter($"doc_id" % 10 =!= 0)
+      val exactProbes = corpus.filter($"doc_id" % 17 === 2)
+        .select(($"doc_id" + 30000000L).as("doc_id"), $"text")
+      val nearProbes = corpus.filter($"doc_id" % 23 === 3)
+        .select(($"doc_id" + 40000000L).as("doc_id"),
+          concat($"text", lit(" ingestprobe")).as("text"))
+      // within-batch twin probes guarantee stage 3 does real work:
+      // two variants of the same batch doc near-dup each other AND
+      // their original — a 3-member batch cluster whose canonical
+      // (min id = the original) must survive
+      val twinBase = base.filter($"doc_id" % 10 === 0 &&
+        $"doc_id" % 13 === 1)
+      val twinProbes = twinBase
+        .select(($"doc_id" + 50000000L).as("doc_id"),
+          concat($"text", lit(" twinprobeA")).as("text"))
+        .unionAll(twinBase
+          .select(($"doc_id" + 60000000L).as("doc_id"),
+            concat($"text", lit(" twinprobeB")).as("text")))
+      val batch = base.filter($"doc_id" % 10 === 0)
+        .unionAll(exactProbes).unionAll(nearProbes).unionAll(twinProbes)
+      // stage 1: exact dedup vs corpus — fingerprints only
+      val corpusFps = corpus
+        .select(F.fnv1a($"text").as("fp1"),
+          F.fnv1a_seeded(Lane2Seed, $"text").as("fp2")).distinct()
+      // every stage output is MATERIALIZED once (localCheckpoint):
+      // each later stage, the closure, and the funnel rows all read
+      // it — without the cut, s2's banded-probe lineage would re-run
+      // per consumer (measured: minutes instead of seconds)
+      val s1 = batch
+        .withColumn("fp1", F.fnv1a($"text"))
+        .withColumn("fp2", F.fnv1a_seeded(Lane2Seed, $"text"))
+        .join(corpusFps, Seq("fp1", "fp2"), "left_anti")
+        .select($"doc_id", $"text")
+        .localCheckpoint()
+      // stage 2: near-dedup vs corpus — the banded incremental probe
+      // (batch bands semi-join the corpus band index; sign-flipped
+      // ids make cross pairs the a<0≤b rows), exact Jaccard verify
+      val batchBands = minhashBandsOf(s1, MinHashJaccardTau)
+        .select((-$"doc_id" - 1L).as("doc_id"), $"band_no", $"band_hash")
+      val corpusBands = minhashBandsOf(corpus, MinHashJaccardTau)
+        .join(batchBands.select($"band_no", $"band_hash"),
+          Seq("band_no", "band_hash"), "left_semi")
+      val cand = graft.operators.CandidatePairs.fromBuckets(
+          batchBands.unionByName(corpusBands),
+          Seq("band_no", "band_hash"), "doc_id", "doc_a", "doc_b")
+        .filter($"doc_a" < 0 && $"doc_b" >= 0)
+        .select((-$"doc_a" - 1L).as("batch_doc"), $"doc_b".as("corpus_doc"))
+      val nearHits = cand
+        .join(s1.select($"doc_id".as("batch_doc"), $"text".as("ta")),
+          "batch_doc")
+        .join(corpus.select($"doc_id".as("corpus_doc"), $"text".as("tb")),
+          "corpus_doc")
+        .select($"batch_doc",
+          q6(size(array_intersect(shingles($"ta"), shingles($"tb")))
+            .cast("double") /
+            size(array_union(shingles($"ta"), shingles($"tb"))))
+            .as("j"))
+        .filter($"j" >= MinHashJaccardTau)
+        .select($"batch_doc".as("doc_id")).distinct()
+      val s2 = s1.join(nearHits, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      // stage 3: within-batch closure folded into the corpus labeling
+      // (merge touches only the batch's components — here the
+      // disjoint fast path, since batch–corpus near-dups are gone)
+      val bbPairs = minhashNearDupPairs(s2, MinHashJaccardTau)
+      val labels = graft.operators.ConnectedComponents.merge(
+        nearDupComponentsOf(s, corpus, d), "node", "component",
+        bbPairs, "doc_a", "doc_b")
+      val admitted = s2.join(
+        labels.filter($"node" =!= $"component")
+          .select($"node".as("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      def stageRow(no: Long, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(no).as("stage_no"), lit(name).as("stage"), $"n_docs")
+      stageRow(1L, "arrived", batch)
+        .unionAll(stageRow(2L, "after_exact", s1))
+        .unionAll(stageRow(3L, "after_corpus_neardup", s2))
+        .unionAll(stageRow(4L, "admitted", admitted))
+        .unionAll(stageRow(5L, "corpus_after", corpus.unionAll(
+          admitted.select($"doc_id", lit("").as("text")))))
+        .orderBy($"stage_no")
+    }
+
+  /** Corpus-side closure labeling for L96 (corpus docs only — NOT the
+    * standard full-fixture labeling). */
+  private def nearDupComponentsOf(s: SparkSession, corpus: DataFrame,
+      dir: String): DataFrame =
+    graft.operators.ConnectedComponents.components(
+      minhashNearDupPairs(corpus, MinHashJaccardTau), "doc_a", "doc_b")
+
   /** The merged (yesterday ∪ today) near-dup labeling behind
     * `incremental_clusters`: ONE LSH pass over the fixture corpus
     * produces the pair set (checkpointed once, so the corpus/batch
@@ -3093,6 +3194,26 @@ object Pipeline {
         .orderBy($"batch_doc", $"corpus_doc")
     }),
 
+    // L96: the CONTINUOUS-ingestion curation cycle as ONE funnel —
+    // the incremental twin of full_curation, composing the round's
+    // incremental machinery end to end: a batch arrives → exact
+    // dedup against the corpus (16-byte fingerprints, text never
+    // shuffles) → near-dedup against the corpus (the banded
+    // incremental probe: corpus bands semi-joined by batch bands,
+    // work ∝ batch) → within-batch near-dup closure folded into the
+    // corpus labeling via ConnectedComponents.merge (work ∝ touched
+    // components) → admit canonicals. Planted probes force every
+    // stage to fire: exact copies of corpus docs, appended-token
+    // near-twins, and genuine fresh docs. Output = the stage funnel
+    // (arrived / after each stage / admitted / corpus after) the
+    // ingest operator reads daily; the oracle replays all four
+    // stages in SQL (text IN, brute cross Jaccard, recursive
+    // closure), so any stage diverging — or corrupting a later
+    // stage's input — fails the hash.
+    "incremental_curation" -> ((s: SparkSession, dir: String) => {
+      incrementalCurationFunnel(s, dir)
+    }),
+
     // L38: fuzzy key matching / entity resolution at distance 1 —
     // SymSpell deletion-variant blocking: candidates are an equi-join
     // on exploded deletion neighborhoods (|s|+1 slim rows per input,
@@ -4797,6 +4918,89 @@ object Pipeline {
          |WHERE jaccard >= tau
          |GROUP BY tau ORDER BY tau""".stripMargin
     },
+
+    // every stage replayed independently: text IN for exact, brute
+    // cross Jaccard for both near stages, recursive closure for the
+    // within-batch clusters
+    "incremental_curation" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000000, text FROM documents
+         |  WHERE doc_id % 10 <> 0 AND doc_id % 17 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 40000000, text || ' ingestprobe' FROM documents
+         |  WHERE doc_id % 10 <> 0 AND doc_id % 23 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 50000000, text || ' twinprobeA' FROM documents
+         |  WHERE doc_id % 10 = 0 AND doc_id % 13 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 60000000, text || ' twinprobeB' FROM documents
+         |  WHERE doc_id % 10 = 0 AND doc_id % 13 = 1),
+         |s1 AS (
+         |  SELECT doc_id, text FROM batch
+         |  WHERE text NOT IN (SELECT text FROM corpus)),
+         |sh1 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ws) >= 3 THEN
+         |      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |                     for i in range(1, len(ws) - 1)])
+         |    ELSE [text] END AS s
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |        FROM s1)),
+         |shc AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ws) >= 3 THEN
+         |      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |                     for i in range(1, len(ws) - 1)])
+         |    ELSE [text] END AS s
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |        FROM corpus)),
+         |hits AS (
+         |  SELECT DISTINCT a.doc_id FROM sh1 a, shc b
+         |  WHERE ${sqlQ6("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s)))")} >= 0.5),
+         |s2 AS (
+         |  SELECT doc_id, text FROM s1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+         |sh2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ws) >= 3 THEN
+         |      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |                     for i in range(1, len(ws) - 1)])
+         |    ELSE [text] END AS s
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |        FROM s2)),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+         |  WHERE ${sqlQ6("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s)))")} >= 0.5),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |n AS (SELECT DISTINCT u AS node FROM e),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node),
+         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach
+         |         GROUP BY node),
+         |adm AS (
+         |  SELECT doc_id FROM s2 WHERE doc_id NOT IN (
+         |    SELECT node FROM comp WHERE node <> cluster_id))
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_no, 'arrived' AS stage,
+         |    CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS n_docs
+         |  UNION ALL SELECT 2, 'after_exact',
+         |    CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+         |  UNION ALL SELECT 3, 'after_corpus_neardup',
+         |    CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+         |  UNION ALL SELECT 4, 'admitted',
+         |    CAST((SELECT COUNT(*) FROM adm) AS BIGINT)
+         |  UNION ALL SELECT 5, 'corpus_after',
+         |    CAST((SELECT COUNT(*) FROM corpus) +
+         |         (SELECT COUNT(*) FROM adm) AS BIGINT))
+         |ORDER BY stage_no""".stripMargin,
 
     // the cross-split brute scan the banded incremental search must
     // equal: every (batch, corpus) pair at string Jaccard >= tau

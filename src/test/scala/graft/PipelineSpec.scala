@@ -579,6 +579,30 @@ class PipelineSpec extends SparkSuite {
     assert(got.forall(r => r._4 < r._3))
   }
 
+  test("incremental_curation: every stage fires and the funnel conserves") {
+    val rows = SparkEntry.queries("incremental_curation")(spark, sf)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._2) == Seq("arrived", "after_exact",
+      "after_corpus_neardup", "admitted", "corpus_after"))
+    val n = rows.map(r => r._2 -> r._3).toMap
+    assert(n("arrived") > n("after_exact"),
+      "planted exact copies must die at stage 1")
+    assert(n("after_exact") > n("after_corpus_neardup"),
+      "planted appended-token near-twins must die at stage 2")
+    assert(n("after_corpus_neardup") > n("admitted"),
+      "planted within-batch twins must collapse at stage 3")
+    assert(n("admitted") > 0, "genuine fresh docs must survive")
+    val corpusCount = Tables.documents(spark, sf)
+      .filter($"doc_id" % 10 =!= 0).count()
+    assert(n("corpus_after") == corpusCount + n("admitted"),
+      "corpus_after = corpus + admitted, exactly")
+    // the exact-copy family is at least the planted count (natural
+    // batch/corpus text dups may add to it)
+    val nExactProbes = Tables.documents(spark, sf)
+      .filter($"doc_id" % 10 =!= 0 && $"doc_id" % 17 === 2).count()
+    assert(n("arrived") - n("after_exact") >= nExactProbes)
+  }
+
   test("neardup_dedup_quality keeps exactly one member per cluster, the best") {
     val kept = SparkEntry.queries("neardup_dedup_quality")(spark, sf)
       .select($"doc_id").as[Long].collect().toSet
