@@ -669,6 +669,32 @@ object Pipeline {
   /** The L96 incremental-curation funnel — cached per dir (stage 2's
     * banding + verify and stage 3's closure run construction-time
     * jobs; the funnel is tiny). */
+  /** The per-source centroid relation (source, cvec) shared by L95
+    * (`source_centroids`) and L97 (`source_affinity`) — built once
+    * per dir (≤ sources × 64 doubles, checkpointed). */
+  private val sourceCentCache = new SessionCache[DataFrame]
+
+  private def sourceCentroidRelation(
+      s: SparkSession, dir: String): DataFrame =
+    sourceCentCache.get(s, dir) { d =>
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .join(Tables.documents(s, d)
+          .select($"doc_id".as("vec_id"), $"source"), "vec_id")
+      e.select($"source", posexplode($"v").as(Seq("i", "x")))
+        .groupBy($"source", $"i")
+        .agg(sum(floor($"x" * lit(10000.0) + lit(0.5)).cast("long"))
+          .as("sq"), count(lit(1)).as("n"))
+        .select($"source", $"i",
+          ($"sq".cast("double") / $"n".cast("double") / lit(10000.0))
+            .as("c"))
+        .groupBy($"source")
+        .agg(array_sort(collect_list(struct($"i", $"c"))).as("ic"))
+        .select($"source", expr("transform(ic, p -> p.c)").as("cvec"))
+        .localCheckpoint()
+    }
+
   private val incrCurationCache = new SessionCache[DataFrame]
 
   private def incrementalCurationFunnel(
@@ -2399,22 +2425,34 @@ object Pipeline {
     // of the ≤ sources×64 centroid relation back onto the vectors;
     // at 10⁹ vectors both aggregations stay map-combinable and the
     // centroid relation stays tiny.
+    // L97: source AFFINITY matrix — pairwise cosine between source
+    // centroids, the semantic twin of L49's near-dup overlap matrix:
+    // which sources cover the same territory (merge candidates / the
+    // redundancy a mixture should discount) vs which add genuinely
+    // different material. Rides the SAME per-dir centroid relation as
+    // L95 (built once, ≤ sources×64 doubles); the pair join is over
+    // the bounded source domain (the kmv_overlap shape), cosines fold
+    // sequentially before q6.
+    "source_affinity" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cent = sourceCentroidRelation(s, dir)
+      cent.as("a").join(broadcast(cent.as("b")),
+          col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_1"),
+          col("b.source").as("source_2"),
+          q6(dot(col("a.cvec"), col("b.cvec")) /
+            (l2norm(col("a.cvec")) * l2norm(col("b.cvec"))))
+            .as("cent_cos"))
+        .orderBy($"source_1", $"source_2")
+    }),
+
     "source_centroids" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .join(Tables.documents(s, dir)
           .select($"doc_id".as("vec_id"), $"source"), "vec_id")
-      val cells = e.select($"source", posexplode($"v").as(Seq("i", "x")))
-        .groupBy($"source", $"i")
-        .agg(sum(floor($"x" * lit(10000.0) + lit(0.5)).cast("long"))
-          .as("sq"), count(lit(1)).as("n"))
-        .select($"source", $"i",
-          ($"sq".cast("double") / $"n".cast("double") / lit(10000.0))
-            .as("c"))
-      val cent = cells.groupBy($"source")
-        .agg(array_sort(collect_list(struct($"i", $"c"))).as("ic"))
-        .select($"source", expr("transform(ic, p -> p.c)").as("cvec"))
+      val cent = sourceCentroidRelation(s, dir)
       val scored = e.join(broadcast(cent), "source")
         .select($"source",
           q6(dot($"v", $"cvec") / (l2norm($"v") * l2norm($"cvec")))
@@ -4387,6 +4425,27 @@ object Pipeline {
          |FROM b$r, v$r""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** The per-source centroid CTE chain (e/x/cc/cent), shared by the
+    * source_centroids and source_affinity oracles. */
+  private val centroidSqlCtes: String =
+    """e AS (
+      |  SELECT d.source, v.vec_id, v.embedding::DOUBLE[] AS emb
+      |  FROM embeddings v JOIN documents d ON v.vec_id = d.doc_id),
+      |x AS (
+      |  SELECT source, u.i AS i,
+      |    CAST(FLOOR(u.x * 10000.0 + 0.5) AS BIGINT) AS q
+      |  FROM (SELECT source,
+      |          unnest([{'i': i, 'x': emb[i]}
+      |                  for i in range(1, len(emb) + 1)]) AS u
+      |        FROM e)),
+      |cc AS (
+      |  SELECT source, i,
+      |    CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) / 10000.0 AS c
+      |  FROM x GROUP BY 1, 2),
+      |cent AS (
+      |  SELECT source, list(c ORDER BY i) AS cvec FROM cc GROUP BY 1)""".stripMargin
+
   private val staticOracleBase: Map[String, String] = Map(
     // Oracle partitions by text directly — semantically identical to
     // the 128-bit fingerprint absent a collision (~1e-20 at 4B docs).
@@ -5874,23 +5933,7 @@ object Pipeline {
     // micro-integer centroid lanes + the cosine_knn sequential-fold
     // dot, per source
     "source_centroids" ->
-      s"""WITH e AS (
-         |  SELECT d.source, v.vec_id, v.embedding::DOUBLE[] AS emb
-         |  FROM embeddings v JOIN documents d ON v.vec_id = d.doc_id),
-         |x AS (
-         |  SELECT source, u.i AS i,
-         |    CAST(FLOOR(u.x * 10000.0 + 0.5) AS BIGINT) AS q
-         |  FROM (SELECT source,
-         |          unnest([{'i': i, 'x': emb[i]}
-         |                  for i in range(1, len(emb) + 1)]) AS u
-         |        FROM e)),
-         |cc AS (
-         |  SELECT source, i,
-         |    CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
-         |      / CAST(COUNT(*) AS DOUBLE) / 10000.0 AS c
-         |  FROM x GROUP BY 1, 2),
-         |cent AS (
-         |  SELECT source, list(c ORDER BY i) AS cvec FROM cc GROUP BY 1),
+      s"""WITH $centroidSqlCtes,
          |scored AS (
          |  SELECT e.source,
          |    ${sqlQ6("list_reduce(list_prepend(0.0, list_transform(list_zip(emb, cvec), z -> z[1] * z[2])), (acc, x) -> acc + x) / (sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x * x)), (acc, x) -> acc + x)) * sqrt(list_reduce(list_prepend(0.0, list_transform(cvec, x -> x * x)), (acc, x) -> acc + x)))")} AS cs
@@ -5907,6 +5950,15 @@ object Pipeline {
          |  min_cos
          |FROM st JOIN cent ON st.source = cent.source
          |ORDER BY st.source""".stripMargin,
+
+    // same centroid chain; pairwise sequential-fold cosine over the
+    // bounded source domain
+    "source_affinity" ->
+      s"""WITH $centroidSqlCtes
+         |SELECT a.source AS source_1, b.source AS source_2,
+         |  ${sqlQ6("list_reduce(list_prepend(0.0, list_transform(list_zip(a.cvec, b.cvec), z -> z[1] * z[2])), (acc, x) -> acc + x) / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.cvec, x -> x * x)), (acc, x) -> acc + x)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.cvec, x -> x * x)), (acc, x) -> acc + x)))")} AS cent_cos
+         |FROM cent a JOIN cent b ON a.source < b.source
+         |ORDER BY source_1, source_2""".stripMargin,
 
     // the cosine ranking CTE + NOT EXISTS against the (probe-bounded)
     // near-dup pair set, re-ranked after the filter

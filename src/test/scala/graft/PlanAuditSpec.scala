@@ -51,6 +51,9 @@ class PlanAuditSpec extends SparkSuite {
                            // source-domain relation (scalar-subquery shape)
       "curve_compare", // one-row bounds + 3-row probe broadcasts over
                        // file-count-sized stats (the prune_audit shape)
+      "source_affinity", // bounded source-domain centroid pairing
+                         // (kmv_overlap shape: both sides one row per
+                         // source, inequality dedupes the pairs)
       "retention_sweep", // one-row reference-now broadcast
                          // (scalar-subquery shape)
       "bpe_train", // per-round one-row argmax + vocab-count broadcasts
