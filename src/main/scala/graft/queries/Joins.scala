@@ -332,28 +332,38 @@ object Joins {
     // Q3/Q5/Q10 star rows don't cover (join reorder must keep the two
     // aliases distinct; a planner bug that collapses them changes
     // every pair). Bidirectional NATION_3↔NATION_7 trade volume per
-    // year: lineitem ⋈ orders ⋈ customer all merge-pinned (every one
-    // of them huge at 100 TB), supplier + both nation aliases
-    // broadcast, the pair filter riding the joins.
+    // year. Scale shape: the ~2/25-nation selectivity (≈12×) must
+    // land on the FACT tree, not on a top residual — supplier and
+    // customer are each pre-pruned through their 2-row nation alias
+    // FIRST, the pruned supplier broadcasts into lineitem BELOW the
+    // lineitem⋈orders merge (so both heavy exchanges carry only
+    // two-nation rows), and the pre-pruned customer edge stays
+    // merge-pinned. Only the symmetric pair disjunction (which needs
+    // both sides at once) remains as the top residual.
     "tpch_q7" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
+      val twoNations = Seq("NATION_3", "NATION_7")
       val n1 = Tables.nation(s, dir)
+        .filter($"n_name".isin(twoNations: _*))
         .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
       val n2 = Tables.nation(s, dir)
+        .filter($"n_name".isin(twoNations: _*))
         .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+      val supp = Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_nationkey")
+        .join(broadcast(n1), $"s_nationkey" === $"sn_key")
+        .select($"s_suppkey", $"supp_nation")
+      val cust = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey")
+        .join(broadcast(n2), $"c_nationkey" === $"cn_key")
+        .select($"c_custkey", $"cust_nation")
       val pair = ($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
         ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3")
       Tables.lineitem(s, dir)
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
         .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
           .hint("merge"), $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(Tables.supplier(s, dir)
-          .select($"s_suppkey", $"s_nationkey")),
-          $"l_suppkey" === $"s_suppkey")
-        .join(Tables.customer(s, dir)
-          .select($"c_custkey", $"c_nationkey").hint("merge"),
-          $"o_custkey" === $"c_custkey")
-        .join(broadcast(n1), $"s_nationkey" === $"sn_key")
-        .join(broadcast(n2), $"c_nationkey" === $"cn_key")
+        .join(cust.hint("merge"), $"o_custkey" === $"c_custkey")
         .filter(pair)
         .groupBy($"supp_nation", $"cust_nation",
           year($"l_shipdate").cast("long").as("l_year"))

@@ -117,8 +117,23 @@ class JoinsSpec extends SparkSuite {
     assert(countOf(p, "SortMergeJoin") >= 2,
       s"lineitem-orders and orders-customer must shuffle on key:\n$p")
     assert(countOf(p, "BroadcastHashJoin") == 3,
-      s"supplier + BOTH nation aliases must broadcast (a planner " +
+      s"pruned supplier + BOTH nation aliases must broadcast (a planner " +
         s"collapse of the aliases would drop one):\n$p")
+  }
+
+  test("tpch_q7: two-nation prune reaches the fact tree, below the first merge") {
+    val p = plan("tpch_q7")
+    // the nation-pruned supplier must broadcast into lineitem BELOW the
+    // lineitem⋈orders merge (deeper in the listing = larger index), so
+    // both heavy exchanges carry only two-nation rows
+    val smjLO = p.indexOf("SortMergeJoin [l_orderkey")
+    val bhjSupp = p.indexOf("BroadcastHashJoin [l_suppkey")
+    assert(smjLO >= 0, s"expected the l⋈o merge join:\n$p")
+    assert(bhjSupp > smjLO,
+      s"supplier prune must sit UNDER the l⋈o merge, not above it:\n$p")
+    // the two-nation IN filter must reach both nation scans
+    assert(countOf(p, "In(n_name") >= 2,
+      s"n_name IN (NATION_3, NATION_7) must push to both nation scans:\n$p")
   }
 
   test("tpch_q17: per-part threshold joins back on a merge, never broadcast") {
