@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   * nBuckets values), then the in-bucket (band_no, band_hash)
   * semi-join is an ordinary pushed-down equi-join.
   *
+  * Band geometry `(tau, nBuckets)` is PART OF THE LAYOUT: it is
+  * persisted as `_graft_meta.json` at [[writeBandLayout]] time and
+  * every [[appendBands]] / [[probeCandidates]] call re-derives its
+  * geometry from its own arguments, so a mismatched call would
+  * silently mix incompatible band keys (missed candidates, no
+  * error). Both maintenance entry points therefore REQUIRE the
+  * arguments to match the persisted meta and fail fast otherwise.
+  *
+  * Doc ids must be NON-NEGATIVE on both sides: the probe classifies
+  * cross pairs by a sign-flip encoding (batch ids map to `-id-1`),
+  * so a negative id would be misclassified. The write paths enforce
+  * this in-query (a `raise_error` guard riding the band rows — no
+  * extra pass), and the probe enforces it on the batch side in the
+  * same aggregate that collects the bucket list.
+  *
   * Caller contract (the [[InvertedIndex.appendPostings]] precedent):
   * a batch is appended once — re-appending a doc duplicates its band
   * keys, exactly as in any postings-merge index.
@@ -44,22 +59,87 @@ object BandIndex {
     bands.withColumn("bucket", bucketCol(col("band_hash"), nBuckets))
   }
 
-  /** Materialize a band index partitioned by bucket. */
-  def writeBandLayout(bands: DataFrame, path: String): Unit = {
+  /** [[buildBands]] rows with the in-query non-negative-id guard —
+    * the write-path enforcement of the sign-flip precondition, free
+    * of extra passes (the guard rides the rows being written). */
+  private def guardedBands(docs: DataFrame, tau: Double,
+      nBuckets: Int): DataFrame =
+    buildBands(docs, tau, nBuckets).withColumn("doc_id",
+      when(col("doc_id") < 0,
+        expr("raise_error('BandIndex: doc_id must be non-negative " +
+          "(the probe sign-flip encoding reserves negatives for " +
+          "batch ids)')").cast("bigint"))
+        .otherwise(col("doc_id")))
+
+  private def metaPath(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
+
+  private def writeMeta(s: SparkSession, path: String, tau: Double,
+      nBuckets: Int): Unit = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"tau": ${tau.toString}, "nBuckets": $nBuckets}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The `(tau, nBuckets)` persisted with a layout. `Double.toString`
+    * round-trips exactly, so the tau comparison is exact. */
+  def readMeta(s: SparkSession, path: String): (Double, Int) = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"band layout at $path has no ${p.getName} — rebuild it with " +
+        "writeBandLayout (geometry-less layouts cannot be safely " +
+        "appended to or probed)")
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val tau = """"tau":\s*([0-9.Ee+-]+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toDouble)
+    val nb = """"nBuckets":\s*(\d+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt)
+    require(tau.isDefined && nb.isDefined,
+      s"unparseable band-layout meta at $p: $text")
+    (tau.get, nb.get)
+  }
+
+  private def requireGeometry(s: SparkSession, path: String, tau: Double,
+      nBuckets: Int): Unit = {
+    val (mTau, mNb) = readMeta(s, path)
+    require(mTau == tau && mNb == nBuckets,
+      s"band-layout geometry mismatch at $path: layout has " +
+        s"(tau=$mTau, nBuckets=$mNb), call asked for (tau=$tau, " +
+        s"nBuckets=$nBuckets) — mixing geometries silently misses " +
+        "candidates, so this is an error")
+  }
+
+  /** Materialize a band index partitioned by bucket, stamping the
+    * `(tau, nBuckets)` geometry into `_graft_meta.json` so appends
+    * and probes can refuse mismatched geometry. */
+  def writeBandLayout(bands: DataFrame, path: String, tau: Double,
+      nBuckets: Int): Unit = {
     require(bands.columns.contains("bucket"),
       "writeBandLayout needs a `bucket` column (see buildBands)")
     bands.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+    writeMeta(bands.sparkSession, path, tau, nBuckets)
   }
 
   /** Append a NEW batch's band keys into an existing layout — the
     * index-maintenance path: bucket directories gain files, nothing
-    * is rewritten. Stream usage mirrors appendPostings:
+    * is rewritten. Geometry must match the persisted meta. Stream
+    * usage mirrors appendPostings:
     * `writeStream.foreachBatch((b, _) => appendBands(b, path, τ, n))`.
     */
   def appendBands(docs: DataFrame, path: String, tau: Double,
-      nBuckets: Int): Unit =
-    buildBands(docs, tau, nBuckets)
+      nBuckets: Int): Unit = {
+    requireGeometry(docs.sparkSession, path, tau, nBuckets)
+    guardedBands(docs, tau, nBuckets)
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
+  }
 
   /** Candidate (batch_doc, corpus_doc) pairs of a new batch against
     * the persisted index — the `incremental_neardup` probe over the
@@ -70,18 +150,37 @@ object BandIndex {
     * generation rides the skew-proof [[CandidatePairs]] path (batch
     * ids sign-flipped so cross pairs are exactly the a<0≤b rows).
     * Candidates are one-sided — the caller's exact verify (string
-    * Jaccard over the candidate texts) decides membership. */
+    * Jaccard over the candidate texts) decides membership.
+    *
+    * The batch is banded twice (once for the bucket-list/guard
+    * aggregate, once lazily in the returned plan) rather than banded
+    * once behind a `localCheckpoint`: the batch is the increment —
+    * small by definition — and the stateless spelling leaves nothing
+    * pinned in executor storage between probes (the checkpointed
+    * variant leaked its blocks until ContextCleaner GC in the
+    * per-batch streaming loop this probe is advertised for). */
   def probeCandidates(batch: DataFrame, path: String, tau: Double,
       nBuckets: Int, bucketCap: Int = 1024): DataFrame = {
     val s = batch.sparkSession
-    import s.implicits._
-    // one banding pass feeds the bucket list AND the join side
-    val batchBands = buildBands(batch, tau, nBuckets)
+    requireGeometry(s, path, tau, nBuckets)
+    val raw = buildBands(batch, tau, nBuckets)
+    // one small aggregate feeds the bucket IN-prune AND the batch-side
+    // non-negative-id guard (min over band rows covers every doc that
+    // can produce a pair)
+    val head = raw
+      .agg(collect_set(col("bucket").cast("long")).as("bks"),
+        min(col("doc_id")).as("mn"))
+      .collect()(0)
+    val buckets: Seq[Long] =
+      head.getSeq[Long](0) match { case bs => bs }
+    val minId = if (head.isNullAt(1)) 0L else head.getLong(1)
+    require(minId >= 0,
+      s"probeCandidates: batch doc_id must be non-negative (got " +
+        s"$minId) — the sign-flip encoding reserves negatives for " +
+        "batch ids; corpus ids are enforced at write time")
+    val batchBands = raw
       .select((-col("doc_id") - lit(1L)).as("doc_id"),
         col("band_no"), col("band_hash"), col("bucket"))
-      .localCheckpoint()
-    val buckets = batchBands.select(col("bucket").cast("long"))
-      .distinct().as[Long].collect().toSeq
     val idx = s.read.parquet(path)
       .filter(col("bucket").cast("long").isin(buckets: _*))
       .join(batchBands.select(col("band_no"), col("band_hash")),

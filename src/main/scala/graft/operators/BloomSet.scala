@@ -271,7 +271,16 @@ object BloomSet {
     * the returned `__k` column — the corpus never ships the index and
     * the index never ships the corpus; the only shuffle is the
     * (shard, w)-keyed probe join, sized by distinct probe keys × k.
-    */
+    *
+    * The index is first re-aggregated with `bit_or` per (shard, w):
+    * an index maintained by APPENDING a second [[buildShardedIndex]]
+    * output (the BandIndex/InvertedIndex maintenance precedent) holds
+    * duplicate (shard, w) rows whose words must be OR-merged — a raw
+    * join would count a present key's matches twice and silently drop
+    * it (a false negative, violating the one-sided contract). The
+    * re-agg makes append-maintenance a supported layout, costs one
+    * (shard, w)-keyed exchange bounded by index words, and is a no-op
+    * on a freshly-built index. */
   def maybeKeys(probes: DataFrame, key: Column, index: DataFrame,
       nShards: Int, numBitsPerShard: Long, k: Int): DataFrame = {
     val pk = probes.where(key.isNotNull).select(key.as("__k")).distinct()
@@ -280,7 +289,9 @@ object BloomSet {
       .select(col("__k"), col("shard"),
         col("pm.w").as("w"), col("pm.m").as("m"))
     val need = pk.groupBy(col("__k")).agg(count(lit(1)).as("__need"))
-    pk.join(index, Seq("shard", "w"))
+    val merged = index.groupBy(col("shard"), col("w"))
+      .agg(bit_or(col("bits")).as("bits"))
+    pk.join(merged, Seq("shard", "w"))
       .filter(col("bits").bitwiseAND(col("m")) === col("m"))
       .groupBy(col("__k")).agg(count(lit(1)).as("__ok"))
       .join(need, Seq("__k"))

@@ -119,7 +119,11 @@ object ConnectedComponents extends Logging {
     *               star re-encoding to be sound)
     * @param newEdges batch edges (self-loops ignored)
     * @return DataFrame[node, component] covering every node of
-    *         `labels` plus every node appearing in `newEdges`
+    *         `labels` plus every node appearing in a non-self-loop
+    *         `newEdges` row — a node whose only new edges are
+    *         self-loops is NOT added (self-loops are dropped before
+    *         endpoint collection, mirroring the [[components]]
+    *         singleton contract: nodes enter only through real edges)
     */
   def merge(labels: DataFrame, nodeCol: String, compCol: String,
       newEdges: DataFrame, aCol: String, bCol: String,

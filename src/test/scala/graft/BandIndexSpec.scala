@@ -33,12 +33,13 @@ class BandIndexSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
 
     // reference: one-shot build over the whole corpus
-    BandIndex.writeBandLayout(BandIndex.buildBands(docs, Tau, NB), full)
+    BandIndex.writeBandLayout(BandIndex.buildBands(docs, Tau, NB), full,
+      Tau, NB)
 
     // maintained: half built, the other half arrives as a stream
     val half = docs.filter($"doc_id" % 2 === 0)
     BandIndex.writeBandLayout(BandIndex.buildBands(half, Tau, NB),
-      maintained)
+      maintained, Tau, NB)
     val rest = docs.filter($"doc_id" % 2 === 1)
       .as[(Long, String)].collect().toSeq
     val input = MemoryStream[(Long, String)]
@@ -87,7 +88,8 @@ class BandIndexSpec extends SparkSuite {
     val wide = 64
     val path = "/tmp/graft_band_index/wide"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
-    BandIndex.writeBandLayout(BandIndex.buildBands(docs, Tau, wide), path)
+    BandIndex.writeBandLayout(BandIndex.buildBands(docs, Tau, wide), path,
+      Tau, wide)
     val batch = docs.orderBy($"doc_id").limit(1)
     val batchBuckets = BandIndex.buildBands(batch, Tau, wide)
       .select($"bucket".cast("long")).distinct().as[Long].collect().toSet
@@ -106,5 +108,47 @@ class BandIndexSpec extends SparkSuite {
     assert(inList.contains(batchBuckets),
       s"partition IN-prune ${inList.orNull} != batch buckets " +
         s"$batchBuckets in plan:\n${plan.take(1200)}")
+  }
+
+  test("geometry is stamped into the layout; mismatched appends and " +
+      "probes fail fast") {
+    val path = "/tmp/graft_band_index/meta"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val small = docs.limit(10)
+    BandIndex.writeBandLayout(BandIndex.buildBands(small, Tau, NB), path,
+      Tau, NB)
+    assert(BandIndex.readMeta(spark, path) == ((Tau, NB)))
+    // wrong tau and wrong nBuckets each refuse both maintenance paths
+    for ((t, n) <- Seq((0.7, NB), (Tau, NB * 2))) {
+      val ea = intercept[IllegalArgumentException](
+        BandIndex.appendBands(small, path, t, n))
+      assert(ea.getMessage.contains("geometry mismatch"))
+      val ep = intercept[IllegalArgumentException](
+        BandIndex.probeCandidates(small, path, t, n))
+      assert(ep.getMessage.contains("geometry mismatch"))
+    }
+    // a layout with no meta (pre-geometry or foreign) is refused too
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, false)
+    val e = intercept[IllegalArgumentException](
+      BandIndex.probeCandidates(small, path, Tau, NB))
+    assert(e.getMessage.contains("_graft_meta.json"))
+  }
+
+  test("negative doc_ids are refused on both sides of the probe") {
+    val path = "/tmp/graft_band_index/negids"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val ok = docs.limit(5)
+    BandIndex.writeBandLayout(BandIndex.buildBands(ok, Tau, NB), path,
+      Tau, NB)
+    val bad = ok.select((-$"doc_id" - 1000L).as("doc_id"), $"text")
+    // batch side: the bucket-list aggregate carries the guard
+    val eb = intercept[IllegalArgumentException](
+      BandIndex.probeCandidates(bad, path, Tau, NB))
+    assert(eb.getMessage.contains("non-negative"))
+    // write side: the in-query raise_error guard fires during append
+    val ew = intercept[Exception](BandIndex.appendBands(bad, path, Tau, NB))
+    assert(ew.getMessage != null)
   }
 }

@@ -153,6 +153,28 @@ class BloomSetSpec extends SparkSuite {
     // one-sided contract sanity: every inserted probe is maybe
     assert(spark.range(0, 10000, 7).filter($"id" < 5000).count() ==
       viaIndex.count(k => !k.startsWith("absent-") && k.toLong < 5000))
+
+    // APPEND-MAINTAINED index: a second buildShardedIndex output
+    // unioned in (duplicate (shard, w) rows) must answer identically —
+    // maybeKeys OR-merges per (shard, w) before the mask test, so a
+    // present key never sees a doubled match count (the false-negative
+    // trap of deciding membership by exact count equality)
+    val half1 = spark.range(2500).select($"id".cast("string").as("k"))
+    val half2 = spark.range(2500, 5000)
+      .select($"id".cast("string").as("k"))
+    val appended = BloomSet
+      .buildShardedIndex(half1, $"k", nShards, bits, kk)
+      .unionByName(BloomSet
+        .buildShardedIndex(half2, $"k", nShards, bits, kk))
+    val viaAppended = BloomSet
+      .maybeKeys(probes, $"k", appended, nShards, bits, kk)
+      .as[String].collect().toSet
+    // same one-sided contract: every truly-present probe survives
+    val present = spark.range(0, 10000, 7).filter($"id" < 5000)
+      .select($"id".cast("string").as("k")).as[String].collect().toSet
+    assert(present.subsetOf(viaAppended),
+      s"append-maintained index dropped present keys: ${
+        (present diff viaAppended).take(5)}")
   }
 
   test("NULL probe stays NULL; NULL build keys are skipped") {
