@@ -1582,6 +1582,68 @@ object Pipeline {
         .orderBy($"tau")
     }),
 
+    // L94: SAMPLED threshold curve — the 100 TB escape of L93: the
+    // exact curve is full-recall set similarity at τ=0.3, whose
+    // candidate volume grows sharply with corpus size; a curve is an
+    // AUDIT, so at scale it should ride a fixed-size stratified
+    // sample with an uncertainty band, not the corpus. Sample = the
+    // L35 exact-k recipe (k=60 per lang, keyed-md5 order — retry-
+    // stable and oracle-replayable); probes are planted ON the
+    // sample (both pair ends present by construction, so every τ
+    // stays populated); pair generation is the same exact set-sim
+    // join, now over ≤ k·|strata| docs REGARDLESS of corpus size;
+    // the band is the L55 Poisson bootstrap over the pair relation
+    // (32 deterministic keyed-hash replicates, min/max of the
+    // per-replicate weighted counts). The oracle replays sample
+    // selection, probes, brute pairs, and the replicate weights from
+    // the same integer literals.
+    "neardup_threshold_curve_sampled" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"hv", $"doc_id")
+      val sampled = Tables.documents(s, dir)
+        .select($"doc_id", $"text", $"lang",
+          graft.operators.Sampling.keyHash32($"doc_id", CurveSampleSalt)
+            .as("hv"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= CurveSampleK)
+        .select($"doc_id", $"text")
+      def probeOf(mod: Int, keepNum: Int, keepDen: Int) =
+        sampled.filter($"doc_id" % 31 === mod)
+          .select(($"doc_id" + lit(20000000L) * mod).as("doc_id"),
+            concat_ws(" ", slice(split($"text", " "), lit(1),
+              greatest(expr(s"(size(split(text, ' ')) * $keepNum) DIV $keepDen"),
+                lit(3)).cast("int"))).as("text"))
+      val docs = sampled
+        .unionByName(probeOf(1, 3, 4))
+        .unionByName(probeOf(2, 11, 20))
+        .unionByName(probeOf(3, 7, 20))
+      val d = withShingleHashes(docs, Seq("doc_id"))
+      val pairs = graft.operators.SetSimJoin.selfJoin(d, "doc_id", "hs", 3, 10)
+        .select($"a".as("doc_a"), $"b".as("doc_b"), $"jaccard")
+      val taus = (3 to 9).map(_ / 10.0)
+      val perTau = pairs
+        .select(explode(array(taus.map(lit): _*)).as("tau"),
+          $"doc_a", $"doc_b", $"jaccard")
+        .filter($"jaccard" >= $"tau")
+      val point = perTau.groupBy($"tau")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(floor($"jaccard" * lit(1000000.0) + lit(0.5))).cast("long")
+            .as("jacc_micro_sum"))
+      val u = graft.operators.Sampling.keyHash32(
+        concat($"doc_a".cast("string"), lit(":"), $"doc_b".cast("string"),
+          lit(":"), $"rep".cast("string")), CurveBootSalt)
+      val wgt = BootThresholds.map(t => (u >= lit(t)).cast("long"))
+        .reduce(_ + _)
+      val band = perTau
+        .select($"tau", $"doc_a", $"doc_b",
+          explode(sequence(lit(1), lit(BootB))).as("rep"))
+        .select($"tau", $"rep", wgt.as("w"))
+        .groupBy($"tau", $"rep").agg(sum($"w").as("wsum"))
+        .groupBy($"tau")
+        .agg(min($"wsum").as("boot_lo"), max($"wsum").as("boot_hi"))
+      point.join(band, Seq("tau")).orderBy($"tau")
+    }),
+
     // O10: source-fair interleaved ranking — the EXPORT ORDER of a
     // balanced curation run: rank docs per source by quality, then
     // merge round-robin (all sources' rank-1 docs before any rank-2)
@@ -3781,6 +3843,14 @@ object Pipeline {
     * thresholds are these exact integer literals). */
   private[graft] val BootB = 32
   private[graft] val BootSalt = "boot:v1:"
+
+  /** The L94 sampled-curve knobs: exact-k per-lang stratum size (the
+    * sample — and therefore the pair work — is FIXED regardless of
+    * corpus size) and the two keyed-hash salts (doc selection, pair
+    * replicate weights). */
+  private[graft] val CurveSampleK = 60
+  private[graft] val CurveSampleSalt = "curvesamp:v1:"
+  private[graft] val CurveBootSalt = "curveboot:v1:"
   private[graft] val BootThresholds: Seq[Long] = {
     var pmf = math.exp(-1.0)
     var cdf = pmf
@@ -4976,6 +5046,69 @@ object Pipeline {
          |                        0.9]::DOUBLE[]) AS tau) g
          |WHERE jaccard >= tau
          |GROUP BY tau ORDER BY tau""".stripMargin
+    },
+
+    // sampled twin: same md5 sample selection (salt curvesamp:v1:),
+    // same probes and brute pairs over the sample, same Poisson
+    // replicate weights (salt curveboot:v1:) from the identical
+    // integer thresholds
+    "neardup_threshold_curve_sampled" -> {
+      def probeSql(mod: Int, keepNum: Int, keepDen: Int) =
+        s"""SELECT doc_id + 20000000 * $mod AS doc_id,
+           |  array_to_string(ws[1:GREATEST((len(ws) * $keepNum) // $keepDen,
+           |    3)], ' ') AS text
+           |FROM (SELECT doc_id, string_split(text, ' ') AS ws
+           |      FROM smp WHERE doc_id % 31 = $mod)""".stripMargin
+      val wExpr = BootThresholds.map(t => s"CAST(u >= $t AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH hsel AS (
+         |  SELECT doc_id, text, lang,
+         |    ${sqlMd5Fold32(CurveSampleSalt, "CAST(doc_id AS VARCHAR)")} AS hv
+         |  FROM documents),
+         |smp AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+         |        AS rn
+         |    FROM hsel) WHERE rn <= $CurveSampleK),
+         |curvedocs AS (
+         |  SELECT doc_id, text FROM smp
+         |  UNION ALL ${probeSql(1, 3, 4)}
+         |  UNION ALL ${probeSql(2, 11, 20)}
+         |  UNION ALL ${probeSql(3, 7, 20)}),
+         |${shingleSqlCteFor("curvedocs")},
+         |p AS (
+         |  SELECT doc_a, doc_b,
+         |    ${sqlQ6("CAST(ni AS DOUBLE) / (na + nb - ni)")} AS jaccard
+         |  FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      len(a.s) AS na, len(b.s) AS nb,
+         |      len(list_intersect(a.s, b.s)) AS ni
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE ni * 13 >= (na + nb) * 3),
+         |pt AS (
+         |  SELECT tau, doc_a, doc_b, jaccard
+         |  FROM p, (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+         |                          0.9]::DOUBLE[]) AS tau) g
+         |  WHERE jaccard >= tau),
+         |point AS (
+         |  SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CAST(FLOOR(jaccard * 1000000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS jacc_micro_sum
+         |  FROM pt GROUP BY tau),
+         |wts AS (
+         |  SELECT tau, rep, ($wExpr) AS w FROM (
+         |    SELECT tau, rep,
+         |      ${sqlMd5Fold32(CurveBootSalt,
+                  "doc_a || ':' || doc_b || ':' || rep")} AS u
+         |    FROM pt, (SELECT unnest(range(1, ${BootB + 1})) AS rep) r)),
+         |band AS (
+         |  SELECT tau, CAST(MIN(wsum) AS BIGINT) AS boot_lo,
+         |    CAST(MAX(wsum) AS BIGINT) AS boot_hi
+         |  FROM (SELECT tau, rep, SUM(w) AS wsum FROM wts GROUP BY 1, 2)
+         |  GROUP BY tau)
+         |SELECT tau, n_pairs, jacc_micro_sum, boot_lo, boot_hi
+         |FROM point JOIN band USING (tau) ORDER BY tau""".stripMargin
     },
 
     // every stage replayed independently: text IN for exact, brute

@@ -502,6 +502,42 @@ class PipelineSpec extends SparkSuite {
     assert(rows.last._2 > 0, "the native >= 0.9 pairs must survive")
   }
 
+  test("neardup_threshold_curve_sampled: subset of the exact curve, " +
+      "band covers the point estimate, curve tracks") {
+    val exact = SparkEntry.queries("neardup_threshold_curve")(spark, sf)
+      .as[(Double, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    val rows = SparkEntry
+      .queries("neardup_threshold_curve_sampled")(spark, sf)
+      .as[(Double, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+    assert(rows.sliding(2).forall(p => p.head._2 >= p.last._2),
+      s"sampled pair counts must be non-increasing in tau: $rows")
+    for ((tau, n, micro, lo, hi) <- rows) {
+      val (en, emicro) = exact(tau)
+      // the sampled pair relation is a strict SUBSET of the exact
+      // one (same probe rule applied to sampled ids), so both totals
+      // are bounded by the exact row's
+      assert(n > 0 && n <= en, s"tau=$tau: sampled n=$n vs exact=$en")
+      assert(micro <= emicro, s"tau=$tau: micro=$micro vs $emicro")
+      // the Poisson band straddles its own point estimate
+      assert(lo <= n && n <= hi, s"tau=$tau: band [$lo,$hi] misses $n")
+      assert(lo > 0, s"tau=$tau: degenerate band [$lo,$hi]")
+      // tracking: per-pair mean similarity of the sample stays within
+      // 15% of the exact curve's (the sample is a thinning, so the
+      // mean — unlike the count — needs no design-effect scaling)
+      val meanS = micro.toDouble / n
+      val meanE = emicro.toDouble / en
+      assert(math.abs(meanS - meanE) / meanE < 0.15,
+        s"tau=$tau: sampled mean $meanS drifted from exact $meanE")
+      // thinning rate in the plausible (p^2, p) bracket for the
+      // k=60-per-lang sample of the fixture corpus
+      val ratio = n.toDouble / en
+      assert(ratio > 0.2 && ratio < 0.8,
+        s"tau=$tau: thinning ratio $ratio outside (0.2, 0.8)")
+    }
+  }
+
   test("bpe_train: equals a sequential in-memory BPE trainer") {
     // independent reference: classic greedy BPE — word-frequency
     // table, per-round pair count, argmax (count desc, pair asc),
