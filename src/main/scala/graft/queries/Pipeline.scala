@@ -297,6 +297,37 @@ object Pipeline {
     (-3L, "de", "der hund und die katze sehen das auto und der mann liest das buch"),
     (-2L, "es", "el perro corre por la playa y la casa de el sol es de la madre"))
 
+  /** TRAINING probes for `lang_id_trigram` (L98): a few rows of real
+    * text per non-English class, unioned into the labeled training
+    * corpus so each class's trigram profile carries genuine
+    * characteristic n-grams on top of the fixture's English-ish word
+    * salad (whose per-class profiles are statistically identical).
+    * (No single quotes: interpolated into SQL.) */
+  private[graft] val trigramTrainProbes: Seq[(Long, String, String)] = Seq(
+    (-60L, "en", "the quick brown fox jumps over the lazy dog while reading newspapers every morning"),
+    (-59L, "en", "children playing together in the garden watched the shining stars through clear evening skies"),
+    (-58L, "de", "geschwindigkeit wissenschaftler entwicklung natürlich zwischen brücke während müssen durchschnitt verständnis"),
+    (-57L, "de", "möglichkeit geschichte wichtig sprache schreiben lesen schließen über größe straße"),
+    (-56L, "es", "canción corazón información atención niños señora años español ciudad después"),
+    (-55L, "es", "también situación educación producción música rápido pequeño mañana trabajo investigar"),
+    (-54L, "fr", "français château déjà très être où général après toujours beaucoup"),
+    (-53L, "fr", "développement gouvernement première connaître plutôt peut-être voilà élève fenêtre forêt"),
+    (-52L, "zh", "中文文本处理系统需要大量高质量的训练数据进行建模"),
+    (-51L, "zh", "语言模型的预训练语料库需要严格的质量控制和去重流程"))
+
+  /** SCORING probes for `lang_id_trigram`: real-language text with
+    * ZERO stopword-list hits (none of the/a/of, el/la/de, der/die/das
+    * as whole tokens) — the stopword tier (L5) votes en on every one
+    * of these by tiebreak, while the trigram model identifies them.
+    * These rows are what separates the two mechanisms. (No single
+    * quotes.) */
+  private[graft] val trigramScoreProbes: Seq[(Long, String, String)] = Seq(
+    (-44L, "de", "schließlich bemühungen verständnisvolle wissenschaftliche durchführung überraschung größenordnung"),
+    (-43L, "es", "investigación comunicación civilización oportunidades extraordinario corazones pequeñas"),
+    (-42L, "fr", "développées caractéristiques générations connaissances extraordinaires châteaux forêts"),
+    (-41L, "zh", "自然语言处理模型训练语料库质量控制流程"),
+    (-40L, "en", "reading newspapers every morning children playing together watched shining stars through clear evening skies"))
+
   /** `(source, text)` probe docs unioned into `tfidf_terms` AND its
     * oracle. The synthetic vocabulary is shared by every source, so
     * corpus-only idf is ln(1)=0 everywhere and the per-source ranking
@@ -2378,6 +2409,83 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // L98: char-trigram language ID — the generalizing tier above
+    // L5's stopword vote (which scores 0-everywhere on text that
+    // avoids the few listed function words). A multinomial NB over
+    // character trigrams, trained on the LABELED corpus itself (plus
+    // planted per-class training rows that give each class genuine
+    // characteristic n-grams — the fixture's English-ish salad is
+    // per-class identical): per (doc, class), Laplace-smoothed
+    // Σ k_t · ln((c_t+1)/(N_class+V)), each per-trigram term
+    // quantized to integer micro-nats BEFORE the order-free sum (the
+    // unigram_logprob contract), argmax in fixed class order. The
+    // scoring probes are real-language text with zero stopword hits:
+    // the stopword tier votes en on all of them by tiebreak, the
+    // trigram model identifies them — the two mechanisms separate.
+    // Shape: model build is one trigram explode + map-combinable
+    // conditional counts keyed by trigram (vocabulary-sized, never
+    // raw text); scoring is one vocab-keyed equi-join + one doc-keyed
+    // agg; totals are a one-row scalar broadcast.
+    "lang_id_trigram" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val corpus = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"text")
+      // train on a BALANCED per-class sample (the L35 exact-k
+      // recipe): with the raw labels the en class carries ~3x the
+      // trigram mass, and under add-one smoothing every rare/unseen
+      // trigram then votes for the smallest class (its denominator
+      // N_class + V is smallest) — a systematic misclassification
+      // bias, not noise. Equal-k classes equalize the denominators,
+      // and the model build touches k·|classes| docs regardless of
+      // corpus size.
+      val tw = Window.partitionBy($"lang").orderBy($"thv", $"doc_id")
+      val balanced = corpus
+        .withColumn("thv",
+          graft.operators.Sampling.keyHash32($"doc_id", TrigramSalt))
+        .withColumn("trn", row_number().over(tw))
+        .filter($"trn" <= TrigramTrainK)
+        .select($"doc_id", $"lang", $"text")
+      val train = balanced
+        .unionAll(trigramTrainProbes.toDF("doc_id", "lang", "text"))
+      val scoreSet = corpus
+        .unionAll(trigramTrainProbes.toDF("doc_id", "lang", "text"))
+        .unionAll(trigramScoreProbes.toDF("doc_id", "lang", "text"))
+      val triExpr = expr(
+        "CASE WHEN length(text) < 3 THEN array(text) " +
+          "ELSE transform(sequence(1, length(text) - 2), " +
+          "i -> substring(text, i, 3)) END")
+      val mt = train.select($"lang", explode(triExpr).as("tri"))
+      val cAggs = langs.map(l =>
+        sum(when($"lang" === l, 1L).otherwise(0L)).as(s"c_$l"))
+      val model = mt.groupBy($"tri").agg(cAggs.head, cAggs.tail: _*)
+      val nAggs = langs.map(l =>
+        sum(when($"lang" === l, 1L).otherwise(0L)).as(s"n_$l")) :+
+        countDistinct($"tri").as("v")
+      val totals = mt.agg(nAggs.head, nAggs.tail: _*)
+      val dt = scoreSet
+        .select($"doc_id", $"lang", explode(triExpr).as("tri"))
+        .groupBy($"doc_id", $"lang", $"tri").agg(count(lit(1)).as("k"))
+      val terms = dt.join(model, Seq("tri"), "left_outer")
+        .crossJoin(broadcast(totals))
+      val lpCols = langs.map { l =>
+        sum($"k" * floor(
+          log((coalesce(col(s"c_$l"), lit(0L)).cast("double") + lit(1.0)) /
+            (col(s"n_$l") + $"v").cast("double")) * lit(1000000.0) +
+          lit(0.5)).cast("long")).as(s"lp_$l")
+      }
+      terms.groupBy($"doc_id", $"lang").agg(lpCols.head, lpCols.tail: _*)
+        .withColumn("predicted_lang",
+          when($"lp_de" >= $"lp_en" && $"lp_de" >= $"lp_es" &&
+            $"lp_de" >= $"lp_fr" && $"lp_de" >= $"lp_zh", "de")
+          .when($"lp_en" >= $"lp_es" && $"lp_en" >= $"lp_fr" &&
+            $"lp_en" >= $"lp_zh", "en")
+          .when($"lp_es" >= $"lp_fr" && $"lp_es" >= $"lp_zh", "es")
+          .when($"lp_fr" >= $"lp_zh", "fr")
+          .otherwise("zh"))
+        .orderBy($"doc_id")
+    }),
+
     // L71: code-switch detection — the language-MIX signal doc-level
     // language ID (L5's lang_id_heuristic) cannot see: a document
     // whose 25-word segments vote for different languages is usually
@@ -3851,6 +3959,12 @@ object Pipeline {
   private[graft] val CurveSampleK = 60
   private[graft] val CurveSampleSalt = "curvesamp:v1:"
   private[graft] val CurveBootSalt = "curveboot:v1:"
+
+  /** L98 balanced-training knobs: exact-k per class for the trigram
+    * model (equalizes the smoothed denominators across classes) and
+    * the selection salt. */
+  private[graft] val TrigramTrainK = 60
+  private[graft] val TrigramSalt = "trig:v1:"
   private[graft] val BootThresholds: Seq[Long] = {
     var pmf = math.exp(-1.0)
     var cdf = pmf
@@ -6334,6 +6448,66 @@ object Pipeline {
          |    ${langIdProbes.map { case (id, lg, tx) =>
               s"UNION ALL SELECT $id, '$lg', '$tx'" }.mkString("\n    ")})))
          |ORDER BY doc_id""".stripMargin,
+
+    // same trigram extraction, same Laplace term with the identical
+    // micro-nat quantization before the sum, same fixed argmax order
+    "lang_id_trigram" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      def probesSql(ps: Seq[(Long, String, String)]) =
+        ps.map { case (id, lg, tx) =>
+          s"UNION ALL SELECT $id, '$lg', '$tx'" }.mkString("\n  ")
+      val triOf =
+        """CASE WHEN len(text) < 3 THEN [text]
+          |    ELSE [text[i:i+2] for i in range(1, len(text) - 1)] END"""
+          .stripMargin
+      val cSums = langs.map(l =>
+        s"SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS c_$l")
+        .mkString(", ")
+      val nSums = langs.map(l =>
+        s"SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS n_$l")
+        .mkString(", ")
+      val termCols = langs.map(l =>
+        s"k * CAST(FLOOR(ln((COALESCE(c_$l, 0) + 1.0) / (n_$l + v)) " +
+          s"* 1000000.0 + 0.5) AS BIGINT) AS t_$l").mkString(",\n    ")
+      val lpCols = langs.map(l => s"CAST(SUM(t_$l) AS BIGINT) AS lp_$l")
+        .mkString(", ")
+      s"""WITH bal AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+         |        ${sqlMd5Fold32(TrigramSalt, "CAST(doc_id AS VARCHAR)")},
+         |        doc_id) AS trn
+         |    FROM documents) WHERE trn <= $TrigramTrainK),
+         |train AS (
+         |  SELECT doc_id, lang, text FROM bal
+         |  ${probesSql(trigramTrainProbes)}),
+         |scoreset AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  ${probesSql(trigramTrainProbes)}
+         |  ${probesSql(trigramScoreProbes)}),
+         |mt AS (
+         |  SELECT lang, unnest($triOf) AS tri FROM train),
+         |model AS (SELECT tri, $cSums FROM mt GROUP BY tri),
+         |tot AS (SELECT $nSums, COUNT(DISTINCT tri) AS v FROM mt),
+         |dt AS (
+         |  SELECT doc_id, lang, tri, COUNT(*) AS k FROM (
+         |    SELECT doc_id, lang, unnest($triOf) AS tri FROM scoreset)
+         |  GROUP BY 1, 2, 3),
+         |terms AS (
+         |  SELECT doc_id, d.lang AS lang,
+         |    $termCols
+         |  FROM dt d LEFT JOIN model USING (tri), tot),
+         |lp AS (SELECT doc_id, lang, $lpCols FROM terms GROUP BY 1, 2)
+         |SELECT doc_id, lang, lp_de, lp_en, lp_es, lp_fr, lp_zh,
+         |  CASE WHEN lp_de >= lp_en AND lp_de >= lp_es AND lp_de >= lp_fr
+         |         AND lp_de >= lp_zh THEN 'de'
+         |       WHEN lp_en >= lp_es AND lp_en >= lp_fr AND lp_en >= lp_zh
+         |         THEN 'en'
+         |       WHEN lp_es >= lp_fr AND lp_es >= lp_zh THEN 'es'
+         |       WHEN lp_fr >= lp_zh THEN 'fr'
+         |       ELSE 'zh' END AS predicted_lang
+         |FROM lp ORDER BY doc_id""".stripMargin
+    },
 
     // same positional segmentation as segment_dedup, same stopword
     // vote as lang_id_heuristic, per segment

@@ -538,6 +538,29 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("lang_id_trigram: identifies the stopword-free probes the " +
+      "stopword tier cannot") {
+    val stops = Set("the", "a", "of", "el", "la", "de", "der", "die",
+      "das")
+    // the probes genuinely carry zero stopword signal (whole tokens)
+    for ((_, _, tx) <- Pipeline.trigramScoreProbes)
+      assert(tx.split(" ").forall(w => !stops(w)),
+        s"scoring probe leaks a stopword: $tx")
+    val got = SparkEntry.queries("lang_id_trigram")(spark, sf)
+      .select($"doc_id", $"lang", $"predicted_lang")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // every planted scoring probe is identified by its trigrams —
+    // including the four the stopword vote would tiebreak to en
+    for ((id, lang, _) <- Pipeline.trigramScoreProbes)
+      assert(got(id) == ((lang, lang)),
+        s"probe $id: expected $lang, got ${got(id)}")
+    // the training probes classify to their own class too
+    for ((id, lang, _) <- Pipeline.trigramTrainProbes)
+      assert(got(id)._2 == lang,
+        s"train probe $id: expected $lang, got ${got(id)}")
+  }
+
   test("bpe_train: equals a sequential in-memory BPE trainer") {
     // independent reference: classic greedy BPE — word-frequency
     // table, per-round pair count, argmax (count desc, pair asc),

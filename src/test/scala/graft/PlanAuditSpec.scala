@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSuite {
       "hard_negatives", // the cosine_knn brute scorer + an anti-join
       "ann_recall", // both brute rankings (exact + ADC) vs broadcast probes
       "bigram_logprob", // one-row vocab broadcast (unigram_logprob shape)
+      "lang_id_trigram", // one-row class-totals broadcast (same shape)
       "hybrid_rrf", // its vector arm is the cosine_knn brute scorer
                     // (broadcast probes); the scale path swaps in
                     // ivfpq_ann unchanged
