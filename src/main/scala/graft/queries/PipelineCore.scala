@@ -1206,4 +1206,51 @@ private[queries] trait PipelineCore {
     * collected only at oracle-dump time (sources × 64 longs, tiny). */
   private[queries] val sourceSigCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** L99 knobs: doc-subset modulus (the brute oracle is quadratic in
+    * token-match pairs, so the audit runs a deterministic 1/7 slice)
+    * and the minimal reported duplicated-span length in tokens —
+    * deliberately BELOW the L24/L91 fixed window width 8: sub-window
+    * granularity is exactly what the suffix ranking adds. */
+  private[queries] val DupRunMod = 7
+  private[queries] val DupRunMinLen = 4L
+
+  /** The L99 suffix-ranking duplicated-region relation: the %7 doc
+    * slice plus planted cross-doc copies (a 5-token and a 13-token
+    * verbatim slice under unique marker tokens — one below, one above
+    * the L91 window width), tokenized and run through
+    * [[graft.operators.SuffixRanks.dupRuns]]. Construction runs the
+    * prefix-doubling driver loop, so the result is cached per dir AND
+    * persisted as an ArtifactStore layout (the relation every
+    * downstream surgery pass would reuse). */
+  private[queries] val dupRunsCache = new SessionCache[DataFrame]
+
+  private[queries] def dupSubstringRuns(s: SparkSession,
+      dir: String): DataFrame =
+    dupRunsCache.get(s, dir) { d =>
+      graft.operators.ArtifactStore.getOrBuild(s, d,
+        "dup_substring_runs", s"v1:t$DupRunMinLen:m$DupRunMod") {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .filter($"doc_id" % DupRunMod === 0)
+          .select($"doc_id", $"text")
+        def copyProbe(mod: Int, offset: Long, mark: String,
+            from: Int, len: Int, minToks: Int) =
+          base.filter($"doc_id" % mod === 0 &&
+              size(split($"text", " ")) >= minToks)
+            .select(($"doc_id" + lit(offset)).as("doc_id"),
+              concat(lit(mark), $"doc_id".cast("string"), lit(" "),
+                concat_ws(" ",
+                  slice(split($"text", " "), from, len)),
+                lit(s" ${mark}z"), $"doc_id".cast("string")).as("text"))
+        val docs = base
+          .unionByName(copyProbe(21, 70000000L, "pa", 6, 5, 10))
+          .unionByName(copyProbe(35, 80000000L, "pb", 3, 13, 15))
+        val tokens = docs
+          .select($"doc_id", posexplode(split($"text", " ")))
+          .select($"doc_id", $"pos".cast("long").as("pos"),
+            $"col".as("tok"))
+        graft.operators.SuffixRanks.dupRuns(tokens, DupRunMinLen)
+      }
+    }
 }

@@ -1020,5 +1020,23 @@ private[queries] trait PipelineDedupQueries extends PipelineCore {
         .orderBy($"doc_id")
     }),
 
+    // L99: arbitrary-length exact-substring runs via distributed
+    // suffix ranking — the true longest-match contract (Lee et al.)
+    // that L91's fixed 8-token windows approximate: per position, the
+    // longest token span that occurs ANYWHERE else (same or another
+    // doc), reported as maximal per-doc duplicated regions at
+    // threshold 4 (sub-window granularity). Machinery: prefix
+    // doubling (log maxlen rounds of two-phase dense ranking — the
+    // iterative equi-shuffle family, no global sort), SA adjacency by
+    // rank equi-join, LCP by rank descent, interval union per doc.
+    // Planted 5- and 13-token verbatim copies under unique markers
+    // pin both the below-window and the multi-window contract. The
+    // oracle replays the brute quadratic diagonal-run scan over the
+    // same %7 slice — exact parity, suffix ranks vs all-pairs.
+    "dup_substring_runs" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      dupSubstringRuns(s, dir)
+        .orderBy($"doc_id", $"run_start")
+    }),
   )
 }
