@@ -96,6 +96,20 @@ object InvertedIndex {
       .filter(col("term").isin(terms: _*))
   }
 
+  /** [[lookupTerms]] through the DSv2 connector
+    * ([[graft.sources.PostingsSource]]): the term IN-predicate is
+    * pushed into the scan, which derives the bucket set with the
+    * layout's own hash and prunes unprobed directories at
+    * file-listing time — index-native pruning visible in the scan
+    * node itself, no helper-side path math. Results are identical to
+    * [[lookupTerms]] (spec-pinned). */
+  def lookupTermsV2(spark: SparkSession, path: String,
+      terms: Seq[String], nBuckets: Int): DataFrame =
+    spark.read.format("graft.sources.PostingsSource")
+      .option("path", path).option("nBuckets", nBuckets.toString)
+      .load()
+      .filter(col("term").isin(terms: _*))
+
   /** BM25 top-k per query over the pruned postings — the indexed twin
     * of the brute `bm25_search` query (identical expression shape, so
     * the two agree row-for-row; spec-pinned in InvertedIndexSpec).
@@ -104,7 +118,9 @@ object InvertedIndex {
       queries: Seq[(Long, String)], nBuckets: Int, k: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val posts = lookupTerms(spark, path,
+    // reads ride the DSv2 connector: term→bucket pruning happens in
+    // the scan node (see lookupTermsV2)
+    val posts = lookupTermsV2(spark, path,
       queries.map(_._2).distinct, nBuckets)
     // stats rows accumulate one per append — merge at read time
     val stats = broadcast(spark.read.parquet(path + ".stats")

@@ -1,0 +1,236 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import graft.operators.InvertedIndex
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the [[InvertedIndex]] term layout —
+  * the index-native scan node the path-level helpers approximate:
+  * a `term = 'x'` / `term IN (...)` predicate against this source is
+  * pushed INTO the scan, where it derives the bucket set via the
+  * layout's own hash (`bucket = pmod(fnv1a(term), nBuckets)`) and
+  * prunes unprobed bucket directories at file-listing time. The
+  * pruning is therefore visible in the plan itself (the scan's
+  * description reports the pushed filters and the listed-file count),
+  * instead of living in a helper that pre-lists paths.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.PostingsSource")
+  *     .option("path", layoutPath).option("nBuckets", "64").load()
+  *     .filter($"term".isin("alpha", "beta"))
+  * }}}
+  *
+  * Supported pushdown: EqualTo/In on `term` (each value hashes to its
+  * bucket — the union of probed buckets is the listing filter; the
+  * residual term equality is ALSO evaluated by the reader, so the
+  * pushed filters are accepted, not merely advisory) and EqualTo/In
+  * on `bucket` (direct partition pruning). Everything else is
+  * returned to Spark as a post-scan filter. Column pruning is
+  * honored (`SupportsPushDownRequiredColumns`).
+  *
+  * The reader is a plain row-group parquet reader (parquet-hadoop
+  * Group API) — index probes read a few small files of the pruned
+  * buckets, where scan setup, not decode vectorization, dominates.
+  * One InputPartition per data file keeps probe parallelism at the
+  * file grain, matching the layout's append-maintenance (each
+  * appended batch adds files, never rewrites).
+  */
+class PostingsSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PostingsSource.Schema
+
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "graft.sources.PostingsSource needs option 'path'")
+    val nBuckets = properties.getOrDefault("nbuckets",
+      properties.getOrDefault("nBuckets", "64")).toInt
+    new PostingsTable(path, nBuckets)
+  }
+}
+
+object PostingsSource {
+  /** Layout schema — `bucket` is the partition directory value. */
+  val Schema: StructType = StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("doc_id", LongType, nullable = false),
+    StructField("dl", LongType, nullable = false),
+    StructField("tf", LongType, nullable = false),
+    StructField("bucket", LongType, nullable = false)))
+}
+
+private[sources] class PostingsTable(path: String, nBuckets: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_postings($path)"
+  override def schema(): StructType = PostingsSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new PostingsScanBuilder(path, nBuckets)
+}
+
+private[sources] class PostingsScanBuilder(path: String, nBuckets: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  /** None = no term/bucket predicate pushed → scan every bucket. */
+  private var buckets: Option[Set[Long]] = None
+  private var terms: Option[Set[String]] = None
+  private var required: StructType = PostingsSource.Schema
+
+  private def termValues(f: Filter): Option[Seq[String]] = f match {
+    case EqualTo("term", v: String) => Some(Seq(v))
+    case In("term", vs) if vs.forall(_.isInstanceOf[String]) =>
+      Some(vs.toSeq.map(_.asInstanceOf[String]))
+    case _ => None
+  }
+
+  private def bucketValues(f: Filter): Option[Seq[Long]] = f match {
+    case EqualTo("bucket", v: Long) => Some(Seq(v))
+    case EqualTo("bucket", v: Int) => Some(Seq(v.toLong))
+    case In("bucket", vs) if vs.forall(v =>
+      v.isInstanceOf[Long] || v.isInstanceOf[Int]) =>
+      Some(vs.toSeq.map {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
+      })
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition(f =>
+      termValues(f).isDefined || bucketValues(f).isDefined)
+    pushed = supported
+    val fromTerms = supported.flatMap(termValues).flatten
+    if (fromTerms.nonEmpty) {
+      terms = Some(fromTerms.toSet)
+      buckets = Some(fromTerms
+        .map(InvertedIndex.bucketOf(_, nBuckets)).toSet)
+    }
+    val fromBuckets = supported.flatMap(bucketValues).flatten
+    if (fromBuckets.nonEmpty)
+      buckets = Some(buckets.fold(fromBuckets.toSet)(
+        _ intersect fromBuckets.toSet))
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new PostingsScan(path, nBuckets, required, buckets, terms, pushed)
+}
+
+private[sources] class PostingsScan(path: String, nBuckets: Int,
+    required: StructType, buckets: Option[Set[Long]],
+    terms: Option[Set[String]], pushed: Array[Filter])
+    extends Scan with Batch {
+
+  /** Driver-side pruned file listing: only the probed buckets'
+    * directories are listed at all. */
+  private[sources] lazy val files: Seq[(String, Long)] = {
+    val conf = new Configuration()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val dirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toLong))
+    val kept = buckets match {
+      case Some(bs) => dirs.filter { case (_, b) => bs.contains(b) }
+      case None => dirs
+    }
+    kept.flatMap { case (dir, b) =>
+      fs.listStatus(dir).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => (f.getPath.toString, b))
+    }
+  }
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftPostingsScan path=$path nBuckets=$nBuckets " +
+      s"buckets=${buckets.map(_.toSeq.sorted.mkString("{", ",", "}"))
+        .getOrElse("ALL")} files=${files.size} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { case (f, b) =>
+      PostingsInputPartition(f, b): InputPartition }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PostingsReaderFactory(required.fieldNames, terms)
+}
+
+private[sources] case class PostingsInputPartition(file: String,
+    bucket: Long) extends InputPartition
+
+private[sources] class PostingsReaderFactory(cols: Array[String],
+    terms: Option[Set[String]]) extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PostingsInputPartition]
+    new PostingsPartitionReader(p.file, p.bucket, cols, terms)
+  }
+}
+
+/** Row-group reader over one postings data file: parquet-hadoop Group
+  * API, the pushed term set re-checked per row (pushed filters are
+  * accepted, not advisory), required columns only. */
+private[sources] class PostingsPartitionReader(file: String,
+    bucket: Long, cols: Array[String], terms: Option[Set[String]])
+    extends PartitionReader[InternalRow] {
+
+  private val reader = org.apache.parquet.hadoop.ParquetReader
+    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+      new Path(file))
+    .withConf(new Configuration())
+    .build()
+
+  private var current: org.apache.parquet.example.data.Group = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null && terms.exists(ts => !ts(g.getString("term", 0))))
+      g = reader.read()
+    current = g
+    g != null
+  }
+
+  override def get(): InternalRow = {
+    val vals = cols.map {
+      case "term" => UTF8String.fromString(current.getString("term", 0))
+      case "doc_id" => current.getLong("doc_id", 0)
+      case "dl" => current.getLong("dl", 0)
+      case "tf" => current.getLong("tf", 0)
+      case "bucket" => bucket
+      case other => throw new IllegalArgumentException(
+        s"unknown postings column $other")
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.InvertedIndex
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The DSv2 postings connector contract: a term predicate against the
+  * source is PUSHED INTO the scan, derives the bucket set with the
+  * layout hash, and prunes unprobed bucket directories at
+  * file-listing time — all visible on the scan node itself. */
+class PostingsSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val NB = 16
+  private lazy val root = {
+    val p = "/tmp/graft_postings_v2/layout"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(p + ".stats"))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val stats = docs.select(
+        size(split($"text", " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    InvertedIndex.writeTermLayout(
+      InvertedIndex.buildPostings(docs, NB), stats, p)
+    p
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.getOrElse(fail("no BatchScanExec in plan"))
+
+  test("term predicate is pushed, buckets derived, files pruned") {
+    val terms = Seq("alpha", "queryprobe", "the")
+    val v2 = InvertedIndex.lookupTermsV2(spark, root, terms, NB)
+    val scan = scanOf(v2)
+    val desc = scan.description()
+    assert(desc.contains("GraftPostingsScan"), desc)
+    assert(desc.contains("In(term"), s"term filter not pushed: $desc")
+    val wantBuckets = terms.map(InvertedIndex.bucketOf(_, NB)).toSet
+    assert(desc.contains(
+      wantBuckets.toSeq.sorted.mkString("{", ",", "}")),
+      s"derived buckets missing from: $desc")
+    // pruned listing: exactly the probed buckets' files, fewer than all
+    val all = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    val wantFiles = all
+      .filter(d => wantBuckets.contains(
+        d.getName.stripPrefix("bucket=").toLong))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val totalFiles = all.flatMap(_.listFiles())
+      .count(_.getName.endsWith(".parquet"))
+    val gotFiles = "files=(\\d+)".r.findFirstMatchIn(desc).get.group(1).toInt
+    assert(gotFiles == wantFiles && gotFiles < totalFiles,
+      s"files=$gotFiles want=$wantFiles total=$totalFiles")
+  }
+
+  test("connector rows equal the path-API rows; column pruning holds") {
+    val terms = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("t"))
+      .groupBy($"t").count().orderBy($"count".desc, $"t")
+      .limit(3).as[(String, Long)].collect().map(_._1).toSeq
+    val cols = Seq("term", "doc_id", "dl", "tf", "bucket").map(col)
+    val v1 = InvertedIndex.lookupTerms(spark, root, terms, NB)
+      .select(cols: _*).orderBy($"term", $"doc_id").collect().toSeq
+    val v2 = InvertedIndex.lookupTermsV2(spark, root, terms, NB)
+      .select(cols: _*).orderBy($"term", $"doc_id").collect().toSeq
+    assert(v1.nonEmpty && v2 == v1)
+    // pruned projection: the scan's read schema narrows
+    val narrow = InvertedIndex.lookupTermsV2(spark, root, terms, NB)
+      .select($"doc_id", $"tf")
+    assert(scanOf(narrow).readSchema().fieldNames.toSet
+      .subsetOf(Set("doc_id", "tf", "term")),
+      scanOf(narrow).readSchema().treeString)
+    assert(narrow.agg(sum($"tf")).as[Long].collect()(0) ==
+      v1.map(_.getLong(3)).sum)
+  }
+
+  test("no predicate scans every bucket; a bucket predicate prunes " +
+      "directly") {
+    val full = spark.read.format("graft.sources.PostingsSource")
+      .option("path", root).option("nBuckets", NB.toString).load()
+    assert(full.count() ==
+      spark.read.parquet(root).count())
+    val one = full.filter($"bucket" === 3L)
+    assert(scanOf(one).description().contains("buckets={3}"))
+    assert(one.count() ==
+      spark.read.parquet(root).filter($"bucket" === 3L).count())
+  }
+}
