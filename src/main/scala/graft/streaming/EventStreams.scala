@@ -192,6 +192,171 @@ object EventStreams {
       }
   }
 
+  final case class FunnelState(tEntry: Long, level: Int, tLevel: Long)
+  final case class FunnelLevel(user_id: Long, level: Int, t_entry: Long,
+      t_level: Long)
+
+  /** T10 live: streaming windowFunnel — the per-user state is the
+    * batch chain itself (anchor = first stage-1 event; stage i = the
+    * earliest stage-i event strictly after stage i−1 and within the
+    * window of the anchor), advanced greedily as events arrive. With
+    * per-user event-time-ordered arrival (the transitions-spec
+    * contract; intra-batch order restored by a local sort) the greedy
+    * advance picks exactly the batch operator's earliest-chain, so
+    * the LAST emitted level per user equals
+    * [[graft.operators.Funnel.windowFunnel]] on the same rows across
+    * any micro-batch split. State is three numbers per user — far
+    * below any horizon bound. Emits one row per advancement. */
+  def funnelStream(events: Dataset[TypedEvent], stages: Seq[String],
+      windowMicros: Long): Dataset[FunnelLevel] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelLevel](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[TypedEvent],
+            state: GroupState[FunnelState]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[FunnelLevel]
+          rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            if (st == null) {
+              if (e.event_type == stages.head) {
+                st = FunnelState(e.ts, 1, e.ts)
+                out += FunnelLevel(uid, 1, e.ts, e.ts)
+              }
+            } else if (st.level < stages.length &&
+                e.event_type == stages(st.level) &&
+                e.ts > st.tLevel && e.ts <= st.tEntry + windowMicros) {
+              st = FunnelState(st.tEntry, st.level + 1, e.ts)
+              out += FunnelLevel(uid, st.level, st.tEntry, st.tLevel)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  final case class CohortState(cohortWeekDay: Long, weeks: Seq[Long])
+  final case class CohortCell(user_id: Long, cohort_week_day: Long,
+      week_no: Long)
+
+  /** Monday-truncated week start in EPOCH DAYS of a micros timestamp
+    * (UTC) — exact integer arithmetic twin of
+    * `date_trunc('week', ts)`: 1970-01-01 was a Thursday, so Monday
+    * offset = (day + 3) mod 7. */
+  private def weekDayOf(micros: Long): Long = {
+    val day = Math.floorDiv(micros, 86400000000L)
+    day - Math.floorMod(day + 3L, 7L)
+  }
+
+  /** T11 live: streaming cohort-retention cells — emits (user,
+    * cohort week, week_no) exactly ONCE per user-week with activity
+    * at or after the user's signup week; the downstream distinct
+    * count per (cohort, week_no) is an ordinary aggregation, and the
+    * emitted cell set equals the batch cohort join on the same rows
+    * across any micro-batch split. Activity weeks seen BEFORE the
+    * signup arrives are buffered in state and flushed when the
+    * cohort anchors (an event earlier in the user's own signup week
+    * must still produce that week's cell — the batch join has no
+    * arrival-order blind spot, so neither may the stream). State =
+    * the cohort anchor + the distinct weeks seen; distinct-ever weeks
+    * are inherently unbounded (the firstTouchCounts caveat) — a
+    * production horizon swaps the week list for a watermark-bounded
+    * window. */
+  def cohortStream(events: Dataset[TypedEvent],
+      signupType: String = "signup"): Dataset[CohortCell] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortCell](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[TypedEvent],
+            state: GroupState[CohortState]) =>
+          var st = state.getOption.getOrElse(CohortState(-1L, Seq.empty))
+          val out = Seq.newBuilder[CohortCell]
+          def emit(w: Long): Unit =
+            if (st.cohortWeekDay >= 0L && w >= st.cohortWeekDay)
+              out += CohortCell(uid, st.cohortWeekDay,
+                (w - st.cohortWeekDay) / 7L)
+          rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val w = weekDayOf(e.ts)
+            if (st.cohortWeekDay < 0L && e.event_type == signupType) {
+              st = CohortState(weekDayOf(e.ts), st.weeks)
+              st.weeks.foreach(emit)
+            }
+            if (!st.weeks.contains(w)) {
+              st = CohortState(st.cohortWeekDay, st.weeks :+ w)
+              emit(w)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  final case class ValuedEvent(event_id: Long, user_id: Long, ts: Long,
+      event_type: String, v_micro: Long)
+  final case class Touch(ts: Long, event_id: Long, event_type: String)
+  final case class TouchState(touches: Seq[Touch])
+  final case class TouchCredit(conv_id: Long, event_type: String,
+      touch_position: String, credit_micro: Long)
+
+  /** T24 live: streaming U-shaped touch attribution — per-user state
+    * is the 7-day touch window (pruned as event time advances, so
+    * state is horizon-bounded by construction); each arriving
+    * conversion allocates its value over the touches in
+    * [conv − 7d, conv) with the IDENTICAL all-integer 40/20/40 split
+    * as the batch query (solo keeps all; first 40%; last the
+    * remainder at cnt=2 else 40%; middles split the rest with
+    * round-robin pennies), so the emitted credit rows equal the
+    * batch window allocation on the same rows across any micro-batch
+    * split. */
+  def attributionStream(events: Dataset[ValuedEvent],
+      convType: String = "purchase",
+      windowMicros: Long = 7L * 86400000000L): Dataset[TouchCredit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, TouchCredit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[ValuedEvent],
+            state: GroupState[TouchState]) =>
+          var touches = state.getOption.map(_.touches)
+            .getOrElse(Seq.empty)
+          val out = Seq.newBuilder[TouchCredit]
+          rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            touches = touches.dropWhile(_.ts < e.ts - windowMicros)
+            if (e.event_type == convType) {
+              val win = touches.filter(t => t.ts < e.ts)
+              val cnt = win.size.toLong
+              val v = e.v_micro
+              win.zipWithIndex.foreach { case (t, i) =>
+                val rn = i + 1L
+                val head = (v * 40L) / 100L
+                val credit =
+                  if (cnt == 1L) v
+                  else if (rn == 1L) head
+                  else if (rn == cnt) {
+                    if (cnt == 2L) v - head else head
+                  } else {
+                    val mid = v - 2L * head
+                    mid / (cnt - 2L) +
+                      (if (rn - 1L <= mid % (cnt - 2L)) 1L else 0L)
+                  }
+                val position =
+                  if (cnt == 1L) "solo"
+                  else if (rn == 1L) "first"
+                  else if (rn == cnt) "last"
+                  else "middle"
+                out += TouchCredit(e.event_id, t.event_type, position,
+                  credit)
+              }
+            } else {
+              touches = touches :+ Touch(e.ts, e.event_id, e.event_type)
+            }
+          }
+          state.update(TouchState(touches))
+          out.result().iterator
+      }
+  }
+
   /** T6: arbitrary per-key state — a running per-user counter kept in
     * GroupState, emitting the updated total on every micro-batch. */
   def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {

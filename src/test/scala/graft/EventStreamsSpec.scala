@@ -383,4 +383,103 @@ class EventStreamsSpec extends SparkSuite {
     assert(out.count() == 20)
     assert(out.columns.contains("tier"))
   }
+
+  /** The full fixture as event-time-ordered typed rows — the arrival
+    * contract of the per-user stage-state twins (intra-batch order is
+    * restored by the operators' local sort; cross-batch order is the
+    * feed's contract, as in the transitions test). */
+  private lazy val ordered: Seq[EventStreams.TypedEvent] =
+    Tables.events(spark, sf)
+      .select(expr("unix_micros(ts)").as("ts"), $"event_id",
+        $"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+      .as[EventStreams.TypedEvent].collect().toSeq
+
+  test("streaming windowFunnel equals the batch funnel across " +
+      "micro-batch splits (T10)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams.funnelStream(input.toDS(),
+        Seq("view", "click", "purchase"), 86400000000L)
+      .writeStream.format("memory").queryName("t_funnel")
+      .outputMode("append").start()
+    try {
+      ordered.grouped(700).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("t_funnel")
+      .groupBy($"user_id").agg(max($"level").as("level"))
+      .as[(Long, Int)].collect().toMap
+    val batch = graft.operators.Funnel.windowFunnel(
+        Tables.events(spark, sf)
+          .select($"user_id", $"ts", $"event_type"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), "INTERVAL 1 DAY")
+      .select($"user_id", $"level")
+      .as[(Long, Int)].collect().toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    // and therefore the query row's stage counts
+    val counts = SparkEntry.queries("funnel")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(counts("1_view") == streamed.count(_._2 >= 1))
+    assert(counts("2_click") == streamed.count(_._2 >= 2))
+    assert(counts("3_purchase") == streamed.count(_._2 >= 3))
+  }
+
+  test("streaming cohort cells equal the batch cohort_retention " +
+      "across micro-batch splits (T11)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams.cohortStream(input.toDS())
+      .writeStream.format("memory").queryName("t_cohort")
+      .outputMode("append").start()
+    try {
+      ordered.grouped(900).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // cells are emitted exactly once per (user, active week)
+    val cells = spark.table("t_cohort")
+    assert(cells.count() == cells.distinct().count())
+    val streamed = cells
+      .groupBy($"cohort_week_day", $"week_no")
+      .agg(count_distinct($"user_id").as("n_active"))
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("cohort_retention")(spark, sf)
+      .select(expr("unix_micros(cohort_week) div 86400000000")
+        .as("cwd"), $"week_no", $"n_active")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("streaming touch attribution equals the batch query across " +
+      "micro-batch splits (T24)") {
+    implicit val sqlCtx = spark.sqlContext
+    val valued = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", expr("unix_micros(ts)").as("ts"),
+        $"event_type",
+        floor($"value" * lit(10000.0) + lit(0.5)).cast("long")
+          .as("v_micro"))
+      .orderBy($"ts", $"event_id")
+      .as[EventStreams.ValuedEvent].collect().toSeq
+    val input = MemoryStream[EventStreams.ValuedEvent]
+    val q = EventStreams.attributionStream(input.toDS())
+      .writeStream.format("memory").queryName("t_attr")
+      .outputMode("append").start()
+    try {
+      valued.grouped(800).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamedRows = spark.table("t_attr")
+      .groupBy($"event_type", $"touch_position")
+      .agg(count(lit(1)).as("n_touches"),
+        (sum($"credit_micro").cast("double") / 10000.0).as("credit"))
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = SparkEntry.queries("touch_attribution")(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(streamedRows == batch && streamedRows.nonEmpty)
+  }
 }
