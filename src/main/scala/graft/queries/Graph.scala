@@ -64,12 +64,20 @@ object Graph {
   private def pairCounts(s: SparkSession, dir: String): DataFrame =
     pairCache.get(s, dir) { d =>
       import s.implicits._
-      val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
-      li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .filter($"a.l_partkey" < $"b.l_partkey")
-        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-        .agg(count(lit(1)).as("w"))
-        .localCheckpoint()
+      // restart-survivable (the ArtifactStore contract): the lineitem
+      // self-join + count shuffle runs once per (dir, version) EVER,
+      // not once per JVM — every later session reads the parquet
+      graft.operators.ArtifactStore.getOrBuild(s, d,
+        "copurchase_pairs", "v1") {
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        li.as("a").join(li.as("b"), Seq("l_orderkey"))
+          .filter($"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .agg(count(lit(1)).as("w"))
+      }
+      // hot path: the iterative consumers re-read this relation every
+      // round — pin the (one-time) artifact read in executor memory
+      .localCheckpoint()
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
