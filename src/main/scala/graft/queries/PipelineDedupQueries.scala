@@ -1038,5 +1038,34 @@ private[queries] trait PipelineDedupQueries extends PipelineCore {
       dupSubstringRuns(s, dir)
         .orderBy($"doc_id", $"run_start")
     }),
+
+    // L100: per-source verbatim-memorization audit — the roll-up a
+    // curation owner reads over L99's exact duplicated regions: per
+    // source, how many docs carry a duplicated region ≥ the threshold
+    // and what share of the source's tokens sits inside one. Rides
+    // the persisted dup-run artifact (zero suffix work here); probe
+    // doc ids never match the documents table, so the join keeps the
+    // stats over real docs while probe-induced regions in REAL docs
+    // still count (text duplicated anywhere is duplicated).
+    "dup_region_stats" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val perDoc = dupSubstringRuns(s, dir)
+        .groupBy($"doc_id").agg(sum($"run_len").as("dup_tokens"))
+      Tables.documents(s, dir)
+        .filter($"doc_id" % DupRunMod === 0)
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left_outer")
+        .withColumn("dup_tokens", coalesce($"dup_tokens", lit(0L)))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"dup_tokens" > 0L, 1L).otherwise(0L))
+            .as("n_docs_with_dup"),
+          sum($"n_tokens").as("total_tokens"),
+          sum($"dup_tokens").as("dup_tokens"),
+          q6(sum($"dup_tokens").cast("double") /
+            sum($"n_tokens").cast("double")).as("dup_share"))
+        .orderBy($"source")
+    }),
   )
 }

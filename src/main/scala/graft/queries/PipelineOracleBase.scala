@@ -11,6 +11,65 @@ import QueryUtil._
 /** The static DuckDB oracle map (one SQL twin per query; the
   * data-dependent interpolated rows live in oracleFor). */
 private[queries] trait PipelineOracleBase extends PipelineOracleSupport {
+  /** The L99 brute suffix-scan CTE chain (docs+probes -> token
+    * matches -> diagonal runs -> per-position dup_len -> interval
+    * union islands `g`) — ONE spelling shared by the
+    * dup_substring_runs and dup_region_stats oracles. */
+  private[queries] def dupRunsSqlCtes: String = {
+    def probeSql(mod: Int, offset: Long, mark: String, lo: Int,
+        hi: Int, minToks: Int) =
+      s"""SELECT doc_id + $offset AS doc_id,
+         |    '$mark' || doc_id || ' ' ||
+         |    array_to_string(ws[$lo:$hi], ' ') ||
+         |    ' ${mark}z' || doc_id AS text
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM base)
+         |  WHERE len(ws) >= $minToks AND doc_id % $mod = 0""".stripMargin
+    s"""base AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % $DupRunMod = 0),
+       |docs AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL ${probeSql(21, 70000000L, "pa", 6, 10, 10)}
+       |  UNION ALL ${probeSql(35, 80000000L, "pb", 3, 15, 15)}),
+       |tk AS (
+       |  SELECT doc_id, unnest([{'pos': i - 1, 'tok': ws[i]}
+       |      for i in range(1, len(ws) + 1)], recursive := true)
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM docs)),
+       |m AS (
+       |  SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb
+       |  FROM tk a JOIN tk b ON a.tok = b.tok
+       |  WHERE a.doc_id <> b.doc_id OR a.pos <> b.pos),
+       |isl AS (
+       |  SELECT da, db, pa - pb AS d, pa,
+       |    pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb
+       |      ORDER BY pa) AS grp
+       |  FROM m),
+       |rn AS (
+       |  SELECT da, db, d, grp, MAX(pa) AS re
+       |  FROM isl GROUP BY 1, 2, 3, 4),
+       |dl AS (
+       |  SELECT i.da AS doc_id, i.pa AS pos,
+       |    MAX(r.re - i.pa + 1) AS dup_len
+       |  FROM isl i JOIN rn r ON i.da = r.da AND i.db = r.db
+       |    AND i.d = r.d AND i.grp = r.grp
+       |  GROUP BY 1, 2),
+       |iv AS (
+       |  SELECT doc_id, pos AS s, pos + dup_len AS e
+       |  FROM dl WHERE dup_len >= $DupRunMinLen),
+       |u AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > COALESCE(MAX(e) OVER (
+       |        PARTITION BY doc_id ORDER BY s
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM iv),
+       |g AS (
+       |  SELECT doc_id, s, e,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM u)""".stripMargin
+  }
+
   private[queries] val staticOracleBase: Map[String, String] = Map(
     // Oracle partitions by text directly — semantically identical to
     // the 128-bit fingerprint absent a collision (~1e-20 at 4B docs).
@@ -788,66 +847,39 @@ private[queries] trait PipelineOracleBase extends PipelineOracleSupport {
     // windows into maximal runs
     // brute twin of the suffix ranking: every token-match pair, LCP
     // as the forward diagonal run (gaps-and-islands per (da, db,
-    // pa-pb)), per-position max, then the identical interval union
-    "dup_substring_runs" -> {
-      def probeSql(mod: Int, offset: Long, mark: String, lo: Int,
-          hi: Int, minToks: Int) =
-        s"""SELECT doc_id + $offset AS doc_id,
-           |    '$mark' || doc_id || ' ' ||
-           |    array_to_string(ws[$lo:$hi], ' ') ||
-           |    ' ${mark}z' || doc_id AS text
-           |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
-           |        FROM base)
-           |  WHERE len(ws) >= $minToks AND doc_id % $mod = 0""".stripMargin
-      s"""WITH base AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % $DupRunMod = 0),
-         |docs AS (
-         |  SELECT doc_id, text FROM base
-         |  UNION ALL ${probeSql(21, 70000000L, "pa", 6, 10, 10)}
-         |  UNION ALL ${probeSql(35, 80000000L, "pb", 3, 15, 15)}),
-         |tk AS (
-         |  SELECT doc_id, unnest([{'pos': i - 1, 'tok': ws[i]}
-         |      for i in range(1, len(ws) + 1)], recursive := true)
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM docs)),
-         |m AS (
-         |  SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb
-         |  FROM tk a JOIN tk b ON a.tok = b.tok
-         |  WHERE a.doc_id <> b.doc_id OR a.pos <> b.pos),
-         |isl AS (
-         |  SELECT da, db, pa - pb AS d, pa,
-         |    pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb
-         |      ORDER BY pa) AS grp
-         |  FROM m),
-         |rn AS (
-         |  SELECT da, db, d, grp, MAX(pa) AS re
-         |  FROM isl GROUP BY 1, 2, 3, 4),
-         |dl AS (
-         |  SELECT i.da AS doc_id, i.pa AS pos,
-         |    MAX(r.re - i.pa + 1) AS dup_len
-         |  FROM isl i JOIN rn r ON i.da = r.da AND i.db = r.db
-         |    AND i.d = r.d AND i.grp = r.grp
-         |  GROUP BY 1, 2),
-         |iv AS (
-         |  SELECT doc_id, pos AS s, pos + dup_len AS e
-         |  FROM dl WHERE dup_len >= $DupRunMinLen),
-         |u AS (
-         |  SELECT doc_id, s, e,
-         |    CASE WHEN s > COALESCE(MAX(e) OVER (
-         |        PARTITION BY doc_id ORDER BY s
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-         |      THEN 1 ELSE 0 END AS brk
-         |  FROM iv),
-         |g AS (
-         |  SELECT doc_id, s, e,
-         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
-         |      ROWS UNBOUNDED PRECEDING) AS grp
-         |  FROM u)
+    // pa-pb)), per-position max, then the identical interval union —
+    // the CTE chain is shared with the dup_region_stats oracle
+    "dup_substring_runs" ->
+      s"""WITH $dupRunsSqlCtes
          |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS run_start,
          |  CAST(MAX(e) - 1 AS BIGINT) AS run_end,
          |  CAST(MAX(e) - MIN(s) AS BIGINT) AS run_len
          |FROM g GROUP BY doc_id, grp
-         |ORDER BY doc_id, run_start""".stripMargin
-    },
+         |ORDER BY doc_id, run_start""".stripMargin,
+
+    // same CTE chain folded per doc, joined back to sources; probe
+    // doc ids never match documents, so the stats cover real docs
+    "dup_region_stats" ->
+      s"""WITH $dupRunsSqlCtes,
+         |runs AS (
+         |  SELECT doc_id, MAX(e) - MIN(s) AS run_len
+         |  FROM g GROUP BY doc_id, grp),
+         |dt AS (
+         |  SELECT doc_id, SUM(run_len) AS dup_tokens
+         |  FROM runs GROUP BY 1),
+         |dstat AS (
+         |  SELECT d.source, len(string_split(d.text, ' ')) AS n_tokens,
+         |    COALESCE(dt.dup_tokens, 0) AS dup_tokens
+         |  FROM documents d LEFT JOIN dt ON dt.doc_id = d.doc_id
+         |  WHERE d.doc_id % $DupRunMod = 0)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN dup_tokens > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_with_dup,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens,
+         |  ${sqlQ6("CAST(SUM(dup_tokens) AS DOUBLE) / SUM(n_tokens)")}
+         |    AS dup_share
+         |FROM dstat GROUP BY source ORDER BY source""".stripMargin,
 
     "dup_span_runs" ->
       """WITH t AS (

@@ -77,5 +77,17 @@ class SuffixRanksSpec extends SparkSuite {
         s"probe $id: expected one [1, $len] run, got $runs")
     }
     assert(p5.nonEmpty && p13.nonEmpty, "fixture must yield probes")
+
+    // the per-source roll-up (L100) conserves the run mass: summing
+    // dup_tokens over sources equals summing run_len over REAL docs
+    // (probe ids join to no source and stay out of the stats)
+    val stats = SparkEntry.queries("dup_region_stats")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    val realRunMass = got.toSeq.filter(_._1 < 70000000L).map(_._4).sum
+    assert(stats.map(_._5).sum == realRunMass,
+      s"per-source dup_tokens ${stats.map(_._5).sum} != run mass " +
+        s"$realRunMass")
+    assert(stats.exists(_._3 > 0), "planted copies must surface in " +
+      "at least one source's n_docs_with_dup")
   }
 }
