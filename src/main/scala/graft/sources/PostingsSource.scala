@@ -86,7 +86,7 @@ private[sources] class PostingsTable(path: String, nBuckets: Int)
     new PostingsScanBuilder(path, nBuckets)
 }
 
-private[sources] class PostingsScanBuilder(path: String, nBuckets: Int)
+private[graft] class PostingsScanBuilder(path: String, nBuckets: Int)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -141,21 +141,57 @@ private[sources] class PostingsScanBuilder(path: String, nBuckets: Int)
     new PostingsScan(path, nBuckets, required, buckets, terms, pushed)
 }
 
-private[sources] class PostingsScan(path: String, nBuckets: Int,
+private[graft] class PostingsScan(path: String, nBuckets: Int,
     required: StructType, buckets: Option[Set[Long]],
     terms: Option[Set[String]], pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
+
+  /** Narrowed at execution time by [[filter]] (runtime / DPP-style
+    * filters injected from a join's build side). Dropping rows whose
+    * term is absent from the build side is always safe — the join
+    * would drop them anyway — so the runtime sets INTERSECT the
+    * compile-time ones. */
+  @volatile private var rtBuckets: Option[Set[Long]] = buckets
+  @volatile private var rtTerms: Option[Set[String]] = terms
+
+  /** Only attributes surviving column pruning may be offered —
+    * Spark resolves these against the scan OUTPUT when it wires the
+    * runtime-filter subquery. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Seq("term", "bucket").filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("term", vs) =>
+      val ts = vs.collect { case s: String => s }.toSet
+      rtTerms = Some(rtTerms.fold(ts)(_ intersect ts))
+      val bs = ts.map(InvertedIndex.bucketOf(_, nBuckets))
+      rtBuckets = Some(rtBuckets.fold(bs)(_ intersect bs))
+    case EqualTo("term", v: String) =>
+      rtTerms = Some(rtTerms.fold(Set(v))(_ intersect Set(v)))
+      val bs = Set(InvertedIndex.bucketOf(v, nBuckets))
+      rtBuckets = Some(rtBuckets.fold(bs)(_ intersect bs))
+    case In("bucket", vs) =>
+      val bs = vs.collect {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue }.toSet
+      rtBuckets = Some(rtBuckets.fold(bs)(_ intersect bs))
+    case _ => () // runtime filters are best-effort; unknown = no-op
+  }
 
   /** Driver-side pruned file listing: only the probed buckets'
-    * directories are listed at all. */
-  private[sources] lazy val files: Seq[(String, Long)] = {
+    * directories are listed at all. Computed per call so runtime
+    * filters applied between planning and execution take effect. */
+  private[graft] def files: Seq[(String, Long)] = {
     val conf = new Configuration()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val dirs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toLong))
-    val kept = buckets match {
+    val kept = rtBuckets match {
       case Some(bs) => dirs.filter { case (_, b) => bs.contains(b) }
       case None => dirs
     }
@@ -170,7 +206,7 @@ private[sources] class PostingsScan(path: String, nBuckets: Int,
 
   override def description(): String =
     s"GraftPostingsScan path=$path nBuckets=$nBuckets " +
-      s"buckets=${buckets.map(_.toSeq.sorted.mkString("{", ",", "}"))
+      s"buckets=${rtBuckets.map(_.toSeq.sorted.mkString("{", ",", "}"))
         .getOrElse("ALL")} files=${files.size} " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
@@ -181,7 +217,7 @@ private[sources] class PostingsScan(path: String, nBuckets: Int,
       PostingsInputPartition(f, b): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PostingsReaderFactory(required.fieldNames, terms)
+    new PostingsReaderFactory(required.fieldNames, rtTerms)
 }
 
 private[sources] case class PostingsInputPartition(file: String,

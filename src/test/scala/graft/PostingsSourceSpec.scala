@@ -77,6 +77,42 @@ class PostingsSourceSpec extends SparkSuite {
       v1.map(_.getLong(3)).sum)
   }
 
+  test("runtime (DPP-style) filters narrow the scan: term values " +
+      "injected at execution prune buckets and rows") {
+    import org.apache.spark.sql.sources.{In => SIn}
+    val full = spark.read.format("graft.sources.PostingsSource")
+      .option("path", root).option("nBuckets", NB.toString).load()
+    val scan = scanOf(full)
+      .asInstanceOf[graft.sources.PostingsScan]
+    val before = scan.files.size
+    // the contract surface Spark's runtime-filter injection calls
+    assert(scan.filterAttributes().map(_.describe()).toSet ==
+      Set("term", "bucket"))
+    val terms = Seq("alpha", "the")
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      SIn("term", terms.toArray[Any])))
+    val wantBuckets = terms.map(InvertedIndex.bucketOf(_, NB)).toSet
+    val wantFiles = new java.io.File(root).listFiles()
+      .filter(d => d.isDirectory && wantBuckets.contains(
+        d.getName.stripPrefix("bucket=").toLong))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(scan.files.size == wantFiles && scan.files.size < before,
+      s"runtime filter did not prune: ${scan.files.size} of $before")
+    // a join against a small term relation produces exactly the rows
+    // of the pruned lookup, whether or not the optimizer chose to
+    // inject the runtime filter in this plan
+    val probeTerms = terms.toDF("term")
+    val joined = spark.read.format("graft.sources.PostingsSource")
+      .option("path", root).option("nBuckets", NB.toString).load()
+      .join(broadcast(probeTerms), "term")
+      .orderBy($"term", $"doc_id")
+      .select($"term", $"doc_id", $"tf").collect().toSeq
+    val direct = InvertedIndex.lookupTerms(spark, root, terms, NB)
+      .orderBy($"term", $"doc_id")
+      .select($"term", $"doc_id", $"tf").collect().toSeq
+    assert(joined == direct && joined.nonEmpty)
+  }
+
   test("no predicate scans every bucket; a bucket predicate prunes " +
       "directly") {
     val full = spark.read.format("graft.sources.PostingsSource")
