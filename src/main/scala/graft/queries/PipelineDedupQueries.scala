@@ -1067,5 +1067,46 @@ private[queries] trait PipelineDedupQueries extends PipelineCore {
             sum($"n_tokens").cast("double")).as("dup_share"))
         .orderBy($"source")
     }),
+
+    // L101: dedup SURGERY — the action taken on L99's regions (the
+    // second half of the Lee et al. recipe): strip every duplicated
+    // region ≥ the threshold from every REAL doc and reassemble the
+    // survivors' text from the kept positions. Removal is symmetric
+    // (every occurrence goes — the conservative memorization-scrub
+    // contract; canonical-occurrence retention is a policy layered on
+    // top via L100's per-source view). Shape: the positions relation
+    // anti-joins the run intervals on ONE equi key (doc_id) with the
+    // range residual riding it, then one doc-keyed reassembly agg
+    // (array_sort of collected (pos, tok) structs — never relying on
+    // collect order). Probe docs are excluded the L100 way.
+    "dedup_surgery" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val runs = dupSubstringRuns(s, dir)
+        .filter($"doc_id" < 70000000L)
+      val toks = Tables.documents(s, dir)
+        .filter($"doc_id" % DupRunMod === 0)
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .select($"doc_id", $"pos".cast("long").as("pos"),
+          $"col".as("tok"))
+      val kept = toks.alias("t").join(runs.alias("r"),
+        col("t.doc_id") === col("r.doc_id") &&
+          $"pos" >= $"run_start" && $"pos" <= $"run_end", "left_anti")
+      kept.groupBy($"doc_id")
+        .agg(count(lit(1)).as("kept_tokens"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(pos, tok))), " +
+              "p -> p.tok)")).as("kept_text"))
+        .join(Tables.documents(s, dir)
+          .filter($"doc_id" % DupRunMod === 0)
+          .select($"doc_id",
+            size(split($"text", " ")).cast("long").as("n_tokens")),
+          Seq("doc_id"), "right_outer")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"kept_tokens", lit(0L)).as("kept_tokens"),
+          ($"n_tokens" - coalesce($"kept_tokens", lit(0L)))
+            .as("removed_tokens"),
+          coalesce($"kept_text", lit("")).as("kept_text"))
+        .orderBy($"doc_id")
+    }),
   )
 }

@@ -881,6 +881,35 @@ private[queries] trait PipelineOracleBase extends PipelineOracleSupport {
          |    AS dup_share
          |FROM dstat GROUP BY source ORDER BY source""".stripMargin,
 
+    // same CTE chain; kept positions are the anti-range of the run
+    // intervals, reassembled in position order
+    "dedup_surgery" ->
+      s"""WITH $dupRunsSqlCtes,
+         |runs AS (
+         |  SELECT doc_id, MIN(s) AS run_start, MAX(e) - 1 AS run_end
+         |  FROM g GROUP BY doc_id, grp),
+         |tk2 AS (
+         |  SELECT doc_id, unnest([{'pos': i - 1, 'tok': ws[i]}
+         |      for i in range(1, len(ws) + 1)], recursive := true)
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM base)),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM tk2 t
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM runs r WHERE r.doc_id = t.doc_id
+         |      AND t.pos BETWEEN r.run_start AND r.run_end)),
+         |ka AS (
+         |  SELECT doc_id, COUNT(*) AS kept_tokens,
+         |    string_agg(tok, ' ' ORDER BY pos) AS kept_text
+         |  FROM kept GROUP BY 1)
+         |SELECT b.doc_id,
+         |  CAST(len(string_split(b.text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  CAST(len(string_split(b.text, ' ')) -
+         |    COALESCE(ka.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+         |  COALESCE(ka.kept_text, '') AS kept_text
+         |FROM base b LEFT JOIN ka ON ka.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+
     "dup_span_runs" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -89,5 +89,25 @@ class SuffixRanksSpec extends SparkSuite {
         s"$realRunMass")
     assert(stats.exists(_._3 > 0), "planted copies must surface in " +
       "at least one source's n_docs_with_dup")
+
+    // the surgery (L101) conserves tokens and removes EXACTLY the
+    // run mass: kept + removed == n_tokens per doc, removed == the
+    // doc's summed run_len, and a doc that donated a 13-token copy
+    // no longer contains the copied slice
+    val surg = SparkEntry.queries("dedup_surgery")(spark, sf)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(surg.forall(r => r._3 + r._4 == r._2))
+    val runMassByDoc = got.toSeq.filter(_._1 < 70000000L)
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._4).sum }
+    assert(surg.forall(r =>
+      r._4 == runMassByDoc.getOrElse(r._1, 0L)),
+      "removed_tokens must equal the doc's duplicated-region mass")
+    for ((pid, _) <- p13) {
+      val donor = pid - 80000000L
+      val slice = toks(donor).slice(2, 15).mkString(" ")
+      val keptText = surg.find(_._1 == donor).get._5
+      assert(!keptText.contains(slice),
+        s"donor $donor still contains its copied 13-token slice")
+    }
   }
 }
