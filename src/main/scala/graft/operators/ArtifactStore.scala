@@ -86,6 +86,13 @@ object ArtifactStore {
       // layout and drop ours
       if (!fs.exists(path) && fs.rename(tmp, path)) ()
       else fs.delete(tmp, true)
+      // the exists→rename pair is check-then-act: a concurrent
+      // publisher landing between the two makes OUR rename succeed by
+      // moving tmp INSIDE the winner's directory (Hadoop
+      // rename-into-existing-directory semantics). A stray nested
+      // .tmp-* breaks later parquet partition discovery — sweep it.
+      val nested = new Path(path, tmp.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
     }
     s.read.parquet(pathStr)
   }

@@ -59,17 +59,24 @@ object BandIndex {
     bands.withColumn("bucket", bucketCol(col("band_hash"), nBuckets))
   }
 
-  /** [[buildBands]] rows with the in-query non-negative-id guard —
-    * the write-path enforcement of the sign-flip precondition, free
-    * of extra passes (the guard rides the rows being written). */
-  private def guardedBands(docs: DataFrame, tau: Double,
-      nBuckets: Int): DataFrame =
-    buildBands(docs, tau, nBuckets).withColumn("doc_id",
+  /** `rows` with the in-query non-negative-id guard — the write-path
+    * enforcement of the sign-flip precondition, free of extra passes
+    * (the guard rides the rows being written). Applied by BOTH write
+    * paths ([[writeBandLayout]] and [[appendBands]]), so a layout can
+    * never be published with negative corpus ids, which the probe's
+    * sign-flip encoding would silently misclassify as batch rows. */
+  private def guardNonNegativeIds(rows: DataFrame): DataFrame =
+    rows.withColumn("doc_id",
       when(col("doc_id") < 0,
         expr("raise_error('BandIndex: doc_id must be non-negative " +
           "(the probe sign-flip encoding reserves negatives for " +
           "batch ids)')").cast("bigint"))
         .otherwise(col("doc_id")))
+
+  /** [[buildBands]] rows behind [[guardNonNegativeIds]]. */
+  private def guardedBands(docs: DataFrame, tau: Double,
+      nBuckets: Int): DataFrame =
+    guardNonNegativeIds(buildBands(docs, tau, nBuckets))
 
   private def metaPath(path: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
@@ -124,7 +131,8 @@ object BandIndex {
       nBuckets: Int): Unit = {
     require(bands.columns.contains("bucket"),
       "writeBandLayout needs a `bucket` column (see buildBands)")
-    bands.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+    guardNonNegativeIds(bands)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
     writeMeta(bands.sparkSession, path, tau, nBuckets)
   }
 

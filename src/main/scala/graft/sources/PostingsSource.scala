@@ -15,7 +15,27 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Serializable carrier for the session's Hadoop configuration so the
+  * per-file readers see the same filesystem settings (object-store
+  * credentials, custom schemes) as the driver-side listing — a bare
+  * `new Configuration()` works on the local fs only.
+  * ([[org.apache.spark.util.SerializableConfiguration]] is
+  * `private[spark]`, hence this local twin.) */
+private[sources] class SerializableHadoopConf(
+    @transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
 
 /** DataSource V2 connector for the [[InvertedIndex]] term layout —
   * the index-native scan node the path-level helpers approximate:
@@ -119,16 +139,22 @@ private[graft] class PostingsScanBuilder(path: String, nBuckets: Int)
     val (supported, residual) = filters.partition(f =>
       termValues(f).isDefined || bucketValues(f).isDefined)
     pushed = supported
-    val fromTerms = supported.flatMap(termValues).flatten
-    if (fromTerms.nonEmpty) {
-      terms = Some(fromTerms.toSet)
-      buckets = Some(fromTerms
-        .map(InvertedIndex.bucketOf(_, nBuckets)).toSet)
+    // The filter array is a CONJUNCTION: each filter's value set is a
+    // constraint of its own, so the sets INTERSECT (term = 'a' AND
+    // term = 'b' matches nothing). Unioning here would return rows
+    // matching EITHER value — and since the filters are reported as
+    // fully pushed, Spark adds no post-scan filter to catch it.
+    val termSets = supported.flatMap(termValues(_).map(_.toSet))
+    if (termSets.nonEmpty) {
+      val ts = termSets.reduce(_ intersect _)
+      terms = Some(ts)
+      buckets = Some(ts.map(InvertedIndex.bucketOf(_, nBuckets)))
     }
-    val fromBuckets = supported.flatMap(bucketValues).flatten
-    if (fromBuckets.nonEmpty)
-      buckets = Some(buckets.fold(fromBuckets.toSet)(
-        _ intersect fromBuckets.toSet))
+    val bucketSets = supported.flatMap(bucketValues(_).map(_.toSet))
+    if (bucketSets.nonEmpty) {
+      val bs = bucketSets.reduce(_ intersect _)
+      buckets = Some(buckets.fold(bs)(_ intersect bs))
+    }
     residual
   }
 
@@ -138,12 +164,15 @@ private[graft] class PostingsScanBuilder(path: String, nBuckets: Int)
     required = requiredSchema
 
   override def build(): Scan =
-    new PostingsScan(path, nBuckets, required, buckets, terms, pushed)
+    new PostingsScan(path, nBuckets, required, buckets, terms, pushed,
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 private[graft] class PostingsScan(path: String, nBuckets: Int,
     required: StructType, buckets: Option[Set[Long]],
-    terms: Option[Set[String]], pushed: Array[Filter])
+    terms: Option[Set[String]], pushed: Array[Filter],
+    hconf: SerializableHadoopConf)
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   /** Narrowed at execution time by [[filter]] (runtime / DPP-style
@@ -185,9 +214,8 @@ private[graft] class PostingsScan(path: String, nBuckets: Int,
     * directories are listed at all. Computed per call so runtime
     * filters applied between planning and execution take effect. */
   private[graft] def files: Seq[(String, Long)] = {
-    val conf = new Configuration()
     val root = new Path(path)
-    val fs = root.getFileSystem(conf)
+    val fs = root.getFileSystem(hconf.value)
     val dirs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toLong))
@@ -217,18 +245,19 @@ private[graft] class PostingsScan(path: String, nBuckets: Int,
       PostingsInputPartition(f, b): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PostingsReaderFactory(required.fieldNames, rtTerms)
+    new PostingsReaderFactory(required.fieldNames, rtTerms, hconf)
 }
 
 private[sources] case class PostingsInputPartition(file: String,
     bucket: Long) extends InputPartition
 
 private[sources] class PostingsReaderFactory(cols: Array[String],
-    terms: Option[Set[String]]) extends PartitionReaderFactory {
+    terms: Option[Set[String]], hconf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PostingsInputPartition]
-    new PostingsPartitionReader(p.file, p.bucket, cols, terms)
+    new PostingsPartitionReader(p.file, p.bucket, cols, terms, hconf)
   }
 }
 
@@ -236,13 +265,14 @@ private[sources] class PostingsReaderFactory(cols: Array[String],
   * API, the pushed term set re-checked per row (pushed filters are
   * accepted, not advisory), required columns only. */
 private[sources] class PostingsPartitionReader(file: String,
-    bucket: Long, cols: Array[String], terms: Option[Set[String]])
+    bucket: Long, cols: Array[String], terms: Option[Set[String]],
+    hconf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val reader = org.apache.parquet.hadoop.ParquetReader
     .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
       new Path(file))
-    .withConf(new Configuration())
+    .withConf(hconf.value)
     .build()
 
   private var current: org.apache.parquet.example.data.Group = _

@@ -150,5 +150,16 @@ class BandIndexSpec extends SparkSuite {
     // write side: the in-query raise_error guard fires during append
     val ew = intercept[Exception](BandIndex.appendBands(bad, path, Tau, NB))
     assert(ew.getMessage != null)
+    // initial-write side: caller-built bands with negative ids are
+    // refused too — a layout can never be published with ids the
+    // probe's sign-flip encoding would misclassify
+    val badBands = BandIndex.buildBands(ok, Tau, NB)
+      .select((-$"doc_id" - 1000L).as("doc_id"),
+        $"band_no", $"band_hash", $"bucket")
+    val p2 = "/tmp/graft_band_index/negids_init"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p2))
+    val ei = intercept[Exception](
+      BandIndex.writeBandLayout(badBands, p2, Tau, NB))
+    assert(ei.getMessage != null)
   }
 }

@@ -113,6 +113,29 @@ class PostingsSourceSpec extends SparkSuite {
     assert(joined == direct && joined.nonEmpty)
   }
 
+  test("conjunctive term predicates INTERSECT: term='a' AND term='b' " +
+      "is empty, overlapping IN lists keep only the overlap") {
+    val src = spark.read.format("graft.sources.PostingsSource")
+      .option("path", root).option("nBuckets", NB.toString).load()
+    // pick two real terms so the wrong (union) semantics would return rows
+    val Seq(t1, t2) = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("t"))
+      .groupBy($"t").count().orderBy($"count".desc, $"t")
+      .limit(2).as[(String, Long)].collect().map(_._1).toSeq
+    assert(src.filter($"term" === t1 && $"term" === t2).count() == 0L,
+      s"term='$t1' AND term='$t2' must be empty")
+    val overlap = src
+      .filter($"term".isin(t1, t2) && $"term".isin(t2, "no_such_term"))
+    val want = spark.read.parquet(root)
+      .filter($"term" === t2).count()
+    assert(want > 0L && overlap.count() == want,
+      s"IN-list conjunction must keep only '$t2' rows")
+    // and the intersected value's bucket is the only one listed
+    val desc = scanOf(overlap).description()
+    assert(desc.contains(
+      s"buckets={${InvertedIndex.bucketOf(t2, NB)}}"), desc)
+  }
+
   test("no predicate scans every bucket; a bucket predicate prunes " +
       "directly") {
     val full = spark.read.format("graft.sources.PostingsSource")
