@@ -189,8 +189,12 @@ object BandIndex {
     val batchBands = raw
       .select((-col("doc_id") - lit(1L)).as("doc_id"),
         col("band_no"), col("band_hash"), col("bucket"))
-    val idx = s.read.parquet(path)
-      .filter(col("bucket").cast("long").isin(buckets: _*))
+    // the DSv2 connector pushes the bucket IN-prune into the scan
+    // itself (only the probed buckets' directories are LISTED — the
+    // pruning is visible on the scan node, see graft.sources.BandsSource)
+    val idx = s.read.format("graft.sources.BandsSource")
+      .option("path", path).load()
+      .filter(col("bucket").isin(buckets: _*))
       .join(batchBands.select(col("band_no"), col("band_hash")),
         Seq("band_no", "band_hash"), "left_semi")
     val cand = CandidatePairs.fromBuckets(

@@ -1,0 +1,283 @@
+package graft.sources
+
+import java.util
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import graft.operators.BandIndex
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 connector for the [[BandIndex]] LSH band layout —
+  * the band-index twin of [[PostingsSource]]: a `bucket` (or
+  * `band_hash`, from which the bucket follows by the layout's own
+  * `pmod`) predicate against this source is pushed INTO the scan and
+  * prunes unprobed bucket directories at file-listing time, so the
+  * near-dup probe's "only the batch's buckets are listed" contract is
+  * visible on the scan node itself instead of living in a path helper.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.BandsSource")
+  *     .option("path", layoutPath).load()
+  *     .filter($"bucket".isin(probedBuckets: _*))
+  * }}}
+  *
+  * Geometry (`nBuckets`, needed to derive buckets from band hashes) is
+  * read from the layout's own `_graft_meta.json` — the stamp
+  * [[BandIndex.writeBandLayout]] publishes — so a reader can never
+  * probe with mismatched geometry.
+  *
+  * Supported pushdown: EqualTo/In on `bucket` and on `band_hash`
+  * (each hash maps to its bucket; the hash set is ALSO re-checked by
+  * the reader, so the pushed filters are accepted, not advisory).
+  * Conjunctive value sets INTERSECT (see PostingsScanBuilder). The
+  * scan reports statistics over the PRUNED listing
+  * ([[SupportsReportStatistics]]), so a narrow probe is
+  * broadcast-eligible without a manual `broadcast()` hint.
+  */
+class BandsSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BandsSource.Schema
+
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "graft.sources.BandsSource needs option 'path'")
+    val (_, nBuckets) = BandIndex.readMeta(SparkSession.active, path)
+    new BandsTable(path, nBuckets)
+  }
+}
+
+object BandsSource {
+  /** Layout schema — `bucket` is the partition directory value. */
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("band_no", IntegerType, nullable = false),
+    StructField("band_hash", LongType, nullable = false),
+    StructField("bucket", LongType, nullable = false)))
+
+  /** The layout bucket of a band hash — `pmod(hash, nBuckets)` on the
+    * driver, identical to [[BandIndex.bucketCol]]. */
+  def bucketOf(bandHash: Long, nBuckets: Int): Long = {
+    val m = bandHash % nBuckets
+    if (m < 0) m + nBuckets else m
+  }
+}
+
+private[sources] class BandsTable(path: String, nBuckets: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_bands($path)"
+  override def schema(): StructType = BandsSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new BandsScanBuilder(path, nBuckets)
+}
+
+private[graft] class BandsScanBuilder(path: String, nBuckets: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  /** None = no bucket/hash predicate pushed → scan every bucket. */
+  private var buckets: Option[Set[Long]] = None
+  private var hashes: Option[Set[Long]] = None
+  private var required: StructType = BandsSource.Schema
+
+  private def longValues(f: Filter, colName: String): Option[Seq[Long]] =
+    f match {
+      case EqualTo(`colName`, v: Long) => Some(Seq(v))
+      case EqualTo(`colName`, v: Int) => Some(Seq(v.toLong))
+      case In(`colName`, vs) if vs.forall(v =>
+        v.isInstanceOf[Long] || v.isInstanceOf[Int]) =>
+        Some(vs.toSeq.map {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+        })
+      case _ => None
+    }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition(f =>
+      longValues(f, "band_hash").isDefined ||
+        longValues(f, "bucket").isDefined)
+    pushed = supported
+    // conjunction semantics: each filter's value set INTERSECTS
+    val hashSets = supported.flatMap(longValues(_, "band_hash").map(_.toSet))
+    if (hashSets.nonEmpty) {
+      val hs = hashSets.reduce(_ intersect _)
+      hashes = Some(hs)
+      buckets = Some(hs.map(BandsSource.bucketOf(_, nBuckets)))
+    }
+    val bucketSets = supported.flatMap(longValues(_, "bucket").map(_.toSet))
+    if (bucketSets.nonEmpty) {
+      val bs = bucketSets.reduce(_ intersect _)
+      buckets = Some(buckets.fold(bs)(_ intersect bs))
+    }
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new BandsScan(path, nBuckets, required, buckets, hashes, pushed,
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+}
+
+private[graft] class BandsScan(path: String, nBuckets: Int,
+    required: StructType, buckets: Option[Set[Long]],
+    hashes: Option[Set[Long]], pushed: Array[Filter],
+    hconf: SerializableHadoopConf)
+    extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
+
+  /** Narrowed at execution time by [[filter]] — runtime sets INTERSECT
+    * the compile-time ones (dropping rows absent from a join's build
+    * side is always safe). */
+  @volatile private var rtBuckets: Option[Set[Long]] = buckets
+  @volatile private var rtHashes: Option[Set[Long]] = hashes
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Seq("band_hash", "bucket").filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("band_hash", vs) =>
+      val hs = vs.collect {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue }.toSet
+      rtHashes = Some(rtHashes.fold(hs)(_ intersect hs))
+      val bs = hs.map(BandsSource.bucketOf(_, nBuckets))
+      rtBuckets = Some(rtBuckets.fold(bs)(_ intersect bs))
+    case EqualTo("band_hash", v: java.lang.Long) =>
+      rtHashes = Some(rtHashes.fold(Set(v.longValue))(
+        _ intersect Set(v.longValue)))
+      val bs = Set(BandsSource.bucketOf(v.longValue, nBuckets))
+      rtBuckets = Some(rtBuckets.fold(bs)(_ intersect bs))
+    case In("bucket", vs) =>
+      val bs = vs.collect {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue }.toSet
+      rtBuckets = Some(rtBuckets.fold(bs)(_ intersect bs))
+    case _ => () // runtime filters are best-effort; unknown = no-op
+  }
+
+  /** Driver-side pruned file listing `(path, bucket, length)`: only
+    * the probed buckets' directories are listed at all. */
+  private[graft] def files: Seq[(String, Long, Long)] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf.value)
+    val dirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toLong))
+    val kept = rtBuckets match {
+      case Some(bs) => dirs.filter { case (_, b) => bs.contains(b) }
+      case None => dirs
+    }
+    kept.flatMap { case (dir, b) =>
+      fs.listStatus(dir).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => (f.getPath.toString, b, f.getLen))
+    }
+  }
+
+  /** Statistics over the PRUNED listing — a probe touching a few
+    * bucket files reports their byte size, so Catalyst's own
+    * autoBroadcastJoinThreshold can elect to broadcast the probe
+    * without a manual hint. Row count is left unknown (compressed
+    * parquet bytes under-estimate rows; size is the broadcast
+    * decision input). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = files.map(_._3).sum
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftBandsScan path=$path nBuckets=$nBuckets " +
+      s"buckets=${rtBuckets.map(_.toSeq.sorted.mkString("{", ",", "}"))
+        .getOrElse("ALL")} files=${files.size} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { case (f, b, _) =>
+      BandsInputPartition(f, b): InputPartition }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BandsReaderFactory(required.fieldNames, rtHashes, hconf)
+}
+
+private[sources] case class BandsInputPartition(file: String,
+    bucket: Long) extends InputPartition
+
+private[sources] class BandsReaderFactory(cols: Array[String],
+    hashes: Option[Set[Long]], hconf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[BandsInputPartition]
+    new BandsPartitionReader(p.file, p.bucket, cols, hashes, hconf)
+  }
+}
+
+/** Row-group reader over one band data file: parquet-hadoop Group API,
+  * the pushed band-hash set re-checked per row (pushed filters are
+  * accepted, not advisory), required columns only. */
+private[sources] class BandsPartitionReader(file: String,
+    bucket: Long, cols: Array[String], hashes: Option[Set[Long]],
+    hconf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val reader = org.apache.parquet.hadoop.ParquetReader
+    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+      new Path(file))
+    .withConf(hconf.value)
+    .build()
+
+  private var current: org.apache.parquet.example.data.Group = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null && hashes.exists(hs => !hs(g.getLong("band_hash", 0))))
+      g = reader.read()
+    current = g
+    g != null
+  }
+
+  override def get(): InternalRow = {
+    val vals = cols.map {
+      case "doc_id" => current.getLong("doc_id", 0)
+      case "band_no" => current.getInteger("band_no", 0)
+      case "band_hash" => current.getLong("band_hash", 0)
+      case "bucket" => bucket
+      case other => throw new IllegalArgumentException(
+        s"unknown bands column $other")
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -173,7 +173,8 @@ private[graft] class PostingsScan(path: String, nBuckets: Int,
     required: StructType, buckets: Option[Set[Long]],
     terms: Option[Set[String]], pushed: Array[Filter],
     hconf: SerializableHadoopConf)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   /** Narrowed at execution time by [[filter]] (runtime / DPP-style
     * filters injected from a join's build side). Dropping rows whose
@@ -213,7 +214,12 @@ private[graft] class PostingsScan(path: String, nBuckets: Int,
   /** Driver-side pruned file listing: only the probed buckets'
     * directories are listed at all. Computed per call so runtime
     * filters applied between planning and execution take effect. */
-  private[graft] def files: Seq[(String, Long)] = {
+  private[graft] def files: Seq[(String, Long)] =
+    filesWithSizes.map { case (f, b, _) => (f, b) }
+
+  /** The pruned listing with file byte sizes — feeds both partition
+    * planning and [[estimateStatistics]]. */
+  private def filesWithSizes: Seq[(String, Long, Long)] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf.value)
     val dirs = fs.listStatus(root).toSeq
@@ -226,8 +232,21 @@ private[graft] class PostingsScan(path: String, nBuckets: Int,
     kept.flatMap { case (dir, b) =>
       fs.listStatus(dir).toSeq
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(f => (f.getPath.toString, b))
+        .map(f => (f.getPath.toString, b, f.getLen))
     }
+  }
+
+  /** Statistics over the PRUNED listing — a term probe touching a few
+    * bucket files reports their byte size, so Catalyst's own
+    * autoBroadcastJoinThreshold can elect to broadcast the probe side
+    * of a join without a manual hint (row count left unknown;
+    * compressed bytes are the broadcast decision input). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = filesWithSizes.map(_._3).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
   }
 
   override def readSchema(): StructType = required

@@ -96,17 +96,20 @@ class BandIndexSpec extends SparkSuite {
     assert(batchBuckets.size <= 16)
     val absent = (0L until wide.toLong).toSet diff batchBuckets
     assert(absent.nonEmpty, "one doc's bands must not cover 64 buckets")
-    val plan = BandIndex.probeCandidates(batch, path, Tau, wide)
-      .queryExecution.executedPlan.toString
-    // the parquet scan carries the literal bucket IN-prune (partition
-    // pruning happens at listing time — the plan names the IN list);
-    // extract it and pin it to exactly the batch's buckets
-    val inList = "bucket[^\\n]*? INSET ([0-9, ]+)".r
+    val probe = BandIndex.probeCandidates(batch, path, Tau, wide)
+    // the index read rides the DSv2 bands connector: the bucket
+    // IN-prune is pushed into the scan itself, which reports the
+    // derived bucket set (pruning happens at listing time — see
+    // graft.sources.BandsSource); pin it to exactly the batch's
+    // buckets. Parsed from the tree string — node collection does not
+    // descend into the AQE wrapper.
+    val plan = probe.queryExecution.executedPlan.treeString
+    assert(plan.contains("GraftBandsScan"), plan.take(1200))
+    val inList = "GraftBandsScan[^\\n]*?buckets=\\{([0-9,]*)\\}".r
       .findFirstMatchIn(plan)
-      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
-        .map(_.toLong).toSet)
+      .map(_.group(1).split(",").filter(_.nonEmpty).map(_.toLong).toSet)
     assert(inList.contains(batchBuckets),
-      s"partition IN-prune ${inList.orNull} != batch buckets " +
+      s"scan bucket prune ${inList.orNull} != batch buckets " +
         s"$batchBuckets in plan:\n${plan.take(1200)}")
   }
 

@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.BandIndex
+import graft.sources.BandsSource
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import org.apache.spark.sql.functions._
+
+/** The DSv2 bands connector contract: bucket (or band_hash, from which
+  * the bucket follows by the layout's own pmod) predicates are PUSHED
+  * INTO the scan and prune unprobed bucket directories at file-listing
+  * time; the scan reports statistics over the pruned listing so narrow
+  * probes broadcast without a manual hint. */
+class BandsSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val NB = 16
+  private val Tau = 0.8
+  private lazy val root = {
+    val p = "/tmp/graft_bands_v2/layout"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    BandIndex.writeBandLayout(BandIndex.buildBands(docs, Tau, NB), p,
+      Tau, NB)
+    p
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.getOrElse(fail("no BatchScanExec in plan"))
+
+  private def load() = spark.read.format("graft.sources.BandsSource")
+    .option("path", root).load()
+
+  test("geometry comes from the layout meta; connector rows equal " +
+      "the raw parquet rows") {
+    val cols = Seq($"doc_id", $"band_no", $"band_hash",
+      $"bucket".cast("long").as("bucket"))
+    val raw = spark.read.parquet(root).select(cols: _*)
+      .orderBy($"doc_id", $"band_no").collect().toSeq
+    val v2 = load().select(cols: _*)
+      .orderBy($"doc_id", $"band_no").collect().toSeq
+    assert(raw.nonEmpty && v2 == raw)
+  }
+
+  test("bucket and band_hash predicates are pushed and prune the " +
+      "file listing; conjunctions intersect") {
+    val some = spark.read.parquet(root)
+      .select($"band_hash").distinct().limit(3)
+      .as[Long].collect().toSeq
+    val byHash = load().filter($"band_hash".isin(some: _*))
+    val wantBuckets = some.map(BandsSource.bucketOf(_, NB)).toSet
+    val desc = scanOf(byHash).description()
+    assert(desc.contains("GraftBandsScan"), desc)
+    assert(desc.contains(
+      wantBuckets.toSeq.sorted.mkString("{", ",", "}")), desc)
+    val all = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    val wantFiles = all
+      .filter(d => wantBuckets.contains(
+        d.getName.stripPrefix("bucket=").toLong))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val totalFiles = all.flatMap(_.listFiles())
+      .count(_.getName.endsWith(".parquet"))
+    val gotFiles = "files=(\\d+)".r.findFirstMatchIn(desc).get.group(1).toInt
+    assert(gotFiles == wantFiles && gotFiles < totalFiles,
+      s"files=$gotFiles want=$wantFiles total=$totalFiles")
+    // rows equal the raw filtered read (pushed filters are accepted,
+    // not advisory: the reader re-checks the hash set)
+    val want = spark.read.parquet(root)
+      .filter($"band_hash".isin(some: _*))
+      .select($"doc_id", $"band_no", $"band_hash")
+      .orderBy($"doc_id", $"band_no").collect().toSeq
+    assert(byHash.select($"doc_id", $"band_no", $"band_hash")
+      .orderBy($"doc_id", $"band_no").collect().toSeq == want)
+    // conjunctive hash sets intersect: h AND (h' != h) is empty
+    assert(load().filter($"band_hash" === some.head &&
+      $"band_hash" === (some.head + 1L)).count() == 0L)
+    // overlapping IN lists keep only the overlap
+    val overlap = load().filter(
+      $"band_hash".isin(some: _*) && $"band_hash".isin(some.head))
+    assert(overlap.count() == spark.read.parquet(root)
+      .filter($"band_hash" === some.head).count())
+  }
+
+  test("the scan reports statistics over the pruned listing; a narrow " +
+      "probe joined to documents broadcasts without a hint") {
+    val one = spark.read.parquet(root)
+      .select($"bucket".cast("long")).distinct().limit(1)
+      .as[Long].collect().head
+    val pruned = scanOf(load().filter($"bucket" === one))
+      .asInstanceOf[graft.sources.BandsScan]
+    val full = scanOf(load()).asInstanceOf[graft.sources.BandsScan]
+    val prunedBytes = pruned.estimateStatistics().sizeInBytes()
+    val fullBytes = full.estimateStatistics().sizeInBytes()
+    assert(prunedBytes.isPresent && fullBytes.isPresent)
+    assert(prunedBytes.getAsLong > 0L &&
+      prunedBytes.getAsLong < fullBytes.getAsLong,
+      s"pruned=$prunedBytes full=$fullBytes")
+    // without SupportsReportStatistics a DSv2 scan defaults to
+    // spark.sql.defaultSizeInBytes (Long.Max) and can never broadcast;
+    // a BroadcastHashJoin here proves OUR pruned statistics flowed
+    // into the join decision
+    val joined = Tables.documents(spark, sf)
+      .join(load().filter($"bucket" === one), "doc_id")
+    // collect() does not descend into the AQE wrapper — pin on the tree
+    val tree = joined.queryExecution.executedPlan.treeString
+    assert(tree.contains("BroadcastHashJoin") &&
+      !tree.contains("SortMergeJoin"), tree.take(2000))
+  }
+
+  test("mixed geometry is refused: the connector reads nBuckets from " +
+      "the stamped meta, a geometry-less layout cannot be opened") {
+    val bare = "/tmp/graft_bands_v2/bare"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bare))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .limit(4)
+    BandIndex.buildBands(docs, Tau, NB)
+      .write.mode("overwrite").partitionBy("bucket").parquet(bare)
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("graft.sources.BandsSource")
+        .option("path", bare).load())
+    assert(e.getMessage.contains("_graft_meta.json"))
+  }
+}
