@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.Merge
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import QueryUtil.dsum
@@ -381,6 +382,73 @@ object Mutations {
         .orderBy($"l")
     }),
 
+    // M13: t-closeness audit — the third privacy lens after
+    // k-anonymity (group size) and l-diversity (distinct sensitive
+    // values): a QI group can be large AND diverse yet still leak if
+    // its sensitive-value DISTRIBUTION diverges from the table's
+    // (e.g. 90% URGENT orders where the population runs 20%). For the
+    // ordered sensitive attribute the distance is the Earth Mover's
+    // Distance over the value order (Li, Li & Venkatasubramanian,
+    // "t-Closeness", ICDE 2007): EMD = Σ_i |cum(p)_i − cum(q)_i|/(m−1).
+    // Exactness: cumulative differences are integer cross-multiplies
+    // (cum_c·n_all − cum_d·n_g — the tpch_q11 threshold recipe), so
+    // group EMDs are exact integers over a common denominator and the
+    // t thresholds compare as pure integer inequalities
+    // (100·Σ|…| > t_pct·(m−1)·n_g·n_all) — no double ever compared.
+    // Envelope: the cross-multiply needs n_g·n_all·(m−1)·100 within
+    // long range — guarded in-query at n_all ≤ 3·10^8 (beyond it,
+    // switch the terms to the q6-double lane, same shape).
+    // Shape: ONE merge fact join → one (QI, value)-keyed count
+    // (map-combinable) → everything after runs on the QI-domain-sized
+    // group relation: crossed with the m-value global distribution and
+    // the 3-row threshold frame (bounded broadcasts, allowlisted), one
+    // QI-partitioned window for the cumulative sums. No fact re-scan
+    // per threshold; at 10^9 facts the post-join work is unchanged.
+    "t_closeness" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val j = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).hint("merge"),
+          $"c_custkey" === $"o_custkey")
+        .select($"c_nationkey", $"c_mktsegment", $"o_orderpriority")
+      val cell = j.groupBy($"c_nationkey", $"c_mktsegment",
+          $"o_orderpriority")
+        .agg(count(lit(1)).as("c"))
+      val gdist = cell.groupBy($"o_orderpriority").agg(sum($"c").as("d"))
+      val tot = broadcast(gdist.agg(
+        when(sum($"d") > lit(300000000L),
+          expr("raise_error('t_closeness: integer EMD envelope is " +
+            "n_all <= 3e8 — switch the cross-multiply terms to the " +
+            "q6-double lane past it')").cast("bigint"))
+          .otherwise(sum($"d")).as("n_all"),
+        count(lit(1)).as("m")))
+      val grp = cell.groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(sum($"c").as("n_g"))
+      val w = Window.partitionBy($"c_nationkey", $"c_mktsegment")
+        .orderBy($"o_orderpriority")
+      val emd = grp.crossJoin(broadcast(gdist))
+        .join(cell,
+          Seq("c_nationkey", "c_mktsegment", "o_orderpriority"),
+          "left_outer")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(tot)
+        .withColumn("cum_c", sum($"c").over(w))
+        .withColumn("cum_d", sum($"d").over(w))
+        .groupBy($"c_nationkey", $"c_mktsegment", $"n_g", $"n_all", $"m")
+        .agg(sum(abs($"cum_c" * $"n_all" - $"cum_d" * $"n_g"))
+          .as("sum_abs"))
+      val ts = s.createDataFrame(Seq(Tuple1(2L), Tuple1(4L), Tuple1(6L)))
+        .toDF("t_pct")
+      emd.crossJoin(broadcast(ts))
+        .withColumn("viol",
+          $"sum_abs" * lit(100L) >
+            $"t_pct" * ($"m" - lit(1L)) * $"n_g" * $"n_all")
+        .groupBy($"t_pct")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when($"viol", 1L).otherwise(0L)).as("n_violating_groups"),
+          sum(when($"viol", $"n_g").otherwise(0L)).as("n_rows_at_risk"))
+        .orderBy($"t_pct")
+    }),
+
     "k_anonymity" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val g = Tables.customer(s, dir)
@@ -629,6 +697,56 @@ object Mutations {
         |  FROM g CROSS JOIN (VALUES (2), (3), (5)) ls(l)
         |  GROUP BY 1)
         |ORDER BY l""".stripMargin,
+
+    // integer cross-multiplied EMD terms — the engines never compare a
+    // double; the CASE error() mirrors the Spark-side envelope guard
+    "t_closeness" ->
+      """WITH j AS (
+        |  SELECT c_nationkey, c_mktsegment, o_orderpriority
+        |  FROM customer JOIN orders ON c_custkey = o_custkey),
+        |cell AS (
+        |  SELECT c_nationkey, c_mktsegment, o_orderpriority,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM j GROUP BY 1, 2, 3),
+        |gdist AS (
+        |  SELECT o_orderpriority, CAST(SUM(c) AS BIGINT) AS d
+        |  FROM cell GROUP BY 1),
+        |tot AS (
+        |  SELECT CASE WHEN SUM(d) > 300000000
+        |           THEN error('t_closeness: integer EMD envelope')
+        |           ELSE CAST(SUM(d) AS BIGINT) END AS n_all,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM gdist),
+        |grp AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS n_g
+        |  FROM cell GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, g.n_g,
+        |    gl.o_orderpriority, gl.d, COALESCE(cell.c, 0) AS c
+        |  FROM grp g CROSS JOIN gdist gl
+        |  LEFT JOIN cell ON cell.c_nationkey = g.c_nationkey
+        |    AND cell.c_mktsegment = g.c_mktsegment
+        |    AND cell.o_orderpriority = gl.o_orderpriority),
+        |cum AS (
+        |  SELECT c_nationkey, c_mktsegment, n_g,
+        |    SUM(c) OVER w AS cum_c, SUM(d) OVER w AS cum_d
+        |  FROM grid WINDOW w AS (
+        |    PARTITION BY c_nationkey, c_mktsegment
+        |    ORDER BY o_orderpriority)),
+        |emd AS (
+        |  SELECT c_nationkey, c_mktsegment, ANY_VALUE(n_g) AS n_g,
+        |    CAST(SUM(ABS(cum_c * n_all - cum_d * n_g)) AS BIGINT)
+        |      AS sum_abs,
+        |    ANY_VALUE(n_all) AS n_all, ANY_VALUE(m) AS m
+        |  FROM cum CROSS JOIN tot GROUP BY 1, 2)
+        |SELECT CAST(t_pct AS BIGINT) AS t_pct,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN sum_abs * 100 > t_pct * (m-1) * n_g * n_all
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |  CAST(SUM(CASE WHEN sum_abs * 100 > t_pct * (m-1) * n_g * n_all
+        |    THEN n_g ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+        |FROM emd CROSS JOIN (VALUES (2), (4), (6)) ts(t_pct)
+        |GROUP BY 1 ORDER BY t_pct""".stripMargin,
 
     "k_anonymity" ->
       """WITH g AS (

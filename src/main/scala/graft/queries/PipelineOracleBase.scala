@@ -176,6 +176,37 @@ private[queries] trait PipelineOracleBase extends PipelineOracleSupport {
          |  CAST(SUM(t) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_logprob
          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // identical bigram extraction and Kneser–Ney arithmetic: the
+    // per-pair double is one identically-spelled expression over
+    // exact integer counts, micro-nat quantized before the sum
+    "kn_bigram_logprob" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+         |  FROM d, UNNEST(range(1, len(ws))) AS u(i)
+         |  WHERE len(ws) >= 2),
+         |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+         |       FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1,
+         |         CAST(COUNT(DISTINCT w2) AS BIGINT) AS n1
+         |       FROM bg GROUP BY 1),
+         |cont AS (SELECT w2, CAST(COUNT(DISTINCT w1) AS BIGINT) AS nc
+         |       FROM bg GROUP BY 1),
+         |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS btypes FROM c2),
+         |t AS (
+         |  SELECT bg.doc_id,
+         |    CAST(FLOOR(ln(
+         |      (CAST(c2.c2 AS DOUBLE) - 0.75) / CAST(ctx.c1 AS DOUBLE) +
+         |      0.75 * CAST(ctx.n1 AS DOUBLE) / CAST(ctx.c1 AS DOUBLE) *
+         |        (CAST(cont.nc AS DOUBLE) / CAST(bt.btypes AS DOUBLE)))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS t
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
+         |    JOIN cont USING (w2) CROSS JOIN bt)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(t) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_logprob
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // same recursive closure as the cluster oracles; membership =
     // appearing in `comp`
     "source_dup_rate" ->

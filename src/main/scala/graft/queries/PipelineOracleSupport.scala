@@ -806,6 +806,41 @@ private[queries] trait PipelineOracleSupport extends PipelineCore {
 
     // identical ln/division shapes; per-token terms quantized before
     // the (order-free) integer sum, mirrored from the dsum recipe
+    // trained on the literal reference-source slice, scored on all;
+    // per-token micro-nat quantization before the order-free sum, the
+    // tercile ordering is (mean_nll, doc_id), bucket means on the
+    // davg lane — all mirrored from the Spark side
+    "perplexity_filter" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |refc AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cr
+        |  FROM t WHERE source IN ('src0','src1','src2','src3')
+        |  GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(SUM(cr) AS BIGINT) AS n_ref,
+        |    (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM t) AS v
+        |  FROM refc),
+        |docs AS (
+        |  SELECT t.doc_id, t.source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CAST(FLOOR(-ln(CAST(COALESCE(refc.cr, 0) + 1 AS DOUBLE)
+        |        / CAST(tot.n_ref + tot.v AS DOUBLE)) * 1000000.0 + 0.5)
+        |      AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_nll
+        |  FROM t LEFT JOIN refc USING (tok) CROSS JOIN tot
+        |  GROUP BY t.doc_id, t.source),
+        |bucketed AS (
+        |  SELECT source, doc_id, n_tokens, mean_nll,
+        |    NTILE(3) OVER (PARTITION BY source ORDER BY mean_nll, doc_id)
+        |      AS b
+        |  FROM docs)
+        |SELECT source, CAST(b AS BIGINT) AS ppl_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  ${QueryUtil.sqlDavg("mean_nll")} AS mean_nll_bucket
+        |FROM bucketed GROUP BY 1, 2 ORDER BY source, ppl_bucket""".stripMargin,
+
     "unigram_logprob" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -45,6 +45,59 @@ private[queries] trait PipelineScoreQueries extends PipelineCore {
         .orderBy($"doc_id")
     }),
 
+    // L102 (CCNet-style perplexity filter; Wenzek et al., "CCNet:
+    // Extracting High Quality Monolingual Datasets from Web Crawl
+    // Data", 2020): the canonical LM-quality gate — train a language
+    // model on a TRUSTED reference corpus (CCNet uses Wikipedia; the
+    // fixture stand-in is a fixed literal source allowlist), score
+    // EVERY doc by mean negative log-likelihood under that model, and
+    // split each source into head/middle/tail TERCILES of the score
+    // (CCNet keeps head+middle, drops tail). Differs from L5's
+    // unigram_logprob — which scores the corpus under ITSELF — in
+    // exactly the way that matters: a boilerplate-flooded source
+    // cannot launder its own junk into high probability.
+    // Exactness: Laplace-smoothed per-token NLL quantized to integer
+    // micro-nats BEFORE the order-free sum (unigram_logprob contract);
+    // the per-doc mean is one identically-spelled double division, so
+    // the tercile ordering (mean, doc_id tiebreak) is engine-exact;
+    // bucket aggregates use the davg 4-decimal lane.
+    // Shape: one token-keyed count over the reference slice, one
+    // token-keyed left join (unseen tokens take the smoothed floor),
+    // one doc-keyed agg, one SOURCE-partitioned window (docs relation,
+    // not tokens), one bounded rollup. Totals ride a one-row
+    // broadcast (scalar-subquery shape, allowlisted).
+    "perplexity_filter" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", $"source", explode(split($"text", " ")).as("tok"))
+      val refc = toks
+        .filter($"source".isin("src0", "src1", "src2", "src3"))
+        .groupBy($"tok").agg(count(lit(1)).as("cr"))
+      val tot = broadcast(refc.agg(sum($"cr").as("n_ref")).crossJoin(
+        toks.select($"tok").distinct().agg(count(lit(1)).as("v"))))
+      val docs = toks
+        .join(refc, Seq("tok"), "left_outer")
+        .na.fill(0L, Seq("cr"))
+        .crossJoin(tot)
+        .select($"doc_id", $"source",
+          floor(-log(($"cr" + lit(1L)).cast("double") /
+            ($"n_ref" + $"v").cast("double")) * lit(1000000.0) +
+            lit(0.5)).as("qnll"))
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum($"qnll").cast("double") / lit(1000000.0) / count(lit(1)))
+            .as("mean_nll"))
+      docs
+        .withColumn("ppl_bucket", ntile(3).over(
+          Window.partitionBy($"source")
+            .orderBy($"mean_nll", $"doc_id")).cast("long"))
+        .groupBy($"source", $"ppl_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("total_tokens"),
+          davg($"mean_nll").as("mean_nll_bucket"))
+        .orderBy($"source", $"ppl_bucket")
+    }),
+
     // L9 (corpus n-gram table): the word-3-gram count table with a
     // min-count threshold — the LM-style corpus statistic ("which
     // phrases recur"), and the raw material for boilerplate mining.
@@ -149,6 +202,54 @@ private[queries] trait PipelineScoreQueries extends PipelineCore {
         .select($"doc_id",
           floor(log(($"c2" + lit(1L)).cast("double") / ($"c1" + $"vocab")) *
             lit(1000000.0) + lit(0.5)).cast("long").as("t"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum($"t").cast("double") / lit(1000000.0) / count(lit(1)))
+            .as("mean_logprob"))
+        .orderBy($"doc_id")
+    }),
+
+    // L104 (interpolated Kneser–Ney bigram LM; Kneser & Ney 1995,
+    // Chen & Goodman 1999 — the standard n-gram smoothing): upgrades
+    // L63's add-one bigram with the two ideas add-one lacks —
+    // absolute discounting (a fixed D = 0.75, binary-exact 3/4, carved
+    // off every observed bigram) and the CONTINUATION unigram backoff
+    // (a word's probability mass comes from how many distinct contexts
+    // it follows, not its raw frequency — "San Francisco" makes
+    // "Francisco" frequent but it still only ever follows "San"):
+    //   P(w2|w1) = (c(w1,w2) − D)/c(w1)
+    //            + (D·N1+(w1·)/c(w1)) · (N1+(·w2)/B)
+    // with N1+(w1·) = distinct successors of w1, N1+(·w2) = distinct
+    // predecessors of w2, B = distinct bigram types. Train == score
+    // corpus, so every scored bigram is observed (the max(·,0) clamp
+    // never binds — documented envelope, unseen pairs need the L63
+    // lane). All inputs are exact integers; the per-pair double is one
+    // identically-spelled expression, quantized to integer micro-nats
+    // before the order-free sum (unigram_logprob contract).
+    // Shape: the bigram relation shuffles three times by small keys
+    // (w1,w2)/(w1)/(w2) — all map-combinable counts; B rides a
+    // one-row broadcast (scalar-subquery shape, allowlisted).
+    "kn_bigram_logprob" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val bg = Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .filter(size($"ws") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
+        .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+      val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      val ctx = bg.groupBy($"w1").agg(count(lit(1)).as("c1"),
+        count_distinct($"w2").as("n1"))
+      val cont = bg.groupBy($"w2").agg(count_distinct($"w1").as("nc"))
+      val b = broadcast(c2.agg(count(lit(1)).as("btypes")))
+      val p = ($"c2".cast("double") - lit(0.75)) / $"c1".cast("double") +
+        lit(0.75) * $"n1".cast("double") / $"c1".cast("double") *
+          ($"nc".cast("double") / $"btypes".cast("double"))
+      bg.join(c2, Seq("w1", "w2")).join(ctx, Seq("w1"))
+        .join(cont, Seq("w2")).crossJoin(b)
+        .select($"doc_id",
+          floor(log(p) * lit(1000000.0) + lit(0.5)).cast("long").as("t"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           (sum($"t").cast("double") / lit(1000000.0) / count(lit(1)))

@@ -192,6 +192,57 @@ object EventStreams {
       }
   }
 
+  // public: the state encoder's generated code must reach the classes
+  final case class SessEv(ts: Long, event_id: Long, event_type: String)
+  final case class SessionState(startTs: Long, lastTs: Long,
+      evs: Seq[SessEv])
+  final case class SessionPath(user_id: Long, session_start: Long,
+      path: String)
+
+  /** T12 live: streaming session paths — the per-user state is the one
+    * OPEN session (start, last event time, its ordered events); an
+    * arriving event either extends it (gap < `gapMicros`) or CLOSES it
+    * — emitting the closed session's `>`-joined event-type path — and
+    * opens the next. Emitted paths therefore equal the batch
+    * `session_window` sessionization on the same rows across any
+    * micro-batch split, for every session that a later event has
+    * closed (the still-open tail session lives only in state; a feed
+    * that wants it flushed appends a sentinel event past the gap, as
+    * the spec does). Session membership uses the same `gap >= 30min
+    * starts a new session` boundary as the batch/oracle spelling, and
+    * the path orders events by (ts, event_id) exactly like the batch
+    * `sort_array(collect_list(struct(ts, event_id, event_type)))`.
+    * State is one open session per user — bounded by session length,
+    * not history (the capped_sessions cap composes for hostile
+    * feeds). */
+  def pathsStream(events: Dataset[TypedEvent],
+      gapMicros: Long = 1800000000L): Dataset[SessionPath] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionPath](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[TypedEvent],
+            state: GroupState[SessionState]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SessionPath]
+          def pathOf(s: SessionState): String =
+            s.evs.sortBy(e => (e.ts, e.event_id))
+              .map(_.event_type).mkString(">")
+          rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val ev = SessEv(e.ts, e.event_id, e.event_type)
+            if (st == null)
+              st = SessionState(e.ts, e.ts, Vector(ev))
+            else if (e.ts - st.lastTs >= gapMicros) {
+              out += SessionPath(uid, st.startTs, pathOf(st))
+              st = SessionState(e.ts, e.ts, Vector(ev))
+            } else
+              st = SessionState(st.startTs, e.ts, st.evs :+ ev)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class FunnelState(tEntry: Long, level: Int, tLevel: Long)
   final case class FunnelLevel(user_id: Long, level: Int, t_entry: Long,
       t_level: Long)

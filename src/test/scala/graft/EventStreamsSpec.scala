@@ -428,6 +428,40 @@ class EventStreamsSpec extends SparkSuite {
     assert(counts("3_purchase") == streamed.count(_._2 >= 3))
   }
 
+  test("streaming session paths equal the batch session_window " +
+      "sessionization across micro-batch splits (T12)") {
+    implicit val sqlCtx = spark.sqlContext
+    // a far-future sentinel per user closes every real session; the
+    // sentinel's own one-event session stays open in state and is
+    // never emitted, so emitted paths cover EXACTLY the real sessions
+    val maxTs = ordered.map(_.ts).max
+    val sentinels = ordered.map(_.user_id).distinct.zipWithIndex.map {
+      case (u, i) => EventStreams.TypedEvent(-1L - i, u,
+        maxTs + 86400000000L, "__flush")
+    }
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams.pathsStream(input.toDS())
+      .writeStream.format("memory").queryName("t_paths")
+      .outputMode("append").start()
+    try {
+      (ordered ++ sentinels).grouped(800).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("t_paths")
+      .select($"user_id", $"session_start", $"path")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    val batch = Tables.events(spark, sf)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct($"ts", $"event_id", $"event_type"))),
+        e => e.getField("event_type")), ">").as("path"))
+      .select($"user_id", expr("unix_micros(w.start)"), $"path")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(!streamed.exists(_._3.contains("__flush")))
+  }
+
   test("streaming cohort cells equal the batch cohort_retention " +
       "across micro-batch splits (T11)") {
     implicit val sqlCtx = spark.sqlContext

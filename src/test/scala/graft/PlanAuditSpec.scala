@@ -32,11 +32,16 @@ class PlanAuditSpec extends SparkSuite {
       "hard_negatives", // the cosine_knn brute scorer + an anti-join
       "ann_recall", // both brute rankings (exact + ADC) vs broadcast probes
       "bigram_logprob", // one-row vocab broadcast (unigram_logprob shape)
+      "kn_bigram_logprob", // one-row bigram-types broadcast (same shape)
       "lang_id_trigram", // one-row class-totals broadcast (same shape)
+      "perplexity_filter", // one-row (n_ref, v) totals broadcast (same shape)
       "hybrid_rrf", // its vector arm is the cosine_knn brute scorer
                     // (broadcast probes); the scale path swaps in
                     // ivfpq_ann unchanged
 
+      "t_closeness", // m-value global-distribution + one-row totals +
+                     // 3-row threshold broadcasts over the QI-domain-
+                     // sized group relation (prune_audit shape)
       "tpch_q22", // one-row acctbal-threshold broadcast (scalar-subquery shape)
       "tpch_q11", // one-row global-total broadcast (scalar-subquery shape)
       "pmi_collocations", // one-row N/B-totals broadcast (same shape)
