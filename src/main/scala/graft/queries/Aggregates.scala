@@ -125,6 +125,45 @@ object Aggregates {
         .orderBy($"l_returnflag")
     }),
 
+    // G24: exact Gini concentration — the one-number answer to "how
+    // skewed is the mixture" that mixture owners read before L21/L79
+    // rebalancing: over the bounded source domain, the Gini index of
+    // token mass and of doc mass (0 = perfectly even, →1 = one source
+    // carries everything). Exact: the holders relation is rank-ordered
+    // ascending with a deterministic (mass, key) tiebreak and
+    //   G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+    // is computed as one LONG numerator over exact integers, finished
+    // by a single q6 double division. Shape: one map-combinable
+    // per-source agg over the fact table; everything after runs on the
+    // source-domain relation (n = #sources) — the rank window's single
+    // partition holds ≤ n rows BY CONSTRUCTION (an unbounded holder
+    // domain, e.g. per-user, swaps in the PrefixSum two-phase ranking,
+    // same formula).
+    "gini_concentration" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def gini(holders: DataFrame, dim: String): DataFrame =
+        holders
+          .withColumn("i", row_number()
+            .over(Window.orderBy($"x", $"k")).cast("long"))
+          .agg(count(lit(1)).as("n"), sum($"x").as("mass"),
+            sum($"i" * $"x").as("ixsum"))
+          .select(lit(dim).as("dimension"), $"n", $"mass",
+            q6((lit(2L) * $"ixsum" - ($"n" + lit(1L)) * $"mass")
+              .cast("double") / ($"n" * $"mass").cast("double"))
+              .as("gini"))
+      val docs = Tables.documents(s, dir)
+      val tokMass = docs
+        .select($"source".as("k"),
+          size(split($"text", " ")).cast("long").as("t"))
+        .groupBy($"k").agg(sum($"t").as("x"))
+      val docMass = docs.groupBy($"source".as("k"))
+        .agg(count(lit(1)).as("x"))
+      gini(tokMass, "token_mass_by_source")
+        .unionByName(gini(docMass, "docs_by_source"))
+        .orderBy($"dimension")
+    }),
+
     "agg_distinct" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       Tables.orders(s, dir)
@@ -1134,6 +1173,32 @@ object Aggregates {
          |  ${sqlQ6("CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)")} AS mode_share
          |FROM r WHERE rn = 1
          |ORDER BY l_returnflag""".stripMargin,
+
+    // identical ascending (mass, key) ranking and LONG numerator; the
+    // only double is the final q6 division
+    "gini_concentration" ->
+      s"""WITH tm AS (
+         |  SELECT source AS k,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS x
+         |  FROM documents GROUP BY 1),
+         |dm AS (
+         |  SELECT source AS k, CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM documents GROUP BY 1),
+         |g1 AS (
+         |  SELECT 'token_mass_by_source' AS dimension,
+         |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS mass,
+         |    CAST(SUM(i * x) AS BIGINT) AS ixsum
+         |  FROM (SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM tm)),
+         |g2 AS (
+         |  SELECT 'docs_by_source' AS dimension,
+         |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS mass,
+         |    CAST(SUM(i * x) AS BIGINT) AS ixsum
+         |  FROM (SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM dm))
+         |SELECT dimension, n, mass,
+         |  ${sqlQ6("CAST(2 * ixsum - (n + 1) * mass AS DOUBLE) " +
+             "/ CAST(n * mass AS DOUBLE)")} AS gini
+         |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+         |ORDER BY dimension""".stripMargin,
 
     "agg_distinct" ->
       """SELECT o_orderpriority,

@@ -96,14 +96,22 @@ object PostingsSource {
 }
 
 private[sources] class PostingsTable(path: String, nBuckets: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_postings($path)"
   override def schema(): StructType = PostingsSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new PostingsScanBuilder(path, nBuckets)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new PostingsWriteBuilder(path, nBuckets, info.schema(),
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 private[graft] class PostingsScanBuilder(path: String, nBuckets: Int)
@@ -278,6 +286,136 @@ private[sources] class PostingsReaderFactory(cols: Array[String],
     val p = partition.asInstanceOf[PostingsInputPartition]
     new PostingsPartitionReader(p.file, p.bucket, cols, terms, hconf)
   }
+}
+
+/** DSv2 APPEND write path — the index-maintenance contract of the
+  * layout ([[graft.operators.InvertedIndex.appendPostings]]) exposed
+  * through the connector: bucket directories gain files, nothing is
+  * rewritten. Each task keeps one open parquet writer per bucket it
+  * sees (≤ nBuckets), writes uniquely-named files directly into the
+  * bucket directories, and reports them in its commit message; a task
+  * abort deletes that task's files, a job abort deletes every
+  * committed task's files. The `bucket` column of each incoming row
+  * is VERIFIED against the layout hash of its term — a mis-bucketed
+  * posting would silently vanish from every pruned probe, so it is an
+  * error, not a trust.
+  *
+  * The one-row `.stats` relation rides OUTSIDE this writer (it is a
+  * different relation, not a postings row) — callers append it as
+  * [[graft.operators.InvertedIndex.appendPostings]] does; `bm25`
+  * merges the stats rows at read time. */
+private[graft] class PostingsWriteBuilder(path: String, nBuckets: Int,
+    input: StructType, hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write._
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new PostingsBatchWrite(path, nBuckets, input, hconf)
+  }
+}
+
+private[sources] case class PostingsCommit(files: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class PostingsBatchWrite(path: String, nBuckets: Int,
+    input: StructType, hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new PostingsWriterFactory(path, nBuckets, input, hconf)
+
+  /** Files were written in place with unique names; nothing to move. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(hconf.value)
+    messages.foreach {
+      case PostingsCommit(files) =>
+        files.foreach(f => fs.delete(new Path(f), false))
+      case _ => ()
+    }
+  }
+}
+
+private[sources] class PostingsWriterFactory(path: String, nBuckets: Int,
+    input: StructType, hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new PostingsDataWriter(path, nBuckets, input, hconf, partitionId,
+      taskId)
+}
+
+private[sources] class PostingsDataWriter(path: String, nBuckets: Int,
+    input: StructType, hconf: SerializableHadoopConf, partitionId: Int,
+    taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.ParquetWriter
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.schema.MessageTypeParser
+
+  private val fileType = MessageTypeParser.parseMessageType(
+    """message postings {
+      |  required binary term (UTF8);
+      |  required int64 doc_id;
+      |  required int64 dl;
+      |  required int64 tf;
+      |}""".stripMargin)
+  private val factory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(fileType)
+
+  private val iTerm = input.fieldIndex("term")
+  private val iDoc = input.fieldIndex("doc_id")
+  private val iDl = input.fieldIndex("dl")
+  private val iTf = input.fieldIndex("tf")
+  private val iBucket = input.fieldIndex("bucket")
+
+  private val open =
+    scala.collection.mutable.Map.empty[Long, ParquetWriter[Group]]
+  private val files = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def writerFor(bucket: Long): ParquetWriter[Group] =
+    open.getOrElseUpdate(bucket, {
+      val f = new Path(new Path(path, s"bucket=$bucket"),
+        s"part-$partitionId-$taskId-" +
+          java.util.UUID.randomUUID().toString.take(8) + ".parquet")
+      files += f.toString
+      ExampleParquetWriter.builder(f)
+        .withType(fileType).withConf(hconf.value).build()
+    })
+
+  override def write(r: InternalRow): Unit = {
+    val term = r.getUTF8String(iTerm).toString
+    val bucket = r.getLong(iBucket)
+    val want = InvertedIndex.bucketOf(term, nBuckets)
+    if (bucket != want) throw new IllegalArgumentException(
+      s"PostingsSource write: row ('$term', bucket=$bucket) does not " +
+        s"match the layout hash bucket $want for nBuckets=$nBuckets — " +
+        "a mis-bucketed posting silently vanishes from pruned probes")
+    val g = factory.newGroup()
+    g.append("term", term)
+    g.append("doc_id", r.getLong(iDoc))
+    g.append("dl", r.getLong(iDl))
+    g.append("tf", r.getLong(iTf))
+    writerFor(bucket).write(g)
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    open.values.foreach(_.close())
+    PostingsCommit(files.toSeq)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach(w => scala.util.Try(w.close()))
+    val fs = new Path(path).getFileSystem(hconf.value)
+    files.foreach(f => fs.delete(new Path(f), false))
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Row-group reader over one postings data file: parquet-hadoop Group

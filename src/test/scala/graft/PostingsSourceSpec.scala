@@ -136,6 +136,55 @@ class PostingsSourceSpec extends SparkSuite {
       s"buckets={${InvertedIndex.bucketOf(t2, NB)}}"), desc)
   }
 
+  test("DSv2 append write: a batch written through the connector " +
+      "equals the appendPostings path; mis-bucketed rows are refused") {
+    import org.apache.spark.sql.SaveMode
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    def freshLayout(p: String): Unit = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(p + ".stats"))
+      val stats = base.select(
+          size(split($"text", " ")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      InvertedIndex.writeTermLayout(
+        InvertedIndex.buildPostings(base, NB), stats, p)
+    }
+    val viaHelper = "/tmp/graft_postings_v2/append_helper"
+    val viaV2 = "/tmp/graft_postings_v2/append_v2"
+    freshLayout(viaHelper); freshLayout(viaV2)
+    InvertedIndex.appendPostings(batch, viaHelper, NB)
+    InvertedIndex.buildPostings(batch, NB)
+      .select($"term", $"doc_id", $"dl", $"tf",
+        $"bucket".cast("long").as("bucket"))
+      .write.format("graft.sources.PostingsSource")
+      .option("path", viaV2).option("nBuckets", NB.toString)
+      .mode(SaveMode.Append).save()
+    val cols = Seq($"term", $"doc_id", $"dl", $"tf",
+      $"bucket".cast("long").as("bucket"))
+    val a = spark.read.parquet(viaHelper).select(cols: _*)
+      .orderBy($"term", $"doc_id").collect().toSeq
+    val b = spark.read.parquet(viaV2).select(cols: _*)
+      .orderBy($"term", $"doc_id").collect().toSeq
+    assert(a.nonEmpty && b == a)
+    // and the connector reads its own appended layout identically
+    val v2 = spark.read.format("graft.sources.PostingsSource")
+      .option("path", viaV2).option("nBuckets", NB.toString).load()
+      .select(cols: _*).orderBy($"term", $"doc_id").collect().toSeq
+    assert(v2 == a)
+    // a row whose bucket does not match the layout hash is an error
+    val bad = InvertedIndex.buildPostings(batch.limit(1), NB)
+      .select($"term", $"doc_id", $"dl", $"tf",
+        (($"bucket".cast("long") + 1L) % NB.toLong).as("bucket"))
+    val e = intercept[Exception](
+      bad.write.format("graft.sources.PostingsSource")
+        .option("path", viaV2).option("nBuckets", NB.toString)
+        .mode(SaveMode.Append).save())
+    assert(e.getMessage != null)
+  }
+
   test("no predicate scans every bucket; a bucket predicate prunes " +
       "directly") {
     val full = spark.read.format("graft.sources.PostingsSource")
