@@ -713,6 +713,43 @@ private[queries] trait PipelineCore {
           nearDupPairsCached(s, d), "doc_a", "doc_b"))
         .localCheckpoint())
 
+  /** L103 SemDeDup within-cell dup pairs (vec_a, vec_b): embeddings
+    * assigned to the learned IVF cells, EXACT q6 cosine verify over
+    * the within-cell pair domain at τ = 0.40 (the paper's 0.96+ is a
+    * knob; the synthetic fixture's densest pairs sit at ~0.51). The
+    * within-cell self-join is exact by construction — cell sizes are
+    * bounded by the IVF design; a hostile cell composes with the
+    * CandidatePairs cap + the L10 drop ledger at scale. */
+  private[queries] def semDedupPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cells = graft.operators.IvfIndex
+      .assignCells(emb, learnedCents(s, d))
+      .select($"cell", $"vec_id", $"v")
+    val a = cells.select($"cell", $"vec_id".as("vec_a"), $"v".as("va"))
+    val b = cells.select($"cell", $"vec_id".as("vec_b"), $"v".as("vb"))
+    a.join(b, Seq("cell")).filter($"vec_a" < $"vec_b")
+      .withColumn("cos",
+        q6(dot($"va", $"vb") / (l2norm($"va") * l2norm($"vb"))))
+      .filter($"cos" >= lit(0.40))
+      .select($"cell", $"vec_a", $"vec_b")
+  }
+
+  /** The SemDeDup dup-group labeling over [[semDedupPairs]] — the CC
+    * driver loop runs once per BUILD of the persisted artifact (the
+    * neardup_components pattern). */
+  private[queries] val semDedupCompCache = new SessionCache[DataFrame]
+
+  private[queries] def semDedupComponents(s: SparkSession, dir: String): DataFrame =
+    semDedupCompCache.get(s, dir)(d =>
+      graft.operators.ArtifactStore.getOrBuild(s, d,
+        "semdedup_components", "v1:tau0.40")(
+        graft.operators.ConnectedComponents.components(
+          semDedupPairs(s, d).select(col("vec_a"), col("vec_b")),
+          "vec_a", "vec_b"))
+        .localCheckpoint())
+
   /** The L96 incremental-curation funnel — cached per dir (stage 2's
     * banding + verify and stage 3's closure run construction-time
     * jobs; the funnel is tiny). */

@@ -191,6 +191,7 @@ private[queries] trait PipelineOracleSupport extends PipelineCore {
     staticOracle ++ Option(learnedCentCache.get(dir))
       .map(c => Map("ivf_ann_learned" -> ivfLearnedSql(c),
         "semantic_clusters" -> semanticClustersSql(c),
+        "semdedup" -> semDedupSql(c),
         "ivf_append" -> ivfAppendSql(c)))
       .getOrElse(Map.empty) ++ Option(pqBooksCache.get(dir))
       .map(b => Map("pq_ann" -> pqAnnSql(b),
@@ -276,6 +277,72 @@ private[queries] trait PipelineOracleSupport extends PipelineCore {
        |  CAST(SUM(CAST(FLOOR(cos * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
        |    AS cos_mass_6
        |FROM j GROUP BY 1 ORDER BY cell""".stripMargin
+  }
+
+  /** DuckDB mirror of `semdedup` — the semanticClustersSql cell/ccos
+    * replay, plus brute within-cell pairs at τ = 0.40, the recursive
+    * min-label closure, and the (ccos, vec_id)-argmin retention. */
+  private[queries] def semDedupSql(cents: Array[Array[Double]]): String = {
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      val lit = c.map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
+      s"(${i + 1}, $lit, ${(c.map(x => x * x).sum / 2.0).toString})"
+    }.mkString(",\n    ")
+    s"""WITH RECURSIVE cents(cid, c, hn) AS (VALUES
+       |    $rows),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT e.vec_id, cents.cid, ${sqlDot("e.v", "cents.c")} - cents.hn AS s
+       |      FROM e CROSS JOIN cents),
+       |cells AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM d) t WHERE rn = 1),
+       |cc AS (
+       |  SELECT cells.vec_id, cells.cell,
+       |    ${sqlQ6(sqlDot("e.v", "cents.c") + " / (" + sqlNorm("e.v") + " * " + sqlNorm("cents.c") + ")")} AS ccos
+       |  FROM cells JOIN e USING (vec_id)
+       |  JOIN cents ON cents.cid = cells.cell),
+       |p AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb, a.cell
+       |  FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE ${sqlQ6(sqlDot("ea.v", "eb.v") + " / (" + sqlNorm("ea.v") + " * " + sqlNorm("eb.v") + ")")} >= 0.40),
+       |ed AS (SELECT va AS u, vb AS w FROM p UNION ALL SELECT vb, va FROM p),
+       |n AS (SELECT DISTINCT u AS node FROM ed),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM n
+       |  UNION
+       |  SELECT ed.w, r.lbl FROM reach r JOIN ed ON ed.u = r.node),
+       |comp AS (SELECT node, MIN(lbl) AS comp_id FROM reach GROUP BY node),
+       |member AS (
+       |  SELECT comp.comp_id, comp.node, cc.cell, cc.ccos
+       |  FROM comp JOIN cc ON cc.vec_id = comp.node),
+       |keep AS (
+       |  SELECT comp_id, ccos FROM (
+       |    SELECT comp_id, ccos, row_number() OVER (
+       |      PARTITION BY comp_id ORDER BY ccos, node) AS rn
+       |    FROM member) t WHERE rn = 1),
+       |grp AS (
+       |  SELECT m.comp_id, MIN(m.cell) AS cell,
+       |    CAST(COUNT(*) AS BIGINT) AS sz,
+       |    MIN(CAST(FLOOR(keep.ccos * 1000000.0 + 0.5) AS BIGINT)) AS kq
+       |  FROM member m JOIN keep ON keep.comp_id = m.comp_id
+       |  GROUP BY 1),
+       |pa AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+       |       FROM p GROUP BY 1),
+       |ga AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+       |    CAST(SUM(sz - 1) AS BIGINT) AS n_removed,
+       |    CAST(SUM(kq) AS BIGINT) AS kept_cos_mass_6
+       |  FROM grp GROUP BY 1),
+       |cv AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |       FROM cells GROUP BY 1)
+       |SELECT cv.cell, cv.n_vecs,
+       |  CAST(COALESCE(pa.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       |  CAST(COALESCE(ga.n_dup_groups, 0) AS BIGINT) AS n_dup_groups,
+       |  CAST(COALESCE(ga.n_removed, 0) AS BIGINT) AS n_removed,
+       |  CAST(COALESCE(ga.kept_cos_mass_6, 0) AS BIGINT) AS kept_cos_mass_6
+       |FROM cv LEFT JOIN pa USING (cell) LEFT JOIN ga USING (cell)
+       |ORDER BY cell""".stripMargin
   }
 
   /** DuckDB mirror of `ivf_append` — same cells/cos replay as

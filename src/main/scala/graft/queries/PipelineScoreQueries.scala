@@ -916,6 +916,57 @@ private[queries] trait PipelineScoreQueries extends PipelineCore {
     // keyed by ≤ k cells; centroids ride the plan as literals — no
     // join, no second pass. Oracle replays assignment AND affinity
     // from the interpolated centroids.
+    // L103 (SemDeDup; Abbas et al., "SemDeDup: Data-efficient learning
+    // at web-scale through semantic deduplication", 2023): the
+    // embedding-space dedup that catches PARAPHRASED redundancy lexical
+    // dedup (L1/L2) cannot — cluster the corpus into IVF cells, verify
+    // exact cosine ONLY within each cell (the paper's trick: the
+    // k-means partition bounds the pair domain, so work is Σ|cell|²,
+    // never n²), connect the above-τ pairs into dup groups, and keep
+    // per group the member with the LOWEST cosine to its cell centroid
+    // (the paper's diversity-preserving retention; deterministic
+    // (ccos, vec_id) tiebreak). Output per cell: vectors, dup pairs,
+    // dup groups, removed count, and the kept members' q6
+    // centroid-cosine mass — the retention policy is observable, not
+    // just the counts. Cells/centroids are the SAME learned relation
+    // as L7/L64/L72 (one Lloyd run per dir, persisted); the pair
+    // labeling is a persisted artifact (the neardup_components
+    // pattern). Oracle replays assignment, pairs, recursive closure
+    // and the argmin retention from the interpolated centroids.
+    "semdedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.operators.IvfIndex
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cents = learnedCents(s, dir)
+      val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+      val cc = IvfIndex.assignCells(emb, cents)
+        .withColumn("c", element_at(centsLit, $"cell".cast("int")))
+        .select($"cell", $"vec_id",
+          q6(dot($"v", $"c") / (l2norm($"v") * l2norm($"c"))).as("ccos"))
+      val pairs = semDedupPairs(s, dir)
+      val member = semDedupComponents(s, dir)
+        .join(cc, col("node") === cc("vec_id"))
+        .select($"component", $"node", $"cell", $"ccos")
+      val groups = member.groupBy($"component")
+        .agg(min($"cell").as("cell"), count(lit(1)).as("sz"),
+          min(struct($"ccos", $"node")).as("keep"))
+      val grpAgg = groups.groupBy($"cell")
+        .agg(count(lit(1)).as("n_dup_groups"),
+          sum($"sz" - lit(1L)).as("n_removed"),
+          sum(floor($"keep.ccos" * lit(1000000.0) + lit(0.5)))
+            .cast("long").as("kept_cos_mass_6"))
+      val pairAgg = pairs.groupBy($"cell")
+        .agg(count(lit(1)).as("n_dup_pairs"))
+      cc.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+        .join(pairAgg, Seq("cell"), "left_outer")
+        .join(grpAgg, Seq("cell"), "left_outer")
+        .na.fill(0L,
+          Seq("n_dup_pairs", "n_dup_groups", "n_removed",
+            "kept_cos_mass_6"))
+        .orderBy($"cell")
+    }),
+
     "semantic_clusters" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.IvfIndex
