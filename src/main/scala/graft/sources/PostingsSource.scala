@@ -102,7 +102,8 @@ private[sources] class PostingsTable(path: String, nBuckets: Int)
   override def schema(): StructType = PostingsSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new PostingsScanBuilder(path, nBuckets)
@@ -267,12 +268,66 @@ private[graft] class PostingsScan(path: String, nBuckets: Int,
 
   override def toBatch: Batch = this
 
+  /** The layout as a micro-batch STREAM of its own appends: each
+    * trigger delivers exactly the parquet files that appeared since
+    * the last committed offset (the appendPostings / DSv2-write
+    * maintenance contract adds files, never rewrites) — the live feed
+    * a downstream incremental consumer (streaming stats maintenance,
+    * band appends) tails instead of re-scanning the index. Offsets are
+    * the set of files seen; compile-time term/bucket pruning applies
+    * to the discovery listing exactly as to a batch scan. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read
+        .streaming.MicroBatchStream =
+    new PostingsMicroBatchStream(this, required.fieldNames, rtTerms, hconf)
+
   override def planInputPartitions(): Array[InputPartition] =
     files.map { case (f, b) =>
       PostingsInputPartition(f, b): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PostingsReaderFactory(required.fieldNames, rtTerms, hconf)
+}
+
+/** Offset = the set of layout files already delivered. Serialized as
+  * one path per line (paths are filesystem names — no quoting needed;
+  * a production source would log manifests instead of enumerating,
+  * the FileStreamSource trade). */
+private[sources] case class PostingsOffset(files: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = files.toSeq.sorted.mkString("\n")
+}
+
+private[sources] class PostingsMicroBatchStream(scan: PostingsScan,
+    cols: Array[String], terms: Option[Set[String]],
+    hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = PostingsOffset(Set.empty)
+
+  override def latestOffset(): Offset =
+    PostingsOffset(scan.files.map(_._1).toSet)
+
+  override def deserializeOffset(json: String): Offset =
+    PostingsOffset(json.split("\n").filter(_.nonEmpty).toSet)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[PostingsOffset].files
+    val now = end.asInstanceOf[PostingsOffset].files
+    (now -- seen).toSeq.sorted.map { f =>
+      val bucket = new Path(f).getParent.getName
+        .stripPrefix("bucket=").toLong
+      PostingsInputPartition(f, bucket): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PostingsReaderFactory(cols, terms, hconf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class PostingsInputPartition(file: String,

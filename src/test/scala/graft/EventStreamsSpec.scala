@@ -462,6 +462,38 @@ class EventStreamsSpec extends SparkSuite {
     assert(!streamed.exists(_._3.contains("__flush")))
   }
 
+  test("streaming anomaly flags equal the batch rolling_anomaly " +
+      "across micro-batch splits (T22)") {
+    implicit val sqlCtx = spark.sqlContext
+    // one far-future sentinel per event type closes each type's last
+    // real day; the sentinel's own day stays open in state, so no
+    // sentinel row is ever emitted
+    val types = ordered.map(_.event_type).distinct
+    val maxTs = ordered.map(_.ts).max
+    val sentinels = types.zipWithIndex.map { case (t, i) =>
+      EventStreams.TypedEvent(-1L - i, -1L,
+        maxTs + 30L * 86400000000L, t)
+    }
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams.anomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("t_anomaly")
+      .outputMode("append").start()
+    try {
+      (ordered ++ sentinels).grouped(750).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("t_anomaly")
+      .select($"event_type", $"day", $"n_events", $"base_sum",
+        $"is_anomaly")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    val batch = SparkEntry.queries("rolling_anomaly")(spark, sf)
+      .select($"event_type", $"day", $"n_events", $"base_sum",
+        $"is_anomaly")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming cohort cells equal the batch cohort_retention " +
       "across micro-batch splits (T11)") {
     implicit val sqlCtx = spark.sqlContext

@@ -185,6 +185,46 @@ class PostingsSourceSpec extends SparkSuite {
     assert(e.getMessage != null)
   }
 
+  test("micro-batch streaming read tails the layout's appends: each " +
+      "trigger delivers exactly the new files' rows") {
+    val p = "/tmp/graft_postings_v2/stream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(p + ".stats"))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 3 === 0)
+    val b1 = docs.filter($"doc_id" % 3 === 1)
+    val b2 = docs.filter($"doc_id" % 3 === 2)
+    val stats = base.select(
+        size(split($"text", " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    InvertedIndex.writeTermLayout(
+      InvertedIndex.buildPostings(base, NB), stats, p)
+    val q = spark.readStream.format("graft.sources.PostingsSource")
+      .option("path", p).option("nBuckets", NB.toString).load()
+      .writeStream.format("memory").queryName("t_postings_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterBase = spark.table("t_postings_stream").count()
+      assert(afterBase == spark.read.parquet(p).count() && afterBase > 0)
+      InvertedIndex.appendPostings(b1, p, NB)
+      q.processAllAvailable()
+      assert(spark.table("t_postings_stream").count() ==
+        spark.read.parquet(p).count())
+      InvertedIndex.appendPostings(b2, p, NB)
+      q.processAllAvailable()
+      // content equality, not just counts: streamed union == layout
+      val cols = Seq($"term", $"doc_id", $"dl", $"tf",
+        $"bucket".cast("long").as("bucket"))
+      val streamed = spark.table("t_postings_stream").select(cols: _*)
+        .orderBy($"term", $"doc_id").collect().toSeq
+      val layout = spark.read.parquet(p).select(cols: _*)
+        .orderBy($"term", $"doc_id").collect().toSeq
+      assert(streamed == layout)
+    } finally q.stop()
+  }
+
   test("no predicate scans every bucket; a bucket predicate prunes " +
       "directly") {
     val full = spark.read.format("graft.sources.PostingsSource")
