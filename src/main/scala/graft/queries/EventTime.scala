@@ -579,6 +579,92 @@ object EventTime {
     // selectivity bounds: one map-combinable daily count, one
     // type-partitioned ROWS window; days without a full 7-day
     // baseline are withheld (no partial-window guesses).
+    // T27: EXACT trailing-7-day distinct users per day — the honest
+    // version of the metric approx_count_distinct windows estimate,
+    // computed WITHOUT any per-day re-scan or window distinct:
+    // a (user, day) activity pair is the user's FIRST activity inside
+    // the window ending at d exactly when d ∈ [max(t, prev+7), t+6]
+    // (prev = the user's previous active day), so each pair emits one
+    // +1/−1 difference-array interval and distinct(d) is the prefix
+    // sum of the deltas over the day axis. Work: one per-user lag
+    // window + one map-combinable delta agg keyed by day + one prefix
+    // sum over the BOUNDED day axis (a time axis, not a data axis —
+    // the single-partition prefix holds #days rows by construction;
+    // an unbounded axis swaps in the PrefixSum two-phase ranking).
+    // The oracle computes the same metric by the INDEPENDENT brute
+    // algorithm (day × activity range join + COUNT DISTINCT), so the
+    // interval decomposition itself is what the hash check verifies.
+    "rolling_distinct_users" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val act = Tables.events(s, dir)
+        .select($"user_id",
+          datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("t"))
+        .distinct()
+      val deltas = act
+        .withColumn("prev", lag($"t", 1).over(
+          Window.partitionBy($"user_id").orderBy($"t")))
+        .select(
+          greatest($"t", coalesce($"prev" + lit(7L), $"t")).as("lo"),
+          ($"t" + lit(7L)).as("hi"))
+        .select(explode(array(
+          struct($"lo".as("day"), lit(1L).as("delta")),
+          struct($"hi".as("day"), lit(-1L).as("delta")))).as("x"))
+        .select($"x.day".as("day"), $"x.delta".as("delta"))
+        .groupBy($"day").agg(sum($"delta").as("d"))
+      val days = broadcast(act.agg(min($"t").as("mn"), max($"t").as("mx")))
+        .select(explode(sequence($"mn", $"mx")).as("day"))
+      days.join(deltas, Seq("day"), "left_outer")
+        .na.fill(0L, Seq("d"))
+        .withColumn("distinct_7d", sum($"d").over(Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"day", $"distinct_7d")
+        .orderBy($"day")
+    }),
+
+    // T26: CUSUM change-point detection (Page 1954 — the classic
+    // sequential drift test): per event type, the one-sided cumulative
+    // sum V_t = max(0-floored excursion) of daily counts above the
+    // series mean, flagged when it exceeds 5σ. Where T22's rolling
+    // z-test sees single-day spikes, CUSUM accumulates SMALL sustained
+    // shifts a per-day test never trips. Exactness: with S_t the
+    // running sum of (n_days·x − Σx), V_t = S_t − min(0, min_{j<t} S_j)
+    // is an exact integer, and the 5σ flag cross-multiplies to
+    // V² > 25·(n_days·ΣQ − (Σx)²) — no sqrt, no double, engine-exact
+    // (the rolling_anomaly recipe; σ-scaling makes the threshold
+    // self-calibrating across corpus scale). Envelope: V² needs
+    // |V| < 3·10⁹·n_days in daily-count units — beyond it, the terms
+    // move to the decimal lane. Shape: one map-combinable daily count;
+    // all windows run on the bounded (type × day) relation.
+    "cusum_changepoints" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = Window.partitionBy($"event_type")
+      val ord = Window.partitionBy($"event_type").orderBy($"day")
+      val pre = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      daily
+        .withColumn("sum_n", sum($"n").over(tot))
+        .withColumn("sum_q", sum($"n" * $"n").over(tot))
+        .withColumn("n_days", count($"n").over(tot))
+        .withColumn("run", sum($"n_days" * $"n" - $"sum_n").over(ord))
+        .withColumn("vs", $"run" -
+          least(lit(0L), coalesce(min($"run").over(pre), lit(0L))))
+        .withColumn("is_change",
+          when($"vs" * $"vs" >
+            lit(25L) * ($"n_days" * $"sum_q" - $"sum_n" * $"sum_n"), 1L)
+            .otherwise(0L))
+        .select($"event_type", $"day", $"n".as("n_events"),
+          $"vs".as("v_scaled"), $"is_change")
+        .orderBy($"event_type", $"day")
+    }),
+
     "rolling_anomaly" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -934,6 +1020,53 @@ object EventTime {
         |FROM b
         |WHERE event_type = 'click' AND v0 IS NOT NULL AND v1 IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+
+    // the INDEPENDENT brute algorithm: day × activity range join +
+    // COUNT DISTINCT — agreement verifies the engine's interval
+    // decomposition, not a re-spelling of it
+    "rolling_distinct_users" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS t
+        |  FROM events),
+        |b AS (SELECT MIN(t) AS mn, MAX(t) AS mx FROM a),
+        |days AS (SELECT unnest(range(mn, mx + 1)) AS day FROM b)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS distinct_7d
+        |FROM days LEFT JOIN a ON a.t BETWEEN day - 6 AND day
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // identical integer running sum / prefix-min / squared 5σ
+    // cross-multiply
+    "cusum_changepoints" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS sum_n,
+        |    CAST(SUM(n * n) AS BIGINT) AS sum_q,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1),
+        |s AS (
+        |  SELECT d.event_type, d.day, d.n, t.sum_n, t.sum_q, t.n_days,
+        |    SUM(t.n_days * d.n - t.sum_n) OVER (
+        |      PARTITION BY d.event_type ORDER BY d.day) AS run
+        |  FROM daily d JOIN tot t USING (event_type)),
+        |v AS (
+        |  SELECT event_type, day, n, sum_n, sum_q, n_days,
+        |    run - LEAST(0, COALESCE(MIN(run) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      AS vs
+        |  FROM s)
+        |SELECT event_type, day, n AS n_events, CAST(vs AS BIGINT) AS v_scaled,
+        |  CAST(CASE WHEN vs * vs > 25 * (n_days * sum_q - sum_n * sum_n)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_change
+        |FROM v ORDER BY event_type, day""".stripMargin,
 
     "rolling_anomaly" ->
       """WITH d AS (
