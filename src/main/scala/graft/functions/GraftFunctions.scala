@@ -68,6 +68,11 @@ object GraftFunctions {
   def byte_sum(b: Column): Column =
     ExpressionUtils.column(ByteSum(ExpressionUtils.expression(b)))
 
+  /** Codegen'd 64-bit average hash of a binary payload (the L105
+    * perceptual near-dup fingerprint). */
+  def ahash64(b: Column): Column =
+    ExpressionUtils.column(AHash64(ExpressionUtils.expression(b)))
+
   /** Distinct word-3-gram shingle hashes as ONE array column, single
     * pass over the UTF-8 bytes (whole-text fallback under 3 tokens) —
     * the MinHash pipeline front end. */
@@ -142,6 +147,11 @@ object GraftFunctions {
       "byte_sum", { exprs =>
         require(exprs.length == 1, "byte_sum(b) takes one binary column")
         ByteSum(exprs.head)
+      }, "built-in")
+    r.createOrReplaceTempFunction(
+      "ahash64", { exprs =>
+        require(exprs.length == 1, "ahash64(b) takes one binary column")
+        AHash64(exprs.head)
       }, "built-in")
     r.createOrReplaceTempFunction(
       "shingle_hash_set", { exprs =>

@@ -713,6 +713,30 @@ private[queries] trait PipelineCore {
           nearDupPairsCached(s, d), "doc_a", "doc_b"))
         .localCheckpoint())
 
+  /** L105 probe payloads: a base text, its verbatim copy (Hamming 0),
+    * corruptions of one and two bytes at SAMPLED grid positions
+    * (Hamming 1 and 2 — below the τ=3 cut), and an unrelated control
+    * (Hamming 17 from base — never paired). Corruption positions are
+    * (j·n)/64 for j = 10 and 32, i.e. exactly the grid samples, so
+    * each splice moves exactly one sampled byte across the mean. */
+  private[queries] val phashProbes: Seq[(Long, String)] = {
+    val base =
+      "the quick brown fox jumps over the lazy dog while zebras graze " * 10
+    val n = base.length
+    def splice(t: String, p: Int): String =
+      t.substring(0, p) + " " + t.substring(p + 1)
+    Seq(
+      -11L -> base,
+      -12L -> splice(base, (10 * n) / 64),
+      -13L -> splice(splice(base, (10 * n) / 64), (32 * n) / 64),
+      -14L -> base,
+      -15L -> ("completely different payload content with other words " +
+        "entirely here " * 10).take(n))
+  }
+
+  private[queries] def phashProbeValuesSql: String =
+    phashProbes.map { case (id, t) => s"($id, '$t')" }.mkString(",\n    ")
+
   /** L103 SemDeDup within-cell dup pairs (vec_a, vec_b): embeddings
     * assigned to the learned IVF cells, EXACT q6 cosine verify over
     * the within-cell pair domain at τ = 0.40 (the paper's 0.96+ is a

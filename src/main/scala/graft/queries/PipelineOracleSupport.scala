@@ -1232,6 +1232,51 @@ private[queries] trait PipelineOracleSupport extends PipelineCore {
     // of encode(text) — the raw UTF-8 bytes — so it agrees with the
     // engine's binary features for ANY text, and the unioned probe doc
     // (leading multi-byte chars) proves it.
+    // identical 64-sample stride grid, integer mean test (64·g > Σg),
+    // 16-bit bands, pigeonhole band join and bit_count verify; probe
+    // payloads interpolated as the same literals
+    "phash_neardup" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES
+         |    $phashProbeValuesSql) pr(doc_id, text)),
+         |b AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |    octet_length(encode(text)) AS n
+         |  FROM src WHERE octet_length(encode(text)) > 0),
+         |g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 64), j ->
+         |      (strpos('0123456789ABCDEF',
+         |         h[2*((j*n)//64)+1:2*((j*n)//64)+1]) - 1) * 16
+         |      + (strpos('0123456789ABCDEF',
+         |         h[2*((j*n)//64)+2:2*((j*n)//64)+2]) - 1)) AS gs
+         |  FROM b),
+         |hb AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 4), bb ->
+         |      list_sum(list_transform(range(0, 16), k ->
+         |        CASE WHEN 64 * gs[bb*16+k+1] > list_sum(gs)
+         |             THEN 1<<k ELSE 0 END))) AS bands
+         |  FROM g),
+         |banded AS (
+         |  SELECT doc_id, bands, unnest(range(0, 4)) AS band_no FROM hb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |    a.bands AS ba, c.bands AS bc
+         |  FROM banded a JOIN banded c
+         |    ON a.band_no = c.band_no
+         |   AND a.bands[a.band_no+1] = c.bands[c.band_no+1]
+         |   AND a.doc_id < c.doc_id),
+         |p AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(list_sum(list_transform(range(0, 4), i ->
+         |      bit_count(xor(CAST(ba[i+1] AS BIGINT),
+         |        CAST(bc[i+1] AS BIGINT))))) AS BIGINT) AS hamming
+         |  FROM cand)
+         |SELECT doc_a, doc_b, hamming FROM p
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
     "binary_features" ->
       s"""WITH src AS (
          |  SELECT doc_id, text FROM documents

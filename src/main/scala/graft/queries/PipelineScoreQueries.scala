@@ -967,6 +967,52 @@ private[queries] trait PipelineScoreQueries extends PipelineCore {
         .orderBy($"cell")
     }),
 
+    // L105 (perceptual-hash near-dup over binary payloads): the
+    // multimodal dedup lane — aHash (average hash, the classic
+    // perceptual fingerprint: stride-sample the payload to a 64-byte
+    // grid, bit_j = sample_j above the grid mean) over the opaque
+    // binary column, then Hamming-≤3 pairing via the pigeonhole band
+    // split (4 × 16-bit bands: any pair within distance 3 shares at
+    // least one EXACT band — the SimHash recipe at the byte level).
+    // The stub "decode" is the frameColumns stride sample (the
+    // documented decoder seam: a real deployment swaps in the codec's
+    // grayscale grid, nothing else changes). All arithmetic is
+    // integer: the bit test cross-multiplies (64·g_j > Σg), bands are
+    // exact 16-bit ints, verify is bit_count(xor) — no double
+    // anywhere. Planted probe payloads (verbatim copy, 1- and 2-byte
+    // corruptions at SAMPLED positions, one unrelated control) ride
+    // along in query and oracle, proving hit/miss both ways — the
+    // fixture's own texts never collide at τ=3 (verbatim-level byte
+    // similarity is what the lane detects).
+    // Shape: one bounded 64-sample pass per doc (never a per-byte
+    // loop), one (band_no, band_val)-keyed self-join, bit-count
+    // verify; at 10⁹ payloads the hot-band cap composes via
+    // CandidatePairs as in every LSH lane.
+    "phash_neardup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+        .unionAll(phashProbes.toDF("doc_id", "text"))
+      val hashes = docs
+        .select($"doc_id",
+          F.ahash64($"text".cast("binary")).as("h"))
+        .filter($"h".isNotNull)
+      val banded = hashes.select($"doc_id", $"h",
+        posexplode(array((0 to 3).map(bb =>
+          shiftrightunsigned($"h", bb * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band_no", "band_val")))
+      val a = banded.select($"band_no", $"band_val",
+        $"doc_id".as("doc_a"), $"h".as("ha"))
+      val b = banded.select($"band_no", $"band_val",
+        $"doc_id".as("doc_b"), $"h".as("hb"))
+      a.join(b, Seq("band_no", "band_val"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b",
+          bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
+        .filter($"hamming" <= 3L)
+        .distinct()
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     "semantic_clusters" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import graft.operators.IvfIndex
