@@ -258,6 +258,62 @@ class EventStreamsSpec extends SparkSuite {
     assert(sunk.nonEmpty)
   }
 
+  test("checkpoint recovery restores flatMapGroupsWithState state: " +
+      "transitions spanning the restart boundary are emitted") {
+    val base = "/tmp/graft_state_recover"
+    val (srcDir, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(srcDir).mkdirs()
+    val typed = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", expr("unix_micros(ts)").as("ts"),
+        $"event_type")
+    val mid = typed.agg(percentile_approx($"ts", lit(0.5), lit(100000))
+      .cast("long")).collect().head.getLong(0)
+    def deliver(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+    }
+    deliver(typed.filter($"ts" <= mid).orderBy($"ts", $"event_id"), "b1")
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("event_id LONG, user_id LONG, ts LONG, event_type STRING")
+        .parquet(srcDir)
+        .as[EventStreams.TypedEvent]
+      val q = EventStreams.transitionStream(src)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run() // processes the first half, persists each user's last event
+    deliver(typed.filter($"ts" > mid).orderBy($"ts", $"event_id"), "b2")
+    run() // restart: state restored from the checkpoint
+    val streamed = spark.read.parquet(out)
+      .groupBy($"user_id", $"from_type", $"to_type")
+      .count().as[(Long, String, String, Long)].collect().toSeq.sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val batch = typed
+      .withColumn("from_type", lag($"event_type", 1).over(w))
+      .filter($"from_type".isNotNull)
+      .groupBy($"user_id", $"from_type", $"event_type".as("to_type"))
+      .count().as[(Long, String, String, Long)].collect().toSeq.sorted
+    assert(streamed.nonEmpty && streamed == batch)
+    // the cross-boundary pairs exist at all only because each user's
+    // last pre-restart event was restored from the state store
+    val straddlers = typed.filter($"ts" > mid)
+      .select($"user_id").distinct().as[Long].collect().toSet intersect
+      typed.filter($"ts" <= mid)
+        .select($"user_id").distinct().as[Long].collect().toSet
+    assert(straddlers.nonEmpty, "fixture must straddle the boundary")
+  }
+
   test("checkpoint recovery: restart resumes exactly-once, no re-emission") {
     val base = "/tmp/graft_stream_recover"
     val (srcDir, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
