@@ -579,6 +579,36 @@ object EventTime {
     // selectivity bounds: one map-combinable daily count, one
     // type-partitioned ROWS window; days without a full 7-day
     // baseline are withheld (no partial-window guesses).
+    // T28: seasonal-naive forecast backtest — the capacity-planning
+    // baseline every real forecaster must beat (forecast(d) = the
+    // actual count one season earlier, here same-weekday-last-week),
+    // scored per event type by exact integer error mass and WAPE
+    // (Σ|err|/Σactual — the weighted absolute percentage error; the
+    // per-day-division MAPE is deliberately avoided: WAPE is one q6
+    // division over two exact integer sums). The forecast pairing is a
+    // CALENDAR self-join on (type, day−7) — not a 7-ROW lag — so
+    // missing days produce no forecast instead of a silently shifted
+    // one. Shape: one map-combinable daily count + one equi self-join
+    // on the bounded (type, day) relation.
+    "seasonal_backtest" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val fc = daily.select($"event_type", ($"day" + lit(7L)).as("day"),
+        $"n".as("fc"))
+      daily.join(fc, Seq("event_type", "day"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs($"n" - $"fc")).as("total_abs_err"),
+          sum($"n").as("total_actual"),
+          q6(sum(abs($"n" - $"fc")).cast("double") /
+            sum($"n").cast("double")).as("wape"))
+        .orderBy($"event_type")
+    }),
+
     // T27: EXACT trailing-7-day distinct users per day — the honest
     // version of the metric approx_count_distinct windows estimate,
     // computed WITHOUT any per-day re-scan or window distinct:
@@ -1020,6 +1050,26 @@ object EventTime {
         |FROM b
         |WHERE event_type = 'click' AND v0 IS NOT NULL AND v1 IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+
+    // identical calendar self-join pairing and integer error mass
+    "seasonal_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type, a.n, f.n AS fc
+        |  FROM daily a JOIN daily f
+        |    ON a.event_type = f.event_type AND a.day = f.day + 7)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(ABS(n - fc)) AS BIGINT) AS total_abs_err,
+        |  CAST(SUM(n) AS BIGINT) AS total_actual,
+        |  CAST(FLOOR(CAST(SUM(ABS(n - fc)) AS DOUBLE)
+        |    / CAST(SUM(n) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+        |    / 1000000.0 AS wape
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // the INDEPENDENT brute algorithm: day × activity range join +
     // COUNT DISTINCT — agreement verifies the engine's interval

@@ -382,6 +382,29 @@ object Mutations {
         .orderBy($"l")
     }),
 
+    // M14: Merkle-style table content fingerprints — the replication /
+    // migration integrity audit: two replicas agree iff the per-bucket
+    // fingerprints agree, and a divergence names the buckets to
+    // re-sync WITHOUT comparing rows. XOR of 60-bit md5-derived row
+    // hashes is the right fold: order-free and partition-free (any
+    // execution order fingerprints identically — the property the spec
+    // pins by repartitioning), and a single flipped row flips its
+    // bucket with probability 1 − 2⁻⁶⁰. Doubles are excluded from the
+    // canonical string by contract (double→string rendering is not
+    // engine-portable); the date canonicalizes via an explicit format.
+    // Shape: one map-combinable agg keyed by ≤ nBuckets values; the
+    // scan is the only pass.
+    "table_fingerprint" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Fingerprints.bucketFingerprints(
+          Tables.orders(s, dir), "o_orderkey",
+          Seq($"o_orderkey", $"o_custkey", $"o_orderstatus",
+            $"o_orderpriority",
+            date_format($"o_orderdate", "yyyy-MM-dd")),
+          16)
+        .orderBy($"bucket")
+    }),
+
     // M13: t-closeness audit — the third privacy lens after
     // k-anonymity (group size) and l-diversity (distinct sensitive
     // values): a QI group can be large AND diverse yet still leak if
@@ -697,6 +720,24 @@ object Mutations {
         |  FROM g CROSS JOIN (VALUES (2), (3), (5)) ls(l)
         |  GROUP BY 1)
         |ORDER BY l""".stripMargin,
+
+    // same md5 canonical string, the same 15-hex-char fold to a 60-bit
+    // integer (list_reduce ≡ conv), the same XOR aggregate
+    "table_fingerprint" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderkey % 16 AS bucket,
+        |    list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+        |          o_orderpriority, strftime(o_orderdate, '%Y-%m-%d')))[i:i])
+        |        - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) AS h
+        |  FROM orders)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_fp,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // integer cross-multiplied EMD terms — the engines never compare a
     // double; the CASE error() mirrors the Spark-side envelope guard
