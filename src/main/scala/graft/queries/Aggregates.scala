@@ -125,6 +125,38 @@ object Aggregates {
         .orderBy($"l_returnflag")
     }),
 
+    // G25: Benford first-digit forensics — the classic fabricated-data
+    // audit (Benford 1938; the fraud-detection staple): the first
+    // significant digit of naturally-occurring amounts follows
+    // P(d) = log10(1 + 1/d); a synthetic or doctored column does not
+    // (this fixture's uniform prices flunk it loudly — that IS the
+    // report). Exactness: amounts quantize to integer cents via
+    // floor(x·100 + 0.5) (the q-grid recipe — never engine-specific
+    // rounding), and the first digit is pure integer arithmetic:
+    // cents DIV 10^(len(str(cents)) − 1) — integer string length is
+    // portable where double formatting is not. Shares are q6; the
+    // Benford reference shares are the same ln constants both engines
+    // evaluate identically. Shape: one map-combinable count keyed by
+    // 9 digits; totals ride a one-row broadcast (allowlisted).
+    "benford_audit" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val obs = Tables.orders(s, dir)
+        .filter($"o_totalprice" > 0)
+        .select(floor($"o_totalprice" * lit(100.0) + lit(0.5))
+          .cast("long").as("cents"))
+        .select(expr("cents DIV CAST(power(10, " +
+          "length(CAST(cents AS STRING)) - 1) AS BIGINT)").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      val tot = broadcast(obs.agg(sum($"n").as("total")))
+      obs.crossJoin(tot)
+        .select($"digit", $"n",
+          q6($"n".cast("double") / $"total".cast("double"))
+            .as("obs_share"),
+          q6(log(lit(1.0) + lit(1.0) / $"digit".cast("double")) /
+            log(lit(10.0))).as("benford_share"))
+        .orderBy($"digit")
+    }),
+
     // G24: exact Gini concentration — the one-number answer to "how
     // skewed is the mixture" that mixture owners read before L21/L79
     // rebalancing: over the bounded source domain, the Gini index of
@@ -1173,6 +1205,27 @@ object Aggregates {
          |  ${sqlQ6("CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)")} AS mode_share
          |FROM r WHERE rn = 1
          |ORDER BY l_returnflag""".stripMargin,
+
+    // identical integer-cents quantization, string-length digit
+    // extraction, and q6 shares
+    "benford_audit" ->
+      s"""WITH c AS (
+         |  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+         |    AS cents
+         |  FROM orders WHERE o_totalprice > 0),
+         |f AS (
+         |  SELECT cents // CAST(power(10,
+         |    length(CAST(cents AS VARCHAR)) - 1) AS BIGINT) AS digit
+         |  FROM c),
+         |obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM f GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+         |SELECT digit, n,
+         |  ${sqlQ6("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)")}
+         |    AS obs_share,
+         |  ${sqlQ6("ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)")}
+         |    AS benford_share
+         |FROM obs CROSS JOIN tot ORDER BY digit""".stripMargin,
 
     // identical ascending (mass, key) ranking and LONG numerator; the
     // only double is the final q6 division

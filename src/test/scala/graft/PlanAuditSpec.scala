@@ -33,6 +33,7 @@ class PlanAuditSpec extends SparkSuite {
       "ann_recall", // both brute rankings (exact + ADC) vs broadcast probes
       "bigram_logprob", // one-row vocab broadcast (unigram_logprob shape)
       "kn_bigram_logprob", // one-row bigram-types broadcast (same shape)
+      "benford_audit", // one-row digit-total broadcast (same shape)
       "lang_id_trigram", // one-row class-totals broadcast (same shape)
       "perplexity_filter", // one-row (n_ref, v) totals broadcast (same shape)
       "hybrid_rrf", // its vector arm is the cosine_knn brute scorer
