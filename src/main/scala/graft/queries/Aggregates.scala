@@ -125,6 +125,49 @@ object Aggregates {
         .orderBy($"l_returnflag")
     }),
 
+    // G26: exact two-sample Kolmogorov–Smirnov drift test — the
+    // distribution-shift detector next to L86's binned PSI: KS needs
+    // NO bins (it is the max gap between the two empirical CDFs over
+    // the merged value order), so it catches shape drift PSI's fixed
+    // bins smear. Split = first half-month vs rest over events.value.
+    // Exactness: per distinct value, conditional counts (c1, c2) are
+    // map-combinable integers; BOTH cumulative counts ride the
+    // PrefixSum two-phase running sum (range-partition + per-partition
+    // window + tiny offset relation — no SinglePartition scan over the
+    // value domain, the 100 TB shape); the gap maximized is the exact
+    // integer |cum1·n2 − cum2·n1|. The reported statistic and the
+    // α=0.05 critical value 1.358·√((n1+n2)/(n1·n2)) are q6 doubles
+    // computed identically in both engines, so the reject decision is
+    // a comparison of two grid values — never a raw-double compare.
+    "ks_drift" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val byVal = Tables.events(s, dir)
+        .select($"value", ($"ts" < split).as("inA"))
+        .groupBy($"value")
+        .agg(sum(when($"inA", 1L).otherwise(0L)).as("c1"),
+          sum(when(!$"inA", 1L).otherwise(0L)).as("c2"))
+      val cum1 = graft.operators.PrefixSum.withRunningSum(
+        byVal, Seq.empty, $"value", $"c1", "cum1")
+      val cums = graft.operators.PrefixSum.withRunningSum(
+        cum1, Seq.empty, $"value", $"c1" + $"c2", "cumAll")
+      val tot = broadcast(byVal.agg(sum($"c1").as("n1"),
+        sum($"c2").as("n2")))
+      val gaps = cums.crossJoin(tot)
+        .select(abs($"cum1" * $"n2" - ($"cumAll" - $"cum1") * $"n1")
+          .as("gap"), $"n1", $"n2")
+      gaps.groupBy($"n1", $"n2")
+        .agg(max($"gap").as("d_num"))
+        .select($"n1", $"n2", $"d_num",
+          q6($"d_num".cast("double") /
+            ($"n1".cast("double") * $"n2".cast("double"))).as("ks_stat"),
+          q6(lit(1.358) * sqrt(($"n1" + $"n2").cast("double") /
+            ($"n1".cast("double") * $"n2".cast("double"))))
+            .as("crit_05"))
+        .withColumn("reject_05",
+          when($"ks_stat" > $"crit_05", 1L).otherwise(0L))
+    }),
+
     // G25: Benford first-digit forensics — the classic fabricated-data
     // audit (Benford 1938; the fraud-detection staple): the first
     // significant digit of naturally-occurring amounts follows
@@ -1205,6 +1248,37 @@ object Aggregates {
          |  ${sqlQ6("CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)")} AS mode_share
          |FROM r WHERE rn = 1
          |ORDER BY l_returnflag""".stripMargin,
+
+    // identical conditional counts, window cumulatives over the value
+    // order, integer cross-multiplied gap, q6 statistic and critical
+    // value
+    "ks_drift" ->
+      s"""WITH byval AS (
+         |  SELECT value,
+         |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+         |      THEN 0 ELSE 1 END) AS BIGINT) AS c2
+         |  FROM events GROUP BY 1),
+         |cums AS (
+         |  SELECT value, c1, c2,
+         |    SUM(c1) OVER w AS cum1, SUM(c1 + c2) OVER w AS cumAll
+         |  FROM byval WINDOW w AS (ORDER BY value
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         |               CAST(SUM(c2) AS BIGINT) AS n2 FROM byval),
+         |g AS (
+         |  SELECT n1, n2,
+         |    MAX(ABS(cum1 * n2 - (cumAll - cum1) * n1)) AS d_num
+         |  FROM cums CROSS JOIN tot GROUP BY 1, 2)
+         |SELECT n1, n2, CAST(d_num AS BIGINT) AS d_num,
+         |  ${sqlQ6("CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))")} AS ks_stat,
+         |  ${sqlQ6("1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))")} AS crit_05,
+         |  CAST(CASE WHEN
+         |    ${sqlQ6("CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))")} >
+         |    ${sqlQ6("1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))")}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+         |FROM g""".stripMargin,
 
     // identical integer-cents quantization, string-length digit
     // extraction, and q6 shares
