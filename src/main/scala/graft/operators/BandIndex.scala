@@ -149,6 +149,27 @@ object BandIndex {
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
   }
 
+  /** [[appendBands]] made idempotent by batch id — the retry-safe
+    * face of the streaming maintenance loop (the
+    * [[InvertedIndex.appendPostingsIdempotent]] contract: a
+    * re-delivered micro-batch is a no-op via the underscore-hidden
+    * per-batch marker; the crash-inside-the-append—marker-window
+    * envelope is the same and is closed the same way — an atomic
+    * staged-rename data commit). Returns whether the batch was
+    * applied. */
+  def appendBandsIdempotent(docs: DataFrame, path: String, tau: Double,
+      nBuckets: Int, batchId: Long): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(path, s"_batch-$batchId")
+    val fs = marker.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false
+    else {
+      appendBands(docs, path, tau, nBuckets)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
   /** Candidate (batch_doc, corpus_doc) pairs of a new batch against
     * the persisted index — the `incremental_neardup` probe over the
     * at-rest layout. Only the batch's own buckets are LISTED (literal

@@ -84,6 +84,36 @@ object InvertedIndex {
       .write.mode(SaveMode.Append).parquet(path + ".stats")
   }
 
+  /** [[appendPostings]] made idempotent by batch id — the retry-safe
+    * face the streaming loop needs: Spark re-delivers a micro-batch
+    * (same `batchId`) whenever the sink committed but the query's own
+    * checkpoint did not (every restart replays the last batch), and a
+    * bare append would double-count the re-delivery. A per-batch
+    * marker file (`_batch-<id>`, underscore-hidden from every reader)
+    * is checked first and committed after the append, so re-delivered
+    * batches are no-ops. Returns whether the batch was applied.
+    * Stream usage:
+    * `writeStream.foreachBatch((b, id) =>
+    *   appendPostingsIdempotent(b, path, n, id))`.
+    *
+    * Envelope (the marker-protocol contract every non-transactional
+    * sink shares): a crash INSIDE the append—marker window can leave
+    * a half-applied batch that the retry re-appends; closing that
+    * window needs an atomic data commit (the [[ArtifactStore]]
+    * staged-rename pattern over per-batch layouts). */
+  def appendPostingsIdempotent(docs: DataFrame, path: String,
+      nBuckets: Int, batchId: Long): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(path, s"_batch-$batchId")
+    val fs = marker.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false
+    else {
+      appendPostings(docs, path, nBuckets)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
   /** Postings of exactly `terms`, reading ONLY their buckets: the
     * literal bucket IN-filter prunes unprobed directories at listing
     * time; the term IN-filter is pushed to the parquet scan inside

@@ -126,4 +126,43 @@ class InvertedIndexSpec extends SparkSuite {
     assert(got == brute)
     assert(got.nonEmpty)
   }
+
+  test("idempotent appends: a re-delivered batchId is a no-op; fresh " +
+      "ids append; the foreachBatch retry loop converges") {
+    val root = "/tmp/graft_inverted_index/idem"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root + ".stats"))
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val dl = half.select(size(split($"text", " ")).cast("long").as("dl"))
+    InvertedIndex.writeTermLayout(
+      InvertedIndex.buildPostings(half, NB),
+      dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")), root)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    def content() = spark.read.parquet(root)
+      .select($"term", $"doc_id", $"dl", $"tf",
+        $"bucket".cast("long").as("bucket"))
+      .orderBy($"term", $"doc_id").collect().toSeq
+    assert(InvertedIndex.appendPostingsIdempotent(batch, root, NB, 7L))
+    val once = content()
+    // the re-delivery: same batchId must change NOTHING
+    assert(!InvertedIndex.appendPostingsIdempotent(batch, root, NB, 7L))
+    assert(content() == once)
+    // a fresh id is a real append (caller contract: new data per id)
+    assert(InvertedIndex.appendPostingsIdempotent(
+      batch.limit(1), root, NB, 8L))
+    assert(content().size > once.size)
+    // and the band twin honors the same contract
+    val broot = "/tmp/graft_band_index/idem"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(broot))
+    graft.operators.BandIndex.writeBandLayout(
+      graft.operators.BandIndex.buildBands(half, 0.8, NB), broot, 0.8, NB)
+    def bandCount() = spark.read.parquet(broot).count()
+    assert(graft.operators.BandIndex.appendBandsIdempotent(
+      batch, broot, 0.8, NB, 3L))
+    val n1 = bandCount()
+    assert(!graft.operators.BandIndex.appendBandsIdempotent(
+      batch, broot, 0.8, NB, 3L))
+    assert(bandCount() == n1)
+  }
 }
