@@ -713,6 +713,42 @@ private[queries] trait PipelineCore {
           nearDupPairsCached(s, d), "doc_a", "doc_b"))
         .localCheckpoint())
 
+  /** The L102 CCNet scorer as a reusable relation: per doc of `docs`
+    * ((doc_id, source, text)), the mean NLL under a Laplace-smoothed
+    * unigram LM trained ONLY on `refSources`, plus the per-source
+    * NTILE(3) tercile. Per-token NLLs are integer micro-nats before
+    * the order-free sum; the per-doc mean is one identically-spelled
+    * double division, so the (mean_nll, doc_id) tercile order is
+    * engine-exact. Factored out so the mechanism spec can feed a
+    * synthetic corpus with a junk source and prove the reference
+    * model is what separates it (a SELF-trained model would launder
+    * the junk — its tokens dominate their own corpus). */
+  private[graft] def perplexityBuckets(docs: DataFrame,
+      refSources: Seq[String]): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    val refc = toks
+      .filter(col("source").isin(refSources: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cr"))
+    val tot = broadcast(refc.agg(sum(col("cr")).as("n_ref")).crossJoin(
+      toks.select(col("tok")).distinct().agg(count(lit(1)).as("v"))))
+    toks
+      .join(refc, Seq("tok"), "left_outer")
+      .na.fill(0L, Seq("cr"))
+      .crossJoin(tot)
+      .select(col("doc_id"), col("source"),
+        floor(-log((col("cr") + lit(1L)).cast("double") /
+          (col("n_ref") + col("v")).cast("double")) * lit(1000000.0) +
+          lit(0.5)).as("qnll"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("qnll")).cast("double") / lit(1000000.0) /
+          count(lit(1))).as("mean_nll"))
+      .withColumn("ppl_bucket", ntile(3).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("mean_nll"), col("doc_id"))).cast("long"))
+  }
+
   /** L105 probe payloads: a base text, its verbatim copy (Hamming 0),
     * corruptions of one and two bytes at SAMPLED grid positions
     * (Hamming 1 and 2 — below the τ=3 cut), and an unrelated control

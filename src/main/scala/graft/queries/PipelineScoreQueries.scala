@@ -68,29 +68,9 @@ private[queries] trait PipelineScoreQueries extends PipelineCore {
     // broadcast (scalar-subquery shape, allowlisted).
     "perplexity_filter" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val toks = Tables.documents(s, dir)
-        .select($"doc_id", $"source", explode(split($"text", " ")).as("tok"))
-      val refc = toks
-        .filter($"source".isin("src0", "src1", "src2", "src3"))
-        .groupBy($"tok").agg(count(lit(1)).as("cr"))
-      val tot = broadcast(refc.agg(sum($"cr").as("n_ref")).crossJoin(
-        toks.select($"tok").distinct().agg(count(lit(1)).as("v"))))
-      val docs = toks
-        .join(refc, Seq("tok"), "left_outer")
-        .na.fill(0L, Seq("cr"))
-        .crossJoin(tot)
-        .select($"doc_id", $"source",
-          floor(-log(($"cr" + lit(1L)).cast("double") /
-            ($"n_ref" + $"v").cast("double")) * lit(1000000.0) +
-            lit(0.5)).as("qnll"))
-        .groupBy($"doc_id", $"source")
-        .agg(count(lit(1)).as("n_tokens"),
-          (sum($"qnll").cast("double") / lit(1000000.0) / count(lit(1)))
-            .as("mean_nll"))
-      docs
-        .withColumn("ppl_bucket", ntile(3).over(
-          Window.partitionBy($"source")
-            .orderBy($"mean_nll", $"doc_id")).cast("long"))
+      perplexityBuckets(
+          Tables.documents(s, dir).select($"doc_id", $"source", $"text"),
+          Seq("src0", "src1", "src2", "src3"))
         .groupBy($"source", $"ppl_bucket")
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_tokens").as("total_tokens"),

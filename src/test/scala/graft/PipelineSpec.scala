@@ -11,6 +11,38 @@ import org.apache.spark.sql.functions._
 class PipelineSpec extends SparkSuite {
   import spark.implicits._
 
+  test("perplexity filter: a junk source cannot launder itself — the " +
+      "reference-trained LM tails it, a self-trained LM heads it (L102)") {
+    val clean = (0L until 20L).map(i => (i,
+      if (i % 2 == 0) "refA" else "refB",
+      "the quick brown fox jumps over the lazy dog again and again"))
+    val junk = (100L until 110L).map(i => (i, "junk",
+      "zzq zzq zzq zzq zzq zzq zzq zzq zzq zzq zzq zzq"))
+    val docs = (clean ++ junk).toDF("doc_id", "source", "text")
+    // reference model = the clean sources only: every junk doc scores
+    // strictly worse than every clean doc (its tokens take the
+    // smoothed floor)
+    val ref = Pipeline.perplexityBuckets(docs, Seq("refA", "refB"))
+    val maxClean = ref.filter($"source" =!= "junk")
+      .agg(max($"mean_nll")).head.getDouble(0)
+    val minJunk = ref.filter($"source" === "junk")
+      .agg(min($"mean_nll")).head.getDouble(0)
+    assert(minJunk > maxClean,
+      s"reference model must tail junk: junk=$minJunk clean=$maxClean")
+    // the contrast the CCNet design exists for: train the model on
+    // EVERYTHING (junk included — the L5 self-scoring shape) and the
+    // junk flips to the BEST scores, because its one token dominates
+    // its own corpus
+    val self = Pipeline.perplexityBuckets(docs,
+      Seq("refA", "refB", "junk"))
+    val maxJunkSelf = self.filter($"source" === "junk")
+      .agg(max($"mean_nll")).head.getDouble(0)
+    val minCleanSelf = self.filter($"source" =!= "junk")
+      .agg(min($"mean_nll")).head.getDouble(0)
+    assert(maxJunkSelf < minCleanSelf,
+      s"self model launders junk: junk=$maxJunkSelf clean=$minCleanSelf")
+  }
+
   test("minhash_neardup equals brute-force all-pairs Jaccard at sf0.001") {
     val lsh = Pipeline.queries("minhash_neardup")(spark, sf)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
