@@ -125,6 +125,47 @@ object Aggregates {
         .orderBy($"l_returnflag")
     }),
 
+    // G27: Mann–Whitney U rank-sum drift test — the third lens of the
+    // drift trio (L86 PSI sees binned mass moves, G26 KS sees the max
+    // CDF gap, MW sees a LOCATION shift with full rank power and no
+    // normality assumption). Exactness: tie mid-ranks are exact in
+    // DOUBLED integer units (2·mid = 2·cumAll − c + 1 — never a .5),
+    // the rank cumulatives ride the PrefixSum two-phase running sum,
+    // and 2·R1, 2·U1 and the tie term Σ(c³−c) are exact integers; the
+    // tie-corrected normal z lands on the q6 grid via one identically-
+    // spelled double expression, so the |z| > 1.96 decision compares
+    // grid values. Envelope: 2·R1 ≤ 2N² must stay in long — N ≤ 2·10⁹
+    // rows per test window, beyond which the terms move to decimals.
+    "mannwhitney_drift" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val byVal = Tables.events(s, dir)
+        .select($"value", ($"ts" < split).as("inA"))
+        .groupBy($"value")
+        .agg(sum(when($"inA", 1L).otherwise(0L)).as("c1"),
+          sum(when(!$"inA", 1L).otherwise(0L)).as("c2"))
+        .withColumn("c", $"c1" + $"c2")
+      val cums = graft.operators.PrefixSum.withRunningSum(
+        byVal, Seq.empty, $"value", $"c", "cumAll")
+      val tot = broadcast(byVal.agg(sum($"c1").as("n1"),
+        sum($"c2").as("n2"),
+        sum($"c" * $"c" * $"c" - $"c").as("tieT")))
+      val z = (($"u1x2".cast("double") / lit(2.0)) -
+          $"n1".cast("double") * $"n2" / lit(2.0)) /
+        sqrt($"n1".cast("double") * $"n2" / lit(12.0) *
+          (($"n1" + $"n2" + lit(1L)).cast("double") -
+            $"tieT".cast("double") /
+              (($"n1" + $"n2").cast("double") * ($"n1" + $"n2" - lit(1L)))))
+      cums.crossJoin(tot)
+        .groupBy($"n1", $"n2", $"tieT")
+        .agg(sum($"c1" * (lit(2L) * $"cumAll" - $"c" + lit(1L)))
+          .as("r1x2"))
+        .withColumn("u1x2", $"r1x2" - $"n1" * ($"n1" + lit(1L)))
+        .select($"n1", $"n2", $"u1x2", $"tieT", q6(z).as("z"))
+        .withColumn("reject_05",
+          when(abs($"z") > lit(1.96), 1L).otherwise(0L))
+    }),
+
     // G26: exact two-sample Kolmogorov–Smirnov drift test — the
     // distribution-shift detector next to L86's binned PSI: KS needs
     // NO bins (it is the max gap between the two empirical CDFs over
@@ -1248,6 +1289,39 @@ object Aggregates {
          |  ${sqlQ6("CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)")} AS mode_share
          |FROM r WHERE rn = 1
          |ORDER BY l_returnflag""".stripMargin,
+
+    // identical doubled-unit mid-ranks, integer 2R1/2U1/tie sums, and
+    // the one identically-spelled tie-corrected z
+    "mannwhitney_drift" ->
+      s"""WITH byval AS (
+         |  SELECT value,
+         |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+         |      THEN 0 ELSE 1 END) AS BIGINT) AS c2
+         |  FROM events GROUP BY 1),
+         |cums AS (
+         |  SELECT value, c1, c2, c1 + c2 AS c,
+         |    SUM(c1 + c2) OVER (ORDER BY value
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumAll
+         |  FROM byval),
+         |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         |    CAST(SUM(c2) AS BIGINT) AS n2,
+         |    CAST(SUM((c1+c2)*(c1+c2)*(c1+c2) - (c1+c2)) AS BIGINT)
+         |      AS tieT
+         |  FROM byval),
+         |agg AS (
+         |  SELECT n1, n2, tieT,
+         |    CAST(SUM(c1 * (2*cumAll - c + 1)) AS BIGINT) AS r1x2
+         |  FROM cums CROSS JOIN tot GROUP BY 1, 2, 3),
+         |u AS (SELECT n1, n2, tieT,
+         |        CAST(r1x2 - n1*(n1+1) AS BIGINT) AS u1x2 FROM agg)
+         |SELECT n1, n2, u1x2, tieT,
+         |  ${sqlQ6("(CAST(u1x2 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0) / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 * (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tieT AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))")} AS z,
+         |  CAST(CASE WHEN ABS(
+         |    ${sqlQ6("(CAST(u1x2 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0) / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 * (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tieT AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))")})
+         |    > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+         |FROM u""".stripMargin,
 
     // identical conditional counts, window cumulatives over the value
     // order, integer cross-multiplied gap, q6 statistic and critical

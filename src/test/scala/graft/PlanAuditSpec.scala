@@ -35,6 +35,7 @@ class PlanAuditSpec extends SparkSuite {
       "kn_bigram_logprob", // one-row bigram-types broadcast (same shape)
       "benford_audit", // one-row digit-total broadcast (same shape)
       "ks_drift", // one-row (n1, n2) totals broadcast (same shape)
+      "mannwhitney_drift", // one-row (n1, n2, tie) totals broadcast (same shape)
       "lang_id_trigram", // one-row class-totals broadcast (same shape)
       "perplexity_filter", // one-row (n_ref, v) totals broadcast (same shape)
       "hybrid_rrf", // its vector arm is the cosine_knn brute scorer
