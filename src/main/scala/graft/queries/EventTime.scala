@@ -579,6 +579,44 @@ object EventTime {
     // selectivity bounds: one map-combinable daily count, one
     // type-partitioned ROWS window; days without a full 7-day
     // baseline are withheld (no partial-window guesses).
+    // T29: burstiness audit over inter-arrival times (Goh & Barabási
+    // 2008 — the standard burstiness parameter): per event type,
+    // B = (σ − μ)/(σ + μ) of the inter-arrival gaps — B → −1 for a
+    // metronome, 0 for a Poisson process, → 1 for extreme bursts; the
+    // one-number answer to "is this feed clocked, random, or bursty"
+    // that drives batching and rate-limit decisions. Exactness: gaps
+    // quantize to whole seconds by integer division of epoch micros
+    // (deterministic, no double time math); with S = Σδ, Q = Σδ²
+    // (exact integers) the population identity gives
+    // B = (√(nQ − S²) − S)/(√(nQ − S²) + S) — ONE sqrt over an exact
+    // integer, one identically-spelled q6 expression. Envelope:
+    // nQ < 2⁶³ needs Σδ² · n under ~9·10¹⁸ (gaps in seconds make this
+    // comfortable at 10⁹ events/type; beyond it the sums move to
+    // decimals). Shape: one per-type lag window + one map-combinable
+    // agg keyed by type.
+    "burstiness" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"us", $"event_id")
+      val gaps = Tables.events(s, dir)
+        .select($"event_type", expr("unix_micros(ts)").as("us"),
+          $"event_id")
+        .withColumn("prev", lag($"us", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select($"event_type",
+          expr("(us - prev) DIV 1000000").as("d"))
+      val x = ($"n" * $"q" - $"s" * $"s").cast("double")
+      gaps.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"d").as("s"),
+          sum($"d" * $"d").as("q"))
+        .select($"event_type", $"n", $"s", $"q",
+          q6($"s".cast("double") / $"n".cast("double")).as("mean_gap_s"),
+          q6((sqrt(x) - $"s".cast("double")) /
+            (sqrt(x) + $"s".cast("double"))).as("burstiness"))
+        .orderBy($"event_type")
+    }),
+
     // T28: seasonal-naive forecast backtest — the capacity-planning
     // baseline every real forecaster must beat (forecast(d) = the
     // actual count one season earlier, here same-weekday-last-week),
@@ -1050,6 +1088,29 @@ object EventTime {
         |FROM b
         |WHERE event_type = 'click' AND v0 IS NOT NULL AND v1 IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+
+    // identical integer-second gaps, integer power sums, and the one
+    // identically-spelled sqrt expression
+    "burstiness" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    (us - lag(us) OVER (PARTITION BY event_type
+        |       ORDER BY us, event_id)) // 1000000 AS d
+        |  FROM e),
+        |a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(d) AS BIGINT) AS s, CAST(SUM(d * d) AS BIGINT) AS q
+        |  FROM g WHERE d IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n, s, q,
+        |  CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0
+        |    + 0.5) AS DOUBLE) / 1000000.0 AS mean_gap_s,
+        |  CAST(FLOOR((sqrt(CAST(n * q - s * s AS DOUBLE))
+        |      - CAST(s AS DOUBLE))
+        |    / (sqrt(CAST(n * q - s * s AS DOUBLE)) + CAST(s AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS burstiness
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // identical calendar self-join pairing and integer error mass
     "seasonal_backtest" ->
