@@ -20,8 +20,27 @@ import org.apache.spark.sql.functions._
   * excluded from canonicalization by contract: double→string rendering
   * is NOT engine-portable; a caller fingerprints them via an explicit
   * integer quantization column instead.
-  */
+  *
+  * Canonicalization must be INJECTIVE on the row's value tuple, or
+  * genuinely divergent replicas fingerprint equal — the exact miss the
+  * audit exists to prevent. Two traps a bare `concat_ws` has: NULLs
+  * are skipped (('a', NULL, 'b') ≡ ('a', 'b', NULL) ≡ ('a', 'b')),
+  * and a value containing the separator forges a field boundary
+  * (('a|b') ≡ ('a', 'b')). Each value therefore canonicalizes as
+  * `N` when NULL and `<charlen>:<value>` otherwise: the explicit
+  * sentinel distinguishes NULL from absence AND from the literal
+  * string "N" (which renders as `1:N`), and the length prefix pins
+  * exactly how many characters belong to the value, so an embedded
+  * '|' (or an embedded `<digits>:`) cannot shift the parse — the
+  * joined string decodes back to the unique tuple left-to-right. */
 object Fingerprints {
+
+  /** `N` for NULL; `<charlen>:<value>` otherwise — see class doc. */
+  private def canonTerm(c: Column): Column = {
+    val s = c.cast("string")
+    when(s.isNull, lit("N"))
+      .otherwise(concat(length(s).cast("string"), lit(":"), s))
+  }
 
   /** Per-bucket (bucket, n_rows, xor_fp, min_key, max_key) of `df`:
     * bucket = pmod(key, nBuckets); xor_fp folds md5-derived 60-bit
@@ -29,7 +48,7 @@ object Fingerprints {
   def bucketFingerprints(df: DataFrame, keyCol: String,
       cols: Seq[Column], nBuckets: Int): DataFrame = {
     require(nBuckets >= 1)
-    val canon = concat_ws("|", cols: _*)
+    val canon = concat_ws("|", cols.map(canonTerm): _*)
     df
       .withColumn("__h",
         conv(substring(md5(canon), 1, 15), 16, 10).cast("long"))

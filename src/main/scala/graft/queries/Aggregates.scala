@@ -139,12 +139,18 @@ object Aggregates {
     "mannwhitney_drift" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      // the distinct-value relation materializes ONCE
+      // (localCheckpoint): both the rank cumulatives and the
+      // n1/n2/tie totals read it — Spark shares no subtree without a
+      // persist, so the bare spelling re-ran the events scan + groupBy
+      // per consumer (one extra full scan at 100 TB for three numbers)
       val byVal = Tables.events(s, dir)
         .select($"value", ($"ts" < split).as("inA"))
         .groupBy($"value")
         .agg(sum(when($"inA", 1L).otherwise(0L)).as("c1"),
           sum(when(!$"inA", 1L).otherwise(0L)).as("c2"))
         .withColumn("c", $"c1" + $"c2")
+        .localCheckpoint()
       val cums = graft.operators.PrefixSum.withRunningSum(
         byVal, Seq.empty, $"value", $"c", "cumAll")
       val tot = broadcast(byVal.agg(sum($"c1").as("n1"),
@@ -183,11 +189,15 @@ object Aggregates {
     "ks_drift" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      // one events scan: the distinct-value relation (tiny — the value
+      // domain) materializes once and feeds both CDF cumulatives AND
+      // the n1/n2 totals (see mannwhitney_drift)
       val byVal = Tables.events(s, dir)
         .select($"value", ($"ts" < split).as("inA"))
         .groupBy($"value")
         .agg(sum(when($"inA", 1L).otherwise(0L)).as("c1"),
           sum(when(!$"inA", 1L).otherwise(0L)).as("c2"))
+        .localCheckpoint()
       val cum1 = graft.operators.PrefixSum.withRunningSum(
         byVal, Seq.empty, $"value", $"c1", "cum1")
       val cums = graft.operators.PrefixSum.withRunningSum(

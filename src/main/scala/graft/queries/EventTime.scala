@@ -697,8 +697,13 @@ object EventTime {
     // series mean, flagged when it exceeds 5σ. Where T22's rolling
     // z-test sees single-day spikes, CUSUM accumulates SMALL sustained
     // shifts a per-day test never trips. Exactness: with S_t the
-    // running sum of (n_days·x − Σx), V_t = S_t − min(0, min_{j<t} S_j)
-    // is an exact integer, and the 5σ flag cross-multiplies to
+    // running sum of (n_days·x − Σx), V_t = max(0, S_t −
+    // min(0, min_{j<t} S_j)) ≡ S_t − min(0, min_{j≤t} S_j) — the true
+    // one-sided recursion V_t = max(0, V_{t−1} + x_t − μ); the outer
+    // clamp matters exactly when S_t sets a new minimum (a sustained
+    // DOWNWARD run), which a one-sided above-mean test must read as 0,
+    // not as a large |V| — is an exact integer, and the 5σ flag
+    // cross-multiplies to
     // V² > 25·(n_days·ΣQ − (Σx)²) — no sqrt, no double, engine-exact
     // (the rolling_anomaly recipe; σ-scaling makes the threshold
     // self-calibrating across corpus scale). Envelope: V² needs
@@ -722,8 +727,9 @@ object EventTime {
         .withColumn("sum_q", sum($"n" * $"n").over(tot))
         .withColumn("n_days", count($"n").over(tot))
         .withColumn("run", sum($"n_days" * $"n" - $"sum_n").over(ord))
-        .withColumn("vs", $"run" -
-          least(lit(0L), coalesce(min($"run").over(pre), lit(0L))))
+        .withColumn("vs", greatest($"run" -
+          least(lit(0L), coalesce(min($"run").over(pre), lit(0L))),
+          lit(0L)))
         .withColumn("is_change",
           when($"vs" * $"vs" >
             lit(25L) * ($"n_days" * $"sum_q" - $"sum_n" * $"sum_n"), 1L)
@@ -1148,8 +1154,8 @@ object EventTime {
         |FROM days LEFT JOIN a ON a.t BETWEEN day - 6 AND day
         |GROUP BY 1 ORDER BY day""".stripMargin,
 
-    // identical integer running sum / prefix-min / squared 5σ
-    // cross-multiply
+    // identical integer running sum / prefix-min / zero clamp /
+    // squared 5σ cross-multiply
     "cusum_changepoints" ->
       """WITH daily AS (
         |  SELECT event_type,
@@ -1169,10 +1175,10 @@ object EventTime {
         |  FROM daily d JOIN tot t USING (event_type)),
         |v AS (
         |  SELECT event_type, day, n, sum_n, sum_q, n_days,
-        |    run - LEAST(0, COALESCE(MIN(run) OVER (
+        |    GREATEST(run - LEAST(0, COALESCE(MIN(run) OVER (
         |      PARTITION BY event_type ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
-        |      AS vs
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)),
+        |      0) AS vs
         |  FROM s)
         |SELECT event_type, day, n AS n_events, CAST(vs AS BIGINT) AS v_scaled,
         |  CAST(CASE WHEN vs * vs > 25 * (n_days * sum_q - sum_n * sum_n)

@@ -478,16 +478,22 @@ object Mutations {
         .groupBy($"c_nationkey", $"c_mktsegment",
           floor($"c_acctbal" / lit(1000.0)).cast("long").as("bal_bucket"))
         .agg(count(lit(1)).as("gsize"))
-      Seq(2L, 5L, 10L).map { k =>
-        g.agg(
+      // ONE customer scan: the QI-domain-sized group relation crosses
+      // the 3-row threshold frame (the l_diversity/t_closeness shape)
+      // instead of re-running the groupBy-over-customer per k — three
+      // full scans of a 100 TB dimension for a 12-cell answer was the
+      // exact pattern the siblings already avoid
+      val thresholds = s.createDataFrame(Seq(Tuple1(2L), Tuple1(5L),
+        Tuple1(10L))).toDF("k")
+      g.crossJoin(broadcast(thresholds))
+        .groupBy($"k")
+        .agg(
           count(lit(1)).as("n_groups"),
-          sum(when($"gsize" < k, 1L).otherwise(0L))
+          sum(when($"gsize" < $"k", 1L).otherwise(0L))
             .as("n_violating_groups"),
-          sum(when($"gsize" < k, $"gsize").otherwise(0L))
+          sum(when($"gsize" < $"k", $"gsize").otherwise(0L))
             .as("n_rows_at_risk"))
-          .select(lit(k).as("k"), $"n_groups", $"n_violating_groups",
-            $"n_rows_at_risk")
-      }.reduce(_ unionAll _).orderBy($"k")
+        .orderBy($"k")
     }),
   )
 
@@ -721,15 +727,21 @@ object Mutations {
         |  GROUP BY 1)
         |ORDER BY l""".stripMargin,
 
-    // same md5 canonical string, the same 15-hex-char fold to a 60-bit
-    // integer (list_reduce ≡ conv), the same XOR aggregate
-    "table_fingerprint" ->
-      """WITH r AS (
+    // same md5 canonical string (each value N-for-NULL /
+    // length-prefixed — the injective encoding of Fingerprints), the
+    // same 15-hex-char fold to a 60-bit integer (list_reduce ≡ conv),
+    // the same XOR aggregate
+    "table_fingerprint" -> {
+      def t(e: String) = s"CASE WHEN $e IS NULL THEN 'N' ELSE " +
+        s"concat(length(CAST($e AS VARCHAR)), ':', CAST($e AS VARCHAR)) END"
+      val canon = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "strftime(o_orderdate, '%Y-%m-%d')")
+        .map(t).mkString(",\n        ")
+      s"""WITH r AS (
         |  SELECT o_orderkey, o_orderkey % 16 AS bucket,
         |    list_reduce(list_transform(range(1, 16), i ->
         |      CAST(strpos('0123456789abcdef',
-        |        md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
-        |          o_orderpriority, strftime(o_orderdate, '%Y-%m-%d')))[i:i])
+        |        md5(concat_ws('|', $canon))[i:i])
         |        - 1 AS BIGINT)),
         |      (a, x) -> a * 16 + x) AS h
         |  FROM orders)
@@ -737,7 +749,8 @@ object Mutations {
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(bit_xor(h) AS BIGINT) AS xor_fp,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
-        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
 
     // integer cross-multiplied EMD terms — the engines never compare a
     // double; the CASE error() mirrors the Spark-side envelope guard

@@ -776,10 +776,15 @@ private[queries] trait PipelineCore {
   /** L103 SemDeDup within-cell dup pairs (vec_a, vec_b): embeddings
     * assigned to the learned IVF cells, EXACT q6 cosine verify over
     * the within-cell pair domain at τ = 0.40 (the paper's 0.96+ is a
-    * knob; the synthetic fixture's densest pairs sit at ~0.51). The
-    * within-cell self-join is exact by construction — cell sizes are
-    * bounded by the IVF design; a hostile cell composes with the
-    * CandidatePairs cap + the L10 drop ledger at scale. */
+    * knob; the synthetic fixture's densest pairs sit at ~0.51).
+    * The pair domain is Σ|cell|² by the paper's contract, but the
+    * ENUMERATION must not hand a hot cell's O(m²) to one shuffle key
+    * (k is fixed at 16 here, so at 10⁹ vectors a raw `join(cell)` is
+    * ~(n/16)² on one task) — pairs ride CandidatePairs with the cell
+    * as the bucket, which hash-chunks any cell past the cap so every
+    * task does ≤ cap² pair checks; the vectors then hash-join back on
+    * each side for the exact cosine verify, so the 64-double payload
+    * never enters the pair shuffle. */
   private[queries] def semDedupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
@@ -787,9 +792,13 @@ private[queries] trait PipelineCore {
     val cells = graft.operators.IvfIndex
       .assignCells(emb, learnedCents(s, d))
       .select($"cell", $"vec_id", $"v")
-    val a = cells.select($"cell", $"vec_id".as("vec_a"), $"v".as("va"))
-    val b = cells.select($"cell", $"vec_id".as("vec_b"), $"v".as("vb"))
-    a.join(b, Seq("cell")).filter($"vec_a" < $"vec_b")
+    graft.operators.CandidatePairs
+      .fromBuckets(cells.select($"cell", $"vec_id"), Seq("cell"),
+        "vec_id", "vec_a", "vec_b")
+      .join(cells.select($"cell", $"vec_id".as("vec_a"), $"v".as("va")),
+        Seq("vec_a"))
+      .join(cells.select($"vec_id".as("vec_b"), $"v".as("vb")),
+        Seq("vec_b"))
       .withColumn("cos",
         q6(dot($"va", $"vb") / (l2norm($"va") * l2norm($"vb"))))
       .filter($"cos" >= lit(0.40))
@@ -804,7 +813,7 @@ private[queries] trait PipelineCore {
   private[queries] def semDedupComponents(s: SparkSession, dir: String): DataFrame =
     semDedupCompCache.get(s, dir)(d =>
       graft.operators.ArtifactStore.getOrBuild(s, d,
-        "semdedup_components", "v1:tau0.40")(
+        "semdedup_components", "v2:tau0.40-cp")(
         graft.operators.ConnectedComponents.components(
           semDedupPairs(s, d).select(col("vec_a"), col("vec_b")),
           "vec_a", "vec_b"))

@@ -965,9 +965,18 @@ private[queries] trait PipelineScoreQueries extends PipelineCore {
     // fixture's own texts never collide at τ=3 (verbatim-level byte
     // similarity is what the lane detects).
     // Shape: one bounded 64-sample pass per doc (never a per-byte
-    // loop), one (band_no, band_val)-keyed self-join, bit-count
-    // verify; at 10⁹ payloads the hot-band cap composes via
-    // CandidatePairs as in every LSH lane.
+    // loop); pairing rides CandidatePairs over the (band_no, band_val)
+    // buckets — NOT a raw band self-join — because identical payloads
+    // (empty/placeholder assets, the NORMAL degenerate case in a crawl)
+    // all share one band value, and a raw join hands that bucket's
+    // O(m²) pairs to one shuffle key. CandidatePairs chunks hot
+    // buckets so no task exceeds ~cap² pair checks, and its built-in
+    // distinct IS the first-shared-band dedup (the old ×4-band
+    // `distinct()` is gone with the raw join). The 8-byte fingerprints
+    // then hash-join back for the exact bit_count verify — the payload
+    // column never reaches the pair shuffle (at scale the fingerprint
+    // relation is the thing a pipeline persists once per corpus, the
+    // ArtifactStore pattern, so the three uses here share one decode).
     "phash_neardup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val docs = Tables.documents(s, dir).select($"doc_id", $"text")
@@ -976,20 +985,18 @@ private[queries] trait PipelineScoreQueries extends PipelineCore {
         .select($"doc_id",
           F.ahash64($"text".cast("binary")).as("h"))
         .filter($"h".isNotNull)
-      val banded = hashes.select($"doc_id", $"h",
+      val banded = hashes.select($"doc_id",
         posexplode(array((0 to 3).map(bb =>
           shiftrightunsigned($"h", bb * 16).bitwiseAND(lit(0xffffL))): _*))
           .as(Seq("band_no", "band_val")))
-      val a = banded.select($"band_no", $"band_val",
-        $"doc_id".as("doc_a"), $"h".as("ha"))
-      val b = banded.select($"band_no", $"band_val",
-        $"doc_id".as("doc_b"), $"h".as("hb"))
-      a.join(b, Seq("band_no", "band_val"))
-        .filter($"doc_a" < $"doc_b")
+      graft.operators.CandidatePairs
+        .fromBuckets(banded, Seq("band_no", "band_val"), "doc_id",
+          "doc_a", "doc_b")
+        .join(hashes.select($"doc_id".as("doc_a"), $"h".as("ha")), Seq("doc_a"))
+        .join(hashes.select($"doc_id".as("doc_b"), $"h".as("hb")), Seq("doc_b"))
         .select($"doc_a", $"doc_b",
           bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
         .filter($"hamming" <= 3L)
-        .distinct()
         .orderBy($"doc_a", $"doc_b")
     }),
 

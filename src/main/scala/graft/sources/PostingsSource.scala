@@ -289,13 +289,33 @@ private[graft] class PostingsScan(path: String, nBuckets: Int,
     new PostingsReaderFactory(required.fieldNames, rtTerms, hconf)
 }
 
-/** Offset = the set of layout files already delivered. Serialized as
-  * one path per line (paths are filesystem names — no quoting needed;
-  * a production source would log manifests instead of enumerating,
-  * the FileStreamSource trade). */
+/** Offset = the set of layout files already delivered, serialized as
+  * ONE LINE of compact JSON (a sorted array of paths). Spark's
+  * OffsetSeqLog stores one offset per line of the checkpoint offset
+  * log, so a multi-line `json()` corrupts the log the moment an offset
+  * covers ≥ 2 files (the first micro-batch delivers the whole layout)
+  * — restart-from-checkpoint would then fail or replay. Jackson does
+  * the quoting, so arbitrary path characters round-trip. (A production
+  * source would log manifests instead of enumerating, the
+  * FileStreamSource trade.) */
 private[sources] case class PostingsOffset(files: Set[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = files.toSeq.sorted.mkString("\n")
+  override def json(): String =
+    PostingsOffset.mapper.writeValueAsString(files.toSeq.sorted.toArray)
+}
+
+private[sources] object PostingsOffset {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def fromJson(json: String): PostingsOffset = {
+    val t = json.trim
+    if (t.startsWith("["))
+      PostingsOffset(mapper.readValue(t, classOf[Array[String]]).toSet)
+    else
+      // legacy newline format: only ever valid when the committed
+      // offset held ≤ 1 file (multi-file offsets never round-tripped)
+      PostingsOffset(t.split("\n").filter(_.nonEmpty).toSet)
+  }
 }
 
 private[sources] class PostingsMicroBatchStream(scan: PostingsScan,
@@ -310,7 +330,7 @@ private[sources] class PostingsMicroBatchStream(scan: PostingsScan,
     PostingsOffset(scan.files.map(_._1).toSet)
 
   override def deserializeOffset(json: String): Offset =
-    PostingsOffset(json.split("\n").filter(_.nonEmpty).toSet)
+    PostingsOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
@@ -347,10 +367,11 @@ private[sources] class PostingsReaderFactory(cols: Array[String],
   * layout ([[graft.operators.InvertedIndex.appendPostings]]) exposed
   * through the connector: bucket directories gain files, nothing is
   * rewritten. Each task keeps one open parquet writer per bucket it
-  * sees (≤ nBuckets), writes uniquely-named files directly into the
-  * bucket directories, and reports them in its commit message; a task
-  * abort deletes that task's files, a job abort deletes every
-  * committed task's files. The `bucket` column of each incoming row
+  * sees (≤ nBuckets), writes uniquely-named files under the job's
+  * hidden staging root, and reports them in its commit message; the
+  * job commit publishes them into the bucket directories (see
+  * [[PostingsBatchWrite]]), a task or job abort deletes the staged
+  * files. The `bucket` column of each incoming row
   * is VERIFIED against the layout hash of its term — a mis-bucketed
   * posting would silently vanish from every pruned probe, so it is an
   * error, not a trust.
@@ -369,43 +390,69 @@ private[graft] class PostingsWriteBuilder(path: String, nBuckets: Int,
   }
 }
 
+/** Per-task commit message: bucket-relative staged file names
+  * (`bucket=N/part-...`), resolved against the job's staging root. */
 private[sources] case class PostingsCommit(files: Seq[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
+/** Staged-rename batch write: every task writes its files under a
+  * job-unique hidden staging root (`.staging-<id>/bucket=N/…`), which
+  * readers never list (the scan lists only `bucket=*` root dirs;
+  * parquet listings skip dot-paths). [[commit]] moves the committed
+  * tasks' files into the bucket directories — so a driver failure
+  * BEFORE commit leaves nothing visible, closing the window a
+  * write-in-place scheme has (some tasks committed, job abort never
+  * ran ⇒ a half batch permanently visible). The residual envelope is
+  * a crash MID-commit (some renames applied): strictly smaller, and
+  * repairable — the leftover `.staging-*` directory is the detection
+  * marker, and re-running the append restores the intent. */
 private[sources] class PostingsBatchWrite(path: String, nBuckets: Int,
     input: StructType, hconf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
+  private val stagingRoot = new Path(path,
+    ".staging-" + java.util.UUID.randomUUID().toString.take(12)).toString
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new PostingsWriterFactory(path, nBuckets, input, hconf)
+    new PostingsWriterFactory(stagingRoot, nBuckets, input, hconf)
 
-  /** Files were written in place with unique names; nothing to move. */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  /** Publish: rename each committed task's staged files into their
+    * bucket directories, then drop the staging root. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(hconf.value)
+    messages.foreach {
+      case PostingsCommit(rels) => rels.foreach { rel =>
+        val dst = new Path(path, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(new Path(stagingRoot, rel), dst))
+          throw new java.io.IOException(
+            s"PostingsSource commit: rename of staged $rel failed")
+      }
+      case _ => ()
+    }
+    fs.delete(new Path(stagingRoot), true)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(hconf.value)
-    messages.foreach {
-      case PostingsCommit(files) =>
-        files.foreach(f => fs.delete(new Path(f), false))
-      case _ => ()
-    }
+    fs.delete(new Path(stagingRoot), true)
   }
 }
 
-private[sources] class PostingsWriterFactory(path: String, nBuckets: Int,
-    input: StructType, hconf: SerializableHadoopConf)
+private[sources] class PostingsWriterFactory(stagingRoot: String,
+    nBuckets: Int, input: StructType, hconf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new PostingsDataWriter(path, nBuckets, input, hconf, partitionId,
-      taskId)
+    new PostingsDataWriter(stagingRoot, nBuckets, input, hconf,
+      partitionId, taskId)
 }
 
-private[sources] class PostingsDataWriter(path: String, nBuckets: Int,
-    input: StructType, hconf: SerializableHadoopConf, partitionId: Int,
-    taskId: Long)
+private[sources] class PostingsDataWriter(stagingRoot: String,
+    nBuckets: Int, input: StructType, hconf: SerializableHadoopConf,
+    partitionId: Int, taskId: Long)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.ParquetWriter
@@ -430,15 +477,15 @@ private[sources] class PostingsDataWriter(path: String, nBuckets: Int,
 
   private val open =
     scala.collection.mutable.Map.empty[Long, ParquetWriter[Group]]
+  /** bucket-relative staged names, echoed in the commit message */
   private val files = scala.collection.mutable.ArrayBuffer.empty[String]
 
   private def writerFor(bucket: Long): ParquetWriter[Group] =
     open.getOrElseUpdate(bucket, {
-      val f = new Path(new Path(path, s"bucket=$bucket"),
-        s"part-$partitionId-$taskId-" +
-          java.util.UUID.randomUUID().toString.take(8) + ".parquet")
-      files += f.toString
-      ExampleParquetWriter.builder(f)
+      val rel = s"bucket=$bucket/part-$partitionId-$taskId-" +
+        java.util.UUID.randomUUID().toString.take(8) + ".parquet"
+      files += rel
+      ExampleParquetWriter.builder(new Path(stagingRoot, rel))
         .withType(fileType).withConf(hconf.value).build()
     })
 
@@ -466,8 +513,8 @@ private[sources] class PostingsDataWriter(path: String, nBuckets: Int,
 
   override def abort(): Unit = {
     open.values.foreach(w => scala.util.Try(w.close()))
-    val fs = new Path(path).getFileSystem(hconf.value)
-    files.foreach(f => fs.delete(new Path(f), false))
+    val fs = new Path(stagingRoot).getFileSystem(hconf.value)
+    files.foreach(f => fs.delete(new Path(stagingRoot, f), false))
   }
 
   override def close(): Unit = ()

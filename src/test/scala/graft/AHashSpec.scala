@@ -59,4 +59,40 @@ class AHashSpec extends SparkSuite {
       "words entirely here " * 10).take(n)
     assert(ham(h(base), h(control)) > 3)
   }
+
+  test("a planted identical-payload hot band pairs completely through " +
+      "the CandidatePairs chunk path — no task owns the O(m²)") {
+    // byte-identical payloads (empty/placeholder assets — the NORMAL
+    // degenerate crawl case) all share every band value; the
+    // phash_neardup pairing must therefore ride the skew guard. This
+    // is the query's own shape: ahash64 → 4×16-bit bands →
+    // CandidatePairs → bit_count verify.
+    val m = 2000
+    val docs = (0 until m).map(i => (i.toLong, "identical payload body"))
+      .toDF("doc_id", "text")
+    val hashes = docs
+      .select($"doc_id", F.ahash64($"text".cast("binary")).as("h"))
+      .filter($"h".isNotNull)
+    val banded = hashes.select($"doc_id",
+      posexplode(array((0 to 3).map(bb =>
+        shiftrightunsigned($"h", bb * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band_no", "band_val")))
+    val pairs = graft.operators.CandidatePairs
+      .fromBuckets(banded, Seq("band_no", "band_val"), "doc_id",
+        "doc_a", "doc_b")
+      .join(hashes.select($"doc_id".as("doc_a"), $"h".as("ha")), Seq("doc_a"))
+      .join(hashes.select($"doc_id".as("doc_b"), $"h".as("hb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
+      .filter($"hamming" <= 3L)
+    // complete pair set at Hamming 0, exactly once each
+    assert(pairs.count() == m.toLong * (m - 1) / 2)
+    assert(pairs.filter($"hamming" =!= 0L).count() == 0L)
+    // the hot-band chunk branch is live (m = 2000 > cap = 1024): its
+    // role-join columns appear in the executed plan, so per-task pair
+    // work is ≤ cap² regardless of how many payloads are identical
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("__cl") && plan.contains("__cr"),
+      s"expected the CandidatePairs chunk branch:\n${plan.take(2000)}")
+  }
 }

@@ -185,4 +185,41 @@ class CandidatePairsSpec extends SparkSuite {
     assert(dflt.size >= 10, s"planted dups must be detected: $dflt")
     assert(pairs(2) == dflt)
   }
+
+  test("a planted hot IVF cell pairs completely through the chunk path " +
+      "— the semdedup within-cell shape never hands a cell to one task") {
+    // SemDeDup's pair domain is Σ|cell|² by contract, but with k fixed
+    // the enumeration of a dense cell must chunk: 1500 near-identical
+    // vectors (one cluster) all land in one learned cell. The shape
+    // under test is semDedupPairs': assignCells → CandidatePairs(cell)
+    // → vectors joined back for the exact cosine verify.
+    val m = 1500
+    val rnd = new scala.util.Random(11)
+    val hot = (0 until m).map { i =>
+      (i.toLong, Array(1.0 + rnd.nextDouble() * 1e-4, 0.0, 0.0))
+    }
+    val cold = (0 until 20).map { i =>
+      (100000L + i, Array(0.0, 1.0 + rnd.nextDouble() * 1e-4, 0.0))
+    }
+    val emb = (hot ++ cold).toDF("vec_id", "v")
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val cells = graft.operators.IvfIndex.assignCells(emb, cents)
+      .select($"cell", $"vec_id", $"v")
+    val pairs = CandidatePairs.fromBuckets(
+      cells.select($"cell", $"vec_id"), Seq("cell"), "vec_id",
+      "vec_a", "vec_b", Pipeline.DefaultBucketCap)
+      .join(cells.select($"cell", $"vec_id".as("vec_a"), $"v".as("va")),
+        Seq("vec_a"))
+      .join(cells.select($"vec_id".as("vec_b"), $"v".as("vb")),
+        Seq("vec_b"))
+    // every within-cell pair is present exactly once; none cross cells
+    val want = m.toLong * (m - 1) / 2 + 20L * 19 / 2
+    assert(pairs.count() == want)
+    assert(pairs.filter($"vec_a" < 100000L && $"vec_b" >= 100000L)
+      .count() == 0L)
+    // the hot cell (1500 > cap = 1024) ran the chunk branch
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("__cl") && plan.contains("__cr"),
+      s"expected the chunk branch:\n${plan.take(2000)}")
+  }
 }

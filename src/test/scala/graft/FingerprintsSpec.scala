@@ -39,4 +39,30 @@ class FingerprintsSpec extends SparkSuite {
     val (m, b) = diff.head
     assert(m._1 == victim % 16 && m._2 == b._2 && m._3 != b._3)
   }
+
+  test("canonicalization is injective: NULL position, separator " +
+      "injection and the literal sentinel all diverge") {
+    // genuinely divergent replicas MUST fingerprint differently — the
+    // exact miss the audit exists to prevent. A bare concat_ws skips
+    // NULLs (('a', NULL, 'b') ≡ ('a', 'b', NULL)) and lets an embedded
+    // '|' forge a field boundary (('a|b', 'c') ≡ ('a', 'b|c')).
+    def fp1(rows: Seq[(Long, Option[String], Option[String])]): Seq[Long] =
+      Fingerprints.bucketFingerprints(
+        rows.toDF("k", "x", "y"), "k", Seq($"x", $"y"), 1)
+        .select($"xor_fp").as[Long].collect().toSeq
+    val a = fp1(Seq((1L, Some("a"), None)))
+    val b = fp1(Seq((1L, None, Some("a"))))
+    val c = fp1(Seq((1L, Some("a"), Some("a"))))
+    assert(a != b && a != c && b != c,
+      s"NULL position must matter: $a $b $c")
+    // the NULL sentinel is distinguishable from the literal string "N"
+    assert(fp1(Seq((1L, None, None))) !=
+      fp1(Seq((1L, Some("N"), Some("N")))))
+    // separator injection cannot shift the field parse
+    assert(fp1(Seq((1L, Some("a|b"), Some("c")))) !=
+      fp1(Seq((1L, Some("a"), Some("b|c")))))
+    // an embedded length-prefix lookalike cannot forge a boundary
+    assert(fp1(Seq((1L, Some("1:a|1:b"), Some("c")))) !=
+      fp1(Seq((1L, Some("a"), Some("b|1:c")))))
+  }
 }

@@ -52,6 +52,8 @@ class PlanAuditSpec extends SparkSuite {
                      // metadata relation (scalar-subquery shape)
       "l_diversity", // 3-row threshold broadcast over the QI-domain-
                      // sized group relation (prune_audit shape)
+      "k_anonymity", // 3-row threshold broadcast over the QI-domain-
+                     // sized group relation (the l_diversity shape)
       "prune_audit", // 3-row probe broadcast over the bounded per-file
                      // stats relation (the pruning planner's own shape)
       "cms_freq", // one-row corpus-total broadcast (scalar-subquery shape)
@@ -86,6 +88,18 @@ class PlanAuditSpec extends SparkSuite {
       if (!nestedLoopOk(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join:\n${p.take(1500)}")
+    }
+  }
+
+  test("phash_neardup and semdedup pair enumeration rides the " +
+      "CandidatePairs skew guard, not a raw bucket self-join") {
+    // the chunk branch's role-join columns only exist when pairing
+    // routes through CandidatePairs.fromBuckets — a raw
+    // join(band/cell) regression loses them
+    Seq("phash_neardup", "semdedup").foreach { name =>
+      val p = plans(name)
+      assert(p.contains("__cl") && p.contains("__cr"),
+        s"$name must route pairs through CandidatePairs:\n${p.take(1500)}")
     }
   }
 

@@ -225,6 +225,104 @@ class PostingsSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream restarts from checkpoint with a multi-file first batch: " +
+      "offsets round-trip the offset log; no replay, no missed files") {
+    // The first micro-batch delivers the WHOLE layout (many files), so
+    // its committed offset holds >= 2 paths — the exact shape that
+    // corrupted the one-path-per-line offset serialization (Spark's
+    // OffsetSeqLog is one offset JSON per LINE; a multi-line json()
+    // breaks restart). The restart must resume, deliver only the
+    // post-stop appends, and reach content equality with the layout.
+    val p = "/tmp/graft_postings_v2/restart"
+    val ckpt = "/tmp/graft_postings_v2/restart_ckpt"
+    val out = "/tmp/graft_postings_v2/restart_out"
+    Seq(p, p + ".stats", ckpt, out).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 3 === 0)
+    val b1 = docs.filter($"doc_id" % 3 === 1)
+    val stats = base.select(
+        size(split($"text", " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    InvertedIndex.writeTermLayout(
+      InvertedIndex.buildPostings(base, NB), stats, p)
+    val nFiles = new java.io.File(p).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 2, s"need a multi-file first batch, got $nFiles")
+    // file sink: the one built-in sink that RECOVERS from a checkpoint
+    def start() = spark.readStream.format("graft.sources.PostingsSource")
+      .option("path", p).option("nBuckets", NB.toString).load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() ==
+        spark.read.parquet(p).count())
+    } finally q1.stop()
+    // append while the stream is DOWN, then restart from the checkpoint
+    InvertedIndex.appendPostings(b1, p, NB)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // exactly base + b1 in the sink: a corrupt offset log would have
+      // failed the restart or replayed the whole layout (duplicates)
+      val cols = Seq($"term", $"doc_id", $"dl", $"tf",
+        $"bucket".cast("long").as("bucket"))
+      val sunk = spark.read.parquet(out).select(cols: _*)
+        .orderBy($"term", $"doc_id").collect().toSeq
+      val layout = spark.read.parquet(p).select(cols: _*)
+        .orderBy($"term", $"doc_id").collect().toSeq
+      assert(sunk == layout,
+        s"restart must deliver exactly the appended files: " +
+          s"${sunk.size} sunk vs ${layout.size} in layout")
+    } finally q2.stop()
+  }
+
+  test("DSv2 write stages files invisibly and publishes at job commit") {
+    import org.apache.spark.sql.SaveMode
+    val p = "/tmp/graft_postings_v2/staged"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(p + ".stats"))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val stats = base.select(
+        size(split($"text", " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    InvertedIndex.writeTermLayout(
+      InvertedIndex.buildPostings(base, NB), stats, p)
+    val before = spark.read.parquet(p).count()
+    InvertedIndex.buildPostings(docs.filter($"doc_id" % 2 === 1), NB)
+      .select($"term", $"doc_id", $"dl", $"tf",
+        $"bucket".cast("long").as("bucket"))
+      .write.format("graft.sources.PostingsSource")
+      .option("path", p).option("nBuckets", NB.toString)
+      .mode(SaveMode.Append).save()
+    // published: rows landed, and no staging residue is left behind
+    assert(spark.read.parquet(p).count() > before)
+    val residue = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith(".staging-"))
+    assert(residue.isEmpty,
+      s"staging root must be gone after commit: ${residue.mkString(",")}")
+    // a mid-write failure leaves nothing visible: force a task error
+    // after some rows would have been staged
+    val bad = InvertedIndex.buildPostings(docs.limit(50), NB)
+      .select($"term", $"doc_id", $"dl", $"tf",
+        when($"doc_id" % 37 === 0, ($"bucket".cast("long") + 1L) % NB.toLong)
+          .otherwise($"bucket".cast("long")).as("bucket"))
+    val visible = spark.read.parquet(p).count()
+    intercept[Exception](
+      bad.write.format("graft.sources.PostingsSource")
+        .option("path", p).option("nBuckets", NB.toString)
+        .mode(SaveMode.Append).save())
+    assert(spark.read.parquet(p).count() == visible,
+      "an aborted write must leave the layout unchanged")
+  }
+
   test("no predicate scans every bucket; a bucket predicate prunes " +
       "directly") {
     val full = spark.read.format("graft.sources.PostingsSource")
