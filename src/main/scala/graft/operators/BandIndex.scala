@@ -149,26 +149,42 @@ object BandIndex {
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
   }
 
-  /** [[appendBands]] made idempotent by batch id — the retry-safe
-    * face of the streaming maintenance loop (the
-    * [[InvertedIndex.appendPostingsIdempotent]] contract: a
-    * re-delivered micro-batch is a no-op via the underscore-hidden
-    * per-batch marker; the crash-inside-the-append—marker-window
-    * envelope is the same and is closed the same way — an atomic
-    * staged-rename data commit). Returns whether the batch was
-    * applied. */
+  /** [[appendBands]] made idempotent AND atomic by batch id — the
+    * retry-safe face of the streaming maintenance loop, on the same
+    * manifest-commit protocol as
+    * [[InvertedIndex.appendPostingsIdempotent]] ([[TxBatch]]): the
+    * batch's band rows stage under a hidden unique directory and
+    * publish with ONE atomic rename to `_batch-<id>`, which is
+    * simultaneously the data and the marker — a crash between data
+    * write and commit leaves nothing visible and the retry applies the
+    * batch exactly once. Committed batches are read by [[readLayout]]
+    * and the DSv2 connector ([[graft.sources.BandsSource]]), including
+    * [[probeCandidates]]; plain `spark.read.parquet(path)` sees only
+    * the base (that hiding is what makes the publish atomic). Returns
+    * whether the batch was applied. */
   def appendBandsIdempotent(docs: DataFrame, path: String, tau: Double,
-      nBuckets: Int, batchId: Long): Boolean = {
-    val marker = new org.apache.hadoop.fs.Path(path, s"_batch-$batchId")
-    val fs = marker.getFileSystem(
-      docs.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) false
-    else {
-      appendBands(docs, path, tau, nBuckets)
-      fs.create(marker, true).close()
-      true
-    }
+      nBuckets: Int, batchId: Long): Boolean =
+    appendBandsIdempotent(docs, path, tau, nBuckets, batchId,
+      crashBeforePublish = false)
+
+  /** [[appendBandsIdempotent]] with the spec crash failpoint. */
+  private[graft] def appendBandsIdempotent(docs: DataFrame, path: String,
+      tau: Double, nBuckets: Int, batchId: Long,
+      crashBeforePublish: Boolean): Boolean = {
+    requireGeometry(docs.sparkSession, path, tau, nBuckets)
+    TxBatch.publish(docs.sparkSession, path, batchId,
+      guardedBands(docs, tau, nBuckets), None, crashBeforePublish)
   }
+
+  /** The full committed layout: base bucket directories plus every
+    * committed transactional batch (see
+    * [[TxBatch.committedDirs]]). */
+  def readLayout(spark: SparkSession, path: String): DataFrame =
+    // one read per batch root, unioned: partition inference refuses
+    // several partitioned roots in one read (conflicting-structures)
+    TxBatch.committedDirs(spark, path)
+      .foldLeft(spark.read.parquet(path))((acc, b) =>
+        acc.unionByName(spark.read.parquet(b)))
 
   /** Candidate (batch_doc, corpus_doc) pairs of a new batch against
     * the persisted index — the `incremental_neardup` probe over the

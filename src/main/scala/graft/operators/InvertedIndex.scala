@@ -84,35 +84,70 @@ object InvertedIndex {
       .write.mode(SaveMode.Append).parquet(path + ".stats")
   }
 
-  /** [[appendPostings]] made idempotent by batch id — the retry-safe
-    * face the streaming loop needs: Spark re-delivers a micro-batch
-    * (same `batchId`) whenever the sink committed but the query's own
-    * checkpoint did not (every restart replays the last batch), and a
-    * bare append would double-count the re-delivery. A per-batch
-    * marker file (`_batch-<id>`, underscore-hidden from every reader)
-    * is checked first and committed after the append, so re-delivered
-    * batches are no-ops. Returns whether the batch was applied.
-    * Stream usage:
-    * `writeStream.foreachBatch((b, id) =>
-    *   appendPostingsIdempotent(b, path, n, id))`.
+  /** [[appendPostings]] made idempotent AND atomic by batch id — the
+    * retry-safe face the streaming loop needs: Spark re-delivers a
+    * micro-batch (same `batchId`) whenever the sink committed but the
+    * query's own checkpoint did not (every restart replays the last
+    * batch), and a bare append would double-count the re-delivery.
     *
-    * Envelope (the marker-protocol contract every non-transactional
-    * sink shares): a crash INSIDE the append—marker window can leave
-    * a half-applied batch that the retry re-appends; closing that
-    * window needs an atomic data commit (the [[ArtifactStore]]
-    * staged-rename pattern over per-batch layouts). */
+    * Manifest-commit protocol (closes the crash window the earlier
+    * marker-after-append spelling documented): the batch's data files
+    * AND its stats row are staged under a hidden unique directory
+    * (`_staging-<id>-<uuid>`, invisible to every reader), then
+    * published with ONE atomic rename to `_batch-<id>` — the committed
+    * batch directory is simultaneously the data and the marker, so
+    * there is no state in which a reader sees data without the marker
+    * or vice versa. Crash before the rename: nothing visible, the
+    * retry restages and publishes (exactly-once). Crash after: the
+    * retry sees the directory and is a no-op. Stale stagings of a
+    * settled batch id are swept opportunistically.
+    *
+    * Read surface: committed batches are underscore-hidden from plain
+    * `spark.read.parquet(path)` BY DESIGN (that is what makes the
+    * publish atomic) — read through [[readLayout]], [[lookupTerms]],
+    * [[lookupTermsV2]]/the DSv2 connector, or [[bm25]], all of which
+    * list committed batch directories. Returns whether the batch was
+    * applied. Stream usage:
+    * `writeStream.foreachBatch((b, id) =>
+    *   appendPostingsIdempotent(b, path, n, id))`. */
   def appendPostingsIdempotent(docs: DataFrame, path: String,
-      nBuckets: Int, batchId: Long): Boolean = {
-    val marker = new org.apache.hadoop.fs.Path(path, s"_batch-$batchId")
-    val fs = marker.getFileSystem(
-      docs.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) false
-    else {
-      appendPostings(docs, path, nBuckets)
-      fs.create(marker, true).close()
-      true
-    }
+      nBuckets: Int, batchId: Long): Boolean =
+    appendPostingsIdempotent(docs, path, nBuckets, batchId,
+      crashBeforePublish = false)
+
+  /** [[appendPostingsIdempotent]] with the spec crash failpoint (the
+    * "driver dies between data write and commit" injection). */
+  private[graft] def appendPostingsIdempotent(docs: DataFrame,
+      path: String, nBuckets: Int, batchId: Long,
+      crashBeforePublish: Boolean): Boolean = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val stats = docs
+      .select(size(split($"text", " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    TxBatch.publish(s, path, batchId,
+      buildPostings(docs, nBuckets), Some(stats), crashBeforePublish)
   }
+
+  /** The full committed layout: the base bucket directories plus every
+    * committed transactional batch (`_batch-<id>` directories — each
+    * published by one atomic rename, so presence = committed). Plain
+    * `spark.read.parquet(path)` sees only the base: underscore paths
+    * are hidden from parquet listings, which is exactly what makes the
+    * batch publish atomic. */
+  def readLayout(spark: SparkSession, path: String): DataFrame =
+    // one read per batch root, unioned: partition inference refuses
+    // several partitioned roots in one read (conflicting-structures)
+    TxBatch.committedDirs(spark, path)
+      .foldLeft(spark.read.parquet(path))((acc, b) =>
+        acc.unionByName(spark.read.parquet(b)))
+
+  /** Merged corpus stats: the base `.stats` relation plus each
+    * committed batch's staged stats row. */
+  def readStats(spark: SparkSession, path: String): DataFrame =
+    TxBatch.committedDirs(spark, path).map(_ + "/" + TxBatch.StatsDir)
+      .foldLeft(spark.read.parquet(path + ".stats"))((acc, d) =>
+        acc.unionByName(spark.read.parquet(d)))
 
   /** Postings of exactly `terms`, reading ONLY their buckets: the
     * literal bucket IN-filter prunes unprobed directories at listing
@@ -121,7 +156,7 @@ object InvertedIndex {
   def lookupTerms(spark: SparkSession, path: String, terms: Seq[String],
       nBuckets: Int): DataFrame = {
     val buckets = terms.map(bucketOf(_, nBuckets)).distinct
-    spark.read.parquet(path)
+    readLayout(spark, path)
       .filter(col("bucket").cast("long").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
   }
@@ -152,8 +187,9 @@ object InvertedIndex {
     // the scan node (see lookupTermsV2)
     val posts = lookupTermsV2(spark, path,
       queries.map(_._2).distinct, nBuckets)
-    // stats rows accumulate one per append — merge at read time
-    val stats = broadcast(spark.read.parquet(path + ".stats")
+    // stats rows accumulate one per append (plus one per committed
+    // transactional batch) — merge at read time
+    val stats = broadcast(readStats(spark, path)
       .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl")))
     val dfreq = posts.groupBy($"term").agg(count(lit(1)).as("df"))
     val idf = log(($"n_docs".cast("double") - $"df".cast("double") +

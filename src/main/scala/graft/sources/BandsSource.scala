@@ -55,7 +55,19 @@ class BandsSource extends TableProvider {
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       "graft.sources.BandsSource needs option 'path'")
-    val (_, nBuckets) = BandIndex.readMeta(SparkSession.active, path)
+    // geometry comes from the layout's OWN meta stamp — a geometry-less
+    // path fails fast here, and caller-passed tau/nBuckets options (the
+    // append-side declaration of what the caller THINKS it is writing
+    // into) must match the stamp, the BandIndex.requireGeometry rule
+    val (tau, nBuckets) = BandIndex.readMeta(SparkSession.active, path)
+    def opt(names: String*): Option[String] =
+      names.flatMap(n => Option(properties.get(n))).headOption
+    opt("nbuckets", "nBuckets").foreach(nb => require(nb.toInt == nBuckets,
+      s"band-layout geometry mismatch at $path: layout has " +
+        s"nBuckets=$nBuckets, option asked for nBuckets=$nb"))
+    opt("tau").foreach(t => require(t.toDouble == tau,
+      s"band-layout geometry mismatch at $path: layout has tau=$tau, " +
+        s"option asked for tau=$t"))
     new BandsTable(path, nBuckets)
   }
 }
@@ -77,14 +89,22 @@ object BandsSource {
 }
 
 private[sources] class BandsTable(path: String, nBuckets: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_bands($path)"
   override def schema(): StructType = BandsSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new BandsScanBuilder(path, nBuckets)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new BandsWriteBuilder(path, nBuckets, info.schema(),
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 private[graft] class BandsScanBuilder(path: String, nBuckets: Int)
@@ -182,21 +202,29 @@ private[graft] class BandsScan(path: String, nBuckets: Int,
   }
 
   /** Driver-side pruned file listing `(path, bucket, length)`: only
-    * the probed buckets' directories are listed at all. */
+    * the probed buckets' directories are listed at all. Committed
+    * transactional batch directories (`_batch-<id>`, the
+    * [[graft.operators.TxBatch]] atomic-publish roots) are listed
+    * alongside the base with the same bucket pruning. */
   private[graft] def files: Seq[(String, Long, Long)] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf.value)
-    val dirs = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-      .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toLong))
-    val kept = rtBuckets match {
-      case Some(bs) => dirs.filter { case (_, b) => bs.contains(b) }
-      case None => dirs
-    }
-    kept.flatMap { case (dir, b) =>
-      fs.listStatus(dir).toSeq
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(f => (f.getPath.toString, b, f.getLen))
+    val roots = root +: fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_batch-"))
+      .map(_.getPath).sortBy(_.getName)
+    roots.flatMap { r =>
+      val dirs = fs.listStatus(r).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toLong))
+      val kept = rtBuckets match {
+        case Some(bs) => dirs.filter { case (_, b) => bs.contains(b) }
+        case None => dirs
+      }
+      kept.flatMap { case (dir, b) =>
+        fs.listStatus(dir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.toString, b, f.getLen))
+      }
     }
   }
 
@@ -280,4 +308,147 @@ private[sources] class BandsPartitionReader(file: String,
   }
 
   override def close(): Unit = reader.close()
+}
+
+/** DSv2 APPEND write path — the [[BandIndex.appendBands]] maintenance
+  * contract through the connector, the [[PostingsWriteBuilder]] twin:
+  * bucket directories gain files, nothing is rewritten. Tasks stage
+  * files under a hidden job root; the job commit publishes them (see
+  * [[BandsBatchWrite]]); aborts delete the staged files. Per-row
+  * enforcement at the connector boundary: `bucket` must equal the
+  * layout hash `pmod(band_hash, nBuckets)` (a mis-bucketed band row
+  * silently vanishes from every pruned probe) and `doc_id` must be
+  * non-negative (the probe's sign-flip encoding reserves negatives
+  * for batch ids). */
+private[graft] class BandsWriteBuilder(path: String, nBuckets: Int,
+    input: StructType, hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write._
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new BandsBatchWrite(path, nBuckets, input, hconf)
+  }
+}
+
+private[sources] case class BandsCommit(files: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Staged-rename batch write (the [[PostingsBatchWrite]] protocol):
+  * nothing is visible before [[commit]]; a failed job leaves the
+  * layout untouched. */
+private[sources] class BandsBatchWrite(path: String, nBuckets: Int,
+    input: StructType, hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val stagingRoot = new Path(path,
+    ".staging-" + java.util.UUID.randomUUID().toString.take(12)).toString
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new BandsWriterFactory(stagingRoot, nBuckets, input, hconf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(hconf.value)
+    messages.foreach {
+      case BandsCommit(rels) => rels.foreach { rel =>
+        val dst = new Path(path, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(new Path(stagingRoot, rel), dst))
+          throw new java.io.IOException(
+            s"BandsSource commit: rename of staged $rel failed")
+      }
+      case _ => ()
+    }
+    fs.delete(new Path(stagingRoot), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(hconf.value)
+    fs.delete(new Path(stagingRoot), true)
+  }
+}
+
+private[sources] class BandsWriterFactory(stagingRoot: String,
+    nBuckets: Int, input: StructType, hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new BandsDataWriter(stagingRoot, nBuckets, input, hconf,
+      partitionId, taskId)
+}
+
+private[sources] class BandsDataWriter(stagingRoot: String,
+    nBuckets: Int, input: StructType, hconf: SerializableHadoopConf,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.ParquetWriter
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.schema.MessageTypeParser
+
+  private val fileType = MessageTypeParser.parseMessageType(
+    """message bands {
+      |  required int64 doc_id;
+      |  required int32 band_no;
+      |  required int64 band_hash;
+      |}""".stripMargin)
+  private val factory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(fileType)
+
+  private val iDoc = input.fieldIndex("doc_id")
+  private val iBandNo = input.fieldIndex("band_no")
+  private val iHash = input.fieldIndex("band_hash")
+  private val iBucket = input.fieldIndex("bucket")
+  private val bandNoIsLong = input("band_no").dataType == LongType
+  private val bucketIsInt = input("bucket").dataType == IntegerType
+
+  private val open =
+    scala.collection.mutable.Map.empty[Long, ParquetWriter[Group]]
+  private val files = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def writerFor(bucket: Long): ParquetWriter[Group] =
+    open.getOrElseUpdate(bucket, {
+      val rel = s"bucket=$bucket/part-$partitionId-$taskId-" +
+        java.util.UUID.randomUUID().toString.take(8) + ".parquet"
+      files += rel
+      ExampleParquetWriter.builder(new Path(stagingRoot, rel))
+        .withType(fileType).withConf(hconf.value).build()
+    })
+
+  override def write(r: InternalRow): Unit = {
+    val docId = r.getLong(iDoc)
+    if (docId < 0) throw new IllegalArgumentException(
+      s"BandsSource write: doc_id $docId is negative — the probe " +
+        "sign-flip encoding reserves negatives for batch ids")
+    val hash = r.getLong(iHash)
+    val bucket =
+      if (bucketIsInt) r.getInt(iBucket).toLong else r.getLong(iBucket)
+    val want = BandsSource.bucketOf(hash, nBuckets)
+    if (bucket != want) throw new IllegalArgumentException(
+      s"BandsSource write: row (band_hash=$hash, bucket=$bucket) does " +
+        s"not match the layout hash bucket $want for " +
+        s"nBuckets=$nBuckets — a mis-bucketed band row silently " +
+        "vanishes from pruned probes")
+    val g = factory.newGroup()
+    g.append("doc_id", docId)
+    g.append("band_no",
+      if (bandNoIsLong) r.getLong(iBandNo).toInt else r.getInt(iBandNo))
+    g.append("band_hash", hash)
+    writerFor(bucket).write(g)
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    open.values.foreach(_.close())
+    BandsCommit(files.toSeq)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach(w => scala.util.Try(w.close()))
+    val fs = new Path(stagingRoot).getFileSystem(hconf.value)
+    files.foreach(f => fs.delete(new Path(stagingRoot, f), false))
+  }
+
+  override def close(): Unit = ()
 }

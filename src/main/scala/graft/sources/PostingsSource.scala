@@ -227,21 +227,30 @@ private[graft] class PostingsScan(path: String, nBuckets: Int,
     filesWithSizes.map { case (f, b, _) => (f, b) }
 
   /** The pruned listing with file byte sizes — feeds both partition
-    * planning and [[estimateStatistics]]. */
+    * planning and [[estimateStatistics]]. Committed transactional
+    * batch directories (`_batch-<id>` — the [[graft.operators.TxBatch]]
+    * atomic-publish roots, hidden from plain parquet readers) are
+    * listed alongside the base bucket directories with the same
+    * bucket pruning. */
   private def filesWithSizes: Seq[(String, Long, Long)] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf.value)
-    val dirs = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-      .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toLong))
-    val kept = rtBuckets match {
-      case Some(bs) => dirs.filter { case (_, b) => bs.contains(b) }
-      case None => dirs
-    }
-    kept.flatMap { case (dir, b) =>
-      fs.listStatus(dir).toSeq
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(f => (f.getPath.toString, b, f.getLen))
+    val roots = root +: fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_batch-"))
+      .map(_.getPath).sortBy(_.getName)
+    roots.flatMap { r =>
+      val dirs = fs.listStatus(r).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toLong))
+      val kept = rtBuckets match {
+        case Some(bs) => dirs.filter { case (_, b) => bs.contains(b) }
+        case None => dirs
+      }
+      kept.flatMap { case (dir, b) =>
+        fs.listStatus(dir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.toString, b, f.getLen))
+      }
     }
   }
 

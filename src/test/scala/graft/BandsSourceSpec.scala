@@ -110,6 +110,68 @@ class BandsSourceSpec extends SparkSuite {
       !tree.contains("SortMergeJoin"), tree.take(2000))
   }
 
+  test("DSv2 append write: a batch written through the connector " +
+      "equals the appendBands path; mis-bucketed rows, negative ids " +
+      "and mismatched geometry options are refused; aborts stage-clean") {
+    import org.apache.spark.sql.SaveMode
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    def freshLayout(p: String): Unit = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      BandIndex.writeBandLayout(BandIndex.buildBands(base, Tau, NB), p,
+        Tau, NB)
+    }
+    val viaHelper = "/tmp/graft_bands_v2/append_helper"
+    val viaV2 = "/tmp/graft_bands_v2/append_v2"
+    freshLayout(viaHelper); freshLayout(viaV2)
+    BandIndex.appendBands(batch, viaHelper, Tau, NB)
+    val bandRows = BandIndex.buildBands(batch, Tau, NB)
+      .select($"doc_id", $"band_no", $"band_hash",
+        $"bucket".cast("long").as("bucket"))
+    bandRows.write.format("graft.sources.BandsSource")
+      .option("path", viaV2).option("tau", Tau.toString)
+      .option("nBuckets", NB.toString)
+      .mode(SaveMode.Append).save()
+    val cols = Seq($"doc_id", $"band_no", $"band_hash",
+      $"bucket".cast("long").as("bucket"))
+    val a = spark.read.parquet(viaHelper).select(cols: _*)
+      .orderBy($"doc_id", $"band_no").collect().toSeq
+    val b = spark.read.parquet(viaV2).select(cols: _*)
+      .orderBy($"doc_id", $"band_no").collect().toSeq
+    assert(a.nonEmpty && b == a)
+    // the connector reads its own appended layout identically
+    val v2 = spark.read.format("graft.sources.BandsSource")
+      .option("path", viaV2).load()
+      .select(cols: _*).orderBy($"doc_id", $"band_no").collect().toSeq
+    assert(v2 == a)
+    // no staging residue after commit
+    assert(new java.io.File(viaV2).listFiles()
+      .forall(!_.getName.startsWith(".staging-")))
+    val visible = spark.read.parquet(viaV2).count()
+    // a mis-bucketed row is refused, and the failed job publishes nothing
+    val bad = bandRows.limit(8)
+      .withColumn("bucket", ($"bucket" + 1L) % NB.toLong)
+    intercept[Exception](bad.write.format("graft.sources.BandsSource")
+      .option("path", viaV2).mode(SaveMode.Append).save())
+    assert(spark.read.parquet(viaV2).count() == visible)
+    // a negative doc_id is refused (the probe sign-flip contract)
+    val neg = bandRows.limit(1).withColumn("doc_id", lit(-5L))
+    intercept[Exception](neg.write.format("graft.sources.BandsSource")
+      .option("path", viaV2).mode(SaveMode.Append).save())
+    assert(spark.read.parquet(viaV2).count() == visible)
+    // a geometry-mismatched option set is refused at the boundary
+    intercept[Exception](bandRows.write
+      .format("graft.sources.BandsSource")
+      .option("path", viaV2).option("tau", "0.5")
+      .mode(SaveMode.Append).save())
+    intercept[Exception](bandRows.write
+      .format("graft.sources.BandsSource")
+      .option("path", viaV2).option("nBuckets", (NB * 2).toString)
+      .mode(SaveMode.Append).save())
+    assert(spark.read.parquet(viaV2).count() == visible)
+  }
+
   test("mixed geometry is refused: the connector reads nBuckets from " +
       "the stamped meta, a geometry-less layout cannot be opened") {
     val bare = "/tmp/graft_bands_v2/bare"

@@ -139,7 +139,7 @@ class InvertedIndexSpec extends SparkSuite {
       InvertedIndex.buildPostings(half, NB),
       dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")), root)
     val batch = docs.filter($"doc_id" % 2 === 1)
-    def content() = spark.read.parquet(root)
+    def content() = InvertedIndex.readLayout(spark, root)
       .select($"term", $"doc_id", $"dl", $"tf",
         $"bucket".cast("long").as("bucket"))
       .orderBy($"term", $"doc_id").collect().toSeq
@@ -157,12 +157,87 @@ class InvertedIndexSpec extends SparkSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(broot))
     graft.operators.BandIndex.writeBandLayout(
       graft.operators.BandIndex.buildBands(half, 0.8, NB), broot, 0.8, NB)
-    def bandCount() = spark.read.parquet(broot).count()
+    def bandCount() =
+      graft.operators.BandIndex.readLayout(spark, broot).count()
     assert(graft.operators.BandIndex.appendBandsIdempotent(
       batch, broot, 0.8, NB, 3L))
     val n1 = bandCount()
     assert(!graft.operators.BandIndex.appendBandsIdempotent(
       batch, broot, 0.8, NB, 3L))
     assert(bandCount() == n1)
+  }
+
+  test("manifest commit: a crash between data write and publish leaves " +
+      "NO partial batch visible; the retry applies exactly once") {
+    val root = "/tmp/graft_inverted_index/txcrash"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root + ".stats"))
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val dl = half.select(size(split($"text", " ")).cast("long").as("dl"))
+    InvertedIndex.writeTermLayout(
+      InvertedIndex.buildPostings(half, NB),
+      dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")), root)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    def content() = InvertedIndex.readLayout(spark, root)
+      .select($"term", $"doc_id", $"dl", $"tf",
+        $"bucket".cast("long").as("bucket"))
+      .orderBy($"term", $"doc_id").collect().toSeq
+    def statRows() = InvertedIndex.readStats(spark, root).count()
+    val before = content()
+    val statsBefore = statRows()
+    // the injected crash: batch data fully staged, then the driver
+    // dies BEFORE the atomic publish
+    intercept[RuntimeException](InvertedIndex.appendPostingsIdempotent(
+      batch, root, NB, 11L, crashBeforePublish = true))
+    // the layout is readable and bitwise unchanged — no partial batch
+    assert(content() == before,
+      "a crashed batch must be invisible to every reader")
+    assert(statRows() == statsBefore)
+    // plain parquet read sees the base too (staging is hidden)
+    assert(spark.read.parquet(root).count() == before.size)
+    // the foreachBatch retry (same id) applies the batch exactly once
+    assert(InvertedIndex.appendPostingsIdempotent(batch, root, NB, 11L))
+    val after = content()
+    assert(after.size == before.size +
+      InvertedIndex.buildPostings(batch, NB).count())
+    assert(statRows() == statsBefore + 1)
+    // the crashed attempt's staging was swept; a re-retry is a no-op
+    val leftovers = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("_staging-"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    assert(!InvertedIndex.appendPostingsIdempotent(batch, root, NB, 11L))
+    assert(content() == after)
+    // the indexed search surface reads the committed batch (bm25 goes
+    // through the connector + merged stats)
+    val q = Seq((0L, "hash"))
+    assert(InvertedIndex.bm25(spark, root, q, NB, k = 5).count() > 0)
+    // band twin: same protocol, same guarantees
+    val broot = "/tmp/graft_band_index/txcrash"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(broot))
+    graft.operators.BandIndex.writeBandLayout(
+      graft.operators.BandIndex.buildBands(half, 0.8, NB), broot, 0.8, NB)
+    val bandsBefore = graft.operators.BandIndex.readLayout(spark, broot)
+      .count()
+    intercept[RuntimeException](
+      graft.operators.BandIndex.appendBandsIdempotent(
+        batch, broot, 0.8, NB, 5L, crashBeforePublish = true))
+    assert(graft.operators.BandIndex.readLayout(spark, broot).count() ==
+      bandsBefore)
+    assert(graft.operators.BandIndex.appendBandsIdempotent(
+      batch, broot, 0.8, NB, 5L))
+    val bandsAfter = graft.operators.BandIndex.readLayout(spark, broot)
+      .count()
+    assert(bandsAfter > bandsBefore)
+    assert(!graft.operators.BandIndex.appendBandsIdempotent(
+      batch, broot, 0.8, NB, 5L))
+    assert(graft.operators.BandIndex.readLayout(spark, broot).count() ==
+      bandsAfter)
+    // and the probe (DSv2 scan) sees the committed batch's bands:
+    // probing the batch against the layout finds its own docs
+    val cand = graft.operators.BandIndex.probeCandidates(
+      batch.limit(20), broot, 0.8, NB)
+    assert(cand.count() > 0,
+      "the probe must see bands committed via the manifest protocol")
   }
 }
