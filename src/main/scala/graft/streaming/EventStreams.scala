@@ -463,6 +463,185 @@ object EventStreams {
       }
   }
 
+  // ---- streaming drift family: the live twins of the batch drift
+  // trio (L86 psi_drift / G26 ks_drift / T26 cusum_changepoints).
+  // Drift detection is the most natural LIVE consumer in the whole
+  // inventory — a model owner watches the feature feed, not a nightly
+  // batch — and the state shapes are all bounded: per event type, a
+  // fixed bin histogram (PSI/KS) or four numbers (CUSUM). ----
+
+  // public: the state encoder's generated code must reach the classes
+  final case class BinCell(bin: Long, ca: Long, cb: Long)
+  final case class DriftBins(seq: Long, bins: Seq[BinCell])
+  final case class PsiRow(event_type: String, seq: Long, n_bins: Long,
+      skipped_bins: Long, na: Long, nb: Long, psi: Double)
+  final case class KsRow(event_type: String, seq: Long, n1: Long,
+      n2: Long, d_num: Long, ks_stat: Double, crit_05: Double,
+      reject_05: Long)
+
+  /** Fold a micro-batch into the per-type bin histogram: values land
+    * in fixed-width bins (v_micro DIV binUnit — the batch queries'
+    * `floor(value / 25.0)` on the 10⁻⁴-unit integer grid), split into
+    * the A window (ts < cut) and the B window. State per type is ≤
+    * (value range / bin width) cells — bounded by construction, never
+    * by history. */
+  private def foldBins(st: DriftBins, rows: Iterator[ValuedEvent],
+      cutMicros: Long, binUnit: Long): DriftBins = {
+    val m = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    st.bins.foreach(b => m(b.bin) = (b.ca, b.cb))
+    rows.foreach { e =>
+      val bin = Math.floorDiv(e.v_micro, binUnit)
+      val (ca, cb) = m.getOrElse(bin, (0L, 0L))
+      m(bin) = if (e.ts < cutMicros) (ca + 1L, cb) else (ca, cb + 1L)
+    }
+    DriftBins(st.seq + 1L,
+      m.toSeq.map { case (b, (ca, cb)) => BinCell(b, ca, cb) }
+        .sortBy(_.bin))
+  }
+
+  /** L86 live: streaming PSI — per event type, the state is the binned
+    * (A, B)-window histogram; every trigger emits the PSI over the
+    * data so far with the IDENTICAL micro-nat quantized term spelling
+    * as the batch `psi_drift` (per live bin, floor(((ca/na − cb/nb) ·
+    * ln(ca·nb / (cb·na))) · 10⁶ + ½), summed order-free), so once the
+    * feed is ingested the latest row per type EQUALS the batch row
+    * across any micro-batch split. Bins empty on either side are
+    * skipped and counted, exactly as the batch row reports them; a
+    * type with no live bin yet emits nothing (the batch query has no
+    * row for it either). `seq` is the per-type emission counter — the
+    * "latest verdict" selector for consumers of the append stream. */
+  def psiStream(events: Dataset[ValuedEvent], cutMicros: Long,
+      binUnit: Long = 250000L): Dataset[PsiRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[DriftBins, PsiRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[ValuedEvent],
+            state: GroupState[DriftBins]) =>
+          val st = foldBins(
+            state.getOption.getOrElse(DriftBins(0L, Vector.empty)),
+            rows, cutMicros, binUnit)
+          state.update(st)
+          val na = st.bins.map(_.ca).sum
+          val nb = st.bins.map(_.cb).sum
+          val live = st.bins.filter(b => b.ca > 0L && b.cb > 0L)
+          if (live.isEmpty) Iterator.empty
+          else {
+            val t = live.map { b =>
+              val term = (b.ca.toDouble / na - b.cb.toDouble / nb) *
+                math.log((b.ca * nb).toDouble / (b.cb * na).toDouble)
+              math.floor(term * 1000000.0 + 0.5).toLong
+            }.sum
+            Iterator.single(PsiRow(etype, st.seq, st.bins.length.toLong,
+              st.bins.count(b => b.ca == 0L || b.cb == 0L).toLong,
+              na, nb, t.toDouble / 1000000.0))
+          }
+      }
+  }
+
+  /** G26 live, the windowed (binned) variant: streaming two-sample KS
+    * over the same bounded bin histogram as [[psiStream]] — the exact
+    * per-distinct-value KS stays batch (its state is the value domain,
+    * unbounded at corpus scale; binning is the standard bounded-state
+    * trade and the statistic's resolution is the bin width). The gap
+    * maximized is the exact integer |cum1·n2 − cum2·n1| over the bin
+    * order, and the reported statistic / α=0.05 critical value /
+    * reject decision use the identical q6 spelling as the batch
+    * `ks_drift`, so the stream equals a batch KS over the same binned
+    * values across any micro-batch split. */
+  def ksStreamBinned(events: Dataset[ValuedEvent], cutMicros: Long,
+      binUnit: Long = 250000L): Dataset[KsRow] = {
+    import events.sparkSession.implicits._
+    def q6d(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[DriftBins, KsRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[ValuedEvent],
+            state: GroupState[DriftBins]) =>
+          val st = foldBins(
+            state.getOption.getOrElse(DriftBins(0L, Vector.empty)),
+            rows, cutMicros, binUnit)
+          state.update(st)
+          val n1 = st.bins.map(_.ca).sum
+          val n2 = st.bins.map(_.cb).sum
+          if (n1 == 0L || n2 == 0L) Iterator.empty
+          else {
+            var cum1 = 0L; var cum2 = 0L; var d = 0L
+            st.bins.foreach { b =>
+              cum1 += b.ca; cum2 += b.cb
+              d = math.max(d, math.abs(cum1 * n2 - cum2 * n1))
+            }
+            val ks = q6d(d.toDouble / (n1.toDouble * n2.toDouble))
+            val crit = q6d(1.358 * math.sqrt(
+              (n1 + n2).toDouble / (n1.toDouble * n2.toDouble)))
+            Iterator.single(KsRow(etype, st.seq, n1, n2, d, ks, crit,
+              if (ks > crit) 1L else 0L))
+          }
+      }
+  }
+
+  // public: the state encoder's generated code must reach the classes
+  final case class CusumRef(sumN: Long, sumQ: Long, nDays: Long)
+  final case class CusumState(curDay: Long, curN: Long, run: Long,
+      minRun: Long, closed: Long)
+  final case class CusumRow(event_type: String, day: Long,
+      n_events: Long, v_scaled: Long, is_change: Long)
+
+  /** T26 live: streaming one-sided CUSUM against a CALIBRATED
+    * reference — the deployment shape of change detection: the
+    * baseline (per-type Σx, Σx², day count of a reference window) is
+    * computed once batch-side and the live fold accumulates the exact
+    * integer excursion V_t = max(0, S_t − min(0, min_{j<t} S_j)) with
+    * the 5σ cross-multiplied flag, all spelled identically to the
+    * batch `cusum_changepoints` — so on the reference window's own
+    * feed the emitted rows EQUAL the batch rows across any micro-batch
+    * split (the spec pin), and on a live feed the same fold flags
+    * sustained shifts against the frozen baseline. State per type is
+    * five numbers (open day + count, running sum, prefix-min, closed
+    * count); a day closes when a later-day event arrives (ts-ordered
+    * feed, the family contract; the final day flushes via a sentinel
+    * past it). Types absent from the reference emit nothing. */
+  def cusumStream(events: Dataset[TypedEvent],
+      ref: Map[String, CusumRef],
+      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[CusumRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[TypedEvent],
+            state: GroupState[CusumState]) =>
+          ref.get(etype) match {
+            case None => Iterator.empty
+            case Some(r) =>
+              var st = state.getOption.orNull
+              val out = Seq.newBuilder[CusumRow]
+              def close(): Unit = {
+                val newRun = st.run + r.nDays * st.curN - r.sumN
+                val minPrev =
+                  if (st.closed == 0L) 0L else math.min(0L, st.minRun)
+                val vs = math.max(0L, newRun - minPrev)
+                val flag = if (vs * vs >
+                  25L * (r.nDays * r.sumQ - r.sumN * r.sumN)) 1L else 0L
+                out += CusumRow(etype, st.curDay, st.curN, vs, flag)
+                st = CusumState(-1L, 0L, newRun,
+                  if (st.closed == 0L) newRun
+                  else math.min(st.minRun, newRun),
+                  st.closed + 1L)
+              }
+              rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+                val day = Math.floorDiv(e.ts, 86400000000L) - epochDay0
+                if (st == null) st = CusumState(day, 1L, 0L, 0L, 0L)
+                else if (day == st.curDay)
+                  st = st.copy(curN = st.curN + 1L)
+                else { close(); st = st.copy(curDay = day, curN = 1L) }
+              }
+              if (st != null) state.update(st)
+              out.result().iterator
+          }
+      }
+  }
+
   /** T6: arbitrary per-key state — a running per-user counter kept in
     * GroupState, emitting the updated total on every micro-batch. */
   def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {

@@ -576,6 +576,148 @@ class EventStreamsSpec extends SparkSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  private lazy val valuedOrdered: Seq[EventStreams.ValuedEvent] =
+    Tables.events(spark, sf)
+      .select($"event_id", $"user_id", expr("unix_micros(ts)").as("ts"),
+        $"event_type",
+        floor($"value" * lit(10000.0) + lit(0.5)).cast("long")
+          .as("v_micro"))
+      .orderBy($"ts", $"event_id")
+      .as[EventStreams.ValuedEvent].collect().toSeq
+
+  private lazy val cutMicros: Long =
+    spark.sql("SELECT unix_micros(TIMESTAMP '2024-01-16')")
+      .as[Long].head()
+
+  test("streaming PSI equals the batch psi_drift across micro-batch " +
+      "splits (L86 live)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.ValuedEvent]
+    val q = EventStreams.psiStream(input.toDS(), cutMicros)
+      .writeStream.format("memory").queryName("t_psi")
+      .outputMode("append").start()
+    try {
+      valuedOrdered.grouped(800).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    import org.apache.spark.sql.expressions.Window
+    val latest = spark.table("t_psi")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"seq".desc)))
+      .filter($"rn" === 1)
+      .select($"event_type", $"n_bins", $"skipped_bins", $"na", $"nb",
+        $"psi")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    val batch = SparkEntry.queries("psi_drift")(spark, sf)
+      .select($"event_type", $"n_bins", $"skipped_bins", $"na", $"nb",
+        $"psi")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    assert(latest == batch && latest.nonEmpty)
+    // the stream emitted LIVE interim verdicts, not one final dump
+    assert(spark.table("t_psi").count() > latest.size)
+  }
+
+  test("streaming binned KS equals the batch KS over the same bins " +
+      "across micro-batch splits (G26 live, windowed variant)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.ValuedEvent]
+    val q = EventStreams.ksStreamBinned(input.toDS(), cutMicros)
+      .writeStream.format("memory").queryName("t_ks")
+      .outputMode("append").start()
+    try {
+      valuedOrdered.grouped(900).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    import org.apache.spark.sql.expressions.Window
+    val latest = spark.table("t_ks")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"seq".desc)))
+      .filter($"rn" === 1)
+      .select($"event_type", $"n1", $"n2", $"d_num", $"ks_stat",
+        $"crit_05", $"reject_05")
+      .as[(String, Long, Long, Long, Double, Double, Long)]
+      .collect().toSet
+    // the batch twin: the ks_drift spelling verbatim, per event type,
+    // over the SAME fixed-width bins (the windowed variant's contract)
+    import graft.queries.QueryUtil.q6
+    val cutTs = lit("2024-01-16 00:00:00").cast("timestamp")
+    val byBin = Tables.events(spark, sf)
+      .select($"event_type", ($"ts" < cutTs).as("inA"),
+        floor($"value" / lit(25.0)).cast("long").as("bin"))
+      .groupBy($"event_type", $"bin")
+      .agg(sum(when($"inA", 1L).otherwise(0L)).as("c1"),
+        sum(when(!$"inA", 1L).otherwise(0L)).as("c2"))
+    val w = Window.partitionBy($"event_type").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = byBin
+      .withColumn("cum1", sum($"c1").over(w))
+      .withColumn("cum2", sum($"c2").over(w))
+    val tot = byBin.groupBy($"event_type")
+      .agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    val batch = cums.join(tot, "event_type")
+      .select($"event_type", $"n1", $"n2",
+        abs($"cum1" * $"n2" - $"cum2" * $"n1").as("gap"))
+      .groupBy($"event_type", $"n1", $"n2")
+      .agg(max($"gap").as("d_num"))
+      .select($"event_type", $"n1", $"n2", $"d_num",
+        q6($"d_num".cast("double") /
+          ($"n1".cast("double") * $"n2".cast("double"))).as("ks_stat"),
+        q6(lit(1.358) * sqrt(($"n1" + $"n2").cast("double") /
+          ($"n1".cast("double") * $"n2".cast("double")))).as("crit_05"))
+      .withColumn("reject_05",
+        when($"ks_stat" > $"crit_05", 1L).otherwise(0L))
+      .as[(String, Long, Long, Long, Double, Double, Long)]
+      .collect().toSet
+    assert(latest == batch && latest.nonEmpty)
+  }
+
+  test("streaming CUSUM equals the batch cusum_changepoints across " +
+      "micro-batch splits (T26 live, calibrated reference)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the calibrated reference: per-type Σx, Σx², day count — computed
+    // batch-side once (the deployment shape: the live fold monitors
+    // against a frozen baseline)
+    val ref = Tables.events(spark, sf)
+      .groupBy($"event_type",
+        datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"event_type")
+      .agg(sum($"n").as("sn"), sum($"n" * $"n").as("sq"),
+        count(lit(1)).as("nd"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (t, sn, sq, nd) =>
+        t -> EventStreams.CusumRef(sn, sq, nd) }.toMap
+    // sentinels close each type's final real day (their own day stays
+    // open in state and is never emitted)
+    val types = ordered.map(_.event_type).distinct
+    val maxTs = ordered.map(_.ts).max
+    val sentinels = types.zipWithIndex.map { case (t, i) =>
+      EventStreams.TypedEvent(-1L - i, -1L,
+        maxTs + 30L * 86400000000L, t)
+    }
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams.cusumStream(input.toDS(), ref)
+      .writeStream.format("memory").queryName("t_cusum")
+      .outputMode("append").start()
+    try {
+      (ordered ++ sentinels).grouped(700).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("t_cusum")
+      .select($"event_type", $"day", $"n_events", $"v_scaled",
+        $"is_change")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    val batch = SparkEntry.queries("cusum_changepoints")(spark, sf)
+      .select($"event_type", $"day", $"n_events", $"v_scaled",
+        $"is_change")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming touch attribution equals the batch query across " +
       "micro-batch splits (T24)") {
     implicit val sqlCtx = spark.sqlContext
