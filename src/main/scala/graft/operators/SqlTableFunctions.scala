@@ -54,6 +54,20 @@ object SqlTableFunctions {
     *    num[, den])` — [[BudgetSelect.select]] at absolute budget
     *    `num`, or [[BudgetSelect.selectFraction]] at `num/den` of
     *    the total when `den` is given
+    *  - `graft_semdedup(emb_view, k, iters, tau[, bucket_cap])` —
+    *    [[SemDedup.dedup]] over a (vec_id, v) view: learn k centroids
+    *    (Lloyd, `iters` rounds), keep/drop decision per vector at
+    *    within-cell cosine ≥ tau
+    *  - `graft_phash_pairs(docs_view, max_hamming)` — the perceptual-
+    *    hash near-dup pair relation over a (doc_id, payload BINARY)
+    *    view: aHash64 → 4×16-bit pigeonhole bands →
+    *    [[CandidatePairs]] → exact bit_count verify
+    *  - `graft_fingerprint(view, key_col, n_buckets, col1[, ...col9])`
+    *    — [[Fingerprints.bucketFingerprints]]: per-bucket Merkle-style
+    *    content fingerprints over the named columns
+    *  - `graft_dedup_surgery(docs_view, min_len)` — the L101 scrub
+    *    over any (doc_id, text) view: [[SuffixRanks.dupRuns]] regions
+    *    ≥ min_len stripped from every doc, survivors reassembled
     */
   def registerAll(spark: SparkSession): Unit = {
     AsOfJoin.registerSqlTableFunction(spark)
@@ -123,6 +137,70 @@ object SqlTableFunctions {
         case None => BudgetSelect.select(df, args(1), args(2), args(3),
           args(4).toLong)
       }
+    }
+    register(spark, "graft_semdedup", 4, 5) { args =>
+      import org.apache.spark.sql.functions.col
+      val emb = spark.table(args(0))
+        .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+      val cents = IvfIndex.learnCentroids(emb, args(1).toInt,
+        args(2).toInt)
+      SemDedup.dedup(emb, cents, args(3).toDouble,
+        args.lift(4).map(_.toInt).getOrElse(1024))
+    }
+    register(spark, "graft_phash_pairs", 2, 2) { args =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table(args(0))
+      val maxHamming = args(1).toLong
+      val hashes = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.ahash64(
+          col("payload").cast("binary")).as("h"))
+        .filter(col("h").isNotNull)
+      val banded = hashes.select(col("doc_id"),
+        posexplode(array((0 to 3).map(bb =>
+          shiftrightunsigned(col("h"), bb * 16)
+            .bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band_no", "band_val")))
+      CandidatePairs.fromBuckets(banded, Seq("band_no", "band_val"),
+        "doc_id", "doc_a", "doc_b")
+        .join(hashes.select(col("doc_id").as("doc_a"),
+          col("h").as("ha")), Seq("doc_a"))
+        .join(hashes.select(col("doc_id").as("doc_b"),
+          col("h").as("hb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+            .as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    }
+    register(spark, "graft_fingerprint", 4, 12) { args =>
+      import org.apache.spark.sql.functions.col
+      Fingerprints.bucketFingerprints(spark.table(args(0)), args(1),
+        args.drop(3).map(col), args(2).toInt)
+    }
+    register(spark, "graft_dedup_surgery", 2, 2) { args =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table(args(0)).select(col("doc_id"), col("text"))
+      val tokens = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("tok"))
+      val runs = SuffixRanks.dupRuns(tokens, args(1).toLong)
+      val kept = tokens.alias("t").join(runs.alias("r"),
+        col("t.doc_id") === col("r.doc_id") &&
+          col("pos") >= col("run_start") && col("pos") <= col("run_end"),
+        "left_anti")
+      kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("kept_tokens"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(pos, tok))), " +
+              "p -> p.tok)")).as("kept_text"))
+        .join(docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          Seq("doc_id"), "right_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+            .as("removed_tokens"),
+          coalesce(col("kept_text"), lit("")).as("kept_text"))
     }
   }
 

@@ -789,19 +789,7 @@ private[queries] trait PipelineCore {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    val cells = graft.operators.IvfIndex
-      .assignCells(emb, learnedCents(s, d))
-      .select($"cell", $"vec_id", $"v")
-    graft.operators.CandidatePairs
-      .fromBuckets(cells.select($"cell", $"vec_id"), Seq("cell"),
-        "vec_id", "vec_a", "vec_b")
-      .join(cells.select($"cell", $"vec_id".as("vec_a"), $"v".as("va")),
-        Seq("vec_a"))
-      .join(cells.select($"vec_id".as("vec_b"), $"v".as("vb")),
-        Seq("vec_b"))
-      .withColumn("cos",
-        q6(dot($"va", $"vb") / (l2norm($"va") * l2norm($"vb"))))
-      .filter($"cos" >= lit(0.40))
+    graft.operators.SemDedup.pairs(emb, learnedCents(s, d), 0.40)
       .select($"cell", $"vec_a", $"vec_b")
   }
 

@@ -132,6 +132,92 @@ class SqlTableFunctionsSpec extends SparkSuite {
         maxOuter = 7, maxProp = 9))
   }
 
+  test("graft_semdedup / graft_phash_pairs / graft_fingerprint / " +
+      "graft_dedup_surgery equal the library calls") {
+    import graft.operators.{CandidatePairs, Fingerprints, IvfIndex,
+      SemDedup, SuffixRanks}
+    import graft.functions.{GraftFunctions => F}
+    SqlTableFunctions.registerAll(spark)
+    // semdedup over the embeddings fixture
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    emb.createOrReplaceTempView("tvf_emb")
+    val cents = IvfIndex.learnCentroids(emb, 8, 3)
+    same(
+      spark.sql("SELECT * FROM graft_semdedup('tvf_emb', '8', '3', '0.4')"),
+      SemDedup.dedup(emb, cents, 0.4))
+    // the decision relation is total and its keep flag is meaningful
+    val dec = spark.sql(
+      "SELECT * FROM graft_semdedup('tvf_emb', '8', '3', '0.4')")
+    assert(dec.count() == emb.count())
+    assert(dec.filter($"keep" === 0L).count() > 0L,
+      "fixture has near-dups at tau=0.4")
+    // phash pairs over payloads (with a planted verbatim copy)
+    val payloads = docs
+      .unionAll(docs.limit(1).select($"doc_id" + 1000000L, $"text"))
+      .select($"doc_id", $"text".as("payload"))
+    payloads.createOrReplaceTempView("tvf_payloads")
+    val hashes = payloads.select($"doc_id",
+      F.ahash64($"payload".cast("binary")).as("h"))
+      .filter($"h".isNotNull)
+    val banded = hashes.select($"doc_id",
+      posexplode(array((0 to 3).map(bb =>
+        shiftrightunsigned($"h", bb * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band_no", "band_val")))
+    val wantPairs = CandidatePairs
+      .fromBuckets(banded, Seq("band_no", "band_val"), "doc_id",
+        "doc_a", "doc_b")
+      .join(hashes.select($"doc_id".as("doc_a"), $"h".as("ha")), Seq("doc_a"))
+      .join(hashes.select($"doc_id".as("doc_b"), $"h".as("hb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
+      .filter($"hamming" <= 3L)
+    same(
+      spark.sql("SELECT * FROM graft_phash_pairs('tvf_payloads', '3')"),
+      wantPairs)
+    // fingerprints over orders
+    val orders = Tables.orders(spark, sf)
+    orders.createOrReplaceTempView("tvf_orders")
+    same(
+      spark.sql("SELECT * FROM graft_fingerprint('tvf_orders', " +
+        "'o_orderkey', '16', 'o_orderkey', 'o_custkey', 'o_orderstatus')"),
+      Fingerprints.bucketFingerprints(orders, "o_orderkey",
+        Seq($"o_orderkey", $"o_custkey", $"o_orderstatus"), 16))
+    // dedup surgery over a small slice with a planted verbatim copy
+    val surgBase = docs.filter($"doc_id" % 29 === 0)
+    val planted = surgBase.limit(1)
+      .select(($"doc_id" + 2000000L).as("doc_id"),
+        concat(lit("zq1 "), concat_ws(" ",
+          slice(split($"text", " "), 1, 9)), lit(" zq2")).as("text"))
+    val surg = surgBase.unionByName(planted)
+    surg.createOrReplaceTempView("tvf_surgery")
+    val tokens = surg
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("tok"))
+    val runs = SuffixRanks.dupRuns(tokens, 8L)
+    val kept = tokens.alias("t").join(runs.alias("r"),
+      col("t.doc_id") === col("r.doc_id") &&
+        $"pos" >= $"run_start" && $"pos" <= $"run_end", "left_anti")
+    val wantSurg = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), " +
+            "p -> p.tok)")).as("kept_text"))
+      .join(surg.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens")),
+        Seq("doc_id"), "right_outer")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"),
+        ($"n_tokens" - coalesce($"kept_tokens", lit(0L)))
+          .as("removed_tokens"),
+        coalesce($"kept_text", lit("")).as("kept_text"))
+    val gotSurg = spark.sql(
+      "SELECT * FROM graft_dedup_surgery('tvf_surgery', '8')")
+    same(gotSurg, wantSurg)
+    // the planted copy really removed tokens
+    assert(gotSurg.filter($"removed_tokens" > 0L).count() > 0L)
+  }
+
   test("malformed TVF calls fail loudly") {
     SqlTableFunctions.registerAll(spark)
     docs.createOrReplaceTempView("tvf_docs")
