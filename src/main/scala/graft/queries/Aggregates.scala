@@ -290,6 +290,57 @@ object Aggregates {
         .orderBy($"dimension")
     }),
 
+    // G28: χ² independence audit — the CATEGORICAL drift lens
+    // completing the numeric drift family (PSI/KS/MW/CUSUM all watch a
+    // numeric column; this one asks whether two categorical factors —
+    // event type and day-of-week — are independent, the standard "did
+    // the traffic mix shift by weekday" audit and the classic
+    // contingency-table test). Exactness: the per-cell deviation
+    // obs·N − rowΣ·colΣ is an EXACT long (envelope obs·N < 2⁶³,
+    // documented); the cell term dev²/(N·rowΣ·colΣ) quantizes to
+    // micro-units before the order-free sum, so χ² is a grid value and
+    // Cramér's V = √(χ²/(N·min(R−1, C−1))) is one identically-spelled
+    // q6 double. ZERO-observation cells are included (the full R×C
+    // grid comes from crossing the two bounded margin relations — a
+    // cells-only sum understates χ² by exactly the missing expected
+    // mass). Day-of-week is engine-neutral integer arithmetic
+    // ((epoch_day + 3) mod 7, Monday = 0) — never the engines'
+    // off-by-one dayofweek builtins. Shape: ONE map-combinable
+    // (type, dow) count over the fact table; margins, the R×C grid
+    // (≤ 35 cells) and the one-row totals are all bounded broadcasts
+    // (allowlisted).
+    "chi2_independence" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val obs = Tables.events(s, dir)
+        .select($"event_type",
+          pmod(datediff($"ts".cast("date"), to_date(lit("1970-01-01")))
+            + lit(3), lit(7)).cast("long").as("dow"))
+        .groupBy($"event_type", $"dow").agg(count(lit(1)).as("n"))
+      val rowT = obs.groupBy($"event_type").agg(sum($"n").as("nt"))
+      val colT = obs.groupBy($"dow").agg(sum($"n").as("nc"))
+      val tot = broadcast(obs.agg(sum($"n").as("nn"),
+        countDistinct($"event_type").as("r"),
+        countDistinct($"dow").as("c")))
+      val dev = $"n" * $"nn" - $"nt" * $"nc"
+      val term = floor((dev.cast("double") * dev.cast("double") /
+        ($"nn".cast("double") * $"nt".cast("double") *
+          $"nc".cast("double"))) * lit(1000000.0) + lit(0.5))
+        .cast("long")
+      rowT.crossJoin(broadcast(colT))
+        .join(obs, Seq("event_type", "dow"), "left_outer")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(tot)
+        .select(term.as("t"), $"nn", $"r", $"c")
+        .groupBy($"nn", $"r", $"c")
+        .agg((sum($"t").cast("double") / lit(1000000.0)).as("chi2"))
+        .select($"nn".as("n_events"), $"r".as("n_types"),
+          $"c".as("n_dows"),
+          (($"r" - lit(1L)) * ($"c" - lit(1L))).as("df"), $"chi2",
+          q6(sqrt($"chi2" / ($"nn".cast("double") *
+            least($"r" - lit(1L), $"c" - lit(1L)).cast("double"))))
+            .as("cramers_v"))
+    }),
+
     "agg_distinct" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       Tables.orders(s, dir)
@@ -1410,6 +1461,44 @@ object Aggregates {
              "/ CAST(n * mass AS DOUBLE)")} AS gini
          |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
          |ORDER BY dimension""".stripMargin,
+
+    // identical exact long deviations, zero-cells included via the
+    // margin cross, per-cell micro quantization before the sum
+    "chi2_independence" ->
+      s"""WITH obs AS (
+         |  SELECT event_type,
+         |    CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |      + 3) % 7 AS BIGINT) AS dow,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt
+         |       FROM obs GROUP BY 1),
+         |ct AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS nc
+         |       FROM obs GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+         |    CAST(COUNT(DISTINCT dow) AS BIGINT) AS c
+         |  FROM obs),
+         |grid AS (
+         |  SELECT rt.event_type, ct.dow, nt, nc,
+         |    COALESCE(obs.n, CAST(0 AS BIGINT)) AS n
+         |  FROM rt CROSS JOIN ct
+         |  LEFT JOIN obs ON obs.event_type = rt.event_type
+         |    AND obs.dow = ct.dow),
+         |terms AS (
+         |  SELECT CAST(FLOOR((CAST(n * nn - nt * nc AS DOUBLE) *
+         |      CAST(n * nn - nt * nc AS DOUBLE) /
+         |      (CAST(nn AS DOUBLE) * CAST(nt AS DOUBLE) *
+         |       CAST(nc AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS t,
+         |    nn, r, c
+         |  FROM grid CROSS JOIN tt)
+         |SELECT nn AS n_events, r AS n_types, c AS n_dows,
+         |  (r - 1) * (c - 1) AS df,
+         |  CAST(SUM(t) AS DOUBLE) / 1000000.0 AS chi2,
+         |  ${sqlQ6("sqrt((CAST(SUM(t) AS DOUBLE) / 1000000.0) / " +
+             "(CAST(nn AS DOUBLE) * CAST(LEAST(r - 1, c - 1) AS DOUBLE)))")}
+         |    AS cramers_v
+         |FROM terms GROUP BY nn, r, c""".stripMargin,
 
     "agg_distinct" ->
       """SELECT o_orderpriority,

@@ -739,6 +739,108 @@ object EventTime {
         .orderBy($"event_type", $"day")
     }),
 
+    // T31: Mann–Kendall trend test (Mann 1945 / Kendall 1975 — THE
+    // standard nonparametric monotone-trend detector for short daily
+    // series): per event type, S = Σ_{i<j} sign(x_j − x_i) over the
+    // day-ordered daily counts, tie-corrected variance
+    // Var(S) = (n(n−1)(2n+5) − Σ_g c_g(c_g−1)(2c_g+5)) / 18, and the
+    // continuity-corrected z. Where CUSUM (T26) finds a LEVEL SHIFT
+    // against a calibrated mean, MK asks "is the series drifting
+    // monotonically" with no distributional assumption — the
+    // complementary question for capacity planning. Exactness: S and
+    // both variance terms are exact longs (sign() of an integer
+    // difference; n ≤ days-in-window so n³ is tiny); z is one
+    // identically-spelled q6 double, so the |z| > 1.96 decision
+    // compares grid values. Shape: one map-combinable daily count;
+    // the pair join, tie groups and variance all run on the bounded
+    // (type × day) relation — at 10⁹ events the post-count work is
+    // unchanged (the pair domain is days², not events²).
+    "mann_kendall_trend" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = daily.select($"event_type", $"day".as("di"), $"n".as("xi"))
+      val b = daily.select($"event_type", $"day".as("dj"), $"n".as("xj"))
+      val sRel = a.join(b, Seq("event_type")).filter($"di" < $"dj")
+        .groupBy($"event_type")
+        .agg(sum(signum(($"xj" - $"xi").cast("double")).cast("long"))
+          .as("s_stat"))
+      val ties = daily.groupBy($"event_type", $"n")
+        .agg(count(lit(1)).as("cg"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"cg" * ($"cg" - lit(1L)) * (lit(2L) * $"cg" + lit(5L)))
+            .as("tie_term"))
+      val z = when($"s_stat" > 0L,
+          ($"s_stat" - lit(1L)).cast("double") /
+            sqrt($"var18".cast("double") / lit(18.0)))
+        .when($"s_stat" < 0L,
+          ($"s_stat" + lit(1L)).cast("double") /
+            sqrt($"var18".cast("double") / lit(18.0)))
+        .otherwise(lit(0.0))
+      sRel.join(ties, "event_type")
+        .withColumn("var18",
+          $"n_days" * ($"n_days" - lit(1L)) *
+            (lit(2L) * $"n_days" + lit(5L)) - $"tie_term")
+        .select($"event_type", $"n_days", $"s_stat", $"tie_term",
+          $"var18", q6(z).as("z"))
+        .withColumn("is_trend",
+          when(abs($"z") > lit(1.96), 1L).otherwise(0L))
+        .orderBy($"event_type")
+    }),
+
+    // T32: Wald–Wolfowitz runs test (1940 — the classic randomness
+    // audit): per event type, dichotomize the daily counts against
+    // the series mean (the integer cross-multiply n_days·x > Σx — no
+    // division), count the RUNS of consecutive same-side days, and
+    // compare with the run count a random arrangement of the same
+    // n1 above / n2 below days would produce: E[R] = 1 + 2n1n2/N,
+    // Var[R] = 2n1n2(2n1n2 − N)/(N²(N−1)). Too FEW runs = regime
+    // clumping (the drift family's "is it even stationary" sibling);
+    // too many = oscillation. Exactness: the run count is an exact
+    // integer from one per-type lag window; E/Var/z are one
+    // identically-spelled q6 double (degenerate all-one-side series
+    // report z = 0 by the guarded branch, spelled identically in the
+    // oracle). Shape: one map-combinable daily count; the window and
+    // the test run on the bounded (type × day) relation.
+    "runs_test_drift" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.groupBy($"event_type")
+        .agg(sum($"n").as("sn"), count(lit(1)).as("nd"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val marked = daily.join(tot, "event_type")
+        .withColumn("above", ($"n" * $"nd") > $"sn")
+        .withColumn("prev", lag($"above", 1).over(w))
+      val agg = marked.groupBy($"event_type")
+        .agg(
+          (sum(when($"prev".isNotNull && $"prev" =!= $"above", 1L)
+            .otherwise(0L)) + lit(1L)).as("runs"),
+          sum(when($"above", 1L).otherwise(0L)).as("n1"),
+          sum(when(!$"above", 1L).otherwise(0L)).as("n2"))
+      val nTot = ($"n1" + $"n2").cast("double")
+      val er = lit(1.0) + lit(2.0) * $"n1".cast("double") *
+        $"n2".cast("double") / nTot
+      val vr = (lit(2.0) * $"n1".cast("double") * $"n2".cast("double") *
+        (lit(2.0) * $"n1".cast("double") * $"n2".cast("double") - nTot)) /
+        (nTot * nTot * (nTot - lit(1.0)))
+      val z = when($"n1" === 0L || $"n2" === 0L, lit(0.0))
+        .otherwise(($"runs".cast("double") - er) / sqrt(vr))
+      agg
+        .select($"event_type", $"n1", $"n2", $"runs", q6(z).as("z"))
+        .withColumn("is_nonrandom",
+          when(abs($"z") > lit(1.96), 1L).otherwise(0L))
+        .orderBy($"event_type")
+    }),
+
     "rolling_anomaly" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -1153,6 +1255,89 @@ object EventTime {
         |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS distinct_7d
         |FROM days LEFT JOIN a ON a.t BETWEEN day - 6 AND day
         |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // identical exact S / tie-corrected 18·Var / continuity-corrected
+    // q6 z
+    "mann_kendall_trend" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |s AS (
+         |  SELECT a.event_type,
+         |    CAST(SUM(CASE WHEN b.n > a.n THEN 1
+         |      WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+         |    AND a.day < b.day
+         |  GROUP BY 1),
+         |ties AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(cg * (cg - 1) * (2 * cg + 5)) AS BIGINT)
+         |      AS tie_term
+         |  FROM (SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS cg
+         |        FROM daily GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |v AS (
+         |  SELECT s.event_type, n_days, s_stat, tie_term,
+         |    n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18
+         |  FROM s JOIN ties USING (event_type))
+         |SELECT event_type, n_days, s_stat, tie_term, var18,
+         |  ${sqlQ6("CASE WHEN s_stat > 0 THEN " +
+             "CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+             "WHEN s_stat < 0 THEN " +
+             "CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+             "ELSE 0.0 END")} AS z,
+         |  CAST(CASE WHEN abs(${sqlQ6("CASE WHEN s_stat > 0 THEN " +
+             "CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+             "WHEN s_stat < 0 THEN " +
+             "CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+             "ELSE 0.0 END")}) > 1.96 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_trend
+         |FROM v ORDER BY event_type""".stripMargin,
+
+    // identical integer runs count / mean cross-multiply / guarded
+    // q6 z
+    "runs_test_drift" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS sn,
+         |    CAST(COUNT(*) AS BIGINT) AS nd
+         |  FROM daily GROUP BY 1),
+         |marked AS (
+         |  SELECT d.event_type, d.day, (d.n * t.nd > t.sn) AS above,
+         |    LAG(d.n * t.nd > t.sn) OVER (
+         |      PARTITION BY d.event_type ORDER BY d.day) AS prev
+         |  FROM daily d JOIN tot t USING (event_type)),
+         |agg AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> above
+         |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs,
+         |    CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN NOT above THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n2
+         |  FROM marked GROUP BY 1),
+         |zc AS (
+         |  SELECT event_type, n1, n2, runs,
+         |    ${sqlQ6("CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0 ELSE " +
+             "(CAST(runs AS DOUBLE) - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * " +
+             "CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))) / " +
+             "sqrt((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+             "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - " +
+             "CAST(n1 + n2 AS DOUBLE))) / (CAST(n1 + n2 AS DOUBLE) * " +
+             "CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))" +
+             " END")} AS z
+         |  FROM agg)
+         |SELECT event_type, n1, n2, runs, z,
+         |  CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_nonrandom
+         |FROM zc ORDER BY event_type""".stripMargin,
 
     // identical integer running sum / prefix-min / zero clamp /
     // squared 5σ cross-multiply

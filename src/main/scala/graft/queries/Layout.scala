@@ -295,6 +295,120 @@ object Layout {
         .orderBy($"probe_id", $"curve")
     }),
 
+    // Y8: the Y6 curve at d=3 — hvalueN (the Skilling general-d
+    // transform) over (custkey, day, price-unit) scaled onto equal
+    // 8-bit grids: the cell map of a writeZOrderedN-style layout
+    // under the locality-optimal curve, at the dimensionality Y2
+    // already covers for Z-order. The oracle replays the transform as
+    // a recursive CTE (inverse-undo rounds as data, the n sequential
+    // within-plane sub-steps as a constant-depth lateral-alias chain,
+    // the t-fold in closed form) — two independent implementations of
+    // the d=3 curve arithmetic, driver-compared. Scaling bounds ride
+    // a one-row broadcast (allowlisted).
+    "hilbert3_cells" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val B = 8
+      val day = datediff($"o_orderdate".cast("date"),
+        to_date(lit("1970-01-01"))).cast("long")
+      val unit = floor($"o_totalprice" / lit(1000.0)).cast("long")
+      val bounds = Tables.orders(s, dir)
+        .agg(min($"o_custkey").as("cmin"), max($"o_custkey").as("cmax"),
+          min(day).as("dmin"), max(day).as("dmax"),
+          min(unit).as("umin"), max(unit).as("umax"))
+      Tables.orders(s, dir)
+        .select($"o_custkey".as("c"), day.as("d"), unit.as("u"))
+        .crossJoin(broadcast(bounds))
+        .select(Hilbert.hvalueN(Seq(
+          expr(s"((c - cmin) * ${1L << B}) DIV (cmax - cmin + 1)"),
+          expr(s"((d - dmin) * ${1L << B}) DIV (dmax - dmin + 1)"),
+          expr(s"((u - umin) * ${1L << B}) DIV (umax - umin + 1)")), B)
+          .as("h"))
+        .groupBy(shiftright($"h", 16).as("cell"))
+        .agg(count(lit(1)).as("n_orders"),
+          min($"h").as("min_h"), max($"h").as("max_h"))
+        .orderBy($"cell")
+    }),
+
+    // Y9: the Y7 curve-decision harness at d=3 — the question Y7
+    // itself motivates ("which curve for THIS workload") answered at
+    // the dimensionality real layouts use: the same (custkey, day,
+    // price-unit) domain scaled onto 7-bit grids, clustered once
+    // under the d=3 Z interleave and once under the d=3 Hilbert
+    // (128 cells each), probed with the three predicate FAMILIES a
+    // 3-dim layout serves: a 3-dim box, a 2-dim box (third dimension
+    // unconstrained), and a 1-dim band. files-touched per curve per
+    // probe is the decision data. All arithmetic integer; per-curve
+    // stats relations are file-count-sized; probes and bounds are
+    // tiny broadcasts (the prune_audit shape, allowlisted).
+    "curve_compare3" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val B = 7
+      val shift = 14
+      val day = datediff($"o_orderdate".cast("date"),
+        to_date(lit("1970-01-01"))).cast("long")
+      val unit = floor($"o_totalprice" / lit(1000.0)).cast("long")
+      val bounds = Tables.orders(s, dir)
+        .agg(min($"o_custkey").as("cmin"), max($"o_custkey").as("cmax"),
+          min(day).as("dmin"), max(day).as("dmax"),
+          min(unit).as("umin"), max(unit).as("umax"))
+      val base = Tables.orders(s, dir)
+        .select($"o_custkey".as("c"), day.as("d"), unit.as("u"))
+        .crossJoin(broadcast(bounds))
+        .select($"c", $"d", $"u",
+          expr(s"((c - cmin) * ${1L << B}) DIV (cmax - cmin + 1)")
+            .as("sx"),
+          expr(s"((d - dmin) * ${1L << B}) DIV (dmax - dmin + 1)")
+            .as("sy"),
+          expr(s"((u - umin) * ${1L << B}) DIV (umax - umin + 1)")
+            .as("su"))
+      val cells = base.select(lit("hilbert").as("curve"),
+          shiftright(Hilbert.hvalueN(Seq($"sx", $"sy", $"su"), B), shift)
+            .as("cell"), $"c", $"d", $"u")
+        .unionAll(base.select(lit("zorder").as("curve"),
+          shiftright(ZOrder.zvalueN(Seq($"sx" -> B, $"sy" -> B,
+            $"su" -> B)), shift).as("cell"), $"c", $"d", $"u"))
+      val stats = cells.groupBy($"curve", $"cell")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"c").as("minc"), max($"c").as("maxc"),
+          min($"d").as("mind"), max($"d").as("maxd"),
+          min($"u").as("minu"), max($"u").as("maxu"))
+      val probes = bounds.select(explode(array(
+          struct(lit(1L).as("probe_id"),
+            expr("cmin + (cmax - cmin) * 40 DIV 100").as("cl"),
+            expr("cmin + (cmax - cmin) * 55 DIV 100").as("ch"),
+            expr("dmin + (dmax - dmin) * 40 DIV 100").as("dl"),
+            expr("dmin + (dmax - dmin) * 55 DIV 100").as("dh"),
+            expr("umin + (umax - umin) * 40 DIV 100").as("ul"),
+            expr("umin + (umax - umin) * 55 DIV 100").as("uh")),
+          struct(lit(2L).as("probe_id"),
+            expr("cmin + (cmax - cmin) * 45 DIV 100").as("cl"),
+            expr("cmin + (cmax - cmin) * 55 DIV 100").as("ch"),
+            expr("dmin + (dmax - dmin) * 45 DIV 100").as("dl"),
+            expr("dmin + (dmax - dmin) * 55 DIV 100").as("dh"),
+            $"umin".as("ul"), $"umax".as("uh")),
+          struct(lit(3L).as("probe_id"),
+            expr("cmin + (cmax - cmin) * 45 DIV 100").as("cl"),
+            expr("cmin + (cmax - cmin) * 55 DIV 100").as("ch"),
+            $"dmin".as("dl"), $"dmax".as("dh"),
+            $"umin".as("ul"), $"umax".as("uh")))).as("p"))
+        .select($"p.probe_id".as("probe_id"), $"p.cl".as("cl"),
+          $"p.ch".as("ch"), $"p.dl".as("dl"), $"p.dh".as("dh"),
+          $"p.ul".as("ul"), $"p.uh".as("uh"))
+      val totals = stats.groupBy($"curve")
+        .agg(count(lit(1)).as("n_files_total"))
+      stats.crossJoin(broadcast(probes))
+        .filter($"minc" <= $"ch" && $"maxc" >= $"cl" &&
+          $"mind" <= $"dh" && $"maxd" >= $"dl" &&
+          $"minu" <= $"uh" && $"maxu" >= $"ul")
+        .groupBy($"probe_id", $"curve")
+        .agg(count(lit(1)).as("n_files_touched"),
+          sum($"n_rows").as("n_rows_scanned"))
+        .join(broadcast(totals), "curve")
+        .select($"probe_id", $"curve", $"n_files_touched",
+          $"n_files_total", $"n_rows_scanned")
+        .orderBy($"probe_id", $"curve")
+    }),
+
     // Y5: small-file compaction plan — the maintenance op behind
     // Delta OPTIMIZE / Iceberg rewriteDataFiles: coalesce ADJACENT
     // undersized files (the 256-wide grid cells, ~60 rows each at
@@ -536,5 +650,98 @@ object Layout {
               "CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT)" -> 10))} AS z
          |      FROM orders)
          |GROUP BY 1 ORDER BY cell""".stripMargin,
+
+    // independent recursive-CTE replay of the d=3 Skilling transform
+    "hilbert3_cells" -> {
+      val B = 8
+      s"""WITH b AS (
+         |  SELECT CAST(MIN(o_custkey) AS BIGINT) AS cmin,
+         |    CAST(MAX(o_custkey) AS BIGINT) AS cmax,
+         |    MIN($sqlDay) AS dmin, MAX($sqlDay) AS dmax,
+         |    MIN(CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT)) AS umin,
+         |    MAX(CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT)) AS umax
+         |  FROM orders),
+         |base AS (
+         |  SELECT o_orderkey AS rk,
+         |    ((o_custkey - cmin) * ${1L << B}) // (cmax - cmin + 1) AS x0,
+         |    (($sqlDay - dmin) * ${1L << B}) // (dmax - dmin + 1) AS x1,
+         |    ((CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) - umin)
+         |      * ${1L << B}) // (umax - umin + 1) AS x2
+         |  FROM orders CROSS JOIN b),
+         |hc AS ${Hilbert.hvalueNRecSql(
+             "SELECT rk, x0, x1, x2 FROM base", B, 3)}
+         |SELECT (h >> 16) AS cell, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  MIN(h) AS min_h, MAX(h) AS max_h
+         |FROM hc GROUP BY 1 ORDER BY cell""".stripMargin
+    },
+
+    // both d=3 curves replayed independently over the same scaled
+    // coordinates and probes
+    "curve_compare3" -> {
+      val B = 7
+      val day = sqlDay
+      val unit = "CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT)"
+      s"""WITH b AS (
+         |  SELECT CAST(MIN(o_custkey) AS BIGINT) AS cmin,
+         |    CAST(MAX(o_custkey) AS BIGINT) AS cmax,
+         |    MIN($day) AS dmin, MAX($day) AS dmax,
+         |    MIN($unit) AS umin, MAX($unit) AS umax
+         |  FROM orders),
+         |base AS (
+         |  SELECT o_orderkey AS rk, CAST(o_custkey AS BIGINT) AS c,
+         |    $day AS d, $unit AS u,
+         |    ((o_custkey - cmin) * ${1L << B}) // (cmax - cmin + 1) AS sx,
+         |    (($day - dmin) * ${1L << B}) // (dmax - dmin + 1) AS sy,
+         |    (($unit - umin) * ${1L << B}) // (umax - umin + 1) AS su
+         |  FROM orders CROSS JOIN b),
+         |zc AS (
+         |  SELECT rk, ${ZOrder.zvalueNSql(Seq(
+              "sx" -> B, "sy" -> B, "su" -> B))} AS idx
+         |  FROM base),
+         |hc AS ${Hilbert.hvalueNRecSql(
+             "SELECT rk, sx AS x0, sy AS x1, su AS x2 FROM base", B, 3)},
+         |cells AS (
+         |  SELECT 'hilbert' AS curve, (hc.h >> 14) AS cell, c, d, u
+         |  FROM hc JOIN base USING (rk)
+         |  UNION ALL
+         |  SELECT 'zorder', (zc.idx >> 14), c, d, u
+         |  FROM zc JOIN base USING (rk)),
+         |stats AS (
+         |  SELECT curve, cell, COUNT(*) AS n_rows,
+         |    MIN(c) AS minc, MAX(c) AS maxc,
+         |    MIN(d) AS mind, MAX(d) AS maxd,
+         |    MIN(u) AS minu, MAX(u) AS maxu
+         |  FROM cells GROUP BY 1, 2),
+         |probes(probe_id, cl, ch, dl, dh, ul, uh) AS (
+         |  SELECT CAST(1 AS BIGINT), cmin + (cmax - cmin) * 40 // 100,
+         |    cmin + (cmax - cmin) * 55 // 100,
+         |    dmin + (dmax - dmin) * 40 // 100,
+         |    dmin + (dmax - dmin) * 55 // 100,
+         |    umin + (umax - umin) * 40 // 100,
+         |    umin + (umax - umin) * 55 // 100 FROM b
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), cmin + (cmax - cmin) * 45 // 100,
+         |    cmin + (cmax - cmin) * 55 // 100,
+         |    dmin + (dmax - dmin) * 45 // 100,
+         |    dmin + (dmax - dmin) * 55 // 100, umin, umax FROM b
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), cmin + (cmax - cmin) * 45 // 100,
+         |    cmin + (cmax - cmin) * 55 // 100, dmin, dmax, umin, umax
+         |  FROM b),
+         |tot AS (
+         |  SELECT curve, CAST(COUNT(*) AS BIGINT) AS n_files_total
+         |  FROM stats GROUP BY 1)
+         |SELECT p.probe_id, s.curve AS curve,
+         |  CAST(COUNT(*) AS BIGINT) AS n_files_touched,
+         |  tot.n_files_total,
+         |  CAST(SUM(s.n_rows) AS BIGINT) AS n_rows_scanned
+         |FROM stats s
+         |JOIN probes p ON s.minc <= p.ch AND s.maxc >= p.cl
+         |  AND s.mind <= p.dh AND s.maxd >= p.dl
+         |  AND s.minu <= p.uh AND s.maxu >= p.ul
+         |JOIN tot ON s.curve = tot.curve
+         |GROUP BY 1, 2, 4
+         |ORDER BY p.probe_id, s.curve""".stripMargin
+    },
   )
 }

@@ -63,6 +63,57 @@ class HilbertSpec extends SparkSuite {
     }
   }
 
+  test("hilbertN: bijective, invertible, and consecutive indices are " +
+      "ALWAYS grid neighbors at d=3 (and d=4)") {
+    // exhaustive at d=3, bits=3 (512 cells) and d=4, bits=2 (256)
+    for ((n, bits) <- Seq((3, 3), (4, 2))) {
+      val side = 1L << bits
+      val total = 1L << (n * bits)
+      val hs = scala.collection.mutable.Set.empty[Long]
+      def coordsOf(idx: Long): Array[Long] =
+        Array.tabulate(n)(i => (idx >> (i * bits)) & (side - 1))
+      (0L until total).foreach { idx =>
+        val c = coordsOf(idx)
+        val h = HilbertCore.axesToIndex(bits, c)
+        assert(h >= 0L && h < total, s"h=$h out of range at d=$n")
+        hs += h
+        // inverse round-trips
+        assert(HilbertCore.indexToAxes(bits, n, h).toSeq == c.toSeq,
+          s"indexToAxes(axesToIndex) != id at d=$n for ${c.toSeq}")
+      }
+      assert(hs.size == total, s"not a bijection at d=$n")
+      // THE curve invariant: consecutive h are Manhattan-1 neighbors
+      (0L until total - 1).foreach { h =>
+        val a = HilbertCore.indexToAxes(bits, n, h)
+        val b = HilbertCore.indexToAxes(bits, n, h + 1)
+        val dist = a.zip(b).map { case (p, q) => math.abs(p - q) }.sum
+        assert(dist == 1L, s"d=$n h=$h not adjacent: " +
+          s"${a.toSeq} -> ${b.toSeq}")
+      }
+    }
+  }
+
+  test("hilbertN codegen'd expression equals the interpreted core on " +
+      "fixture keys at d=3") {
+    val day = datediff($"o_orderdate".cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val unit = floor($"o_totalprice" / 1000.0).cast("long")
+      .bitwiseAND(lit(255L))
+    val rows = Tables.orders(spark, sf)
+      .select($"o_custkey".bitwiseAND(lit(255L)).as("cx"),
+        day.bitwiseAND(lit(255L)).as("cy"), unit.as("cz"),
+        Hilbert.hvalueN(Seq(
+          $"o_custkey".bitwiseAND(lit(255L)),
+          day.bitwiseAND(lit(255L)), unit), 8).as("h"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("h") === HilbertCore.axesToIndex(8,
+        Array(r.getAs[Long]("cx"), r.getAs[Long]("cy"),
+          r.getAs[Long]("cz"))))
+    }
+  }
+
   test("oracle recursive-CTE agrees with the engine on the cell map") {
     // the full driver compare runs in Verify; here: same cell ids and
     // counts via the Spark-SQL side of the recursive CTE is not

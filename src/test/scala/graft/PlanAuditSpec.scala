@@ -34,6 +34,8 @@ class PlanAuditSpec extends SparkSuite {
       "bigram_logprob", // one-row vocab broadcast (unigram_logprob shape)
       "kn_bigram_logprob", // one-row bigram-types broadcast (same shape)
       "benford_audit", // one-row digit-total broadcast (same shape)
+      "chi2_independence", // bounded margin cross (R x C <= 35 cells)
+                           // + one-row totals broadcast
       "ks_drift", // one-row (n1, n2) totals broadcast (same shape)
       "mannwhitney_drift", // one-row (n1, n2, tie) totals broadcast (same shape)
       "lang_id_trigram", // one-row class-totals broadcast (same shape)
@@ -62,6 +64,8 @@ class PlanAuditSpec extends SparkSuite {
                            // source-domain relation (scalar-subquery shape)
       "curve_compare", // one-row bounds + 3-row probe broadcasts over
                        // file-count-sized stats (the prune_audit shape)
+      "curve_compare3", // same shape at d=3
+      "hilbert3_cells", // one-row scaling-bounds broadcast
       "source_affinity", // bounded source-domain centroid pairing
                          // (kmv_overlap shape: both sides one row per
                          // source, inequality dedupes the pairs)
