@@ -792,6 +792,51 @@ object EventTime {
         .orderBy($"event_type")
     }),
 
+    // T33: EWMA control chart (Roberts 1959 — the SPC standard between
+    // T22's single-day z-test and T26's unbounded CUSUM): an
+    // exponentially weighted moving average of the daily counts,
+    // flagged when it leaves the ±3σ_EWMA control band. λ = 1/4,
+    // truncated at 8 taps so the weights are EXACT integers: w_k =
+    // 3^k·4^(7−k) (Σw = 58975, Σw² = 607417225), making the smoothed
+    // numerator an exact long — the only doubles are the final
+    // identically-spelled q6 divisions (ewma = num/58975, σ_EWMA² =
+    // s²·Σw²/(Σw)²), so the out-of-control decision compares grid
+    // values. The 8-tap truncation is the standard steady-state
+    // approximation ((1−λ)⁸ < 10% tail mass) and is what keeps the
+    // arithmetic exact — documented as part of the statistic. Shape:
+    // one map-combinable daily count; eight lag windows and the test
+    // on the bounded (type × day) relation.
+    "ewma_control" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val weights = (0 to 7).map(k =>
+        math.pow(3, k).toLong * math.pow(4, 7 - k).toLong)
+      val num = (0 to 7).map(k => lag($"n", k).over(w) * lit(weights(k)))
+        .reduce(_ + _)
+      val tot = daily.groupBy($"event_type")
+        .agg(sum($"n").as("sn"), sum($"n" * $"n").as("sq"),
+          count(lit(1)).as("nd"))
+      val ewma = $"num".cast("double") / lit(58975.0)
+      val mean = $"sn".cast("double") / $"nd".cast("double")
+      val va = ($"nd" * $"sq" - $"sn" * $"sn").cast("double") /
+        ($"nd" * ($"nd" - lit(1L))).cast("double")
+      val sigmaE = sqrt(va * lit(607417225.0) / lit(3478050625.0))
+      daily
+        .withColumn("num", num)
+        .filter($"num".isNotNull)
+        .join(tot, "event_type")
+        .select($"event_type", $"day", $"n".as("n_events"),
+          q6(ewma).as("ewma"), q6((ewma - mean) / sigmaE).as("z"))
+        .withColumn("is_ooc", when(abs($"z") > lit(3.0), 1L).otherwise(0L))
+        .orderBy($"event_type", $"day")
+    }),
+
     // T32: Wald–Wolfowitz runs test (1940 — the classic randomness
     // audit): per event type, dichotomize the daily counts against
     // the series mean (the integer cross-multiply n_days·x > Σx — no
@@ -1255,6 +1300,45 @@ object EventTime {
         |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS distinct_7d
         |FROM days LEFT JOIN a ON a.t BETWEEN day - 6 AND day
         |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // identical exact integer 8-tap weights and the same q6 divisions
+    "ewma_control" -> {
+      val wSum = (0 to 7).map(k =>
+        s"${math.pow(3, k).toLong * math.pow(4, 7 - k).toLong} * " +
+          s"LAG(n, $k) OVER (PARTITION BY event_type ORDER BY day)")
+        .mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS sn,
+         |    CAST(SUM(n * n) AS BIGINT) AS sq,
+         |    CAST(COUNT(*) AS BIGINT) AS nd
+         |  FROM daily GROUP BY 1),
+         |sm AS (
+         |  SELECT event_type, day, n, $wSum AS num FROM daily),
+         |j AS (
+         |  SELECT s.event_type, s.day, s.n, s.num, t.sn, t.sq, t.nd
+         |  FROM sm s JOIN tot t USING (event_type)
+         |  WHERE s.num IS NOT NULL)
+         |SELECT event_type, day, n AS n_events,
+         |  ${sqlQ6("CAST(num AS DOUBLE) / 58975.0")} AS ewma,
+         |  ${sqlQ6("(CAST(num AS DOUBLE) / 58975.0 - " +
+             "CAST(sn AS DOUBLE) / CAST(nd AS DOUBLE)) / " +
+             "sqrt((CAST(nd * sq - sn * sn AS DOUBLE) / " +
+             "CAST(nd * (nd - 1) AS DOUBLE)) * 607417225.0 / " +
+             "3478050625.0)")} AS z,
+         |  CAST(CASE WHEN abs(${sqlQ6("(CAST(num AS DOUBLE) / 58975.0 - " +
+             "CAST(sn AS DOUBLE) / CAST(nd AS DOUBLE)) / " +
+             "sqrt((CAST(nd * sq - sn * sn AS DOUBLE) / " +
+             "CAST(nd * (nd - 1) AS DOUBLE)) * 607417225.0 / " +
+             "3478050625.0)")}) > 3.0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_ooc
+         |FROM j ORDER BY event_type, day""".stripMargin
+    },
 
     // identical exact S / tie-corrected 18·Var / continuity-corrected
     // q6 z

@@ -34,6 +34,43 @@ private[queries] trait PipelineDedupQueries extends PipelineCore {
         .orderBy($"doc_id")
     }),
 
+    // X13: homoglyph-skeleton dedup — the adversarial-dedup gap exact
+    // fingerprints (L1) cannot close: a scraped or spammy copy that
+    // swaps Latin letters for Unicode CONFUSABLES (Cyrillic а/е/о/р/
+    // с/х/у/і read identically) or salts the text with zero-width
+    // characters hashes differently while reading identically (the
+    // Unicode TR39 skeleton idea, applied at the dedup layer).
+    // Skeleton = lowercase + one translate() pass mapping the
+    // confusable table to ASCII, dropping ZWSP/ZWNJ/ZWJ/BOM and
+    // folding NBSP to space — translate is code-point-wise in BOTH
+    // engines, so the skeletons agree byte-for-byte. Groups key on
+    // the engine-portable 60-bit md5 fold of the skeleton (the M14
+    // recipe — the skeleton string itself never shuffles at scale).
+    // Planted probes (Cyrillic-substituted + zero-width-salted copies
+    // of real docs under new ids) prove the catch; n_raw_variants ≥ 2
+    // distinguishes true homoglyph hits from byte-identical dups.
+    "homoglyph_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val probes = docs.filter($"doc_id" % 41 === 0)
+        .select(($"doc_id" + lit(90000000L)).as("doc_id"),
+          concat(lit("\u200B"),
+            translate($"text", "aeo", "аео")).as("text"))
+      val from = "аеорсхуі" +
+        "\u00A0\u200B\u200C\u200D\uFEFF"
+      val to = "aeopcxyi "
+      docs.unionByName(probes)
+        .withColumn("skel", translate(lower($"text"), from, to))
+        .withColumn("skel_fp",
+          conv(substring(md5($"skel"), 1, 15), 16, 10).cast("long"))
+        .groupBy($"skel_fp")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"text").as("n_raw_variants"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .filter($"n_docs" >= 2L)
+        .orderBy($"min_doc")
+    }),
+
     // L65: sub-document segment dedup with reassembly — the
     // paragraph-dedup recipe (dedup below doc granularity, keep the
     // first occurrence corpus-wide, reassemble what survives) for a

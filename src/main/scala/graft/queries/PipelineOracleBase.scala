@@ -71,6 +71,36 @@ private[queries] trait PipelineOracleBase extends PipelineOracleSupport {
   }
 
   private[queries] val staticOracleBase: Map[String, String] = Map(
+    // same confusable translate pass (code-point-wise in both
+    // engines), same 60-bit md5 fold of the skeleton
+    "homoglyph_dedup" ->
+      s"""WITH probes AS (
+         |  SELECT doc_id + 90000000 AS doc_id,
+         |    chr(8203) || translate(text, 'aeo', 'аео') AS text
+         |  FROM documents WHERE doc_id % 41 = 0),
+         |alldocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM probes),
+         |sk AS (
+         |  SELECT doc_id, text,
+         |    translate(lower(text),
+         |      'аеорсхуі' || chr(160) || chr(8203) || chr(8204) ||
+         |        chr(8205) || chr(65279),
+         |      'aeopcxyi ') AS skel
+         |  FROM alldocs),
+         |fp AS (
+         |  SELECT doc_id, text,
+         |    list_reduce(list_transform(range(1, 16), i ->
+         |      CAST(strpos('0123456789abcdef', md5(skel)[i:i]) - 1
+         |        AS BIGINT)),
+         |      (a, x) -> a * 16 + x) AS skel_fp
+         |  FROM sk)
+         |SELECT skel_fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_raw_variants,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM fp GROUP BY 1 HAVING COUNT(*) >= 2
+         |ORDER BY min_doc""".stripMargin,
+
     // Oracle partitions by text directly — semantically identical to
     // the 128-bit fingerprint absent a collision (~1e-20 at 4B docs).
     "exact_dedup" ->
