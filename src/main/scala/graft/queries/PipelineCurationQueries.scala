@@ -629,6 +629,49 @@ private[queries] trait PipelineCurationQueries extends PipelineCore {
         .orderBy($"doc_id", $"copy_no")
     }),
 
+    // L107: temperature-scaled mixture allocation — the multilingual
+    // data-balancing recipe (the XLM-R / mT5 `p_s^α` upsampling rule,
+    // α = 1/2): raw shares over-serve head sources and starve tails;
+    // temperature scaling flattens the mixture, and a training run
+    // that needs EXACTLY K examples then apportions the scaled shares
+    // by largest remainder (the L79 machinery over the TRANSFORMED
+    // weights — both honest recipes, different questions: L79 hits
+    // the observed mix, this row hits the rebalanced one). Exactness:
+    // sqrt is correctly-rounded IEEE in both engines, so the scaled
+    // weight quantizes to an exact q6-micro long; the Hare quota
+    // (K·w DIV Σw), remainders and the leftover walk are then pure
+    // integers (envelope K·w < 2⁶³ documented). Shape: one
+    // map-combinable source count; everything after runs on the
+    // bounded source-domain relation (the gini window contract).
+    "mixture_temperature" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val K = 10000L
+      val sw = Tables.documents(s, dir)
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("sw",
+          floor(sqrt($"n_docs".cast("double")) * lit(1000000.0) +
+            lit(0.5)).cast("long"))
+      val tot = broadcast(sw.agg(sum($"sw").as("s_tot"),
+        sum($"n_docs").as("n_tot")))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRk = Window.orderBy($"rem".desc, $"source")
+      sw.crossJoin(tot)
+        .withColumn("base", expr(s"($K * sw) DIV s_tot"))
+        .withColumn("rem", expr(s"($K * sw) % s_tot"))
+        .withColumn("leftover", lit(K) - sum($"base").over(wAll))
+        .withColumn("rk", row_number().over(wRk).cast("long"))
+        .select($"source", $"n_docs",
+          q6($"n_docs".cast("double") / $"n_tot".cast("double"))
+            .as("raw_share"),
+          q6($"sw".cast("double") / $"s_tot".cast("double"))
+            .as("temp_share"),
+          ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy($"source")
+    }),
+
     // L2 guard rail: the candidate-pair budget, driver-checked. Docs
     // bucketed by a plain column (lang — ~100 members each at sf0.01,
     // C(100,2) ≈ 4950 pairs) run through fromBucketsBudgeted with

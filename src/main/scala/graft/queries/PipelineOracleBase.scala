@@ -101,6 +101,39 @@ private[queries] trait PipelineOracleBase extends PipelineOracleSupport {
          |FROM fp GROUP BY 1 HAVING COUNT(*) >= 2
          |ORDER BY min_doc""".stripMargin,
 
+    // same q6-micro sqrt weights, same integer Hare quota + largest
+    // remainder
+    "mixture_temperature" ->
+      s"""WITH src AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |sw AS (
+         |  SELECT source, n_docs,
+         |    CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS sw
+         |  FROM src),
+         |tot AS (
+         |  SELECT CAST(SUM(sw) AS BIGINT) AS s_tot,
+         |    CAST(SUM(n_docs) AS BIGINT) AS n_tot
+         |  FROM sw),
+         |j AS (
+         |  SELECT source, n_docs, sw, s_tot, n_tot,
+         |    (10000 * sw) // s_tot AS base,
+         |    (10000 * sw) % s_tot AS rem
+         |  FROM sw CROSS JOIN tot),
+         |l AS (
+         |  SELECT *, 10000 - SUM(base) OVER () AS leftover,
+         |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+         |  FROM j)
+         |SELECT source, n_docs,
+         |  ${sqlQ6("CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)")}
+         |    AS raw_share,
+         |  ${sqlQ6("CAST(sw AS DOUBLE) / CAST(s_tot AS DOUBLE)")}
+         |    AS temp_share,
+         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+         |    AS BIGINT) AS alloc
+         |FROM l ORDER BY source""".stripMargin,
+
     // Oracle partitions by text directly — semantically identical to
     // the 128-bit fingerprint absent a collision (~1e-20 at 4B docs).
     "exact_dedup" ->

@@ -62,6 +62,8 @@ class PlanAuditSpec extends SparkSuite {
       "bloom_file_skip", // one-row file-total broadcast (same shape)
       "mixture_apportion", // one-row total + leftover broadcasts over the
                            // source-domain relation (scalar-subquery shape)
+      "mixture_temperature", // one-row totals broadcast over the
+                             // source-domain relation (same shape)
       "curve_compare", // one-row bounds + 3-row probe broadcasts over
                        // file-count-sized stats (the prune_audit shape)
       "curve_compare3", // same shape at d=3
