@@ -341,6 +341,95 @@ object Aggregates {
             .as("cramers_v"))
     }),
 
+    // G29: one-way ANOVA F — the k-SAMPLE member of the drift/segment
+    // family (MW/Welch compare two windows; ANOVA asks "does the
+    // metric differ ACROSS the k segments at all", the gate before
+    // any pairwise drill-down). Values quantize to integer cents
+    // (floor(v·100 + ½) — the Benford recipe), so every group sum and
+    // sum-of-squares is an EXACT long and SSB/SSW assemble from exact
+    // integers in one identically-spelled double expression; F and
+    // the group table are q6. Envelope: Σv_c² < 2⁶³ (cents² ~ 2.4e9
+    // per row → ~4e9 rows; past it the sums move to the decimal
+    // lane). Shape: ONE map-combinable per-type agg over the fact
+    // table; the F assembly runs on the k-row group relation with a
+    // one-row grand-total broadcast (allowlisted).
+    "anova_f" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val g = Tables.events(s, dir)
+        .select($"event_type",
+          floor($"value" * lit(100.0) + lit(0.5)).cast("long").as("v"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("ng"), sum($"v").as("sg"),
+          sum($"v" * $"v").as("qg"))
+      val tot = broadcast(g.agg(sum($"ng").as("nn"), sum($"sg").as("ss"),
+        sum($"qg").as("qq"), count(lit(1)).as("k")))
+      // SSB = Σ s_g²/n_g − S²/N, SSW = Q − Σ s_g²/n_g. The per-group
+      // term s_g²/n_g is computed once per group in doubles (identical
+      // IEEE ops in both engines) and FLOORED TO A LONG before the
+      // cross-group sum — a raw double sum over groups would be
+      // summation-order-dependent; longs are order-free (envelope
+      // s_g²/n_g < 2⁶³ cents² documented)
+      val j = g.crossJoin(tot)
+        .groupBy($"nn", $"ss", $"qq", $"k")
+        .agg(sum(floor($"sg".cast("double") * $"sg".cast("double") /
+          $"ng".cast("double") + lit(0.5)).cast("long")).as("sb"))
+      val ssb = $"sb".cast("double") -
+        $"ss".cast("double") * $"ss".cast("double") / $"nn".cast("double")
+      val ssw = $"qq".cast("double") - $"sb".cast("double")
+      val f = (ssb / ($"k" - lit(1L)).cast("double")) /
+        (ssw / ($"nn" - $"k").cast("double"))
+      j.select($"k".as("n_groups"), $"nn".as("n_rows"),
+        ($"k" - lit(1L)).as("df_between"),
+        ($"nn" - $"k").as("df_within"),
+        q6(ssb / lit(10000.0)).as("ss_between"),
+        q6(ssw / lit(10000.0)).as("ss_within"),
+        q6(f).as("f_stat"))
+    }),
+
+    // G30: Welch's unequal-variance t-test — the PARAMETRIC two-window
+    // mean comparison next to G27's rank-based MW (MW sees any
+    // location shift; Welch quantifies the mean difference in value
+    // units with the Welch–Satterthwaite df, no equal-variance
+    // assumption — the A/B-testing default). Same half-month split as
+    // the drift family. Values quantize to integer cents so both
+    // windows' sums/sums-of-squares are exact longs; t, df and the
+    // decision are identically-spelled q6 doubles (grid compares).
+    // Shape: one map-combinable two-window agg; the test is one row.
+    "welch_ttest" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val agg = Tables.events(s, dir)
+        .select(($"ts" < split).as("inA"),
+          floor($"value" * lit(100.0) + lit(0.5)).cast("long").as("v"))
+        .agg(
+          sum(when($"inA", 1L).otherwise(0L)).as("n1"),
+          sum(when($"inA", $"v").otherwise(0L)).as("s1"),
+          sum(when($"inA", $"v" * $"v").otherwise(0L)).as("q1"),
+          sum(when(!$"inA", 1L).otherwise(0L)).as("n2"),
+          sum(when(!$"inA", $"v").otherwise(0L)).as("s2"),
+          sum(when(!$"inA", $"v" * $"v").otherwise(0L)).as("q2"))
+      def mean(sc: Column, n: Column) = sc.cast("double") / n.cast("double")
+      // unbiased per-window variance: the sums are exact longs but the
+      // n·q and s² PRODUCTS would overflow 2⁶³ at scale, so they
+      // multiply in doubles — identical IEEE ops in both engines
+      def va(n: Column, sc: Column, q: Column) =
+        (n.cast("double") * q.cast("double") -
+          sc.cast("double") * sc.cast("double")) /
+          (n.cast("double") * (n - lit(1L)).cast("double"))
+      val se1 = va($"n1", $"s1", $"q1") / $"n1".cast("double")
+      val se2 = va($"n2", $"s2", $"q2") / $"n2".cast("double")
+      val t = (mean($"s1", $"n1") - mean($"s2", $"n2")) / sqrt(se1 + se2)
+      val df = (se1 + se2) * (se1 + se2) /
+        (se1 * se1 / ($"n1" - lit(1L)).cast("double") +
+          se2 * se2 / ($"n2" - lit(1L)).cast("double"))
+      agg.select($"n1", $"n2",
+          q6(mean($"s1", $"n1") / lit(100.0)).as("mean_a"),
+          q6(mean($"s2", $"n2") / lit(100.0)).as("mean_b"),
+          q6(t).as("t_stat"), q6(df).as("welch_df"))
+        .withColumn("reject_05",
+          when(abs($"t_stat") > lit(1.96), 1L).otherwise(0L))
+    }),
+
     "agg_distinct" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       Tables.orders(s, dir)
@@ -1461,6 +1550,88 @@ object Aggregates {
              "/ CAST(n * mass AS DOUBLE)")} AS gini
          |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
          |ORDER BY dimension""".stripMargin,
+
+    // identical cents quantization, per-group floored s²/n terms
+    // (order-free long sum), one identically-spelled F assembly
+    "anova_f" ->
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+         |    CAST(SUM(v) AS BIGINT) AS sg,
+         |    CAST(SUM(v * v) AS BIGINT) AS qg
+         |  FROM (SELECT event_type,
+         |          CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+         |        FROM events)
+         |  GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(ng) AS BIGINT) AS nn,
+         |    CAST(SUM(sg) AS BIGINT) AS ss,
+         |    CAST(SUM(qg) AS BIGINT) AS qq,
+         |    CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM g),
+         |sb AS (
+         |  SELECT nn, ss, qq, k,
+         |    CAST(SUM(CAST(FLOOR(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+         |      / CAST(ng AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS sb
+         |  FROM g CROSS JOIN tot GROUP BY 1, 2, 3, 4)
+         |SELECT k AS n_groups, nn AS n_rows,
+         |  k - 1 AS df_between, nn - k AS df_within,
+         |  ${sqlQ6("(CAST(sb AS DOUBLE) - CAST(ss AS DOUBLE) * " +
+             "CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) / 10000.0")}
+         |    AS ss_between,
+         |  ${sqlQ6("(CAST(qq AS DOUBLE) - CAST(sb AS DOUBLE)) / 10000.0")}
+         |    AS ss_within,
+         |  ${sqlQ6("((CAST(sb AS DOUBLE) - CAST(ss AS DOUBLE) * " +
+             "CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) / " +
+             "CAST(k - 1 AS DOUBLE)) / ((CAST(qq AS DOUBLE) - " +
+             "CAST(sb AS DOUBLE)) / CAST(nn - k AS DOUBLE))")} AS f_stat
+         |FROM sb""".stripMargin,
+
+    // identical cents quantization and exact-long window sums; t/df
+    // are one identically-spelled q6 double each
+    "welch_ttest" ->
+      s"""WITH a AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN inA THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN inA THEN v ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(SUM(CASE WHEN inA THEN v * v ELSE 0 END) AS BIGINT)
+         |      AS q1,
+         |    CAST(SUM(CASE WHEN NOT inA THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n2,
+         |    CAST(SUM(CASE WHEN NOT inA THEN v ELSE 0 END) AS BIGINT)
+         |      AS s2,
+         |    CAST(SUM(CASE WHEN NOT inA THEN v * v ELSE 0 END) AS BIGINT)
+         |      AS q2
+         |  FROM (SELECT ts < TIMESTAMP '2024-01-16 00:00:00' AS inA,
+         |          CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+         |        FROM events)),
+         |z AS (
+         |  SELECT n1, n2, s1, s2,
+         |    (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE) -
+         |     CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+         |      (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) /
+         |      CAST(n1 AS DOUBLE) AS se1,
+         |    (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE) -
+         |     CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) /
+         |      (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) /
+         |      CAST(n2 AS DOUBLE) AS se2
+         |  FROM a),
+         |r AS (
+         |  SELECT n1, n2,
+         |    ${sqlQ6("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0")}
+         |      AS mean_a,
+         |    ${sqlQ6("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0")}
+         |      AS mean_b,
+         |    ${sqlQ6("(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+             "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(se1 + se2)")}
+         |      AS t_stat,
+         |    ${sqlQ6("(se1 + se2) * (se1 + se2) / (se1 * se1 / " +
+             "CAST(n1 - 1 AS DOUBLE) + se2 * se2 / CAST(n2 - 1 AS DOUBLE))")}
+         |      AS welch_df
+         |  FROM z)
+         |SELECT n1, n2, mean_a, mean_b, t_stat, welch_df,
+         |  CAST(CASE WHEN abs(t_stat) > 1.96 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS reject_05
+         |FROM r""".stripMargin,
 
     // identical exact long deviations, zero-cells included via the
     // margin cross, per-cell micro quantization before the sum

@@ -36,6 +36,8 @@ class PlanAuditSpec extends SparkSuite {
       "benford_audit", // one-row digit-total broadcast (same shape)
       "chi2_independence", // bounded margin cross (R x C <= 35 cells)
                            // + one-row totals broadcast
+      "anova_f", // one-row grand-total broadcast over the k-row
+                 // group relation (scalar-subquery shape)
       "ks_drift", // one-row (n1, n2) totals broadcast (same shape)
       "mannwhitney_drift", // one-row (n1, n2, tie) totals broadcast (same shape)
       "lang_id_trigram", // one-row class-totals broadcast (same shape)
