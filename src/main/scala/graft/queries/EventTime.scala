@@ -792,6 +792,56 @@ object EventTime {
         .orderBy($"event_type")
     }),
 
+    // T34: change-point LOCALIZATION (one-split binary segmentation —
+    // the answer to the question T26 only flags): per event type, the
+    // split position t maximizing the between-segment sum of squares,
+    // score(t) = (cum_t·n − S·t)² / (t·(n−t)) over the day-ordered
+    // daily counts — i.e. WHERE did the level change, with the
+    // before/after means as the effect size. Exactness: the numerator
+    // (cum_t·n − S·t)² is an exact long (envelope cum·n < 3·10⁹
+    // documented — daily-count units, not events); each candidate's
+    // score quantizes to a micro-unit long via one identically-spelled
+    // double division, and the argmax tie-breaks deterministically on
+    // (score desc, day asc). Shape: one map-combinable daily count;
+    // the prefix sums, candidate scores and argmax all run on the
+    // bounded (type × day) relation.
+    "change_localization" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val tot = Window.partitionBy($"event_type")
+      val cand = daily
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("cum", sum($"n").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nd", count($"n").over(tot))
+        .withColumn("s_all", sum($"n").over(tot))
+        .filter($"t" < $"nd")
+      val num = $"cum" * $"nd" - $"s_all" * $"t"
+      val scored = cand
+        .withColumn("score6",
+          floor((num.cast("double") * num.cast("double") /
+            ($"t" * ($"nd" - $"t")).cast("double")) * lit(1000000.0) /
+            ($"nd" * $"nd").cast("double") + lit(0.5)).cast("long"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"event_type")
+            .orderBy($"score6".desc, $"day")))
+        .filter($"rk" === 1)
+      scored.select($"event_type", $"nd".as("n_days"),
+          $"day".as("split_day"), $"t".as("n_before"),
+          q6($"cum".cast("double") / $"t".cast("double"))
+            .as("mean_before"),
+          q6(($"s_all" - $"cum").cast("double") /
+            ($"nd" - $"t").cast("double")).as("mean_after"),
+          $"score6")
+        .orderBy($"event_type")
+    }),
+
     // T33: EWMA control chart (Roberts 1959 — the SPC standard between
     // T22's single-day z-test and T26's unbounded CUSUM): an
     // exponentially weighted moving average of the daily counts,
@@ -1300,6 +1350,46 @@ object EventTime {
         |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS distinct_7d
         |FROM days LEFT JOIN a ON a.t BETWEEN day - 6 AND day
         |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // identical exact-long numerators, micro-quantized candidate
+    // scores, (score desc, day) argmax
+    "change_localization" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |c AS (
+         |  SELECT event_type, day, n,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY day) AS BIGINT) AS t,
+         |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+         |      AS nd,
+         |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+         |      AS s_all
+         |  FROM daily),
+         |sc AS (
+         |  SELECT *,
+         |    CAST(FLOOR((CAST(cum * nd - s_all * t AS DOUBLE) *
+         |      CAST(cum * nd - s_all * t AS DOUBLE) /
+         |      CAST(t * (nd - t) AS DOUBLE)) * 1000000.0 /
+         |      CAST(nd * nd AS DOUBLE) + 0.5) AS BIGINT) AS score6
+         |  FROM c WHERE t < nd),
+         |rk AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |    ORDER BY score6 DESC, day) AS rk
+         |  FROM sc)
+         |SELECT event_type, nd AS n_days, day AS split_day,
+         |  t AS n_before,
+         |  ${sqlQ6("CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)")}
+         |    AS mean_before,
+         |  ${sqlQ6("CAST(s_all - cum AS DOUBLE) / CAST(nd - t AS DOUBLE)")}
+         |    AS mean_after,
+         |  score6
+         |FROM rk WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     // identical exact integer 8-tap weights and the same q6 divisions
     "ewma_control" -> {

@@ -629,6 +629,44 @@ private[queries] trait PipelineCurationQueries extends PipelineCore {
         .orderBy($"doc_id", $"copy_no")
     }),
 
+    // L108: distinct-n diversity audit — the Texygen/self-BLEU-family
+    // diversity gate a mixture owner reads next to L50's entropy:
+    // distinct-1/2/3 = (distinct n-grams) / (total n-grams) per
+    // source; a source whose ratios collapse is template spam or a
+    // degenerate generator even when its unigram entropy looks fine
+    // (bigram/trigram collapse is invisible to L50). On this fixture
+    // the 31-token vocabulary saturates distinct-1 to ≈ 31/n — which
+    // IS the report (the salad has no lexical diversity to find).
+    // Exactness: all counts are exact longs (countDistinct over the
+    // (source, gram) domain); ratios are q6. Shape: three
+    // map-combinable distinct-aggregations keyed by (source, gram);
+    // the gram relations shuffle hashed gram strings, never documents
+    // (at 100 TB the distinct count swaps to HLL via G5's lane, same
+    // query shape).
+    "distinct_ngrams" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ws = Tables.documents(s, dir)
+        .select($"source", split($"text", " ").as("ws"))
+      def grams(n: Int) = ws.filter(size($"ws") >= n)
+        .select($"source", explode(
+          expr(s"transform(sequence(1, size(ws) - ${n - 1}), i -> " +
+            (0 until n).map(k => s"element_at(ws, i + $k)")
+              .mkString("concat_ws(' ', ", ", ", ")") + ")"))
+          .as("g"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as(s"n_${n}grams"),
+          countDistinct($"g").as(s"d_${n}grams"))
+      grams(1).join(grams(2), "source").join(grams(3), "source")
+        .select($"source", $"n_1grams".as("n_tokens"),
+          $"d_1grams", q6($"d_1grams".cast("double") /
+            $"n_1grams".cast("double")).as("distinct_1"),
+          $"d_2grams", q6($"d_2grams".cast("double") /
+            $"n_2grams".cast("double")).as("distinct_2"),
+          $"d_3grams", q6($"d_3grams".cast("double") /
+            $"n_3grams".cast("double")).as("distinct_3"))
+        .orderBy($"source")
+    }),
+
     // L107: temperature-scaled mixture allocation — the multilingual
     // data-balancing recipe (the XLM-R / mT5 `p_s^α` upsampling rule,
     // α = 1/2): raw shares over-serve head sources and starve tails;

@@ -101,6 +101,41 @@ private[queries] trait PipelineOracleBase extends PipelineOracleSupport {
          |FROM fp GROUP BY 1 HAVING COUNT(*) >= 2
          |ORDER BY min_doc""".stripMargin,
 
+    // independent n-gram spelling (list comprehension vs transform);
+    // identical exact distinct counts and q6 ratios
+    "distinct_ngrams" ->
+      s"""WITH ws AS (
+         |  SELECT source, string_split(text, ' ') AS ws FROM documents),
+         |g1 AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n1,
+         |    CAST(COUNT(DISTINCT g) AS BIGINT) AS d1
+         |  FROM (SELECT source, unnest(ws) AS g FROM ws) GROUP BY 1),
+         |g2 AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n2,
+         |    CAST(COUNT(DISTINCT g) AS BIGINT) AS d2
+         |  FROM (SELECT source, unnest([ws[i] || ' ' || ws[i + 1]
+         |          for i in range(1, len(ws))]) AS g FROM ws)
+         |  GROUP BY 1),
+         |g3 AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n3,
+         |    CAST(COUNT(DISTINCT g) AS BIGINT) AS d3
+         |  FROM (SELECT source,
+         |          unnest([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+         |            for i in range(1, len(ws) - 1)]) AS g FROM ws)
+         |  GROUP BY 1)
+         |SELECT source, n1 AS n_tokens,
+         |  d1 AS d_1grams,
+         |  ${sqlQ6("CAST(d1 AS DOUBLE) / CAST(n1 AS DOUBLE)")}
+         |    AS distinct_1,
+         |  d2 AS d_2grams,
+         |  ${sqlQ6("CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE)")}
+         |    AS distinct_2,
+         |  d3 AS d_3grams,
+         |  ${sqlQ6("CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE)")}
+         |    AS distinct_3
+         |FROM g1 JOIN g2 USING (source) JOIN g3 USING (source)
+         |ORDER BY source""".stripMargin,
+
     // same q6-micro sqrt weights, same integer Hare quota + largest
     // remainder
     "mixture_temperature" ->
