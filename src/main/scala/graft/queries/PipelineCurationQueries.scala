@@ -629,6 +629,53 @@ private[queries] trait PipelineCurationQueries extends PipelineCore {
         .orderBy($"doc_id", $"copy_no")
     }),
 
+    // L109: embedding drift monitor — the vector-space member of the
+    // drift family (PSI/KS watch scalar columns; embedding pipelines
+    // drift when the ENCODER or the upstream mix changes, visible as
+    // per-class centroid movement between ingestion batches): per
+    // label, the cosine and L2 distance between the batch-A and
+    // batch-B centroids (A/B = vec_id parity — the replica/batch
+    // split). Exactness: components quantize to q6-micro longs at the
+    // scan; per-dim centroids are one identically-spelled double
+    // division rounded BACK to the micro grid, so the dot/norm/L2
+    // sums are order-free longs (≤ 10¹² per dim — safe at any corpus
+    // size because centroids, not sums, multiply); the final
+    // cosine/L2 are q6 doubles over grid values. Shape: one
+    // map-combinable (label, dim) agg; everything after runs on the
+    // bounded label × 64-dim relation.
+    "embedding_drift" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cent = Tables.embeddings(s, dir)
+        .select($"label".cast("long").as("label"),
+          ($"vec_id" % 2 === 0).as("ina"),
+          posexplode($"embedding".cast("array<double>"))
+            .as(Seq("dim", "x")))
+        .select($"label", $"ina", $"dim".cast("long").as("dim"),
+          floor($"x" * lit(1000000.0) + lit(0.5)).cast("long").as("xq"))
+        .groupBy($"label", $"dim")
+        .agg(sum(when($"ina", $"xq").otherwise(0L)).as("sa"),
+          sum(when(!$"ina", $"xq").otherwise(0L)).as("sb"),
+          sum(when($"ina", 1L).otherwise(0L)).as("na"),
+          sum(when(!$"ina", 1L).otherwise(0L)).as("nb"))
+        .select($"label", $"na", $"nb",
+          floor($"sa".cast("double") / $"na".cast("double") + lit(0.5))
+            .cast("long").as("ca"),
+          floor($"sb".cast("double") / $"nb".cast("double") + lit(0.5))
+            .cast("long").as("cb"))
+      cent.groupBy($"label")
+        .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+          sum($"ca" * $"cb").as("dotq"),
+          sum($"ca" * $"ca").as("aq"),
+          sum($"cb" * $"cb").as("bq"),
+          sum(($"ca" - $"cb") * ($"ca" - $"cb")).as("d2q"))
+        .select($"label", $"n_a", $"n_b",
+          q6($"dotq".cast("double") /
+            (sqrt($"aq".cast("double")) * sqrt($"bq".cast("double"))))
+            .as("centroid_cos"),
+          q6(sqrt($"d2q".cast("double")) / lit(1000000.0)).as("l2_shift"))
+        .orderBy($"label")
+    }),
+
     // L108: distinct-n diversity audit — the Texygen/self-BLEU-family
     // diversity gate a mixture owner reads next to L50's entropy:
     // distinct-1/2/3 = (distinct n-grams) / (total n-grams) per

@@ -101,6 +101,43 @@ private[queries] trait PipelineOracleBase extends PipelineOracleSupport {
          |FROM fp GROUP BY 1 HAVING COUNT(*) >= 2
          |ORDER BY min_doc""".stripMargin,
 
+    // same q6-micro component grid, same centroid re-quantization,
+    // order-free long dot/norm/L2 sums
+    "embedding_drift" ->
+      s"""WITH comp AS (
+         |  SELECT CAST(label AS BIGINT) AS label,
+         |    vec_id % 2 = 0 AS ina,
+         |    CAST(dim AS BIGINT) AS dim,
+         |    CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS xq
+         |  FROM (SELECT label, vec_id,
+         |          unnest([{'dim': i - 1, 'x': embedding[i]}
+         |            for i in range(1, len(embedding) + 1)],
+         |            recursive := true)
+         |        FROM embeddings)),
+         |cent AS (
+         |  SELECT label, dim,
+         |    CAST(SUM(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(SUM(CASE WHEN NOT ina THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nb,
+         |    CAST(FLOOR(CAST(SUM(CASE WHEN ina THEN xq ELSE 0 END)
+         |        AS DOUBLE) /
+         |      CAST(SUM(CASE WHEN ina THEN 1 ELSE 0 END) AS DOUBLE)
+         |      + 0.5) AS BIGINT) AS ca,
+         |    CAST(FLOOR(CAST(SUM(CASE WHEN NOT ina THEN xq ELSE 0 END)
+         |        AS DOUBLE) /
+         |      CAST(SUM(CASE WHEN NOT ina THEN 1 ELSE 0 END) AS DOUBLE)
+         |      + 0.5) AS BIGINT) AS cb
+         |  FROM comp GROUP BY 1, 2)
+         |SELECT label, CAST(MAX(na) AS BIGINT) AS n_a,
+         |  CAST(MAX(nb) AS BIGINT) AS n_b,
+         |  ${sqlQ6("CAST(SUM(ca * cb) AS DOUBLE) / " +
+             "(sqrt(CAST(SUM(ca * ca) AS DOUBLE)) * " +
+             "sqrt(CAST(SUM(cb * cb) AS DOUBLE)))")} AS centroid_cos,
+         |  ${sqlQ6("sqrt(CAST(SUM((ca - cb) * (ca - cb)) AS DOUBLE)) " +
+             "/ 1000000.0")} AS l2_shift
+         |FROM cent GROUP BY 1 ORDER BY label""".stripMargin,
+
     // independent n-gram spelling (list comprehension vs transform);
     // identical exact distinct counts and q6 ratios
     "distinct_ngrams" ->
