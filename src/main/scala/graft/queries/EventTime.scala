@@ -792,6 +792,47 @@ object EventTime {
         .orderBy($"event_type")
     }),
 
+    // T35: Theil–Sen slope (Theil 1950 / Sen 1968 — the robust trend
+    // MAGNITUDE next to T31's direction test): the median of all
+    // pairwise slopes (x_j − x_i)/(d_j − d_i) over the day-ordered
+    // daily counts — immune to outlier days that wreck an OLS fit
+    // (G18). Exactness: each pairwise slope lands on the q6 grid via
+    // one identically-spelled double division (exact long numerator
+    // and denominator), and the median is the ⌈n/2⌉-th smallest GRID
+    // VALUE — deterministic regardless of tie order, so a plain
+    // row_number selection suffices (the documented lower-median
+    // convention for even counts keeps the statistic a grid value;
+    // averaging the two middles would leave the grid). Shape: one
+    // map-combinable daily count; the pair join and selection run on
+    // the bounded (type × day) relation — days² pairs, never events².
+    "theil_sen" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = daily.select($"event_type", $"day".as("di"), $"n".as("xi"))
+      val b = daily.select($"event_type", $"day".as("dj"), $"n".as("xj"))
+      val slopes = a.join(b, Seq("event_type")).filter($"di" < $"dj")
+        .select($"event_type",
+          floor((($"xj" - $"xi").cast("double") /
+            ($"dj" - $"di").cast("double")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("s6"))
+      val w = Window.partitionBy($"event_type").orderBy($"s6")
+      val tot = Window.partitionBy($"event_type")
+      slopes
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("np", count(lit(1)).over(tot))
+        .filter($"rn" === expr("(np + 1L) DIV 2L"))
+        .join(daily.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_days")), "event_type")
+        .select($"event_type", $"n_days", $"np".as("n_pairs"),
+          ($"s6".cast("double") / lit(1000000.0)).as("sen_slope"))
+        .orderBy($"event_type")
+    }),
+
     // T34: change-point LOCALIZATION (one-split binary segmentation —
     // the answer to the question T26 only flags): per event type, the
     // split position t maximizing the between-segment sum of squares,
@@ -1350,6 +1391,38 @@ object EventTime {
         |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS distinct_7d
         |FROM days LEFT JOIN a ON a.t BETWEEN day - 6 AND day
         |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // identical q6 pairwise slopes; the median is the same grid value
+    // whatever the tie order
+    "theil_sen" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |sl AS (
+         |  SELECT a.event_type,
+         |    CAST(FLOOR((CAST(b.n - a.n AS DOUBLE) /
+         |      CAST(b.day - a.day AS DOUBLE)) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS s6
+         |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+         |    AND a.day < b.day),
+         |rk AS (
+         |  SELECT event_type, s6,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY s6) AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+         |      AS np
+         |  FROM sl),
+         |nd AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+         |  FROM daily GROUP BY 1)
+         |SELECT event_type, n_days, np AS n_pairs,
+         |  CAST(s6 AS DOUBLE) / 1000000.0 AS sen_slope
+         |FROM rk JOIN nd USING (event_type)
+         |WHERE rn = (np + 1) // 2
+         |ORDER BY event_type""".stripMargin,
 
     // identical exact-long numerators, micro-quantized candidate
     // scores, (score desc, day) argmax
