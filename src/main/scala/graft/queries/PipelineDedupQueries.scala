@@ -34,6 +34,40 @@ private[queries] trait PipelineDedupQueries extends PipelineCore {
         .orderBy($"doc_id")
     }),
 
+    // L110: cross-source duplication matrix — the provenance audit
+    // OVER L1's fingerprints: which sources copy which (mirror sites,
+    // aggregator re-posts, eval-set leakage BETWEEN corpus slices) —
+    // the pairwise answer L49's per-pair overlap rate summarizes and
+    // the mixture owner reads before weighting "independent" sources.
+    // Shape: the distinct (fingerprint, source) relation self-joins on
+    // the 128-bit fingerprint — per-fingerprint fan-out is bounded by
+    // C(n_sources, 2) (the SOURCE domain, never corpus size), and the
+    // text never shuffles (16-byte fingerprints do). Oracle partitions
+    // by text directly (the L1 equivalence, collision odds ~1e-20).
+    // The fixture's sources share no verbatim text, so a planted
+    // mirror source (every 53rd doc re-posted verbatim) rides along in
+    // query and oracle — the aggregator-re-post shape the audit exists
+    // to expose.
+    "cross_source_dups" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+        .select($"doc_id", $"source", $"text")
+      val mirror = base.filter($"doc_id" % 53 === 0)
+        .select(lit("mirror_probe").as("source"), $"text")
+      val d = base.select($"source", $"text").unionByName(mirror)
+        .select($"source",
+          F.fnv1a($"text").as("fp1"),
+          F.fnv1a_seeded(Lane2Seed, $"text").as("fp2"))
+        .distinct()
+      val a = d.select($"fp1", $"fp2", $"source".as("source_a"))
+      val b = d.select($"fp1", $"fp2", $"source".as("source_b"))
+      a.join(b, Seq("fp1", "fp2"))
+        .filter($"source_a" < $"source_b")
+        .groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("n_shared_texts"))
+        .orderBy($"source_a", $"source_b")
+    }),
+
     // X13: homoglyph-skeleton dedup — the adversarial-dedup gap exact
     // fingerprints (L1) cannot close: a scraped or spammy copy that
     // swaps Latin letters for Unicode CONFUSABLES (Cyrillic а/е/о/р/

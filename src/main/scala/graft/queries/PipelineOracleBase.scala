@@ -71,6 +71,20 @@ private[queries] trait PipelineOracleBase extends PipelineOracleSupport {
   }
 
   private[queries] val staticOracleBase: Map[String, String] = Map(
+    // oracle partitions by text directly — the L1 fingerprint
+    // equivalence
+    "cross_source_dups" ->
+      """WITH alldocs AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror_probe' AS source, text FROM documents
+        |  WHERE doc_id % 53 = 0),
+        |d AS (SELECT DISTINCT text, source FROM alldocs)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+        |FROM d a JOIN d b ON a.text = b.text AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
     // same confusable translate pass (code-point-wise in both
     // engines), same 60-bit md5 fold of the skeleton
     "homoglyph_dedup" ->
