@@ -75,6 +75,14 @@ object TxBatch {
         .filter(st => st.getPath.getName.startsWith(s"_staging-$batchId-") &&
           st.getPath.getName != exceptName)
         .foreach(st => fs.delete(st.getPath, true))
+      // a race loser that crashed AFTER its rename nested its staging
+      // inside the winner's committed directory but BEFORE the nested
+      // delete leaves garbage no root-level scan sees (invisible to
+      // readers — underscore paths — but persisted forever): sweep
+      // _staging-* children of the committed directory too
+      if (fs.exists(committed)) fs.listStatus(committed).toSeq
+        .filter(_.getPath.getName.startsWith("_staging-"))
+        .foreach(st => fs.delete(st.getPath, true))
     }
     if (fs.exists(committed)) {
       sweepStaleStagings(exceptName = "")

@@ -153,7 +153,7 @@ private[queries] trait PipelineCore {
 
   /** Distinct word 3-gram shingles of a single-spaced lowercase text
     * column (the documents fixture is exactly that). */
-  private[queries] def shingles(text: Column): Column = {
+  private[graft] def shingles(text: Column): Column = {
     val t = split(text, " ")
     when(size(t) >= 3,
       array_distinct(transform(sequence(lit(1), size(t) - 2), i =>

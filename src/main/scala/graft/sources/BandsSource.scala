@@ -95,7 +95,8 @@ private[sources] class BandsTable(path: String, nBuckets: Int)
   override def schema(): StructType = BandsSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new BandsScanBuilder(path, nBuckets)
@@ -250,12 +251,78 @@ private[graft] class BandsScan(path: String, nBuckets: Int,
 
   override def toBatch: Batch = this
 
+  /** The band layout as a micro-batch STREAM of its own appends — the
+    * [[PostingsScan.toMicroBatchStream]] twin, completing the index
+    * family's symmetry: each trigger delivers exactly the parquet
+    * files that appeared since the last committed offset (the
+    * appendBands / DSv2-write / TxBatch maintenance contract adds
+    * files, never rewrites), which is the live feed the incremental
+    * near-dup lane (L40) tails instead of re-scanning the layout per
+    * run. Offsets are the set of files seen; compile-time bucket/hash
+    * pruning applies to the discovery listing exactly as to a batch
+    * scan. At 100 TB the offset-set stays proportional to FILE count
+    * (appends are batch-grained), not rows. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read
+        .streaming.MicroBatchStream =
+    new BandsMicroBatchStream(this, required.fieldNames, rtHashes, hconf)
+
   override def planInputPartitions(): Array[InputPartition] =
     files.map { case (f, b, _) =>
       BandsInputPartition(f, b): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BandsReaderFactory(required.fieldNames, rtHashes, hconf)
+}
+
+/** Offset = the set of layout files already delivered, serialized as
+  * ONE LINE of compact JSON (sorted array; Jackson quoting) — the
+  * [[PostingsOffset]] rule: Spark's OffsetSeqLog stores one offset per
+  * LINE, so a multi-line json() corrupts the checkpoint the moment an
+  * offset covers ≥ 2 files. */
+private[sources] case class BandsOffset(files: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    BandsOffset.mapper.writeValueAsString(files.toSeq.sorted.toArray)
+}
+
+private[sources] object BandsOffset {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  def fromJson(json: String): BandsOffset =
+    BandsOffset(mapper.readValue(json.trim,
+      classOf[Array[String]]).toSet)
+}
+
+private[sources] class BandsMicroBatchStream(scan: BandsScan,
+    cols: Array[String], hashes: Option[Set[Long]],
+    hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = BandsOffset(Set.empty)
+
+  override def latestOffset(): Offset =
+    BandsOffset(scan.files.map(_._1).toSet)
+
+  override def deserializeOffset(json: String): Offset =
+    BandsOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[BandsOffset].files
+    val now = end.asInstanceOf[BandsOffset].files
+    (now -- seen).toSeq.sorted.map { f =>
+      val bucket = new Path(f).getParent.getName
+        .stripPrefix("bucket=").toLong
+      BandsInputPartition(f, bucket): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BandsReaderFactory(cols, hashes, hconf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class BandsInputPartition(file: String,

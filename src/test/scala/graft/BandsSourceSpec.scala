@@ -172,6 +172,86 @@ class BandsSourceSpec extends SparkSuite {
     assert(spark.read.parquet(viaV2).count() == visible)
   }
 
+  test("micro-batch streaming read tails the layout's appends: first " +
+      "trigger delivers the base layout, each appendBands batch " +
+      "delivers exactly its files") {
+    val p = "/tmp/graft_bands_v2/stream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 3 === 0)
+    val b1 = docs.filter($"doc_id" % 3 === 1)
+    val b2 = docs.filter($"doc_id" % 3 === 2)
+    BandIndex.writeBandLayout(BandIndex.buildBands(base, Tau, NB), p,
+      Tau, NB)
+    val q = spark.readStream.format("graft.sources.BandsSource")
+      .option("path", p).load()
+      .writeStream.format("memory").queryName("t_bands_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterBase = spark.table("t_bands_stream").count()
+      assert(afterBase == spark.read.parquet(p).count() && afterBase > 0)
+      BandIndex.appendBands(b1, p, Tau, NB)
+      q.processAllAvailable()
+      assert(spark.table("t_bands_stream").count() ==
+        spark.read.parquet(p).count())
+      // the idempotent (TxBatch _batch-<id>) append path is tailed too
+      assert(BandIndex.appendBandsIdempotent(b2, p, Tau, NB, 7L))
+      q.processAllAvailable()
+      val cols = Seq($"doc_id", $"band_no", $"band_hash",
+        $"bucket".cast("long").as("bucket"))
+      val streamed = spark.table("t_bands_stream").select(cols: _*)
+        .orderBy($"doc_id", $"band_no").collect().toSeq
+      val layout = BandIndex.readLayout(spark, p).select(cols: _*)
+        .orderBy($"doc_id", $"band_no").collect().toSeq
+      assert(streamed == layout)
+    } finally q.stop()
+  }
+
+  test("stream restarts from the checkpointed offset: the post-stop " +
+      "append is delivered exactly once, no replay of the base") {
+    val p = "/tmp/graft_bands_v2/restart"
+    val ckpt = "/tmp/graft_bands_v2/restart_ckpt"
+    val out = "/tmp/graft_bands_v2/restart_out"
+    Seq(p, ckpt, out).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 3 === 0)
+    val b1 = docs.filter($"doc_id" % 3 === 1)
+    BandIndex.writeBandLayout(BandIndex.buildBands(base, Tau, NB), p,
+      Tau, NB)
+    val nFiles = new java.io.File(p).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 2, s"need a multi-file first batch, got $nFiles")
+    def start() = spark.readStream.format("graft.sources.BandsSource")
+      .option("path", p).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() ==
+        spark.read.parquet(p).count())
+    } finally q1.stop()
+    // append while the stream is DOWN, then restart from the checkpoint
+    BandIndex.appendBands(b1, p, Tau, NB)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val cols = Seq($"doc_id", $"band_no", $"band_hash",
+        $"bucket".cast("long").as("bucket"))
+      val sunk = spark.read.parquet(out).select(cols: _*)
+        .orderBy($"doc_id", $"band_no").collect().toSeq
+      val layout = spark.read.parquet(p).select(cols: _*)
+        .orderBy($"doc_id", $"band_no").collect().toSeq
+      assert(sunk == layout,
+        s"restart must deliver exactly the appended files: " +
+          s"${sunk.size} sunk vs ${layout.size} in layout")
+    } finally q2.stop()
+  }
+
   test("mixed geometry is refused: the connector reads nBuckets from " +
       "the stamped meta, a geometry-less layout cannot be opened") {
     val bare = "/tmp/graft_bands_v2/bare"

@@ -271,4 +271,76 @@ class StreamingCurationSpec extends SparkSuite {
     assert(streamed == batch && streamed.nonEmpty)
     assert(streamed.values.forall(_._2.length == 6))
   }
+
+  test("live incremental near-dup: the BandStreams consumer tailing " +
+      "the band layout's appends equals the incremental_neardup batch " +
+      "row across micro-batch splits") {
+    import graft.operators.BandIndex
+    import graft.queries.{Pipeline, QueryUtil}
+    import graft.streaming.BandStreams
+    val NB = 16
+    val Tau = 0.5 // == PipelineCore.MinHashJaccardTau, the L40 geometry
+    val p = "/tmp/graft_bands_live/layout"
+    val pairsP = "/tmp/graft_bands_live/pairs"
+    val ckpt = "/tmp/graft_bands_live/ckpt"
+    Seq(p, pairsP, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    // the incremental_neardup fixture, verbatim: corpus vs a batch of
+    // fresh docs plus appended-token near-twins of corpus docs
+    val base = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val corpus = base.filter($"doc_id" % 10 =!= 0)
+    val batch = base.filter($"doc_id" % 10 === 0)
+      .unionAll(corpus.filter($"doc_id" % 23 === 3)
+        .select(($"doc_id" + 10000000L).as("doc_id"),
+          concat($"text", lit(" incrementalprobe")).as("text")))
+    val texts = corpus.unionByName(batch)
+    BandIndex.writeBandLayout(
+      BandIndex.buildBands(corpus, Tau, NB), p, Tau, NB)
+    // split the batch across two triggers — the cadence-invariance pin
+    val b1 = batch.filter($"doc_id" % 2 === 0)
+    val b2 = batch.filter($"doc_id" % 2 === 1)
+    def verify(cand: org.apache.spark.sql.DataFrame) =
+      cand.join(texts.select($"doc_id".as("batch_doc"),
+          $"text".as("text_a")), "batch_doc")
+        .join(texts.select($"doc_id".as("corpus_doc"),
+          $"text".as("text_b")), "corpus_doc")
+        .select($"batch_doc", $"corpus_doc",
+          QueryUtil.q6(size(array_intersect(
+            Pipeline.shingles($"text_a"), Pipeline.shingles($"text_b")))
+            .cast("double") /
+            size(array_union(
+              Pipeline.shingles($"text_a"), Pipeline.shingles($"text_b"))))
+            .as("jaccard"))
+        .filter($"jaccard" >= Tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    // compositional expectation, probed BEFORE each append lands
+    val exp1 = verify(BandIndex.probeCandidates(b1, p, Tau, NB))
+    val q = BandStreams.liveNearDup(spark, p, texts, pairsP, ckpt)
+    try {
+      q.processAllAvailable()
+      // first trigger = the base layout: corpus side empty, no pairs
+      assert(BandStreams.readPairs(spark, pairsP).count() == 0L)
+      assert(BandIndex.appendBandsIdempotent(b1, p, Tau, NB, 1L))
+      q.processAllAvailable()
+      val exp2 = verify(BandIndex.probeCandidates(b2, p, Tau, NB))
+      assert(BandIndex.appendBandsIdempotent(b2, p, Tau, NB, 2L))
+      q.processAllAvailable()
+      val streamed = BandStreams.readPairs(spark, pairsP)
+        .select($"batch_doc", $"corpus_doc", $"jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // trigger-by-trigger: streamed == (b1 × corpus) ∪ (b2 × corpus∪b1)
+      assert(streamed == (exp1 ++ exp2),
+        s"streamed ${streamed.size} vs expected ${(exp1 ++ exp2).size}")
+      // and the batch×corpus portion equals the L40 batch row exactly
+      val row = SparkEntry.queries("incremental_neardup")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val batchVsCorpus = streamed.filter { case (_, c, _) =>
+        c % 10 != 0 && c < 10000000L }
+      assert(batchVsCorpus == row && row.nonEmpty,
+        s"stream ${batchVsCorpus.size} vs batch row ${row.size}")
+    } finally q.stop()
+  }
 }
