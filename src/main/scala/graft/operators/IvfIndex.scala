@@ -64,10 +64,41 @@ object IvfIndex {
     * this is the difference between scanning 4/16 of the vectors and
     * scanning all of them — IvfCellLayoutSpec pins the pruned partition
     * count, not just the plan shape. */
-  def writeCellLayout(corpusWithCell: DataFrame, path: String): Unit = {
+  def writeCellLayout(corpusWithCell: DataFrame, path: String, k: Int,
+      dim: Int): Unit = {
     require(corpusWithCell.columns.contains("cell"),
       "writeCellLayout needs a `cell` column (see assignCells)")
     corpusWithCell.write.mode("overwrite").partitionBy("cell").parquet(path)
+    // geometry stamp — the BandIndex._graft_meta.json rule: (k, dim)
+    // are PART OF THE LAYOUT, so a probe scoring against mismatched
+    // centroids (silently wrong cells, no error) is refused by readers
+    // that re-derive geometry from the stamp (graft.sources.CellsSource)
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
+    val fs = p.getFileSystem(
+      corpusWithCell.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"k": $k, "dim": $dim}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The `(k, dim)` persisted with a cell layout. */
+  def readCellMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"cell layout at $path has no ${p.getName} — rebuild it with " +
+        "writeCellLayout (geometry-less layouts cannot be safely probed)")
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val k = """"k":\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+    val dim = """"dim":\s*(\d+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt)
+    require(k.isDefined && dim.isDefined,
+      s"unparseable cell-layout meta at $p: $text")
+    (k.get, dim.get)
   }
 
   /** Read back only `cells` of a [[writeCellLayout]] corpus. The

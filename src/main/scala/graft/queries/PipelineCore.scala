@@ -98,6 +98,16 @@ private[queries] trait PipelineCore {
   private[queries] val termIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-dir written IVF cell-layout paths (`ivf_ann`) and their
+    * PQ-coded twins (`ivfpq_ann`) — the persisted-index production
+    * shape, read back through the DSv2 connector
+    * (graft.sources.CellsSource) so cell pruning, runtime narrowing
+    * and pruned-listing statistics live on the scan node itself. */
+  private[queries] val ivfCellCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] val ivfpqCellCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Per-dir two-snapshot layout roots (`schema_evolution`). */
   private[queries] val schemaEvoCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -788,11 +788,25 @@ private[queries] trait PipelineScoreQueries extends PipelineCore {
         transform(array((0 until 16).map(planeLit): _*), p => F.dotd(v, p))
       val emb = Tables.embeddings(s, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      // Corpus: one in-row argmax → cell; no explode, no extra shuffle.
-      val corpus = emb
-        .select($"vec_id", $"v", dotsCol($"v").as("dots"))
-        .select($"vec_id", $"v",
-          array_position($"dots", array_max($"dots")).as("cell"))
+      // Corpus: the PERSISTED cell layout (write-once-per-dir — the
+      // bm25_indexed pattern), read back through the DSv2 connector so
+      // the nprobe/k prune is ON the scan node (cell predicates pushed
+      // to file-listing time, pruned-listing statistics) instead of a
+      // path helper's claim. Cell assignment at build: one in-row
+      // argmax → cell; no explode, no extra shuffle.
+      val layout = ivfCellCache.computeIfAbsent(dir, d => {
+        val assigned = emb
+          .select($"vec_id", $"v", dotsCol($"v").as("dots"))
+          .select($"vec_id", $"v",
+            array_position($"dots", array_max($"dots")).as("cell"))
+        val dim = emb.select(size($"v")).head.getInt(0)
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cells_" +
+          math.abs(d.hashCode).toString
+        graft.operators.IvfIndex.writeCellLayout(assigned, p, 16, dim)
+        p
+      })
+      val corpus = s.read.format("graft.sources.CellsSource")
+        .option("path", layout).load()
       // Probes (20 rows): explode is fine at probe cardinality.
       val wCell = Window.partitionBy($"probe_id")
         .orderBy($"d".desc, $"cid0")
@@ -1113,8 +1127,22 @@ private[queries] trait PipelineScoreQueries extends PipelineCore {
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       val cents = learnedCents(s, dir)
       val books = pqBooks(s, dir)
-      val corpus = PqIndex.encode(IvfIndex.assignCells(emb, cents), books)
-        .drop("v")
+      // the IVF-PQ index at rest: per-vector (cell, code_1..code_m) —
+      // 4 bytes of payload per vector, never the floats — persisted
+      // cell-partitioned and read through the DSv2 connector (the
+      // ivf_ann lane): the probe's 4-cell read is pruned at
+      // file-listing time on the scan node itself
+      val layout = ivfpqCellCache.computeIfAbsent(dir, d => {
+        val encoded = PqIndex.encode(IvfIndex.assignCells(emb, cents),
+          books).drop("v")
+        val dim = emb.select(size($"v")).head.getInt(0)
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_cells_" +
+          math.abs(d.hashCode).toString
+        IvfIndex.writeCellLayout(encoded, p, cents.length, dim)
+        p
+      })
+      val corpus = s.read.format("graft.sources.CellsSource")
+        .option("path", layout).load()
       val wCell = Window.partitionBy($"probe_id")
         .orderBy($"score".desc, $"cid0")
       val pdCols = (1 to PqM).map(j => col(s"pd_$j"))

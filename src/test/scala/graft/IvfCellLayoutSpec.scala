@@ -25,7 +25,8 @@ class IvfCellLayoutSpec extends SparkSuite {
   private lazy val cents = IvfIndex.learnCentroids(emb, 16, 1)
 
   private lazy val layoutWritten: Unit =
-    IvfIndex.writeCellLayout(IvfIndex.assignCells(emb, cents), root)
+    IvfIndex.writeCellLayout(IvfIndex.assignCells(emb, cents), root,
+      16, cents.head.length)
 
   /** The one FileSourceScanExec of a (non-AQE) plan. */
   private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
