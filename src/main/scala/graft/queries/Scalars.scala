@@ -18,6 +18,26 @@ object Scalars {
 
   import QueryUtil.{q6, sqlQ6}
 
+  /** Per-dir variant-SHREDDED snapshot paths (`json_variant_shredded`)
+    * — `events.props` parsed once and persisted as a parquet VARIANT
+    * column with shredding (Spark 4.1 writes the inferred
+    * `typed_value` group by default: writeShredding.enabled +
+    * inferShreddingSchema). Build-once-per-dir, the bm25_indexed
+    * pattern. */
+  private[queries] val variantSnapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def variantSnapshot(s: SparkSession, dir: String): String =
+    variantSnapCache.computeIfAbsent(dir, d => {
+      import s.implicits._
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_variant_" +
+        math.abs(d.hashCode).toString
+      Tables.events(s, d)
+        .select($"event_type", expr("parse_json(props)").as("props_v"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   val queries: Map[String, Q] = Map(
     // X1: the string surface over documents.
     "string_fns" -> ((s: SparkSession, dir: String) => {
@@ -221,6 +241,34 @@ object Scalars {
         .orderBy($"event_type")
     }),
 
+    // X12 (shredded): the same rollup answered from a variant-SHREDDED
+    // parquet snapshot — the mechanism the X12 row cites actually
+    // exercised: `props_v` is stored as a VARIANT group whose inferred
+    // `typed_value.k` rides as a plain int64 column, and
+    // PushVariantIntoScan rewrites the `variant_get` extractions into
+    // scan-level struct fields (ReadSchema shows
+    // `props_v:struct<...bigint>`, NOT a variant binary) — at 100 TB
+    // the per-row parse json_variant's in-query `parse_json` pays is
+    // gone; the probe is a columnar int read. Shares json_variant's
+    // oracle verbatim (the snapshot is a projection of events), so the
+    // write→shred→pushed-extraction path is itself hash-checked.
+    // RelationalSpec pins the pushed ReadSchema shape.
+    "json_variant_shredded" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val snap = variantSnapshot(s, dir)
+      s.read.parquet(snap)
+        .select($"event_type",
+          expr("variant_get(props_v, '$.k', 'bigint')").as("k"),
+          expr("variant_get(props_v, '$.missing', 'bigint')").as("m"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count($"k").as("n_k"),
+          count($"m").as("n_missing_hits"),
+          sum($"k").as("k_sum"),
+          min($"k").as("k_min"), max($"k").as("k_max"))
+        .orderBy($"event_type")
+    }),
+
     // X9: standard cryptographic/checksum hashes (the non-fnv1a family).
     "hash_fns" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -399,6 +447,22 @@ object Scalars {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "json_variant" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS n_k,
+        |  CAST(COUNT(CAST(json_extract(props, '$.missing') AS BIGINT))
+        |    AS BIGINT) AS n_missing_hits,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS k_sum,
+        |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS k_min,
+        |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS k_max
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the shredded twin is a projection of events, so the SAME oracle
+    // checks the write→shred→pushed-extraction path end-to-end
+    "json_variant_shredded" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
         |    AS n_k,

@@ -93,4 +93,35 @@ class RelationalSpec extends SparkSuite {
         s"not rows:\n${p.take(1500)}")
     assert(df.count() > 0)
   }
+
+  test("json_variant_shredded: the snapshot is variant-SHREDDED parquet " +
+      "and the extraction is pushed into the scan as a struct field") {
+    // the snapshot's footer carries the VARIANT group with an inferred
+    // typed_value — proof the write actually shredded
+    val snap = graft.queries.Scalars.variantSnapshot(spark, sf)
+    val f = new java.io.File(snap).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    val footer =
+      try rd.getFooter.getFileMetaData.getSchema.toString
+      finally rd.close()
+    assert(footer.contains("VARIANT") && footer.contains("typed_value"),
+      s"snapshot must be shredded variant parquet:\n$footer")
+    // PushVariantIntoScan rewrites the variant_get extractions into
+    // scan-level struct fields: the scan's ReadSchema carries a
+    // struct of the requested paths, NOT a variant binary — the
+    // per-row parse is gone from the plan itself
+    val df = SparkEntry.queries("json_variant_shredded")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("ReadSchema: [^\\n]*props_v:struct<[^\\n]*bigint".r
+      .findFirstIn(plan).isDefined &&
+      !plan.contains("props_v:variant"),
+      s"extractions must be pushed into the scan:\n${plan.take(2000)}")
+    assert(!plan.contains("variant_get"),
+      "no variant_get may survive above the shredded scan")
+    assert(df.count() > 0)
+  }
 }
