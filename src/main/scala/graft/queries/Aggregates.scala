@@ -418,10 +418,16 @@ object Aggregates {
           (n.cast("double") * (n - lit(1L)).cast("double"))
       val se1 = va($"n1", $"s1", $"q1") / $"n1".cast("double")
       val se2 = va($"n2", $"s2", $"q2") / $"n2".cast("double")
-      val t = (mean($"s1", $"n1") - mean($"s2", $"n2")) / sqrt(se1 + se2)
-      val df = (se1 + se2) * (se1 + se2) /
-        (se1 * se1 / ($"n1" - lit(1L)).cast("double") +
-          se2 * se2 / ($"n2" - lit(1L)).cast("double"))
+      // degenerate windows (n < 2) zero the variance DENOMINATOR —
+      // Spark /0 yields NULL where DuckDB yields Inf/NaN — so both
+      // engines report t = df = 0, spelled identically
+      val degenerate = $"n1" < 2L || $"n2" < 2L
+      val t = when(degenerate, lit(0.0)).otherwise(
+        (mean($"s1", $"n1") - mean($"s2", $"n2")) / sqrt(se1 + se2))
+      val df = when(degenerate, lit(0.0)).otherwise(
+        (se1 + se2) * (se1 + se2) /
+          (se1 * se1 / ($"n1" - lit(1L)).cast("double") +
+            se2 * se2 / ($"n2" - lit(1L)).cast("double")))
       agg.select($"n1", $"n2",
           q6(mean($"s1", $"n1") / lit(100.0)).as("mean_a"),
           q6(mean($"s2", $"n2") / lit(100.0)).as("mean_b"),
@@ -1621,11 +1627,15 @@ object Aggregates {
          |      AS mean_a,
          |    ${sqlQ6("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0")}
          |      AS mean_b,
-         |    ${sqlQ6("(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
-             "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(se1 + se2)")}
+         |    ${sqlQ6("CASE WHEN n1 < 2 OR n2 < 2 THEN 0.0 ELSE " +
+             "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+             "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(se1 + se2)" +
+             " END")}
          |      AS t_stat,
-         |    ${sqlQ6("(se1 + se2) * (se1 + se2) / (se1 * se1 / " +
-             "CAST(n1 - 1 AS DOUBLE) + se2 * se2 / CAST(n2 - 1 AS DOUBLE))")}
+         |    ${sqlQ6("CASE WHEN n1 < 2 OR n2 < 2 THEN 0.0 ELSE " +
+             "(se1 + se2) * (se1 + se2) / (se1 * se1 / " +
+             "CAST(n1 - 1 AS DOUBLE) + se2 * se2 / CAST(n2 - 1 AS DOUBLE))" +
+             " END")}
          |      AS welch_df
          |  FROM z)
          |SELECT n1, n2, mean_a, mean_b, t_stat, welch_df,

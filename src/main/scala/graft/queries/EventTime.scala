@@ -968,7 +968,13 @@ object EventTime {
       val vr = (lit(2.0) * $"n1".cast("double") * $"n2".cast("double") *
         (lit(2.0) * $"n1".cast("double") * $"n2".cast("double") - nTot)) /
         (nTot * nTot * (nTot - lit(1.0)))
-      val z = when($"n1" === 0L || $"n2" === 0L, lit(0.0))
+      // guard every zero-variance arrangement: one-sided series
+      // (n1=0 or n2=0) AND the 2-day n1=n2=1 series, where Var[R] =
+      // 2·1·1(2·1·1−2)/(N²(N−1)) = 0 — Spark's /0 yields NULL while
+      // DuckDB yields Inf, so both engines report z = 0, spelled
+      // identically
+      val z = when($"n1" === 0L || $"n2" === 0L ||
+          ($"n1" === 1L && $"n2" === 1L), lit(0.0))
         .otherwise(($"runs".cast("double") - er) / sqrt(vr))
       agg
         .select($"event_type", $"n1", $"n2", $"runs", q6(z).as("z"))
@@ -1572,7 +1578,8 @@ object EventTime {
          |  FROM marked GROUP BY 1),
          |zc AS (
          |  SELECT event_type, n1, n2, runs,
-         |    ${sqlQ6("CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0 ELSE " +
+         |    ${sqlQ6("CASE WHEN n1 = 0 OR n2 = 0 OR (n1 = 1 AND n2 = 1) " +
+             "THEN 0.0 ELSE " +
              "(CAST(runs AS DOUBLE) - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * " +
              "CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))) / " +
              "sqrt((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +

@@ -482,15 +482,21 @@ object EventStreams {
   /** Fold a micro-batch into the per-type bin histogram: values land
     * in fixed-width bins (v_micro DIV binUnit — the batch queries'
     * `floor(value / 25.0)` on the 10⁻⁴-unit integer grid), split into
-    * the A window (ts < cut) and the B window. State per type is ≤
-    * (value range / bin width) cells — bounded by construction, never
-    * by history. */
+    * the A window (ts < cut) and the B window, then CLAMPED into
+    * [binFloor, binCeil] — the two end bins are overflow bins, so
+    * state per type is ≤ (binCeil − binFloor + 1) cells whatever the
+    * feed does (an adversarial or fat-tailed live stream cannot grow
+    * state; the same documented bounded-state trade ksStreamBinned
+    * already makes vs exact KS). The defaults never clip the
+    * engine's fixtures, so the stream == batch pins hold unclamped. */
   private def foldBins(st: DriftBins, rows: Iterator[ValuedEvent],
-      cutMicros: Long, binUnit: Long): DriftBins = {
+      cutMicros: Long, binUnit: Long, binFloor: Long,
+      binCeil: Long): DriftBins = {
     val m = scala.collection.mutable.Map.empty[Long, (Long, Long)]
     st.bins.foreach(b => m(b.bin) = (b.ca, b.cb))
     rows.foreach { e =>
-      val bin = Math.floorDiv(e.v_micro, binUnit)
+      val raw = Math.floorDiv(e.v_micro, binUnit)
+      val bin = math.max(binFloor, math.min(binCeil, raw))
       val (ca, cb) = m.getOrElse(bin, (0L, 0L))
       m(bin) = if (e.ts < cutMicros) (ca + 1L, cb) else (ca, cb + 1L)
     }
@@ -509,9 +515,26 @@ object EventStreams {
     * skipped and counted, exactly as the batch row reports them; a
     * type with no live bin yet emits nothing (the batch query has no
     * row for it either). `seq` is the per-type emission counter — the
-    * "latest verdict" selector for consumers of the append stream. */
+    * "latest verdict" selector for consumers of the append stream.
+    *
+    * Input contract: `v_micro` is the HALF-UP-ROUNDED 10⁻⁴-unit
+    * integer value (`floor(value·10⁴ + ½)` — the engine-wide micro
+    * grid). The stream == batch guarantee is exact because both sides
+    * bin the same integer: a caller feeding raw values quantized any
+    * other way binned through `floorDiv(v_micro, binUnit)` can land
+    * values within 0.5·10⁻⁴ of a bin boundary in the adjacent bin vs
+    * the batch `floor(value/25.0)`. Stay on the grid.
+    *
+    * Envelope: the PSI term multiplies counts as longs (ca·nb, cb·na),
+    * so per type na·nb must stay below 2⁶³ (~3·10⁹ events per window
+    * per type); past that, pre-aggregate upstream or widen to the
+    * batch spelling's double products.
+    *
+    * State bound: bins clamp into [binFloor, binCeil] (overflow end
+    * bins) — ≤ binCeil−binFloor+1 cells per type regardless of feed. */
   def psiStream(events: Dataset[ValuedEvent], cutMicros: Long,
-      binUnit: Long = 250000L): Dataset[PsiRow] = {
+      binUnit: Long = 250000L, binFloor: Long = -256L,
+      binCeil: Long = 255L): Dataset[PsiRow] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.event_type)
       .flatMapGroupsWithState[DriftBins, PsiRow](
@@ -520,7 +543,7 @@ object EventStreams {
             state: GroupState[DriftBins]) =>
           val st = foldBins(
             state.getOption.getOrElse(DriftBins(0L, Vector.empty)),
-            rows, cutMicros, binUnit)
+            rows, cutMicros, binUnit, binFloor, binCeil)
           state.update(st)
           val na = st.bins.map(_.ca).sum
           val nb = st.bins.map(_.cb).sum
@@ -548,9 +571,17 @@ object EventStreams {
     * order, and the reported statistic / α=0.05 critical value /
     * reject decision use the identical q6 spelling as the batch
     * `ks_drift`, so the stream equals a batch KS over the same binned
-    * values across any micro-batch split. */
+    * values across any micro-batch split.
+    *
+    * Input contract and state bound: as [[psiStream]] — `v_micro` is
+    * the half-up-rounded 10⁻⁴-unit integer (off-grid quantizations can
+    * flip boundary values into the adjacent bin vs the batch
+    * `floor(value/25.0)`), and bins clamp into [binFloor, binCeil]
+    * overflow end bins, so per-type state is bounded whatever the
+    * live feed does. */
   def ksStreamBinned(events: Dataset[ValuedEvent], cutMicros: Long,
-      binUnit: Long = 250000L): Dataset[KsRow] = {
+      binUnit: Long = 250000L, binFloor: Long = -256L,
+      binCeil: Long = 255L): Dataset[KsRow] = {
     import events.sparkSession.implicits._
     def q6d(x: Double): Double =
       math.floor(x * 1000000.0 + 0.5) / 1000000.0
@@ -561,7 +592,7 @@ object EventStreams {
             state: GroupState[DriftBins]) =>
           val st = foldBins(
             state.getOption.getOrElse(DriftBins(0L, Vector.empty)),
-            rows, cutMicros, binUnit)
+            rows, cutMicros, binUnit, binFloor, binCeil)
           state.update(st)
           val n1 = st.bins.map(_.ca).sum
           val n2 = st.bins.map(_.cb).sum
@@ -599,9 +630,17 @@ object EventStreams {
     * split (the spec pin), and on a live feed the same fold flags
     * sustained shifts against the frozen baseline. State per type is
     * five numbers (open day + count, running sum, prefix-min, closed
-    * count); a day closes when a later-day event arrives (ts-ordered
-    * feed, the family contract; the final day flushes via a sentinel
-    * past it). Types absent from the reference emit nothing. */
+    * count); a day closes when a later-day event arrives. PUBLIC API
+    * CONTRACT (not just a test convention): the feed must be
+    * day-monotone per type — each type's final open day is emitted
+    * only when a LATER-day event (in practice a sentinel past the
+    * window, or the next real day) arrives, and an event for an
+    * already-closed day is REFUSED (IllegalStateException) rather than
+    * silently closing and reopening the wrong day across micro-batch
+    * boundaries. Within a micro-batch, rows are sorted by (ts,
+    * event_id) before folding, so the guard only fires on genuine
+    * cross-batch disorder. Types absent from the reference emit
+    * nothing. */
   def cusumStream(events: Dataset[TypedEvent],
       ref: Map[String, CusumRef],
       epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[CusumRow] = {
@@ -634,6 +673,97 @@ object EventStreams {
                 if (st == null) st = CusumState(day, 1L, 0L, 0L, 0L)
                 else if (day == st.curDay)
                   st = st.copy(curN = st.curN + 1L)
+                else if (day < st.curDay)
+                  // fail fast: silently closing + reopening the wrong
+                  // day would corrupt every later excursion (API
+                  // contract: day-monotone feed per type)
+                  throw new IllegalStateException(
+                    s"cusumStream: out-of-order event for type $etype " +
+                      s"(day $day after open day ${st.curDay}) — the " +
+                      "feed must be day-monotone per type across " +
+                      "micro-batches")
+                else { close(); st = st.copy(curDay = day, curN = 1L) }
+              }
+              if (st != null) state.update(st)
+              out.result().iterator
+          }
+      }
+  }
+
+  // public: the state encoder's generated code must reach the classes
+  final case class EwmaRef(sumN: Long, sumQ: Long, nDays: Long)
+  final case class EwmaState(curDay: Long, curN: Long,
+      lastNs: Seq[Long])
+  final case class EwmaRow(event_type: String, day: Long,
+      n_events: Long, ewma: Double, z: Double, is_ooc: Long)
+
+  /** T33 live: streaming EWMA control chart against a CALIBRATED
+    * reference — the control-chart deployment shape (limits are
+    * estimated from a reference window, then applied to the live
+    * feed), [[cusumStream]]'s sibling: per type the state is the 8
+    * most-recent finalized daily counts plus the day in progress —
+    * exactly the `anomalyStream` state shape — and each day's verdict
+    * emits as the day CLOSES, with the identical integer-weight
+    * spelling as the batch `ewma_control` (w_k = 3^k·4^(7−k), exact
+    * long numerator, the only doubles the final identically-spelled q6
+    * divisions). On the reference window's own feed the emitted rows
+    * EQUAL the batch rows across any micro-batch split (the spec pin).
+    *
+    * Same public feed contract as [[cusumStream]]: day-monotone per
+    * type (within-batch rows are sorted; cross-batch disorder is
+    * refused), final open day flushes via a later-day sentinel. A
+    * type's first 7 closed days emit nothing — the batch query's
+    * `num IS NOT NULL` warm-up, spelled as state. */
+  def ewmaStream(events: Dataset[TypedEvent],
+      ref: Map[String, EwmaRef],
+      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[EwmaRow] = {
+    import events.sparkSession.implicits._
+    val weights: Array[Long] = Array.tabulate(8)(k =>
+      math.pow(3, k).toLong * math.pow(4, 7 - k).toLong)
+    def q6d(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[TypedEvent],
+            state: GroupState[EwmaState]) =>
+          ref.get(etype) match {
+            case None => Iterator.empty
+            case Some(r) =>
+              var st = state.getOption.orNull
+              val out = Seq.newBuilder[EwmaRow]
+              def close(): Unit = {
+                // most-recent-first: taps(0) = the closing day
+                val taps = st.curN +: st.lastNs
+                if (taps.length >= 8) {
+                  var num = 0L
+                  var k = 0
+                  while (k < 8) { num += weights(k) * taps(k); k += 1 }
+                  // the batch spelling verbatim: long arithmetic for
+                  // every aggregate, doubles only in the final q6'd
+                  // divisions, same association order
+                  val ewma = num.toDouble / 58975.0
+                  val mean = r.sumN.toDouble / r.nDays.toDouble
+                  val va = (r.nDays * r.sumQ - r.sumN * r.sumN).toDouble /
+                    (r.nDays * (r.nDays - 1L)).toDouble
+                  val sigmaE = math.sqrt(va * 607417225.0 / 3478050625.0)
+                  val z = q6d((ewma - mean) / sigmaE)
+                  out += EwmaRow(etype, st.curDay, st.curN, q6d(ewma), z,
+                    if (math.abs(z) > 3.0) 1L else 0L)
+                }
+                st = EwmaState(-1L, 0L, (st.curN +: st.lastNs).take(8))
+              }
+              rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+                val day = Math.floorDiv(e.ts, 86400000000L) - epochDay0
+                if (st == null) st = EwmaState(day, 1L, Vector.empty)
+                else if (day == st.curDay)
+                  st = st.copy(curN = st.curN + 1L)
+                else if (day < st.curDay)
+                  throw new IllegalStateException(
+                    s"ewmaStream: out-of-order event for type $etype " +
+                      s"(day $day after open day ${st.curDay}) — the " +
+                      "feed must be day-monotone per type across " +
+                      "micro-batches")
                 else { close(); st = st.copy(curDay = day, curN = 1L) }
               }
               if (st != null) state.update(st)

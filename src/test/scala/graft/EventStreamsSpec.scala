@@ -718,6 +718,103 @@ class EventStreamsSpec extends SparkSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming EWMA control equals the batch ewma_control across " +
+      "micro-batch splits (T33 live, calibrated reference)") {
+    implicit val sqlCtx = spark.sqlContext
+    // calibrated reference: per-type Σx, Σx², day count over the
+    // reference window (the control-chart deployment shape)
+    val ref = Tables.events(spark, sf)
+      .groupBy($"event_type",
+        datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"event_type")
+      .agg(sum($"n").as("sn"), sum($"n" * $"n").as("sq"),
+        count(lit(1)).as("nd"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (t, sn, sq, nd) =>
+        t -> EventStreams.EwmaRef(sn, sq, nd) }.toMap
+    val types = ordered.map(_.event_type).distinct
+    val maxTs = ordered.map(_.ts).max
+    val sentinels = types.zipWithIndex.map { case (t, i) =>
+      EventStreams.TypedEvent(-1L - i, -1L,
+        maxTs + 30L * 86400000000L, t)
+    }
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams.ewmaStream(input.toDS(), ref)
+      .writeStream.format("memory").queryName("t_ewma")
+      .outputMode("append").start()
+    try {
+      (ordered ++ sentinels).grouped(750).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("t_ewma")
+      .select($"event_type", $"day", $"n_events", $"ewma", $"z",
+        $"is_ooc")
+      .as[(String, Long, Long, Double, Double, Long)]
+      .collect().toSeq.sorted
+    val batch = SparkEntry.queries("ewma_control")(spark, sf)
+      .select($"event_type", $"day", $"n_events", $"ewma", $"z",
+        $"is_ooc")
+      .as[(String, Long, Long, Double, Double, Long)]
+      .collect().toSeq.sorted
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("psiStream state stays bounded under an adversarial wide-range " +
+      "feed: bins clamp into the overflow end bins") {
+    implicit val sqlCtx = spark.sqlContext
+    // values spanning ~10¹⁵ micro-units — unbounded feeds grew the old
+    // histogram without limit; the clamp caps it at binCeil−binFloor+1
+    val hostile = (0 until 2000).map { i =>
+      EventStreams.ValuedEvent(i.toLong, 1L,
+        if (i % 2 == 0) 0L else 10L, "t",
+        (i.toLong - 1000L) * 1000000000000L)
+    }
+    val input = MemoryStream[EventStreams.ValuedEvent]
+    val q = EventStreams.psiStream(input.toDS(), cutMicros = 5L)
+      .writeStream.format("memory").queryName("t_psi_hostile")
+      .outputMode("append").start()
+    try {
+      hostile.grouped(500).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val nBins = spark.table("t_psi_hostile")
+      .agg(max($"n_bins")).as[Long].head()
+    assert(nBins <= 512L, s"state must clamp at 512 bins, got $nBins")
+    // counts are conserved into the overflow bins, not dropped
+    val last = spark.table("t_psi_hostile")
+      .orderBy($"seq".desc).select($"na", $"nb")
+      .as[(Long, Long)].head()
+    assert(last._1 + last._2 == 2000L, s"clamp must not drop rows: $last")
+  }
+
+  test("cusumStream refuses out-of-order days across micro-batches " +
+      "instead of silently reopening a closed day") {
+    implicit val sqlCtx = spark.sqlContext
+    val d0 = 19723L * 86400000000L
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val ref = Map("t" -> EventStreams.CusumRef(10L, 40L, 3L))
+    val q = EventStreams.cusumStream(input.toDS(), ref)
+      .writeStream.format("memory").queryName("t_cusum_ooo")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(EventStreams.TypedEvent(1L, 1L,
+        d0 + 2L * 86400000000L, "t")))
+      q.processAllAvailable()
+      input.addData(Seq(EventStreams.TypedEvent(2L, 1L, d0, "t")))
+      val e = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c =>
+        c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("day-monotone")), e.getMessage)
+    } finally q.stop()
+  }
+
   test("streaming touch attribution equals the batch query across " +
       "micro-batch splits (T24)") {
     implicit val sqlCtx = spark.sqlContext
