@@ -68,6 +68,32 @@ object SqlTableFunctions {
     *  - `graft_dedup_surgery(docs_view, min_len)` — the L101 scrub
     *    over any (doc_id, text) view: [[SuffixRanks.dupRuns]] regions
     *    ≥ min_len stripped from every doc, survivors reassembled
+    *  - `graft_rank(edges_view, src_col, dst_col, iterations[, scale[,
+    *    damp_num, damp_den]])` — [[PageRank.ranks]]: integer-exact
+    *    PageRank over a directed edge view
+    *  - `graft_trustrank(edges_view, src_col, dst_col, w_col,
+    *    seed_mod, iterations)` — [[PageRank.ranksSeeded]]: weighted
+    *    seed-personalized rank, trusted seeds = {node ≡ 0 (mod
+    *    seed_mod)}
+    *  - `graft_communities(edges_view, a_col, b_col, rounds)` —
+    *    [[LabelPropagation.communities]]: synchronous LPA,
+    *    smallest-label tiebreak
+    *  - `graft_triangles(edges_view, a_col, b_col)` —
+    *    [[Triangles.triangles]]: ordered-wedge triangle enumeration
+    *  - `graft_paths(edges_view, a_col, b_col, cost_col, seed_mod,
+    *    rounds)` — [[MinPlusPaths.distances]]: min-plus shortest
+    *    distances from the seed set {node ≡ 0 (mod seed_mod)}
+    *  - `graft_hybrid_rrf(lex_view, sem_view[, rrf_k[, top_n]])` —
+    *    reciprocal-rank fusion of two (query_id, doc_id, rank) views,
+    *    the `hybrid_rrf` spelling (integer micro-units, full-outer
+    *    merge)
+    *  - `graft_interval_overlap(left_view, l_start, l_end, right_view,
+    *    r_start, r_end, width)` — [[IntervalJoin.overlapJoin]]: the
+    *    binned interval-overlap equi-join (column names must be
+    *    disjoint across the two views, the operator's contract)
+    *  - `graft_funnel(events_view, entity_col, time_col, type_col,
+    *    window, stage1[, stage2...])` — [[Funnel.windowFunnel]]:
+    *    ordered in-window stage progression counts
     */
   def registerAll(spark: SparkSession): Unit = {
     AsOfJoin.registerSqlTableFunction(spark)
@@ -201,6 +227,66 @@ object SqlTableFunctions {
           (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
             .as("removed_tokens"),
           coalesce(col("kept_text"), lit("")).as("kept_text"))
+    }
+    register(spark, "graft_rank", 4, 7) { args =>
+      PageRank.ranks(spark.table(args(0)), args(1), args(2),
+        args(3).toInt,
+        scale = args.lift(4).map(_.toLong).getOrElse(1000000L),
+        dampNum = args.lift(5).map(_.toLong).getOrElse(85L),
+        dampDen = args.lift(6).map(_.toLong).getOrElse(100L))
+    }
+    register(spark, "graft_trustrank", 6, 6) { args =>
+      val m = args(4).toLong
+      require(m >= 1L, s"graft_trustrank seed_mod must be >= 1, got $m")
+      PageRank.ranksSeeded(spark.table(args(0)), args(1), args(2),
+        args(3),
+        n => n % m === org.apache.spark.sql.functions.lit(0L),
+        args(5).toInt)
+    }
+    register(spark, "graft_communities", 4, 4) { args =>
+      LabelPropagation.communities(spark.table(args(0)), args(1),
+        args(2), args(3).toInt)
+    }
+    register(spark, "graft_triangles", 3, 3) { args =>
+      Triangles.triangles(spark.table(args(0)), args(1), args(2))
+    }
+    register(spark, "graft_paths", 6, 6) { args =>
+      val m = args(4).toLong
+      require(m >= 1L, s"graft_paths seed_mod must be >= 1, got $m")
+      MinPlusPaths.distances(spark.table(args(0)), args(1), args(2),
+        args(3),
+        n => n % m === org.apache.spark.sql.functions.lit(0L),
+        args(5).toInt)
+    }
+    register(spark, "graft_hybrid_rrf", 2, 4) { args =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val rrfK = args.lift(2).map(_.toLong).getOrElse(60L)
+      val topN = args.lift(3).map(_.toInt).getOrElse(10)
+      def ranked(view: String, as: String) = spark.table(view)
+        .select(col("query_id"), col("doc_id"), col("rank").as(as))
+      val wFuse = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+      ranked(args(0), "lex_rank")
+        .join(ranked(args(1), "sem_rank"),
+          Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(floor(lit(1000000.0) / (lit(rrfK) + col("lex_rank"))),
+            lit(0L)) +
+          coalesce(floor(lit(1000000.0) / (lit(rrfK) + col("sem_rank"))),
+            lit(0L)))
+        .withColumn("rank", row_number().over(wFuse).cast("long"))
+        .filter(col("rank") <= topN)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("rrf_micro"))
+    }
+    register(spark, "graft_interval_overlap", 7, 7) { args =>
+      IntervalJoin.overlapJoin(spark.table(args(0)), args(1), args(2),
+        spark.table(args(3)), args(4), args(5), args(6).toLong)
+    }
+    register(spark, "graft_funnel", 6, 16) { args =>
+      Funnel.windowFunnel(spark.table(args(0)), args(1), args(2),
+        args(3), args.drop(5), args(4))
     }
   }
 

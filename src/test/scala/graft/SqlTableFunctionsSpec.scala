@@ -218,6 +218,91 @@ class SqlTableFunctionsSpec extends SparkSuite {
     assert(gotSurg.filter($"removed_tokens" > 0L).count() > 0L)
   }
 
+  test("graft_rank / graft_trustrank / graft_communities / " +
+      "graft_triangles / graft_paths equal the library calls") {
+    SqlTableFunctions.registerAll(spark)
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L),
+      (3L, 4L, 5L), (4L, 1L, 1L), (4L, 2L, 2L), (5L, 6L, 1L),
+      (6L, 5L, 4L)).toDF("src", "dst", "w")
+    edges.createOrReplaceTempView("tvf_wedges")
+    same(
+      spark.sql(
+        "SELECT * FROM graft_rank('tvf_wedges', 'src', 'dst', '5')"),
+      graft.operators.PageRank.ranks(edges, "src", "dst", 5))
+    // optional scale / damping reach the operator
+    same(
+      spark.sql("SELECT * FROM graft_rank('tvf_wedges', 'src', 'dst', " +
+        "'5', '100000', '80', '100')"),
+      graft.operators.PageRank.ranks(edges, "src", "dst", 5,
+        scale = 100000L, dampNum = 80L, dampDen = 100L))
+    same(
+      spark.sql("SELECT * FROM graft_trustrank('tvf_wedges', 'src', " +
+        "'dst', 'w', '2', '5')"),
+      graft.operators.PageRank.ranksSeeded(edges, "src", "dst", "w",
+        n => n % 2 === lit(0L), 5))
+    same(
+      spark.sql(
+        "SELECT * FROM graft_communities('tvf_wedges', 'src', 'dst', '3')"),
+      graft.operators.LabelPropagation.communities(edges, "src", "dst", 3))
+    same(
+      spark.sql("SELECT * FROM graft_triangles('tvf_wedges', 'src', 'dst')"),
+      graft.operators.Triangles.triangles(edges, "src", "dst"))
+    same(
+      spark.sql("SELECT * FROM graft_paths('tvf_wedges', 'src', 'dst', " +
+        "'w', '3', '4')"),
+      graft.operators.MinPlusPaths.distances(edges, "src", "dst", "w",
+        n => n % 3 === lit(0L), 4))
+  }
+
+  test("graft_hybrid_rrf / graft_interval_overlap / graft_funnel " +
+      "equal the library spellings") {
+    SqlTableFunctions.registerAll(spark)
+    import org.apache.spark.sql.expressions.Window
+    // two ranked views: lexical and semantic top lists per query
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 10L, 2L)).toDF("query_id", "doc_id", "rank")
+    val sem = Seq((1L, 11L, 1L), (1L, 13L, 2L), (2L, 10L, 1L),
+      (2L, 21L, 2L)).toDF("query_id", "doc_id", "rank")
+    lex.createOrReplaceTempView("tvf_lex")
+    sem.createOrReplaceTempView("tvf_sem")
+    val wFuse = Window.partitionBy($"query_id")
+      .orderBy($"rrf_micro".desc, $"doc_id")
+    val wantRrf = lex.select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+      .join(sem.select($"query_id", $"doc_id", $"rank".as("sem_rank")),
+        Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(floor(lit(1000000.0) / (lit(60L) + $"lex_rank")), lit(0L)) +
+        coalesce(floor(lit(1000000.0) / (lit(60L) + $"sem_rank")), lit(0L)))
+      .withColumn("rank", row_number().over(wFuse).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"doc_id", $"rrf_micro")
+    same(
+      spark.sql("SELECT * FROM graft_hybrid_rrf('tvf_lex', 'tvf_sem')"),
+      wantRrf)
+    // interval overlap: sessions × promo windows
+    val left = Seq((1L, 0L, 10L), (2L, 5L, 8L), (3L, 20L, 25L))
+      .toDF("l_id", "l_s", "l_e")
+    val right = Seq((7L, 4L, 6L), (8L, 9L, 22L)).toDF("r_id", "r_s", "r_e")
+    left.createOrReplaceTempView("tvf_left")
+    right.createOrReplaceTempView("tvf_right")
+    same(
+      spark.sql("SELECT * FROM graft_interval_overlap('tvf_left', " +
+        "'l_s', 'l_e', 'tvf_right', 'r_s', 'r_e', '8')"),
+      graft.operators.IntervalJoin.overlapJoin(left, "l_s", "l_e",
+        right, "r_s", "r_e", 8L))
+    // funnel over the events fixture
+    val events = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_type")
+    events.createOrReplaceTempView("tvf_events")
+    val stages = Seq("view", "click", "purchase")
+    same(
+      spark.sql("SELECT * FROM graft_funnel('tvf_events', 'user_id', " +
+        "'ts', 'event_type', 'INTERVAL 7 DAYS', 'view', 'click', " +
+        "'purchase')"),
+      graft.operators.Funnel.windowFunnel(events, "user_id", "ts",
+        "event_type", stages, "INTERVAL 7 DAYS"))
+  }
+
   test("malformed TVF calls fail loudly") {
     SqlTableFunctions.registerAll(spark)
     docs.createOrReplaceTempView("tvf_docs")
@@ -225,5 +310,8 @@ class SqlTableFunctionsSpec extends SparkSuite {
       spark.sql("SELECT * FROM graft_chunk('tvf_docs')"))
     intercept[Exception](
       spark.sql("SELECT * FROM graft_minhash_pairs('tvf_docs', 0.5)"))
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_trustrank('tvf_docs', 'a', 'b', " +
+        "'w', '0', '3')"))
   }
 }
