@@ -1257,6 +1257,13 @@ private[queries] trait PipelineCore {
   private[queries] val simhashFrameCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** The (source, gram_n, d_approx) frame behind
+    * `distinct_ngrams_approx` — registered at query construction,
+    * collected only at oracle-dump time (≤ sources × 3 rows), the
+    * simhashFrameCache contract. */
+  private[queries] val distinctNgramsApproxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private[graft] def simhashFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val f = withShingleHashes(

@@ -714,6 +714,43 @@ private[queries] trait PipelineCurationQueries extends PipelineCore {
         .orderBy($"source")
     }),
 
+    // L108b: the documented 100 TB swap of L108 made a REAL row, not a
+    // narrative — the same three gram relations with the exact
+    // countDistinct swapped for the G5 HLL lane
+    // (approx_count_distinct, rsd 0.05): sketch state is KB per
+    // (source, n) whatever the gram domain, merges map-side, and the
+    // full distinct gram domain never shuffles — at 100 TB the exact
+    // lane's (source, gram) shuffle IS the bottleneck this row
+    // removes. Output keeps the exact count alongside the estimate
+    // and asserts |approx − exact| ≤ 3·rsd·exact per (source, n) —
+    // the agg_approx bound-check pattern — so the swap's accuracy
+    // claim is itself driver-checked (the oracle interpolates the
+    // engine's estimates and recomputes exact + bound in DuckDB).
+    "distinct_ngrams_approx" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ws = Tables.documents(s, dir)
+        .select($"source", split($"text", " ").as("ws"))
+      def grams(n: Int) = ws.filter(size($"ws") >= n)
+        .select($"source", explode(
+          expr(s"transform(sequence(1, size(ws) - ${n - 1}), i -> " +
+            (0 until n).map(k => s"element_at(ws, i + $k)")
+              .mkString("concat_ws(' ', ", ", ", ")") + ")"))
+          .as("g"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct($"g").as("d_exact"),
+          approx_count_distinct($"g", 0.05).as("d_approx"))
+        .select($"source", lit(n.toLong).as("gram_n"),
+          $"n_grams", $"d_exact", $"d_approx")
+      val out = grams(1).unionByName(grams(2)).unionByName(grams(3))
+        .withColumn("within_bound",
+          abs($"d_approx" - $"d_exact") <= lit(0.15) * $"d_exact")
+        .orderBy($"source", $"gram_n")
+      distinctNgramsApproxCache.put(dir,
+        out.select($"source", $"gram_n", $"d_approx"))
+      out
+    }),
+
     // L107: temperature-scaled mixture allocation — the multilingual
     // data-balancing recipe (the XLM-R / mT5 `p_s^α` upsampling rule,
     // α = 1/2): raw shares over-serve head sources and starve tails;

@@ -210,7 +210,56 @@ private[queries] trait PipelineOracleSupport extends PipelineCore {
         Map("source_minhash_sim" -> sourceSigSqlCache.computeIfAbsent(dir,
           _ => sourceMinhashSimSql(f.collect()
             .map(r => (r.getString(0), r.getSeq[Long](1))))))
+      }.getOrElse(Map.empty) ++
+      Option(distinctNgramsApproxCache.get(dir))
+      .map { f =>
+        Map("distinct_ngrams_approx" ->
+          distinctNgramsApproxSqlCache.computeIfAbsent(dir,
+            _ => distinctNgramsApproxSql(f.collect()
+              .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))))
       }.getOrElse(Map.empty)
+
+  private[queries] val distinctNgramsApproxSqlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** DuckDB mirror of `distinct_ngrams_approx` given the engine's HLL
+    * estimates as VALUES literals: exact gram counts recomputed with
+    * the independent list-comprehension n-gram spelling (the
+    * distinct_ngrams oracle), and the 3·rsd bound check re-derived
+    * from DuckDB's own exact counts — the agg_approx pattern. */
+  private[queries] def distinctNgramsApproxSql(
+      rows: Array[(String, Long, Long)]): String = {
+    val vals = rows.sortBy(r => (r._1, r._2))
+      .map { case (src, n, a) => s"('$src', $n, $a)" }
+      .mkString(",\n    ")
+    s"""WITH est(source, gram_n, d_approx) AS (VALUES
+       |    $vals),
+       |ws AS (
+       |  SELECT source, string_split(text, ' ') AS ws FROM documents),
+       |ex AS (
+       |  SELECT source, 1 AS gram_n, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |    CAST(COUNT(DISTINCT g) AS BIGINT) AS d_exact
+       |  FROM (SELECT source, unnest(ws) AS g FROM ws) GROUP BY 1
+       |  UNION ALL
+       |  SELECT source, 2, CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(DISTINCT g) AS BIGINT)
+       |  FROM (SELECT source, unnest([ws[i] || ' ' || ws[i + 1]
+       |          for i in range(1, len(ws))]) AS g FROM ws)
+       |  GROUP BY 1
+       |  UNION ALL
+       |  SELECT source, 3, CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(DISTINCT g) AS BIGINT)
+       |  FROM (SELECT source,
+       |          unnest([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+       |            for i in range(1, len(ws) - 1)]) AS g FROM ws)
+       |  GROUP BY 1)
+       |SELECT ex.source, CAST(ex.gram_n AS BIGINT) AS gram_n,
+       |  ex.n_grams, ex.d_exact, CAST(est.d_approx AS BIGINT) AS d_approx,
+       |  abs(est.d_approx - ex.d_exact) <= 0.15 * ex.d_exact
+       |    AS within_bound
+       |FROM ex JOIN est USING (source, gram_n)
+       |ORDER BY source, gram_n""".stripMargin
+  }
 
   /** DuckDB mirror of `ivf_ann_learned`: identical structure to the
     * `ivf_ann` oracle, with the VALUES rows carrying the learned
