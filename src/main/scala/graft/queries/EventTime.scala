@@ -805,6 +805,15 @@ object EventTime {
     // averaging the two middles would leave the grid). Shape: one
     // map-combinable daily count; the pair join and selection run on
     // the bounded (type × day) relation — days² pairs, never events².
+    // The median SELECTION is grid-value cumulative counting (the G17
+    // family's move), not a rank over the raw pair relation: the
+    // slopes first collapse through a map-combinable (type, s6) count
+    // aggregate, and the one per-type ordered walk runs over DISTINCT
+    // grid values — bounded by the slope grid, not by days² — picking
+    // the value whose cumulative count first covers ⌈np/2⌉. Same
+    // statistic (the k-th smallest of a multiset is a grid value);
+    // no per-type full sort of the pair relation survives in the plan
+    // (PlanAuditSpec pins row_number-free selection).
     "theil_sen" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -820,12 +829,18 @@ object EventTime {
           floor((($"xj" - $"xi").cast("double") /
             ($"dj" - $"di").cast("double")) * lit(1000000.0) + lit(0.5))
             .cast("long").as("s6"))
-      val w = Window.partitionBy($"event_type").orderBy($"s6")
+      val counts = slopes.groupBy($"event_type", $"s6")
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy($"event_type").orderBy($"s6")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = Window.partitionBy($"event_type")
-      slopes
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("np", count(lit(1)).over(tot))
-        .filter($"rn" === expr("(np + 1L) DIV 2L"))
+      counts
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("np", sum($"c").over(tot))
+        // the lower median ⌈np/2⌉ falls inside exactly one grid
+        // value's cumulative span: cum − c < target ≤ cum
+        .filter($"cum" - $"c" < expr("(np + 1L) DIV 2L") &&
+          $"cum" >= expr("(np + 1L) DIV 2L"))
         .join(daily.groupBy($"event_type")
           .agg(count(lit(1)).as("n_days")), "event_type")
         .select($"event_type", $"n_days", $"np".as("n_pairs"),

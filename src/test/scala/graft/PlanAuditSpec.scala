@@ -159,4 +159,19 @@ class PlanAuditSpec extends SparkSuite {
         s"$name rank filter not pushed:\n${plans(name).take(1500)}")
     }
   }
+
+  test("theil_sen selects its median by grid-value counting, not a " +
+      "rank over the raw pair relation") {
+    // the slope median is a grid value: selection must ride a
+    // map-combinable (type, s6) count aggregate + a cumulative walk
+    // over DISTINCT grid values — a row_number over the days² pair
+    // relation is the shape that dies on long day axes
+    val p = plans("theil_sen")
+    assert(!p.contains("row_number"),
+      s"theil_sen must not rank the raw pair relation:\n${p.take(1500)}")
+    assert(p.contains("HashAggregate(keys=[event_type") &&
+      p.contains("s6"),
+      s"selection must run over the (type, s6) count aggregate:\n" +
+        p.take(1500))
+  }
 }
