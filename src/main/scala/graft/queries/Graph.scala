@@ -256,6 +256,26 @@ object Graph {
       import s.implicits._
       sccLabels(s, dir).orderBy($"node")
     }),
+
+    // L82 downstream: the CONDENSATION DAG — inter-SCC trade edges
+    // (which mutual-trade loops feed which), the relation a scheduler
+    // topo-sorts and an exposure audit walks. This is the second
+    // consumer of the persisted SCC labeling artifact: the FW-BW loop
+    // ran once (ArtifactStore `trade_scc_labels`, build-once pinned in
+    // ArtifactStoreSpec); this row is two broadcast-scale label joins
+    // over the one-pass edge relation — no iteration anywhere. Oracle
+    // shares the recursive-CTE labeling and regroups the edges.
+    "trade_scc_condensed" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val lab = sccLabels(s, dir)
+      tradeEdges(s, dir)
+        .join(lab.select($"node".as("src"), $"scc".as("scc_src")), "src")
+        .join(lab.select($"node".as("dst"), $"scc".as("scc_dst")), "dst")
+        .filter($"scc_src" =!= $"scc_dst")
+        .groupBy($"scc_src", $"scc_dst")
+        .agg(count(lit(1)).as("n_edges"))
+        .orderBy($"scc_src", $"scc_dst")
+    }),
   )
 
   /** Directed trade edges: supplier → customer for shipped volume
@@ -302,7 +322,14 @@ object Graph {
 
   private def sccLabels(s: SparkSession, dir: String): DataFrame =
     sccCache.get(s, dir)(d =>
-      graft.operators.Scc.components(tradeEdges(s, d), "src", "dst"))
+      // persisted ArtifactStore layout (the semdedup_components
+      // pattern): the FW-BW loop runs once per corpus version, and
+      // every downstream consumer — the group row, the node row, the
+      // condensation DAG, SCC-seeded audits — reads the labeling at
+      // rest instead of re-running the iteration
+      graft.operators.ArtifactStore.getOrBuild(s, d,
+        "trade_scc_labels", "v1")(
+        graft.operators.Scc.components(tradeEdges(s, d), "src", "dst")))
 
   /** The recursive-CTE SCC labeling shared by both trade_scc oracles:
     * transitive closure along edges, intersected with its reverse —
@@ -378,6 +405,18 @@ object Graph {
     "trade_scc_nodes" ->
       s"""WITH RECURSIVE $SccLabelSql
          |SELECT node, scc FROM lab ORDER BY node""".stripMargin,
+
+    // the condensation: shared labeling CTE, edges regrouped by the
+    // endpoint SCCs
+    "trade_scc_condensed" ->
+      s"""WITH RECURSIVE $SccLabelSql
+         |SELECT la.scc AS scc_src, lb.scc AS scc_dst,
+         |  CAST(COUNT(*) AS BIGINT) AS n_edges
+         |FROM edges e
+         |JOIN lab la ON la.node = e.src
+         |JOIN lab lb ON lb.node = e.dst
+         |WHERE la.scc <> lb.scc
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "part_rank" ->
       s"""WITH pr AS (${PageRank.ranksSql(EdgesSql, PrIterations)})

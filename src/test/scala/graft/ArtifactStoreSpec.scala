@@ -82,4 +82,25 @@ class ArtifactStoreSpec extends SparkSuite {
     assert(cent2 == cent1)
     assert(clus2 == clus1)
   }
+
+  test("trade SCC labeling is a persisted artifact: the FW-BW loop " +
+      "runs once; the condensation row rides it in a fresh session") {
+    // session 1 publishes (or warm-reads) the labeling; both consumers
+    // share it
+    val nodes1 = SparkEntry.queries("trade_scc_nodes")(spark, sf)
+      .collect().toSeq
+    val cond1 = SparkEntry.queries("trade_scc_condensed")(spark, sf)
+      .collect().toSeq
+    assert(cond1.nonEmpty, "condensation must have inter-SCC edges")
+    val s2 = spark.newSession()
+    val b1 = ArtifactStore.builds
+    val nodes2 = SparkEntry.queries("trade_scc_nodes")(s2, sf)
+      .collect().toSeq
+    val cond2 = SparkEntry.queries("trade_scc_condensed")(s2, sf)
+      .collect().toSeq
+    assert(ArtifactStore.builds == b1,
+      "a second session must read the published SCC labeling, not " +
+        "re-run the FW-BW loop")
+    assert(nodes2 == nodes1 && cond2 == cond1)
+  }
 }
