@@ -768,10 +768,15 @@ object EventTime {
         .groupBy($"event_type")
         .agg(sum(signum(($"xj" - $"xi").cast("double")).cast("long"))
           .as("s_stat"))
+      // n_days = Σ cg (the number of DAYS) — counting the tie GROUPS
+      // here (count(1) over the (type, n) relation) was a genuine
+      // statistic bug the T31 live twin exposed: var18 and z were
+      // computed against the distinct-count-value count, and the
+      // oracle mirrored the same mistake so the hash stayed green
       val ties = daily.groupBy($"event_type", $"n")
         .agg(count(lit(1)).as("cg"))
         .groupBy($"event_type")
-        .agg(count(lit(1)).as("n_days"),
+        .agg(sum($"cg").as("n_days"),
           sum($"cg" * ($"cg" - lit(1L)) * (lit(2L) * $"cg" + lit(5L)))
             .as("tie_term"))
       val z = when($"s_stat" > 0L,
@@ -1541,7 +1546,7 @@ object EventTime {
          |    AND a.day < b.day
          |  GROUP BY 1),
          |ties AS (
-         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  SELECT event_type, CAST(SUM(cg) AS BIGINT) AS n_days,
          |    CAST(SUM(cg * (cg - 1) * (2 * cg + 5)) AS BIGINT)
          |      AS tie_term
          |  FROM (SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS cg

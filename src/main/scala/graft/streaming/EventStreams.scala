@@ -772,6 +772,157 @@ object EventStreams {
       }
   }
 
+  // public: the state encoder's generated code must reach the classes
+  final case class MkState(curDay: Long, curN: Long, s: Long,
+      cnt: Map[Long, Long])
+  final case class MkRow(event_type: String, n_days: Long, s_stat: Long,
+      tie_term: Long, var18: Long, z: Double, is_trend: Long)
+
+  /** T31 live: streaming Mann–Kendall — the monotone-trend verdict
+    * maintained incrementally as days close, completing the SPC
+    * family's live story (PSI, binned KS, CUSUM, EWMA, MK, Theil–Sen).
+    * Per type the state is the open day, the RUNNING S (genuinely
+    * order-dependent, so it persists — day order is arrival order
+    * under the monotone contract), and the MULTISET of closed daily
+    * counts (value → day count — a statistic of the day axis, never
+    * events; the tie term and variance re-derive from it): when a day
+    * closes with count x, S gains Σ_{v<x} c_v − Σ_{v>x} c_v in one
+    * map walk (the closing day is j in every (i, j) pair it
+    * completes), and the verdict-so-far emits with the identical
+    * integer/q6 spelling as the batch `mann_kendall_trend` — so once
+    * the feed is ingested the LATEST row per type equals the batch
+    * row across any micro-batch split (the psiStream "latest verdict"
+    * contract). Same day-monotone feed contract as [[cusumStream]]:
+    * out-of-order days are refused, the final open day flushes via a
+    * later-day sentinel. */
+  def mkStream(events: Dataset[TypedEvent],
+      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[MkRow] = {
+    import events.sparkSession.implicits._
+    def q6d(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[MkState, MkRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[TypedEvent],
+            state: GroupState[MkState]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[MkRow]
+          def close(): Unit = {
+            val x = st.curN
+            val dS = st.cnt.map { case (v, c) =>
+              if (v < x) c else if (v > x) -c else 0L }.sum
+            val s = st.s + dS
+            val cnt = st.cnt.updated(x, st.cnt.getOrElse(x, 0L) + 1L)
+            st = MkState(-1L, 0L, s, cnt)
+            val n = cnt.values.sum
+            val tie = cnt.values.map(c => c * (c - 1L) * (2L * c + 5L)).sum
+            val var18 = n * (n - 1L) * (2L * n + 5L) - tie
+            // the batch z spelling verbatim: continuity-corrected,
+            // sqrt(var18/18.0), zero on S = 0
+            val z =
+              if (s > 0L)
+                (s - 1L).toDouble / math.sqrt(var18.toDouble / 18.0)
+              else if (s < 0L)
+                (s + 1L).toDouble / math.sqrt(var18.toDouble / 18.0)
+              else 0.0
+            val zq = q6d(z)
+            out += MkRow(etype, n, s, tie, var18, zq,
+              if (math.abs(zq) > 1.96) 1L else 0L)
+          }
+          rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val day = Math.floorDiv(e.ts, 86400000000L) - epochDay0
+            if (st == null) st = MkState(day, 1L, 0L, Map.empty)
+            else if (day == st.curDay) st = st.copy(curN = st.curN + 1L)
+            else if (day < st.curDay)
+              throw new IllegalStateException(
+                s"mkStream: out-of-order event for type $etype (day " +
+                  s"$day after open day ${st.curDay}) — the feed must " +
+                  "be day-monotone per type across micro-batches")
+            else { close(); st = st.copy(curDay = day, curN = 1L) }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  // public: the state encoder's generated code must reach the classes
+  final case class TsState(curDay: Long, curN: Long, days: Seq[Long],
+      ns: Seq[Long], grid: Map[Long, Long])
+  final case class TsRow(event_type: String, n_days: Long,
+      n_pairs: Long, sen_slope: Double)
+
+  /** T35 live: streaming Theil–Sen — the robust trend MAGNITUDE
+    * maintained as days close. Per type the state is the open day,
+    * the closed (day, count) series, and the slope GRID-COUNT map
+    * (s6 → multiplicity — the theil_sen batch row's selection
+    * structure, persisted): a closing day contributes its |prior|
+    * pairwise slopes in one pass (each on the q6 grid via the batch
+    * row's identical double spelling), and the lower median re-derives
+    * by one cumulative walk over the sorted grid keys — never a sort
+    * of the pair relation. LATEST row per type equals the batch
+    * `theil_sen` row across any micro-batch split once the feed is
+    * ingested. State ∝ days + distinct grid values (a time axis);
+    * per-close work ∝ prior days — days² total, exactly the batch
+    * pair relation, amortized over the feed. Same day-monotone feed
+    * contract as [[cusumStream]]. */
+  def tsStream(events: Dataset[TypedEvent],
+      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[TsRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[TsState, TsRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[TypedEvent],
+            state: GroupState[TsState]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[TsRow]
+          def close(): Unit = {
+            val d = st.curDay
+            val x = st.curN
+            var grid = st.grid
+            var i = 0
+            while (i < st.days.length) {
+              // the batch slope spelling verbatim: exact long
+              // numerator/denominator, one double division, half-up
+              // micro quantization
+              val s6 = math.floor(
+                (x - st.ns(i)).toDouble / (d - st.days(i)).toDouble *
+                  1000000.0 + 0.5).toLong
+              grid = grid.updated(s6, grid.getOrElse(s6, 0L) + 1L)
+              i += 1
+            }
+            st = TsState(-1L, 0L, st.days :+ d, st.ns :+ x, grid)
+            val np = grid.values.sum
+            if (np >= 1L) {
+              val target = (np + 1L) / 2L
+              var cum = 0L
+              var median = 0L
+              val ks = grid.keys.toArray.sorted
+              var k = 0
+              while (k < ks.length && cum < target) {
+                median = ks(k); cum += grid(ks(k)); k += 1
+              }
+              out += TsRow(etype, st.days.length.toLong, np,
+                median.toDouble / 1000000.0)
+            }
+          }
+          rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val day = Math.floorDiv(e.ts, 86400000000L) - epochDay0
+            if (st == null)
+              st = TsState(day, 1L, Vector.empty, Vector.empty, Map.empty)
+            else if (day == st.curDay) st = st.copy(curN = st.curN + 1L)
+            else if (day < st.curDay)
+              throw new IllegalStateException(
+                s"tsStream: out-of-order event for type $etype (day " +
+                  s"$day after open day ${st.curDay}) — the feed must " +
+                  "be day-monotone per type across micro-batches")
+            else { close(); st = st.copy(curDay = day, curN = 1L) }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+
   /** T6: arbitrary per-key state — a running per-user counter kept in
     * GroupState, emitting the updated total on every micro-batch. */
   def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {

@@ -49,6 +49,7 @@ class RelationalSpec extends SparkSuite {
     SparkEntry.queries("agg_approx")(spark, sf)
     SparkEntry.queries("cms_freq")(spark, sf)
     SparkEntry.queries("kmv_overlap")(spark, sf)
+    SparkEntry.queries("distinct_ngrams_approx")(spark, sf)
     SparkEntry.queries("bloom_file_skip")(spark, sf)
     SparkEntry.queries("hash_fns_native")(spark, sf)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
