@@ -101,6 +101,73 @@ object IvfIndex {
     (k.get, dim.get)
   }
 
+  /** In-plan geometry guard for the append lane: a row whose `cell`
+    * lies outside [1, k] was assigned against DIFFERENT centroids
+    * (silently wrong neighbors downstream, no error), and — when the
+    * payload carries a raw vector column `v` — a vector of the wrong
+    * dimension corrupts every cosine it ever enters. Both refuse
+    * loudly. The checks ride the `cell` column itself (the partition
+    * key — never pruned away before evaluation). */
+  private def guardGeometry(rows: DataFrame, k: Int, dim: Int): DataFrame = {
+    val dimBad =
+      if (rows.columns.contains("v")) size(col("v")) =!= lit(dim)
+      else lit(false)
+    // negative ids are refused too: the live probe's cross-pair
+    // classification sign-flips batch ids (the BandIndex rule)
+    val idBad =
+      if (rows.columns.contains("vec_id")) col("vec_id") < 0
+      else lit(false)
+    rows.withColumn("cell",
+      when(col("cell") < 1 || col("cell") > k || dimBad || idBad,
+        expr(s"raise_error('IvfIndex: appended row violates the cell " +
+          s"layout geometry (cell out of [1, $k], vector dim != " +
+          s"$dim, or negative vec_id) — assigned against different " +
+          "centroids, or unusable by the sign-flip probe')")
+          .cast("bigint"))
+        .otherwise(col("cell").cast("bigint")))
+  }
+
+  /** Append a NEW batch of assigned vectors into an existing
+    * [[writeCellLayout]] corpus, idempotently and atomically by batch
+    * id — the ANN-index maintenance path, on the same manifest-commit
+    * protocol as `BandIndex.appendBandsIdempotent` ([[TxBatch]]): the
+    * batch stages under a hidden unique directory and publishes with
+    * ONE atomic rename to `_batch-<id>`, simultaneously the data and
+    * the idempotence marker. Committed batches are read by
+    * [[graft.sources.CellsSource]] (batch AND micro-batch stream) with
+    * the same cell pruning as the base; plain
+    * `spark.read.parquet(path)` sees only the base. Geometry comes
+    * from the layout's own stamp — rows assigned against different
+    * centroids are refused in-plan ([[guardGeometry]]). Returns
+    * whether THIS call applied the batch. */
+  def appendCellsIdempotent(assigned: DataFrame, path: String,
+      batchId: Long): Boolean =
+    appendCellsIdempotent(assigned, path, batchId,
+      crashBeforePublish = false)
+
+  /** [[appendCellsIdempotent]] with the spec crash failpoint. */
+  private[graft] def appendCellsIdempotent(assigned: DataFrame,
+      path: String, batchId: Long, crashBeforePublish: Boolean): Boolean = {
+    require(assigned.columns.contains("cell"),
+      "appendCellsIdempotent needs a `cell` column (see assignCells)")
+    val s = assigned.sparkSession
+    val (k, dim) = readCellMeta(s, path) // refuses geometry-less layouts
+    TxBatch.publish(s, path, batchId, guardGeometry(assigned, k, dim),
+      None, crashBeforePublish, partitionCol = "cell")
+  }
+
+  /** The full committed layout: base cell directories plus every
+    * committed transactional batch ([[TxBatch.committedDirs]]) — the
+    * plain-parquet face of what [[graft.sources.CellsSource]] lists
+    * inside its scan. */
+  def readLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    // one read per batch root, unioned: partition inference refuses
+    // several partitioned roots in one read (conflicting-structures)
+    TxBatch.committedDirs(spark, path)
+      .foldLeft(spark.read.parquet(path))((acc, b) =>
+        acc.unionByName(spark.read.parquet(b)))
+
   /** Read back only `cells` of a [[writeCellLayout]] corpus. The
     * literal IN-filter on the partition column becomes a static
     * partition filter: unprobed cell directories are never listed,

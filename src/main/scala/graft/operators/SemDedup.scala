@@ -25,7 +25,10 @@ object SemDedup {
   private def q6(c: Column): Column =
     floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0)
 
-  private def cos(a: Column, b: Column): Column =
+  /** The q6 exact-cosine spelling every semantic-dedup surface shares
+    * (batch rows, the TVF, and the live cell-stream probe — shared so
+    * stream == batch is a set equality, not a tolerance). */
+  private[graft] def cos(a: Column, b: Column): Column =
     q6(F.dotd(a, b) /
       (sqrt(F.dotd(a, a)) * sqrt(F.dotd(b, b))))
 

@@ -61,12 +61,17 @@ object TxBatch {
     * `root` and publish atomically. Returns whether THIS call applied
     * the batch (false = already committed, or lost the publish race).
     *
+    * `partitionCol` is the layout's partition key — `bucket` for the
+    * term/band layouts, `cell` for the IVF cell layout; the protocol
+    * is key-agnostic (the staging/rename dance never looks inside).
+    *
     * `crashBeforePublish` is the spec failpoint: staging completes,
     * then the "driver dies" (throws) before the rename — the injected
     * crash the protocol must survive. */
   private[graft] def publish(s: SparkSession, root: String, batchId: Long,
       data: DataFrame, stats: Option[DataFrame],
-      crashBeforePublish: Boolean = false): Boolean = {
+      crashBeforePublish: Boolean = false,
+      partitionCol: String = "bucket"): Boolean = {
     val committed = new Path(root, s"_batch-$batchId")
     val fs = fsOf(s, committed)
     def sweepStaleStagings(exceptName: String): Unit = {
@@ -91,7 +96,7 @@ object TxBatch {
     val staging = new Path(root, s"_staging-$batchId-" +
       java.util.UUID.randomUUID().toString.take(8))
     data.write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(staging.toString)
+      .partitionBy(partitionCol).parquet(staging.toString)
     stats.foreach(_.write.mode(SaveMode.Overwrite)
       .parquet(new Path(staging, StatsDir).toString))
     if (crashBeforePublish)

@@ -68,9 +68,20 @@ class CellsSource extends TableProvider {
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       "graft.sources.CellsSource needs option 'path'")
-    // geometry-less layouts are refused at open time
-    val (k, _) = IvfIndex.readCellMeta(SparkSession.active, path)
-    new CellsTable(path, k, schema)
+    // geometry-less layouts are refused at open time; explicit k/dim
+    // options (the append-side declaration of what the caller THINKS
+    // it is writing into) must match the stamp — the
+    // BandIndex.requireGeometry rule
+    val (k, dim) = IvfIndex.readCellMeta(SparkSession.active, path)
+    def opt(names: String*): Option[String] =
+      names.flatMap(n => Option(properties.get(n))).headOption
+    opt("k").foreach(v => require(v.toInt == k,
+      s"cell-layout geometry mismatch at $path: layout has k=$k, " +
+        s"option asked for k=$v"))
+    opt("dim").foreach(v => require(v.toInt == dim,
+      s"cell-layout geometry mismatch at $path: layout has dim=$dim, " +
+        s"option asked for dim=$v"))
+    new CellsTable(path, k, dim, schema)
   }
 }
 
@@ -150,15 +161,24 @@ object CellsSource {
   }
 }
 
-private[sources] class CellsTable(path: String, k: Int,
-    tableSchema: StructType) extends Table with SupportsRead {
+private[sources] class CellsTable(path: String, k: Int, dim: Int,
+    tableSchema: StructType) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_cells($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new CellsScanBuilder(path, k, tableSchema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new CellsWriteBuilder(path, k, dim, tableSchema, info.schema(),
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 private[graft] class CellsScanBuilder(path: String, k: Int,
@@ -269,12 +289,77 @@ private[graft] class CellsScan(path: String, k: Int,
 
   override def toBatch: Batch = this
 
+  /** The cell layout as a micro-batch STREAM of its own appends — the
+    * [[PostingsScan]]/[[BandsScan]] twin, completing the index
+    * family's symmetry for the ANN flagship: each trigger delivers
+    * exactly the parquet files that appeared since the last committed
+    * offset (the appendCellsIdempotent / TxBatch maintenance contract
+    * adds files, never rewrites), which is the live feed the
+    * incremental semantic-dedup lane tails instead of re-scanning the
+    * corpus per run. Offsets are the set of files seen; compile-time
+    * cell pruning applies to the discovery listing exactly as to a
+    * batch scan. At 100 TB the offset-set stays proportional to FILE
+    * count (appends are batch-grained), not rows. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read
+        .streaming.MicroBatchStream =
+    new CellsMicroBatchStream(this, required, hconf)
+
   override def planInputPartitions(): Array[InputPartition] =
     files.map { case (f, c, _) =>
       CellsInputPartition(f, c): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CellsReaderFactory(required, hconf)
+}
+
+/** Offset = the set of layout files already delivered, serialized as
+  * ONE LINE of compact JSON (sorted array; Jackson quoting) — the
+  * PostingsOffset/BandsOffset rule: Spark's OffsetSeqLog stores one
+  * offset per LINE, so a multi-line json() corrupts the checkpoint the
+  * moment an offset covers ≥ 2 files. */
+private[sources] case class CellsOffset(files: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    CellsOffset.mapper.writeValueAsString(files.toSeq.sorted.toArray)
+}
+
+private[sources] object CellsOffset {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  def fromJson(json: String): CellsOffset =
+    CellsOffset(mapper.readValue(json.trim,
+      classOf[Array[String]]).toSet)
+}
+
+private[sources] class CellsMicroBatchStream(scan: CellsScan,
+    required: StructType, hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = CellsOffset(Set.empty)
+
+  override def latestOffset(): Offset =
+    CellsOffset(scan.files.map(_._1).toSet)
+
+  override def deserializeOffset(json: String): Offset =
+    CellsOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[CellsOffset].files
+    val now = end.asInstanceOf[CellsOffset].files
+    (now -- seen).toSeq.sorted.map { f =>
+      val cell = new Path(f).getParent.getName
+        .stripPrefix("cell=").toLong
+      CellsInputPartition(f, cell): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CellsReaderFactory(required, hconf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class CellsInputPartition(file: String,
@@ -287,6 +372,206 @@ private[sources] class CellsReaderFactory(required: StructType,
     val p = partition.asInstanceOf[CellsInputPartition]
     new CellsPartitionReader(p.file, p.cell, required, hconf)
   }
+}
+
+/** DSv2 APPEND write path — the ANN-index maintenance contract
+  * through the connector, the [[BandsWriteBuilder]] twin: cell
+  * directories gain files, nothing is rewritten. Tasks stage files
+  * under a hidden job root; the job commit publishes them
+  * ([[CellsBatchWrite]]); aborts delete the staged files. Per-row
+  * enforcement at the connector boundary: `cell` must lie in [1, k]
+  * (a row assigned against different centroids silently vanishes from
+  * every pruned probe), a raw-vector payload must carry exactly `dim`
+  * elements, and `vec_id` must be non-negative (the live probe's
+  * sign-flip encoding reserves negatives for batch ids). The payload
+  * columns are whatever the layout schema carries (vectors, PQ codes —
+  * the schema came from the layout's own footer), so the writer builds
+  * its parquet schema from the table schema, not a fixed message. */
+private[graft] class CellsWriteBuilder(path: String, k: Int, dim: Int,
+    tableSchema: StructType, input: StructType,
+    hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write._
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new CellsBatchWrite(path, k, dim, tableSchema, input, hconf)
+  }
+}
+
+private[sources] case class CellsCommit(files: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Staged-rename batch write (the [[BandsBatchWrite]] protocol):
+  * nothing is visible before [[commit]]; a failed job leaves the
+  * layout untouched. */
+private[sources] class CellsBatchWrite(path: String, k: Int, dim: Int,
+    tableSchema: StructType, input: StructType,
+    hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val stagingRoot = new Path(path,
+    ".staging-" + java.util.UUID.randomUUID().toString.take(12)).toString
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new CellsWriterFactory(stagingRoot, k, dim, tableSchema, input, hconf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(hconf.value)
+    messages.foreach {
+      case CellsCommit(rels) => rels.foreach { rel =>
+        val dst = new Path(path, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(new Path(stagingRoot, rel), dst))
+          throw new java.io.IOException(
+            s"CellsSource commit: rename of staged $rel failed")
+      }
+      case _ => ()
+    }
+    fs.delete(new Path(stagingRoot), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(hconf.value)
+    fs.delete(new Path(stagingRoot), true)
+  }
+}
+
+private[sources] class CellsWriterFactory(stagingRoot: String, k: Int,
+    dim: Int, tableSchema: StructType, input: StructType,
+    hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new CellsDataWriter(stagingRoot, k, dim, tableSchema, input, hconf,
+      partitionId, taskId)
+}
+
+private[sources] class CellsDataWriter(stagingRoot: String, k: Int,
+    dim: Int, tableSchema: StructType, input: StructType,
+    hconf: SerializableHadoopConf, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.ParquetWriter
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.schema.MessageTypeParser
+
+  /** Payload columns = the layout schema minus the `cell` partition
+    * directory value; the parquet message mirrors the reader's
+    * supported type set exactly (one writer, one reader, one list
+    * shape). */
+  private val payload = tableSchema.fields.filter(_.name != "cell")
+
+  private def parquetDecl(f: StructField): String = f.dataType match {
+    case LongType => s"optional int64 ${f.name};"
+    case IntegerType => s"optional int32 ${f.name};"
+    case DoubleType => s"optional double ${f.name};"
+    case FloatType => s"optional float ${f.name};"
+    case BooleanType => s"optional boolean ${f.name};"
+    case StringType => s"optional binary ${f.name} (UTF8);"
+    case ArrayType(et, _) =>
+      val e = et match {
+        case DoubleType => "double"
+        case FloatType => "float"
+        case LongType => "int64"
+        case other => throw new IllegalArgumentException(
+          s"unsupported cell-layout array element $other (${f.name})")
+      }
+      s"optional group ${f.name} (LIST) " +
+        s"{ repeated group list { optional $e element; } }"
+    case other => throw new IllegalArgumentException(
+      s"unsupported cell-layout column type $other (${f.name})")
+  }
+
+  private val fileType = MessageTypeParser.parseMessageType(
+    payload.map(parquetDecl)
+      .mkString("message cells {\n", "\n", "\n}"))
+  private val factory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(fileType)
+
+  private val iCell = input.fieldIndex("cell")
+  private val cellIsInt = input("cell").dataType == IntegerType
+  private val payloadIdx = payload.map(f => input.fieldIndex(f.name))
+  private val iVecId = input.fieldNames.indexOf("vec_id")
+
+  private val open =
+    scala.collection.mutable.Map.empty[Long, ParquetWriter[Group]]
+  private val files = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def writerFor(cell: Long): ParquetWriter[Group] =
+    open.getOrElseUpdate(cell, {
+      val rel = s"cell=$cell/part-$partitionId-$taskId-" +
+        java.util.UUID.randomUUID().toString.take(8) + ".parquet"
+      files += rel
+      ExampleParquetWriter.builder(new Path(stagingRoot, rel))
+        .withType(fileType).withConf(hconf.value).build()
+    })
+
+  private def appendField(g: Group, f: StructField, r: InternalRow,
+      idx: Int): Unit = {
+    if (r.isNullAt(idx)) return
+    f.dataType match {
+      case LongType => g.append(f.name, r.getLong(idx))
+      case IntegerType => g.append(f.name, r.getInt(idx))
+      case DoubleType => g.append(f.name, r.getDouble(idx))
+      case FloatType => g.append(f.name, r.getFloat(idx))
+      case BooleanType => g.append(f.name, r.getBoolean(idx))
+      case StringType => g.append(f.name, r.getUTF8String(idx).toString)
+      case ArrayType(et, _) =>
+        val arr = r.getArray(idx)
+        if (f.name == "v" && arr.numElements() != dim)
+          throw new IllegalArgumentException(
+            s"CellsSource write: vector of ${arr.numElements()} " +
+              s"elements does not match the layout dim=$dim — a " +
+              "wrong-dimension vector corrupts every cosine it enters")
+        val lg = g.addGroup(f.name)
+        var i = 0
+        while (i < arr.numElements()) {
+          val eg = lg.addGroup("list")
+          if (!arr.isNullAt(i)) et match {
+            case DoubleType => eg.append("element", arr.getDouble(i))
+            case FloatType => eg.append("element", arr.getFloat(i))
+            case LongType => eg.append("element", arr.getLong(i))
+            case other => throw new IllegalArgumentException(
+              s"unsupported cell-layout array element type $other")
+          }
+          i += 1
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported cell-layout column type $other (${f.name})")
+    }
+  }
+
+  override def write(r: InternalRow): Unit = {
+    val cell =
+      if (cellIsInt) r.getInt(iCell).toLong else r.getLong(iCell)
+    if (cell < 1 || cell > k) throw new IllegalArgumentException(
+      s"CellsSource write: cell $cell is outside [1, $k] — the row " +
+        "was assigned against different centroids (geometry mismatch)")
+    if (iVecId >= 0 && !r.isNullAt(iVecId) && r.getLong(iVecId) < 0)
+      throw new IllegalArgumentException(
+        s"CellsSource write: vec_id ${r.getLong(iVecId)} is negative — " +
+          "the probe sign-flip encoding reserves negatives for batch ids")
+    val g = factory.newGroup()
+    payload.indices.foreach(i =>
+      appendField(g, payload(i), r, payloadIdx(i)))
+    writerFor(cell).write(g)
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    open.values.foreach(_.close())
+    CellsCommit(files.toSeq)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach(w => scala.util.Try(w.close()))
+    val fs = new Path(stagingRoot).getFileSystem(hconf.value)
+    files.foreach(f => fs.delete(new Path(stagingRoot, f), false))
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Row-group reader over one cell data file: parquet-hadoop Group API,

@@ -163,4 +163,141 @@ class CellsSourceSpec extends SparkSuite {
     val got = v2.select(cols: _*).orderBy($"vec_id").collect().toSeq
     assert(got == raw && got.nonEmpty)
   }
+
+  test("DSv2 append write: a batch written through the connector " +
+      "equals the assignCells payload; alien cells, wrong-dim vectors, " +
+      "negative ids and mismatched geometry options are refused") {
+    import org.apache.spark.sql.SaveMode
+    val p = "/tmp/graft_cells_v2/append_v2"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val corpus = IvfIndex.assignCells(emb.filter($"vec_id" % 2 === 0), cents)
+    val batch = IvfIndex.assignCells(emb.filter($"vec_id" % 2 === 1), cents)
+    IvfIndex.writeCellLayout(corpus, p, K, cents.head.length)
+    batch.write.format("graft.sources.CellsSource")
+      .option("path", p).option("k", K.toString)
+      .option("dim", cents.head.length.toString)
+      .mode(SaveMode.Append).save()
+    val cols = Seq($"vec_id", $"v", $"cell".cast("long").as("cell"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols: _*).orderBy($"vec_id").collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+    val expected = rows(corpus.unionByName(batch))
+    assert(rows(spark.read.parquet(p)) == expected && expected.nonEmpty)
+    // the connector reads its own appended layout identically
+    assert(rows(spark.read.format("graft.sources.CellsSource")
+      .option("path", p).load()) == expected)
+    // no staging residue after commit
+    assert(new java.io.File(p).listFiles()
+      .forall(!_.getName.startsWith(".staging-")))
+    val visible = spark.read.parquet(p).count()
+    // an out-of-range cell is refused, and the failed job publishes
+    // nothing (a row assigned against alien centroids must not land)
+    val alien = batch.limit(4).withColumn("cell", $"cell" + lit(K.toLong))
+    intercept[Exception](alien.write.format("graft.sources.CellsSource")
+      .option("path", p).mode(SaveMode.Append).save())
+    assert(spark.read.parquet(p).count() == visible)
+    // a wrong-dimension vector is refused
+    val short = batch.limit(1).withColumn("v", slice($"v", 1, 8))
+    intercept[Exception](short.write.format("graft.sources.CellsSource")
+      .option("path", p).mode(SaveMode.Append).save())
+    assert(spark.read.parquet(p).count() == visible)
+    // a negative vec_id is refused (the probe sign-flip contract)
+    val neg = batch.limit(1).withColumn("vec_id", lit(-5L))
+    intercept[Exception](neg.write.format("graft.sources.CellsSource")
+      .option("path", p).mode(SaveMode.Append).save())
+    assert(spark.read.parquet(p).count() == visible)
+    // geometry-mismatched option sets are refused at the boundary
+    intercept[Exception](batch.write.format("graft.sources.CellsSource")
+      .option("path", p).option("k", (K * 2).toString)
+      .mode(SaveMode.Append).save())
+    intercept[Exception](batch.write.format("graft.sources.CellsSource")
+      .option("path", p).option("dim", "8")
+      .mode(SaveMode.Append).save())
+    assert(spark.read.parquet(p).count() == visible)
+  }
+
+  test("idempotent cell append: crash before publish leaves the layout " +
+      "bitwise unchanged, the retry applies exactly once, a re-send " +
+      "no-ops, and geometry violations are refused in-plan") {
+    val p = "/tmp/graft_cells_v2/append"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val corpus = IvfIndex.assignCells(emb.filter($"vec_id" % 5 =!= 0), cents)
+    val batch = IvfIndex.assignCells(emb.filter($"vec_id" % 5 === 0), cents)
+    IvfIndex.writeCellLayout(corpus, p, K, cents.head.length)
+    val before = IvfIndex.readLayout(spark, p)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    // injected crash between staging and publish: nothing visible
+    intercept[RuntimeException](
+      IvfIndex.appendCellsIdempotent(batch, p, 1L,
+        crashBeforePublish = true))
+    assert(IvfIndex.readLayout(spark, p)
+      .select($"vec_id").as[Long].collect().sorted.toSeq == before)
+    // the retry applies the batch exactly once (and sweeps the
+    // crashed attempt's stale staging); a re-send no-ops
+    assert(IvfIndex.appendCellsIdempotent(batch, p, 1L))
+    assert(!new java.io.File(p).listFiles()
+      .exists(_.getName.startsWith("_staging-")), "staging swept")
+    val after = IvfIndex.readLayout(spark, p)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(after == (before ++ batch.select($"vec_id").as[Long]
+      .collect().toSeq).sorted)
+    assert(!IvfIndex.appendCellsIdempotent(batch, p, 1L))
+    assert(IvfIndex.readLayout(spark, p).count() == after.size.toLong)
+    // rows assigned against different centroids (cell out of [1, k])
+    // are refused loudly, and the refused batch leaves no residue
+    val alien = batch.withColumn("cell", $"cell" + lit(K.toLong))
+    val e = intercept[Exception](
+      IvfIndex.appendCellsIdempotent(alien, p, 2L))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("geometry")), messages(e))
+    assert(IvfIndex.readLayout(spark, p).count() == after.size.toLong)
+  }
+
+  test("micro-batch streaming read tails the layout's appends: first " +
+      "trigger delivers the base, each committed batch exactly its " +
+      "files; restart resumes from the checkpointed offset") {
+    val p = "/tmp/graft_cells_v2/stream"
+    val ckpt = "/tmp/graft_cells_v2/stream_ckpt"
+    val out = "/tmp/graft_cells_v2/stream_out"
+    Seq(p, ckpt, out).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    val corpus = IvfIndex.assignCells(emb.filter($"vec_id" % 3 === 0), cents)
+    val b1 = IvfIndex.assignCells(emb.filter($"vec_id" % 3 === 1), cents)
+    val b2 = IvfIndex.assignCells(emb.filter($"vec_id" % 3 === 2), cents)
+    IvfIndex.writeCellLayout(corpus, p, K, cents.head.length)
+    def start() = spark.readStream.format("graft.sources.CellsSource")
+      .option("path", p).load()
+      .select($"vec_id", $"cell".cast("long").as("cell"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() ==
+        spark.read.parquet(p).count())
+      assert(IvfIndex.appendCellsIdempotent(b1, p, 1L))
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() ==
+        IvfIndex.readLayout(spark, p).count())
+    } finally q1.stop()
+    // append while the stream is DOWN, then restart from the
+    // checkpoint: b2 is delivered exactly once, no replay
+    assert(IvfIndex.appendCellsIdempotent(b2, p, 2L))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val sunk = spark.read.parquet(out)
+        .select($"vec_id", $"cell").orderBy($"vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val layout = IvfIndex.readLayout(spark, p)
+        .select($"vec_id", $"cell".cast("long")).orderBy($"vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(sunk == layout && sunk.nonEmpty,
+        s"restart must deliver exactly the appended files: " +
+          s"${sunk.size} sunk vs ${layout.size} in layout")
+    } finally q2.stop()
+  }
 }

@@ -343,4 +343,79 @@ class StreamingCurationSpec extends SparkSuite {
         s"stream ${batchVsCorpus.size} vs batch row ${row.size}")
     } finally q.stop()
   }
+
+  test("live semantic near-dup: the CellStreams consumer tailing the " +
+      "IVF cell layout's appends equals the per-increment batch probe " +
+      "across micro-batch splits, and a retried batch publishes once") {
+    import graft.operators.{IvfIndex, SemDedup}
+    import graft.streaming.CellStreams
+    val K = 8
+    val Tau = 0.40 // == the semdedup row's duplication threshold
+    val p = "/tmp/graft_cells_live/layout"
+    val pairsP = "/tmp/graft_cells_live/pairs"
+    val ckpt = "/tmp/graft_cells_live/ckpt"
+    Seq(p, pairsP, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents = IvfIndex.learnCentroids(emb, K, 1)
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    // the batch: fresh vectors plus EXACT COPIES of corpus vectors
+    // under new ids — cosine-1 "paraphrases" the semantic lane must
+    // catch (identical embedding ⇒ identical cell, so the within-cell
+    // verify is guaranteed to see them)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+      .unionAll(corpus.filter($"vec_id" % 17 === 3)
+        .select(($"vec_id" + 10000000L).as("vec_id"), $"v"))
+    IvfIndex.writeCellLayout(IvfIndex.assignCells(corpus, cents), p,
+      K, cents.head.length)
+    // split the batch across two triggers — the cadence-invariance pin
+    val b1 = IvfIndex.assignCells(batch.filter($"vec_id" % 2 === 0), cents)
+    val b2 = IvfIndex.assignCells(batch.filter($"vec_id" % 2 === 1), cents)
+    // expected per increment: exact q6 cosine over co-celled cross
+    // pairs vs the PRE-append state (the brute spelling, cells from
+    // the same centroids the layout stores)
+    def cross(b: org.apache.spark.sql.DataFrame,
+        pre: org.apache.spark.sql.DataFrame) =
+      b.select($"cell", $"vec_id".as("batch_vec"), $"v".as("va"))
+        .join(IvfIndex.assignCells(pre, cents)
+          .select($"cell", $"vec_id".as("corpus_vec"), $"v".as("vb")),
+          Seq("cell"))
+        .withColumn("cos", SemDedup.cos($"va", $"vb"))
+        .filter($"cos" >= Tau)
+        .select($"batch_vec", $"corpus_vec", $"cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val exp1 = cross(b1, corpus)
+    val exp2 = cross(b2,
+      corpus.unionByName(batch.filter($"vec_id" % 2 === 0)))
+    val q = CellStreams.liveSemDedup(spark, p, Tau, pairsP, ckpt)
+    try {
+      q.processAllAvailable()
+      // first trigger = the base layout: corpus side empty, no pairs
+      assert(CellStreams.readPairs(spark, pairsP).count() == 0L)
+      assert(IvfIndex.appendCellsIdempotent(b1, p, 1L))
+      q.processAllAvailable()
+      assert(IvfIndex.appendCellsIdempotent(b2, p, 2L))
+      // a re-sent batch id is a no-op: the stream must not re-probe it
+      assert(!IvfIndex.appendCellsIdempotent(b1, p, 1L))
+      q.processAllAvailable()
+      val streamed = CellStreams.readPairs(spark, pairsP)
+        .select($"batch_vec", $"corpus_vec", $"cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(streamed == (exp1 ++ exp2) && streamed.nonEmpty,
+        s"streamed ${streamed.size} vs expected ${(exp1 ++ exp2).size}")
+      // every planted copy was caught against its own original
+      // (identical v ⇒ same cell ⇒ cos 1.0 ≥ τ, no approximation gap)
+      val planted = streamed.collect {
+        case (b, c, _) if b >= 10000000L => (b - 10000000L, c) }
+      val originals = corpus.filter($"vec_id" % 17 === 3)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(originals.nonEmpty &&
+        originals.forall(o => planted.contains((o, o))),
+        s"planted copies must pair with their originals: " +
+          s"${originals.size} planted, ${planted.size} caught")
+    } finally q.stop()
+  }
 }
