@@ -436,6 +436,55 @@ object Aggregates {
           when(abs($"t_stat") > lit(1.96), 1L).otherwise(0L))
     }),
 
+    // G31: Spearman rank correlation — the MONOTONE-association
+    // measure next to G3's Pearson (agg_corr): per event type, ρ
+    // between the daily event count and the daily value mass over the
+    // shared day axis. Rank-based, so one outlier day cannot fake or
+    // break the association (the reason it is the data-audit default:
+    // "does volume track spend" should not hinge on Black Friday).
+    // Exactness: ties take the textbook mid-rank, carried as the
+    // DOUBLED mid-rank 2·RANK() + ct − 1 (an exact integer — the G27
+    // doubled-unit trick; the common 2× scale cancels in ρ), so every
+    // Pearson-over-ranks sum is an exact long on the bounded day
+    // relation (n ≤ days, ranks ≤ 2n — no envelope needed); ρ is one
+    // identically-spelled q6 double with the degenerate-variance
+    // branch (a constant series) reporting 0, the ADVICE-r12 rule.
+    // Shape: one map-combinable daily agg; ranks and sums run on the
+    // bounded (type × day) relation.
+    "spearman_corr" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .select($"event_type",
+          datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"),
+          floor($"value" * lit(100.0) + lit(0.5)).cast("long").as("v"))
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("x"), sum($"v").as("y"))
+      def r2(c: String) =
+        lit(2L) * rank().over(
+          Window.partitionBy($"event_type").orderBy(col(c))).cast("long") +
+          count(lit(1)).over(
+            Window.partitionBy($"event_type", col(c))).cast("long") -
+          lit(1L)
+      val ranked = daily
+        .select($"event_type", r2("x").as("rx"), r2("y").as("ry"))
+      val agg = ranked.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"rx").as("sx"), sum($"ry").as("sy"),
+          sum($"rx" * $"ry").as("sxy"),
+          sum($"rx" * $"rx").as("sxx"),
+          sum($"ry" * $"ry").as("syy"))
+      val vx = $"n" * $"sxx" - $"sx" * $"sx"
+      val vy = $"n" * $"syy" - $"sy" * $"sy"
+      agg.select($"event_type", $"n".as("n_days"),
+          q6(when(vx === 0L || vy === 0L, lit(0.0))
+            .otherwise(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))))
+            .as("rho"))
+        .orderBy($"event_type")
+    }),
+
     "agg_distinct" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       Tables.orders(s, dir)
@@ -1642,6 +1691,40 @@ object Aggregates {
          |  CAST(CASE WHEN abs(t_stat) > 1.96 THEN 1 ELSE 0 END AS BIGINT)
          |    AS reject_05
          |FROM r""".stripMargin,
+
+    // identical doubled mid-ranks (2·RANK + ties − 1, exact
+    // integers), exact-long Pearson-over-ranks sums, guarded q6 ρ
+    "spearman_corr" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS x,
+         |    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT event_type,
+         |    2 * RANK() OVER (PARTITION BY event_type ORDER BY x) +
+         |      COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+         |    2 * RANK() OVER (PARTITION BY event_type ORDER BY y) +
+         |      COUNT(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+         |  FROM daily),
+         |agg AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(rx) AS BIGINT) AS sx,
+         |    CAST(SUM(ry) AS BIGINT) AS sy,
+         |    CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+         |    CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         |    CAST(SUM(ry * ry) AS BIGINT) AS syy
+         |  FROM ranked GROUP BY 1)
+         |SELECT event_type, n AS n_days,
+         |  ${sqlQ6("CASE WHEN n * sxx - sx * sx = 0 OR " +
+             "n * syy - sy * sy = 0 THEN 0.0 ELSE " +
+             "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+             "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+             "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END")} AS rho
+         |FROM agg ORDER BY event_type""".stripMargin,
 
     // identical exact long deviations, zero-cells included via the
     // margin cross, per-cell micro quantization before the sum

@@ -853,6 +853,56 @@ object EventTime {
         .orderBy($"event_type")
     }),
 
+    // T36: autocorrelation function of the daily series (the
+    // Box–Jenkins identification tool next to T31's trend direction
+    // and T26's level shift): per event type and lag L ∈ [1, 7],
+    // r_L = Σ_t (n·x_t − S)(n·x_{t+L} − S) / Σ_t (n·x_t − S)² over
+    // the day-ordered daily counts — is today's load predicted by
+    // L days ago (weekly cadence shows as a lag-7 spike, momentum as
+    // lag-1). Convention: pairs form on the CALENDAR axis (t+L means
+    // the calendar day, so a silent day contributes no pair — the
+    // observed-days convention, stated here because resampling zeros
+    // in would change r). Exactness: n·x_t − S is an exact long
+    // (deviation cross-multiplied by n_days, the runs-test dichotomy
+    // trick — no rational mean), every numerator/denominator term is
+    // an exact long product under the |n·x − S| < 3·10⁹ envelope
+    // (in-query guard, G22 family; at 3·10⁹ daily events per type
+    // pre-aggregate upstream), and r is one identically-spelled q6
+    // double division. Shape: one map-combinable daily count; the
+    // lag join, deviations and sums all run on the bounded
+    // (type × day) relation — 7·days pairs, never events².
+    "autocorr_daily" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("nd"), sum($"n").as("sn"))
+      val dev = daily.join(tot, "event_type")
+        .select($"event_type", $"day",
+          when(abs($"n" * $"nd" - $"sn") > lit(3000000000L),
+            expr("raise_error('autocorr_daily: |n*nd - sn| > 3e9 — " +
+              "the exact-long envelope; pre-aggregate upstream')")
+              .cast("bigint"))
+            .otherwise($"n" * $"nd" - $"sn").as("d"))
+      val den = dev.groupBy($"event_type")
+        .agg(sum($"d" * $"d").as("den"))
+      val a = dev.select($"event_type", $"day".as("di"), $"d".as("da"))
+      val b = dev.select($"event_type", $"day".as("dj"), $"d".as("db"))
+      a.join(b, Seq("event_type"))
+        .filter($"dj" - $"di" >= 1L && $"dj" - $"di" <= 7L)
+        .groupBy($"event_type", ($"dj" - $"di").as("lag"))
+        .agg(sum($"da" * $"db").as("num"), count(lit(1)).as("n_pairs"))
+        .join(den, "event_type").join(tot, "event_type")
+        .select($"event_type", $"lag", $"nd".as("n_days"), $"n_pairs",
+          q6(when($"den" === 0L, lit(0.0))
+            .otherwise($"num".cast("double") / $"den".cast("double")))
+            .as("r"))
+        .orderBy($"event_type", $"lag")
+    }),
+
     // T34: change-point LOCALIZATION (one-split binary segmentation —
     // the answer to the question T26 only flags): per event type, the
     // split position t maximizing the between-segment sum of squares,
@@ -1569,6 +1619,43 @@ object EventTime {
              "ELSE 0.0 END")}) > 1.96 THEN 1 ELSE 0 END AS BIGINT)
          |    AS is_trend
          |FROM v ORDER BY event_type""".stripMargin,
+
+    // identical exact cross-multiplied deviations / long products /
+    // q6 division; the same 3e9 envelope guard via error() in a CASE
+    "autocorr_daily" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+         |    CAST(SUM(n) AS BIGINT) AS sn
+         |  FROM daily GROUP BY 1),
+         |dev AS (
+         |  SELECT d.event_type, d.day,
+         |    CASE WHEN abs(d.n * t.nd - t.sn) > 3000000000
+         |      THEN error('autocorr_daily envelope')
+         |      ELSE d.n * t.nd - t.sn END AS d
+         |  FROM daily d JOIN tot t USING (event_type)),
+         |den AS (
+         |  SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS den
+         |  FROM dev GROUP BY 1),
+         |num AS (
+         |  SELECT a.event_type, b.day - a.day AS lag,
+         |    CAST(SUM(a.d * b.d) AS BIGINT) AS num,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM dev a JOIN dev b ON a.event_type = b.event_type
+         |    AND b.day - a.day BETWEEN 1 AND 7
+         |  GROUP BY 1, 2)
+         |SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+         |  t.nd AS n_days, n.n_pairs,
+         |  ${sqlQ6("CASE WHEN d.den = 0 THEN 0.0 ELSE " +
+             "CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) END")} AS r
+         |FROM num n JOIN den d USING (event_type)
+         |  JOIN tot t USING (event_type)
+         |ORDER BY event_type, lag""".stripMargin,
 
     // identical integer runs count / mean cross-multiply / guarded
     // q6 z

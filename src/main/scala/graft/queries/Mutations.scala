@@ -495,6 +495,44 @@ object Mutations {
             .as("n_rows_at_risk"))
         .orderBy($"k")
     }),
+
+    // M15: ε-differentially-private count release (Dwork et al. 2006,
+    // the Laplace mechanism) — the RELEASE lane completing the privacy
+    // family: k_anonymity/l_diversity/t_closeness AUDIT a relation,
+    // dp_counts publishes one (per-source doc counts at ε = 0.5;
+    // sensitivity 1 — sources partition the corpus, so parallel
+    // composition keeps the whole release at ε). The noise draw is
+    // DETERMINISTIC by design, not just for the oracle: the inverse
+    // Laplace CDF is applied to a keyed md5 uniform (the Sampling
+    // keyed-hash family — never rand()), which gives release-once
+    // semantics — re-running the query re-publishes the SAME noisy
+    // value, where a fresh draw per run would let an analyst average
+    // the noise away (the classic repeated-query attack; a new
+    // release rotates the salt, spending fresh ε). Exactness: u is an
+    // exact 32-bit integer scaled once; the noise quantizes to a
+    // micro-unit long via one identically-spelled ln; the released
+    // integer derives from noise_micro by pure integer arithmetic
+    // (positive-shifted DIV, so truncation == floor in both engines).
+    // Shape: one map-combinable count over the bounded source domain.
+    "dp_counts" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val u32 = graft.operators.Sampling.keyHash32($"source", "dp:v1:")
+      val u = (u32.cast("double") + lit(0.5)) / lit(4294967296.0)
+      val t = u - lit(0.5)
+      // inverse Laplace CDF at scale 1/ε = 2.0: −2·sgn(t)·ln(1−2|t|)
+      val noise = lit(-2.0) * signum(t) *
+        log(lit(1.0) - lit(2.0) * abs(t))
+      Tables.documents(s, dir)
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("noise_micro",
+          floor(noise * lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("released",
+          $"n_docs" +
+            expr("(noise_micro + 500000 + 1000000000) DIV 1000000") -
+            lit(1000L))
+        .select($"source", $"n_docs", $"noise_micro", $"released")
+        .orderBy($"source")
+    }),
   )
 
   private def chSelect(cols: String*): String = OrderCols.map { c =>
@@ -816,5 +854,28 @@ object Mutations {
         |FROM g CROSS JOIN (VALUES (CAST(2 AS BIGINT)), (CAST(5 AS BIGINT)),
         |  (CAST(10 AS BIGINT))) ks(k)
         |GROUP BY 1 ORDER BY k""".stripMargin,
+
+    // identical keyed md5 fold (the PipelineOracleSupport.sqlMd5Fold32
+    // spelling, salt 'dp:v1:'), identical inverse-CDF arithmetic,
+    // micro quantization, and positive-shifted floor division
+    "dp_counts" ->
+      """WITH g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5('dp:v1:' || CAST(source AS VARCHAR)),
+        |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u32
+        |  FROM documents GROUP BY 1),
+        |n AS (
+        |  SELECT source, n_docs,
+        |    CAST(FLOOR(-2.0 * sign((u32 + 0.5) / 4294967296.0 - 0.5) *
+        |      ln(1.0 - 2.0 * abs((u32 + 0.5) / 4294967296.0 - 0.5)) *
+        |      1000000.0 + 0.5) AS BIGINT) AS noise_micro
+        |  FROM g)
+        |SELECT source, n_docs, noise_micro,
+        |  n_docs + (noise_micro + 500000 + 1000000000) // 1000000 - 1000
+        |    AS released
+        |FROM n ORDER BY source""".stripMargin,
   )
 }
