@@ -94,6 +94,16 @@ object SqlTableFunctions {
     *  - `graft_funnel(events_view, entity_col, time_col, type_col,
     *    window, stage1[, stage2...])` — [[Funnel.windowFunnel]]:
     *    ordered in-window stage progression counts
+    *  - `graft_ann(layout_path, cents_view, probes_view, nprobe, k)` —
+    *    IVF ANN over a persisted [[IvfIndex.writeCellLayout]] corpus
+    *    from SQL: per probe in the (query_id, v) view, the nprobe
+    *    best cells by the [[IvfIndex.scoresCol]] placement score, then
+    *    exact q6 cosine top-k within them. Centroids come from a
+    *    (cell_id, c) view collected at plan time (k·dim doubles — the
+    *    graft_bm25 bounded-small-side rule) and must match the
+    *    layout's stamped (k, dim) geometry; the cell IN-prune reaches
+    *    the connector scan through the broadcast probe join (runtime
+    *    narrowing), so a probe touches nprobe/k of the corpus
     */
   def registerAll(spark: SparkSession): Unit = {
     AsOfJoin.registerSqlTableFunction(spark)
@@ -196,6 +206,58 @@ object SqlTableFunctions {
           bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
             .as("hamming"))
         .filter(col("hamming") <= maxHamming)
+    }
+    register(spark, "graft_ann", 5, 5) { args =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val layoutPath = args(0)
+      val (k, dim) = IvfIndex.readCellMeta(spark, layoutPath)
+      val cents: Array[Array[Double]] = spark.table(args(1))
+        .select(col("cell_id").cast("long"),
+          col("c").cast("array<double>"))
+        .collect().sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+      require(cents.length == k && cents.forall(_.length == dim),
+        s"graft_ann: centroid view ${args(1)} has ${cents.length} " +
+          s"centroids of dim ${cents.headOption.map(_.length)}, the " +
+          s"layout at $layoutPath is stamped (k=$k, dim=$dim) — " +
+          "probing with alien centroids silently searches wrong cells")
+      val nprobe = args(3).toInt
+      val topK = args(4).toInt
+      require(nprobe >= 1 && nprobe <= k,
+        s"graft_ann: nprobe must be in [1, $k], got $nprobe")
+      val probes = spark.table(args(2))
+        .select(col("query_id").cast("long"),
+          col("v").cast("array<double>").as("pv"))
+      val wCell = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cid0"))
+      val probeCells = probes
+        .select(col("query_id"), col("pv"),
+          posexplode(IvfIndex.scoresCol(col("pv"), cents))
+            .as(Seq("cid0", "score")))
+        .withColumn("cell", (col("cid0") + 1).cast("long"))
+        .withColumn("cr", row_number().over(wCell))
+        .filter(col("cr") <= nprobe)
+        .select(col("query_id"), col("pv"), col("cell"))
+      val corpus = spark.read.format("graft.sources.CellsSource")
+        .option("path", layoutPath).load()
+        .select(col("vec_id"), col("v").cast("array<double>").as("v"),
+          col("cell").cast("long").as("cell"))
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1000000.0) + lit(0.5)).cast("double") /
+          lit(1000000.0)
+      val dot = graft.functions.GraftFunctions.dotd _
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      corpus.join(broadcast(probeCells), Seq("cell"))
+        .select(col("query_id"), col("vec_id"),
+          q6(dot(col("v"), col("pv")) /
+            (sqrt(dot(col("v"), col("v"))) *
+              sqrt(dot(col("pv"), col("pv"))))).as("cos_sim"))
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter(col("rn") <= topK)
+        .select(col("query_id"), col("rn"),
+          col("vec_id").as("neighbor_id"), col("cos_sim"))
     }
     register(spark, "graft_fingerprint", 4, 12) { args =>
       import org.apache.spark.sql.functions.col

@@ -303,6 +303,71 @@ class SqlTableFunctionsSpec extends SparkSuite {
         "event_type", stages, "INTERVAL 7 DAYS"))
   }
 
+  test("graft_ann equals the DataFrame IVF probe over a written cell " +
+      "layout (the written-artifact case); alien centroid views are " +
+      "refused") {
+    import graft.operators.IvfIndex
+    import org.apache.spark.sql.expressions.Window
+    SqlTableFunctions.registerAll(spark)
+    val K = 8
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents = IvfIndex.learnCentroids(emb, K, 1)
+    val p = "/tmp/graft_tvf_ann/layout"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    IvfIndex.writeCellLayout(IvfIndex.assignCells(emb, cents), p,
+      K, cents.head.length)
+    cents.zipWithIndex
+      .map { case (c, i) => (i.toLong + 1L, c.toSeq) }.toSeq
+      .toDF("cell_id", "c").createOrReplaceTempView("tvf_cents")
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v")
+    probes.createOrReplaceTempView("tvf_probes")
+    // the identical DataFrame spelling: nprobe best cells by the
+    // placement score, exact q6 cosine top-k within them
+    val wCell = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"cid0")
+    val probeCells = probes
+      .select($"query_id", $"v".as("pv"),
+        posexplode(IvfIndex.scoresCol($"v", cents))
+          .as(Seq("cid0", "score")))
+      .withColumn("cell", ($"cid0" + 1).cast("long"))
+      .withColumn("cr", row_number().over(wCell))
+      .filter($"cr" <= 2)
+      .select($"query_id", $"pv", $"cell")
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("double") /
+        lit(1000000.0)
+    val dot = graft.functions.GraftFunctions.dotd _
+    val wTop = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"vec_id")
+    val expected = spark.read.format("graft.sources.CellsSource")
+      .option("path", p).load()
+      .select($"vec_id", $"v".cast("array<double>").as("v"),
+        $"cell".cast("long").as("cell"))
+      .join(broadcast(probeCells), Seq("cell"))
+      .select($"query_id", $"vec_id",
+        q6(dot($"v", $"pv") /
+          (sqrt(dot($"v", $"v")) * sqrt(dot($"pv", $"pv"))))
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"query_id", $"rn", $"vec_id".as("neighbor_id"),
+        $"cos_sim")
+    same(
+      spark.sql(s"SELECT * FROM graft_ann('$p', 'tvf_cents', " +
+        "'tvf_probes', '2', '5')"),
+      expected)
+    // a centroid view whose geometry does not match the stamp is
+    // refused (probing with alien centroids searches wrong cells)
+    cents.take(4).zipWithIndex
+      .map { case (c, i) => (i.toLong + 1L, c.toSeq) }.toSeq
+      .toDF("cell_id", "c").createOrReplaceTempView("tvf_cents_bad")
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_ann('$p', 'tvf_cents_bad', " +
+        "'tvf_probes', '2', '5')"))
+  }
+
   test("malformed TVF calls fail loudly") {
     SqlTableFunctions.registerAll(spark)
     docs.createOrReplaceTempView("tvf_docs")
