@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable series/association statistics over grouped observations —
+  * the library face of the T37/G31 query rows, so any relation (not
+  * just the events fixture) can ask "is there lag structure" or "do
+  * these two measures move together" through one call or its SQL TVF
+  * (`graft_acf`, `graft_spearman`).
+  *
+  * Exactness contract (the engine-wide rule): every sum is an exact
+  * long until the single final division — Spearman ranks carry as
+  * DOUBLED mid-ranks (2·RANK + ties − 1, exact integers; the common
+  * 2× scale cancels in ρ), ACF deviations cross-multiply by the group
+  * day count instead of subtracting a rational mean, with an in-plan
+  * raise_error envelope at |n·x − S| ≤ 3·10⁹. Degenerate variances
+  * (constant series) report 0, never NULL/NaN — both engines, one
+  * spelling.
+  */
+object SeriesStats {
+
+  private def q6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0)
+
+  /** Spearman rank correlation of (`xCol`, `yCol`) per `partCol`
+    * group: `(partCol, n_obs, rho)`. Monotone association with
+    * textbook mid-rank ties; ranks and sums run on the grouped
+    * relation, so cost is bounded by the observation count, and ρ is
+    * one identically-spelled q6 double per group. */
+  def spearman(df: DataFrame, partCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def r2(c: String) =
+      lit(2L) * rank().over(
+        Window.partitionBy(col(partCol)).orderBy(col(c))).cast("long") +
+        count(lit(1)).over(
+          Window.partitionBy(col(partCol), col(c))).cast("long") -
+        lit(1L)
+    val ranked = df
+      .select(col(partCol), r2(xCol).as("rx"), r2(yCol).as("ry"))
+    val agg = ranked.groupBy(col(partCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    agg.select(col(partCol), col("n").as("n_obs"),
+      q6(when(vx === 0L || vy === 0L, lit(0.0))
+        .otherwise((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))))
+        .as("rho"))
+  }
+
+  /** Lag-1..`maxLag` autocorrelation of the integer series `nCol`
+    * indexed by `dayCol` per `partCol` group:
+    * `(partCol, lag, n_days, n_pairs, r)`. Calendar-axis pairing —
+    * a missing index contributes no pair (the observed-days
+    * convention); deviations are the exact longs n_days·x − Σx under
+    * an in-plan raise_error envelope at 3·10⁹. One row per (group,
+    * lag) with ≥ 1 pair. */
+  def acf(df: DataFrame, partCol: String, dayCol: String, nCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val tot = df.groupBy(col(partCol))
+      .agg(count(lit(1)).as("nd"), sum(col(nCol)).as("sn"))
+    val dev = df.join(tot, partCol)
+      .select(col(partCol), col(dayCol).as("__day"),
+        when(abs(col(nCol) * col("nd") - col("sn")) > lit(3000000000L),
+          expr("raise_error('SeriesStats.acf: |n*nd - sn| > 3e9 — " +
+            "the exact-long envelope; pre-aggregate upstream')")
+            .cast("bigint"))
+          .otherwise(col(nCol) * col("nd") - col("sn")).as("d"))
+    val den = dev.groupBy(col(partCol))
+      .agg(sum(col("d") * col("d")).as("den"))
+    val a = dev.select(col(partCol), col("__day").as("di"),
+      col("d").as("da"))
+    val b = dev.select(col(partCol), col("__day").as("dj"),
+      col("d").as("db"))
+    a.join(b, Seq(partCol))
+      .filter(col("dj") - col("di") >= 1L &&
+        col("dj") - col("di") <= maxLag.toLong)
+      .groupBy(col(partCol), (col("dj") - col("di")).as("lag"))
+      .agg(sum(col("da") * col("db")).as("num"),
+        count(lit(1)).as("n_pairs"))
+      .join(den, partCol).join(tot, partCol)
+      .select(col(partCol), col("lag"), col("nd").as("n_days"),
+        col("n_pairs"),
+        q6(when(col("den") === 0L, lit(0.0))
+          .otherwise(col("num").cast("double") / col("den").cast("double")))
+          .as("r"))
+  }
+}

@@ -94,6 +94,12 @@ object SqlTableFunctions {
     *  - `graft_funnel(events_view, entity_col, time_col, type_col,
     *    window, stage1[, stage2...])` — [[Funnel.windowFunnel]]:
     *    ordered in-window stage progression counts
+    *  - `graft_acf(view, part_col, day_col, n_col, max_lag)` —
+    *    [[SeriesStats.acf]]: lag-1..max_lag autocorrelation of an
+    *    integer series per group (exact-long deviations, q6 r)
+    *  - `graft_spearman(view, part_col, x_col, y_col)` —
+    *    [[SeriesStats.spearman]]: Spearman ρ per group with textbook
+    *    mid-rank ties (doubled-rank exact integers, q6 ρ)
     *  - `graft_ann(layout_path, cents_view, probes_view, nprobe, k)` —
     *    IVF ANN over a persisted [[IvfIndex.writeCellLayout]] corpus
     *    from SQL: per probe in the (query_id, v) view, the nprobe
@@ -206,6 +212,14 @@ object SqlTableFunctions {
           bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
             .as("hamming"))
         .filter(col("hamming") <= maxHamming)
+    }
+    register(spark, "graft_acf", 5, 5) { args =>
+      SeriesStats.acf(spark.table(args(0)), args(1), args(2), args(3),
+        args(4).toInt)
+    }
+    register(spark, "graft_spearman", 4, 4) { args =>
+      SeriesStats.spearman(spark.table(args(0)), args(1), args(2),
+        args(3))
     }
     register(spark, "graft_ann", 5, 5) { args =>
       import org.apache.spark.sql.expressions.Window

@@ -453,7 +453,6 @@ object Aggregates {
     // bounded (type × day) relation.
     "spearman_corr" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val daily = Tables.events(s, dir)
         .select($"event_type",
           datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
@@ -461,27 +460,8 @@ object Aggregates {
           floor($"value" * lit(100.0) + lit(0.5)).cast("long").as("v"))
         .groupBy($"event_type", $"day")
         .agg(count(lit(1)).as("x"), sum($"v").as("y"))
-      def r2(c: String) =
-        lit(2L) * rank().over(
-          Window.partitionBy($"event_type").orderBy(col(c))).cast("long") +
-          count(lit(1)).over(
-            Window.partitionBy($"event_type", col(c))).cast("long") -
-          lit(1L)
-      val ranked = daily
-        .select($"event_type", r2("x").as("rx"), r2("y").as("ry"))
-      val agg = ranked.groupBy($"event_type")
-        .agg(count(lit(1)).as("n"),
-          sum($"rx").as("sx"), sum($"ry").as("sy"),
-          sum($"rx" * $"ry").as("sxy"),
-          sum($"rx" * $"rx").as("sxx"),
-          sum($"ry" * $"ry").as("syy"))
-      val vx = $"n" * $"sxx" - $"sx" * $"sx"
-      val vy = $"n" * $"syy" - $"sy" * $"sy"
-      agg.select($"event_type", $"n".as("n_days"),
-          q6(when(vx === 0L || vy === 0L, lit(0.0))
-            .otherwise(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-              (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))))
-            .as("rho"))
+      graft.operators.SeriesStats.spearman(daily, "event_type", "x", "y")
+        .select($"event_type", $"n_obs".as("n_days"), $"rho")
         .orderBy($"event_type")
     }),
 

@@ -878,29 +878,59 @@ object EventTime {
           datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
             .cast("long").as("day"))
         .agg(count(lit(1)).as("n"))
+      graft.operators.SeriesStats.acf(daily, "event_type", "day", "n", 7)
+        .orderBy($"event_type", $"lag")
+    }),
+
+    // T38: lead-lag cross-correlation between event types (the CCF —
+    // T37's ACF asked "does a series predict itself"; this asks "does
+    // type A LEAD type B", the cross-signal smoke test before anyone
+    // claims causality): per ordered type pair and lag L ∈ [−3, 3],
+    // r_L = Σ_t devA(t)·devB(t+L) / √(ΣdevA²·ΣdevB²) over the shared
+    // calendar days, each series' deviations cross-multiplied by its
+    // OWN day count (devA = nd_a·x_t − S_a, the T37 exact-long trick;
+    // the nd_a·nd_b scale factors cancel in r). A peak at L > 0 reads
+    // "A leads B by L days". Same observed-days convention and 3·10⁹
+    // envelope as T37 (the guard rides the shared dev relation).
+    // Shape: one map-combinable daily count; the pair join runs on
+    // the bounded (type × day) relation × 7 lags — types²·days·7
+    // rows, never events².
+    "crosscorr_daily" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
       val tot = daily.groupBy($"event_type")
         .agg(count(lit(1)).as("nd"), sum($"n").as("sn"))
       val dev = daily.join(tot, "event_type")
         .select($"event_type", $"day",
           when(abs($"n" * $"nd" - $"sn") > lit(3000000000L),
-            expr("raise_error('autocorr_daily: |n*nd - sn| > 3e9 — " +
+            expr("raise_error('crosscorr_daily: |n*nd - sn| > 3e9 — " +
               "the exact-long envelope; pre-aggregate upstream')")
               .cast("bigint"))
             .otherwise($"n" * $"nd" - $"sn").as("d"))
       val den = dev.groupBy($"event_type")
-        .agg(sum($"d" * $"d").as("den"))
-      val a = dev.select($"event_type", $"day".as("di"), $"d".as("da"))
-      val b = dev.select($"event_type", $"day".as("dj"), $"d".as("db"))
-      a.join(b, Seq("event_type"))
-        .filter($"dj" - $"di" >= 1L && $"dj" - $"di" <= 7L)
-        .groupBy($"event_type", ($"dj" - $"di").as("lag"))
-        .agg(sum($"da" * $"db").as("num"), count(lit(1)).as("n_pairs"))
-        .join(den, "event_type").join(tot, "event_type")
-        .select($"event_type", $"lag", $"nd".as("n_days"), $"n_pairs",
-          q6(when($"den" === 0L, lit(0.0))
-            .otherwise($"num".cast("double") / $"den".cast("double")))
+        .agg(sum($"d" * $"d").as("ss"))
+      val a = dev.select($"event_type".as("type_a"), $"day".as("da"),
+        $"d".as("xa"))
+      val b = dev.select($"event_type".as("type_b"), $"day".as("db"),
+        $"d".as("xb"))
+      a.join(b, $"type_a" < $"type_b" &&
+          $"db" - $"da" >= -3L && $"db" - $"da" <= 3L)
+        .groupBy($"type_a", $"type_b", ($"db" - $"da").as("lag"))
+        .agg(sum($"xa" * $"xb").as("num"), count(lit(1)).as("n_pairs"))
+        .join(den.select($"event_type".as("type_a"), $"ss".as("ssa")),
+          "type_a")
+        .join(den.select($"event_type".as("type_b"), $"ss".as("ssb")),
+          "type_b")
+        .select($"type_a", $"type_b", $"lag", $"n_pairs",
+          q6(when($"ssa" === 0L || $"ssb" === 0L, lit(0.0))
+            .otherwise($"num".cast("double") /
+              (sqrt($"ssa".cast("double")) * sqrt($"ssb".cast("double")))))
             .as("r"))
-        .orderBy($"event_type", $"lag")
+        .orderBy($"type_a", $"type_b", $"lag")
     }),
 
     // T34: change-point LOCALIZATION (one-split binary segmentation —
@@ -1656,6 +1686,46 @@ object EventTime {
          |FROM num n JOIN den d USING (event_type)
          |  JOIN tot t USING (event_type)
          |ORDER BY event_type, lag""".stripMargin,
+
+    // identical per-type cross-multiplied deviations (each by its own
+    // day count), exact-long products, one q6 division per (pair, lag)
+    "crosscorr_daily" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+         |    CAST(SUM(n) AS BIGINT) AS sn
+         |  FROM daily GROUP BY 1),
+         |dev AS (
+         |  SELECT d.event_type, d.day,
+         |    CASE WHEN abs(d.n * t.nd - t.sn) > 3000000000
+         |      THEN error('crosscorr_daily envelope')
+         |      ELSE d.n * t.nd - t.sn END AS d
+         |  FROM daily d JOIN tot t USING (event_type)),
+         |den AS (
+         |  SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS ss
+         |  FROM dev GROUP BY 1),
+         |num AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    b.day - a.day AS lag,
+         |    CAST(SUM(a.d * b.d) AS BIGINT) AS num,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM dev a JOIN dev b ON a.event_type < b.event_type
+         |    AND b.day - a.day BETWEEN -3 AND 3
+         |  GROUP BY 1, 2, 3)
+         |SELECT n.type_a, n.type_b, CAST(n.lag AS BIGINT) AS lag,
+         |  n.n_pairs,
+         |  ${sqlQ6("CASE WHEN da.ss = 0 OR db.ss = 0 THEN 0.0 ELSE " +
+             "CAST(n.num AS DOUBLE) / (sqrt(CAST(da.ss AS DOUBLE)) * " +
+             "sqrt(CAST(db.ss AS DOUBLE))) END")} AS r
+         |FROM num n
+         |  JOIN den da ON da.event_type = n.type_a
+         |  JOIN den db ON db.event_type = n.type_b
+         |ORDER BY type_a, type_b, lag""".stripMargin,
 
     // identical integer runs count / mean cross-multiply / guarded
     // q6 z

@@ -923,6 +923,97 @@ object EventStreams {
   }
 
 
+  // public: the state encoder's generated code must reach the classes
+  final case class AcfState(curDay: Long, curN: Long, days: Seq[Long],
+      ns: Seq[Long])
+  final case class AcfRow(event_type: String, lag: Long, n_days: Long,
+      n_pairs: Long, r: Double)
+
+  /** T37 live: streaming daily-series ACF — the Box–Jenkins
+    * identification surface maintained as days close, completing the
+    * live SPC family (PSI/KS/CUSUM/EWMA/MK/TS/ACF). Per type the state
+    * is the open day and the closed (day, count) series (bounded by
+    * the day axis — the [[tsStream]] state shape without the grid
+    * map); each day close recomputes the lag-1..7 autocorrelations
+    * with the batch `autocorr_daily` row's IDENTICAL spelling —
+    * deviations cross-multiplied by the CURRENT day count (they must
+    * re-derive per close: n_days and Σx change with every day, so no
+    * incremental numerator survives a close — the honest cost is one
+    * O(days·7) walk per close, days²·7 total, exactly the batch pair
+    * relation amortized over the feed), exact long products under the
+    * same |n·x − S| ≤ 3·10⁹ envelope (violations fail fast), q6
+    * division, den = 0 → 0. Rows emit only for lags with ≥ 1 calendar
+    * pair (the batch join's observed-days convention), so the LATEST
+    * row per (type, lag) equals the batch row across any micro-batch
+    * split once the feed is ingested. Same day-monotone feed contract
+    * as [[cusumStream]]. */
+  def acfStream(events: Dataset[TypedEvent],
+      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[AcfRow] = {
+    import events.sparkSession.implicits._
+    def q6d(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[AcfState, AcfRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[TypedEvent],
+            state: GroupState[AcfState]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[AcfRow]
+          def close(): Unit = {
+            val days = st.days :+ st.curDay
+            val ns = st.ns :+ st.curN
+            st = AcfState(-1L, 0L, days, ns)
+            val nd = days.length.toLong
+            val sn = ns.sum
+            val dev = new Array[Long](days.length)
+            var i = 0
+            while (i < days.length) {
+              val d = ns(i) * nd - sn
+              if (math.abs(d) > 3000000000L)
+                throw new IllegalStateException(
+                  s"acfStream: |n*nd - sn| > 3e9 for type $etype — " +
+                    "the exact-long envelope; pre-aggregate upstream")
+              dev(i) = d
+              i += 1
+            }
+            var den = 0L
+            i = 0
+            while (i < dev.length) { den += dev(i) * dev(i); i += 1 }
+            val byDay = days.zipWithIndex.toMap
+            var lag = 1L
+            while (lag <= 7L) {
+              var num = 0L; var np = 0L
+              i = 0
+              while (i < days.length) {
+                byDay.get(days(i) + lag).foreach { j =>
+                  num += dev(i) * dev(j); np += 1L
+                }
+                i += 1
+              }
+              if (np >= 1L)
+                out += AcfRow(etype, lag, nd, np,
+                  if (den == 0L) 0.0
+                  else q6d(num.toDouble / den.toDouble))
+              lag += 1L
+            }
+          }
+          rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val day = Math.floorDiv(e.ts, 86400000000L) - epochDay0
+            if (st == null)
+              st = AcfState(day, 1L, Vector.empty, Vector.empty)
+            else if (day == st.curDay) st = st.copy(curN = st.curN + 1L)
+            else if (day < st.curDay)
+              throw new IllegalStateException(
+                s"acfStream: out-of-order event for type $etype (day " +
+                  s"$day after open day ${st.curDay}) — the feed must " +
+                  "be day-monotone per type across micro-batches")
+            else { close(); st = st.copy(curDay = day, curN = 1L) }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** T6: arbitrary per-key state — a running per-user counter kept in
     * GroupState, emitting the updated total on every micro-batch. */
   def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {

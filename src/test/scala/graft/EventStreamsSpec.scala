@@ -814,6 +814,39 @@ class EventStreamsSpec extends SparkSuite {
     assert(spark.table("t_ts").count() > tsLatest.size)
   }
 
+  test("streaming ACF: the latest verdict per (type, lag) equals the " +
+      "batch autocorr_daily rows across micro-batch splits (T37 live)") {
+    implicit val sqlCtx = spark.sqlContext
+    val types = ordered.map(_.event_type).distinct
+    val maxTs = ordered.map(_.ts).max
+    val sentinels = types.zipWithIndex.map { case (t, i) =>
+      EventStreams.TypedEvent(-1L - i, -1L,
+        maxTs + 30L * 86400000000L, t)
+    }
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams.acfStream(input.toDS())
+      .writeStream.format("memory").queryName("t_acf")
+      .outputMode("append").start()
+    try {
+      (ordered ++ sentinels).grouped(700).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    import org.apache.spark.sql.expressions.Window
+    val wLatest = Window.partitionBy($"event_type", $"lag")
+      .orderBy($"n_days".desc)
+    val latest = spark.table("t_acf")
+      .withColumn("rn", row_number().over(wLatest)).filter($"rn" === 1)
+      .select($"event_type", $"lag", $"n_days", $"n_pairs", $"r")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    val batch = SparkEntry.queries("autocorr_daily")(spark, sf)
+      .select($"event_type", $"lag", $"n_days", $"n_pairs", $"r")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(latest == batch && latest.nonEmpty)
+    // live interim verdicts were emitted, not one final dump
+    assert(spark.table("t_acf").count() > latest.size)
+  }
+
   test("psiStream state stays bounded under an adversarial wide-range " +
       "feed: bins clamp into the overflow end bins") {
     implicit val sqlCtx = spark.sqlContext

@@ -303,6 +303,28 @@ class SqlTableFunctionsSpec extends SparkSuite {
         "event_type", stages, "INTERVAL 7 DAYS"))
   }
 
+  test("graft_acf and graft_spearman equal the SeriesStats library " +
+      "calls over an arbitrary view") {
+    import graft.operators.SeriesStats
+    SqlTableFunctions.registerAll(spark)
+    val daily = Tables.events(spark, sf)
+      .select($"event_type",
+        datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+          .cast("long").as("day"),
+        floor($"value" * lit(100.0) + lit(0.5)).cast("long").as("v"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"), sum($"v").as("y"))
+    daily.createOrReplaceTempView("tvf_daily")
+    same(
+      spark.sql("SELECT * FROM graft_acf('tvf_daily', 'event_type', " +
+        "'day', 'n', '7')"),
+      SeriesStats.acf(daily, "event_type", "day", "n", 7))
+    same(
+      spark.sql("SELECT * FROM graft_spearman('tvf_daily', " +
+        "'event_type', 'n', 'y')"),
+      SeriesStats.spearman(daily, "event_type", "n", "y"))
+  }
+
   test("graft_ann equals the DataFrame IVF probe over a written cell " +
       "layout (the written-artifact case); alien centroid views are " +
       "refused") {
