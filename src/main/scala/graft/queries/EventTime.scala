@@ -915,11 +915,15 @@ object EventTime {
         .agg(sum($"d" * $"d").as("ss"))
       val a = dev.select($"event_type".as("type_a"), $"day".as("da"),
         $"d".as("xa"))
+      // the lag axis EXPLODES onto the b side so the pair join gets a
+      // day equi key (da = db − lag → hash join on the shared day;
+      // the type ordering rides as a residual) — the no-equi-key
+      // spelling plans a nested loop, which PlanAuditSpec forbids
       val b = dev.select($"event_type".as("type_b"), $"day".as("db"),
         $"d".as("xb"))
-      a.join(b, $"type_a" < $"type_b" &&
-          $"db" - $"da" >= -3L && $"db" - $"da" <= 3L)
-        .groupBy($"type_a", $"type_b", ($"db" - $"da").as("lag"))
+        .withColumn("lag", explode(lit((-3 to 3).map(_.toLong).toArray)))
+      a.join(b, $"da" === $"db" - $"lag" && $"type_a" < $"type_b")
+        .groupBy($"type_a", $"type_b", $"lag")
         .agg(sum($"xa" * $"xb").as("num"), count(lit(1)).as("n_pairs"))
         .join(den.select($"event_type".as("type_a"), $"ss".as("ssa")),
           "type_a")

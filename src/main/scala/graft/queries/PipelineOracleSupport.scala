@@ -192,6 +192,7 @@ private[queries] trait PipelineOracleSupport extends PipelineCore {
       .map(c => Map("ivf_ann_learned" -> ivfLearnedSql(c),
         "semantic_clusters" -> semanticClustersSql(c),
         "semdedup" -> semDedupSql(c),
+        "incremental_semdedup" -> incrementalSemDedupSql(c),
         "ivf_append" -> ivfAppendSql(c)))
       .getOrElse(Map.empty) ++ Option(pqBooksCache.get(dir))
       .map(b => Map("pq_ann" -> pqAnnSql(b),
@@ -392,6 +393,45 @@ private[queries] trait PipelineOracleSupport extends PipelineCore {
        |  CAST(COALESCE(ga.kept_cos_mass_6, 0) AS BIGINT) AS kept_cos_mass_6
        |FROM cv LEFT JOIN pa USING (cell) LEFT JOIN ga USING (cell)
        |ORDER BY cell""".stripMargin
+  }
+
+  /** DuckDB mirror of `incremental_semdedup`: the FULL recursive
+    * closure over the same within-cell cosine pairs — the engine's
+    * merge-fold must equal a from-scratch recompute (the
+    * incremental_clusters gate applied to the embedding lane). */
+  private[queries] def incrementalSemDedupSql(
+      cents: Array[Array[Double]]): String = {
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      val lit = c.map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
+      s"(${i + 1}, $lit, ${(c.map(x => x * x).sum / 2.0).toString})"
+    }.mkString(",\n    ")
+    s"""WITH RECURSIVE cents(cid, c, hn) AS (VALUES
+       |    $rows),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT e.vec_id, cents.cid, ${sqlDot("e.v", "cents.c")} - cents.hn AS s
+       |      FROM e CROSS JOIN cents),
+       |cells AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM d) t WHERE rn = 1),
+       |p AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE ${sqlQ6(sqlDot("ea.v", "eb.v") + " / (" + sqlNorm("ea.v") + " * " + sqlNorm("eb.v") + ")")} >= 0.40),
+       |ed AS (SELECT va AS u, vb AS w FROM p UNION ALL SELECT vb, va FROM p),
+       |n AS (SELECT DISTINCT u AS node FROM ed),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM n
+       |  UNION
+       |  SELECT ed.w, r.lbl FROM reach r JOIN ed ON ed.u = r.node),
+       |comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |       FROM comp GROUP BY 1)
+       |SELECT comp.node AS vec_id, comp.cluster_id, sz.cluster_size
+       |FROM comp JOIN sz USING (cluster_id)
+       |ORDER BY cluster_id, vec_id""".stripMargin
   }
 
   /** DuckDB mirror of `ivf_append` — same cells/cos replay as

@@ -961,6 +961,38 @@ private[queries] trait PipelineScoreQueries extends PipelineCore {
         .orderBy($"cell")
     }),
 
+    // L112: incremental SemDeDup closure maintenance — the SEMANTIC
+    // twin of L89's lexical merge-fold, completing this round's story
+    // (append → live pairs → label maintenance): yesterday's dup-group
+    // labeling is the persisted artifact a daily pipeline carries
+    // forward, and a batch of newly-embedded vectors folds in through
+    // ConnectedComponents.merge — work ∝ touched components + batch,
+    // never the historical closure. The fixture derives both sides
+    // from ONE SemDedup.pairs pass (localCheckpoint'ed so the CC loops
+    // never re-run the pair join): corpus-internal pairs replay
+    // yesterday's labeling, batch-touching pairs (vec_id ≡ 0 mod 10)
+    // are the day's fold. The oracle is the FULL recursive closure
+    // over all pairs — merge ≡ full recompute is the exactness claim,
+    // the incremental_clusters gate applied to the embedding lane.
+    "incremental_semdedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pairs = semDedupPairs(s, dir)
+        .select($"vec_a", $"vec_b").localCheckpoint()
+      val isBatch = (c: Column) => c % 10 === 0
+      val oldPairs = pairs.filter(!isBatch($"vec_a") && !isBatch($"vec_b"))
+      val newPairs = pairs.filter(isBatch($"vec_a") || isBatch($"vec_b"))
+      val yesterday = graft.operators.ConnectedComponents
+        .components(oldPairs, "vec_a", "vec_b")
+      val merged = graft.operators.ConnectedComponents
+        .merge(yesterday, "node", "component", newPairs, "vec_a", "vec_b")
+      val sizes = merged.groupBy($"component")
+        .agg(count(lit(1)).as("cluster_size"))
+      merged.join(sizes, "component")
+        .select($"node".as("vec_id"), $"component".as("cluster_id"),
+          $"cluster_size")
+        .orderBy($"cluster_id", $"vec_id")
+    }),
+
     // L105 (perceptual-hash near-dup over binary payloads): the
     // multimodal dedup lane — aHash (average hash, the classic
     // perceptual fingerprint: stride-sample the payload to a 64-byte
