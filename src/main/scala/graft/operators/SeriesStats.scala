@@ -55,6 +55,51 @@ object SeriesStats {
         .as("rho"))
   }
 
+  /** Pairwise lead-lag cross-correlation between the groups of one
+    * (id, day, n) relation at lags −`maxLag`..`maxLag`:
+    * `(<id>_a, <id>_b, lag, n_pairs, r)` for ordered id pairs, where
+    * r_L = Σ devA(t)·devB(t+L) / √(ΣdevA²·ΣdevB²) over shared days
+    * and each series' deviations cross-multiply by its OWN day count
+    * (the scale factors cancel in r). A peak at L > 0 reads "A leads
+    * B by L days". The lag axis explodes onto the b side so the pair
+    * join hashes on the shared day (no nested loop); same envelope
+    * and degenerate-variance rules as [[acf]]. */
+  def ccf(df: DataFrame, idCol: String, dayCol: String, nCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val outA = s"${idCol}_a"
+    val outB = s"${idCol}_b"
+    val tot = df.groupBy(col(idCol))
+      .agg(count(lit(1)).as("nd"), sum(col(nCol)).as("sn"))
+    val dev = df.join(tot, idCol)
+      .select(col(idCol), col(dayCol).as("__day"),
+        when(abs(col(nCol) * col("nd") - col("sn")) > lit(3000000000L),
+          expr("raise_error('SeriesStats.ccf: |n*nd - sn| > 3e9 — " +
+            "the exact-long envelope; pre-aggregate upstream')")
+            .cast("bigint"))
+          .otherwise(col(nCol) * col("nd") - col("sn")).as("d"))
+    val den = dev.groupBy(col(idCol))
+      .agg(sum(col("d") * col("d")).as("ss"))
+    val a = dev.select(col(idCol).as(outA), col("__day").as("da"),
+      col("d").as("xa"))
+    val b = dev.select(col(idCol).as(outB), col("__day").as("db"),
+      col("d").as("xb"))
+      .withColumn("lag",
+        explode(lit((-maxLag to maxLag).map(_.toLong).toArray)))
+    a.join(b, col("da") === col("db") - col("lag") &&
+        col(outA) < col(outB))
+      .groupBy(col(outA), col(outB), col("lag"))
+      .agg(sum(col("xa") * col("xb")).as("num"),
+        count(lit(1)).as("n_pairs"))
+      .join(den.select(col(idCol).as(outA), col("ss").as("ssa")), outA)
+      .join(den.select(col(idCol).as(outB), col("ss").as("ssb")), outB)
+      .select(col(outA), col(outB), col("lag"), col("n_pairs"),
+        q6(when(col("ssa") === 0L || col("ssb") === 0L, lit(0.0))
+          .otherwise(col("num").cast("double") /
+            (sqrt(col("ssa").cast("double")) *
+              sqrt(col("ssb").cast("double"))))).as("r"))
+  }
+
   /** Lag-1..`maxLag` autocorrelation of the integer series `nCol`
     * indexed by `dayCol` per `partCol` group:
     * `(partCol, lag, n_days, n_pairs, r)`. Calendar-axis pairing —

@@ -97,6 +97,9 @@ object SqlTableFunctions {
     *  - `graft_acf(view, part_col, day_col, n_col, max_lag)` —
     *    [[SeriesStats.acf]]: lag-1..max_lag autocorrelation of an
     *    integer series per group (exact-long deviations, q6 r)
+    *  - `graft_ccf(view, id_col, day_col, n_col, max_lag)` —
+    *    [[SeriesStats.ccf]]: pairwise lead-lag cross-correlation
+    *    between a relation's groups at lags −max_lag..max_lag
     *  - `graft_spearman(view, part_col, x_col, y_col)` —
     *    [[SeriesStats.spearman]]: Spearman ρ per group with textbook
     *    mid-rank ties (doubled-rank exact integers, q6 ρ)
@@ -215,6 +218,10 @@ object SqlTableFunctions {
     }
     register(spark, "graft_acf", 5, 5) { args =>
       SeriesStats.acf(spark.table(args(0)), args(1), args(2), args(3),
+        args(4).toInt)
+    }
+    register(spark, "graft_ccf", 5, 5) { args =>
+      SeriesStats.ccf(spark.table(args(0)), args(1), args(2), args(3),
         args(4).toInt)
     }
     register(spark, "graft_spearman", 4, 4) { args =>

@@ -902,38 +902,9 @@ object EventTime {
           datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
             .cast("long").as("day"))
         .agg(count(lit(1)).as("n"))
-      val tot = daily.groupBy($"event_type")
-        .agg(count(lit(1)).as("nd"), sum($"n").as("sn"))
-      val dev = daily.join(tot, "event_type")
-        .select($"event_type", $"day",
-          when(abs($"n" * $"nd" - $"sn") > lit(3000000000L),
-            expr("raise_error('crosscorr_daily: |n*nd - sn| > 3e9 — " +
-              "the exact-long envelope; pre-aggregate upstream')")
-              .cast("bigint"))
-            .otherwise($"n" * $"nd" - $"sn").as("d"))
-      val den = dev.groupBy($"event_type")
-        .agg(sum($"d" * $"d").as("ss"))
-      val a = dev.select($"event_type".as("type_a"), $"day".as("da"),
-        $"d".as("xa"))
-      // the lag axis EXPLODES onto the b side so the pair join gets a
-      // day equi key (da = db − lag → hash join on the shared day;
-      // the type ordering rides as a residual) — the no-equi-key
-      // spelling plans a nested loop, which PlanAuditSpec forbids
-      val b = dev.select($"event_type".as("type_b"), $"day".as("db"),
-        $"d".as("xb"))
-        .withColumn("lag", explode(lit((-3 to 3).map(_.toLong).toArray)))
-      a.join(b, $"da" === $"db" - $"lag" && $"type_a" < $"type_b")
-        .groupBy($"type_a", $"type_b", $"lag")
-        .agg(sum($"xa" * $"xb").as("num"), count(lit(1)).as("n_pairs"))
-        .join(den.select($"event_type".as("type_a"), $"ss".as("ssa")),
-          "type_a")
-        .join(den.select($"event_type".as("type_b"), $"ss".as("ssb")),
-          "type_b")
-        .select($"type_a", $"type_b", $"lag", $"n_pairs",
-          q6(when($"ssa" === 0L || $"ssb" === 0L, lit(0.0))
-            .otherwise($"num".cast("double") /
-              (sqrt($"ssa".cast("double")) * sqrt($"ssb".cast("double")))))
-            .as("r"))
+      graft.operators.SeriesStats.ccf(daily, "event_type", "day", "n", 3)
+        .select($"event_type_a".as("type_a"),
+          $"event_type_b".as("type_b"), $"lag", $"n_pairs", $"r")
         .orderBy($"type_a", $"type_b", $"lag")
     }),
 

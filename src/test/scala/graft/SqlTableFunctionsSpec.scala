@@ -323,6 +323,10 @@ class SqlTableFunctionsSpec extends SparkSuite {
       spark.sql("SELECT * FROM graft_spearman('tvf_daily', " +
         "'event_type', 'n', 'y')"),
       SeriesStats.spearman(daily, "event_type", "n", "y"))
+    same(
+      spark.sql("SELECT * FROM graft_ccf('tvf_daily', 'event_type', " +
+        "'day', 'n', '3')"),
+      SeriesStats.ccf(daily, "event_type", "day", "n", 3))
   }
 
   test("graft_ann equals the DataFrame IVF probe over a written cell " +
