@@ -908,6 +908,61 @@ object EventTime {
         .orderBy($"type_a", $"type_b", $"lag")
     }),
 
+    // T39: seasonal STRENGTH of the weekly cycle (Hyndman's F_s =
+    // max(0, 1 − Var(residual)/Var(deviation)) — T25's dow_seasonality
+    // reports the per-day SHARES, this reports one number per type
+    // answering "how much of the daily variation IS the weekly
+    // cycle": 0 = none (resampling by dow is pointless), → 1 = the
+    // cycle explains everything (forecast with T28's seasonal naive).
+    // Exactness: both residual (vs the type's dow mean) and deviation
+    // (vs the type's grand mean) quantize to CENTI-unit longs via one
+    // identically-spelled double division of exact-long cross products
+    // ((x·n_w − S_w)·100/n_w — no rational mean is ever summed), so
+    // the two sums of squares are order-free longs; envelope:
+    // |x·n_w − S_w|·100/n_w ≤ 3·10⁹ (≈ daily deviations under 3·10⁷ —
+    // the G22 family; in-plan guard). Strength is one q6 double.
+    // Shape: one map-combinable daily count; dow means, residuals and
+    // sums all run on the bounded (type × day) relation. Day-of-week
+    // is the engine-neutral (epoch_days + 3) % 7 (the chi2 spelling).
+    "seasonal_strength" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          datediff($"ts".cast("date"), to_date(lit("1970-01-01")))
+            .cast("long").as("eday"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", pmod($"eday" + lit(3L), lit(7L)))
+      val byDow = daily.groupBy($"event_type", $"dow")
+        .agg(count(lit(1)).as("nw"), sum($"n").as("sw"))
+      val tot = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("nd"), sum($"n").as("sn"))
+      def centi(num: org.apache.spark.sql.Column,
+          den: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val c = floor(num.cast("double") * lit(100.0) /
+          den.cast("double") + lit(0.5)).cast("long")
+        when(abs(c) > lit(3000000000L),
+          expr("raise_error('seasonal_strength: |dev|*100 > 3e9 — " +
+            "the exact-long envelope; pre-aggregate upstream')")
+            .cast("bigint"))
+          .otherwise(c)
+      }
+      val terms = daily.join(byDow, Seq("event_type", "dow"))
+        .join(tot, "event_type")
+        .select($"event_type",
+          centi($"n" * $"nw" - $"sw", $"nw").as("rm"),
+          centi($"n" * $"nd" - $"sn", $"nd").as("dm"))
+      terms.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"rm" * $"rm").as("ss_resid_c2"),
+          sum($"dm" * $"dm").as("ss_total_c2"))
+        .select($"event_type", $"n_days", $"ss_resid_c2", $"ss_total_c2",
+          q6(when($"ss_total_c2" === 0L, lit(0.0))
+            .otherwise(greatest(lit(0.0),
+              lit(1.0) - $"ss_resid_c2".cast("double") /
+                $"ss_total_c2".cast("double")))).as("strength"))
+        .orderBy($"event_type")
+    }),
+
     // T34: change-point LOCALIZATION (one-split binary segmentation —
     // the answer to the question T26 only flags): per event type, the
     // split position t maximizing the between-segment sum of squares,
@@ -1701,6 +1756,50 @@ object EventTime {
          |  JOIN den da ON da.event_type = n.type_a
          |  JOIN den db ON db.event_type = n.type_b
          |ORDER BY type_a, type_b, lag""".stripMargin,
+
+    // identical centi quantization of cross-multiplied deviations,
+    // order-free long sums of squares, one guarded q6 strength
+    "seasonal_strength" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS eday,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |dd AS (SELECT event_type, eday, n, (eday + 3) % 7 AS dow
+         |       FROM daily),
+         |bydow AS (
+         |  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS nw,
+         |    CAST(SUM(n) AS BIGINT) AS sw
+         |  FROM dd GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+         |    CAST(SUM(n) AS BIGINT) AS sn
+         |  FROM dd GROUP BY 1),
+         |terms AS (
+         |  SELECT dd.event_type,
+         |    CASE WHEN abs(CAST(FLOOR(CAST(dd.n * b.nw - b.sw AS DOUBLE)
+         |        * 100.0 / CAST(b.nw AS DOUBLE) + 0.5) AS BIGINT))
+         |        > 3000000000 THEN error('seasonal_strength envelope')
+         |      ELSE CAST(FLOOR(CAST(dd.n * b.nw - b.sw AS DOUBLE)
+         |        * 100.0 / CAST(b.nw AS DOUBLE) + 0.5) AS BIGINT)
+         |      END AS rm,
+         |    CASE WHEN abs(CAST(FLOOR(CAST(dd.n * t.nd - t.sn AS DOUBLE)
+         |        * 100.0 / CAST(t.nd AS DOUBLE) + 0.5) AS BIGINT))
+         |        > 3000000000 THEN error('seasonal_strength envelope')
+         |      ELSE CAST(FLOOR(CAST(dd.n * t.nd - t.sn AS DOUBLE)
+         |        * 100.0 / CAST(t.nd AS DOUBLE) + 0.5) AS BIGINT)
+         |      END AS dm
+         |  FROM dd JOIN bydow b ON b.event_type = dd.event_type
+         |    AND b.dow = dd.dow
+         |  JOIN tot t ON t.event_type = dd.event_type)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  CAST(SUM(rm * rm) AS BIGINT) AS ss_resid_c2,
+         |  CAST(SUM(dm * dm) AS BIGINT) AS ss_total_c2,
+         |  ${sqlQ6("CASE WHEN SUM(dm * dm) = 0 THEN 0.0 ELSE " +
+             "greatest(0.0, 1.0 - CAST(SUM(rm * rm) AS DOUBLE) / " +
+             "CAST(SUM(dm * dm) AS DOUBLE)) END")} AS strength
+         |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // identical integer runs count / mean cross-multiply / guarded
     // q6 z
