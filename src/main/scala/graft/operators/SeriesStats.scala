@@ -55,6 +55,53 @@ object SeriesStats {
         .as("rho"))
   }
 
+  /** Seasonal STRENGTH of a `period`-cycle in the integer series
+    * `nCol` indexed by `dayCol` per `partCol` group (Hyndman's
+    * F_s = max(0, 1 − Var(residual)/Var(deviation)), residual vs the
+    * group's phase mean, deviation vs its grand mean):
+    * `(partCol, n_days, ss_resid_c2, ss_total_c2, strength)`. Phase =
+    * (day + phaseOffset) mod period — offset 3 on epoch days puts
+    * phase 0 on Monday, the chi2 dow spelling. Both residual and
+    * deviation quantize to CENTI-unit longs via one identically-
+    * spelled division of exact-long cross products (no rational mean
+    * is ever summed — the sums of squares stay order-free longs)
+    * under an in-plan 3·10⁹ envelope; strength is one q6 double with
+    * the degenerate branch at 0. */
+  def seasonalStrength(df: DataFrame, partCol: String, dayCol: String,
+      nCol: String, period: Int, phaseOffset: Int = 0): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val dd = df.withColumn("__phase",
+      pmod(col(dayCol) + lit(phaseOffset.toLong), lit(period.toLong)))
+    val byPhase = dd.groupBy(col(partCol), col("__phase"))
+      .agg(count(lit(1)).as("nw"), sum(col(nCol)).as("sw"))
+    val tot = dd.groupBy(col(partCol))
+      .agg(count(lit(1)).as("nd"), sum(col(nCol)).as("sn"))
+    def centi(num: Column, den: Column): Column = {
+      val c = floor(num.cast("double") * lit(100.0) /
+        den.cast("double") + lit(0.5)).cast("long")
+      when(abs(c) > lit(3000000000L),
+        expr("raise_error('SeriesStats.seasonalStrength: |dev|*100 > " +
+          "3e9 — the exact-long envelope; pre-aggregate upstream')")
+          .cast("bigint"))
+        .otherwise(c)
+    }
+    dd.join(byPhase, Seq(partCol, "__phase"))
+      .join(tot, partCol)
+      .select(col(partCol),
+        centi(col(nCol) * col("nw") - col("sw"), col("nw")).as("rm"),
+        centi(col(nCol) * col("nd") - col("sn"), col("nd")).as("dm"))
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("rm") * col("rm")).as("ss_resid_c2"),
+        sum(col("dm") * col("dm")).as("ss_total_c2"))
+      .select(col(partCol), col("n_days"), col("ss_resid_c2"),
+        col("ss_total_c2"),
+        q6(when(col("ss_total_c2") === 0L, lit(0.0))
+          .otherwise(greatest(lit(0.0),
+            lit(1.0) - col("ss_resid_c2").cast("double") /
+              col("ss_total_c2").cast("double")))).as("strength"))
+  }
+
   /** Pairwise lead-lag cross-correlation between the groups of one
     * (id, day, n) relation at lags −`maxLag`..`maxLag`:
     * `(<id>_a, <id>_b, lag, n_pairs, r)` for ordered id pairs, where

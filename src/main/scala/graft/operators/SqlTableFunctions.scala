@@ -103,6 +103,9 @@ object SqlTableFunctions {
     *  - `graft_spearman(view, part_col, x_col, y_col)` —
     *    [[SeriesStats.spearman]]: Spearman ρ per group with textbook
     *    mid-rank ties (doubled-rank exact integers, q6 ρ)
+    *  - `graft_seasonal_strength(view, part_col, day_col, n_col,
+    *    period[, phase_offset])` — [[SeriesStats.seasonalStrength]]:
+    *    Hyndman F_s of a period-cycle per group
     *  - `graft_ann(layout_path, cents_view, probes_view, nprobe, k)` —
     *    IVF ANN over a persisted [[IvfIndex.writeCellLayout]] corpus
     *    from SQL: per probe in the (query_id, v) view, the nprobe
@@ -219,6 +222,11 @@ object SqlTableFunctions {
     register(spark, "graft_acf", 5, 5) { args =>
       SeriesStats.acf(spark.table(args(0)), args(1), args(2), args(3),
         args(4).toInt)
+    }
+    register(spark, "graft_seasonal_strength", 5, 6) { args =>
+      SeriesStats.seasonalStrength(spark.table(args(0)), args(1),
+        args(2), args(3), args(4).toInt,
+        args.lift(5).map(_.toInt).getOrElse(0))
     }
     register(spark, "graft_ccf", 5, 5) { args =>
       SeriesStats.ccf(spark.table(args(0)), args(1), args(2), args(3),

@@ -931,35 +931,8 @@ object EventTime {
           datediff($"ts".cast("date"), to_date(lit("1970-01-01")))
             .cast("long").as("eday"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("dow", pmod($"eday" + lit(3L), lit(7L)))
-      val byDow = daily.groupBy($"event_type", $"dow")
-        .agg(count(lit(1)).as("nw"), sum($"n").as("sw"))
-      val tot = daily.groupBy($"event_type")
-        .agg(count(lit(1)).as("nd"), sum($"n").as("sn"))
-      def centi(num: org.apache.spark.sql.Column,
-          den: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val c = floor(num.cast("double") * lit(100.0) /
-          den.cast("double") + lit(0.5)).cast("long")
-        when(abs(c) > lit(3000000000L),
-          expr("raise_error('seasonal_strength: |dev|*100 > 3e9 — " +
-            "the exact-long envelope; pre-aggregate upstream')")
-            .cast("bigint"))
-          .otherwise(c)
-      }
-      val terms = daily.join(byDow, Seq("event_type", "dow"))
-        .join(tot, "event_type")
-        .select($"event_type",
-          centi($"n" * $"nw" - $"sw", $"nw").as("rm"),
-          centi($"n" * $"nd" - $"sn", $"nd").as("dm"))
-      terms.groupBy($"event_type")
-        .agg(count(lit(1)).as("n_days"),
-          sum($"rm" * $"rm").as("ss_resid_c2"),
-          sum($"dm" * $"dm").as("ss_total_c2"))
-        .select($"event_type", $"n_days", $"ss_resid_c2", $"ss_total_c2",
-          q6(when($"ss_total_c2" === 0L, lit(0.0))
-            .otherwise(greatest(lit(0.0),
-              lit(1.0) - $"ss_resid_c2".cast("double") /
-                $"ss_total_c2".cast("double")))).as("strength"))
+      graft.operators.SeriesStats
+        .seasonalStrength(daily, "event_type", "eday", "n", 7, 3)
         .orderBy($"event_type")
     }),
 

@@ -327,6 +327,10 @@ class SqlTableFunctionsSpec extends SparkSuite {
       spark.sql("SELECT * FROM graft_ccf('tvf_daily', 'event_type', " +
         "'day', 'n', '3')"),
       SeriesStats.ccf(daily, "event_type", "day", "n", 3))
+    same(
+      spark.sql("SELECT * FROM graft_seasonal_strength('tvf_daily', " +
+        "'event_type', 'day', 'n', '7', '3')"),
+      SeriesStats.seasonalStrength(daily, "event_type", "day", "n", 7, 3))
   }
 
   test("graft_ann equals the DataFrame IVF probe over a written cell " +
