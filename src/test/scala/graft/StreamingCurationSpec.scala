@@ -341,6 +341,16 @@ class StreamingCurationSpec extends SparkSuite {
         c % 10 != 0 && c < 10000000L }
       assert(batchVsCorpus == row && row.nonEmpty,
         s"stream ${batchVsCorpus.size} vs batch row ${row.size}")
+      // the per-trigger probe rides the CandidatePairs skew guard (a
+      // raw band self-join regression loses the chunk role columns)
+      val probePlan = BandStreams.probeArrivals(
+        spark.read.format("graft.sources.BandsSource")
+          .option("path", p).load(),
+        p, texts, Tau, 1024)
+        .queryExecution.executedPlan.toString
+      assert(probePlan.contains("__cl") && probePlan.contains("__cr"),
+        s"probeArrivals must route through CandidatePairs:\n" +
+          probePlan.take(1200))
     } finally q.stop()
   }
 
@@ -416,6 +426,17 @@ class StreamingCurationSpec extends SparkSuite {
         originals.forall(o => planted.contains((o, o))),
         s"planted copies must pair with their originals: " +
           s"${originals.size} planted, ${planted.size} caught")
+      // the per-trigger probe rides the CandidatePairs skew guard (a
+      // raw within-cell self-join regression loses the chunk columns —
+      // a hot cell would then hand one task its O(m²))
+      val probePlan = CellStreams.probeArrivals(
+        spark.read.format("graft.sources.CellsSource")
+          .option("path", p).load(),
+        p, Tau, 1024)
+        .queryExecution.executedPlan.toString
+      assert(probePlan.contains("__cl") && probePlan.contains("__cr"),
+        s"probeArrivals must route through CandidatePairs:\n" +
+          probePlan.take(1200))
     } finally q.stop()
   }
 }
