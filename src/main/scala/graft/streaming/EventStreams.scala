@@ -1014,6 +1014,165 @@ object EventStreams {
       }
   }
 
+  // public: the state encoder's generated code must reach the classes
+  final case class SsState(curDay: Long, curN: Long, days: Seq[Long],
+      ns: Seq[Long])
+  final case class SsRow(event_type: String, n_days: Long,
+      ss_resid_c2: Long, ss_total_c2: Long, strength: Double)
+
+  /** T39 live: streaming seasonal strength — Hyndman's F_s maintained
+    * as days close, with the batch `seasonal_strength` row's IDENTICAL
+    * spelling (centi-quantized cross-multiplied deviations vs the
+    * phase mean and the grand mean; both re-derive per close because
+    * every mean changes with a new day — the [[acfStream]] honest
+    * cost, one O(days) walk per close over the bounded day axis).
+    * LATEST row per type equals the batch row across any micro-batch
+    * split once the feed is ingested. `epochDay0 = 0` keeps days on
+    * the epoch axis so phase = (day + phaseOffset) mod period is the
+    * batch row's engine-neutral day-of-week. Same day-monotone feed
+    * contract as [[cusumStream]]. */
+  def seasonalStrengthStream(events: Dataset[TypedEvent],
+      period: Int = 7, phaseOffset: Int = 3): Dataset[SsRow] = {
+    import events.sparkSession.implicits._
+    def q6d(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[SsState, SsRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[TypedEvent],
+            state: GroupState[SsState]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SsRow]
+          def close(): Unit = {
+            val days = st.days :+ st.curDay
+            val ns = st.ns :+ st.curN
+            st = SsState(-1L, 0L, days, ns)
+            val nd = days.length.toLong
+            val sn = ns.sum
+            val byPhase = days.indices.groupBy(i =>
+              Math.floorMod(days(i) + phaseOffset, period.toLong))
+            def centi(num: Long, den: Long): Long = {
+              val c = math.floor(
+                num.toDouble * 100.0 / den.toDouble + 0.5).toLong
+              if (math.abs(c) > 3000000000L)
+                throw new IllegalStateException(
+                  s"seasonalStrengthStream: |dev|*100 > 3e9 for type " +
+                    s"$etype — the exact-long envelope")
+              c
+            }
+            var ssR = 0L; var ssT = 0L
+            byPhase.foreach { case (_, idxs) =>
+              val nw = idxs.length.toLong
+              val sw = idxs.map(ns(_)).sum
+              idxs.foreach { i =>
+                val rm = centi(ns(i) * nw - sw, nw)
+                ssR += rm * rm
+                val dm = centi(ns(i) * nd - sn, nd)
+                ssT += dm * dm
+              }
+            }
+            out += SsRow(etype, nd, ssR, ssT,
+              if (ssT == 0L) 0.0
+              else q6d(math.max(0.0, 1.0 - ssR.toDouble / ssT.toDouble)))
+          }
+          rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val day = Math.floorDiv(e.ts, 86400000000L)
+            if (st == null)
+              st = SsState(day, 1L, Vector.empty, Vector.empty)
+            else if (day == st.curDay) st = st.copy(curN = st.curN + 1L)
+            else if (day < st.curDay)
+              throw new IllegalStateException(
+                s"seasonalStrengthStream: out-of-order event for type " +
+                  s"$etype (day $day after open day ${st.curDay}) — " +
+                  "the feed must be day-monotone per type")
+            else { close(); st = st.copy(curDay = day, curN = 1L) }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  // public: the state encoder's generated code must reach the classes
+  final case class SpearState(curDay: Long, curN: Long, curY: Long,
+      xs: Seq[Long], ys: Seq[Long])
+  final case class SpearRow(event_type: String, n_days: Long,
+      rho: Double)
+
+  /** G31 live: streaming Spearman ρ between the daily count and the
+    * daily value mass, maintained as days close with the batch
+    * `spearman_corr` row's IDENTICAL spelling — doubled mid-ranks
+    * (2·cl + ceq + 1, recomputed per close: every new day can shift
+    * every rank) and exact-long Pearson-over-ranks sums. Input
+    * contract: `v_micro` is the engine-wide half-up 10⁻⁴-grid integer
+    * ([[psiStream]]'s rule); the batch row's cents quantize from it as
+    * floorDiv(v_micro + 50, 100), which equals floor(value·100 + ½)
+    * exactly for on-grid values — stay on the grid. LATEST row per
+    * type equals the batch row across any micro-batch split. Same
+    * day-monotone feed contract as [[cusumStream]]. */
+  def spearmanStream(events: Dataset[ValuedEvent],
+      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[SpearRow] = {
+    import events.sparkSession.implicits._
+    def q6d(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    def r2(vs: Seq[Long]): Array[Long] = {
+      val sorted = vs.sorted
+      vs.map { v =>
+        val cl = sorted.count(_ < v).toLong
+        val ceq = sorted.count(_ == v).toLong
+        2L * cl + ceq + 1L
+      }.toArray
+    }
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[SpearState, SpearRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[ValuedEvent],
+            state: GroupState[SpearState]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SpearRow]
+          def close(): Unit = {
+            val xs = st.xs :+ st.curN
+            val ys = st.ys :+ st.curY
+            st = SpearState(-1L, 0L, 0L, xs, ys)
+            val n = xs.length.toLong
+            val rx = r2(xs); val ry = r2(ys)
+            var sx = 0L; var sy = 0L; var sxy = 0L
+            var sxx = 0L; var syy = 0L
+            var i = 0
+            while (i < rx.length) {
+              sx += rx(i); sy += ry(i); sxy += rx(i) * ry(i)
+              sxx += rx(i) * rx(i); syy += ry(i) * ry(i)
+              i += 1
+            }
+            val vx = n * sxx - sx * sx
+            val vy = n * syy - sy * sy
+            out += SpearRow(etype, n,
+              if (vx == 0L || vy == 0L) 0.0
+              else q6d((n * sxy - sx * sy).toDouble /
+                (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))))
+          }
+          rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val day = Math.floorDiv(e.ts, 86400000000L) - epochDay0
+            // the batch row's cents from the on-grid micro value
+            val cents = Math.floorDiv(e.v_micro + 50L, 100L)
+            if (st == null)
+              st = SpearState(day, 1L, cents, Vector.empty, Vector.empty)
+            else if (day == st.curDay)
+              st = st.copy(curN = st.curN + 1L, curY = st.curY + cents)
+            else if (day < st.curDay)
+              throw new IllegalStateException(
+                s"spearmanStream: out-of-order event for type $etype " +
+                  s"(day $day after open day ${st.curDay}) — the feed " +
+                  "must be day-monotone per type")
+            else {
+              close()
+              st = st.copy(curDay = day, curN = 1L, curY = cents)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** T6: arbitrary per-key state — a running per-user counter kept in
     * GroupState, emitting the updated total on every micro-batch. */
   def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {

@@ -847,6 +847,62 @@ class EventStreamsSpec extends SparkSuite {
     assert(spark.table("t_acf").count() > latest.size)
   }
 
+  test("streaming seasonal strength and Spearman: the latest verdict " +
+      "per type equals the batch rows across micro-batch splits " +
+      "(T39/G31 live)") {
+    implicit val sqlCtx = spark.sqlContext
+    val types = ordered.map(_.event_type).distinct
+    val maxTs = ordered.map(_.ts).max
+    val sentinels = types.zipWithIndex.map { case (t, i) =>
+      EventStreams.TypedEvent(-1L - i, -1L,
+        maxTs + 30L * 86400000000L, t)
+    }
+    val vSentinels = types.zipWithIndex.map { case (t, i) =>
+      EventStreams.ValuedEvent(-1L - i, -1L,
+        maxTs + 30L * 86400000000L, t, 0L)
+    }
+    val inSs = MemoryStream[EventStreams.TypedEvent]
+    val inSp = MemoryStream[EventStreams.ValuedEvent]
+    val qSs = EventStreams.seasonalStrengthStream(inSs.toDS())
+      .writeStream.format("memory").queryName("t_ss")
+      .outputMode("append").start()
+    val qSp = EventStreams.spearmanStream(inSp.toDS())
+      .writeStream.format("memory").queryName("t_spear")
+      .outputMode("append").start()
+    try {
+      (ordered ++ sentinels).grouped(650).foreach { b =>
+        inSs.addData(b); qSs.processAllAvailable()
+      }
+      (valuedOrdered ++ vSentinels).grouped(650).foreach { b =>
+        inSp.addData(b); qSp.processAllAvailable()
+      }
+    } finally { qSs.stop(); qSp.stop() }
+    import org.apache.spark.sql.expressions.Window
+    val wLatest = Window.partitionBy($"event_type")
+      .orderBy($"n_days".desc)
+    val ssLatest = spark.table("t_ss")
+      .withColumn("rn", row_number().over(wLatest)).filter($"rn" === 1)
+      .select($"event_type", $"n_days", $"ss_resid_c2",
+        $"ss_total_c2", $"strength")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    val ssBatch = SparkEntry.queries("seasonal_strength")(spark, sf)
+      .select($"event_type", $"n_days", $"ss_resid_c2",
+        $"ss_total_c2", $"strength")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(ssLatest == ssBatch && ssLatest.nonEmpty)
+    val spLatest = spark.table("t_spear")
+      .withColumn("rn", row_number().over(wLatest)).filter($"rn" === 1)
+      .select($"event_type", $"n_days", $"rho")
+      .as[(String, Long, Double)].collect().toSet
+    val spBatch = SparkEntry.queries("spearman_corr")(spark, sf)
+      .select($"event_type", $"n_days", $"rho")
+      .as[(String, Long, Double)].collect().toSet
+    assert(spLatest == spBatch && spLatest.nonEmpty)
+    // live interim verdicts were emitted, not one final dump
+    assert(spark.table("t_ss").count() > ssLatest.size)
+    assert(spark.table("t_spear").count() > spLatest.size)
+  }
+
   test("psiStream state stays bounded under an adversarial wide-range " +
       "feed: bins clamp into the overflow end bins") {
     implicit val sqlCtx = spark.sqlContext
