@@ -106,6 +106,9 @@ object SqlTableFunctions {
     *  - `graft_seasonal_strength(view, part_col, day_col, n_col,
     *    period[, phase_offset])` — [[SeriesStats.seasonalStrength]]:
     *    Hyndman F_s of a period-cycle per group
+    *  - `graft_dp_counts(view, key_col, epsilon[, salt])` —
+    *    [[Privacy.dpCounts]]: ε-DP released group counts
+    *    (deterministic keyed-draw Laplace — release-once semantics)
     *  - `graft_ann(layout_path, cents_view, probes_view, nprobe, k)` —
     *    IVF ANN over a persisted [[IvfIndex.writeCellLayout]] corpus
     *    from SQL: per probe in the (query_id, v) view, the nprobe
@@ -222,6 +225,10 @@ object SqlTableFunctions {
     register(spark, "graft_acf", 5, 5) { args =>
       SeriesStats.acf(spark.table(args(0)), args(1), args(2), args(3),
         args(4).toInt)
+    }
+    register(spark, "graft_dp_counts", 3, 4) { args =>
+      Privacy.dpCounts(spark.table(args(0)), args(1), args(2).toDouble,
+        args.lift(3).getOrElse("dp:v1:"))
     }
     register(spark, "graft_seasonal_strength", 5, 6) { args =>
       SeriesStats.seasonalStrength(spark.table(args(0)), args(1),

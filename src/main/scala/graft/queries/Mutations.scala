@@ -516,21 +516,10 @@ object Mutations {
     // Shape: one map-combinable count over the bounded source domain.
     "dp_counts" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val u32 = graft.operators.Sampling.keyHash32($"source", "dp:v1:")
-      val u = (u32.cast("double") + lit(0.5)) / lit(4294967296.0)
-      val t = u - lit(0.5)
-      // inverse Laplace CDF at scale 1/ε = 2.0: −2·sgn(t)·ln(1−2|t|)
-      val noise = lit(-2.0) * signum(t) *
-        log(lit(1.0) - lit(2.0) * abs(t))
-      Tables.documents(s, dir)
-        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
-        .withColumn("noise_micro",
-          floor(noise * lit(1000000.0) + lit(0.5)).cast("long"))
-        .withColumn("released",
-          $"n_docs" +
-            expr("(noise_micro + 500000 + 1000000000) DIV 1000000") -
-            lit(1000L))
-        .select($"source", $"n_docs", $"noise_micro", $"released")
+      graft.operators.Privacy
+        .dpCounts(Tables.documents(s, dir), "source", epsilon = 0.5)
+        .select($"source", $"n_true".as("n_docs"), $"noise_micro",
+          $"released")
         .orderBy($"source")
     }),
   )
