@@ -193,6 +193,7 @@ private[queries] trait PipelineOracleSupport extends PipelineCore {
         "semantic_clusters" -> semanticClustersSql(c),
         "semdedup" -> semDedupSql(c),
         "incremental_semdedup" -> incrementalSemDedupSql(c),
+        "semantic_decontaminate" -> semanticDecontaminateSql(c),
         "ivf_append" -> ivfAppendSql(c)))
       .getOrElse(Map.empty) ++ Option(pqBooksCache.get(dir))
       .map(b => Map("pq_ann" -> pqAnnSql(b),
@@ -432,6 +433,55 @@ private[queries] trait PipelineOracleSupport extends PipelineCore {
        |SELECT comp.node AS vec_id, comp.cluster_id, sz.cluster_size
        |FROM comp JOIN sz USING (cluster_id)
        |ORDER BY cluster_id, vec_id""".stripMargin
+  }
+
+  /** DuckDB mirror of `semantic_decontaminate`: the same augmented
+    * relation (planted exact copies under +2·10⁶ ids), cells, exact
+    * q6 within-cell cosine pairs and hash split — cross-split pairs
+    * oriented train → eval. */
+  private[queries] def semanticDecontaminateSql(
+      cents: Array[Array[Double]]): String = {
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      val lit = c.map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
+      s"(${i + 1}, $lit, ${(c.map(x => x * x).sum / 2.0).toString})"
+    }.mkString(",\n    ")
+    s"""WITH cents(cid, c, hn) AS (VALUES
+       |    $rows),
+       |e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 2000000, embedding::DOUBLE[] FROM embeddings
+       |  WHERE vec_id % 12 = 1),
+       |d AS (SELECT e.vec_id, cents.cid, ${sqlDot("e.v", "cents.c")} - cents.hn AS s
+       |      FROM e CROSS JOIN cents),
+       |cells AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM d) t WHERE rn = 1),
+       |p AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    ${sqlQ6(sqlDot("ea.v", "eb.v") + " / (" + sqlNorm("ea.v") + " * " + sqlNorm("eb.v") + ")")} AS cos
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE ${sqlQ6(sqlDot("ea.v", "eb.v") + " / (" + sqlNorm("ea.v") + " * " + sqlNorm("eb.v") + ")")} >= 0.40),
+       |lab AS (
+       |  SELECT vec_id, $sqlSplitCase AS split FROM (
+       |    SELECT vec_id,
+       |      ${sqlMd5Fold32("split:v1:", "CAST(vec_id AS VARCHAR)")} AS v
+       |    FROM e))
+       |SELECT
+       |  CASE WHEN la.split = 'train' THEN p.va ELSE p.vb END AS train_vec,
+       |  CASE WHEN la.split = 'train' THEN p.vb ELSE p.va END AS eval_vec,
+       |  CASE WHEN la.split = 'train' THEN lb.split ELSE la.split END
+       |    AS eval_split,
+       |  p.cos
+       |FROM p
+       |  JOIN lab la ON la.vec_id = p.va
+       |  JOIN lab lb ON lb.vec_id = p.vb
+       |WHERE (la.split = 'train' AND lb.split <> 'train')
+       |   OR (lb.split = 'train' AND la.split <> 'train')
+       |ORDER BY train_vec, eval_vec""".stripMargin
   }
 
   /** DuckDB mirror of `ivf_append` — same cells/cos replay as

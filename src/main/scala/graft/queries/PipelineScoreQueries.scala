@@ -993,6 +993,60 @@ private[queries] trait PipelineScoreQueries extends PipelineCore {
         .orderBy($"cluster_id", $"vec_id")
     }),
 
+    // L113: SEMANTIC decontamination — the embedding-space twin of
+    // L23's lexical `decontaminate`, closing the gap SemDeDup (Abbas
+    // et al. 2023) documents: a PARAPHRASED copy of an eval document
+    // shares no 8-gram (lexical decontamination misses it) but sits
+    // at cosine ≈ 1 in embedding space. Train-split vectors whose
+    // embedding near-duplicates (within-cell exact q6 cosine ≥ 0.40)
+    // a valid/test vector are flagged with the leaked eval id and
+    // split. Planted probes: exact copies of vec_id ≡ 1 (mod 12)
+    // under +2·10⁶ ids ride along in query and oracle — identical
+    // embedding ⇒ identical cell and cosine 1.0, and the
+    // hash-deterministic 80/10/10 split scatters the copies across
+    // splits, so cross-split hits EXIST and are exactly replayable.
+    // Shape: the SemDedup.pairs path (cells bound the pair domain,
+    // CandidatePairs chunks hot cells) + two broadcast-able id joins
+    // against the split labels — the decontaminate composition with
+    // the LSH pass swapped for the IVF-cell cosine pass.
+    "semantic_decontaminate" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      // the planted copies ride a conditional EXPLODE, not a union —
+      // ONE scan (the better 100 TB shape), and no Union node for
+      // SemDedup's downstream self-joins to trip Spark's
+      // UnionBase.rewriteConstraints over (key not found: embedding#N
+      // when a self-derived union branch is joined back to itself)
+      val all = Tables.embeddings(s, dir)
+        .select(explode(
+          when($"vec_id" % 12 === 1,
+            array(struct($"vec_id", $"embedding"),
+              struct(($"vec_id" + 2000000L).as("vec_id"), $"embedding")))
+            .otherwise(array(struct($"vec_id", $"embedding")))).as("r"))
+        .select($"r.vec_id".as("vec_id"),
+          $"r.embedding".cast("array<double>").as("v"))
+      val pairs = graft.operators.SemDedup
+        .pairs(all, learnedCents(s, dir), 0.40)
+      val lab = all.select($"vec_id",
+        graft.operators.Sampling.splitLabel($"vec_id", 0.8, 0.1)
+          .as("split"))
+      pairs
+        .join(lab.select($"vec_id".as("vec_a"), $"split".as("split_a")),
+          "vec_a")
+        .join(lab.select($"vec_id".as("vec_b"), $"split".as("split_b")),
+          "vec_b")
+        .filter(($"split_a" === "train" && $"split_b" =!= "train") ||
+          ($"split_b" === "train" && $"split_a" =!= "train"))
+        .select(
+          when($"split_a" === "train", $"vec_a").otherwise($"vec_b")
+            .as("train_vec"),
+          when($"split_a" === "train", $"vec_b").otherwise($"vec_a")
+            .as("eval_vec"),
+          when($"split_a" === "train", $"split_b").otherwise($"split_a")
+            .as("eval_split"),
+          $"cos")
+        .orderBy($"train_vec", $"eval_vec")
+    }),
+
     // L105 (perceptual-hash near-dup over binary payloads): the
     // multimodal dedup lane — aHash (average hash, the classic
     // perceptual fingerprint: stride-sample the payload to a 64-byte
