@@ -196,6 +196,10 @@ class CellsSourceSpec extends SparkSuite {
     intercept[Exception](alien.write.format("graft.sources.CellsSource")
       .option("path", p).mode(SaveMode.Append).save())
     assert(spark.read.parquet(p).count() == visible)
+    // the failed job's staging was aborted away, not left behind
+    assert(!new java.io.File(p).listFiles()
+      .exists(_.getName.startsWith(".staging-")),
+      "aborted write must leave no staging residue")
     // a wrong-dimension vector is refused
     val short = batch.limit(1).withColumn("v", slice($"v", 1, 8))
     intercept[Exception](short.write.format("graft.sources.CellsSource")

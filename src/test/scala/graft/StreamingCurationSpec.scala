@@ -439,4 +439,70 @@ class StreamingCurationSpec extends SparkSuite {
           probePlan.take(1200))
     } finally q.stop()
   }
+
+  test("liveSemDedup consumer restart: an append landing while the " +
+      "consumer is DOWN is probed exactly once from the checkpoint, " +
+      "and the pre-restart pairs are not re-published") {
+    import graft.operators.IvfIndex
+    import graft.streaming.CellStreams
+    val K = 8
+    val Tau = 0.40
+    val p = "/tmp/graft_cells_restart/layout"
+    val pairsP = "/tmp/graft_cells_restart/pairs"
+    val ckpt = "/tmp/graft_cells_restart/ckpt"
+    Seq(p, pairsP, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents = IvfIndex.learnCentroids(emb, K, 1)
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+      .unionAll(corpus.filter($"vec_id" % 17 === 3)
+        .select(($"vec_id" + 10000000L).as("vec_id"), $"v"))
+    IvfIndex.writeCellLayout(IvfIndex.assignCells(corpus, cents), p,
+      K, cents.head.length)
+    val b1 = IvfIndex.assignCells(batch.filter($"vec_id" % 2 === 0), cents)
+    val b2 = IvfIndex.assignCells(batch.filter($"vec_id" % 2 === 1), cents)
+    def start() = CellStreams.liveSemDedup(spark, p, Tau, pairsP, ckpt)
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(IvfIndex.appendCellsIdempotent(b1, p, 1L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterB1 = CellStreams.readPairs(spark, pairsP)
+      .select($"batch_vec", $"corpus_vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // append while the consumer is DOWN, then restart from checkpoint
+    assert(IvfIndex.appendCellsIdempotent(b2, p, 2L))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val after = CellStreams.readPairs(spark, pairsP)
+      .select($"batch_vec", $"corpus_vec", $"cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // no pair published twice (the TxBatch sink is batch-id-keyed; a
+    // restart replaying the b1 trigger would double these rows)
+    assert(after.length == after.toSet.size,
+      s"duplicate pairs after restart: ${after.length} rows, " +
+        s"${after.toSet.size} distinct")
+    // the pre-restart pairs survived, and b2's probe (vs corpus ∪ b1)
+    // landed exactly once
+    val pairSet = after.map(t => (t._1, t._2)).toSet
+    assert(afterB1.subsetOf(pairSet) && afterB1.nonEmpty)
+    def cross(b: org.apache.spark.sql.DataFrame,
+        pre: org.apache.spark.sql.DataFrame) =
+      b.select($"cell", $"vec_id".as("batch_vec"), $"v".as("va"))
+        .join(IvfIndex.assignCells(pre, cents)
+          .select($"cell", $"vec_id".as("corpus_vec"), $"v".as("vb")),
+          Seq("cell"))
+        .withColumn("cos", graft.operators.SemDedup.cos($"va", $"vb"))
+        .filter($"cos" >= Tau)
+        .select($"batch_vec", $"corpus_vec")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expB2 = cross(b2,
+      corpus.unionByName(batch.filter($"vec_id" % 2 === 0)))
+    assert(pairSet == (afterB1 ++ expB2),
+      s"restart must deliver exactly b2's probe: ${pairSet.size} vs " +
+        s"${(afterB1 ++ expB2).size}")
+  }
 }
