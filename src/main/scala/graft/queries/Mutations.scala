@@ -514,6 +514,24 @@ object Mutations {
     // integer derives from noise_micro by pure integer arithmetic
     // (positive-shifted DIV, so truncation == floor in both engines).
     // Shape: one map-combinable count over the bounded source domain.
+    // M16: ε-DP released histogram — the same Laplace release
+    // ([[graft.operators.Privacy.dpCounts]]) over a DERIVED key, the
+    // other canonical private-publication shape: document-length
+    // buckets (100-char bins). Each document lands in exactly ONE
+    // bucket, so sensitivity stays 1 and parallel composition keeps
+    // the whole histogram at ε = 0.5; the per-bucket draw keys on the
+    // bucket value under its own salt (release-once, M15's rule — a
+    // fresh histogram release rotates the salt). Positive DIV in both
+    // engines (n_chars ≥ 0), so the bucketing is engine-exact.
+    "dp_histogram" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Privacy.dpCounts(
+        Tables.documents(s, dir)
+          .select(expr("n_chars DIV 100").as("len_bucket")),
+        "len_bucket", epsilon = 0.5, salt = "dph:v1:")
+        .orderBy($"len_bucket")
+    }),
+
     "dp_counts" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       graft.operators.Privacy
@@ -843,6 +861,30 @@ object Mutations {
         |FROM g CROSS JOIN (VALUES (CAST(2 AS BIGINT)), (CAST(5 AS BIGINT)),
         |  (CAST(10 AS BIGINT))) ks(k)
         |GROUP BY 1 ORDER BY k""".stripMargin,
+
+    // the dp_counts mechanism over the derived length-bucket key
+    // (salt 'dph:v1:'); positive DIV == // bucketing
+    "dp_histogram" ->
+      """WITH b AS (
+        |  SELECT n_chars // 100 AS len_bucket FROM documents),
+        |g AS (
+        |  SELECT len_bucket, CAST(COUNT(*) AS BIGINT) AS n_true,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5('dph:v1:' || CAST(len_bucket AS VARCHAR)),
+        |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u32
+        |  FROM b GROUP BY 1),
+        |n AS (
+        |  SELECT len_bucket, n_true,
+        |    CAST(FLOOR(-2.0 * sign((u32 + 0.5) / 4294967296.0 - 0.5) *
+        |      ln(1.0 - 2.0 * abs((u32 + 0.5) / 4294967296.0 - 0.5)) *
+        |      1000000.0 + 0.5) AS BIGINT) AS noise_micro
+        |  FROM g)
+        |SELECT len_bucket, n_true, noise_micro,
+        |  n_true + (noise_micro + 500000 + 1000000000) // 1000000 - 1000
+        |    AS released
+        |FROM n ORDER BY len_bucket""".stripMargin,
 
     // identical keyed md5 fold (the PipelineOracleSupport.sqlMd5Fold32
     // spelling, salt 'dp:v1:'), identical inverse-CDF arithmetic,
