@@ -75,6 +75,19 @@ class SeriesStatsSpec extends SparkSuite {
     assert(atPlus1 == ("a", "b", 1L, 6L, 1.0), rows.toSeq)
   }
 
+  test("ccf: the reversed lead (B is a one-day-EARLIER copy of A) " +
+      "peaks at lag -1 — the sign convention reads 'A lags B'") {
+    val a = Seq(5L, 9L, 2L, 7L, 3L, 8L)
+    val df = (a.zipWithIndex.map { case (v, i) => ("a", i.toLong + 1L, v) } ++
+      a.zipWithIndex.map { case (v, i) => ("b", i.toLong, v) })
+      .toDF("id", "day", "n")
+    val atMinus1 = SeriesStats.ccf(df, "id", "day", "n", 1)
+      .filter($"lag" === -1L)
+      .select($"n_pairs", $"r")
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(atMinus1.toSeq == Seq((6L, 1.0)))
+  }
+
   test("seasonal strength: a perfectly periodic series scores 1.0, a " +
       "constant series 0.0") {
     // period 3, values repeat (10, 20, 60) -> residuals vs the phase
