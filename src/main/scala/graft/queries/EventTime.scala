@@ -936,6 +936,50 @@ object EventTime {
         .orderBy($"event_type")
     }),
 
+    // T40: turning-point test (Kendall — the second classical
+    // randomness check next to T32's runs test, and sensitive to a
+    // DIFFERENT departure: runs catches level clustering, turning
+    // points catch over-smooth or over-jagged oscillation): per event
+    // type, T = #{interior days that are a strict local max or min of
+    // the day-ordered daily counts}; under randomness E[T] = 2(n−2)/3
+    // and Var[T] = (16n−29)/90, z = (T − E)/√Var. Convention: ties
+    // break NO turning point (strict comparisons both sides — the
+    // classical test assumes continuous data; integer counts tie, so
+    // the convention is stated rather than implied). Exactness: T and
+    // n are exact longs over the observed-day order (the runs-test
+    // lag/lead shape); z is one identically-spelled q6 double with
+    // n < 3 reporting 0 (no interior points — the ADVICE-r12
+    // degenerate rule). Shape: one map-combinable daily count + one
+    // per-type lag/lead window on the bounded (type × day) relation.
+    "turning_points" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          datediff($"ts".cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val marked = daily
+        .withColumn("p", lag($"n", 1).over(w))
+        .withColumn("f", lead($"n", 1).over(w))
+        .withColumn("tp",
+          when($"p".isNotNull && $"f".isNotNull &&
+            (($"p" < $"n" && $"n" > $"f") ||
+              ($"p" > $"n" && $"n" < $"f")), 1L).otherwise(0L))
+      val agg = marked.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"), sum($"tp").as("t_stat"))
+      val e = lit(2.0) * ($"n_days" - lit(2L)).cast("double") / lit(3.0)
+      val v = (lit(16L) * $"n_days" - lit(29L)).cast("double") / lit(90.0)
+      agg.select($"event_type", $"n_days", $"t_stat",
+          q6(when($"n_days" < 3L, lit(0.0))
+            .otherwise(($"t_stat".cast("double") - e) / sqrt(v)))
+            .as("z"))
+        .withColumn("is_nonrandom",
+          when(abs($"z") > lit(1.96), 1L).otherwise(0L))
+        .orderBy($"event_type")
+    }),
+
     // T34: change-point LOCALIZATION (one-split binary segmentation —
     // the answer to the question T26 only flags): per event type, the
     // split position t maximizing the between-segment sum of squares,
@@ -1773,6 +1817,39 @@ object EventTime {
              "greatest(0.0, 1.0 - CAST(SUM(rm * rm) AS DOUBLE) / " +
              "CAST(SUM(dm * dm) AS DOUBLE)) END")} AS strength
          |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // identical strict-tie turning-point count over the observed-day
+    // order; one guarded q6 z
+    "turning_points" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |m AS (
+         |  SELECT event_type, n,
+         |    LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS p,
+         |    LEAD(n) OVER (PARTITION BY event_type ORDER BY day) AS f
+         |  FROM daily),
+         |agg AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(CASE WHEN p IS NOT NULL AND f IS NOT NULL AND
+         |        ((p < n AND n > f) OR (p > n AND n < f))
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS t_stat
+         |  FROM m GROUP BY 1)
+         |SELECT event_type, n_days, t_stat,
+         |  ${sqlQ6("CASE WHEN n_days < 3 THEN 0.0 ELSE " +
+             "(CAST(t_stat AS DOUBLE) - " +
+             "2.0 * CAST(n_days - 2 AS DOUBLE) / 3.0) / " +
+             "sqrt(CAST(16 * n_days - 29 AS DOUBLE) / 90.0) END")} AS z,
+         |  CAST(CASE WHEN abs(${sqlQ6(
+             "CASE WHEN n_days < 3 THEN 0.0 ELSE " +
+             "(CAST(t_stat AS DOUBLE) - " +
+             "2.0 * CAST(n_days - 2 AS DOUBLE) / 3.0) / " +
+             "sqrt(CAST(16 * n_days - 29 AS DOUBLE) / 90.0) END")}) > 1.96
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_nonrandom
+         |FROM agg ORDER BY event_type""".stripMargin,
 
     // identical integer runs count / mean cross-multiply / guarded
     // q6 z
