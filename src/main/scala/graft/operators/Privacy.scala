@@ -4,44 +4,156 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Differentially-private release mechanisms — the library face of the
-  * M15 `dp_counts` row, so any relation can publish a noisy group
-  * count through one call or its SQL TVF (`graft_dp_counts`).
+  * M15 `dp_counts` row and its family (histogram / known-domain /
+  * clipped sum / clipped mean), so any relation can publish a noisy
+  * aggregate through one call or the SQL TVF (`graft_dp_counts`).
   *
-  * The noise draw is DETERMINISTIC by design, not just for testing:
-  * the inverse Laplace CDF is applied to a keyed md5 uniform
-  * ([[Sampling.keyHash32]] — never rand()), which gives release-once
-  * semantics — re-running the release republishes the SAME noisy
-  * value, where a fresh draw per run would let an analyst average the
-  * noise away (the classic repeated-query attack). A NEW release
-  * rotates `salt`, spending fresh ε. Counting queries over a
-  * partition key have sensitivity 1 and compose in parallel across
-  * disjoint groups, so the whole release is ε-DP.
+  * The noise draw is DETERMINISTIC: the inverse Laplace CDF is applied
+  * to a keyed md5 uniform ([[Sampling.keyHash32]] — never rand()),
+  * which gives release-once semantics — re-running the release
+  * republishes the SAME noisy value, where a fresh draw per run would
+  * let an analyst average the noise away (the classic repeated-query
+  * attack). The privacy caveats that come with a PRF draw:
+  *
+  *  - `seed` MUST be a secret, high-entropy, per-release value,
+  *    generated and persisted at release time by the caller. There is
+  *    deliberately NO default: with a public seed anyone can recompute
+  *    the noise per key and subtract it from `released`, recovering
+  *    the true aggregate exactly — zero privacy.
+  *  - even with a secret seed the guarantee is COMPUTATIONAL DP (the
+  *    adversary cannot distinguish the md5-PRF draw from true Laplace
+  *    noise), not information-theoretic ε-DP; and it holds only while
+  *    the seed stays secret. Publishing, reusing, or deriving the seed
+  *    from public data forfeits it.
+  *  - a NEW release must rotate the seed, spending fresh ε — the same
+  *    seed across dataset versions repeats the noise and exposes exact
+  *    deltas between releases.
+  *
+  * Sensitivity accounting: counting queries over a partition key have
+  * sensitivity 1 and compose in parallel across disjoint groups; sums
+  * are clipped per contribution so one row moves the sum by at most
+  * the clip bound; means split the budget across their count and sum
+  * halves (documented on [[dpMean]]).
   */
 object Privacy {
 
-  /** ε-DP released counts per `keyCol` group of `df`:
-    * `(keyCol, n_true, noise_micro, released)`. `epsilon` is the
-    * privacy budget (scale 1/ε); `salt` names the release. The
-    * released integer derives from the micro-quantized noise by pure
-    * integer arithmetic (positive-shifted division, so truncation ==
-    * floor in any engine replaying it). NOTE: `n_true` is returned
-    * for pipeline-internal auditing — a public release projects it
-    * away, which is the caller's responsibility. */
-  def dpCounts(df: DataFrame, keyCol: String, epsilon: Double,
-      salt: String = "dp:v1:"): DataFrame = {
-    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
-    val u32 = Sampling.keyHash32(col(keyCol), salt)
+  /** Micro-quantized Laplace(scale) noise for a key column: the
+    * inverse CDF −scale·sgn(t)·ln(1 − 2|t|) at the keyed md5 uniform,
+    * floored to integer micro-units so every engine replaying the
+    * release computes the identical long. */
+  private def noiseMicro(key: Column, scale: Double,
+      seed: String): Column = {
+    val u32 = Sampling.keyHash32(key, seed)
     val u = (u32.cast("double") + lit(0.5)) / lit(4294967296.0)
     val t = u - lit(0.5)
-    // inverse Laplace CDF at scale 1/ε: −(1/ε)·sgn(t)·ln(1 − 2|t|)
-    val noise = lit(-1.0 / epsilon) * signum(t) *
+    val noise = lit(-scale) * signum(t) *
       log(lit(1.0) - lit(2.0) * abs(t))
+    floor(noise * lit(1000000.0) + lit(0.5)).cast("long")
+  }
+
+  /** Integer release from micro-noise: explicit floor of the
+    * half-up-shifted micro units. floor (not DIV) — Spark's DIV
+    * truncates toward zero while DuckDB's `//` floors, so the two
+    * diverge the moment the shifted sum goes negative (small ε makes
+    * the noise arbitrarily large); an explicit floor agrees at every
+    * magnitude and sign. */
+  private def releaseRound(noiseMicro: Column): Column =
+    floor((noiseMicro.cast("double") + lit(500000.0)) /
+      lit(1000000.0)).cast("long")
+
+  /** ε-DP released counts per `keyCol` group of `df`:
+    * `(keyCol, n_true, noise_micro, released)`. `epsilon` is the
+    * privacy budget (Laplace scale 1/ε, sensitivity 1); `seed` names
+    * the release and MUST be secret and high-entropy (see the object
+    * doc — a public seed yields zero privacy). NOTE: `n_true` is
+    * returned for pipeline-internal auditing — a public release
+    * projects it away, which is the caller's responsibility. */
+  def dpCounts(df: DataFrame, keyCol: String, epsilon: Double,
+      seed: String): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_true"))
       .withColumn("noise_micro",
-        floor(noise * lit(1000000.0) + lit(0.5)).cast("long"))
-      .withColumn("released",
-        col("n_true") +
-          expr("(noise_micro + 500000 + 1000000000) DIV 1000000") -
-          lit(1000L))
+        noiseMicro(col(keyCol), 1.0 / epsilon, seed))
+      .withColumn("released", col("n_true") +
+        releaseRound(col("noise_micro")))
+  }
+
+  /** Known-domain variant: release a count for EVERY key in `domain`
+    * (a one-column public relation), so groups absent from `df`
+    * release pure noise instead of being silently missing — presence
+    * or absence of a key in the output no longer leaks whether anyone
+    * in that group exists. The domain must be public (derived without
+    * looking at `df`); keys of `df` outside the domain are dropped —
+    * releasing them would reintroduce the presence leak. */
+  def dpCounts(df: DataFrame, keyCol: String, epsilon: Double,
+      seed: String, domain: DataFrame): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    require(domain.columns.length == 1,
+      s"domain must be a one-column relation of $keyCol values, " +
+        s"got columns ${domain.columns.mkString(", ")}")
+    val dom = domain.select(col(domain.columns.head).as(keyCol))
+      .distinct()
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_present"))
+    dom.join(counts, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("n_present"), lit(0L)).as("n_true"))
+      .withColumn("noise_micro",
+        noiseMicro(col(keyCol), 1.0 / epsilon, seed))
+      .withColumn("released", col("n_true") +
+        releaseRound(col("noise_micro")))
+  }
+
+  /** ε-DP released sums per `keyCol` group: each contribution of
+    * `valueCol` (integral) is clipped into [−clip, clip] BEFORE the
+    * sum, so adding or removing one row moves the group sum by at
+    * most `clip` — the sensitivity; the Laplace scale is clip/ε.
+    * Output: `(keyCol, sum_clipped, noise_micro, released)`; as with
+    * [[dpCounts]], `sum_clipped` is audit-only. Exact-long clipping
+    * and summation — the only floating arithmetic is the noise draw
+    * itself, so an oracle replays the release bit-for-bit. */
+  def dpSum(df: DataFrame, keyCol: String, valueCol: String,
+      epsilon: Double, clip: Long, seed: String): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    require(clip > 0L, s"clip bound must be positive, got $clip")
+    val clipped = greatest(least(col(valueCol).cast("long"),
+      lit(clip)), lit(-clip))
+    df.groupBy(col(keyCol)).agg(sum(clipped).as("sum_clipped"))
+      .withColumn("noise_micro",
+        noiseMicro(col(keyCol), clip / epsilon, seed))
+      .withColumn("released", col("sum_clipped") +
+        releaseRound(col("noise_micro")))
+  }
+
+  /** ε-DP released means per `keyCol` group: the canonical count+sum
+    * pair, each released under ε/2 (sequential composition: the two
+    * queries read the same rows, so the budgets ADD — total ε). The
+    * count half has sensitivity 1 (scale 2/ε); the sum half clips
+    * contributions at `clip` (scale 2·clip/ε). The two draws key on
+    * the same group under distinct derived seeds (`seed + "count:"`,
+    * `seed + "sum:"`), so they are independent PRF draws from one
+    * release secret. Output: `(keyCol, released_count, released_sum,
+    * released_mean)` where the mean divides the released pair
+    * (denominator floored at 1) and quantizes to 1e−6 — everything
+    * published derives from already-noised values, so the division
+    * spends no extra budget. */
+  def dpMean(df: DataFrame, keyCol: String, valueCol: String,
+      epsilon: Double, clip: Long, seed: String): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    require(clip > 0L, s"clip bound must be positive, got $clip")
+    val clipped = greatest(least(col(valueCol).cast("long"),
+      lit(clip)), lit(-clip))
+    val halves = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_true"), sum(clipped).as("sum_clipped"))
+      .withColumn("released_count", col("n_true") + releaseRound(
+        noiseMicro(col(keyCol), 2.0 / epsilon, seed + "count:")))
+      .withColumn("released_sum", col("sum_clipped") + releaseRound(
+        noiseMicro(col(keyCol), 2.0 * clip / epsilon, seed + "sum:")))
+    halves.select(col(keyCol), col("released_count"),
+      col("released_sum"),
+      (floor(col("released_sum").cast("double") /
+        greatest(col("released_count"), lit(1L)).cast("double") *
+        lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+        .as("released_mean"))
   }
 }

@@ -106,9 +106,10 @@ object SqlTableFunctions {
     *  - `graft_seasonal_strength(view, part_col, day_col, n_col,
     *    period[, phase_offset])` — [[SeriesStats.seasonalStrength]]:
     *    Hyndman F_s of a period-cycle per group
-    *  - `graft_dp_counts(view, key_col, epsilon[, salt])` —
-    *    [[Privacy.dpCounts]]: ε-DP released group counts
-    *    (deterministic keyed-draw Laplace — release-once semantics)
+    *  - `graft_dp_counts(view, key_col, epsilon, seed)` —
+    *    [[Privacy.dpCounts]]: DP released group counts (deterministic
+    *    keyed-draw Laplace — release-once semantics; the seed is
+    *    required and must be a caller-kept secret)
     *  - `graft_ann(layout_path, cents_view, probes_view, nprobe, k)` —
     *    IVF ANN over a persisted [[IvfIndex.writeCellLayout]] corpus
     *    from SQL: per probe in the (query_id, v) view, the nprobe
@@ -226,9 +227,12 @@ object SqlTableFunctions {
       SeriesStats.acf(spark.table(args(0)), args(1), args(2), args(3),
         args(4).toInt)
     }
-    register(spark, "graft_dp_counts", 3, 4) { args =>
+    // the seed argument is REQUIRED — a defaulted (public) seed makes
+    // the deterministic noise recomputable by anyone, zero privacy
+    // (see [[Privacy]])
+    register(spark, "graft_dp_counts", 4, 4) { args =>
       Privacy.dpCounts(spark.table(args(0)), args(1), args(2).toDouble,
-        args.lift(3).getOrElse("dp:v1:"))
+        args(3))
     }
     register(spark, "graft_seasonal_strength", 5, 6) { args =>
       SeriesStats.seasonalStrength(spark.table(args(0)), args(1),
@@ -248,16 +252,27 @@ object SqlTableFunctions {
       import org.apache.spark.sql.functions._
       val layoutPath = args(0)
       val (k, dim) = IvfIndex.readCellMeta(spark, layoutPath)
-      val cents: Array[Array[Double]] = spark.table(args(1))
+      val centRows = spark.table(args(1))
         .select(col("cell_id").cast("long"),
           col("c").cast("array<double>"))
         .collect().sortBy(_.getLong(0))
-        .map(_.getSeq[Double](1).toArray)
+      val cents: Array[Array[Double]] =
+        centRows.map(_.getSeq[Double](1).toArray)
       require(cents.length == k && cents.forall(_.length == dim),
         s"graft_ann: centroid view ${args(1)} has ${cents.length} " +
           s"centroids of dim ${cents.headOption.map(_.length)}, the " +
           s"layout at $layoutPath is stamped (k=$k, dim=$dim) — " +
           "probing with alien centroids silently searches wrong cells")
+      // the sorted-position→cell mapping below assumes the view's ids
+      // are EXACTLY 1..k — a 0-based or gapped id set would pass the
+      // count check yet silently score probes against shifted
+      // centroids (the failure mode the geometry stamp exists to
+      // refuse), so the id sequence is pinned, not assumed
+      require(centRows.map(_.getLong(0)).toSeq == (1L to k.toLong),
+        s"graft_ann: centroid view ${args(1)} cell_id values " +
+          s"${centRows.map(_.getLong(0)).mkString("[", ",", "]")} " +
+          s"are not the layout's 1..$k — a shifted id set maps " +
+          "probes to the wrong cells")
       val nprobe = args(3).toInt
       val topK = args(4).toInt
       require(nprobe >= 1 && nprobe <= k,

@@ -520,24 +520,76 @@ object Mutations {
     // buckets (100-char bins). Each document lands in exactly ONE
     // bucket, so sensitivity stays 1 and parallel composition keeps
     // the whole histogram at ε = 0.5; the per-bucket draw keys on the
-    // bucket value under its own salt (release-once, M15's rule — a
-    // fresh histogram release rotates the salt). Positive DIV in both
-    // engines (n_chars ≥ 0), so the bucketing is engine-exact.
+    // bucket value under its own seed (release-once, M15's rule — a
+    // fresh histogram release rotates the seed; the fixture seed here
+    // is public BECAUSE the oracle must replay it — a production
+    // release supplies a secret one, which the API now requires
+    // explicitly). Positive DIV in both engines (n_chars ≥ 0), so the
+    // bucketing is engine-exact; the release rounding is an explicit
+    // floor, identical at every sign (Spark DIV truncates toward
+    // zero, DuckDB // floors — floor sidesteps the divergence).
     "dp_histogram" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       graft.operators.Privacy.dpCounts(
         Tables.documents(s, dir)
           .select(expr("n_chars DIV 100").as("len_bucket")),
-        "len_bucket", epsilon = 0.5, salt = "dph:v1:")
+        "len_bucket", epsilon = 0.5, seed = "dph:v1:")
         .orderBy($"len_bucket")
     }),
 
     "dp_counts" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       graft.operators.Privacy
-        .dpCounts(Tables.documents(s, dir), "source", epsilon = 0.5)
+        .dpCounts(Tables.documents(s, dir), "source", epsilon = 0.5,
+          seed = "dp:v1:")
         .select($"source", $"n_true".as("n_docs"), $"noise_micro",
           $"released")
+        .orderBy($"source")
+    }),
+
+    // M17: known-domain count release — the presence-leak closer for
+    // M15: the released relation has one row per key of a PUBLIC
+    // domain (src0..src24 — a fixed literal, derived without looking
+    // at the data), so a group nobody belongs to still releases pure
+    // noise instead of being missing; "is there anyone in srcN" is no
+    // longer readable off the output's key set. The five absent
+    // domain keys release 0 + noise under the same deterministic draw.
+    "dp_counts_domain" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val domain = (0 to 24).map(i => s"src$i").toDF("source")
+      graft.operators.Privacy
+        .dpCounts(Tables.documents(s, dir), "source", epsilon = 0.5,
+          seed = "dpd:v1:", domain = domain)
+        .orderBy($"source")
+    }),
+
+    // M18: ε-DP released SUMS with per-contribution clipping — the
+    // second Laplace release shape: each document's n_chars is clipped
+    // into [−400, 400] BEFORE the per-source sum (the bound BINDS —
+    // n_chars ranges past 400 — so the row also pins the clamp), which
+    // caps the sensitivity at the clip bound; the noise scale is
+    // clip/ε = 800. Exact-long clipping and summation; the only
+    // floating arithmetic is the one identically-spelled noise draw.
+    "dp_sum_release" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Privacy
+        .dpSum(Tables.documents(s, dir), "source", "n_chars",
+          epsilon = 0.5, clip = 400L, seed = "dps:v1:")
+        .orderBy($"source")
+    }),
+
+    // M19: ε-DP released MEANS — the count+sum pair under sequential
+    // composition (each half at ε/2: the two queries read the SAME
+    // rows, so budgets add): count at scale 2/ε, clipped sum at scale
+    // 2·clip/ε, two independent PRF draws derived from one release
+    // seed (seed+"count:", seed+"sum:"). The published mean divides
+    // the already-noised pair (denominator floored at 1) and
+    // quantizes q6 — post-processing, no extra budget.
+    "dp_mean_release" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Privacy
+        .dpMean(Tables.documents(s, dir), "source", "n_chars",
+          epsilon = 0.5, clip = 400L, seed = "dpm:v1:")
         .orderBy($"source")
     }),
   )
@@ -863,7 +915,8 @@ object Mutations {
         |GROUP BY 1 ORDER BY k""".stripMargin,
 
     // the dp_counts mechanism over the derived length-bucket key
-    // (salt 'dph:v1:'); positive DIV == // bucketing
+    // (seed 'dph:v1:'); positive DIV == // bucketing; explicit-floor
+    // release rounding (sign-safe in both engines)
     "dp_histogram" ->
       """WITH b AS (
         |  SELECT n_chars // 100 AS len_bucket FROM documents),
@@ -882,13 +935,13 @@ object Mutations {
         |      1000000.0 + 0.5) AS BIGINT) AS noise_micro
         |  FROM g)
         |SELECT len_bucket, n_true, noise_micro,
-        |  n_true + (noise_micro + 500000 + 1000000000) // 1000000 - 1000
-        |    AS released
+        |  n_true + CAST(FLOOR((noise_micro + 500000) / 1000000.0)
+        |    AS BIGINT) AS released
         |FROM n ORDER BY len_bucket""".stripMargin,
 
     // identical keyed md5 fold (the PipelineOracleSupport.sqlMd5Fold32
-    // spelling, salt 'dp:v1:'), identical inverse-CDF arithmetic,
-    // micro quantization, and positive-shifted floor division
+    // spelling, seed 'dp:v1:'), identical inverse-CDF arithmetic,
+    // micro quantization, and explicit-floor release rounding
     "dp_counts" ->
       """WITH g AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -905,8 +958,106 @@ object Mutations {
         |      1000000.0 + 0.5) AS BIGINT) AS noise_micro
         |  FROM g)
         |SELECT source, n_docs, noise_micro,
-        |  n_docs + (noise_micro + 500000 + 1000000000) // 1000000 - 1000
-        |    AS released
+        |  n_docs + CAST(FLOOR((noise_micro + 500000) / 1000000.0)
+        |    AS BIGINT) AS released
+        |FROM n ORDER BY source""".stripMargin,
+
+    // the public literal domain (src0..src24) LEFT-joined to the true
+    // counts — absent keys release 0 + noise; seed 'dpd:v1:'
+    "dp_counts_domain" ->
+      """WITH dom AS (
+        |  SELECT 'src' || CAST(i AS VARCHAR) AS source
+        |  FROM range(0, 25) t(i)),
+        |cnt AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_present
+        |  FROM documents GROUP BY 1),
+        |g AS (
+        |  SELECT dom.source,
+        |    COALESCE(cnt.n_present, CAST(0 AS BIGINT)) AS n_true,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5('dpd:v1:' || CAST(dom.source AS VARCHAR)),
+        |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u32
+        |  FROM dom LEFT JOIN cnt ON dom.source = cnt.source),
+        |n AS (
+        |  SELECT source, n_true,
+        |    CAST(FLOOR(-2.0 * sign((u32 + 0.5) / 4294967296.0 - 0.5) *
+        |      ln(1.0 - 2.0 * abs((u32 + 0.5) / 4294967296.0 - 0.5)) *
+        |      1000000.0 + 0.5) AS BIGINT) AS noise_micro
+        |  FROM g)
+        |SELECT source, n_true, noise_micro,
+        |  n_true + CAST(FLOOR((noise_micro + 500000) / 1000000.0)
+        |    AS BIGINT) AS released
+        |FROM n ORDER BY source""".stripMargin,
+
+    // clipped-sum release: clip n_chars into [−400, 400] per row
+    // (exact longs), sum, noise at scale clip/ε = 800 under seed
+    // 'dps:v1:'
+    "dp_sum_release" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    GREATEST(LEAST(CAST(n_chars AS BIGINT), 400), -400) AS v
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, CAST(SUM(v) AS BIGINT) AS sum_clipped,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5('dps:v1:' || CAST(source AS VARCHAR)),
+        |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u32
+        |  FROM c GROUP BY 1),
+        |n AS (
+        |  SELECT source, sum_clipped,
+        |    CAST(FLOOR(-800.0 * sign((u32 + 0.5) / 4294967296.0 - 0.5) *
+        |      ln(1.0 - 2.0 * abs((u32 + 0.5) / 4294967296.0 - 0.5)) *
+        |      1000000.0 + 0.5) AS BIGINT) AS noise_micro
+        |  FROM g)
+        |SELECT source, sum_clipped, noise_micro,
+        |  sum_clipped + CAST(FLOOR((noise_micro + 500000) / 1000000.0)
+        |    AS BIGINT) AS released
+        |FROM n ORDER BY source""".stripMargin,
+
+    // mean = the ε/2 + ε/2 count+sum pair (scales 2/ε = 4 and
+    // 2·clip/ε = 1600) under derived seeds 'dpm:v1:count:' /
+    // 'dpm:v1:sum:'; the published mean divides the noised pair
+    // (denominator floored at 1) and quantizes q6
+    "dp_mean_release" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    GREATEST(LEAST(CAST(n_chars AS BIGINT), 400), -400) AS v
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_true,
+        |    CAST(SUM(v) AS BIGINT) AS sum_clipped,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5('dpm:v1:count:' || CAST(source AS VARCHAR)),
+        |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS uc,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5('dpm:v1:sum:' || CAST(source AS VARCHAR)),
+        |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS us
+        |  FROM c GROUP BY 1),
+        |n AS (
+        |  SELECT source,
+        |    n_true + CAST(FLOOR((
+        |      CAST(FLOOR(-4.0 * sign((uc + 0.5) / 4294967296.0 - 0.5) *
+        |        ln(1.0 - 2.0 * abs((uc + 0.5) / 4294967296.0 - 0.5)) *
+        |        1000000.0 + 0.5) AS BIGINT) + 500000) / 1000000.0)
+        |      AS BIGINT) AS released_count,
+        |    sum_clipped + CAST(FLOOR((
+        |      CAST(FLOOR(-1600.0 * sign((us + 0.5) / 4294967296.0 - 0.5) *
+        |        ln(1.0 - 2.0 * abs((us + 0.5) / 4294967296.0 - 0.5)) *
+        |        1000000.0 + 0.5) AS BIGINT) + 500000) / 1000000.0)
+        |      AS BIGINT) AS released_sum
+        |  FROM g)
+        |SELECT source, released_count, released_sum,
+        |  FLOOR(CAST(released_sum AS DOUBLE) /
+        |    CAST(GREATEST(released_count, CAST(1 AS BIGINT)) AS DOUBLE) *
+        |    1000000.0 + 0.5) / 1000000.0 AS released_mean
         |FROM n ORDER BY source""".stripMargin,
   )
 }

@@ -1,31 +1,46 @@
 package graft
 
 import graft.operators.Privacy
+import org.apache.spark.sql.functions._
 
-/** Mechanism-level evidence for the DP release operator — the fixture
+/** Mechanism-level evidence for the DP release family — the fixture
   * oracle proves engine parity; these prove the MECHANISM properties
-  * the privacy story depends on. */
+  * the privacy story depends on (release-once determinism, the budget
+  * knob, two-sided noise, clipping, known-domain coverage, and the
+  * sign-safe floor rounding). */
 class PrivacySpec extends SparkSuite {
   import spark.implicits._
 
   private lazy val docs = Tables.documents(spark, sf)
-    .select($"doc_id", $"source")
+    .select($"doc_id", $"source", $"n_chars")
 
-  test("the release is deterministic per (key, salt): re-running " +
+  test("the release is deterministic per (key, seed): re-running " +
       "republishes byte-identical values (release-once semantics)") {
-    val a = Privacy.dpCounts(docs, "source", 0.5)
+    val a = Privacy.dpCounts(docs, "source", 0.5, "secret:a:")
       .orderBy($"source").collect().toSeq
-    val b = Privacy.dpCounts(docs, "source", 0.5)
+    val b = Privacy.dpCounts(docs, "source", 0.5, "secret:a:")
       .orderBy($"source").collect().toSeq
     assert(a == b && a.nonEmpty)
+  }
+
+  test("rotating the seed redraws the noise — a new release spends " +
+      "fresh budget instead of republishing the old draw") {
+    def noise(seed: String) =
+      Privacy.dpCounts(docs, "source", 0.5, seed)
+        .select($"source", $"noise_micro")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val a = noise("secret:a:")
+    val b = noise("secret:b:")
+    assert(a.keySet == b.keySet && a != b)
   }
 
   test("a larger epsilon shrinks every key's noise magnitude — the " +
       "budget knob acts per key, monotonically (same uniform, " +
       "smaller scale)") {
-    def noise(eps: Double) = Privacy.dpCounts(docs, "source", eps)
-      .select($"source", $"noise_micro")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def noise(eps: Double) =
+      Privacy.dpCounts(docs, "source", eps, "secret:a:")
+        .select($"source", $"noise_micro")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val loose = noise(0.25) // scale 4
     val tight = noise(2.0)  // scale 0.5
     assert(loose.keySet == tight.keySet && loose.nonEmpty)
@@ -39,13 +54,102 @@ class PrivacySpec extends SparkSuite {
 
   test("the noise distribution is two-sided: both signs occur across " +
       "the key domain (the draw is not accidentally folded)") {
-    val ns = Privacy.dpCounts(docs, "source", 0.5)
+    val ns = Privacy.dpCounts(docs, "source", 0.5, "secret:a:")
       .select($"noise_micro").as[Long].collect()
     assert(ns.exists(_ > 0L) && ns.exists(_ < 0L), ns.toSeq.toString)
   }
 
-  test("a non-positive epsilon is refused") {
+  test("release rounding is a true floor at every sign: at tiny " +
+      "epsilon (huge noise) released − n_true == floor((noise_micro " +
+      "+ 5e5)/1e6) computed independently — the truncate-toward-zero " +
+      "DIV would be off by one on large negative draws") {
+    // eps = 0.001 → scale 1000: |noise_micro| reaches past the
+    // −1.0005e9 point where the old positive-shift DIV trick stopped
+    // matching floor
+    val rows = Privacy.dpCounts(docs, "source", 0.001, "secret:a:")
+      .select($"n_true", $"noise_micro", $"released").collect()
+    assert(rows.exists(_.getLong(1) < -1000500000L),
+      "fixture must exercise the below-shift region: " +
+        rows.map(_.getLong(1)).sorted.take(3).toSeq.toString)
+    rows.foreach { r =>
+      val expected = r.getLong(0) +
+        math.floor((r.getLong(1) + 500000.0) / 1000000.0).toLong
+      assert(r.getLong(2) == expected,
+        s"n=${r.getLong(0)} noise=${r.getLong(1)}: " +
+          s"released ${r.getLong(2)} != floor $expected")
+    }
+  }
+
+  test("a non-positive epsilon is refused; so is a non-positive clip") {
     intercept[IllegalArgumentException](
-      Privacy.dpCounts(docs, "source", 0.0))
+      Privacy.dpCounts(docs, "source", 0.0, "secret:a:"))
+    intercept[IllegalArgumentException](
+      Privacy.dpSum(docs, "source", "n_chars", 0.5, 0L, "secret:a:"))
+  }
+
+  test("known-domain release: output keys == the public domain " +
+      "exactly — absent keys release pure noise (n_true 0, released " +
+      "== the rounded draw), extra data keys outside the domain are " +
+      "dropped (releasing them reintroduces the presence leak)") {
+    val domain = (Seq("zz-absent") ++
+      docs.select($"source").distinct().as[String].collect().toSeq
+        .sorted.drop(1)) // drop one REAL key from the domain too
+      .toDF("source")
+    val domSet = domain.as[String].collect().toSet
+    val out = Privacy.dpCounts(docs, "source", 0.5, "secret:a:", domain)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == domSet)
+    val (nTrue, noise, released) = out("zz-absent")
+    assert(nTrue == 0L)
+    assert(released ==
+      math.floor((noise + 500000.0) / 1000000.0).toLong)
+    assert(noise != 0L, "an absent key must still carry a draw")
+  }
+
+  test("dpSum clips each contribution BEFORE the sum: the clipped " +
+      "release differs from the unclipped truth where the bound " +
+      "binds, and equals the independently clipped-and-summed value") {
+    val out = Privacy.dpSum(docs, "source", "n_chars", 0.5, 400L,
+      "secret:a:").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val truth = docs.groupBy($"source").agg(
+      sum(greatest(least($"n_chars".cast("long"), lit(400L)),
+        lit(-400L))).as("s"),
+      sum($"n_chars".cast("long")).as("raw"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == truth.keySet && out.nonEmpty)
+    assert(truth.exists { case (_, (s, raw)) => s != raw },
+      "fixture must make the clip bound bind (n_chars max > 400)")
+    out.foreach { case (k, (sumClipped, noise, released)) =>
+      assert(sumClipped == truth(k)._1)
+      assert(released == sumClipped +
+        math.floor((noise + 500000.0) / 1000000.0).toLong)
+    }
+  }
+
+  test("dpMean's two halves are independent PRF draws from one seed: " +
+      "the count noise equals a dpCounts draw at eps/2 under " +
+      "seed+'count:', and the released mean is the q6 quotient of " +
+      "the noised pair") {
+    val eps = 0.5
+    val mean = Privacy.dpMean(docs, "source", "n_chars", eps, 400L,
+      "secret:m:").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val countHalf = Privacy.dpCounts(docs, "source", eps / 2.0,
+      "secret:m:count:").collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(mean.keySet == countHalf.keySet && mean.nonEmpty)
+    mean.foreach { case (k, (rc, rs, rm)) =>
+      assert(rc == countHalf(k),
+        s"key $k: mean's count half $rc != dpCounts at eps/2 " +
+          s"${countHalf(k)}")
+      val q6 = math.floor(rs.toDouble / math.max(rc, 1L).toDouble *
+        1000000.0 + 0.5) / 1000000.0
+      assert(rm == q6, s"key $k: mean $rm != q6 quotient $q6")
+    }
   }
 }

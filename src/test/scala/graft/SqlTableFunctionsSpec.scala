@@ -333,24 +333,19 @@ class SqlTableFunctionsSpec extends SparkSuite {
       SeriesStats.seasonalStrength(daily, "event_type", "day", "n", 7, 3))
   }
 
-  test("graft_dp_counts equals Privacy.dpCounts; a rotated salt draws " +
-      "fresh noise (a new release spends fresh epsilon)") {
+  test("graft_dp_counts equals Privacy.dpCounts; the seed argument " +
+      "is required (a defaulted public seed would be zero privacy)") {
     import graft.operators.Privacy
     SqlTableFunctions.registerAll(spark)
     val docs = Tables.documents(spark, sf).select($"doc_id", $"source")
     docs.createOrReplaceTempView("tvf_dp_docs")
     same(
       spark.sql("SELECT * FROM graft_dp_counts('tvf_dp_docs', " +
-        "'source', '0.5')"),
-      Privacy.dpCounts(docs, "source", 0.5))
-    val a = Privacy.dpCounts(docs, "source", 0.5, "dp:v1:")
-      .select($"source", $"noise_micro")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val b = Privacy.dpCounts(docs, "source", 0.5, "dp:v2:")
-      .select($"source", $"noise_micro")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(a.keySet == b.keySet && a != b,
-      "rotating the salt must redraw the noise")
+        "'source', '0.5', 'secret:tvf:')"),
+      Privacy.dpCounts(docs, "source", 0.5, "secret:tvf:"))
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_dp_counts('tvf_dp_docs', " +
+        "'source', '0.5')").collect())
   }
 
   test("graft_ann equals the DataFrame IVF probe over a written cell " +
