@@ -99,7 +99,8 @@ private[sources] class BandsTable(path: String, nBuckets: Int)
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new BandsScanBuilder(path, nBuckets)
+    new BandsScanBuilder(path, nBuckets,
+      CellsSource.parseRoots(options.get("roots")))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -108,7 +109,8 @@ private[sources] class BandsTable(path: String, nBuckets: Int)
         SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
-private[graft] class BandsScanBuilder(path: String, nBuckets: Int)
+private[graft] class BandsScanBuilder(path: String, nBuckets: Int,
+    roots: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -159,13 +161,13 @@ private[graft] class BandsScanBuilder(path: String, nBuckets: Int)
   override def build(): Scan =
     new BandsScan(path, nBuckets, required, buckets, hashes, pushed,
       new SerializableHadoopConf(
-        SparkSession.active.sparkContext.hadoopConfiguration))
+        SparkSession.active.sparkContext.hadoopConfiguration), roots)
 }
 
 private[graft] class BandsScan(path: String, nBuckets: Int,
     required: StructType, buckets: Option[Set[Long]],
     hashes: Option[Set[Long]], pushed: Array[Filter],
-    hconf: SerializableHadoopConf)
+    hconf: SerializableHadoopConf, roots: Option[Set[String]] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -210,10 +212,16 @@ private[graft] class BandsScan(path: String, nBuckets: Int,
   private[graft] def files: Seq[(String, Long, Long)] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf.value)
-    val roots = root +: fs.listStatus(root).toSeq
+    // `roots` bounds the listing to named commit units — the TxBatch
+    // protocol publishes whole `_batch-<id>` directories atomically,
+    // so the allowlist is an exact file-set bound (the live
+    // consumers' offset-threading contract)
+    val rootDirs = (root +: fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_batch-"))
-      .map(_.getPath).sortBy(_.getName)
-    roots.flatMap { r =>
+      .map(_.getPath).sortBy(_.getName))
+      .filter(r => roots.forall(_.contains(
+        if (r == root) CellsSource.BaseRoot else r.getName)))
+    rootDirs.flatMap { r =>
       val dirs = fs.listStatus(r).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
         .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toLong))
@@ -246,6 +254,8 @@ private[graft] class BandsScan(path: String, nBuckets: Int,
   override def description(): String =
     s"GraftBandsScan path=$path nBuckets=$nBuckets " +
       s"buckets=${rtBuckets.map(_.toSeq.sorted.mkString("{", ",", "}"))
+        .getOrElse("ALL")} roots=${roots
+        .map(_.toSeq.sorted.mkString("{", ",", "}"))
         .getOrElse("ALL")} files=${files.size} " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 

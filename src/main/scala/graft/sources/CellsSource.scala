@@ -148,13 +148,32 @@ object CellsSource {
     }
   }
 
+  /** Name of the base root in a `roots` allowlist (the layout root
+    * itself, as opposed to a `_batch-<id>` append directory). */
+  val BaseRoot = "."
+
+  /** Parse a `roots` read option — a comma-separated allowlist of
+    * commit-unit names (`.` = the base, `_batch-<id>` = an append).
+    * An EMPTY string is an empty allowlist (read nothing), distinct
+    * from the option being absent (read everything): the live
+    * consumers bound a trigger's corpus to the files of its START
+    * offset, and the first trigger's start offset is empty. */
+  private[sources] def parseRoots(opt: String): Option[Set[String]] =
+    Option(opt).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
   /** `(dir, cellId)` of every cell directory under `root` and its
-    * committed `_batch-*` append roots. */
+    * committed `_batch-*` append roots; `allow` restricts to named
+    * commit units (the TxBatch append protocol publishes whole
+    * `_batch-<id>` directories atomically, so a commit-unit allowlist
+    * is an exact file-set bound — the offset-threading contract the
+    * live consumers rely on). */
   private[sources] def listCellDirs(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path): Seq[(Path, Long)] = {
-    val roots = root +: fs.listStatus(root).toSeq
+      root: Path, allow: Option[Set[String]] = None): Seq[(Path, Long)] = {
+    val roots = (root +: fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_batch-"))
-      .map(_.getPath).sortBy(_.getName)
+      .map(_.getPath).sortBy(_.getName))
+      .filter(r => allow.forall(_.contains(
+        if (r == root) BaseRoot else r.getName)))
     roots.flatMap(r => fs.listStatus(r).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .map(s => (s.getPath, s.getPath.getName.stripPrefix("cell=").toLong)))
@@ -172,7 +191,8 @@ private[sources] class CellsTable(path: String, k: Int, dim: Int,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new CellsScanBuilder(path, k, tableSchema)
+    new CellsScanBuilder(path, k, tableSchema,
+      CellsSource.parseRoots(options.get("roots")))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -182,7 +202,7 @@ private[sources] class CellsTable(path: String, k: Int, dim: Int,
 }
 
 private[graft] class CellsScanBuilder(path: String, k: Int,
-    tableSchema: StructType)
+    tableSchema: StructType, roots: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -221,12 +241,12 @@ private[graft] class CellsScanBuilder(path: String, k: Int,
   override def build(): Scan =
     new CellsScan(path, k, required, cells, pushed,
       new SerializableHadoopConf(
-        SparkSession.active.sparkContext.hadoopConfiguration))
+        SparkSession.active.sparkContext.hadoopConfiguration), roots)
 }
 
 private[graft] class CellsScan(path: String, k: Int,
     required: StructType, cells: Option[Set[Long]], pushed: Array[Filter],
-    hconf: SerializableHadoopConf)
+    hconf: SerializableHadoopConf, roots: Option[Set[String]] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -258,7 +278,7 @@ private[graft] class CellsScan(path: String, k: Int,
   private[graft] def files: Seq[(String, Long, Long)] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf.value)
-    val dirs = CellsSource.listCellDirs(fs, root)
+    val dirs = CellsSource.listCellDirs(fs, root, roots)
     val kept = rtCells match {
       case Some(cs) => dirs.filter { case (_, c) => cs.contains(c) }
       case None => dirs
@@ -284,6 +304,8 @@ private[graft] class CellsScan(path: String, k: Int,
   override def description(): String =
     s"GraftCellsScan path=$path k=$k " +
       s"cells=${rtCells.map(_.toSeq.sorted.mkString("{", ",", "}"))
+        .getOrElse("ALL")} roots=${roots
+        .map(_.toSeq.sorted.mkString("{", ",", "}"))
         .getOrElse("ALL")} files=${files.size} " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 

@@ -66,8 +66,16 @@ object BandStreams {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (arriving: DataFrame, batchId: java.lang.Long) =>
+        // corpus bounded to the trigger's START-offset commit units —
+        // re-listing at execution time races the writer (a batch
+        // committed between offset capture and this callback would
+        // land on the corpus side now AND arrive next trigger,
+        // publishing the pair twice in reversed orientation); the
+        // start offset comes from the stream's own offsets log, so a
+        // retried trigger derives the identical bound
         val pairs = probeArrivals(arriving, layoutPath, texts, tau,
-          bucketCap)
+          bucketCap, Some(StreamOffsets.startRoots(
+            arriving.sparkSession, checkpoint, batchId.longValue)))
         // TxBatch publish: the _batch-<id> directory is both the data
         // and the idempotence marker — a retried trigger re-stages and
         // finds the committed directory, applying exactly once
@@ -88,7 +96,8 @@ object BandStreams {
     * [[BandIndex.probeCandidates]] lesson). */
   private[graft] def probeArrivals(arriving: DataFrame,
       layoutPath: String, texts: DataFrame, tau: Double,
-      bucketCap: Int): DataFrame = {
+      bucketCap: Int, corpusRoots: Option[Set[String]] = None)
+      : DataFrame = {
     val s = arriving.sparkSession
     val arr = arriving.select(col("doc_id"), col("band_no"),
       col("band_hash"), col("bucket").cast("long").as("bucket"))
@@ -107,8 +116,12 @@ object BandStreams {
     // band-key-matching corpus rows enter pair generation at all. The
     // arriving-id set rides an executor-side anti-join — never a
     // driver-collected list.
-    val corpus = s.read.format("graft.sources.BandsSource")
-      .option("path", layoutPath).load()
+    val corpusReader = s.read.format("graft.sources.BandsSource")
+      .option("path", layoutPath)
+    val corpus = corpusRoots
+      .fold(corpusReader)(rs => corpusReader
+        .option("roots", StreamOffsets.rootsOption(rs)))
+      .load()
       .filter(col("bucket").isin(buckets: _*))
       .join(arr.select(col("doc_id")).distinct(), Seq("doc_id"),
         "left_anti")

@@ -65,7 +65,17 @@ object CellStreams {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (arriving: DataFrame, batchId: java.lang.Long) =>
-        val pairs = probeArrivals(arriving, layoutPath, tau, bucketCap)
+        // the corpus is bounded to the trigger's START-offset commit
+        // units — re-listing the layout at execution time races the
+        // writer (a batch committed between offset capture and this
+        // callback would land on the corpus side now AND arrive as
+        // the next trigger, publishing the pair twice in reversed
+        // orientation); the start offset comes from the stream's own
+        // offsets log, so a retried trigger derives the identical
+        // bound
+        val pairs = probeArrivals(arriving, layoutPath, tau, bucketCap,
+          Some(StreamOffsets.startRoots(arriving.sparkSession,
+            checkpoint, batchId.longValue)))
         // TxBatch publish: the _batch-<id> directory is both the data
         // and the idempotence marker — a retried trigger re-stages and
         // finds the committed directory, applying exactly once
@@ -78,9 +88,14 @@ object CellStreams {
 
   /** The per-trigger probe: arriving assigned vectors vs their cells'
     * pre-append state, verified by exact q6 cosine ≥ `tau`. Exposed
-    * for the spec's trigger-by-trigger equivalence pins. */
+    * for the spec's trigger-by-trigger equivalence pins.
+    * `corpusRoots` bounds the corpus to named commit units (the
+    * trigger's start offset, via [[StreamOffsets.startRoots]]) —
+    * None (spec-only, quiescent fixtures) reads the layout as listed
+    * at execution time. */
   private[graft] def probeArrivals(arriving: DataFrame,
-      layoutPath: String, tau: Double, bucketCap: Int): DataFrame = {
+      layoutPath: String, tau: Double, bucketCap: Int,
+      corpusRoots: Option[Set[String]] = None): DataFrame = {
     val s = arriving.sparkSession
     val arr = arriving.select(col("vec_id"), col("v"),
       col("cell").cast("long").as("cell"))
@@ -98,8 +113,12 @@ object CellStreams {
     // state under the single-writer append protocol); only co-celled
     // corpus rows are LISTED at all. The arriving-id set rides an
     // executor-side anti-join — never a driver-collected list.
-    val corpus = s.read.format("graft.sources.CellsSource")
-      .option("path", layoutPath).load()
+    val corpusReader = s.read.format("graft.sources.CellsSource")
+      .option("path", layoutPath)
+    val corpus = corpusRoots
+      .fold(corpusReader)(rs => corpusReader
+        .option("roots", StreamOffsets.rootsOption(rs)))
+      .load()
       .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
       .filter(col("cell").isin(probedCells: _*))
       .join(arr.select(col("vec_id")).distinct(), Seq("vec_id"),

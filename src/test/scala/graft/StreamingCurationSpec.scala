@@ -440,6 +440,106 @@ class StreamingCurationSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("the trigger corpus is bounded to the START offset's commit " +
+      "units: a batch committed between offset capture and trigger " +
+      "execution stays OFF the corpus side (the reversed-orientation " +
+      "double-publish race), and the unbounded read proves the race " +
+      "was real") {
+    import graft.operators.{IvfIndex, SemDedup}
+    import graft.streaming.CellStreams
+    val K = 8
+    val Tau = 0.40
+    val p = "/tmp/graft_cells_race/layout"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents = IvfIndex.learnCentroids(emb, K, 1)
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    IvfIndex.writeCellLayout(IvfIndex.assignCells(corpus, cents), p,
+      K, cents.head.length)
+    val base1 = emb.filter($"vec_id" % 10 === 0 && $"vec_id" % 2 === 0)
+    val b1 = IvfIndex.assignCells(base1, cents)
+    // b2 contains an EXACT COPY of every b1 vector (cos 1.0, same
+    // cell) — the pairs the race would publish twice
+    val b2 = IvfIndex.assignCells(
+      emb.filter($"vec_id" % 10 === 0 && $"vec_id" % 2 === 1)
+        .unionAll(base1.select(($"vec_id" + 20000000L).as("vec_id"),
+          $"v")), cents)
+    assert(IvfIndex.appendCellsIdempotent(b1, p, 1L))
+    // ... and b2 commits BETWEEN b1's offset capture and its trigger
+    // execution (the race): at execution time the layout holds b2,
+    // but b1's start offset was {base}
+    assert(IvfIndex.appendCellsIdempotent(b2, p, 2L))
+    def pairs(roots: Option[Set[String]]) = CellStreams.probeArrivals(
+      spark.read.format("graft.sources.CellsSource")
+        .option("path", p).option("roots", "_batch-1").load(),
+      p, Tau, 1024, roots)
+      .select($"batch_vec", $"corpus_vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bounded = pairs(Some(Set(".")))
+    val unbounded = pairs(None)
+    // the bound reproduces exactly the pre-append probe
+    val expected = b1
+      .select($"cell", $"vec_id".as("batch_vec"), $"v".as("va"))
+      .join(IvfIndex.assignCells(corpus, cents)
+        .select($"cell", $"vec_id".as("corpus_vec"), $"v".as("vb")),
+        Seq("cell"))
+      .withColumn("cos", SemDedup.cos($"va", $"vb"))
+      .filter($"cos" >= Tau)
+      .select($"batch_vec", $"corpus_vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded == expected)
+    // the unbounded read sees b2's planted copies on the corpus side:
+    // strictly more pairs — each of which would be re-published in
+    // reversed orientation when b2's own trigger fires
+    val raced = unbounded -- bounded
+    assert(raced.nonEmpty && raced.exists(_._2 >= 20000000L),
+      s"the unbounded read must show the race: ${raced.size} extra")
+  }
+
+  test("StreamOffsets.startRoots threads the trigger's start offset " +
+      "out of the foreachBatch frame: first trigger = {}, then " +
+      "cumulative commit units in append order") {
+    import graft.operators.IvfIndex
+    import graft.streaming.StreamOffsets
+    val K = 8
+    val p = "/tmp/graft_cells_offsets/layout"
+    val ckpt = "/tmp/graft_cells_offsets/ckpt"
+    Seq(p, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents = IvfIndex.learnCentroids(emb, K, 1)
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    IvfIndex.writeCellLayout(IvfIndex.assignCells(corpus, cents), p,
+      K, cents.head.length)
+    val b1 = IvfIndex.assignCells(emb.filter($"vec_id" % 10 === 0),
+      cents)
+    val seen = scala.collection.concurrent.TrieMap
+      .empty[Long, Set[String]]
+    val q = spark.readStream.format("graft.sources.CellsSource")
+      .option("path", p).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame,
+          id: java.lang.Long) =>
+        seen.put(id.longValue,
+          StreamOffsets.startRoots(df.sparkSession, ckpt,
+            id.longValue))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(IvfIndex.appendCellsIdempotent(b1, p, 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(seen(0L) == Set.empty[String], seen.toString)
+    assert(seen(1L) == Set("."), seen.toString)
+    // a missing offsets entry is refused, not silently unbounded
+    // (that would reintroduce the race)
+    intercept[IllegalArgumentException](
+      StreamOffsets.startRoots(spark, ckpt, 99L))
+  }
+
   test("liveSemDedup consumer restart: an append landing while the " +
       "consumer is DOWN is probed exactly once from the checkpoint, " +
       "and the pre-restart pairs are not re-published") {
