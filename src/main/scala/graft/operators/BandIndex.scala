@@ -93,9 +93,16 @@ object BandIndex {
   }
 
   /** The `(tau, nBuckets)` persisted with a layout. `Double.toString`
-    * round-trips exactly, so the tau comparison is exact. */
+    * round-trips exactly, so the tau comparison is exact. A stamp
+    * inside the effective base generation wins over the root one (the
+    * IvfIndex.readCellMeta rule — geometry swaps atomically with
+    * content). */
   def readMeta(s: SparkSession, path: String): (Double, Int) = {
-    val p = metaPath(path)
+    val fs0 = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    val inBase = new org.apache.hadoop.fs.Path(
+      TxBatch.baseDir(s, path), "_graft_meta.json")
+    val p = if (fs0.exists(inBase)) inBase else metaPath(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"band layout at $path has no ${p.getName} — rebuild it with " +
@@ -181,10 +188,19 @@ object BandIndex {
     * [[TxBatch.committedDirs]]). */
   def readLayout(spark: SparkSession, path: String): DataFrame =
     // one read per batch root, unioned: partition inference refuses
-    // several partitioned roots in one read (conflicting-structures)
-    TxBatch.committedDirs(spark, path)
-      .foldLeft(spark.read.parquet(path))((acc, b) =>
-        acc.unionByName(spark.read.parquet(b)))
+    // several partitioned roots in one read (conflicting-structures);
+    // base resolves through TxBatch (root pre-compaction, newest
+    // _base-<gen> after), folded batches excluded
+    TxBatch.liveBatchDirs(spark, path)
+      .foldLeft(spark.read.parquet(TxBatch.baseDir(spark, path)))(
+        (acc, b) => acc.unionByName(spark.read.parquet(b)))
+
+  /** Fold the base and every committed batch into one new base
+    * generation ([[TxBatch.compact]]) — content-preserving, one
+    * atomic rename, replayed batch ids stay no-ops. Quiesce any
+    * tailing stream consumer first (file identity changes). */
+  def compact(spark: SparkSession, path: String): Boolean =
+    TxBatch.compact(spark, path, "bucket")
 
   /** Candidate (batch_doc, corpus_doc) pairs of a new batch against
     * the persisted index — the `incremental_neardup` probe over the

@@ -137,17 +137,36 @@ object InvertedIndex {
     * batch publish atomic. */
   def readLayout(spark: SparkSession, path: String): DataFrame =
     // one read per batch root, unioned: partition inference refuses
-    // several partitioned roots in one read (conflicting-structures)
-    TxBatch.committedDirs(spark, path)
-      .foldLeft(spark.read.parquet(path))((acc, b) =>
-        acc.unionByName(spark.read.parquet(b)))
+    // several partitioned roots in one read (conflicting-structures);
+    // the base resolves through TxBatch (the root pre-compaction, the
+    // newest _base-<gen> after), and folded batches are excluded
+    TxBatch.liveBatchDirs(spark, path)
+      .foldLeft(spark.read.parquet(TxBatch.baseDir(spark, path)))(
+        (acc, b) => acc.unionByName(spark.read.parquet(b)))
 
-  /** Merged corpus stats: the base `.stats` relation plus each
-    * committed batch's staged stats row. */
-  def readStats(spark: SparkSession, path: String): DataFrame =
-    TxBatch.committedDirs(spark, path).map(_ + "/" + TxBatch.StatsDir)
-      .foldLeft(spark.read.parquet(path + ".stats"))((acc, d) =>
+  /** Merged corpus stats: the base stats relation (the sibling
+    * `.stats` root pre-compaction; the `_stats` folded inside the
+    * base generation after [[compact]]) plus each LIVE batch's staged
+    * stats row. */
+  def readStats(spark: SparkSession, path: String): DataFrame = {
+    val base = TxBatch.baseDir(spark, path)
+    val baseStats =
+      if (base == path) path + ".stats"
+      else base + "/" + TxBatch.StatsDir
+    TxBatch.liveBatchDirs(spark, path).map(_ + "/" + TxBatch.StatsDir)
+      .foldLeft(spark.read.parquet(baseStats))((acc, d) =>
         acc.unionByName(spark.read.parquet(d)))
+  }
+
+  /** Fold the base and every committed batch into one new base
+    * generation ([[TxBatch.compact]]) — content-preserving, one
+    * atomic rename, replayed batch ids stay no-ops. The merged stats
+    * relation folds INTO the new base (`_stats`), so the `.stats`
+    * sibling root is only the gen-0 convention. Quiesce any tailing
+    * stream consumer first (file identity changes). */
+  def compact(spark: SparkSession, path: String): Boolean =
+    TxBatch.compact(spark, path, "bucket",
+      Some(readStats(spark, path)))
 
   /** Postings of exactly `terms`, reading ONLY their buckets: the
     * literal bucket IN-filter prunes unprobed directories at listing

@@ -81,10 +81,18 @@ object IvfIndex {
     finally out.close()
   }
 
-  /** The `(k, dim)` persisted with a cell layout. */
+  /** The `(k, dim)` persisted with a cell layout. A stamp inside the
+    * effective base generation wins over the root one — [[relearn]]
+    * publishes new geometry and new content under ONE atomic rename,
+    * so a reader never pairs new cells with old centroids. */
   def readCellMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int) = {
-    val p = new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
+    val fs0 = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val inBase = new org.apache.hadoop.fs.Path(
+      TxBatch.baseDir(spark, path), "_graft_meta.json")
+    val p = if (fs0.exists(inBase)) inBase
+      else new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"cell layout at $path has no ${p.getName} — rebuild it with " +
@@ -163,10 +171,20 @@ object IvfIndex {
   def readLayout(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     // one read per batch root, unioned: partition inference refuses
-    // several partitioned roots in one read (conflicting-structures)
-    TxBatch.committedDirs(spark, path)
-      .foldLeft(spark.read.parquet(path))((acc, b) =>
-        acc.unionByName(spark.read.parquet(b)))
+    // several partitioned roots in one read (conflicting-structures);
+    // base resolves through TxBatch (root pre-compaction, newest
+    // _base-<gen> after), folded batches excluded
+    TxBatch.liveBatchDirs(spark, path)
+      .foldLeft(spark.read.parquet(TxBatch.baseDir(spark, path)))(
+        (acc, b) => acc.unionByName(spark.read.parquet(b)))
+
+  /** Fold the base and every committed batch into one new base
+    * generation ([[TxBatch.compact]]) — content-preserving, one
+    * atomic rename, replayed batch ids stay no-ops. Quiesce any
+    * tailing stream consumer first (file identity changes). */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    TxBatch.compact(spark, path, "cell")
 
   /** Read back only `cells` of a [[writeCellLayout]] corpus. The
     * literal IN-filter on the partition column becomes a static
@@ -175,7 +193,7 @@ object IvfIndex {
     * inferred partition type — compare through a cast.) */
   def readCells(spark: org.apache.spark.sql.SparkSession, path: String,
       cells: Seq[Long]): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(TxBatch.baseDir(spark, path))
       .filter(col("cell").cast("long").isin(cells: _*))
 
   /** Deterministic Lloyd iterations; returns the learned centroids. */

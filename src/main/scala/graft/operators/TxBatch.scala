@@ -31,8 +31,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Read surface: committed batches are `_batch-<id>` directories,
   * hidden from plain `spark.read.parquet(root)` BY DESIGN — layout
   * owners expose a reader that unions the base with
-  * [[committedDirs]] (InvertedIndex.readLayout, BandIndex.readLayout)
+  * [[liveBatchDirs]] (InvertedIndex.readLayout, BandIndex.readLayout)
   * and the DSv2 connectors list them inside the scan.
+  *
+  * Maintenance: [[compact]] folds the base and every committed batch
+  * into ONE new base generation (`_base-<gen>`), published by a single
+  * atomic rename. The new base carries the folded batch-id set
+  * (`_applied.json`, staged inside it so it rides the same rename), so
+  * a replayed micro-batch of a pre-compaction id stays a no-op after
+  * its `_batch-<id>` directory is swept. Readers resolve the effective
+  * base as the HIGHEST `_base-<gen>` present (falling back to the
+  * legacy root itself), so at every instant — before the rename, after
+  * it but before cleanup, after cleanup — they see exactly one
+  * complete layout. NOT safe under a live tailing STREAM consumer:
+  * compaction rewrites file identity, so a micro-batch stream would
+  * re-deliver the whole new base as "new" files — quiesce (stop) any
+  * tailing consumer before compacting, the standard constraint for
+  * file-rewriting compaction without a transaction log.
   */
 object TxBatch {
 
@@ -41,21 +56,89 @@ object TxBatch {
     * read explicitly by the layout's stats reader). */
   val StatsDir = "_stats"
 
+  /** Name of the folded-batch-id manifest inside a `_base-<gen>`
+    * directory (one line of compact JSON — a sorted array of ids). */
+  val AppliedFile = "_applied.json"
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private def fsOf(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Committed transactional batch directories under `root`, sorted.
-    * Legacy marker FILES `_batch-<id>` (the pre-manifest protocol)
-    * are not directories and are excluded — their data already lives
-    * in the root bucket directories. */
+  /** Committed transactional batch directories under `root`, sorted —
+    * ALL of them, folded or not (the publish no-op check needs every
+    * marker; readers want [[liveBatchDirs]]). Legacy marker FILES
+    * `_batch-<id>` (the pre-manifest protocol) are not directories
+    * and are excluded — their data already lives in the root bucket
+    * directories. */
   def committedDirs(s: SparkSession, root: String): Seq[String] = {
     val r = new Path(root)
     val fs = fsOf(s, r)
     if (!fs.exists(r)) Seq.empty
-    else fs.listStatus(r).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_batch-"))
-      .map(_.getPath.toString).sorted
+    else committedDirsFs(fs, r).map(_.toString)
   }
+
+  private[graft] def committedDirsFs(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[Path] =
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_batch-"))
+      .map(_.getPath).sortBy(_.getName)
+
+  /** Highest base generation present under `root`: 0 = the legacy
+    * root-as-base shape (no compaction has run). */
+  private[graft] def baseGenFs(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Long =
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_base-"))
+      .map(_.getPath.getName.stripPrefix("_base-").toLong)
+      .foldLeft(0L)(math.max)
+
+  /** The effective base directory: `_base-<maxGen>` once a compaction
+    * has published one, else the layout root itself (partition dirs at
+    * top level — the original shape). */
+  private[graft] def baseDirFs(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Path = {
+    val gen = baseGenFs(fs, root)
+    if (gen == 0L) root else new Path(root, s"_base-$gen")
+  }
+
+  def baseDir(s: SparkSession, root: String): String =
+    baseDirFs(fsOf(s, new Path(root)), new Path(root)).toString
+
+  /** Batch ids already folded into the effective base (empty for the
+    * legacy shape). */
+  private[graft] def appliedIdsFs(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Set[Long] = {
+    val base = baseDirFs(fs, root)
+    if (base == root) return Set.empty
+    val f = new Path(base, AppliedFile)
+    if (!fs.exists(f)) return Set.empty
+    val in = fs.open(f)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    mapper.readValue(text.trim, classOf[Array[Long]]).toSet
+  }
+
+  def appliedIds(s: SparkSession, root: String): Set[Long] =
+    appliedIdsFs(fsOf(s, new Path(root)), new Path(root))
+
+  private def idOf(dir: Path): Long =
+    dir.getName.stripPrefix("_batch-").toLong
+
+  /** Committed batch directories NOT yet folded into the base — what
+    * readers union with [[baseDir]]. */
+  private[graft] def liveBatchDirsFs(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[Path] = {
+    if (!fs.exists(root)) return Seq.empty
+    val applied = appliedIdsFs(fs, root)
+    committedDirsFs(fs, root).filterNot(d => applied.contains(idOf(d)))
+  }
+
+  def liveBatchDirs(s: SparkSession, root: String): Seq[String] =
+    liveBatchDirsFs(fsOf(s, new Path(root)), new Path(root)).map(_.toString)
 
   /** Stage `data` (+ optional one-row `stats`) for `batchId` under
     * `root` and publish atomically. Returns whether THIS call applied
@@ -89,7 +172,11 @@ object TxBatch {
         .filter(_.getPath.getName.startsWith("_staging-"))
         .foreach(st => fs.delete(st.getPath, true))
     }
-    if (fs.exists(committed)) {
+    // a batch is already applied if its directory is present OR a
+    // compaction folded it into the current base — either way the
+    // retry is a no-op (exactly-once across compactions)
+    if (fs.exists(committed) ||
+        appliedIdsFs(fs, new Path(root)).contains(batchId)) {
       sweepStaleStagings(exceptName = "")
       return false
     }
@@ -117,5 +204,105 @@ object TxBatch {
     if (lostNested) fs.delete(nested, true)
     sweepStaleStagings(exceptName = "")
     !lostNested
+  }
+
+  /** Fold the effective base and every committed batch into ONE new
+    * base generation, published by a single atomic rename — the
+    * maintenance op that keeps read fan-in O(1) under continuous
+    * appends (each append adds a root to every reader's union; at
+    * 100 TB an uncompacted year of hourly appends is 8760 unions).
+    *
+    * Protocol: stage the merged relation (+ optional merged `stats`)
+    * under `_staging-base-<gen+1>-<uuid>` together with
+    * `_applied.json` (the previous applied set ∪ the folded batch
+    * ids), then `rename(staging, _base-<gen+1>)`. Readers resolve the
+    * effective base as the highest `_base-<gen>`, so:
+    *
+    *  - crash before the rename → old layout intact (staging hidden);
+    *  - after the rename, before cleanup → the new base wins and the
+    *    folded `_batch-<id>` dirs are excluded via its applied set —
+    *    content correct, storage transiently doubled;
+    *  - cleanup deletes the folded batch dirs and the previous base
+    *    (partition dirs at the root for gen 0, the `_base-<gen>` dir
+    *    otherwise) — the layout lands at base shape;
+    *  - a replayed pre-compaction batch id is still a no-op: [[publish]]
+    *    consults the applied set, not just directory presence.
+    *
+    * `crashBeforePublish` is the spec failpoint (staging complete,
+    * rename never happens). Returns false when there is nothing to
+    * fold (no live batches) or the publish race was lost. NOT safe
+    * under a live tailing stream consumer (see the object doc). */
+  def compact(s: SparkSession, root: String,
+      partitionCol: String = "bucket",
+      stats: Option[DataFrame] = None,
+      crashBeforePublish: Boolean = false): Boolean = {
+    val r = new Path(root)
+    val fs = fsOf(s, r)
+    // sweep leftovers of a compact that crashed between rename and
+    // cleanup: batch dirs already folded into the current base, bases
+    // below the current generation, dead stagings — readers never see
+    // any of them (the applied set / max-gen rule), they are storage
+    val swept = appliedIdsFs(fs, r)
+    if (fs.exists(r)) {
+      committedDirsFs(fs, r).filter(d => swept.contains(idOf(d)))
+        .foreach(d => fs.delete(d, true))
+      val gen = baseGenFs(fs, r)
+      fs.listStatus(r).toSeq.filter { st =>
+        val n = st.getPath.getName
+        (st.isDirectory && n.startsWith("_base-") &&
+          n.stripPrefix("_base-").toLong < gen) ||
+          n.startsWith("_staging-base-")
+      }.foreach(st => fs.delete(st.getPath, true))
+    }
+    val live = liveBatchDirsFs(fs, r)
+    if (live.isEmpty) return false
+    val oldGen = baseGenFs(fs, r)
+    val base = baseDirFs(fs, r)
+    val newGen = oldGen + 1L
+    val newApplied = (appliedIdsFs(fs, r) ++ live.map(idOf))
+      .toSeq.sorted
+    // one read per root, unioned: partition inference refuses several
+    // partitioned roots in one read (conflicting-structures)
+    val data = live.foldLeft(s.read.parquet(base.toString))((acc, b) =>
+      acc.unionByName(s.read.parquet(b.toString)))
+    val staging = new Path(root, s"_staging-base-$newGen-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    data.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(staging.toString)
+    stats.foreach(_.write.mode(SaveMode.Overwrite)
+      .parquet(new Path(staging, StatsDir).toString))
+    val out = fs.create(new Path(staging, AppliedFile), true)
+    try out.write(mapper.writeValueAsString(newApplied.toArray)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (crashBeforePublish)
+      throw new RuntimeException(
+        s"injected crash before compaction publish of gen $newGen " +
+          "(test failpoint)")
+    val committed = new Path(root, s"_base-$newGen")
+    val won = !fs.exists(committed) && fs.rename(staging, committed)
+    if (!won) { fs.delete(staging, true); return false }
+    val nested = new Path(committed, staging.getName)
+    if (fs.exists(nested)) { fs.delete(nested, true); return false }
+    // cleanup — non-atomic, but readers are correct at every instant
+    // (the new base excludes the folded batches via its applied set);
+    // a crash here leaves garbage a later compact() re-sweeps
+    live.foreach(d => fs.delete(d, true))
+    if (oldGen == 0L)
+      fs.listStatus(r).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$partitionCol="))
+        .foreach(st => fs.delete(st.getPath, true))
+    else
+      fs.listStatus(r).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("_base-") &&
+          st.getPath.getName.stripPrefix("_base-").toLong < newGen)
+        .foreach(st => fs.delete(st.getPath, true))
+    // stale compaction stagings of any generation are dead weight
+    fs.listStatus(r).toSeq
+      .filter(_.getPath.getName.startsWith("_staging-base-"))
+      .foreach(st => fs.delete(st.getPath, true))
+    true
   }
 }

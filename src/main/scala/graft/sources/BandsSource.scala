@@ -212,15 +212,14 @@ private[graft] class BandsScan(path: String, nBuckets: Int,
   private[graft] def files: Seq[(String, Long, Long)] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf.value)
-    // `roots` bounds the listing to named commit units — the TxBatch
-    // protocol publishes whole `_batch-<id>` directories atomically,
-    // so the allowlist is an exact file-set bound (the live
-    // consumers' offset-threading contract)
-    val rootDirs = (root +: fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_batch-"))
-      .map(_.getPath).sortBy(_.getName))
+    // commit units = effective base + live batches (the TxBatch
+    // compaction rule); `roots` bounds the listing to named units —
+    // the protocol publishes whole unit directories atomically, so
+    // the allowlist is an exact file-set bound (the live consumers'
+    // offset-threading contract)
+    val rootDirs = CellsSource.commitUnits(fs, root)
       .filter(r => roots.forall(_.contains(
-        if (r == root) CellsSource.BaseRoot else r.getName)))
+        CellsSource.unitName(root, r))))
     rootDirs.flatMap { r =>
       val dirs = fs.listStatus(r).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))

@@ -161,23 +161,34 @@ object CellsSource {
   private[sources] def parseRoots(opt: String): Option[Set[String]] =
     Option(opt).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
-  /** `(dir, cellId)` of every cell directory under `root` and its
-    * committed `_batch-*` append roots; `allow` restricts to named
-    * commit units (the TxBatch append protocol publishes whole
-    * `_batch-<id>` directories atomically, so a commit-unit allowlist
-    * is an exact file-set bound — the offset-threading contract the
-    * live consumers rely on). */
+  /** `(dir, cellId)` of every cell directory under the layout's
+    * effective commit units: the base (the root pre-compaction, the
+    * newest `_base-<gen>` after — the [[graft.operators.TxBatch]]
+    * compaction rule) plus the LIVE committed `_batch-*` append roots.
+    * `allow` restricts to named commit units (the TxBatch protocol
+    * publishes whole unit directories atomically, so a commit-unit
+    * allowlist is an exact file-set bound — the offset-threading
+    * contract the live consumers rely on). */
   private[sources] def listCellDirs(fs: org.apache.hadoop.fs.FileSystem,
       root: Path, allow: Option[Set[String]] = None): Seq[(Path, Long)] = {
-    val roots = (root +: fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_batch-"))
-      .map(_.getPath).sortBy(_.getName))
-      .filter(r => allow.forall(_.contains(
-        if (r == root) BaseRoot else r.getName)))
+    val roots = commitUnits(fs, root)
+      .filter(r => allow.forall(_.contains(unitName(root, r))))
     roots.flatMap(r => fs.listStatus(r).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .map(s => (s.getPath, s.getPath.getName.stripPrefix("cell=").toLong)))
   }
+
+  /** The layout's commit-unit directories: effective base + live
+    * batches (shared by all three connectors). */
+  private[sources] def commitUnits(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[Path] =
+    graft.operators.TxBatch.baseDirFs(fs, root) +:
+      graft.operators.TxBatch.liveBatchDirsFs(fs, root)
+
+  /** A commit unit's allowlist name: `.` for the legacy root base,
+    * the directory name (`_base-<gen>` / `_batch-<id>`) otherwise. */
+  private[sources] def unitName(root: Path, unit: Path): String =
+    if (unit == root) BaseRoot else unit.getName
 }
 
 private[sources] class CellsTable(path: String, k: Int, dim: Int,

@@ -227,17 +227,15 @@ private[graft] class PostingsScan(path: String, nBuckets: Int,
     filesWithSizes.map { case (f, b, _) => (f, b) }
 
   /** The pruned listing with file byte sizes — feeds both partition
-    * planning and [[estimateStatistics]]. Committed transactional
-    * batch directories (`_batch-<id>` — the [[graft.operators.TxBatch]]
-    * atomic-publish roots, hidden from plain parquet readers) are
-    * listed alongside the base bucket directories with the same
-    * bucket pruning. */
+    * planning and [[estimateStatistics]]. Commit units (the effective
+    * base — root pre-compaction, newest `_base-<gen>` after — plus
+    * LIVE committed `_batch-<id>` directories, the
+    * [[graft.operators.TxBatch]] atomic-publish roots, hidden from
+    * plain parquet readers) are listed with the same bucket pruning. */
   private def filesWithSizes: Seq[(String, Long, Long)] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf.value)
-    val roots = root +: fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_batch-"))
-      .map(_.getPath).sortBy(_.getName)
+    val roots = CellsSource.commitUnits(fs, root)
     roots.flatMap { r =>
       val dirs = fs.listStatus(r).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))

@@ -77,7 +77,8 @@ object StreamOffsets {
       batchId: Long): Set[String] =
     startFiles(spark, checkpoint, batchId).map { f =>
       val unit = new Path(f).getParent.getParent
-      if (unit != null && unit.getName.startsWith("_batch-"))
+      if (unit != null && (unit.getName.startsWith("_batch-") ||
+          unit.getName.startsWith("_base-")))
         unit.getName
       else graft.sources.CellsSource.BaseRoot
     }

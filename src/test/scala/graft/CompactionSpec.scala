@@ -1,0 +1,155 @@
+package graft
+
+import graft.operators.{BandIndex, InvertedIndex, IvfIndex, TxBatch}
+import org.apache.spark.sql.functions._
+
+/** The index-layout compaction contract ([[TxBatch.compact]]): fold
+  * base + committed batches into one new base generation under ONE
+  * atomic rename — content bitwise-preserved, the applied-batch-id set
+  * retained (replayed micro-batches stay no-ops), the layout landing
+  * at base shape, and a crash mid-compact leaving the old layout fully
+  * readable (the S22 crash-injection pattern). */
+class CompactionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val NB = 8
+
+  private lazy val docs = Tables.documents(spark, sf)
+    .select($"doc_id", $"text")
+
+  private def clean(paths: String*): Unit = paths.foreach(p =>
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+
+  private def entries(root: String): Set[String] =
+    new java.io.File(root).listFiles().map(_.getName).toSet
+
+  test("postings compaction: content and stats bitwise-preserved, " +
+      "the layout lands at base shape, replayed pre-compaction batch " +
+      "ids stay no-ops, and the DSv2 connector reads the new base " +
+      "with pushdown intact") {
+    val root = "/tmp/graft_compact/postings"
+    clean(root, root + ".stats")
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val dl = half.select(size(split($"text", " ")).cast("long").as("dl"))
+    InvertedIndex.writeTermLayout(
+      InvertedIndex.buildPostings(half, NB),
+      dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")), root)
+    assert(InvertedIndex.appendPostingsIdempotent(
+      docs.filter($"doc_id" % 2 === 1), root, NB, 7L))
+    assert(InvertedIndex.appendPostingsIdempotent(
+      docs.filter($"doc_id" % 4 === 1).limit(3), root, NB, 8L))
+    def content() = InvertedIndex.readLayout(spark, root)
+      .select($"term", $"doc_id", $"dl", $"tf",
+        $"bucket".cast("long").as("bucket"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    def stats() = InvertedIndex.readStats(spark, root)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val before = content()
+    val statsBefore = stats()
+    assert(InvertedIndex.compact(spark, root))
+    assert(content() == before, "compaction must preserve content")
+    assert(stats() == statsBefore, "compaction must preserve stats")
+    // base shape: one _base-1 unit, no batch dirs, no root buckets
+    val names = entries(root)
+    assert(names.contains("_base-1") &&
+      !names.exists(_.startsWith("_batch-")) &&
+      !names.exists(_.startsWith("bucket=")), names.toString)
+    // replayed pre-compaction ids are still no-ops (the applied set)
+    assert(!InvertedIndex.appendPostingsIdempotent(
+      docs.filter($"doc_id" % 2 === 1), root, NB, 7L))
+    assert(!InvertedIndex.appendPostingsIdempotent(
+      docs.limit(1), root, NB, 8L))
+    assert(content() == before)
+    // the connector reads the compacted base; term pushdown intact
+    val terms = docs.select(explode(split($"text", " ")).as("t"))
+      .distinct().limit(3).as[String].collect().toSeq
+    val viaV2 = InvertedIndex.lookupTermsV2(spark, root, terms, NB)
+    assert(viaV2.collect().map(_.toSeq).toSet ==
+      InvertedIndex.lookupTerms(spark, root, terms, NB)
+        .select(viaV2.columns.map(col): _*)
+        .collect().map(_.toSeq).toSet)
+    // a fresh post-compaction append lands live; a second compaction
+    // folds it into gen 2 and re-preserves everything
+    assert(InvertedIndex.appendPostingsIdempotent(
+      docs.limit(2), root, NB, 9L))
+    val withNine = content()
+    assert(InvertedIndex.compact(spark, root))
+    assert(content() == withNine)
+    assert(entries(root).contains("_base-2") &&
+      !entries(root).contains("_base-1"))
+    assert(!InvertedIndex.appendPostingsIdempotent(
+      docs.limit(2), root, NB, 9L))
+  }
+
+  test("crash mid-compact (failpoint before the rename) leaves the " +
+      "old layout fully readable; the retry compacts cleanly") {
+    val root = "/tmp/graft_compact/bands"
+    clean(root)
+    val half = docs.filter($"doc_id" % 2 === 0)
+    BandIndex.writeBandLayout(
+      BandIndex.buildBands(half, 0.8, NB), root, 0.8, NB)
+    assert(BandIndex.appendBandsIdempotent(
+      docs.filter($"doc_id" % 2 === 1), root, 0.8, NB, 5L))
+    def content() = BandIndex.readLayout(spark, root)
+      .select($"doc_id", $"band_no", $"band_hash",
+        $"bucket".cast("long").as("bucket"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val before = content()
+    intercept[RuntimeException](TxBatch.compact(spark, root, "bucket",
+      None, crashBeforePublish = true))
+    // nothing published: still gen 0, batch dir intact, content equal
+    assert(!entries(root).exists(_.startsWith("_base-")))
+    assert(entries(root).contains("_batch-5"))
+    assert(content() == before)
+    // geometry still resolves (root meta, the gen-0 convention)
+    assert(BandIndex.readMeta(spark, root) == ((0.8, NB)))
+    // the retry sweeps the dead staging and publishes
+    assert(BandIndex.compact(spark, root))
+    assert(content() == before)
+    assert(BandIndex.readMeta(spark, root) == ((0.8, NB)))
+    assert(!entries(root).exists(_.startsWith("_staging-base-")) &&
+      !entries(root).exists(_.startsWith("_batch-")), entries(root))
+  }
+
+  test("cell-layout compaction: readLayout, readCells and the DSv2 " +
+      "connector (cell pushdown) all resolve the new base; nothing " +
+      "to fold is a no-op") {
+    val root = "/tmp/graft_compact/cells"
+    clean(root)
+    val K = 8
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents = IvfIndex.learnCentroids(emb, K, 1)
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    IvfIndex.writeCellLayout(IvfIndex.assignCells(corpus, cents), root,
+      K, cents.head.length)
+    // no live batches: compaction has nothing to fold
+    assert(!IvfIndex.compact(spark, root))
+    assert(IvfIndex.appendCellsIdempotent(
+      IvfIndex.assignCells(emb.filter($"vec_id" % 10 === 0), cents),
+      root, 1L))
+    def content() = IvfIndex.readLayout(spark, root)
+      .select($"vec_id", $"cell".cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = content()
+    assert(IvfIndex.compact(spark, root))
+    assert(content() == before)
+    assert(IvfIndex.readCellMeta(spark, root) ==
+      ((K, cents.head.length)))
+    // readCells resolves the new base (a literal cell prune)
+    assert(IvfIndex.readCells(spark, root, Seq(1L, 2L))
+      .select($"vec_id").count() ==
+      before.count(c => c._2 == 1L || c._2 == 2L))
+    // connector parity + pruned listing through the compacted base
+    val viaConn = spark.read.format("graft.sources.CellsSource")
+      .option("path", root).load()
+      .select($"vec_id", $"cell".cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaConn == before)
+    val pruned = spark.read.format("graft.sources.CellsSource")
+      .option("path", root).load()
+      .filter($"cell" === 3L)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(pruned == before.collect { case (v, 3L) => v })
+  }
+}
