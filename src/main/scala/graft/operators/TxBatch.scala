@@ -206,6 +206,29 @@ object TxBatch {
     !lostNested
   }
 
+  /** Publish an ALREADY-STAGED batch directory under the manifest
+    * protocol: one atomic `rename(staged, _batch-<id>)`, the same
+    * no-op rules as [[publish]] (directory present, folded into the
+    * base by a compaction, or the rename race lost — each deletes the
+    * staging and reports not-applied). The native STREAMING_WRITE
+    * lane stages task files per epoch and commits through here, so
+    * epoch id ≡ TxBatch batch id. */
+  private[graft] def publishStagedDir(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, batchId: Long,
+      staged: Path): Boolean = {
+    val committed = new Path(root, s"_batch-$batchId")
+    if (fs.exists(committed) ||
+        appliedIdsFs(fs, root).contains(batchId)) {
+      fs.delete(staged, true)
+      return false
+    }
+    val won = !fs.exists(committed) && fs.rename(staged, committed)
+    if (!won) { fs.delete(staged, true); return false }
+    val nested = new Path(committed, staged.getName)
+    if (fs.exists(nested)) { fs.delete(nested, true); return false }
+    true
+  }
+
   /** Fold the effective base and every committed batch into ONE new
     * base generation, published by a single atomic rename — the
     * maintenance op that keeps read fan-in O(1) under continuous

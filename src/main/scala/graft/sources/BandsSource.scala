@@ -96,7 +96,8 @@ private[sources] class BandsTable(path: String, nBuckets: Int)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new BandsScanBuilder(path, nBuckets,
@@ -403,7 +404,30 @@ private[graft] class BandsWriteBuilder(path: String, nBuckets: Int,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new BandsBatchWrite(path, nBuckets, input, hconf)
+    override def toStreaming: streaming.StreamingWrite = {
+      val streamRoot = new Path(path, ".staging-stream-" +
+        java.util.UUID.randomUUID().toString.take(12)).toString
+      new LayoutStreamingWrite(path, hconf,
+        new BandsStreamingWriterFactory(streamRoot, nBuckets, input,
+          hconf), streamRoot,
+        { case BandsCommit(fs) => fs; case _ => Seq.empty })
+    }
   }
+}
+
+/** Streaming twin of [[BandsWriterFactory]]: the same per-row
+  * enforcing [[BandsDataWriter]], staged under the epoch's own
+  * subdirectory (epoch id ≡ the TxBatch batch id the commit
+  * publishes). */
+private[sources] class BandsStreamingWriterFactory(streamRoot: String,
+    nBuckets: Int, input: StructType, hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new BandsDataWriter(s"$streamRoot/$epochId", nBuckets, input,
+      hconf, partitionId, taskId)
 }
 
 private[sources] case class BandsCommit(files: Seq[String])

@@ -199,7 +199,8 @@ private[sources] class CellsTable(path: String, k: Int, dim: Int,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new CellsScanBuilder(path, k, tableSchema,
@@ -428,7 +429,31 @@ private[graft] class CellsWriteBuilder(path: String, k: Int, dim: Int,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new CellsBatchWrite(path, k, dim, tableSchema, input, hconf)
+    override def toStreaming: streaming.StreamingWrite = {
+      val streamRoot = new Path(path, ".staging-stream-" +
+        java.util.UUID.randomUUID().toString.take(12)).toString
+      new LayoutStreamingWrite(path, hconf,
+        new CellsStreamingWriterFactory(streamRoot, k, dim,
+          tableSchema, input, hconf), streamRoot,
+        { case CellsCommit(fs) => fs; case _ => Seq.empty })
+    }
   }
+}
+
+/** Streaming twin of [[CellsWriterFactory]]: the same per-row
+  * enforcing [[CellsDataWriter]], staged under the epoch's own
+  * subdirectory (epoch id ≡ the TxBatch batch id the commit
+  * publishes). */
+private[sources] class CellsStreamingWriterFactory(streamRoot: String,
+    k: Int, dim: Int, tableSchema: StructType, input: StructType,
+    hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new CellsDataWriter(s"$streamRoot/$epochId", k, dim, tableSchema,
+      input, hconf, partitionId, taskId)
 }
 
 private[sources] case class CellsCommit(files: Seq[String])

@@ -103,7 +103,8 @@ private[sources] class PostingsTable(path: String, nBuckets: Int)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new PostingsScanBuilder(path, nBuckets)
@@ -394,7 +395,31 @@ private[graft] class PostingsWriteBuilder(path: String, nBuckets: Int,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new PostingsBatchWrite(path, nBuckets, input, hconf)
+    override def toStreaming: streaming.StreamingWrite = {
+      val streamRoot = new Path(path, ".staging-stream-" +
+        java.util.UUID.randomUUID().toString.take(12)).toString
+      new LayoutStreamingWrite(path, hconf,
+        new PostingsStreamingWriterFactory(streamRoot, nBuckets,
+          input, hconf), streamRoot,
+        { case PostingsCommit(fs) => fs; case _ => Seq.empty })
+    }
   }
+}
+
+/** Streaming twin of [[PostingsWriterFactory]]: the same per-row
+  * enforcing [[PostingsDataWriter]], staged under the epoch's own
+  * subdirectory (epoch id ≡ the TxBatch batch id the commit
+  * publishes). */
+private[sources] class PostingsStreamingWriterFactory(
+    streamRoot: String, nBuckets: Int, input: StructType,
+    hconf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new PostingsDataWriter(s"$streamRoot/$epochId", nBuckets, input,
+      hconf, partitionId, taskId)
 }
 
 /** Per-task commit message: bucket-relative staged file names
