@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Fnv1aCore
 import graft.functions.{GraftFunctions => F}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,13 +57,46 @@ object InvertedIndex {
   }
 
   /** Materialize postings partitioned by bucket, plus the one-row
-    * corpus stats relation (`n_docs`, `sum_dl`) at `<path>.stats`. */
+    * corpus stats relation (`n_docs`, `sum_dl`) at `<path>.stats`.
+    * `nBuckets > 0` stamps the geometry into `_graft_meta.json` (the
+    * BandIndex rule applied to the term layout): readers that must
+    * derive a term's bucket — the DSv2 connector's term pushdown, the
+    * catalog — re-derive nBuckets from the layout itself instead of
+    * trusting a caller option; 0 keeps the legacy stamp-less shape. */
   def writeTermLayout(postings: DataFrame, corpusStats: DataFrame,
-      path: String): Unit = {
+      path: String, nBuckets: Int = 0): Unit = {
     require(postings.columns.contains("bucket"),
       "writeTermLayout needs a `bucket` column (see buildPostings)")
     postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
     corpusStats.write.mode("overwrite").parquet(path + ".stats")
+    if (nBuckets > 0) {
+      val p = new Path(path, "_graft_meta.json")
+      val fs = p.getFileSystem(
+        postings.sparkSession.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(s"""{"nBuckets": $nBuckets}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** The stamped `nBuckets` of a term layout, if the layout carries
+    * one (a stamp inside the effective base generation wins over the
+    * root — the readCellMeta rule). */
+  def readStampedBuckets(spark: SparkSession,
+      path: String): Option[Int] = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val inBase = new Path(TxBatch.baseDir(spark, path),
+      "_graft_meta.json")
+    val p = if (fs.exists(inBase)) inBase
+      else new Path(path, "_graft_meta.json")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    """"nBuckets":\s*(\d+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt)
   }
 
   /** Append a NEW batch's postings into an existing term layout — the
@@ -199,16 +233,28 @@ object InvertedIndex {
     * the two agree row-for-row; spec-pinned in InvertedIndexSpec).
     * `queries` is `(query_id, term)`. */
   def bm25(spark: SparkSession, path: String,
-      queries: Seq[(Long, String)], nBuckets: Int, k: Int): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
+      queries: Seq[(Long, String)], nBuckets: Int, k: Int): DataFrame =
     // reads ride the DSv2 connector: term→bucket pruning happens in
     // the scan node (see lookupTermsV2)
-    val posts = lookupTermsV2(spark, path,
-      queries.map(_._2).distinct, nBuckets)
+    bm25Over(
+      lookupTermsV2(spark, path, queries.map(_._2).distinct, nBuckets),
+      readStats(spark, path), queries, k)
+
+  /** [[bm25]] over an already-resolved postings relation — the shared
+    * core for the format/load spelling and the [[graft.sources
+    * .GraftCatalog]] `SELECT ... FROM graft.<ns>.<layout>` spelling
+    * (both resolve to the same connector table, so the pruning plan
+    * is identical). `posts` must already be filtered to the query
+    * terms (the caller owns where that predicate lands — pushed into
+    * the scan in both spellings). */
+  def bm25Over(posts: DataFrame, statsRows: DataFrame,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val spark = posts.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     // stats rows accumulate one per append (plus one per committed
     // transactional batch) — merge at read time
-    val stats = broadcast(readStats(spark, path)
+    val stats = broadcast(statsRows
       .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl")))
     val dfreq = posts.groupBy($"term").agg(count(lit(1)).as("df"))
     val idf = log(($"n_docs".cast("double") - $"df".cast("double") +

@@ -98,6 +98,12 @@ private[queries] trait PipelineCore {
   private[queries] val termIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-dir catalog ROOTS for the `bm25_catalog` twin (the layout
+    * lives at `<root>/search/terms`, resolved through the
+    * GraftCatalog plugin). */
+  private[queries] val termCatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Per-dir written IVF cell-layout paths (`ivf_ann`) and their
     * PQ-coded twins (`ivfpq_ann`) — the persisted-index production
     * shape, read back through the DSv2 connector

@@ -1113,6 +1113,10 @@ private[queries] trait PipelineOracleSupport extends PipelineCore {
     // oracle, so the layout path is driver-checked end to end
     "bm25_indexed" -> Bm25OracleSql,
 
+    // the catalog-resolved twin shares the SAME oracle verbatim: the
+    // catalog must change nothing but the resolution path
+    "bm25_catalog" -> Bm25OracleSql,
+
     // the same BM25 chain (top-20) full-joined with the brute cosine
     // ranking (top-20), fused in exact integer micro-units
     "hybrid_rrf" ->

@@ -489,6 +489,44 @@ private[queries] trait PipelineScoreQueries extends PipelineCore {
         .orderBy($"query_id", $"rank")
     }),
 
+    // S27: the SAME indexed BM25 resolved through the TableCatalog
+    // plugin (graft.sources.GraftCatalog) — the layout registers by
+    // its own geometry stamp under a catalog root, and
+    // `spark.table("<cat>.search.terms")` resolves to the identical
+    // connector table the format/load spelling builds (same pushdown,
+    // same pruned listing, same stats). Shares bm25_indexed's oracle
+    // verbatim, so the catalog resolution path itself is what the
+    // driver hash-checks. The catalog name is per-dir (catalog
+    // options freeze at first use; Verify and Bench run one dir per
+    // session, the cache key rule).
+    "bm25_catalog" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val h = math.abs(dir.hashCode).toString
+      val catRoot = termCatalogCache.computeIfAbsent(dir, d => {
+        val docs = Tables.documents(s, d).select($"doc_id", $"text")
+        val posts = graft.operators.InvertedIndex.buildPostings(docs, 16)
+        val stats = docs
+          .select(size(split($"text", " ")).cast("long").as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+        val rootDir = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_catalog_$h"
+        graft.operators.InvertedIndex.writeTermLayout(posts, stats,
+          s"$rootDir/search/terms", nBuckets = 16)
+        rootDir
+      })
+      val cat = s"graft_idx_$h"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", catRoot)
+      val posts = s.table(s"$cat.search.terms")
+        .filter($"term".isin(Bm25QueryTerms.map(_._2).distinct: _*))
+      graft.operators.InvertedIndex.bm25Over(posts,
+          graft.operators.InvertedIndex.readStats(s,
+            s"$catRoot/search/terms"),
+          Bm25QueryTerms, 10)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // L22 stratified: the mixture-aware budget — the best 2/5 of
     // tokens of EACH language independently (a global budget would
     // let one high-scoring stratum starve the rest). Same bounded

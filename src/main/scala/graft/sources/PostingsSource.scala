@@ -79,9 +79,21 @@ class PostingsSource extends TableProvider {
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       "graft.sources.PostingsSource needs option 'path'")
-    val nBuckets = properties.getOrDefault("nbuckets",
-      properties.getOrDefault("nBuckets", "64")).toInt
-    new PostingsTable(path, nBuckets)
+    // a stamped layout carries its own nBuckets (_graft_meta.json,
+    // the BandsSource rule) — an explicit option must AGREE with it;
+    // stamp-less legacy layouts fall back to option-or-64
+    val stamped = graft.operators.InvertedIndex.readStampedBuckets(
+      SparkSession.active, path)
+    val opted = Option(properties.get("nbuckets"))
+      .orElse(Option(properties.get("nBuckets"))).map(_.toInt)
+    (stamped, opted) match {
+      case (Some(sn), Some(on)) => require(sn == on,
+        s"term-layout geometry mismatch at $path: layout is stamped " +
+          s"nBuckets=$sn, option asked for nBuckets=$on — a wrong " +
+          "bucket count silently prunes the wrong directories")
+      case _ => ()
+    }
+    new PostingsTable(path, stamped.orElse(opted).getOrElse(64))
   }
 }
 

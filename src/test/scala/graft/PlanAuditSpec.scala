@@ -26,6 +26,8 @@ class PlanAuditSpec extends SparkSuite {
   private val nestedLoopOk =
     Set("join_theta", "join_cross", "cosine_knn", "source_minhash_sim",
       "unigram_logprob", "bm25_search", "bm25_indexed", "tfidf_terms",
+      "bm25_catalog", // bm25_indexed's one-row stats broadcast, via
+                      // the TableCatalog resolution path
       "agg_histogram", "heavy_hitters", "exact_ntile", "decayed_activity",
       "source_kl", // one-row corpus-total broadcast (scalar-subquery shape)
       "pq_ann", // brute ADC scan vs broadcast probes (cosine_knn shape)
