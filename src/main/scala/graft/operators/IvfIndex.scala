@@ -197,6 +197,76 @@ object IvfIndex {
       .filter(col("cell").cast("long").isin(cells: _*))
 
   /** Deterministic Lloyd iterations; returns the learned centroids. */
+  /** Deterministic fingerprint of a centroid set — the version stamp
+    * [[relearn]] publishes with the re-assigned layout, so probes
+    * carrying STALE centroids across the swap refuse instead of
+    * silently searching wrong cells (`Double.toString` round-trips
+    * bits exactly, so equal centroid sets hash equal). */
+  def centroidVersion(cents: Array[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(cents.map(_.map(_.toString).mkString(","))
+      .mkString(";").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The `centroid_version` stamped with a layout, if any (layouts
+    * written before a relearn carry none — version checks are then
+    * vacuous). */
+  def readCentroidVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val inBase = new org.apache.hadoop.fs.Path(
+      TxBatch.baseDir(spark, path), "_graft_meta.json")
+    val p = if (fs.exists(inBase)) inBase
+      else new org.apache.hadoop.fs.Path(path, "_graft_meta.json")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    """"centroid_version":\s*"([0-9a-f]+)"""".r
+      .findFirstMatchIn(text).map(_.group(1))
+  }
+
+  /** Re-learn the layout's centroids from its CURRENT content and
+    * re-assign every vector — the maintenance action the
+    * `ivf_append` drift row measures but cannot take: appended
+    * batches shift the data distribution away from the centroids the
+    * base was built with, degrading nprobe recall until someone
+    * re-clusters. Runs the SAME deterministic Lloyd recipe as
+    * [[learnCentroids]] over base ∪ committed batches, then publishes
+    * the re-assigned corpus as a new base generation under ONE atomic
+    * rename ([[TxBatch.compact]] with a content transform): readers
+    * see the old assignment or the new, never a mix — and the new
+    * `_graft_meta.json` (same k/dim, fresh `centroid_version`) rides
+    * the same rename, so geometry and content swap together. Probes
+    * that captured centroids BEFORE the swap fail the version check
+    * (`graft_ann`) instead of scoring against the wrong cells.
+    * Raw-vector layouts only (the recipe needs `v`). Returns the new
+    * centroids (the caller publishes them to its probe views). */
+  def relearn(spark: org.apache.spark.sql.SparkSession, path: String,
+      iters: Int = 1): Array[Array[Double]] = {
+    val (k, dim) = readCellMeta(spark, path)
+    val content = readLayout(spark, path)
+    require(content.columns.contains("v"),
+      s"relearn at $path: the layout payload has no raw vector " +
+        "column `v` (PQ-coded layouts re-learn from their source " +
+        "embeddings, not from codes)")
+    val emb = content.select(col("vec_id"),
+      col("v").cast("array<double>").as("v"))
+    val cents = learnCentroids(emb, k, iters)
+    val meta = s"""{"k": $k, "dim": $dim, """ +
+      s""""centroid_version": "${centroidVersion(cents)}"}"""
+    val ok = TxBatch.compact(spark, path, partitionCol = "cell",
+      transform = df => assignCells(
+        df.select(col("vec_id"), col("v").cast("array<double>").as("v")),
+        cents),
+      metaJson = Some(meta), force = true)
+    require(ok, s"relearn at $path lost the publish race")
+    cents
+  }
+
   def learnCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     val s = emb.sparkSession
     import s.implicits._

@@ -273,6 +273,15 @@ object SqlTableFunctions {
           s"${centRows.map(_.getLong(0)).mkString("[", ",", "]")} " +
           s"are not the layout's 1..$k — a shifted id set maps " +
           "probes to the wrong cells")
+      // a relearned layout stamps its centroid fingerprint: probes
+      // holding the PRE-relearn centroids would pass the (k, dim)
+      // check yet search the old cells — refuse stale geometry
+      IvfIndex.readCentroidVersion(spark, layoutPath).foreach { ver =>
+        require(IvfIndex.centroidVersion(cents) == ver,
+          s"graft_ann: centroid view ${args(1)} does not match the " +
+            s"layout's stamped centroid_version $ver — the layout " +
+            "was relearned; refresh the centroid view")
+      }
       val nprobe = args(3).toInt
       val topK = args(4).toInt
       require(nprobe >= 1 && nprobe <= k,

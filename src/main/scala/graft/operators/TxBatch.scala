@@ -254,11 +254,21 @@ object TxBatch {
     * `crashBeforePublish` is the spec failpoint (staging complete,
     * rename never happens). Returns false when there is nothing to
     * fold (no live batches) or the publish race was lost. NOT safe
-    * under a live tailing stream consumer (see the object doc). */
+    * under a live tailing stream consumer (see the object doc).
+    *
+    * `transform` rewrites the merged relation before it lands (the
+    * IVF relearn lane re-assigns cells against fresh centroids —
+    * identity for a plain compaction); `metaJson` stages a new
+    * `_graft_meta.json` INSIDE the base generation so geometry swaps
+    * under the SAME atomic rename as content; `force` publishes a
+    * new generation even with no live batches (a pure rewrite). */
   def compact(s: SparkSession, root: String,
       partitionCol: String = "bucket",
       stats: Option[DataFrame] = None,
-      crashBeforePublish: Boolean = false): Boolean = {
+      crashBeforePublish: Boolean = false,
+      transform: DataFrame => DataFrame = identity,
+      metaJson: Option[String] = None,
+      force: Boolean = false): Boolean = {
     val r = new Path(root)
     val fs = fsOf(s, r)
     // sweep leftovers of a compact that crashed between rename and
@@ -278,7 +288,7 @@ object TxBatch {
       }.foreach(st => fs.delete(st.getPath, true))
     }
     val live = liveBatchDirsFs(fs, r)
-    if (live.isEmpty) return false
+    if (live.isEmpty && !force) return false
     val oldGen = baseGenFs(fs, r)
     val base = baseDirFs(fs, r)
     val newGen = oldGen + 1L
@@ -286,14 +296,20 @@ object TxBatch {
       .toSeq.sorted
     // one read per root, unioned: partition inference refuses several
     // partitioned roots in one read (conflicting-structures)
-    val data = live.foldLeft(s.read.parquet(base.toString))((acc, b) =>
-      acc.unionByName(s.read.parquet(b.toString)))
+    val data = transform(
+      live.foldLeft(s.read.parquet(base.toString))((acc, b) =>
+        acc.unionByName(s.read.parquet(b.toString))))
     val staging = new Path(root, s"_staging-base-$newGen-" +
       java.util.UUID.randomUUID().toString.take(8))
     data.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol).parquet(staging.toString)
     stats.foreach(_.write.mode(SaveMode.Overwrite)
       .parquet(new Path(staging, StatsDir).toString))
+    metaJson.foreach { json =>
+      val m = fs.create(new Path(staging, "_graft_meta.json"), true)
+      try m.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally m.close()
+    }
     val out = fs.create(new Path(staging, AppliedFile), true)
     try out.write(mapper.writeValueAsString(newApplied.toArray)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))

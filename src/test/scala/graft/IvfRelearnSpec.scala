@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{IvfIndex, SqlTableFunctions}
+import org.apache.spark.sql.functions._
+
+/** The IVF relearn action — the decision `ivf_append` measures but
+  * could not take: re-run the deterministic Lloyd recipe over the
+  * layout's CURRENT content (base ∪ committed batches), re-assign,
+  * publish as a new base generation under one atomic rename, and
+  * stamp the centroid fingerprint so probes carrying pre-relearn
+  * centroids refuse instead of silently searching old cells. */
+class IvfRelearnSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val K = 8
+  private val root = "/tmp/graft_relearn/layout"
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+    .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+
+  test("post-relearn content equals the fresh-learn assignment " +
+      "bitwise; folded batch ids stay no-ops; the version stamp " +
+      "rides the same swap") {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    val cents0 = IvfIndex.learnCentroids(corpus, K, 1)
+    IvfIndex.writeCellLayout(IvfIndex.assignCells(corpus, cents0),
+      root, K, cents0.head.length)
+    assert(IvfIndex.appendCellsIdempotent(
+      IvfIndex.assignCells(batch, cents0), root, 1L))
+    val newCents = IvfIndex.relearn(spark, root)
+    // the recipe is the deterministic Lloyd pass over the FULL
+    // content — fresh-learn over the same relation must agree bitwise
+    val fresh = IvfIndex.learnCentroids(emb, K, 1)
+    assert(newCents.map(_.toSeq).toSeq == fresh.map(_.toSeq).toSeq)
+    val expected = IvfIndex.assignCells(emb, fresh)
+      .select($"vec_id", $"cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = IvfIndex.readLayout(spark, root)
+      .select($"vec_id", $"cell".cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // the assignment CHANGED for someone (relearn did something):
+    // appended vectors shifted the centroids
+    val old = IvfIndex.assignCells(emb, cents0)
+      .select($"vec_id", $"cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got != old, "fixture must make relearn move assignments")
+    // geometry and version stamped inside the swapped generation
+    assert(IvfIndex.readCellMeta(spark, root) ==
+      ((K, cents0.head.length)))
+    assert(IvfIndex.readCentroidVersion(spark, root) ==
+      Some(IvfIndex.centroidVersion(newCents)))
+    // the folded batch id replays as a no-op (the applied set rode
+    // the same rename)
+    assert(!IvfIndex.appendCellsIdempotent(
+      IvfIndex.assignCells(batch, newCents), root, 1L))
+    assert(IvfIndex.readLayout(spark, root).count() == expected.size)
+  }
+
+  test("probes stay correct across the swap: graft_ann with the NEW " +
+      "centroids answers from the relearned layout; the stale " +
+      "centroid view is refused by the version stamp") {
+    SqlTableFunctions.registerAll(spark)
+    // (depends on the layout the previous test relearned)
+    val newCents = IvfIndex.relearn(spark, root)
+    newCents.zipWithIndex
+      .map { case (c, i) => (i.toLong + 1L, c.toSeq) }.toSeq
+      .toDF("cell_id", "c").createOrReplaceTempView("rl_cents_new")
+    emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v")
+      .createOrReplaceTempView("rl_probes")
+    // nprobe = k probes every cell → the answer must equal the brute
+    // exact q6 cosine top-k over the whole corpus, no approximation
+    def q6c(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("double") /
+        lit(1000000.0)
+    val dot = graft.functions.GraftFunctions.dotd _
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    val brute = emb.crossJoin(
+      emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"v".as("pv")))
+      .select($"query_id", $"vec_id",
+        q6c(dot($"v", $"pv") /
+          (sqrt(dot($"v", $"v")) * sqrt(dot($"pv", $"pv"))))
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .collect().map(_.toSeq).toSet
+    val viaAnn = spark.sql(s"SELECT * FROM graft_ann('$root', " +
+      s"'rl_cents_new', 'rl_probes', '$K', '5')")
+      .select($"query_id", $"neighbor_id".as("vec_id"), $"cos_sim",
+        $"rn")
+      .select($"query_id", $"vec_id", $"cos_sim", $"rn")
+      .collect().map(_.toSeq).toSet
+    assert(viaAnn == brute)
+    // a STALE view (pre-relearn centroids): right (k, dim), right id
+    // sequence — only the version check can catch it
+    val stale = IvfIndex.learnCentroids(
+      emb.filter($"vec_id" % 10 =!= 0), K, 1)
+    assert(IvfIndex.centroidVersion(stale) !=
+      IvfIndex.centroidVersion(newCents))
+    stale.zipWithIndex
+      .map { case (c, i) => (i.toLong + 1L, c.toSeq) }.toSeq
+      .toDF("cell_id", "c").createOrReplaceTempView("rl_cents_stale")
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_ann('$root', " +
+        s"'rl_cents_stale', 'rl_probes', '$K', '5')").collect())
+    assert(e.getMessage.contains("centroid_version"), e.getMessage)
+  }
+}
