@@ -612,6 +612,33 @@ object EventStreams {
       }
   }
 
+  /** Attach a ONE-DAY event-time watermark over the micros `ts` field
+    * so the SPC streams' day-close can fire from WATERMARK progress
+    * (`GroupStateTimeout.EventTimeTimeout`, timestamp = the open
+    * day's end — so the flush lands one day past the open day)
+    * instead of requiring a per-type later-day sentinel: the
+    * watermark is GLOBAL across keys, so any event anywhere a day
+    * past a type's open-day end closes that day — the deployment
+    * reality, where one quiet type must not hold its last verdict
+    * hostage to its own next event.
+    *
+    * The delay doubles as the disorder horizon: Spark drops input
+    * rows behind the watermark BEFORE a timeout-enabled
+    * flatMapGroupsWithState sees them (standard late-data semantics),
+    * so the day-monotone REFUSAL fires for disorder within one day of
+    * the global frontier — the recoverable producer bug worth failing
+    * loudly on — while rows more than a day stale drop as late data,
+    * exactly as they would at any windowed aggregation. Batch
+    * (non-streaming) inputs pass through (watermarks are a streaming
+    * concept; the fold then closes days on data only). */
+  private def withDayWatermark[T](events: Dataset[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+    if (!events.isStreaming) events
+    else events.toDF()
+      .withColumn("__graft_event_ts", expr("timestamp_micros(ts)"))
+      .withWatermark("__graft_event_ts", "1 day")
+      .as[T]
+
   // public: the state encoder's generated code must reach the classes
   final case class CusumRef(sumN: Long, sumQ: Long, nDays: Long)
   final case class CusumState(curDay: Long, curN: Long, run: Long,
@@ -645,9 +672,9 @@ object EventStreams {
       ref: Map[String, CusumRef],
       epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[CusumRow] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.event_type)
+    withDayWatermark(events).groupByKey(_.event_type)
       .flatMapGroupsWithState[CusumState, CusumRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (etype: String, rows: Iterator[TypedEvent],
             state: GroupState[CusumState]) =>
           ref.get(etype) match {
@@ -655,6 +682,9 @@ object EventStreams {
             case Some(r) =>
               var st = state.getOption.orNull
               val out = Seq.newBuilder[CusumRow]
+              // after close(), curDay stays the CLOSED day with
+              // curN = 0 (the closed marker): a stale arrival for a
+              // watermark-closed day must refuse, not reopen
               def close(): Unit = {
                 val newRun = st.run + r.nDays * st.curN - r.sumN
                 val minPrev =
@@ -663,14 +693,31 @@ object EventStreams {
                 val flag = if (vs * vs >
                   25L * (r.nDays * r.sumQ - r.sumN * r.sumN)) 1L else 0L
                 out += CusumRow(etype, st.curDay, st.curN, vs, flag)
-                st = CusumState(-1L, 0L, newRun,
+                st = CusumState(st.curDay, 0L, newRun,
                   if (st.closed == 0L) newRun
                   else math.min(st.minRun, newRun),
                   st.closed + 1L)
               }
+              if (state.hasTimedOut) {
+                // the watermark passed the open day's end: every
+                // possible day member has arrived — close without a
+                // sentinel (the event-time flush)
+                if (st != null && st.curN > 0L) { close(); state.update(st) }
+                out.result().iterator
+              } else {
               rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
                 val day = Math.floorDiv(e.ts, 86400000000L) - epochDay0
                 if (st == null) st = CusumState(day, 1L, 0L, 0L, 0L)
+                else if (st.curN == 0L) {
+                  if (day <= st.curDay)
+                    throw new IllegalStateException(
+                      s"cusumStream: out-of-order event for type " +
+                        s"$etype (day $day at or before the " +
+                        s"watermark-closed day ${st.curDay}) — the " +
+                        "feed must be day-monotone per type across " +
+                        "micro-batches")
+                  st = st.copy(curDay = day, curN = 1L)
+                }
                 else if (day == st.curDay)
                   st = st.copy(curN = st.curN + 1L)
                 else if (day < st.curDay)
@@ -684,8 +731,20 @@ object EventStreams {
                       "micro-batches")
                 else { close(); st = st.copy(curDay = day, curN = 1L) }
               }
-              if (st != null) state.update(st)
+              if (st != null) {
+                state.update(st)
+                if (st.curN > 0L) {
+                  val dayEndMs = (epochDay0 + st.curDay + 1L) * 86400000L
+                  // the watermark may ALREADY be past the open day's
+                  // end (another key ran ahead): close now — a
+                  // timeout for the past would be refused
+                  if (state.getCurrentWatermarkMs() >= dayEndMs) {
+                    close(); state.update(st)
+                  } else state.setTimeoutTimestamp(dayEndMs)
+                }
+              }
               out.result().iterator
+              }
           }
       }
   }
@@ -722,9 +781,9 @@ object EventStreams {
       math.pow(3, k).toLong * math.pow(4, 7 - k).toLong)
     def q6d(x: Double): Double =
       math.floor(x * 1000000.0 + 0.5) / 1000000.0
-    events.groupByKey(_.event_type)
+    withDayWatermark(events).groupByKey(_.event_type)
       .flatMapGroupsWithState[EwmaState, EwmaRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (etype: String, rows: Iterator[TypedEvent],
             state: GroupState[EwmaState]) =>
           ref.get(etype) match {
@@ -751,11 +810,26 @@ object EventStreams {
                   out += EwmaRow(etype, st.curDay, st.curN, q6d(ewma), z,
                     if (math.abs(z) > 3.0) 1L else 0L)
                 }
-                st = EwmaState(-1L, 0L, (st.curN +: st.lastNs).take(8))
+                st = EwmaState(st.curDay, 0L,
+                  (st.curN +: st.lastNs).take(8))
               }
+              if (state.hasTimedOut) {
+                if (st != null && st.curN > 0L) { close(); state.update(st) }
+                out.result().iterator
+              } else {
               rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
                 val day = Math.floorDiv(e.ts, 86400000000L) - epochDay0
                 if (st == null) st = EwmaState(day, 1L, Vector.empty)
+                else if (st.curN == 0L) {
+                  if (day <= st.curDay)
+                    throw new IllegalStateException(
+                      s"ewmaStream: out-of-order event for type " +
+                        s"$etype (day $day at or before the " +
+                        s"watermark-closed day ${st.curDay}) — the " +
+                        "feed must be day-monotone per type across " +
+                        "micro-batches")
+                  st = st.copy(curDay = day, curN = 1L)
+                }
                 else if (day == st.curDay)
                   st = st.copy(curN = st.curN + 1L)
                 else if (day < st.curDay)
@@ -766,8 +840,17 @@ object EventStreams {
                       "micro-batches")
                 else { close(); st = st.copy(curDay = day, curN = 1L) }
               }
-              if (st != null) state.update(st)
+              if (st != null) {
+                state.update(st)
+                if (st.curN > 0L) {
+                  val dayEndMs = (epochDay0 + st.curDay + 1L) * 86400000L
+                  if (state.getCurrentWatermarkMs() >= dayEndMs) {
+                    close(); state.update(st)
+                  } else state.setTimeoutTimestamp(dayEndMs)
+                }
+              }
               out.result().iterator
+              }
           }
       }
   }
@@ -800,9 +883,9 @@ object EventStreams {
     import events.sparkSession.implicits._
     def q6d(x: Double): Double =
       math.floor(x * 1000000.0 + 0.5) / 1000000.0
-    events.groupByKey(_.event_type)
+    withDayWatermark(events).groupByKey(_.event_type)
       .flatMapGroupsWithState[MkState, MkRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (etype: String, rows: Iterator[TypedEvent],
             state: GroupState[MkState]) =>
           var st = state.getOption.orNull
@@ -813,7 +896,7 @@ object EventStreams {
               if (v < x) c else if (v > x) -c else 0L }.sum
             val s = st.s + dS
             val cnt = st.cnt.updated(x, st.cnt.getOrElse(x, 0L) + 1L)
-            st = MkState(-1L, 0L, s, cnt)
+            st = MkState(st.curDay, 0L, s, cnt)
             val n = cnt.values.sum
             val tie = cnt.values.map(c => c * (c - 1L) * (2L * c + 5L)).sum
             val var18 = n * (n - 1L) * (2L * n + 5L) - tie
@@ -829,9 +912,22 @@ object EventStreams {
             out += MkRow(etype, n, s, tie, var18, zq,
               if (math.abs(zq) > 1.96) 1L else 0L)
           }
+          if (state.hasTimedOut) {
+            if (st != null && st.curN > 0L) { close(); state.update(st) }
+            out.result().iterator
+          } else {
           rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
             val day = Math.floorDiv(e.ts, 86400000000L) - epochDay0
             if (st == null) st = MkState(day, 1L, 0L, Map.empty)
+            else if (st.curN == 0L) {
+              if (day <= st.curDay)
+                throw new IllegalStateException(
+                  s"mkStream: out-of-order event for type $etype " +
+                    s"(day $day at or before the watermark-closed " +
+                    s"day ${st.curDay}) — the feed must be " +
+                    "day-monotone per type across micro-batches")
+              st = st.copy(curDay = day, curN = 1L)
+            }
             else if (day == st.curDay) st = st.copy(curN = st.curN + 1L)
             else if (day < st.curDay)
               throw new IllegalStateException(
@@ -840,8 +936,17 @@ object EventStreams {
                   "be day-monotone per type across micro-batches")
             else { close(); st = st.copy(curDay = day, curN = 1L) }
           }
-          if (st != null) state.update(st)
+          if (st != null) {
+            state.update(st)
+            if (st.curN > 0L) {
+              val dayEndMs = (epochDay0 + st.curDay + 1L) * 86400000L
+              if (state.getCurrentWatermarkMs() >= dayEndMs) {
+                close(); state.update(st)
+              } else state.setTimeoutTimestamp(dayEndMs)
+            }
+          }
           out.result().iterator
+          }
       }
   }
 
@@ -868,9 +973,9 @@ object EventStreams {
   def tsStream(events: Dataset[TypedEvent],
       epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[TsRow] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.event_type)
+    withDayWatermark(events).groupByKey(_.event_type)
       .flatMapGroupsWithState[TsState, TsRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (etype: String, rows: Iterator[TypedEvent],
             state: GroupState[TsState]) =>
           var st = state.getOption.orNull
@@ -890,7 +995,7 @@ object EventStreams {
               grid = grid.updated(s6, grid.getOrElse(s6, 0L) + 1L)
               i += 1
             }
-            st = TsState(-1L, 0L, st.days :+ d, st.ns :+ x, grid)
+            st = TsState(d, 0L, st.days :+ d, st.ns :+ x, grid)
             val np = grid.values.sum
             if (np >= 1L) {
               val target = (np + 1L) / 2L
@@ -905,10 +1010,23 @@ object EventStreams {
                 median.toDouble / 1000000.0)
             }
           }
+          if (state.hasTimedOut) {
+            if (st != null && st.curN > 0L) { close(); state.update(st) }
+            out.result().iterator
+          } else {
           rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
             val day = Math.floorDiv(e.ts, 86400000000L) - epochDay0
             if (st == null)
               st = TsState(day, 1L, Vector.empty, Vector.empty, Map.empty)
+            else if (st.curN == 0L) {
+              if (day <= st.curDay)
+                throw new IllegalStateException(
+                  s"tsStream: out-of-order event for type $etype " +
+                    s"(day $day at or before the watermark-closed " +
+                    s"day ${st.curDay}) — the feed must be " +
+                    "day-monotone per type across micro-batches")
+              st = st.copy(curDay = day, curN = 1L)
+            }
             else if (day == st.curDay) st = st.copy(curN = st.curN + 1L)
             else if (day < st.curDay)
               throw new IllegalStateException(
@@ -917,8 +1035,17 @@ object EventStreams {
                   "be day-monotone per type across micro-batches")
             else { close(); st = st.copy(curDay = day, curN = 1L) }
           }
-          if (st != null) state.update(st)
+          if (st != null) {
+            state.update(st)
+            if (st.curN > 0L) {
+              val dayEndMs = (epochDay0 + st.curDay + 1L) * 86400000L
+              if (state.getCurrentWatermarkMs() >= dayEndMs) {
+                close(); state.update(st)
+              } else state.setTimeoutTimestamp(dayEndMs)
+            }
+          }
           out.result().iterator
+          }
       }
   }
 
@@ -952,9 +1079,9 @@ object EventStreams {
     import events.sparkSession.implicits._
     def q6d(x: Double): Double =
       math.floor(x * 1000000.0 + 0.5) / 1000000.0
-    events.groupByKey(_.event_type)
+    withDayWatermark(events).groupByKey(_.event_type)
       .flatMapGroupsWithState[AcfState, AcfRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (etype: String, rows: Iterator[TypedEvent],
             state: GroupState[AcfState]) =>
           var st = state.getOption.orNull
@@ -962,7 +1089,7 @@ object EventStreams {
           def close(): Unit = {
             val days = st.days :+ st.curDay
             val ns = st.ns :+ st.curN
-            st = AcfState(-1L, 0L, days, ns)
+            st = AcfState(st.curDay, 0L, days, ns)
             val nd = days.length.toLong
             val sn = ns.sum
             val dev = new Array[Long](days.length)
@@ -997,10 +1124,23 @@ object EventStreams {
               lag += 1L
             }
           }
+          if (state.hasTimedOut) {
+            if (st != null && st.curN > 0L) { close(); state.update(st) }
+            out.result().iterator
+          } else {
           rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
             val day = Math.floorDiv(e.ts, 86400000000L) - epochDay0
             if (st == null)
               st = AcfState(day, 1L, Vector.empty, Vector.empty)
+            else if (st.curN == 0L) {
+              if (day <= st.curDay)
+                throw new IllegalStateException(
+                  s"acfStream: out-of-order event for type $etype " +
+                    s"(day $day at or before the watermark-closed " +
+                    s"day ${st.curDay}) — the feed must be " +
+                    "day-monotone per type across micro-batches")
+              st = st.copy(curDay = day, curN = 1L)
+            }
             else if (day == st.curDay) st = st.copy(curN = st.curN + 1L)
             else if (day < st.curDay)
               throw new IllegalStateException(
@@ -1009,8 +1149,17 @@ object EventStreams {
                   "be day-monotone per type across micro-batches")
             else { close(); st = st.copy(curDay = day, curN = 1L) }
           }
-          if (st != null) state.update(st)
+          if (st != null) {
+            state.update(st)
+            if (st.curN > 0L) {
+              val dayEndMs = (epochDay0 + st.curDay + 1L) * 86400000L
+              if (state.getCurrentWatermarkMs() >= dayEndMs) {
+                close(); state.update(st)
+              } else state.setTimeoutTimestamp(dayEndMs)
+            }
+          }
           out.result().iterator
+          }
       }
   }
 
@@ -1036,9 +1185,9 @@ object EventStreams {
     import events.sparkSession.implicits._
     def q6d(x: Double): Double =
       math.floor(x * 1000000.0 + 0.5) / 1000000.0
-    events.groupByKey(_.event_type)
+    withDayWatermark(events).groupByKey(_.event_type)
       .flatMapGroupsWithState[SsState, SsRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (etype: String, rows: Iterator[TypedEvent],
             state: GroupState[SsState]) =>
           var st = state.getOption.orNull
@@ -1046,7 +1195,7 @@ object EventStreams {
           def close(): Unit = {
             val days = st.days :+ st.curDay
             val ns = st.ns :+ st.curN
-            st = SsState(-1L, 0L, days, ns)
+            st = SsState(st.curDay, 0L, days, ns)
             val nd = days.length.toLong
             val sn = ns.sum
             val byPhase = days.indices.groupBy(i =>
@@ -1075,10 +1224,23 @@ object EventStreams {
               if (ssT == 0L) 0.0
               else q6d(math.max(0.0, 1.0 - ssR.toDouble / ssT.toDouble)))
           }
+          if (state.hasTimedOut) {
+            if (st != null && st.curN > 0L) { close(); state.update(st) }
+            out.result().iterator
+          } else {
           rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
             val day = Math.floorDiv(e.ts, 86400000000L)
             if (st == null)
               st = SsState(day, 1L, Vector.empty, Vector.empty)
+            else if (st.curN == 0L) {
+              if (day <= st.curDay)
+                throw new IllegalStateException(
+                  s"seasonalStrengthStream: out-of-order event for " +
+                    s"type $etype (day $day at or before the " +
+                    s"watermark-closed day ${st.curDay}) — the feed " +
+                    "must be day-monotone per type")
+              st = st.copy(curDay = day, curN = 1L)
+            }
             else if (day == st.curDay) st = st.copy(curN = st.curN + 1L)
             else if (day < st.curDay)
               throw new IllegalStateException(
@@ -1087,8 +1249,18 @@ object EventStreams {
                   "the feed must be day-monotone per type")
             else { close(); st = st.copy(curDay = day, curN = 1L) }
           }
-          if (st != null) state.update(st)
+          if (st != null) {
+            state.update(st)
+            if (st.curN > 0L) {
+              // the day axis here is epoch days already
+              val dayEndMs = (st.curDay + 1L) * 86400000L
+              if (state.getCurrentWatermarkMs() >= dayEndMs) {
+                close(); state.update(st)
+              } else state.setTimeoutTimestamp(dayEndMs)
+            }
+          }
           out.result().iterator
+          }
       }
   }
 
@@ -1122,9 +1294,9 @@ object EventStreams {
         2L * cl + ceq + 1L
       }.toArray
     }
-    events.groupByKey(_.event_type)
+    withDayWatermark(events).groupByKey(_.event_type)
       .flatMapGroupsWithState[SpearState, SpearRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (etype: String, rows: Iterator[ValuedEvent],
             state: GroupState[SpearState]) =>
           var st = state.getOption.orNull
@@ -1132,7 +1304,7 @@ object EventStreams {
           def close(): Unit = {
             val xs = st.xs :+ st.curN
             val ys = st.ys :+ st.curY
-            st = SpearState(-1L, 0L, 0L, xs, ys)
+            st = SpearState(st.curDay, 0L, 0L, xs, ys)
             val n = xs.length.toLong
             val rx = r2(xs); val ry = r2(ys)
             var sx = 0L; var sy = 0L; var sxy = 0L
@@ -1150,12 +1322,25 @@ object EventStreams {
               else q6d((n * sxy - sx * sy).toDouble /
                 (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))))
           }
+          if (state.hasTimedOut) {
+            if (st != null && st.curN > 0L) { close(); state.update(st) }
+            out.result().iterator
+          } else {
           rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
             val day = Math.floorDiv(e.ts, 86400000000L) - epochDay0
             // the batch row's cents from the on-grid micro value
             val cents = Math.floorDiv(e.v_micro + 50L, 100L)
             if (st == null)
               st = SpearState(day, 1L, cents, Vector.empty, Vector.empty)
+            else if (st.curN == 0L) {
+              if (day <= st.curDay)
+                throw new IllegalStateException(
+                  s"spearmanStream: out-of-order event for type " +
+                    s"$etype (day $day at or before the " +
+                    s"watermark-closed day ${st.curDay}) — the feed " +
+                    "must be day-monotone per type")
+              st = st.copy(curDay = day, curN = 1L, curY = cents)
+            }
             else if (day == st.curDay)
               st = st.copy(curN = st.curN + 1L, curY = st.curY + cents)
             else if (day < st.curDay)
@@ -1168,8 +1353,207 @@ object EventStreams {
               st = st.copy(curDay = day, curN = 1L, curY = cents)
             }
           }
-          if (st != null) state.update(st)
+          if (st != null) {
+            state.update(st)
+            if (st.curN > 0L) {
+              val dayEndMs = (epochDay0 + st.curDay + 1L) * 86400000L
+              if (state.getCurrentWatermarkMs() >= dayEndMs) {
+                close(); state.update(st)
+              } else state.setTimeoutTimestamp(dayEndMs)
+            }
+          }
           out.result().iterator
+          }
+      }
+  }
+
+  // public: the state encoder's generated code must reach the classes
+  final case class RunsState(curDay: Long, curN: Long, days: Seq[Long],
+      ns: Seq[Long])
+  final case class RunsRow(event_type: String, n1: Long, n2: Long,
+      runs: Long, z: Double, is_nonrandom: Long)
+
+  /** T32 live: streaming Wald–Wolfowitz runs test — one of the two
+    * batch-only members of the SPC family made live (with
+    * [[turningStream]]). Per type the state is the open day and the
+    * closed (day, count) series (the [[acfStream]] shape): the
+    * dichotomy is against the SERIES mean, which moves with every
+    * close, so the run count re-derives per close in one O(days) walk
+    * over the day-ordered counts with the batch `runs_test_drift`
+    * row's IDENTICAL spelling — the integer cross-multiply n·nd > Σn
+    * (no division), the same E[R]/Var[R] doubles, the same
+    * degenerate-arrangement guard reporting z = 0. LATEST row per
+    * type equals the batch row across any micro-batch split. Same
+    * day-monotone feed contract as [[cusumStream]]; days close on
+    * data or on watermark progress (event-time timeout). */
+  def runsStream(events: Dataset[TypedEvent],
+      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[RunsRow] = {
+    import events.sparkSession.implicits._
+    def q6d(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    withDayWatermark(events).groupByKey(_.event_type)
+      .flatMapGroupsWithState[RunsState, RunsRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (etype: String, rows: Iterator[TypedEvent],
+            state: GroupState[RunsState]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[RunsRow]
+          def close(): Unit = {
+            val days = st.days :+ st.curDay
+            val ns = st.ns :+ st.curN
+            st = RunsState(st.curDay, 0L, days, ns)
+            val nd = ns.length.toLong
+            val sn = ns.sum
+            // the batch dichotomy verbatim: above ⇔ n·nd > Σn
+            val above = ns.map(_ * nd > sn)
+            var runs = 1L
+            var n1 = 0L
+            var n2 = 0L
+            var i = 0
+            while (i < above.length) {
+              if (i > 0 && above(i) != above(i - 1)) runs += 1L
+              if (above(i)) n1 += 1L else n2 += 1L
+              i += 1
+            }
+            val nT = (n1 + n2).toDouble
+            val er = 1.0 + 2.0 * n1.toDouble * n2.toDouble / nT
+            val vr = (2.0 * n1.toDouble * n2.toDouble *
+              (2.0 * n1.toDouble * n2.toDouble - nT)) /
+              (nT * nT * (nT - 1.0))
+            // the batch guard verbatim: every zero-variance
+            // arrangement reports z = 0
+            val z =
+              if (n1 == 0L || n2 == 0L || (n1 == 1L && n2 == 1L)) 0.0
+              else q6d((runs.toDouble - er) / math.sqrt(vr))
+            out += RunsRow(etype, n1, n2, runs, z,
+              if (math.abs(z) > 1.96) 1L else 0L)
+          }
+          if (state.hasTimedOut) {
+            if (st != null && st.curN > 0L) { close(); state.update(st) }
+            out.result().iterator
+          } else {
+          rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val day = Math.floorDiv(e.ts, 86400000000L) - epochDay0
+            if (st == null)
+              st = RunsState(day, 1L, Vector.empty, Vector.empty)
+            else if (st.curN == 0L) {
+              if (day <= st.curDay)
+                throw new IllegalStateException(
+                  s"runsStream: out-of-order event for type $etype " +
+                    s"(day $day at or before the watermark-closed " +
+                    s"day ${st.curDay}) — the feed must be " +
+                    "day-monotone per type across micro-batches")
+              st = st.copy(curDay = day, curN = 1L)
+            }
+            else if (day == st.curDay) st = st.copy(curN = st.curN + 1L)
+            else if (day < st.curDay)
+              throw new IllegalStateException(
+                s"runsStream: out-of-order event for type $etype " +
+                  s"(day $day after open day ${st.curDay}) — the feed " +
+                  "must be day-monotone per type across micro-batches")
+            else { close(); st = st.copy(curDay = day, curN = 1L) }
+          }
+          if (st != null) {
+            state.update(st)
+            if (st.curN > 0L) {
+              val dayEndMs = (epochDay0 + st.curDay + 1L) * 86400000L
+              if (state.getCurrentWatermarkMs() >= dayEndMs) {
+                close(); state.update(st)
+              } else state.setTimeoutTimestamp(dayEndMs)
+            }
+          }
+          out.result().iterator
+          }
+      }
+  }
+
+  // public: the state encoder's generated code must reach the classes
+  final case class TurnState(curDay: Long, curN: Long, days: Seq[Long],
+      ns: Seq[Long])
+  final case class TurnRow(event_type: String, n_days: Long,
+      t_stat: Long, z: Double, is_nonrandom: Long)
+
+  /** T40 live: streaming turning-point test — the second batch-only
+    * randomness check made live. Per type the state is the closed
+    * (day, count) series; each close recounts the strict interior
+    * extrema in one O(days) walk (a new final day can only ADD one
+    * interior point, but the re-walk keeps the spelling literally the
+    * batch `turning_points` row's: strict comparisons both sides —
+    * ties break NO turning point — E = 2(n−2)/3, Var = (16n−29)/90,
+    * n < 3 reports z = 0). LATEST row per type equals the batch row
+    * across any micro-batch split. Same day-monotone feed contract as
+    * [[cusumStream]]; days close on data or on watermark progress. */
+  def turningStream(events: Dataset[TypedEvent],
+      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[TurnRow] = {
+    import events.sparkSession.implicits._
+    def q6d(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    withDayWatermark(events).groupByKey(_.event_type)
+      .flatMapGroupsWithState[TurnState, TurnRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (etype: String, rows: Iterator[TypedEvent],
+            state: GroupState[TurnState]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[TurnRow]
+          def close(): Unit = {
+            val days = st.days :+ st.curDay
+            val ns = st.ns :+ st.curN
+            st = TurnState(st.curDay, 0L, days, ns)
+            val nd = ns.length.toLong
+            var t = 0L
+            var i = 1
+            while (i < ns.length - 1) {
+              // strict local extremum — ties break no turning point
+              if ((ns(i - 1) < ns(i) && ns(i) > ns(i + 1)) ||
+                  (ns(i - 1) > ns(i) && ns(i) < ns(i + 1))) t += 1L
+              i += 1
+            }
+            // the batch z spelling verbatim
+            val e = 2.0 * (nd - 2L).toDouble / 3.0
+            val v = (16L * nd - 29L).toDouble / 90.0
+            val z =
+              if (nd < 3L) 0.0
+              else q6d((t.toDouble - e) / math.sqrt(v))
+            out += TurnRow(etype, nd, t, z,
+              if (math.abs(z) > 1.96) 1L else 0L)
+          }
+          if (state.hasTimedOut) {
+            if (st != null && st.curN > 0L) { close(); state.update(st) }
+            out.result().iterator
+          } else {
+          rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val day = Math.floorDiv(e.ts, 86400000000L) - epochDay0
+            if (st == null)
+              st = TurnState(day, 1L, Vector.empty, Vector.empty)
+            else if (st.curN == 0L) {
+              if (day <= st.curDay)
+                throw new IllegalStateException(
+                  s"turningStream: out-of-order event for type " +
+                    s"$etype (day $day at or before the " +
+                    s"watermark-closed day ${st.curDay}) — the feed " +
+                    "must be day-monotone per type across " +
+                    "micro-batches")
+              st = st.copy(curDay = day, curN = 1L)
+            }
+            else if (day == st.curDay) st = st.copy(curN = st.curN + 1L)
+            else if (day < st.curDay)
+              throw new IllegalStateException(
+                s"turningStream: out-of-order event for type $etype " +
+                  s"(day $day after open day ${st.curDay}) — the feed " +
+                  "must be day-monotone per type across micro-batches")
+            else { close(); st = st.copy(curDay = day, curN = 1L) }
+          }
+          if (st != null) {
+            state.update(st)
+            if (st.curN > 0L) {
+              val dayEndMs = (epochDay0 + st.curDay + 1L) * 86400000L
+              if (state.getCurrentWatermarkMs() >= dayEndMs) {
+                close(); state.update(st)
+              } else state.setTimeoutTimestamp(dayEndMs)
+            }
+          }
+          out.result().iterator
+          }
       }
   }
 

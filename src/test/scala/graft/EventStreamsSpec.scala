@@ -942,10 +942,14 @@ class EventStreamsSpec extends SparkSuite {
       .writeStream.format("memory").queryName("t_cusum_ooo")
       .outputMode("append").start()
     try {
+      // open day 2 (late in the day, so the one-day watermark horizon
+      // still admits a day-1 row — the refusal must fire, not the
+      // engine's late filter)
       input.addData(Seq(EventStreams.TypedEvent(1L, 1L,
-        d0 + 2L * 86400000000L, "t")))
+        d0 + 2L * 86400000000L + 82800000000L, "t")))
       q.processAllAvailable()
-      input.addData(Seq(EventStreams.TypedEvent(2L, 1L, d0, "t")))
+      input.addData(Seq(EventStreams.TypedEvent(2L, 1L,
+        d0 + 1L * 86400000000L + 84600000000L, "t")))
       val e = intercept[org.apache.spark.sql.streaming
         .StreamingQueryException] { q.processAllAvailable() }
       def chain(t: Throwable): Seq[Throwable] =
@@ -954,6 +958,103 @@ class EventStreamsSpec extends SparkSuite {
         c.isInstanceOf[IllegalStateException] &&
           c.getMessage.contains("day-monotone")), e.getMessage)
     } finally q.stop()
+  }
+
+  test("event-time flush: the final open day closes WITHOUT a " +
+      "sentinel — watermark progress from ANOTHER type's later event " +
+      "(one day past the open day) emits the verdict; rows more than " +
+      "a day stale drop as late data, not state corruption") {
+    implicit val sqlCtx = spark.sqlContext
+    val d0 = 19723L * 86400000000L
+    def ev(id: Long, day: Long, hourMicros: Long, t: String) =
+      EventStreams.TypedEvent(id, 1L, d0 + day * 86400000000L +
+        hourMicros, t)
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams.mkStream(input.toDS())
+      .writeStream.format("memory").queryName("t_mk_flush")
+      .outputMode("append").start()
+    try {
+      // type a: days 0..2 (counts 1, 2, 1); nothing later for a
+      input.addData(Seq(ev(1L, 0L, 0L, "a"), ev(2L, 1L, 0L, "a"),
+        ev(3L, 1L, 1L, "a"), ev(4L, 2L, 0L, "a")))
+      q.processAllAvailable()
+      // a's day 2 is still open: the watermark has not passed its end
+      assert(spark.table("t_mk_flush")
+        .filter($"event_type" === "a").count() == 2L)
+      // type b lands on day 4 — one day PAST a's open-day end, so the
+      // global watermark (1-day delay) reaches day 3 and a's final
+      // day flushes via the event-time timeout, no sentinel anywhere
+      input.addData(Seq(ev(9L, 4L, 3600000000L, "b")))
+      q.processAllAvailable()
+      val aRows = spark.table("t_mk_flush")
+        .filter($"event_type" === "a")
+        .select($"n_days", $"s_stat").as[(Long, Long)]
+        .collect().toSet
+      // the flushed verdict covers all 3 closed days: x = 1, 2, 1 →
+      // S = (1<2) + (1=1 ties 0) + (2>1 → −1) = 0
+      assert(aRows.contains((3L, 0L)), aRows.toString)
+      // a stale row for a's watermark-closed day drops as LATE data
+      // (standard watermark semantics) — no exception, no state
+      // corruption, no new emission
+      val before = spark.table("t_mk_flush").count()
+      input.addData(Seq(ev(10L, 2L, 1L, "a")))
+      q.processAllAvailable()
+      assert(spark.table("t_mk_flush").count() == before)
+    } finally q.stop()
+  }
+
+  test("streaming runs test and turning points: the latest verdict " +
+      "per type equals the batch rows across micro-batch splits " +
+      "(T32/T40 live)") {
+    implicit val sqlCtx = spark.sqlContext
+    val types = ordered.map(_.event_type).distinct
+    val maxTs = ordered.map(_.ts).max
+    val sentinels = types.zipWithIndex.map { case (t, i) =>
+      EventStreams.TypedEvent(-1L - i, -1L,
+        maxTs + 30L * 86400000000L, t)
+    }
+    val inRuns = MemoryStream[EventStreams.TypedEvent]
+    val inTurn = MemoryStream[EventStreams.TypedEvent]
+    val qRuns = EventStreams.runsStream(inRuns.toDS())
+      .writeStream.format("memory").queryName("t_runs")
+      .outputMode("append").start()
+    val qTurn = EventStreams.turningStream(inTurn.toDS())
+      .writeStream.format("memory").queryName("t_turn")
+      .outputMode("append").start()
+    try {
+      (ordered ++ sentinels).grouped(650).foreach { b =>
+        inRuns.addData(b); qRuns.processAllAvailable()
+        inTurn.addData(b); qTurn.processAllAvailable()
+      }
+    } finally { qRuns.stop(); qTurn.stop() }
+    import org.apache.spark.sql.expressions.Window
+    val wRuns = Window.partitionBy($"event_type")
+      .orderBy(($"n1" + $"n2").desc)
+    val runsLatest = spark.table("t_runs")
+      .withColumn("rn", row_number().over(wRuns)).filter($"rn" === 1)
+      .select($"event_type", $"n1", $"n2", $"runs", $"z",
+        $"is_nonrandom")
+      .as[(String, Long, Long, Long, Double, Long)].collect().toSet
+    val runsBatch = SparkEntry.queries("runs_test_drift")(spark, sf)
+      .select($"event_type", $"n1", $"n2", $"runs", $"z",
+        $"is_nonrandom")
+      .as[(String, Long, Long, Long, Double, Long)].collect().toSet
+    assert(runsLatest == runsBatch && runsLatest.nonEmpty)
+    val wLatest = Window.partitionBy($"event_type")
+      .orderBy($"n_days".desc)
+    val turnLatest = spark.table("t_turn")
+      .withColumn("rn", row_number().over(wLatest)).filter($"rn" === 1)
+      .select($"event_type", $"n_days", $"t_stat", $"z",
+        $"is_nonrandom")
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    val turnBatch = SparkEntry.queries("turning_points")(spark, sf)
+      .select($"event_type", $"n_days", $"t_stat", $"z",
+        $"is_nonrandom")
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(turnLatest == turnBatch && turnLatest.nonEmpty)
+    // live interim verdicts were emitted, not one final dump
+    assert(spark.table("t_runs").count() > runsLatest.size)
+    assert(spark.table("t_turn").count() > turnLatest.size)
   }
 
   test("streaming touch attribution equals the batch query across " +
