@@ -106,10 +106,17 @@ object SqlTableFunctions {
     *  - `graft_seasonal_strength(view, part_col, day_col, n_col,
     *    period[, phase_offset])` — [[SeriesStats.seasonalStrength]]:
     *    Hyndman F_s of a period-cycle per group
-    *  - `graft_dp_counts(view, key_col, epsilon, seed)` —
-    *    [[Privacy.dpCounts]]: DP released group counts (deterministic
-    *    keyed-draw Laplace — release-once semantics; the seed is
-    *    required and must be a caller-kept secret)
+    *  - `graft_dp_counts(view, key_col, epsilon, seed[, domain_view])`
+    *    — [[Privacy.dpCounts]]: DP released group counts
+    *    (deterministic keyed-draw Laplace — release-once semantics;
+    *    the seed is required and must be a caller-kept secret); with
+    *    a one-column public `domain_view`, the known-domain release
+    *    (absent groups publish pure noise — no presence leak)
+    *  - `graft_dp_sum(view, key_col, value_col, epsilon, clip, seed)`
+    *    — [[Privacy.dpSum]]: clipped-contribution DP sums
+    *  - `graft_dp_mean(view, key_col, value_col, epsilon, clip,
+    *    seed)` — [[Privacy.dpMean]]: the ε/2 + ε/2 count+sum pair,
+    *    q6 quotient of the noised halves
     *  - `graft_ann(layout_path, cents_view, probes_view, nprobe, k)` —
     *    IVF ANN over a persisted [[IvfIndex.writeCellLayout]] corpus
     *    from SQL: per probe in the (query_id, v) view, the nprobe
@@ -230,9 +237,23 @@ object SqlTableFunctions {
     // the seed argument is REQUIRED — a defaulted (public) seed makes
     // the deterministic noise recomputable by anyone, zero privacy
     // (see [[Privacy]])
-    register(spark, "graft_dp_counts", 4, 4) { args =>
-      Privacy.dpCounts(spark.table(args(0)), args(1), args(2).toDouble,
-        args(3))
+    register(spark, "graft_dp_counts", 4, 5) { args =>
+      // optional 5th arg: a one-column view of the PUBLIC key domain
+      // (the known-domain release — absent groups publish pure noise)
+      args.lift(4) match {
+        case Some(domainView) => Privacy.dpCounts(spark.table(args(0)),
+          args(1), args(2).toDouble, args(3), spark.table(domainView))
+        case None => Privacy.dpCounts(spark.table(args(0)), args(1),
+          args(2).toDouble, args(3))
+      }
+    }
+    register(spark, "graft_dp_sum", 6, 6) { args =>
+      Privacy.dpSum(spark.table(args(0)), args(1), args(2),
+        args(3).toDouble, args(4).toLong, args(5))
+    }
+    register(spark, "graft_dp_mean", 6, 6) { args =>
+      Privacy.dpMean(spark.table(args(0)), args(1), args(2),
+        args(3).toDouble, args(4).toLong, args(5))
     }
     register(spark, "graft_seasonal_strength", 5, 6) { args =>
       SeriesStats.seasonalStrength(spark.table(args(0)), args(1),

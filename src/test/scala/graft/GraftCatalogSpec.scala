@@ -92,6 +92,29 @@ class GraftCatalogSpec extends SparkSuite {
       spark.table(s"$Cat.search.junk").collect())
   }
 
+  test("a micro-batch STREAM resolves through the catalog too: " +
+      "readStream.table(<cat>.ns.layout) tails the layout's appends " +
+      "exactly like the format spelling") {
+    ready
+    import graft.operators.IvfIndex
+    val ckpt = "/tmp/graft_catalog_spec_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.table(s"$Cat.ann.cells")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame,
+          id: java.lang.Long) =>
+        seen.synchronized { seen += ((id.longValue, df.count())) }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // the first trigger delivered the whole base, through the catalog
+    val total = spark.read.format("graft.sources.CellsSource")
+      .option("path", s"$root/ann/cells").load().count()
+    assert(seen.map(_._2).sum == total && total > 0,
+      seen.toString)
+  }
+
   test("DDL through the catalog is refused (read-focused), and a " +
       "stamped-vs-option geometry mismatch is refused at open time") {
     ready

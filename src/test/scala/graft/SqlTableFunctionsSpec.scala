@@ -348,6 +348,31 @@ class SqlTableFunctionsSpec extends SparkSuite {
         "'source', '0.5')").collect())
   }
 
+  test("graft_dp_sum / graft_dp_mean / the known-domain dp_counts " +
+      "variant equal their Privacy operators") {
+    import graft.operators.Privacy
+    SqlTableFunctions.registerAll(spark)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars")
+    docs.createOrReplaceTempView("tvf_dp_docs2")
+    (0 to 24).map(i => s"src$i").toDF("source")
+      .createOrReplaceTempView("tvf_dp_domain")
+    same(
+      spark.sql("SELECT * FROM graft_dp_sum('tvf_dp_docs2', " +
+        "'source', 'n_chars', '0.5', '400', 'secret:s:')"),
+      Privacy.dpSum(docs, "source", "n_chars", 0.5, 400L, "secret:s:"))
+    same(
+      spark.sql("SELECT * FROM graft_dp_mean('tvf_dp_docs2', " +
+        "'source', 'n_chars', '0.5', '400', 'secret:m:')"),
+      Privacy.dpMean(docs, "source", "n_chars", 0.5, 400L,
+        "secret:m:"))
+    same(
+      spark.sql("SELECT * FROM graft_dp_counts('tvf_dp_docs2', " +
+        "'source', '0.5', 'secret:d:', 'tvf_dp_domain')"),
+      Privacy.dpCounts(docs, "source", 0.5, "secret:d:",
+        (0 to 24).map(i => s"src$i").toDF("source")))
+  }
+
   test("graft_ann equals the DataFrame IVF probe over a written cell " +
       "layout (the written-artifact case); alien centroid views are " +
       "refused") {
