@@ -140,6 +140,38 @@ object TxBatch {
   def liveBatchDirs(s: SparkSession, root: String): Seq[String] =
     liveBatchDirsFs(fsOf(s, new Path(root)), new Path(root)).map(_.toString)
 
+  /** `(effective base, live batch dirs)` from ONE directory listing —
+    * the scan-time face ([[baseDirFs]]/[[liveBatchDirsFs]] each list
+    * independently; a connector's `files` runs per scan, so the
+    * listing count is on the probe's critical path). */
+  private[graft] def layoutUnitsFs(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): (Path, Seq[Path]) = {
+    if (!fs.exists(root)) return (root, Seq.empty)
+    val dirs = fs.listStatus(root).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+    val bases = dirs.filter(_.getName.startsWith("_base-"))
+    val base =
+      if (bases.isEmpty) root
+      else bases.maxBy(_.getName.stripPrefix("_base-").toLong)
+    val applied: Set[Long] =
+      if (base == root) Set.empty
+      else {
+        val f = new Path(base, AppliedFile)
+        if (!fs.exists(f)) Set.empty
+        else {
+          val in = fs.open(f)
+          val text =
+            try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          mapper.readValue(text.trim, classOf[Array[Long]]).toSet
+        }
+      }
+    val live = dirs.filter(_.getName.startsWith("_batch-"))
+      .sortBy(_.getName).filterNot(d => applied.contains(idOf(d)))
+    (base, live)
+  }
+
   /** Stage `data` (+ optional one-row `stats`) for `batchId` under
     * `root` and publish atomically. Returns whether THIS call applied
     * the batch (false = already committed, or lost the publish race).

@@ -179,11 +179,14 @@ object CellsSource {
   }
 
   /** The layout's commit-unit directories: effective base + live
-    * batches (shared by all three connectors). */
+    * batches, from ONE listing (shared by all three connectors —
+    * `files` runs per scan, so listing count sits on the probe's
+    * critical path). */
   private[sources] def commitUnits(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path): Seq[Path] =
-    graft.operators.TxBatch.baseDirFs(fs, root) +:
-      graft.operators.TxBatch.liveBatchDirsFs(fs, root)
+      root: Path): Seq[Path] = {
+    val (base, live) = graft.operators.TxBatch.layoutUnitsFs(fs, root)
+    base +: live
+  }
 
   /** A commit unit's allowlist name: `.` for the legacy root base,
     * the directory name (`_base-<gen>` / `_batch-<id>`) otherwise. */
