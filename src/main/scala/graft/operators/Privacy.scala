@@ -125,6 +125,71 @@ object Privacy {
         releaseRound(col("noise_micro")))
   }
 
+  /** DP released MEDIANS per `keyCol` group via the EXPONENTIAL
+    * mechanism (McSherry–Talwar 2007) — the non-additive release
+    * shape: a median's sensitivity is huge (one row can move it
+    * arbitrarily), so Laplace noise on the value is useless; instead
+    * the mechanism samples an output v from the PUBLIC grid
+    * [0, gridMax] with probability ∝ exp(ε·u(v)/2) for the rank
+    * utility u(v) = −| #{x < v} − #{x > v} | (sensitivity 1: one row
+    * moves the balance by at most 1).
+    *
+    * Exactness over both engines is the design constraint, so the
+    * budget is FIXED at ε = 2·ln 2: the weight becomes exp(−k·ln 2) =
+    * 2^(−k) — an exact power of two, scaled to the long 2^(20−k) and
+    * truncated at rank distance k > 20 (the truncated exponential
+    * mechanism; the tail's total mass is < 2^−20 of the peak's).
+    * No transcendental is ever evaluated, so the oracle replays the
+    * release bit-for-bit — the M15 rule extended to a mechanism that
+    * normally NEEDS exp(). The draw is the same keyed-md5 uniform:
+    * target = u32·totalW DIV 2^32 (positive longs — DIV == // both
+    * engines; gridMax < 1024 keeps u32·totalW under 2^63), released =
+    * the first grid value whose cumulative weight exceeds the target.
+    * Values clip into the grid (sensitivity would otherwise leak
+    * through the clamp); the SAME seed rules as [[dpCounts]] apply.
+    * Output: `(keyCol, n_true, released_median)` — n_true audit-only.
+    *
+    * Shape: one map-combinable (key, value) count, then everything on
+    * the bounded key × grid relation (≤ 1024·keys rows; the window
+    * partitions by key). */
+  def dpMedian(df: DataFrame, keyCol: String, valueCol: String,
+      gridMax: Long, seed: String): DataFrame = {
+    require(gridMax > 0L && gridMax < 1024L,
+      s"gridMax must be in (0, 1024) — u32·totalW must stay a long " +
+        s"(got $gridMax)")
+    import org.apache.spark.sql.expressions.Window
+    val clipped = least(greatest(col(valueCol).cast("long"), lit(0L)),
+      lit(gridMax))
+    val byVal = df.select(col(keyCol), clipped.as("v"))
+      .groupBy(col(keyCol), col("v")).agg(count(lit(1)).as("c"))
+    val grid = byVal.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(sequence(lit(0L), lit(gridMax))).as("v"))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("v"))
+    val wAll = Window.partitionBy(col(keyCol))
+    grid.join(byVal, Seq(keyCol, "v"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("le", sum(col("c")).over(wOrd))
+      .withColumn("n_true", sum(col("c")).over(wAll))
+      // k = |#{x<v} − #{x>v}| = |2·le − c − n| — 0 at the median
+      .withColumn("k",
+        abs(lit(2L) * col("le") - col("c") - col("n_true")))
+      // 2^(20−k) is exact in double for k ≤ 20 (the only power
+      // evaluated), zero past the truncation
+      .withColumn("w", when(col("k") <= lit(20L),
+        expr("CAST(power(2.0, 20 - k) AS BIGINT)")).otherwise(lit(0L)))
+      .withColumn("cumw", sum(col("w")).over(wOrd))
+      .withColumn("totw", sum(col("w")).over(wAll))
+      .withColumn("u32", Sampling.keyHash32(col(keyCol), seed))
+      .withColumn("target", expr("u32 * totw DIV 4294967296"))
+      // the drawn value: first v with cumW > target (w = 0 rows can
+      // never straddle the target)
+      .filter(col("cumw") > col("target") &&
+        col("cumw") - col("w") <= col("target"))
+      .select(col(keyCol), col("n_true"),
+        col("v").as("released_median"))
+  }
+
   /** ε-DP released means per `keyCol` group: the canonical count+sum
     * pair, each released under ε/2 (sequential composition: the two
     * queries read the same rows, so the budgets ADD — total ε). The

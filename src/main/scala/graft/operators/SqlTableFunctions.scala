@@ -117,6 +117,10 @@ object SqlTableFunctions {
     *  - `graft_dp_mean(view, key_col, value_col, epsilon, clip,
     *    seed)` — [[Privacy.dpMean]]: the ε/2 + ε/2 count+sum pair,
     *    q6 quotient of the noised halves
+    *  - `graft_dp_median(view, key_col, value_col, grid_max, seed)` —
+    *    [[Privacy.dpMedian]]: the exponential mechanism over the
+    *    public [0, grid_max] grid at ε = 2·ln 2 (exact power-of-two
+    *    weights — no transcendental)
     *  - `graft_ann(layout_path, cents_view, probes_view, nprobe, k)` —
     *    IVF ANN over a persisted [[IvfIndex.writeCellLayout]] corpus
     *    from SQL: per probe in the (query_id, v) view, the nprobe
@@ -254,6 +258,10 @@ object SqlTableFunctions {
     register(spark, "graft_dp_mean", 6, 6) { args =>
       Privacy.dpMean(spark.table(args(0)), args(1), args(2),
         args(3).toDouble, args(4).toLong, args(5))
+    }
+    register(spark, "graft_dp_median", 5, 5) { args =>
+      Privacy.dpMedian(spark.table(args(0)), args(1), args(2),
+        args(3).toLong, args(4))
     }
     register(spark, "graft_seasonal_strength", 5, 6) { args =>
       SeriesStats.seasonalStrength(spark.table(args(0)), args(1),

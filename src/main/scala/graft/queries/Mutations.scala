@@ -592,6 +592,24 @@ object Mutations {
           epsilon = 0.5, clip = 400L, seed = "dpm:v1:")
         .orderBy($"source")
     }),
+
+    // M20: DP released MEDIAN via the exponential mechanism — the
+    // non-additive release (a median's sensitivity is unbounded, so
+    // Laplace on the value is useless; the mechanism samples the
+    // PUBLIC grid [0, 600] with weight exp(ε·u/2) for the rank
+    // utility u = −|#{x<v} − #{x>v}|). ε is FIXED at 2·ln 2 so the
+    // weight is the exact power of two 2^(−k) (scaled 2^(20−k),
+    // truncated past k = 20) — no transcendental is evaluated, so
+    // both engines replay the release bit-for-bit (the one power
+    // computed, 2^(20−k), is exact in double). Draw: keyed md5
+    // uniform, target = u32·totalW DIV 2^32 on positive longs.
+    "dp_median_release" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Privacy
+        .dpMedian(Tables.documents(s, dir), "source", "n_chars",
+          gridMax = 600L, seed = "dpq:v1:")
+        .orderBy($"source")
+    }),
   )
 
   private def chSelect(cols: String*): String = OrderCols.map { c =>
@@ -1059,5 +1077,53 @@ object Mutations {
         |    CAST(GREATEST(released_count, CAST(1 AS BIGINT)) AS DOUBLE) *
         |    1000000.0 + 0.5) / 1000000.0 AS released_mean
         |FROM n ORDER BY source""".stripMargin,
+
+    // the exponential mechanism replayed exactly: rank utility over
+    // the public 0..600 grid, power-of-two weights 2^(20−k) (the one
+    // power is exact in double), keyed-md5 draw, positive // division
+    "dp_median_release" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    LEAST(GREATEST(CAST(n_chars AS BIGINT), 0), 600) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, CAST(g.range AS BIGINT) AS v
+        |  FROM (SELECT DISTINCT source FROM documents) s
+        |  CROSS JOIN range(0, 601) g),
+        |j AS (
+        |  SELECT grid.source, grid.v,
+        |    COALESCE(c.c, CAST(0 AS BIGINT)) AS c
+        |  FROM grid LEFT JOIN c
+        |    ON grid.source = c.source AND grid.v = c.v),
+        |w AS (
+        |  SELECT source, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY v)
+        |      AS BIGINT) AS le,
+        |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_true
+        |  FROM j),
+        |x AS (
+        |  SELECT source, v, n_true,
+        |    CASE WHEN ABS(2 * le - c - n_true) <= 20
+        |      THEN CAST(power(2.0, 20 - ABS(2 * le - c - n_true))
+        |        AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS wt
+        |  FROM w),
+        |y AS (
+        |  SELECT source, v, n_true, wt,
+        |    CAST(SUM(wt) OVER (PARTITION BY source ORDER BY v)
+        |      AS BIGINT) AS cumw,
+        |    CAST(SUM(wt) OVER (PARTITION BY source) AS BIGINT) AS totw,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5('dpq:v1:' || CAST(source AS VARCHAR)),
+        |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u32
+        |  FROM x)
+        |SELECT source, n_true, v AS released_median
+        |FROM y
+        |WHERE cumw > (u32 * totw) // 4294967296
+        |  AND cumw - wt <= (u32 * totw) // 4294967296
+        |ORDER BY source""".stripMargin,
   )
 }

@@ -130,6 +130,53 @@ class PrivacySpec extends SparkSuite {
     }
   }
 
+  test("dpMedian (exponential mechanism): a peaked group releases its " +
+      "exact median (the 2^20 peak dominates the truncated tail), and " +
+      "the engine's draw equals an independent from-first-principles " +
+      "replay of the mechanism") {
+    import graft.operators.{Privacy, Sampling}
+    // a degenerate group: every value equal → only the median's grid
+    // point carries weight (k = 0 there, k = n elsewhere; n > 20
+    // truncates the rest to zero) — released == the true value for
+    // EVERY seed
+    val peaked = Seq.fill(30)(("p", 77L)).toDF("source", "n_chars")
+    val rp = Privacy.dpMedian(peaked, "source", "n_chars", 600L,
+      "secret:q:").collect()
+    assert(rp.length == 1 && rp.head.getLong(1) == 30L &&
+      rp.head.getLong(2) == 77L)
+    // the real fixture: replay the mechanism independently in Scala
+    // (grid walk + power-of-two weights + the keyed draw) and assert
+    // the engine released exactly that value per key
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars")
+    val released = Privacy.dpMedian(docs, "source", "n_chars", 600L,
+      "secret:q:").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val vals = docs.select($"source", $"n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(v => math.min(math.max(v._2, 0L), 600L)).sorted }
+    val u32s = docs.select($"source",
+      Sampling.keyHash32($"source", "secret:q:")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    vals.foreach { case (k, xs) =>
+      val n = xs.length.toLong
+      val weights = (0L to 600L).map { v =>
+        val le = xs.count(_ <= v).toLong
+        val c = xs.count(_ == v).toLong
+        val kDist = math.abs(2L * le - c - n)
+        if (kDist <= 20L) 1L << (20L - kDist).toInt else 0L
+      }
+      val tot = weights.sum
+      val target = u32s(k) * tot / 4294967296L
+      var cum = 0L
+      val drawn = (0L to 600L).find { v =>
+        cum += weights(v.toInt); cum > target }.get
+      assert(released(k) == ((n, drawn)),
+        s"key $k: engine ${released(k)} vs replay ($n, $drawn)")
+    }
+  }
+
   test("dpMean's two halves are independent PRF draws from one seed: " +
       "the count noise equals a dpCounts draw at eps/2 under " +
       "seed+'count:', and the released mean is the q6 quotient of " +

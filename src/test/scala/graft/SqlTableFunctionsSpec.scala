@@ -371,6 +371,10 @@ class SqlTableFunctionsSpec extends SparkSuite {
         "'source', '0.5', 'secret:d:', 'tvf_dp_domain')"),
       Privacy.dpCounts(docs, "source", 0.5, "secret:d:",
         (0 to 24).map(i => s"src$i").toDF("source")))
+    same(
+      spark.sql("SELECT * FROM graft_dp_median('tvf_dp_docs2', " +
+        "'source', 'n_chars', '600', 'secret:q:')"),
+      Privacy.dpMedian(docs, "source", "n_chars", 600L, "secret:q:"))
   }
 
   test("graft_ann equals the DataFrame IVF probe over a written cell " +
