@@ -293,14 +293,21 @@ object TxBatch {
     * identity for a plain compaction); `metaJson` stages a new
     * `_graft_meta.json` INSIDE the base generation so geometry swaps
     * under the SAME atomic rename as content; `force` publishes a
-    * new generation even with no live batches (a pure rewrite). */
+    * new generation even with no live batches (a pure rewrite);
+    * `schema` enables BASELESS roots (the live-consumer pairs sinks,
+    * where every row arrived through a trigger): the base read takes
+    * the explicit schema, so an empty gen-0 base — a root holding
+    * only `_batch-*` dirs — reads as the empty relation instead of
+    * failing inference. */
   def compact(s: SparkSession, root: String,
       partitionCol: String = "bucket",
       stats: Option[DataFrame] = None,
       crashBeforePublish: Boolean = false,
       transform: DataFrame => DataFrame = identity,
       metaJson: Option[String] = None,
-      force: Boolean = false): Boolean = {
+      force: Boolean = false,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Boolean = {
     val r = new Path(root)
     val fs = fsOf(s, r)
     // sweep leftovers of a compact that crashed between rename and
@@ -328,9 +335,11 @@ object TxBatch {
       .toSeq.sorted
     // one read per root, unioned: partition inference refuses several
     // partitioned roots in one read (conflicting-structures)
+    def readRoot(p: String): DataFrame =
+      schema.fold(s.read)(s.read.schema(_)).parquet(p)
     val data = transform(
-      live.foldLeft(s.read.parquet(base.toString))((acc, b) =>
-        acc.unionByName(s.read.parquet(b.toString))))
+      live.foldLeft(readRoot(base.toString))((acc, b) =>
+        acc.unionByName(readRoot(b.toString))))
     val staging = new Path(root, s"_staging-base-$newGen-" +
       java.util.UUID.randomUUID().toString.take(8))
     data.write.mode(SaveMode.Overwrite)

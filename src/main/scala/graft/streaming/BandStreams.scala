@@ -152,11 +152,14 @@ object BandStreams {
       .withColumn("bucket", pmod(col("batch_doc"), lit(32L)))
   }
 
-  /** All verified pairs published so far — the union of committed
-    * [[TxBatch]] batches (there is no base relation; every pair
-    * arrives through a trigger). */
+  /** All verified pairs published so far — the compacted base
+    * generation (if [[compactPairs]] has run) plus the union of LIVE
+    * committed [[TxBatch]] batches (at gen 0 there is no base
+    * relation; every pair arrives through a trigger). */
   def readPairs(s: SparkSession, pairsPath: String): DataFrame = {
-    val dirs = TxBatch.committedDirs(s, pairsPath)
+    val base = TxBatch.baseDir(s, pairsPath)
+    val dirs = (if (base == pairsPath) Seq.empty else Seq(base)) ++
+      TxBatch.liveBatchDirs(s, pairsPath)
     if (dirs.isEmpty)
       s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], PairsSchema)
@@ -168,4 +171,14 @@ object BandStreams {
     else dirs.map(s.read.schema(PairsSchema).parquet(_))
       .reduce(_ unionByName _)
   }
+
+  /** Fold the pairs sink's committed trigger batches into one base
+    * generation ([[TxBatch.compact]] with the explicit pairs schema —
+    * the sink is BASELESS at gen 0): a long-running consumer adds one
+    * `_batch-<id>` per trigger forever, and [[readPairs]]' union
+    * fan-in grows with it. Re-delivered trigger ids stay no-ops (the
+    * folded set rides the swap). */
+  def compactPairs(s: SparkSession, pairsPath: String): Boolean =
+    TxBatch.compact(s, pairsPath, partitionCol = "bucket",
+      schema = Some(PairsSchema))
 }

@@ -142,11 +142,14 @@ object CellStreams {
         col("cos"), pmod(col("batch_vec"), lit(32L)).as("bucket"))
   }
 
-  /** All verified pairs published so far — the union of committed
-    * [[TxBatch]] batches (there is no base relation; every pair
-    * arrives through a trigger). */
+  /** All verified pairs published so far — the compacted base
+    * generation (if [[compactPairs]] has run) plus the union of LIVE
+    * committed [[TxBatch]] batches (at gen 0 there is no base
+    * relation; every pair arrives through a trigger). */
   def readPairs(s: SparkSession, pairsPath: String): DataFrame = {
-    val dirs = TxBatch.committedDirs(s, pairsPath)
+    val base = TxBatch.baseDir(s, pairsPath)
+    val dirs = (if (base == pairsPath) Seq.empty else Seq(base)) ++
+      TxBatch.liveBatchDirs(s, pairsPath)
     if (dirs.isEmpty)
       s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], PairsSchema)
@@ -156,4 +159,16 @@ object CellStreams {
     else dirs.map(s.read.schema(PairsSchema).parquet(_))
       .reduce(_ unionByName _)
   }
+
+  /** Fold the pairs sink's committed trigger batches into one base
+    * generation ([[TxBatch.compact]] with the explicit pairs schema —
+    * the sink is BASELESS at gen 0): a long-running consumer adds one
+    * `_batch-<id>` per trigger forever, and [[readPairs]]' union
+    * fan-in grows with it. Re-delivered trigger ids stay no-ops (the
+    * folded set rides the swap). Safe while the consumer RUNS — it
+    * only appends new batch ids — but not under concurrent READERS
+    * mid-swap-cleanup tolerant only per the TxBatch old-or-new rule. */
+  def compactPairs(s: SparkSession, pairsPath: String): Boolean =
+    TxBatch.compact(s, pairsPath, partitionCol = "bucket",
+      schema = Some(PairsSchema))
 }

@@ -111,6 +111,46 @@ class CompactionSpec extends SparkSuite {
       !entries(root).exists(_.startsWith("_batch-")), entries(root))
   }
 
+  test("pairs-sink compaction (baseless root): the live consumers' " +
+      "trigger batches fold into one base generation — readPairs " +
+      "content preserved (including empty-trigger markers), replayed " +
+      "trigger ids stay no-ops, fan-in drops to one root") {
+    import graft.streaming.CellStreams
+    val root = "/tmp/graft_compact/pairs"
+    clean(root)
+    def pairsDf(ids: Seq[Long]) = ids.map(i =>
+      (i, i + 100L, (i % 8) + 1L, 0.5 + i * 0.01, i % 32L))
+      .toDF("batch_vec", "corpus_vec", "cell", "cos", "bucket")
+    assert(graft.operators.TxBatch.publish(spark, root, 0L,
+      pairsDf(Seq(1L, 2L)), None))
+    // an EMPTY trigger still publishes its idempotence marker
+    assert(graft.operators.TxBatch.publish(spark, root, 1L,
+      pairsDf(Seq.empty), None))
+    assert(graft.operators.TxBatch.publish(spark, root, 2L,
+      pairsDf(Seq(3L)), None))
+    def content() = CellStreams.readPairs(spark, root)
+      .collect().map(_.toSeq).toSet
+    val before = content()
+    assert(before.size == 3)
+    assert(CellStreams.compactPairs(spark, root))
+    assert(content() == before)
+    val names = entries(root)
+    assert(names.contains("_base-1") &&
+      !names.exists(_.startsWith("_batch-")), names.toString)
+    // a retried trigger of a folded id publishes nothing
+    assert(!graft.operators.TxBatch.publish(spark, root, 2L,
+      pairsDf(Seq(99L)), None))
+    assert(content() == before)
+    // nothing new to fold → no-op; a fresh trigger + second compact
+    // lands at gen 2 with everything preserved
+    assert(!CellStreams.compactPairs(spark, root))
+    assert(graft.operators.TxBatch.publish(spark, root, 3L,
+      pairsDf(Seq(4L)), None))
+    assert(CellStreams.compactPairs(spark, root))
+    assert(content().size == 4 &&
+      entries(root).contains("_base-2"))
+  }
+
   test("cell-layout compaction: readLayout, readCells and the DSv2 " +
       "connector (cell pushdown) all resolve the new base; nothing " +
       "to fold is a no-op") {
