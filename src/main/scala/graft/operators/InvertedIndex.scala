@@ -183,10 +183,12 @@ object InvertedIndex {
     * base generation after [[compact]]) plus each LIVE batch's staged
     * stats row. */
   def readStats(spark: SparkSession, path: String): DataFrame = {
-    val base = TxBatch.baseDir(spark, path)
-    val baseStats =
-      if (base == path) path + ".stats"
-      else base + "/" + TxBatch.StatsDir
+    // gen-0 vs compacted resolves through compactedBaseDir, never by
+    // comparing the normalized base string against the raw caller
+    // path (a trailing slash or file:/ spelling would mis-route)
+    val baseStats = TxBatch.compactedBaseDir(spark, path)
+      .map(_ + "/" + TxBatch.StatsDir)
+      .getOrElse(path.stripSuffix("/") + ".stats")
     TxBatch.liveBatchDirs(spark, path).map(_ + "/" + TxBatch.StatsDir)
       .foldLeft(spark.read.parquet(baseStats))((acc, d) =>
         acc.unionByName(spark.read.parquet(d)))

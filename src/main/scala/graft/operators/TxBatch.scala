@@ -106,6 +106,19 @@ object TxBatch {
   def baseDir(s: SparkSession, root: String): String =
     baseDirFs(fsOf(s, new Path(root)), new Path(root)).toString
 
+  /** The compacted base directory if a compaction has published one,
+    * None at gen 0 — the Path-safe way to ask "is the base distinct
+    * from the root". Comparing [[baseDir]]'s normalized string against
+    * the caller's RAW path breaks on a trailing slash or a
+    * scheme-qualified spelling (`file:/...`): the gen-0 layout then
+    * takes the compacted branch and reads a nonexistent `_stats`. */
+  def compactedBaseDir(s: SparkSession, root: String): Option[String] = {
+    val r = new Path(root)
+    val fs = fsOf(s, r)
+    val gen = baseGenFs(fs, r)
+    if (gen == 0L) None else Some(new Path(r, s"_base-$gen").toString)
+  }
+
   /** Batch ids already folded into the effective base (empty for the
     * legacy shape). */
   private[graft] def appliedIdsFs(fs: org.apache.hadoop.fs.FileSystem,

@@ -39,10 +39,42 @@ private[sources] class LayoutStreamingWrite(path: String,
   private def epochDir(epochId: Long) =
     new Path(streamRoot, epochId.toString)
 
+  /** One-shot per query run: sweep crash residue a pure-streaming
+    * layout never otherwise clears (the batch lane's publish sweeps
+    * its own stagings; TxBatch.compact sweeps only `_staging-base-*`).
+    * Residue classes: a `_staging-<epoch>-<uuid>` left by a driver
+    * crash between the rename and [[TxBatch.publishStagedDir]], and
+    * abandoned dot-hidden `.staging-stream-<uuid>` roots from prior
+    * query restarts. Both are safe to delete under the layout's
+    * single-STREAM-writer contract: any stream staging root other
+    * than OURS is a dead run's, and a root-level `_staging-<e>-*` of
+    * an epoch at or below the one now committing can never be
+    * in-flight again (epochs are monotone per query; a retried epoch
+    * restages fresh). `_staging-base-*` (a possibly-concurrent
+    * compaction's) is left alone. */
+  @volatile private var sweptResidue = false
+  private def sweepResidue(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, epochId: Long): Unit = {
+    if (sweptResidue || !fs.exists(root)) return
+    sweptResidue = true
+    val ourStream = new Path(streamRoot).getName
+    val epochStaging = "_staging-(\\d+)-[0-9a-f]+".r
+    fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
+      p.getName match {
+        case n if n.startsWith(".staging-stream-") && n != ourStream =>
+          fs.delete(p, true)
+        case epochStaging(e) if e.toLong <= epochId =>
+          fs.delete(p, true)
+        case _ => ()
+      }
+    }
+  }
+
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf.value)
+    sweepResidue(fs, root, epochId)
     val epoch = epochDir(epochId)
     val rels = messages.toSeq.flatMap(extract)
     if (rels.isEmpty) { fs.delete(epoch, true); return }

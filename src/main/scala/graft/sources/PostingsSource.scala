@@ -119,7 +119,8 @@ private[sources] class PostingsTable(path: String, nBuckets: Int)
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new PostingsScanBuilder(path, nBuckets)
+    new PostingsScanBuilder(path, nBuckets,
+      CellsSource.parseRoots(options.get("roots")))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -128,7 +129,8 @@ private[sources] class PostingsTable(path: String, nBuckets: Int)
         SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
-private[graft] class PostingsScanBuilder(path: String, nBuckets: Int)
+private[graft] class PostingsScanBuilder(path: String, nBuckets: Int,
+    roots: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -188,13 +190,13 @@ private[graft] class PostingsScanBuilder(path: String, nBuckets: Int)
   override def build(): Scan =
     new PostingsScan(path, nBuckets, required, buckets, terms, pushed,
       new SerializableHadoopConf(
-        SparkSession.active.sparkContext.hadoopConfiguration))
+        SparkSession.active.sparkContext.hadoopConfiguration), roots)
 }
 
 private[graft] class PostingsScan(path: String, nBuckets: Int,
     required: StructType, buckets: Option[Set[Long]],
     terms: Option[Set[String]], pushed: Array[Filter],
-    hconf: SerializableHadoopConf)
+    hconf: SerializableHadoopConf, roots: Option[Set[String]] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -248,8 +250,15 @@ private[graft] class PostingsScan(path: String, nBuckets: Int,
   private def filesWithSizes: Seq[(String, Long, Long)] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf.value)
-    val roots = CellsSource.commitUnits(fs, root)
-    roots.flatMap { r =>
+    // `roots` bounds the listing to named commit units — the TxBatch
+    // protocol publishes whole unit directories atomically, so the
+    // allowlist is an exact file-set bound (the live consumers'
+    // offset-threading contract, now symmetric across all three
+    // connectors)
+    val rootDirs = CellsSource.commitUnits(fs, root)
+      .filter(r => roots.forall(_.contains(
+        CellsSource.unitName(root, r))))
+    rootDirs.flatMap { r =>
       val dirs = fs.listStatus(r).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
         .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toLong))
@@ -283,6 +292,8 @@ private[graft] class PostingsScan(path: String, nBuckets: Int,
   override def description(): String =
     s"GraftPostingsScan path=$path nBuckets=$nBuckets " +
       s"buckets=${rtBuckets.map(_.toSeq.sorted.mkString("{", ",", "}"))
+        .getOrElse("ALL")} roots=${roots
+        .map(_.toSeq.sorted.mkString("{", ",", "}"))
         .getOrElse("ALL")} files=${files.size} " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 

@@ -147,8 +147,9 @@ object CellStreams {
     * committed [[TxBatch]] batches (at gen 0 there is no base
     * relation; every pair arrives through a trigger). */
   def readPairs(s: SparkSession, pairsPath: String): DataFrame = {
-    val base = TxBatch.baseDir(s, pairsPath)
-    val dirs = (if (base == pairsPath) Seq.empty else Seq(base)) ++
+    // Path-safe gen-0 check (never string equality with the raw
+    // caller path — trailing slash / file:/ spellings mis-route)
+    val dirs = TxBatch.compactedBaseDir(s, pairsPath).toSeq ++
       TxBatch.liveBatchDirs(s, pairsPath)
     if (dirs.isEmpty)
       s.createDataFrame(

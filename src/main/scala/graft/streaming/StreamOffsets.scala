@@ -76,11 +76,30 @@ object StreamOffsets {
   def startRoots(spark: SparkSession, checkpoint: String,
       batchId: Long): Set[String] =
     startFiles(spark, checkpoint, batchId).map { f =>
-      val unit = new Path(f).getParent.getParent
-      if (unit != null && (unit.getName.startsWith("_batch-") ||
-          unit.getName.startsWith("_base-")))
-        unit.getName
-      else graft.sources.CellsSource.BaseRoot
+      val p = new Path(f)
+      val parent = p.getParent
+      val unit = if (parent == null) null else parent.getParent
+      // the layout shape is load-bearing: an offset file at an
+      // unexpected depth silently mapping to the base root '.' would
+      // over-widen the corpus bound and quietly reintroduce the
+      // duplicate-pair race this helper exists to close — refuse
+      // unknown shapes loudly instead
+      require(parent != null && unit != null &&
+        parent.getName.contains("="),
+        s"StreamOffsets.startRoots: offset file $f does not match " +
+          "the layout shape <root>/<key>=<v>/<file> or " +
+          "<root>/<_batch-|_base- unit>/<key>=<v>/<file> — refusing " +
+          "to guess its commit unit")
+      val n = unit.getName
+      if (n.startsWith("_batch-") || n.startsWith("_base-")) n
+      else {
+        require(!n.startsWith("_") && !n.startsWith("."),
+          s"StreamOffsets.startRoots: offset file $f sits under " +
+            s"hidden directory $n, which is not a commit unit " +
+            "(_batch-/_base-) nor a plain layout root — refusing " +
+            "to guess")
+        graft.sources.CellsSource.BaseRoot
+      }
     }
 
   /** Render a root set as the `roots` option value (sorted, comma

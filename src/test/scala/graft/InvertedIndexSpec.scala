@@ -240,4 +240,15 @@ class InvertedIndexSpec extends SparkSuite {
     assert(cand.count() > 0,
       "the probe must see bands committed via the manifest protocol")
   }
+
+  test("readStats resolves gen-0 vs compacted Path-safely: a trailing " +
+      "slash or file: scheme never mis-routes to the compacted branch") {
+    layoutWritten
+    val want = InvertedIndex.readStats(spark, root).count()
+    assert(want > 0)
+    // raw string comparison of baseDir against these spellings would
+    // wrongly take the compacted branch and throw on missing _stats
+    assert(InvertedIndex.readStats(spark, root + "/").count() == want)
+    assert(InvertedIndex.readStats(spark, "file:" + root).count() == want)
+  }
 }

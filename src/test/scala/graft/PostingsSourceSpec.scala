@@ -323,6 +323,36 @@ class PostingsSourceSpec extends SparkSuite {
       "an aborted write must leave the layout unchanged")
   }
 
+  test("the roots allowlist bounds the listing to named commit units " +
+      "— the offset-threading contract, symmetric with bands/cells") {
+    val p = "/tmp/graft_postings_v2/roots_layout"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(p + ".stats"))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val dl = half.select(size(split($"text", " ")).cast("long").as("dl"))
+    InvertedIndex.writeTermLayout(
+      InvertedIndex.buildPostings(half, NB),
+      dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")), p)
+    assert(InvertedIndex.appendPostingsIdempotent(
+      docs.filter($"doc_id" % 2 === 1), p, NB, 7L))
+    def read(rootsOpt: Option[String]) = {
+      val r = spark.read.format("graft.sources.PostingsSource")
+        .option("path", p).option("nBuckets", NB.toString)
+      rootsOpt.fold(r)(v => r.option("roots", v)).load()
+    }
+    val all = read(None).count()
+    val baseOnly = read(Some(".")).count()
+    val batchOnly = read(Some("_batch-7")).count()
+    assert(baseOnly > 0 && batchOnly > 0 && baseOnly + batchOnly == all,
+      s"base=$baseOnly batch=$batchOnly all=$all")
+    // empty allowlist = read nothing (the first trigger's corpus),
+    // distinct from the option being absent
+    assert(read(Some("")).count() == 0)
+    assert(scanOf(read(Some("."))).description().contains("roots={.}"))
+  }
+
   test("no predicate scans every bucket; a bucket predicate prunes " +
       "directly") {
     val full = spark.read.format("graft.sources.PostingsSource")

@@ -540,6 +540,39 @@ class StreamingCurationSpec extends SparkSuite {
       StreamOffsets.startRoots(spark, ckpt, 99L))
   }
 
+  test("startRoots refuses offset files that do not match the layout " +
+      "shape — an unknown depth must not silently widen the corpus " +
+      "bound to the base root") {
+    import graft.streaming.StreamOffsets
+    val ckpt = "/tmp/graft_offsets_shape/ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(ckpt))
+    val dir = new java.io.File(ckpt, "offsets")
+    assert(dir.mkdirs())
+    def writeEntry(files: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, "0"))
+      try {
+        w.println("v1"); w.println("{}")
+        w.println(files.map(f => "\"" + f + "\"")
+          .mkString("[", ",", "]"))
+      } finally w.close()
+    }
+    // a file directly under the root (no <key>=<v> partition parent)
+    writeEntry(Seq("/tmp/layout/stray.parquet"))
+    intercept[IllegalArgumentException](
+      StreamOffsets.startRoots(spark, ckpt, 1L))
+    // a file under a hidden non-commit-unit directory
+    writeEntry(Seq("/tmp/layout/_staging-3-ab/bucket=1/p.parquet"))
+    intercept[IllegalArgumentException](
+      StreamOffsets.startRoots(spark, ckpt, 1L))
+    // the two legal shapes still resolve
+    writeEntry(Seq("/tmp/layout/bucket=1/p.parquet",
+      "/tmp/layout/_batch-7/bucket=2/q.parquet",
+      "/tmp/layout/_base-2/bucket=3/r.parquet"))
+    assert(StreamOffsets.startRoots(spark, ckpt, 1L) ==
+      Set(".", "_batch-7", "_base-2"))
+  }
+
   test("liveSemDedup consumer restart: an append landing while the " +
       "consumer is DOWN is probed exactly once from the checkpoint, " +
       "and the pre-restart pairs are not re-published") {

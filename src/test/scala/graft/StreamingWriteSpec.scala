@@ -140,6 +140,48 @@ class StreamingWriteSpec extends SparkSuite {
       s"aborted epoch left residue: ${entries(root) -- before}")
   }
 
+  test("crash residue sweeps on the streaming lane: stale " +
+      "_staging-<epoch>-* and abandoned .staging-stream-* roots are " +
+      "cleared at commit, committed batches untouched") {
+    val root = "/tmp/graft_swrite/sweep"
+    val ckpt = "/tmp/graft_swrite/sweep_ckpt"
+    clean(root, ckpt)
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val half = docs.filter($"doc_id" % 2 === 0)
+    BandIndex.writeBandLayout(
+      BandIndex.buildBands(half, 0.8, NB), root, 0.8, NB)
+    // plant the two residue classes a pure-streaming layout never
+    // otherwise clears: a dead stream's dot-hidden root and a crashed
+    // epoch's publish staging
+    assert(new java.io.File(root, ".staging-stream-deadrun00001/3")
+      .mkdirs())
+    assert(new java.io.File(root, "_staging-0-abcd1234").mkdirs())
+    val rows = BandIndex.buildBands(
+      docs.filter($"doc_id" % 2 === 1), 0.8, NB)
+      .select($"doc_id", $"band_no".cast("int").as("band_no"),
+        $"band_hash", $"bucket".cast("long").as("bucket"))
+      .as[BandRow].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[BandRow]
+    input.addData(rows)
+    val q = input.toDF()
+      .writeStream.format("graft.sources.BandsSource")
+      .option("path", root).option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val names = entries(root)
+    assert(!names.contains(".staging-stream-deadrun00001"), names)
+    assert(!names.contains("_staging-0-abcd1234"), names)
+    // the epoch itself committed normally
+    assert(names.exists(_.startsWith("_batch-")), names)
+    assert(BandIndex.readLayout(spark, root)
+      .select($"doc_id", $"band_no", $"band_hash")
+      .collect().map(_.toSeq).toSet ==
+      BandIndex.buildBands(docs, 0.8, NB)
+        .select($"doc_id", $"band_no", $"band_hash")
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("cells: streamed vectors land co-celled and probe-able; the " +
       "geometry guard holds at the connector boundary") {
     val root = "/tmp/graft_swrite/cells"
