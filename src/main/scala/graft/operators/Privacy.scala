@@ -134,11 +134,18 @@ object Privacy {
     * utility u(v) = −| #{x < v} − #{x > v} | (sensitivity 1: one row
     * moves the balance by at most 1).
     *
-    * Exactness over both engines is the design constraint, so the
-    * budget is FIXED at ε = 2·ln 2: the weight becomes exp(−k·ln 2) =
-    * 2^(−k) — an exact power of two, scaled to the long 2^(20−k) and
-    * truncated at rank distance k > 20 (the truncated exponential
-    * mechanism; the tail's total mass is < 2^−20 of the peak's).
+    * Exactness over both engines is the design constraint. THIS
+    * overload fixes the budget at ε = 2·ln 2: the weight becomes
+    * exp(−k̂·ln 2) = 2^(−k̂) — an exact power of two, scaled to the
+    * long 2^(20−k̂) and truncated at k̂ > 20 (the truncated
+    * exponential mechanism; the tail's total mass is < 2^−20 of the
+    * peak's). k̂ is the rank distance SHIFTED by its per-group
+    * minimum — probabilities are invariant to the translation, and
+    * the shift guarantees the group's peak always carries the full
+    * 2^20 weight, so no key can silently vanish from the release
+    * (output support must not depend on the private data). The
+    * general-ε overload below trades the power-of-two trick for a
+    * driver-quantized weight table ([[medianWeightTable]]).
     * No transcendental is ever evaluated, so the oracle replays the
     * release bit-for-bit — the M15 rule extended to a mechanism that
     * normally NEEDS exp(). The draw is the same keyed-md5 uniform:
@@ -153,7 +160,70 @@ object Privacy {
     * the bounded key × grid relation (≤ 1024·keys rows; the window
     * partitions by key). */
   def dpMedian(df: DataFrame, keyCol: String, valueCol: String,
-      gridMax: Long, seed: String): DataFrame = {
+      gridMax: Long, seed: String): DataFrame =
+    dpMedianImpl(df, keyCol, valueCol, gridMax, seed,
+      // 2^(20−k) is exact in double for k ≤ 20 (the only power
+      // evaluated), zero past the truncation
+      k => when(k <= lit(20L),
+        expr("CAST(power(2.0, 20 - k) AS BIGINT)")).otherwise(lit(0L)))
+
+  /** Quantized integer weight table for the GENERAL-ε exponential
+    * mechanism: `w(k) = floor(2^20 · exp(−ε·k/2) + 0.5)` as exact
+    * longs, truncated at the first zero. Computed ONCE driver-side —
+    * neither engine ever evaluates `exp()`, so a replaying oracle
+    * embeds the IDENTICAL literal table and the release stays
+    * bit-for-bit (the M20 determinism trick generalized past
+    * ε = 2·ln 2: instead of demanding the weights BE powers of two,
+    * quantize them once and make the quantized table the mechanism).
+    * The quantization is itself ε-respecting in the usual truncated
+    * sense: relative weight error ≤ 2^−20 at the peak, and the
+    * truncated tail carries < 2^−20 of the peak's mass per point. */
+  def medianWeightTable(epsilon: Double): Array[Long] = {
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var k = 0
+    var w = 1L
+    while (w > 0L) {
+      w = math.floor(1048576.0 * math.exp(-epsilon * k / 2.0) + 0.5)
+        .toLong
+      if (w > 0L) buf += w
+      k += 1
+      require(k <= 2048,
+        s"epsilon = $epsilon is too small: the quantized weight " +
+          "table would exceed 2048 entries (k outgrows every " +
+          "realistic rank distance) — release under a larger ε")
+    }
+    buf.toArray
+  }
+
+  /** General-ε DP released MEDIANS — [[dpMedian]] with the budget as
+    * a free parameter: weights come from [[medianWeightTable]]
+    * (driver-quantized exact longs, no engine-side transcendental)
+    * instead of the fixed-ε powers of two. Same grid, draw, shift,
+    * and seed rules. */
+  def dpMedian(df: DataFrame, keyCol: String, valueCol: String,
+      gridMax: Long, epsilon: Double, seed: String): DataFrame = {
+    val table = medianWeightTable(epsilon)
+    val tableLit = typedlit(table.toSeq)
+    dpMedianImpl(df, keyCol, valueCol, gridMax, seed,
+      k => when(k < lit(table.length.toLong),
+        element_at(tableLit, (k + lit(1L)).cast("int")))
+        .otherwise(lit(0L)))
+  }
+
+  /** The shared exponential-mechanism pipeline; `weightOf` maps the
+    * SHIFTED rank distance k̂ = k − min_group(k) to its integer
+    * weight. The shift is the r14-advice fix: probabilities are
+    * invariant to a per-group utility translation (the constant
+    * factors out of the normalization), but the TRUNCATION is not —
+    * un-shifted, a group whose best grid point still has k > 20
+    * (e.g. ≥ 21 rows at each of two adjacent values) had total
+    * weight 0 and silently vanished from the release, making output
+    * support depend on the private data. Shifted, the group's peak
+    * always carries the full 2^20 weight, so every key releases. */
+  private def dpMedianImpl(df: DataFrame, keyCol: String,
+      valueCol: String, gridMax: Long, seed: String,
+      weightOf: Column => Column): DataFrame = {
     require(gridMax > 0L && gridMax < 1024L,
       s"gridMax must be in (0, 1024) — u32·totalW must stay a long " +
         s"(got $gridMax)")
@@ -171,19 +241,20 @@ object Privacy {
       .na.fill(0L, Seq("c"))
       .withColumn("le", sum(col("c")).over(wOrd))
       .withColumn("n_true", sum(col("c")).over(wAll))
-      // k = |#{x<v} − #{x>v}| = |2·le − c − n| — 0 at the median
-      .withColumn("k",
+      // raw k = |#{x<v} − #{x>v}| = |2·le − c − n| — 0 at the median
+      .withColumn("k_raw",
         abs(lit(2L) * col("le") - col("c") - col("n_true")))
-      // 2^(20−k) is exact in double for k ≤ 20 (the only power
-      // evaluated), zero past the truncation
-      .withColumn("w", when(col("k") <= lit(20L),
-        expr("CAST(power(2.0, 20 - k) AS BIGINT)")).otherwise(lit(0L)))
+      // k = the group-shifted rank distance (see the scaladoc above)
+      .withColumn("k",
+        col("k_raw") - min(col("k_raw")).over(wAll))
+      .withColumn("w", weightOf(col("k")))
       .withColumn("cumw", sum(col("w")).over(wOrd))
       .withColumn("totw", sum(col("w")).over(wAll))
       .withColumn("u32", Sampling.keyHash32(col(keyCol), seed))
       .withColumn("target", expr("u32 * totw DIV 4294967296"))
       // the drawn value: first v with cumW > target (w = 0 rows can
-      // never straddle the target)
+      // never straddle the target; totw ≥ 2^20 > 0 by the shift, so
+      // exactly one row per key passes)
       .filter(col("cumw") > col("target") &&
         col("cumw") - col("w") <= col("target"))
       .select(col(keyCol), col("n_true"),

@@ -259,9 +259,15 @@ object SqlTableFunctions {
       Privacy.dpMean(spark.table(args(0)), args(1), args(2),
         args(3).toDouble, args(4).toLong, args(5))
     }
-    register(spark, "graft_dp_median", 5, 5) { args =>
-      Privacy.dpMedian(spark.table(args(0)), args(1), args(2),
-        args(3).toLong, args(4))
+    register(spark, "graft_dp_median", 5, 6) { args =>
+      // optional 6th arg: a general ε — the driver-quantized weight
+      // table replaces the fixed ε = 2·ln 2 powers of two
+      args.lift(5) match {
+        case Some(eps) => Privacy.dpMedian(spark.table(args(0)),
+          args(1), args(2), args(3).toLong, eps.toDouble, args(4))
+        case None => Privacy.dpMedian(spark.table(args(0)), args(1),
+          args(2), args(3).toLong, args(4))
+      }
     }
     register(spark, "graft_seasonal_strength", 5, 6) { args =>
       SeriesStats.seasonalStrength(spark.table(args(0)), args(1),

@@ -610,6 +610,23 @@ object Mutations {
           gridMax = 600L, seed = "dpq:v1:")
         .orderBy($"source")
     }),
+
+    // M20 general-ε: the SAME exponential mechanism at an ARBITRARY
+    // budget (ε = 0.5 here) — the weight exp(−ε·k̂/2) is quantized
+    // ONCE on the driver to the exact-long table
+    // floor(2^20·exp(−ε·k̂/2) + 0.5) (Privacy.medianWeightTable) and
+    // embedded as a LITERAL in both engines, so neither ever
+    // evaluates exp(): the M20 determinism rule freed from the
+    // ε = 2·ln 2 power-of-two restriction. k̂ is the per-group
+    // min-shifted rank distance (shift-invariance of the mechanism;
+    // guarantees the peak always carries weight — no key can vanish).
+    "dp_median_eps" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Privacy
+        .dpMedian(Tables.documents(s, dir), "source", "n_chars",
+          gridMax = 600L, epsilon = 0.5, seed = "dpe:v1:")
+        .orderBy($"source")
+    }),
   )
 
   private def chSelect(cols: String*): String = OrderCols.map { c =>
@@ -1102,13 +1119,17 @@ object Mutations {
         |      AS BIGINT) AS le,
         |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_true
         |  FROM j),
+        |x0 AS (
+        |  SELECT source, v, n_true,
+        |    ABS(2 * le - c - n_true)
+        |      - MIN(ABS(2 * le - c - n_true))
+        |        OVER (PARTITION BY source) AS k
+        |  FROM w),
         |x AS (
         |  SELECT source, v, n_true,
-        |    CASE WHEN ABS(2 * le - c - n_true) <= 20
-        |      THEN CAST(power(2.0, 20 - ABS(2 * le - c - n_true))
-        |        AS BIGINT)
+        |    CASE WHEN k <= 20 THEN CAST(power(2.0, 20 - k) AS BIGINT)
         |      ELSE CAST(0 AS BIGINT) END AS wt
-        |  FROM w),
+        |  FROM x0),
         |y AS (
         |  SELECT source, v, n_true, wt,
         |    CAST(SUM(wt) OVER (PARTITION BY source ORDER BY v)
@@ -1125,5 +1146,63 @@ object Mutations {
         |WHERE cumw > (u32 * totw) // 4294967296
         |  AND cumw - wt <= (u32 * totw) // 4294967296
         |ORDER BY source""".stripMargin,
+
+    // general-ε twin: identical pipeline, but the weight comes from
+    // the SAME driver-quantized literal table the Spark side embeds
+    // (Privacy.medianWeightTable(0.5)) — neither engine evaluates
+    // exp(), so the release replays bit-for-bit at any ε
+    "dp_median_eps" -> {
+      val table = graft.operators.Privacy.medianWeightTable(0.5)
+      val lst = table.mkString("[", ", ", "]")
+      s"""WITH c AS (
+        |  SELECT source,
+        |    LEAST(GREATEST(CAST(n_chars AS BIGINT), 0), 600) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, CAST(g.range AS BIGINT) AS v
+        |  FROM (SELECT DISTINCT source FROM documents) s
+        |  CROSS JOIN range(0, 601) g),
+        |j AS (
+        |  SELECT grid.source, grid.v,
+        |    COALESCE(c.c, CAST(0 AS BIGINT)) AS c
+        |  FROM grid LEFT JOIN c
+        |    ON grid.source = c.source AND grid.v = c.v),
+        |w AS (
+        |  SELECT source, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY v)
+        |      AS BIGINT) AS le,
+        |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_true
+        |  FROM j),
+        |x0 AS (
+        |  SELECT source, v, n_true,
+        |    ABS(2 * le - c - n_true)
+        |      - MIN(ABS(2 * le - c - n_true))
+        |        OVER (PARTITION BY source) AS k
+        |  FROM w),
+        |x AS (
+        |  SELECT source, v, n_true,
+        |    CASE WHEN k < ${table.length}
+        |      THEN CAST(list_extract($lst,
+        |        CAST(k + 1 AS INT)) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS wt
+        |  FROM x0),
+        |y AS (
+        |  SELECT source, v, n_true, wt,
+        |    CAST(SUM(wt) OVER (PARTITION BY source ORDER BY v)
+        |      AS BIGINT) AS cumw,
+        |    CAST(SUM(wt) OVER (PARTITION BY source) AS BIGINT) AS totw,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5('dpe:v1:' || CAST(source AS VARCHAR)),
+        |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u32
+        |  FROM x)
+        |SELECT source, n_true, v AS released_median
+        |FROM y
+        |WHERE cumw > (u32 * totw) // 4294967296
+        |  AND cumw - wt <= (u32 * totw) // 4294967296
+        |ORDER BY source""".stripMargin
+    },
   )
 }

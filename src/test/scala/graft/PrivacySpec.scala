@@ -161,11 +161,93 @@ class PrivacySpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     vals.foreach { case (k, xs) =>
       val n = xs.length.toLong
-      val weights = (0L to 600L).map { v =>
+      val kDists = (0L to 600L).map { v =>
         val le = xs.count(_ <= v).toLong
         val c = xs.count(_ == v).toLong
-        val kDist = math.abs(2L * le - c - n)
-        if (kDist <= 20L) 1L << (20L - kDist).toInt else 0L
+        math.abs(2L * le - c - n)
+      }
+      // the per-group min shift (shift-invariance of the mechanism;
+      // guarantees the peak always carries weight)
+      val minK = kDists.min
+      val weights = kDists.map { kd =>
+        val kHat = kd - minK
+        if (kHat <= 20L) 1L << (20L - kHat).toInt else 0L
+      }
+      val tot = weights.sum
+      val target = u32s(k) * tot / 4294967296L
+      var cum = 0L
+      val drawn = (0L to 600L).find { v =>
+        cum += weights(v.toInt); cum > target }.get
+      assert(released(k) == ((n, drawn)),
+        s"key $k: engine ${released(k)} vs replay ($n, $drawn)")
+    }
+  }
+
+  test("dpMedian's min-shift closes the vanishing-group leak: a group " +
+      "whose best grid point has raw rank distance > 20 still " +
+      "releases (its peak carries the full 2^20 weight)") {
+    import graft.operators.Privacy
+    // 25 rows at 10 and 25 at 11: every grid point has raw
+    // k >= 25 (at v=10: |2*25-25-50| = 25; at v=11: same), so the
+    // UN-shifted truncation zeroed every weight and the group
+    // silently vanished — output support depended on the private data
+    val adversarial = (Seq.fill(25)(("a", 10L)) ++
+      Seq.fill(25)(("a", 11L))).toDF("source", "n_chars")
+    val out = Privacy.dpMedian(adversarial, "source", "n_chars", 600L,
+      "secret:v:").collect()
+    assert(out.length == 1, "the group must not vanish from the release")
+    assert(out.head.getLong(1) == 50L)
+    // the shift leaves only v=10 and v=11 weighted (k̂ = 0 at both,
+    // everything else k̂ ≥ 25) — the release is one of the two
+    assert(Set(10L, 11L).contains(out.head.getLong(2)), out.head.toString)
+    // and the same holds at general ε
+    val outEps = Privacy.dpMedian(adversarial, "source", "n_chars",
+      600L, 0.5, "secret:v:").collect()
+    assert(outEps.length == 1 &&
+      Set(10L, 11L).contains(outEps.head.getLong(2)))
+  }
+
+  test("general-ε dpMedian: the quantized weight table is exact longs " +
+      "with no engine-side exp(), degenerates to the fixed-ε release " +
+      "on a peaked group, and replays from first principles") {
+    import graft.operators.{Privacy, Sampling}
+    // table sanity: ε = 2·ln 2 reproduces the exact powers of two on
+    // the non-truncated range (floor(2^20·2^-k + 0.5) = 2^(20-k))
+    val t2ln2 = Privacy.medianWeightTable(2.0 * math.log(2.0))
+    (0 to 20).foreach(k => assert(t2ln2(k) == (1L << (20 - k)), s"k=$k"))
+    // ε = 0.5: monotone decreasing, peak 2^20, finite truncation
+    val t = Privacy.medianWeightTable(0.5)
+    assert(t.head == 1048576L && t.last > 0L && t.length < 100)
+    assert(t.zip(t.tail).forall { case (a, b) => a >= b })
+    // peaked group: the 2^20 peak dominates at any ε — exact median
+    val peaked = Seq.fill(30)(("p", 77L)).toDF("source", "n_chars")
+    val rp = Privacy.dpMedian(peaked, "source", "n_chars", 600L, 0.5,
+      "secret:e:").collect()
+    assert(rp.length == 1 && rp.head.getLong(2) == 77L)
+    // first-principles replay over the real fixture at ε = 0.5
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars")
+    val released = Privacy.dpMedian(docs, "source", "n_chars", 600L,
+      0.5, "secret:e:").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val vals = docs.select($"source", $"n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(v => math.min(math.max(v._2, 0L), 600L)).sorted }
+    val u32s = docs.select($"source",
+      Sampling.keyHash32($"source", "secret:e:")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    vals.foreach { case (k, xs) =>
+      val n = xs.length.toLong
+      val kDists = (0L to 600L).map { v =>
+        val le = xs.count(_ <= v).toLong
+        val c = xs.count(_ == v).toLong
+        math.abs(2L * le - c - n)
+      }
+      val minK = kDists.min
+      val weights = kDists.map { kd =>
+        val kHat = (kd - minK).toInt
+        if (kHat < t.length) t(kHat) else 0L
       }
       val tot = weights.sum
       val target = u32s(k) * tot / 4294967296L

@@ -375,6 +375,13 @@ class SqlTableFunctionsSpec extends SparkSuite {
       spark.sql("SELECT * FROM graft_dp_median('tvf_dp_docs2', " +
         "'source', 'n_chars', '600', 'secret:q:')"),
       Privacy.dpMedian(docs, "source", "n_chars", 600L, "secret:q:"))
+    // the optional 6th arg releases under a general ε (the quantized
+    // weight table)
+    same(
+      spark.sql("SELECT * FROM graft_dp_median('tvf_dp_docs2', " +
+        "'source', 'n_chars', '600', 'secret:q:', '0.5')"),
+      Privacy.dpMedian(docs, "source", "n_chars", 600L, 0.5,
+        "secret:q:"))
   }
 
   test("graft_ann equals the DataFrame IVF probe over a written cell " +
