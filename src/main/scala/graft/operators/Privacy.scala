@@ -261,6 +261,94 @@ object Privacy {
         col("v").as("released_median"))
   }
 
+  /** Schema of the DP release ledger ([[recordRelease]]): one row per
+    * release, the persisted evidence that makes the ε-composition
+    * rule ENFORCEABLE instead of advisory. `seed_fp` is the md5
+    * FINGERPRINT of the release seed — the seed itself is never
+    * stored (a stored seed would let any ledger reader recompute and
+    * subtract the noise); `released_at` is a caller-declared label
+    * (the release process stamps it — the ledger itself never reads a
+    * clock, so replays are deterministic); `bucket` partitions the
+    * ledger for the TxBatch protocol (pmod(release_id, 32)). */
+  val LedgerSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("release_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dataset",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("mechanism",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("key_col",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("epsilon_micro",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_keys",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("seed_fp",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("released_at",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** md5 hex fingerprint of a release seed — what the ledger stores
+    * in place of the seed (same release ⇒ same fingerprint, but the
+    * fingerprint reveals nothing the PRF draw depends on). */
+  def seedFingerprint(seed: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Record one DP release in the ledger at `ledgerPath`,
+    * idempotently by `releaseId` (the [[TxBatch]] manifest protocol —
+    * the `_batch-<releaseId>` directory is both the row and the
+    * no-op marker, so a retried release pipeline never double-counts
+    * its ε). `epsilonMicro` is the spent budget in micro-ε (exact
+    * long — the audit sums it with no floating error); `nKeys` the
+    * released key-domain size; `releasedAt` a caller-declared stamp.
+    * Returns whether THIS call recorded the release. */
+  def recordRelease(s: org.apache.spark.sql.SparkSession,
+      ledgerPath: String, releaseId: Long, dataset: String,
+      mechanism: String, keyCol: String, epsilonMicro: Long,
+      nKeys: Long, seed: String, releasedAt: String): Boolean = {
+    require(epsilonMicro > 0L,
+      s"epsilon_micro must be positive, got $epsilonMicro")
+    val row = org.apache.spark.sql.Row(releaseId, dataset, mechanism,
+      keyCol, epsilonMicro, nKeys, seedFingerprint(seed), releasedAt,
+      ((releaseId % 32L) + 32L) % 32L)
+    val df = s.createDataFrame(
+      java.util.Collections.singletonList(row), LedgerSchema)
+    TxBatch.publish(s, ledgerPath, releaseId, df, None,
+      crashBeforePublish = false, partitionCol = "bucket")
+  }
+
+  /** Every recorded release — the compacted base generation (if the
+    * ledger has been compacted) plus the live committed batches; the
+    * ledger is BASELESS at gen 0 (every row arrives through
+    * [[recordRelease]]), so reads take the explicit schema. */
+  def readLedger(s: org.apache.spark.sql.SparkSession,
+      ledgerPath: String): DataFrame = {
+    val dirs = TxBatch.compactedBaseDir(s, ledgerPath).toSeq ++
+      TxBatch.liveBatchDirs(s, ledgerPath)
+    if (dirs.isEmpty)
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], LedgerSchema)
+    else dirs.map(s.read.schema(LedgerSchema).parquet(_))
+      .reduce(_ unionByName _)
+  }
+
+  /** The budget audit over the ledger: cumulative spent ε (exact
+    * micro-ε longs) per dataset — the row a release-approval gate
+    * reads before authorizing the next release (sequential
+    * composition: budgets over one dataset ADD). */
+  def budgetAudit(s: org.apache.spark.sql.SparkSession,
+      ledgerPath: String): DataFrame =
+    readLedger(s, ledgerPath)
+      .groupBy(col("dataset"))
+      .agg(count(lit(1)).as("n_releases"),
+        sum(col("epsilon_micro")).as("eps_micro_spent"),
+        sum(col("n_keys")).as("n_keys_released"))
+
   /** ε-DP released means per `keyCol` group: the canonical count+sum
     * pair, each released under ε/2 (sequential composition: the two
     * queries read the same rows, so the budgets ADD — total ε). The

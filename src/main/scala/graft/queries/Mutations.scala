@@ -40,6 +40,12 @@ object Mutations {
     u1.unionByName(u2).unionByName(d).unionByName(i)
   }
 
+  /** Build-once-per-dir cache for the dp_budget_audit ledger path
+    * (recording releases runs small driver jobs — Bench must not bill
+    * the build inside every timed pass). */
+  private val ledgerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // M1: CDC apply / MERGE INTO — fold the derived changelog into the
@@ -627,6 +633,57 @@ object Mutations {
           gridMax = 600L, epsilon = 0.5, seed = "dpe:v1:")
         .orderBy($"source")
     }),
+
+    // M21: the DP release LEDGER + budget audit — the piece that
+    // makes the family's composition rule ENFORCEABLE: every fixture
+    // release records (dataset, mechanism, key domain size, exact
+    // micro-ε, md5 seed FINGERPRINT — never the seed, caller-declared
+    // stamp) through the TxBatch idempotent-append protocol, so a
+    // retried release pipeline can never double-count its ε (release
+    // id 1 is deliberately re-recorded below — the no-op marker keeps
+    // the audit single-counted, and the hash gate would catch a
+    // double). The audit is the row a release-approval gate reads:
+    // cumulative spent ε per dataset as exact long micro-ε sums. Key
+    // domain sizes are DATA-dependent (distinct sources / length
+    // buckets), so the oracle recomputes them from the parquet.
+    "dp_budget_audit" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ledger = ledgerCache.computeIfAbsent(dir, d => {
+        val p = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_dp_ledger_v1_${math.abs(d.hashCode)}"
+        val docs = Tables.documents(s, d)
+        val nSources = docs.select($"source").distinct().count()
+        val nBuckets = docs.select(expr("n_chars DIV 100"))
+          .distinct().count()
+        def rec(id: Long, dataset: String, mech: String, key: String,
+            epsMicro: Long, nKeys: Long, seed: String): Unit = {
+          graft.operators.Privacy.recordRelease(s, p, id, dataset,
+            mech, key, epsMicro, nKeys, seed, "2026-08-16")
+          ()
+        }
+        rec(1L, "documents", "counts", "source", 500000L, nSources,
+          "dp:v1:")
+        rec(2L, "documents", "counts_domain", "source", 500000L, 25L,
+          "dpd:v1:")
+        rec(3L, "documents_len", "histogram", "len_bucket", 500000L,
+          nBuckets, "dph:v1:")
+        rec(4L, "documents", "sum", "source", 500000L, nSources,
+          "dps:v1:")
+        rec(5L, "documents", "mean", "source", 500000L, nSources,
+          "dpm:v1:")
+        // ε = 2·ln 2 in micro-ε: floor(1386294.361... + 0.5)
+        rec(6L, "documents", "median", "source", 1386294L, nSources,
+          "dpq:v1:")
+        rec(7L, "documents", "median_eps", "source", 500000L,
+          nSources, "dpe:v1:")
+        // the retried pipeline: re-recording a settled id is a no-op
+        rec(1L, "documents", "counts", "source", 500000L, nSources,
+          "dp:v1:")
+        p
+      })
+      graft.operators.Privacy.budgetAudit(s, ledger)
+        .orderBy($"dataset")
+    }),
   )
 
   private def chSelect(cols: String*): String = OrderCols.map { c =>
@@ -1204,5 +1261,37 @@ object Mutations {
         |  AND cumw - wt <= (u32 * totw) // 4294967296
         |ORDER BY source""".stripMargin
     },
+
+    // the ledger's audit replayed from the fixture's release plan:
+    // the key-domain sizes are data-dependent (distinct sources /
+    // 100-char length buckets), the ε spends are the releases'
+    // literal budgets in exact micro-ε; the duplicate record of
+    // release id 1 must NOT appear (the idempotent-append no-op)
+    "dp_budget_audit" ->
+      """WITH ks AS (
+        |  SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n
+        |  FROM documents),
+        |kb AS (
+        |  SELECT CAST(COUNT(DISTINCT n_chars // 100) AS BIGINT) AS n
+        |  FROM documents),
+        |rel AS (
+        |  SELECT 'documents' AS dataset,
+        |    CAST(500000 AS BIGINT) AS eps, ks.n AS n_keys FROM ks
+        |  UNION ALL SELECT 'documents', CAST(500000 AS BIGINT),
+        |    CAST(25 AS BIGINT)
+        |  UNION ALL SELECT 'documents_len', CAST(500000 AS BIGINT),
+        |    kb.n FROM kb
+        |  UNION ALL SELECT 'documents', CAST(500000 AS BIGINT),
+        |    ks.n FROM ks
+        |  UNION ALL SELECT 'documents', CAST(500000 AS BIGINT),
+        |    ks.n FROM ks
+        |  UNION ALL SELECT 'documents', CAST(1386294 AS BIGINT),
+        |    ks.n FROM ks
+        |  UNION ALL SELECT 'documents', CAST(500000 AS BIGINT),
+        |    ks.n FROM ks)
+        |SELECT dataset, CAST(COUNT(*) AS BIGINT) AS n_releases,
+        |  CAST(SUM(eps) AS BIGINT) AS eps_micro_spent,
+        |  CAST(SUM(n_keys) AS BIGINT) AS n_keys_released
+        |FROM rel GROUP BY dataset ORDER BY dataset""".stripMargin,
   )
 }

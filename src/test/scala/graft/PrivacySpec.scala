@@ -259,6 +259,48 @@ class PrivacySpec extends SparkSuite {
     }
   }
 
+  test("release ledger: records idempotently by release id, stores a " +
+      "seed FINGERPRINT (never the seed), audits as an exact fold, " +
+      "and survives compaction with replayed ids still no-ops") {
+    import graft.operators.{Privacy, TxBatch}
+    val p = "/tmp/graft_privacy_ledger/ledger"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    assert(Privacy.recordRelease(spark, p, 1L, "ds", "counts", "k",
+      500000L, 20L, "topsecret:1:", "2026-01-01"))
+    assert(Privacy.recordRelease(spark, p, 2L, "ds", "sum", "k",
+      250000L, 20L, "topsecret:2:", "2026-01-02"))
+    assert(Privacy.recordRelease(spark, p, 3L, "other", "median", "k",
+      1386294L, 7L, "topsecret:3:", "2026-01-03"))
+    // a retried release pipeline re-records a settled id: no-op
+    assert(!Privacy.recordRelease(spark, p, 2L, "ds", "sum", "k",
+      250000L, 20L, "topsecret:2:", "2026-01-02"))
+    val rows = Privacy.readLedger(spark, p).collect()
+    assert(rows.length == 3)
+    // the seed itself never lands on disk — only its fingerprint
+    rows.foreach(r => assert(!r.toSeq.map(String.valueOf)
+      .exists(_.contains("topsecret")), r.toString))
+    assert(rows.map(_.getAs[String]("seed_fp")).toSet ==
+      Set("topsecret:1:", "topsecret:2:", "topsecret:3:")
+        .map(Privacy.seedFingerprint))
+    def auditMap() = Privacy.budgetAudit(spark, p).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val audit = auditMap()
+    // the audit equals an independent fold of the release plan
+    assert(audit == Map(
+      "ds" -> ((2L, 750000L, 40L)),
+      "other" -> ((1L, 1386294L, 7L))), audit.toString)
+    // the ledger is an ordinary TxBatch layout: it compacts (baseless
+    // at gen 0 — explicit schema), the audit is unchanged, and a
+    // pre-compaction release id replays as a no-op via the folded set
+    assert(TxBatch.compact(spark, p, "bucket",
+      schema = Some(Privacy.LedgerSchema)))
+    assert(auditMap() == audit)
+    assert(!Privacy.recordRelease(spark, p, 1L, "ds", "counts", "k",
+      500000L, 20L, "topsecret:1:", "2026-01-01"))
+    assert(auditMap() == audit)
+  }
+
   test("dpMean's two halves are independent PRF draws from one seed: " +
       "the count noise equals a dpCounts draw at eps/2 under " +
       "seed+'count:', and the released mean is the q6 quotient of " +
