@@ -74,22 +74,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     finally in.close()
   }
 
+  /** The stamp's exact top-level key set — the dispatch input.
+    * Substring sniffing (`meta.contains("\"k\"")`) routed correctly
+    * for the three current stamps but would silently misroute a
+    * future stamp that happens to embed a same-named field; parsing
+    * makes extra/unknown keys harmless and genuine ambiguity LOUD. */
+  private def stampKeys(dir: Path, meta: String): Set[String] = {
+    val node =
+      try GraftCatalog.mapper.readTree(meta)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"unparseable _graft_meta.json at $dir: $meta", e)
+      }
+    require(node != null && node.isObject,
+      s"_graft_meta.json at $dir is not a JSON object: $meta")
+    val it = node.fieldNames()
+    val b = Set.newBuilder[String]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident.namespace().toSeq :+ ident.name())
     if (!fs(dir).exists(dir)) throw new NoSuchTableException(ident)
     val path = dir.toString
     stampOf(dir) match {
-      case Some(meta) if meta.contains("\"k\"") &&
-          meta.contains("\"dim\"") =>
-        val (k, dim) = IvfIndex.readCellMeta(spark, path)
-        new CellsTable(path, k, dim,
-          CellsSource.layoutSchema(spark, path))
-      case Some(meta) if meta.contains("\"tau\"") =>
-        val (_, nb) = BandIndex.readMeta(spark, path)
-        new BandsTable(path, nb)
-      case Some(meta) if meta.contains("\"nBuckets\"") =>
-        new PostingsTable(path,
-          InvertedIndex.readStampedBuckets(spark, path).get)
+      case Some(meta) =>
+        val keys = stampKeys(dir, meta)
+        val isCells = keys("k") && keys("dim")
+        val isBands = keys("tau") && keys("nBuckets")
+        if (isCells && isBands)
+          throw new IllegalArgumentException(
+            s"ambiguous geometry stamp at $dir: carries both the " +
+              s"cell-layout keys (k, dim) and the band-layout keys " +
+              s"(tau, nBuckets) — refusing to guess the layout type " +
+              s"($meta)")
+        if (isCells) {
+          val (k, dim) = IvfIndex.readCellMeta(spark, path)
+          new CellsTable(path, k, dim,
+            CellsSource.layoutSchema(spark, path))
+        } else if (isBands) {
+          val (_, nb) = BandIndex.readMeta(spark, path)
+          new BandsTable(path, nb)
+        } else if (keys("nBuckets")) {
+          new PostingsTable(path,
+            InvertedIndex.readStampedBuckets(spark, path).get)
+        } else throw new NoSuchTableException(ident)
       case _ => throw new NoSuchTableException(ident)
     }
   }
@@ -164,4 +194,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean =
     refuse(s"DROP NAMESPACE ${namespace.mkString(".")}")
+}
+
+private[sources] object GraftCatalog {
+  private[sources] val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
 }

@@ -115,6 +115,140 @@ class GraftCatalogSpec extends SparkSuite {
       seen.toString)
   }
 
+  test("the stamp dispatch parses the exact key set: extra/unknown " +
+      "keys still route correctly, an ambiguous stamp is refused " +
+      "loudly — never silently misrouted") {
+    ready
+    val cat = spark.sessionState.catalogManager.catalog(Cat)
+      .asInstanceOf[graft.sources.GraftCatalog]
+    def craft(name: String, json: String): Unit = {
+      val d = new java.io.File(s"$root/search/$name")
+      d.mkdirs()
+      val w = new java.io.PrintWriter(
+        new java.io.File(d, "_graft_meta.json"))
+      try w.print(json) finally w.close()
+    }
+    // a postings stamp with extra keys (a future writer adding
+    // provenance fields) still routes to the term layout
+    craft("crafted_terms", """{"nBuckets": 16, "note": "prov", "v": 2}""")
+    assert(cat.loadTable(Identifier.of(Array("search"), "crafted_terms"))
+      .name().contains("graft_postings"))
+    // a band stamp that ALSO grew a k-named field must not silently
+    // become a cell layout: k without dim is not the cells key set
+    craft("crafted_bands", """{"tau": 0.8, "nBuckets": 16, "k": 3}""")
+    assert(cat.loadTable(Identifier.of(Array("search"), "crafted_bands"))
+      .name().contains("graft_bands"))
+    // genuinely ambiguous (full cells AND bands key sets): refused
+    craft("crafted_ambig",
+      """{"k": 8, "dim": 64, "tau": 0.8, "nBuckets": 16}""")
+    val e = intercept[IllegalArgumentException](
+      cat.loadTable(Identifier.of(Array("search"), "crafted_ambig")))
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+    // unparseable JSON: loud, not NoSuchTable
+    craft("crafted_bad", """{"nBuckets": """)
+    intercept[IllegalArgumentException](
+      cat.loadTable(Identifier.of(Array("search"), "crafted_bad")))
+    // none of the known key sets: not a table
+    craft("crafted_alien", """{"quux": 1}""")
+    intercept[org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException](
+      cat.loadTable(Identifier.of(Array("search"), "crafted_alien")))
+  }
+
+  test("INSERT INTO through the catalog appends via the connector " +
+      "write builder; a mis-bucketed SQL insert is refused and " +
+      "leaves the layout untouched") {
+    val wroot = "/tmp/graft_catalog_spec_w"
+    val wcat = "graftcatw"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wroot))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val half = docs.filter($"doc_id" % 2 === 0)
+    BandIndex.writeBandLayout(
+      BandIndex.buildBands(half, 0.8, NB), s"$wroot/search/bands",
+      0.8, NB)
+    spark.conf.set(s"spark.sql.catalog.$wcat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$wcat.root", wroot)
+    BandIndex.buildBands(docs.filter($"doc_id" % 2 === 1), 0.8, NB)
+      .createOrReplaceTempView("cat_ins_rows")
+    spark.sql(s"INSERT INTO $wcat.search.bands " +
+      "SELECT doc_id, CAST(band_no AS INT), band_hash, " +
+      "CAST(bucket AS BIGINT) FROM cat_ins_rows")
+    // parity: the SQL-ingested layout equals a full rebuild
+    val got = BandIndex.readLayout(spark, s"$wroot/search/bands")
+      .select($"doc_id", $"band_no", $"band_hash")
+      .collect().map(_.toSeq).toSet
+    val want = BandIndex.buildBands(docs, 0.8, NB)
+      .select($"doc_id", $"band_no", $"band_hash")
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    // and the catalog read sees it with pushdown intact
+    assert(spark.table(s"$wcat.search.bands").count() == want.size)
+    // a mis-bucketed row is refused AT THE CONNECTOR BOUNDARY through
+    // SQL too (a silently mis-bucketed band row vanishes from every
+    // pruned probe), and the failed job leaves no partial append
+    val before = got
+    intercept[Exception](spark.sql(
+      s"INSERT INTO $wcat.search.bands VALUES " +
+        s"(1, 0, 5, ${(5L % NB) + 1L})"))
+    assert(BandIndex.readLayout(spark, s"$wroot/search/bands")
+      .select($"doc_id", $"band_no", $"band_hash")
+      .collect().map(_.toSeq).toSet == before,
+      "a refused INSERT must leave the layout untouched")
+  }
+
+  test("writeStream.toTable commits through the native " +
+      "STREAMING_WRITE lane (epoch = TxBatch batch id); a " +
+      "re-delivered epoch is a no-op") {
+    val wroot = "/tmp/graft_catalog_spec_ws"
+    val wcat = "graftcatws"
+    val ckpt = s"$wroot/ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wroot))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val half = docs.filter($"doc_id" % 2 === 0)
+    BandIndex.writeBandLayout(
+      BandIndex.buildBands(half, 0.8, NB), s"$wroot/search/bands",
+      0.8, NB)
+    spark.conf.set(s"spark.sql.catalog.$wcat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$wcat.root", wroot)
+    val rows = BandIndex.buildBands(
+      docs.filter($"doc_id" % 2 === 1), 0.8, NB)
+      .select($"doc_id", $"band_no".cast("int").as("band_no"),
+        $"band_hash", $"bucket".cast("long").as("bucket"))
+      .as[BandRow].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[BandRow]
+    input.addData(rows)
+    def start() = input.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable(s"$wcat.search.bands")
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    def content() = BandIndex.readLayout(spark, s"$wroot/search/bands")
+      .select($"doc_id", $"band_no", $"band_hash")
+      .collect().map(_.toSeq).toSet
+    val want = BandIndex.buildBands(docs, 0.8, NB)
+      .select($"doc_id", $"band_no", $"band_hash")
+      .collect().map(_.toSeq).toSet
+    assert(content() == want && want.nonEmpty)
+    // the epoch landed as the TxBatch unit its id names
+    assert(new java.io.File(s"$wroot/search/bands").listFiles()
+      .exists(_.getName.startsWith("_batch-")))
+    // re-delivery: drop the stream's last commit marker, restart —
+    // the replayed epoch finds its _batch-<id> and no-ops
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    assert(new java.io.File(commits, last.toString).delete())
+    new java.io.File(commits, s".$last.crc").delete()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(content() == want,
+      s"re-delivered epoch $last must be a no-op")
+  }
+
   test("DDL through the catalog is refused (read-focused), and a " +
       "stamped-vs-option geometry mismatch is refused at open time") {
     ready
