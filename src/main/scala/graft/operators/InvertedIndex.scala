@@ -198,8 +198,10 @@ object InvertedIndex {
     * generation ([[TxBatch.compact]]) — content-preserving, one
     * atomic rename, replayed batch ids stay no-ops. The merged stats
     * relation folds INTO the new base (`_stats`), so the `.stats`
-    * sibling root is only the gen-0 convention. Quiesce any tailing
-    * stream consumer first (file identity changes). */
+    * sibling root is only the gen-0 convention. A tailing stream
+    * consumer that has processed every committed batch survives via
+    * offset translation; otherwise its next trigger refuses loudly
+    * (TxBatch object doc). */
   def compact(spark: SparkSession, path: String): Boolean =
     TxBatch.compact(spark, path, "bucket",
       Some(readStats(spark, path)))

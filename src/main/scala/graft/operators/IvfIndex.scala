@@ -180,8 +180,10 @@ object IvfIndex {
 
   /** Fold the base and every committed batch into one new base
     * generation ([[TxBatch.compact]]) — content-preserving, one
-    * atomic rename, replayed batch ids stay no-ops. Quiesce any
-    * tailing stream consumer first (file identity changes). */
+    * atomic rename, replayed batch ids stay no-ops. A tailing stream
+    * consumer that has processed every committed batch survives via
+    * offset translation; otherwise its next trigger refuses loudly
+    * (TxBatch object doc). */
   def compact(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean =
     TxBatch.compact(spark, path, "cell")
@@ -262,7 +264,11 @@ object IvfIndex {
       transform = df => assignCells(
         df.select(col("vec_id"), col("v").cast("array<double>").as("v")),
         cents),
-      metaJson = Some(meta), force = true)
+      metaJson = Some(meta), force = true,
+      // re-assignment REWRITES content: a tailing consumer's offset
+      // must refuse translation across this generation, never treat
+      // the re-assigned base as already-delivered
+      contentRewrite = true)
     require(ok, s"relearn at $path lost the publish race")
     cents
   }

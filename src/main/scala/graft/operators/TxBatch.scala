@@ -43,11 +43,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * base as the HIGHEST `_base-<gen>` present (falling back to the
   * legacy root itself), so at every instant — before the rename, after
   * it but before cleanup, after cleanup — they see exactly one
-  * complete layout. NOT safe under a live tailing STREAM consumer:
-  * compaction rewrites file identity, so a micro-batch stream would
-  * re-deliver the whole new base as "new" files — quiesce (stop) any
-  * tailing consumer before compacting, the standard constraint for
-  * file-rewriting compaction without a transaction log.
+  * complete layout.
+  *
+  * Live tailing STREAM consumers survive a compaction through OFFSET
+  * TRANSLATION: compaction rewrites file identity, so a micro-batch
+  * stream's committed offset (a file set) names units that no longer
+  * exist. Each generation records WHICH batch ids it folded
+  * (`_folded.json`, cumulative, riding the same atomic rename), and
+  * the connectors translate a stale offset through it
+  * ([[translateUnits]]): if the consumer had processed every folded
+  * batch — the quiescent-instant maintenance window — the old base
+  * plus those batches ARE the new base, so its files mark as
+  * delivered and nothing re-delivers; otherwise translation REFUSES
+  * loudly with a documented recovery (a half-processed fold is
+  * inseparable at file granularity — silently translating would lose
+  * rows, silently re-reading would duplicate them). Content REWRITES
+  * ([[graft.operators.IvfIndex.relearn]]) mark their generation and
+  * always refuse translation.
   */
 object TxBatch {
 
@@ -59,6 +71,16 @@ object TxBatch {
   /** Name of the folded-batch-id manifest inside a `_base-<gen>`
     * directory (one line of compact JSON — a sorted array of ids). */
   val AppliedFile = "_applied.json"
+
+  /** Name of the fold-history manifest inside a `_base-<gen>`
+    * directory: `{"history": {"<gen>": [ids folded AT that
+    * generation]}, "rewrites": [gens whose fold REWROTE content]}`.
+    * Cumulative (each compaction carries the full map forward), so
+    * the CURRENT base can answer "which batches did generation g
+    * fold" for every g — the input of [[translateUnits]], which is
+    * what lets a live tailing consumer survive a compaction instead
+    * of re-delivering the world. */
+  val FoldedFile = "_folded.json"
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -185,6 +207,165 @@ object TxBatch {
     (base, live)
   }
 
+  /** The cumulative fold history of the CURRENT base generation:
+    * `(gen → ids folded at that gen, generations that were content
+    * REWRITES)`. Empty for gen-0 layouts and for bases compacted
+    * before fold histories were recorded. */
+  private[graft] def foldHistoryFs(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): (Map[Long, Set[Long]], Set[Long]) = {
+    val base = baseDirFs(fs, root)
+    if (base == root) return (Map.empty, Set.empty)
+    val f = new Path(base, FoldedFile)
+    if (!fs.exists(f)) return (Map.empty, Set.empty)
+    val in = fs.open(f)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val node = mapper.readTree(text.trim)
+    val hist = Map.newBuilder[Long, Set[Long]]
+    val h = node.get("history")
+    if (h != null) {
+      val it = h.fieldNames()
+      while (it.hasNext) {
+        val g = it.next()
+        val ids = Set.newBuilder[Long]
+        h.get(g).elements().forEachRemaining(e => ids += e.asLong())
+        hist += g.toLong -> ids.result()
+      }
+    }
+    val rewrites = Set.newBuilder[Long]
+    val rw = node.get("rewrites")
+    if (rw != null) rw.elements().forEachRemaining(e =>
+      rewrites += e.asLong())
+    (hist.result(), rewrites.result())
+  }
+
+  /** A file's commit-unit name under the layout shape
+    * `<root>[/<unit>]/<key>=<v>/<file>`: the grandparent's name when
+    * it is a `_batch-`/`_base-` unit, else the base root `.`. */
+  private[graft] def unitNameOfFile(f: String): String = {
+    val parent = new Path(f).getParent
+    val unit = if (parent == null) null else parent.getParent
+    if (unit != null && (unit.getName.startsWith("_batch-") ||
+        unit.getName.startsWith("_base-"))) unit.getName
+    else "."
+  }
+
+  /** Translate a set of commit-unit names captured BEFORE one or more
+    * compactions into the CURRENT layout's units — what lets a live
+    * tailing consumer (its checkpoint offsets name pre-compaction
+    * units) keep running across a compaction with no row re-delivered
+    * and none lost:
+    *
+    *  - units still active pass through unchanged;
+    *  - the captured base plus every folded batch the consumer HAD
+    *    already processed collapse to the current base (their content
+    *    is the new base, exactly — the compaction invariant);
+    *  - anything else is REFUSED loudly with a documented recovery,
+    *    because translating would silently lose or duplicate rows:
+    *    a folded batch the consumer never processed (its rows are
+    *    inside the new base, inseparable at file granularity), a
+    *    generation that was a content REWRITE (relearn — delivered
+    *    rows are not a subset of the new content), a generation with
+    *    no recorded history, or units deleted outside the protocol.
+    *
+    * `translateUnitsPre` takes the caller's already-listed
+    * `(base, live)` so scan paths pay no second listing. */
+  private[graft] def translateUnits(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, seen: Set[String], context: String): Set[String] = {
+    val (base, live) = layoutUnitsFs(fs, root)
+    translateUnitsPre(fs, root, base, live, seen, context)
+  }
+
+  private[graft] def translateUnitsPre(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, base: Path,
+      live: Seq[Path], seen: Set[String], context: String)
+      : Set[String] = {
+    val baseName = if (base == root) "." else base.getName
+    val liveNames = live.map(_.getName).toSet
+    val active = liveNames + baseName
+    if (seen.subsetOf(active)) return seen // nothing died — fast path
+    val curGen =
+      if (base == root) 0L
+      else base.getName.stripPrefix("_base-").toLong
+    val seenGen = seen.collect {
+      case BaseRootName => 0L
+      case n if n.startsWith("_base-") =>
+        n.stripPrefix("_base-").toLong
+    }.foldLeft(0L)(math.max)
+    val seenIds = seen.collect {
+      case n if n.startsWith("_batch-") =>
+        n.stripPrefix("_batch-").toLong
+    }
+    def fail(why: String): Nothing = throw new IllegalStateException(
+      s"$context: cannot translate pre-compaction commit units " +
+        s"${seen.toSeq.sorted.mkString("{", ",", "}")} to the " +
+        s"current layout at $root (base $baseName): $why. Recovery: " +
+        "stop the consumer and reprocess the layout once from " +
+        "scratch under a FRESH checkpoint (idempotent TxBatch sinks " +
+        "dedup replayed work), or restore the pre-compaction layout " +
+        "from backup and resume the old checkpoint against it.")
+    if (curGen < seenGen)
+      fail(s"the captured base generation $seenGen is NEWER than " +
+        s"the layout's $curGen — the layout was replaced or restored")
+    if (curGen == seenGen)
+      fail("the captured generation matches the layout but " +
+        (seen -- active).toSeq.sorted.mkString(", ") +
+        " no longer exist — deleted outside the compaction protocol")
+    val (hist, rewrites) = foldHistoryFs(fs, root)
+    val gens = (seenGen + 1L) to curGen
+    gens.find(rewrites.contains).foreach(g =>
+      fail(s"generation $g was a content REWRITE (relearn), not a " +
+        "compaction — the rows this consumer delivered are not a " +
+        "subset of the new base"))
+    val missingHist = gens.filterNot(hist.contains)
+    if (missingHist.nonEmpty)
+      fail(s"no fold history for generation(s) " +
+        s"${missingHist.mkString(", ")} (compacted before fold " +
+        "histories were recorded)")
+    val folded = gens.flatMap(g => hist(g)).toSet
+    val undelivered = folded -- seenIds
+    if (undelivered.nonEmpty)
+      fail(s"batch id(s) ${undelivered.toSeq.sorted.mkString(", ")} " +
+        "were folded into the base but this consumer never processed " +
+        "them — their rows are inside the new base, inseparable at " +
+        "file granularity")
+    val deadBases = seen.filter(n =>
+      n == BaseRootName || n.startsWith("_base-")) - baseName
+    val accounted = active ++ deadBases ++
+      folded.map(id => s"_batch-$id")
+    val unknown = seen -- accounted
+    if (unknown.nonEmpty)
+      fail(s"unit(s) ${unknown.toSeq.sorted.mkString(", ")} no " +
+        "longer exist and appear in no generation's fold history — " +
+        "deleted outside the compaction protocol")
+    Set(baseName) ++ (seen intersect liveNames)
+  }
+
+  private val BaseRootName = "."
+
+  /** Translate a pre-compaction offset FILE set into the current
+    * layout: files of still-active units pass through; files of the
+    * old base and of folded-and-processed batches are replaced by the
+    * current base's files from `now` (the caller's fresh listing, so
+    * the caller's own pruning applies consistently). Same refusal
+    * rules as [[translateUnits]]. The fast path (no unit died) costs
+    * no filesystem call. */
+  private[graft] def translateOffsetFiles(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      seen: Set[String], now: Set[String], context: String)
+      : Set[String] = {
+    if (seen.isEmpty) return seen
+    val seenUnits = seen.map(unitNameOfFile)
+    // append-only invariant: a delivered file still exists unless a
+    // compaction swept its unit, so every live seen-unit also appears
+    // in the fresh listing — subset means nothing died
+    if (seenUnits.subsetOf(now.map(unitNameOfFile))) return seen
+    val units = translateUnits(fs, root, seenUnits, context)
+    now.filter(f => units.contains(unitNameOfFile(f)))
+  }
+
   /** Stage `data` (+ optional one-row `stats`) for `batchId` under
     * `root` and publish atomically. Returns whether THIS call applied
     * the batch (false = already committed, or lost the publish race).
@@ -298,8 +479,12 @@ object TxBatch {
     *
     * `crashBeforePublish` is the spec failpoint (staging complete,
     * rename never happens). Returns false when there is nothing to
-    * fold (no live batches) or the publish race was lost. NOT safe
-    * under a live tailing stream consumer (see the object doc).
+    * fold (no live batches) or the publish race was lost. A live
+    * tailing stream consumer survives the fold via offset
+    * translation when it has processed every folded batch; otherwise
+    * its next trigger refuses loudly (see the object doc).
+    * `contentRewrite` marks the generation as NOT content-preserving
+    * (relearn) — translation across it always refuses.
     *
     * `transform` rewrites the merged relation before it lands (the
     * IVF relearn lane re-assigns cells against fresh centroids —
@@ -319,7 +504,8 @@ object TxBatch {
       transform: DataFrame => DataFrame = identity,
       metaJson: Option[String] = None,
       force: Boolean = false,
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      contentRewrite: Boolean = false)
       : Boolean = {
     val r = new Path(root)
     val fs = fsOf(s, r)
@@ -368,6 +554,26 @@ object TxBatch {
     try out.write(mapper.writeValueAsString(newApplied.toArray)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // the cumulative fold history rides the same atomic rename: the
+    // new base records which ids THIS generation folds (plus every
+    // prior generation's), and whether the fold rewrote content —
+    // the inputs a live consumer's offset translation needs
+    val (prevHist, prevRewrites) = foldHistoryFs(fs, r)
+    val hist = prevHist + (newGen -> live.map(idOf).toSet)
+    val rewrites =
+      if (contentRewrite) prevRewrites + newGen else prevRewrites
+    val node = mapper.createObjectNode()
+    val hNode = node.putObject("history")
+    hist.toSeq.sortBy(_._1).foreach { case (g, ids) =>
+      val arr = hNode.putArray(g.toString)
+      ids.toSeq.sorted.foreach(arr.add)
+    }
+    val rwNode = node.putArray("rewrites")
+    rewrites.toSeq.sorted.foreach(rwNode.add)
+    val fOut = fs.create(new Path(staging, FoldedFile), true)
+    try fOut.write(node.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally fOut.close()
     if (crashBeforePublish)
       throw new RuntimeException(
         s"injected crash before compaction publish of gen $newGen " +

@@ -217,10 +217,8 @@ private[graft] class BandsScan(path: String, nBuckets: Int,
     // compaction rule); `roots` bounds the listing to named units —
     // the protocol publishes whole unit directories atomically, so
     // the allowlist is an exact file-set bound (the live consumers'
-    // offset-threading contract)
-    val rootDirs = CellsSource.commitUnits(fs, root)
-      .filter(r => roots.forall(_.contains(
-        CellsSource.unitName(root, r))))
+    // offset-threading contract), translated across compactions
+    val rootDirs = CellsSource.allowedUnits(fs, root, roots)
     rootDirs.flatMap { r =>
       val dirs = fs.listStatus(r).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
@@ -275,7 +273,8 @@ private[graft] class BandsScan(path: String, nBuckets: Int,
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
         .streaming.MicroBatchStream =
-    new BandsMicroBatchStream(this, required.fieldNames, rtHashes, hconf)
+    new BandsMicroBatchStream(this, path, required.fieldNames,
+      rtHashes, hconf)
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map { case (f, b, _) =>
@@ -304,7 +303,7 @@ private[sources] object BandsOffset {
 }
 
 private[sources] class BandsMicroBatchStream(scan: BandsScan,
-    cols: Array[String], hashes: Option[Set[Long]],
+    path: String, cols: Array[String], hashes: Option[Set[Long]],
     hconf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -319,8 +318,16 @@ private[sources] class BandsMicroBatchStream(scan: BandsScan,
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[BandsOffset].files
+    val seen0 = start.asInstanceOf[BandsOffset].files
     val now = end.asInstanceOf[BandsOffset].files
+    // a compaction between triggers rewrote file identity: translate
+    // the committed offset through the fold history (delivered units
+    // map onto the new base) instead of re-delivering the world —
+    // refuses loudly if the fold outran this consumer
+    val root = new Path(path)
+    val seen = graft.operators.TxBatch.translateOffsetFiles(
+      root.getFileSystem(hconf.value), root, seen0, now,
+      s"BandsSource stream at $path")
     (now -- seen).toSeq.sorted.map { f =>
       val bucket = new Path(f).getParent.getName
         .stripPrefix("bucket=").toLong

@@ -170,12 +170,32 @@ object CellsSource {
     * allowlist is an exact file-set bound — the offset-threading
     * contract the live consumers rely on). */
   private[sources] def listCellDirs(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path, allow: Option[Set[String]] = None): Seq[(Path, Long)] = {
-    val roots = commitUnits(fs, root)
-      .filter(r => allow.forall(_.contains(unitName(root, r))))
-    roots.flatMap(r => fs.listStatus(r).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .map(s => (s.getPath, s.getPath.getName.stripPrefix("cell=").toLong)))
+      root: Path, allow: Option[Set[String]] = None): Seq[(Path, Long)] =
+    allowedUnits(fs, root, allow)
+      .flatMap(r => fs.listStatus(r).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .map(s => (s.getPath, s.getPath.getName.stripPrefix("cell=").toLong)))
+
+  /** The layout's commit units restricted to an allowlist, with the
+    * allowlist TRANSLATED across compactions first
+    * ([[graft.operators.TxBatch.translateUnitsPre]]): a live
+    * consumer's corpus bound (the trigger's start-offset units)
+    * stays exact when a compaction folds units between offset
+    * capture and execution — delivered units map onto the new base,
+    * a half-processed fold refuses loudly (reading the new base then
+    * would over-widen the corpus and reintroduce the duplicate-pair
+    * race the bound exists to close). */
+  private[sources] def allowedUnits(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, allow: Option[Set[String]]): Seq[Path] = {
+    val (base, live) = graft.operators.TxBatch.layoutUnitsFs(fs, root)
+    val units = base +: live
+    allow match {
+      case None => units
+      case Some(a) =>
+        val a2 = graft.operators.TxBatch.translateUnitsPre(fs, root,
+          base, live, a, s"roots allowlist at $root")
+        units.filter(u => a2.contains(unitName(root, u)))
+    }
   }
 
   /** The layout's commit-unit directories: effective base + live
@@ -340,7 +360,7 @@ private[graft] class CellsScan(path: String, k: Int,
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
         .streaming.MicroBatchStream =
-    new CellsMicroBatchStream(this, required, hconf)
+    new CellsMicroBatchStream(this, path, required, hconf)
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map { case (f, c, _) =>
@@ -369,7 +389,7 @@ private[sources] object CellsOffset {
 }
 
 private[sources] class CellsMicroBatchStream(scan: CellsScan,
-    required: StructType, hconf: SerializableHadoopConf)
+    path: String, required: StructType, hconf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -383,8 +403,14 @@ private[sources] class CellsMicroBatchStream(scan: CellsScan,
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[CellsOffset].files
+    val seen0 = start.asInstanceOf[CellsOffset].files
     val now = end.asInstanceOf[CellsOffset].files
+    // compaction-survival: translate the committed offset through
+    // the fold history (see BandsMicroBatchStream)
+    val root = new Path(path)
+    val seen = graft.operators.TxBatch.translateOffsetFiles(
+      root.getFileSystem(hconf.value), root, seen0, now,
+      s"CellsSource stream at $path")
     (now -- seen).toSeq.sorted.map { f =>
       val cell = new Path(f).getParent.getName
         .stripPrefix("cell=").toLong

@@ -253,11 +253,9 @@ private[graft] class PostingsScan(path: String, nBuckets: Int,
     // `roots` bounds the listing to named commit units — the TxBatch
     // protocol publishes whole unit directories atomically, so the
     // allowlist is an exact file-set bound (the live consumers'
-    // offset-threading contract, now symmetric across all three
-    // connectors)
-    val rootDirs = CellsSource.commitUnits(fs, root)
-      .filter(r => roots.forall(_.contains(
-        CellsSource.unitName(root, r))))
+    // offset-threading contract, symmetric across all three
+    // connectors), translated across compactions
+    val rootDirs = CellsSource.allowedUnits(fs, root, roots)
     rootDirs.flatMap { r =>
       val dirs = fs.listStatus(r).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
@@ -310,7 +308,8 @@ private[graft] class PostingsScan(path: String, nBuckets: Int,
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
         .streaming.MicroBatchStream =
-    new PostingsMicroBatchStream(this, required.fieldNames, rtTerms, hconf)
+    new PostingsMicroBatchStream(this, path, required.fieldNames,
+      rtTerms, hconf)
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map { case (f, b) =>
@@ -350,7 +349,7 @@ private[sources] object PostingsOffset {
 }
 
 private[sources] class PostingsMicroBatchStream(scan: PostingsScan,
-    cols: Array[String], terms: Option[Set[String]],
+    path: String, cols: Array[String], terms: Option[Set[String]],
     hconf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -365,8 +364,14 @@ private[sources] class PostingsMicroBatchStream(scan: PostingsScan,
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[PostingsOffset].files
+    val seen0 = start.asInstanceOf[PostingsOffset].files
     val now = end.asInstanceOf[PostingsOffset].files
+    // compaction-survival: translate the committed offset through
+    // the fold history (see BandsMicroBatchStream)
+    val root = new Path(path)
+    val seen = graft.operators.TxBatch.translateOffsetFiles(
+      root.getFileSystem(hconf.value), root, seen0, now,
+      s"PostingsSource stream at $path")
     (now -- seen).toSeq.sorted.map { f =>
       val bucket = new Path(f).getParent.getName
         .stripPrefix("bucket=").toLong

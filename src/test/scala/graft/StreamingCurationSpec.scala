@@ -638,4 +638,152 @@ class StreamingCurationSpec extends SparkSuite {
       s"restart must deliver exactly b2's probe: ${pairSet.size} vs " +
         s"${(afterB1 ++ expB2).size}")
   }
+
+  test("compaction and a live tailing consumer COEXIST: a fold in the " +
+      "caught-up maintenance window translates offsets through the " +
+      "fold history - no pair re-published, none lost, including a " +
+      "restart whose checkpoint still names pre-compaction units") {
+    import graft.operators.IvfIndex
+    import graft.streaming.CellStreams
+    val K = 8
+    val Tau = 0.40
+    val base = "/tmp/graft_coexist"
+    Seq("layout", "layout_twin", "pairs", "pairs_twin", "ckpt",
+      "ckpt_twin").foreach(d => org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(s"$base/$d")))
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents = IvfIndex.learnCentroids(emb, K, 1)
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+      .unionAll(corpus.filter($"vec_id" % 17 === 3)
+        .select(($"vec_id" + 10000000L).as("vec_id"), $"v"))
+    val b1 = IvfIndex.assignCells(batch.filter($"vec_id" % 2 === 0), cents)
+    val b2 = IvfIndex.assignCells(batch.filter($"vec_id" % 2 === 1), cents)
+    for (lay <- Seq("layout", "layout_twin"))
+      IvfIndex.writeCellLayout(IvfIndex.assignCells(corpus, cents),
+        s"$base/$lay", K, cents.head.length)
+    // twin lane: the SAME appends, never compacted - ground truth
+    val qt = CellStreams.liveSemDedup(spark, s"$base/layout_twin", Tau,
+      s"$base/pairs_twin", s"$base/ckpt_twin")
+    try {
+      qt.processAllAvailable()
+      assert(IvfIndex.appendCellsIdempotent(b1, s"$base/layout_twin", 1L))
+      qt.processAllAvailable()
+      assert(IvfIndex.appendCellsIdempotent(b2, s"$base/layout_twin", 2L))
+      qt.processAllAvailable()
+    } finally qt.stop()
+    // main lane: trigger, COMPACT while the consumer runs (between
+    // triggers, caught up), trigger again - then a second compact and
+    // a RESTART whose committed offset still names the dead units
+    val q1 = CellStreams.liveSemDedup(spark, s"$base/layout", Tau,
+      s"$base/pairs", s"$base/ckpt")
+    try {
+      q1.processAllAvailable()
+      assert(IvfIndex.appendCellsIdempotent(b1, s"$base/layout", 1L))
+      q1.processAllAvailable()
+      // the maintenance window: every committed batch delivered
+      assert(IvfIndex.compact(spark, s"$base/layout"))
+      assert(IvfIndex.appendCellsIdempotent(b2, s"$base/layout", 2L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // fold AGAIN while the consumer is down: the checkpoint's last
+    // committed offset now names _base-1 + _batch-2, both about to die
+    assert(IvfIndex.compact(spark, s"$base/layout"))
+    val q2 = CellStreams.liveSemDedup(spark, s"$base/layout", Tau,
+      s"$base/pairs", s"$base/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    def pairsOf(path: String) = CellStreams.readPairs(spark, path)
+      .select($"batch_vec", $"corpus_vec", $"cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = pairsOf(s"$base/pairs")
+    val want = pairsOf(s"$base/pairs_twin")
+    assert(got.length == got.toSet.size,
+      s"re-published pairs after compaction: ${got.length} rows, " +
+        s"${got.toSet.size} distinct")
+    assert(got.toSet == want.toSet && want.nonEmpty,
+      s"pairs lost or invented across the folds: got ${got.length}, " +
+        s"want ${want.length}")
+  }
+
+  test("a fold that OUTRAN the consumer refuses loudly: a batch " +
+      "folded before its trigger was processed is inseparable from " +
+      "the new base, so the next trigger fails with the documented " +
+      "recovery instead of silently losing or duplicating rows") {
+    import graft.operators.IvfIndex
+    import graft.streaming.CellStreams
+    val K = 8
+    val base = "/tmp/graft_coexist_refuse"
+    Seq("layout", "pairs", "ckpt").foreach(d =>
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(s"$base/$d")))
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents = IvfIndex.learnCentroids(emb, K, 1)
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    IvfIndex.writeCellLayout(IvfIndex.assignCells(corpus, cents),
+      s"$base/layout", K, cents.head.length)
+    val q1 = CellStreams.liveSemDedup(spark, s"$base/layout", 0.40,
+      s"$base/pairs", s"$base/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    // the consumer is DOWN: append b1, then fold it - the consumer
+    // never processed batch 1, so translation must refuse
+    val b1 = IvfIndex.assignCells(
+      emb.filter($"vec_id" % 10 === 0), cents)
+    assert(IvfIndex.appendCellsIdempotent(b1, s"$base/layout", 1L))
+    assert(IvfIndex.compact(spark, s"$base/layout"))
+    val q2 = CellStreams.liveSemDedup(spark, s"$base/layout", 0.40,
+      s"$base/pairs", s"$base/ckpt")
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] {
+      try q2.processAllAvailable()
+      finally q2.stop()
+      throw new IllegalStateException("expected the refusal")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.toString +: chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("never processed") ||
+      m.contains("cannot translate")), chain(e).mkString("\n"))
+  }
+
+  test("a content REWRITE (relearn) always refuses offset " +
+      "translation: re-assigned rows are not a subset of what the " +
+      "consumer delivered, even when it was fully caught up") {
+    import graft.operators.IvfIndex
+    import graft.streaming.CellStreams
+    val K = 8
+    val base = "/tmp/graft_coexist_relearn"
+    Seq("layout", "pairs", "ckpt").foreach(d =>
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(s"$base/$d")))
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents = IvfIndex.learnCentroids(emb, K, 1)
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    IvfIndex.writeCellLayout(IvfIndex.assignCells(corpus, cents),
+      s"$base/layout", K, cents.head.length)
+    val b1 = IvfIndex.assignCells(
+      emb.filter($"vec_id" % 10 === 0), cents)
+    val q1 = CellStreams.liveSemDedup(spark, s"$base/layout", 0.40,
+      s"$base/pairs", s"$base/ckpt")
+    try {
+      q1.processAllAvailable()
+      assert(IvfIndex.appendCellsIdempotent(b1, s"$base/layout", 1L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // fully caught up - but relearn REWRITES content
+    IvfIndex.relearn(spark, s"$base/layout", iters = 1)
+    val q2 = CellStreams.liveSemDedup(spark, s"$base/layout", 0.40,
+      s"$base/pairs", s"$base/ckpt")
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] {
+      try q2.processAllAvailable()
+      finally q2.stop()
+      throw new IllegalStateException("expected the refusal")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.toString +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("REWRITE")),
+      chain(e).mkString("\n"))
+  }
 }
