@@ -273,6 +273,97 @@ object IvfIndex {
     cents
   }
 
+  /** One maintenance decision — what [[maintain]] publishes: the
+    * drift audit's exact inputs (per-population counts and q6-micro
+    * cosine-affinity masses, the L72 `ivf_append` spelling), the
+    * derived ratio, and whether relearn fired. `generation` and
+    * `centroidVersion` describe the layout AFTER the action. */
+  final case class MaintainDecision(
+      nExisting: Long, nAppended: Long,
+      cosMassExisting6: Long, cosMassAppended6: Long,
+      driftRatioMicro: Long, thresholdMicro: Long,
+      relearned: Boolean, generation: Long,
+      centroidVersion: Option[String])
+
+  /** Close the maintenance loop the L72 drift row measures and S28's
+    * [[relearn]] acts on, AUTOMATICALLY: run the drift audit (mean
+    * q6-micro cosine affinity of the APPENDED population — live
+    * committed batches — against the layout's own centroids, vs the
+    * BASE population's), and relearn iff the appended population's
+    * mean affinity fell below `driftRatio` of the base's. Below the
+    * threshold the layout is untouched (same generation, same
+    * files); above it, [[relearn]] re-clusters and swaps
+    * atomically. The comparison cross-multiplies exact longs in
+    * BigInt (micro-cos masses × counts), so the trip decision never
+    * depends on a floating division. `cents` must be the layout's
+    * CURRENT centroid view — a stale view (version stamp mismatch)
+    * is refused, the graft_ann rule. With no appended batches there
+    * is nothing to audit: no action. */
+  def maintain(spark: org.apache.spark.sql.SparkSession, path: String,
+      cents: Array[Array[Double]], driftRatio: Double = 0.95,
+      iters: Int = 1): MaintainDecision = {
+    require(driftRatio > 0.0 && driftRatio <= 1.0,
+      s"driftRatio must be in (0, 1], got $driftRatio")
+    val (k, dim) = readCellMeta(spark, path)
+    require(cents.length == k && cents.forall(_.length == dim),
+      s"maintain at $path: centroid view is ${cents.length}×" +
+        s"${cents.headOption.map(_.length).getOrElse(0)}, the layout " +
+        s"is k=$k, dim=$dim")
+    readCentroidVersion(spark, path).foreach(v =>
+      require(v == centroidVersion(cents),
+        s"maintain at $path: the supplied centroid view does not " +
+          s"match the layout's centroid_version stamp ($v) — a stale " +
+          "view would mis-measure drift and relearn from the wrong " +
+          "baseline"))
+    val thresholdMicro = math.floor(driftRatio * 1000000.0 + 0.5).toLong
+    def gen() = TxBatch.baseGenFs(
+      new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(path))
+    val batches = TxBatch.liveBatchDirs(spark, path)
+    if (batches.isEmpty)
+      return MaintainDecision(0L, 0L, 0L, 0L, -1L, thresholdMicro,
+        relearned = false, gen(), readCentroidVersion(spark, path))
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    // the L72 ivf_append spelling: q6 cosine against the ASSIGNED
+    // cell's centroid, floored to micro units — exact-long masses
+    def scored(df: DataFrame, isNew: Int): DataFrame = df
+      .select(col("cell").cast("int").as("cell"),
+        col("v").cast("array<double>").as("v"))
+      .withColumn("c", element_at(centsLit, col("cell")))
+      .select(lit(isNew.toLong).as("is_new"),
+        floor(F.dotd(col("v"), col("c")) /
+          (sqrt(F.dotd(col("v"), col("v"))) *
+            sqrt(F.dotd(col("c"), col("c")))) * lit(1000000.0) +
+          lit(0.5)).cast("long").as("cos6"))
+    val baseDf = scored(
+      spark.read.parquet(TxBatch.baseDir(spark, path)), 0)
+    val appDf = batches.map(b => scored(spark.read.parquet(b), 1))
+      .reduce(_ unionByName _)
+    val r = baseDf.unionByName(appDf)
+      .agg(sum(lit(1L) - col("is_new")).as("n_existing"),
+        sum(col("is_new")).as("n_appended"),
+        sum((lit(1L) - col("is_new")) * col("cos6"))
+          .as("mass_existing"),
+        sum(col("is_new") * col("cos6")).as("mass_appended"))
+      .head()
+    val (nE, nA) = (r.getLong(0), r.getLong(1))
+    val (mE, mA) = (r.getLong(2), r.getLong(3))
+    // meanApp/meanExist < ratio  ⟺  mA·nE·1e6 < R·mE·nA (exact)
+    val ratioMicro: Long =
+      if (nA == 0L || mE <= 0L) -1L
+      else (BigInt(mA) * nE * 1000000L / (BigInt(mE) * nA)).toLong
+    val trip = nA > 0L && mE > 0L &&
+      BigInt(mA) * nE * 1000000L < BigInt(thresholdMicro) * mE * nA
+    if (!trip)
+      return MaintainDecision(nE, nA, mE, mA, ratioMicro,
+        thresholdMicro, relearned = false, gen(),
+        readCentroidVersion(spark, path))
+    relearn(spark, path, iters)
+    MaintainDecision(nE, nA, mE, mA, ratioMicro, thresholdMicro,
+      relearned = true, gen(), readCentroidVersion(spark, path))
+  }
+
   def learnCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     val s = emb.sparkSession
     import s.implicits._

@@ -110,4 +110,63 @@ class IvfRelearnSpec extends SparkSuite {
         s"'rl_cents_stale', 'rl_probes', '$K', '5')").collect())
     assert(e.getMessage.contains("centroid_version"), e.getMessage)
   }
+
+  test("maintain closes the drift->relearn loop: same-distribution " +
+      "appends stay below the threshold (layout untouched), hostile " +
+      "appends trip it (relearn fires, generation bumps, version " +
+      "stamps); a stale centroid view is refused") {
+    val mroot = "/tmp/graft_relearn/maintain"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mroot))
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val cents0 = IvfIndex.learnCentroids(corpus, K, 1)
+    IvfIndex.writeCellLayout(IvfIndex.assignCells(corpus, cents0),
+      mroot, K, cents0.head.length)
+    // no appended batches: nothing to audit, no action
+    val d0 = IvfIndex.maintain(spark, mroot, cents0)
+    assert(!d0.relearned && d0.nAppended == 0L && d0.generation == 0L)
+    // same-distribution appends: a held-out sample scores somewhat
+    // below the corpus (the centroids were learned FROM the corpus),
+    // but stays well above a 0.5 policy threshold — no fire
+    val sameDist = IvfIndex.assignCells(
+      emb.filter($"vec_id" % 10 === 0), cents0)
+    assert(IvfIndex.appendCellsIdempotent(sameDist, mroot, 1L))
+    val d1 = IvfIndex.maintain(spark, mroot, cents0, driftRatio = 0.50)
+    assert(!d1.relearned,
+      s"same-distribution appends must not trip: $d1")
+    assert(d1.nAppended > 0L && d1.driftRatioMicro > 500000L, d1.toString)
+    assert(d1.generation == 0L, "below threshold = layout untouched")
+    // hostile appends: a direction orthogonalized against EVERY
+    // centroid (a few driver-side Gram-Schmidt sweeps) has ~zero
+    // affinity whichever cell argmax assigns it to - the mean
+    // collapses and the SAME 0.5 policy trips. (Negation would not
+    // do: argmax just finds a centroid the flipped vector still
+    // likes - the distribution is roughly symmetric.)
+    val dim = cents0.head.length
+    var u = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    for (_ <- 0 until 3; c <- cents0) {
+      val cn2 = c.map(x => x * x).sum
+      if (cn2 > 0) {
+        val proj = u.zip(c).map { case (a, b) => a * b }.sum / cn2
+        u = u.zip(c).map { case (a, b) => a - proj * b }
+      }
+    }
+    val hostile = IvfIndex.assignCells(
+      emb.filter($"vec_id" % 10 === 5)
+        .select(($"vec_id" + 20000000L).as("vec_id"),
+          typedlit(u.toSeq).as("v")),
+      cents0)
+    assert(IvfIndex.appendCellsIdempotent(hostile, mroot, 2L))
+    val d2 = IvfIndex.maintain(spark, mroot, cents0, driftRatio = 0.50)
+    assert(d2.relearned, s"hostile appends must trip at 0.50: $d2")
+    assert(d2.driftRatioMicro < 500000L, d2.toString)
+    assert(d2.generation == 1L && d2.centroidVersion.isDefined, d2.toString)
+    // after the swap: the decision reports the layout's NEW stamped
+    // version (relearn ≡ fresh-learn is test 1's pin) and the OLD
+    // centroid view is now stale — refused, the graft_ann rule
+    assert(d2.centroidVersion ==
+      IvfIndex.readCentroidVersion(spark, mroot) &&
+      d2.centroidVersion.isDefined)
+    intercept[IllegalArgumentException](
+      IvfIndex.maintain(spark, mroot, cents0))
+  }
 }
