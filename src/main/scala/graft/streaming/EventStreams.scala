@@ -639,6 +639,26 @@ object EventStreams {
       .withWatermark("__graft_event_ts", "1 day")
       .as[T]
 
+  /** Idle-type state retirement for the SPC streams: after a day
+    * closes via the watermark flush, schedule ONE more event-time
+    * timeout `evictAfterDays` past the closed day's end; if it fires
+    * with the type still quiet, the type's state is REMOVED — state
+    * stays bounded over an OPEN type domain (without eviction,
+    * per-type state lives forever once a type appears).
+    * `evictAfterDays = 0` (the default) keeps the persist-forever
+    * behavior. Safe against the day-monotone refusal: an event that
+    * survives the 1-day watermark filter after the eviction point is
+    * strictly newer than the evicted closed day, so a reappearing
+    * type restarts as a fresh series — the standard control-chart
+    * restart, documented per stream. */
+  private def scheduleEviction(state: GroupState[_], dayEndMs: Long,
+      evictAfterDays: Int): Unit =
+    if (evictAfterDays > 0) {
+      val evictMs = dayEndMs + evictAfterDays.toLong * 86400000L
+      if (state.getCurrentWatermarkMs() >= evictMs) state.remove()
+      else state.setTimeoutTimestamp(evictMs)
+    }
+
   // public: the state encoder's generated code must reach the classes
   final case class CusumRef(sumN: Long, sumQ: Long, nDays: Long)
   final case class CusumState(curDay: Long, curN: Long, run: Long,
@@ -670,7 +690,8 @@ object EventStreams {
     * nothing. */
   def cusumStream(events: Dataset[TypedEvent],
       ref: Map[String, CusumRef],
-      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[CusumRow] = {
+      epochDay0: Long = 19723L /* 2024-01-01 */,
+      evictAfterDays: Int = 0): Dataset[CusumRow] = {
     import events.sparkSession.implicits._
     withDayWatermark(events).groupByKey(_.event_type)
       .flatMapGroupsWithState[CusumState, CusumRow](
@@ -702,7 +723,12 @@ object EventStreams {
                 // the watermark passed the open day's end: every
                 // possible day member has arrived — close without a
                 // sentinel (the event-time flush)
-                if (st != null && st.curN > 0L) { close(); state.update(st) }
+                if (st != null && st.curN > 0L) {
+                  close(); state.update(st)
+                  scheduleEviction(state,
+                    (epochDay0 + st.curDay + 1L) * 86400000L, evictAfterDays)
+                } else if (st != null && evictAfterDays > 0)
+                  state.remove() // eviction timer fired, type stayed quiet
                 out.result().iterator
               } else {
               rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
@@ -740,6 +766,7 @@ object EventStreams {
                   // timeout for the past would be refused
                   if (state.getCurrentWatermarkMs() >= dayEndMs) {
                     close(); state.update(st)
+                    scheduleEviction(state, dayEndMs, evictAfterDays)
                   } else state.setTimeoutTimestamp(dayEndMs)
                 }
               }
@@ -775,7 +802,8 @@ object EventStreams {
     * `num IS NOT NULL` warm-up, spelled as state. */
   def ewmaStream(events: Dataset[TypedEvent],
       ref: Map[String, EwmaRef],
-      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[EwmaRow] = {
+      epochDay0: Long = 19723L /* 2024-01-01 */,
+      evictAfterDays: Int = 0): Dataset[EwmaRow] = {
     import events.sparkSession.implicits._
     val weights: Array[Long] = Array.tabulate(8)(k =>
       math.pow(3, k).toLong * math.pow(4, 7 - k).toLong)
@@ -814,7 +842,12 @@ object EventStreams {
                   (st.curN +: st.lastNs).take(8))
               }
               if (state.hasTimedOut) {
-                if (st != null && st.curN > 0L) { close(); state.update(st) }
+                if (st != null && st.curN > 0L) {
+                  close(); state.update(st)
+                  scheduleEviction(state,
+                    (epochDay0 + st.curDay + 1L) * 86400000L, evictAfterDays)
+                } else if (st != null && evictAfterDays > 0)
+                  state.remove() // eviction timer fired, type stayed quiet
                 out.result().iterator
               } else {
               rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
@@ -846,6 +879,7 @@ object EventStreams {
                   val dayEndMs = (epochDay0 + st.curDay + 1L) * 86400000L
                   if (state.getCurrentWatermarkMs() >= dayEndMs) {
                     close(); state.update(st)
+                    scheduleEviction(state, dayEndMs, evictAfterDays)
                   } else state.setTimeoutTimestamp(dayEndMs)
                 }
               }
@@ -879,7 +913,8 @@ object EventStreams {
     * out-of-order days are refused, the final open day flushes via a
     * later-day sentinel. */
   def mkStream(events: Dataset[TypedEvent],
-      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[MkRow] = {
+      epochDay0: Long = 19723L /* 2024-01-01 */,
+      evictAfterDays: Int = 0): Dataset[MkRow] = {
     import events.sparkSession.implicits._
     def q6d(x: Double): Double =
       math.floor(x * 1000000.0 + 0.5) / 1000000.0
@@ -913,7 +948,12 @@ object EventStreams {
               if (math.abs(zq) > 1.96) 1L else 0L)
           }
           if (state.hasTimedOut) {
-            if (st != null && st.curN > 0L) { close(); state.update(st) }
+            if (st != null && st.curN > 0L) {
+              close(); state.update(st)
+              scheduleEviction(state,
+                (epochDay0 + st.curDay + 1L) * 86400000L, evictAfterDays)
+            } else if (st != null && evictAfterDays > 0)
+              state.remove() // eviction timer fired, type stayed quiet
             out.result().iterator
           } else {
           rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
@@ -942,6 +982,7 @@ object EventStreams {
               val dayEndMs = (epochDay0 + st.curDay + 1L) * 86400000L
               if (state.getCurrentWatermarkMs() >= dayEndMs) {
                 close(); state.update(st)
+                scheduleEviction(state, dayEndMs, evictAfterDays)
               } else state.setTimeoutTimestamp(dayEndMs)
             }
           }
@@ -971,7 +1012,8 @@ object EventStreams {
     * pair relation, amortized over the feed. Same day-monotone feed
     * contract as [[cusumStream]]. */
   def tsStream(events: Dataset[TypedEvent],
-      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[TsRow] = {
+      epochDay0: Long = 19723L /* 2024-01-01 */,
+      evictAfterDays: Int = 0): Dataset[TsRow] = {
     import events.sparkSession.implicits._
     withDayWatermark(events).groupByKey(_.event_type)
       .flatMapGroupsWithState[TsState, TsRow](
@@ -1011,7 +1053,12 @@ object EventStreams {
             }
           }
           if (state.hasTimedOut) {
-            if (st != null && st.curN > 0L) { close(); state.update(st) }
+            if (st != null && st.curN > 0L) {
+              close(); state.update(st)
+              scheduleEviction(state,
+                (epochDay0 + st.curDay + 1L) * 86400000L, evictAfterDays)
+            } else if (st != null && evictAfterDays > 0)
+              state.remove() // eviction timer fired, type stayed quiet
             out.result().iterator
           } else {
           rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
@@ -1041,6 +1088,7 @@ object EventStreams {
               val dayEndMs = (epochDay0 + st.curDay + 1L) * 86400000L
               if (state.getCurrentWatermarkMs() >= dayEndMs) {
                 close(); state.update(st)
+                scheduleEviction(state, dayEndMs, evictAfterDays)
               } else state.setTimeoutTimestamp(dayEndMs)
             }
           }
@@ -1075,7 +1123,8 @@ object EventStreams {
     * split once the feed is ingested. Same day-monotone feed contract
     * as [[cusumStream]]. */
   def acfStream(events: Dataset[TypedEvent],
-      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[AcfRow] = {
+      epochDay0: Long = 19723L /* 2024-01-01 */,
+      evictAfterDays: Int = 0): Dataset[AcfRow] = {
     import events.sparkSession.implicits._
     def q6d(x: Double): Double =
       math.floor(x * 1000000.0 + 0.5) / 1000000.0
@@ -1125,7 +1174,12 @@ object EventStreams {
             }
           }
           if (state.hasTimedOut) {
-            if (st != null && st.curN > 0L) { close(); state.update(st) }
+            if (st != null && st.curN > 0L) {
+              close(); state.update(st)
+              scheduleEviction(state,
+                (epochDay0 + st.curDay + 1L) * 86400000L, evictAfterDays)
+            } else if (st != null && evictAfterDays > 0)
+              state.remove() // eviction timer fired, type stayed quiet
             out.result().iterator
           } else {
           rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
@@ -1155,6 +1209,7 @@ object EventStreams {
               val dayEndMs = (epochDay0 + st.curDay + 1L) * 86400000L
               if (state.getCurrentWatermarkMs() >= dayEndMs) {
                 close(); state.update(st)
+                scheduleEviction(state, dayEndMs, evictAfterDays)
               } else state.setTimeoutTimestamp(dayEndMs)
             }
           }
@@ -1181,7 +1236,8 @@ object EventStreams {
     * batch row's engine-neutral day-of-week. Same day-monotone feed
     * contract as [[cusumStream]]. */
   def seasonalStrengthStream(events: Dataset[TypedEvent],
-      period: Int = 7, phaseOffset: Int = 3): Dataset[SsRow] = {
+      period: Int = 7, phaseOffset: Int = 3,
+      evictAfterDays: Int = 0): Dataset[SsRow] = {
     import events.sparkSession.implicits._
     def q6d(x: Double): Double =
       math.floor(x * 1000000.0 + 0.5) / 1000000.0
@@ -1225,7 +1281,12 @@ object EventStreams {
               else q6d(math.max(0.0, 1.0 - ssR.toDouble / ssT.toDouble)))
           }
           if (state.hasTimedOut) {
-            if (st != null && st.curN > 0L) { close(); state.update(st) }
+            if (st != null && st.curN > 0L) {
+              close(); state.update(st)
+              scheduleEviction(state,
+                (st.curDay + 1L) * 86400000L, evictAfterDays)
+            } else if (st != null && evictAfterDays > 0)
+              state.remove() // eviction timer fired, type stayed quiet
             out.result().iterator
           } else {
           rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
@@ -1256,6 +1317,7 @@ object EventStreams {
               val dayEndMs = (st.curDay + 1L) * 86400000L
               if (state.getCurrentWatermarkMs() >= dayEndMs) {
                 close(); state.update(st)
+                scheduleEviction(state, dayEndMs, evictAfterDays)
               } else state.setTimeoutTimestamp(dayEndMs)
             }
           }
@@ -1282,7 +1344,8 @@ object EventStreams {
     * type equals the batch row across any micro-batch split. Same
     * day-monotone feed contract as [[cusumStream]]. */
   def spearmanStream(events: Dataset[ValuedEvent],
-      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[SpearRow] = {
+      epochDay0: Long = 19723L /* 2024-01-01 */,
+      evictAfterDays: Int = 0): Dataset[SpearRow] = {
     import events.sparkSession.implicits._
     def q6d(x: Double): Double =
       math.floor(x * 1000000.0 + 0.5) / 1000000.0
@@ -1323,7 +1386,12 @@ object EventStreams {
                 (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))))
           }
           if (state.hasTimedOut) {
-            if (st != null && st.curN > 0L) { close(); state.update(st) }
+            if (st != null && st.curN > 0L) {
+              close(); state.update(st)
+              scheduleEviction(state,
+                (epochDay0 + st.curDay + 1L) * 86400000L, evictAfterDays)
+            } else if (st != null && evictAfterDays > 0)
+              state.remove() // eviction timer fired, type stayed quiet
             out.result().iterator
           } else {
           rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
@@ -1359,6 +1427,7 @@ object EventStreams {
               val dayEndMs = (epochDay0 + st.curDay + 1L) * 86400000L
               if (state.getCurrentWatermarkMs() >= dayEndMs) {
                 close(); state.update(st)
+                scheduleEviction(state, dayEndMs, evictAfterDays)
               } else state.setTimeoutTimestamp(dayEndMs)
             }
           }
@@ -1387,7 +1456,8 @@ object EventStreams {
     * day-monotone feed contract as [[cusumStream]]; days close on
     * data or on watermark progress (event-time timeout). */
   def runsStream(events: Dataset[TypedEvent],
-      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[RunsRow] = {
+      epochDay0: Long = 19723L /* 2024-01-01 */,
+      evictAfterDays: Int = 0): Dataset[RunsRow] = {
     import events.sparkSession.implicits._
     def q6d(x: Double): Double =
       math.floor(x * 1000000.0 + 0.5) / 1000000.0
@@ -1429,7 +1499,12 @@ object EventStreams {
               if (math.abs(z) > 1.96) 1L else 0L)
           }
           if (state.hasTimedOut) {
-            if (st != null && st.curN > 0L) { close(); state.update(st) }
+            if (st != null && st.curN > 0L) {
+              close(); state.update(st)
+              scheduleEviction(state,
+                (epochDay0 + st.curDay + 1L) * 86400000L, evictAfterDays)
+            } else if (st != null && evictAfterDays > 0)
+              state.remove() // eviction timer fired, type stayed quiet
             out.result().iterator
           } else {
           rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
@@ -1459,6 +1534,7 @@ object EventStreams {
               val dayEndMs = (epochDay0 + st.curDay + 1L) * 86400000L
               if (state.getCurrentWatermarkMs() >= dayEndMs) {
                 close(); state.update(st)
+                scheduleEviction(state, dayEndMs, evictAfterDays)
               } else state.setTimeoutTimestamp(dayEndMs)
             }
           }
@@ -1484,7 +1560,8 @@ object EventStreams {
     * across any micro-batch split. Same day-monotone feed contract as
     * [[cusumStream]]; days close on data or on watermark progress. */
   def turningStream(events: Dataset[TypedEvent],
-      epochDay0: Long = 19723L /* 2024-01-01 */): Dataset[TurnRow] = {
+      epochDay0: Long = 19723L /* 2024-01-01 */,
+      evictAfterDays: Int = 0): Dataset[TurnRow] = {
     import events.sparkSession.implicits._
     def q6d(x: Double): Double =
       math.floor(x * 1000000.0 + 0.5) / 1000000.0
@@ -1518,7 +1595,12 @@ object EventStreams {
               if (math.abs(z) > 1.96) 1L else 0L)
           }
           if (state.hasTimedOut) {
-            if (st != null && st.curN > 0L) { close(); state.update(st) }
+            if (st != null && st.curN > 0L) {
+              close(); state.update(st)
+              scheduleEviction(state,
+                (epochDay0 + st.curDay + 1L) * 86400000L, evictAfterDays)
+            } else if (st != null && evictAfterDays > 0)
+              state.remove() // eviction timer fired, type stayed quiet
             out.result().iterator
           } else {
           rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
@@ -1549,6 +1631,7 @@ object EventStreams {
               val dayEndMs = (epochDay0 + st.curDay + 1L) * 86400000L
               if (state.getCurrentWatermarkMs() >= dayEndMs) {
                 close(); state.update(st)
+                scheduleEviction(state, dayEndMs, evictAfterDays)
               } else state.setTimeoutTimestamp(dayEndMs)
             }
           }

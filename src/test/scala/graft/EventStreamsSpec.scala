@@ -1003,6 +1003,53 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("SPC idle-type eviction: a type that stops emitting is " +
+      "flushed then REMOVED after evictAfterDays quiet days (the " +
+      "state count drops), and a reappearing type restarts as a " +
+      "FRESH series — the control-chart restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val d0 = 19723L * 86400000000L
+    def ev(id: Long, day: Long, hourMicros: Long, t: String) =
+      EventStreams.TypedEvent(id, 1L, d0 + day * 86400000000L +
+        hourMicros, t)
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams.mkStream(input.toDS(), evictAfterDays = 2)
+      .writeStream.format("memory").queryName("t_mk_evict")
+      .outputMode("append").start()
+    def stateRows(): Long = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).last
+    try {
+      input.addData(Seq(ev(1L, 0L, 0L, "a"), ev(2L, 0L, 0L, "b")))
+      q.processAllAvailable()
+      // b's day-2 event pushes the watermark past a's day-0 end:
+      // a's final day flushes, its state lingers pending eviction
+      input.addData(Seq(ev(3L, 2L, 3600000000L, "b")))
+      q.processAllAvailable()
+      assert(spark.table("t_mk_evict")
+        .filter($"event_type" === "a").count() == 1L)
+      assert(stateRows() == 2L,
+        s"both types hold state pre-eviction: ${stateRows()}")
+      // two quiet days past a's closed day: the eviction timer fires
+      // and a's state is REMOVED — b (still active) remains
+      input.addData(Seq(ev(4L, 4L, 3600000000L, "b")))
+      q.processAllAvailable()
+      assert(stateRows() == 1L,
+        s"idle type must evict after the quiet horizon: ${stateRows()}")
+      // a reappears two days later: a FRESH series — its next close
+      // reports n_days = 1 (surviving state would have carried the
+      // pre-eviction day and reported 2)
+      input.addData(Seq(ev(5L, 5L, 0L, "a")))
+      q.processAllAvailable()
+      input.addData(Seq(ev(6L, 7L, 3600000000L, "b")))
+      q.processAllAvailable()
+      val aDays = spark.table("t_mk_evict")
+        .filter($"event_type" === "a")
+        .select($"n_days").as[Long].collect().toSeq
+      assert(aDays.length == 2 && aDays.forall(_ == 1L),
+        s"reappearance must restart fresh: $aDays")
+    } finally q.stop()
+  }
+
   test("streaming runs test and turning points: the latest verdict " +
       "per type equals the batch rows across micro-batch splits " +
       "(T32/T40 live)") {
