@@ -211,19 +211,50 @@ object Privacy {
         .otherwise(lit(0L)))
   }
 
+  /** General-ε DP released QUANTILES — the exponential mechanism at
+    * an arbitrary rational quantile `qNum/qDen` (Smith 2011's
+    * utility): U(v) = |(qDen−qNum)·#{x<v} − qNum·#{x>v}|, which one
+    * row moves by at most Δ = max(qNum, qDen−qNum) — so the weight
+    * is exp(−ε·Û/(2Δ)) for the shifted Û, i.e. exactly
+    * [[medianWeightTable]] evaluated at ε/Δ (the median IS the
+    * qNum/qDen = 1/2, Δ = 1 case: U = |#{x<v} − #{x>v}|). Same
+    * grid, draw, shift, truncation, and seed rules as [[dpMedian]];
+    * the table is driver-quantized exact longs, so both engines
+    * replay bit-for-bit. Output: `(keyCol, n_true,
+    * released_quantile)`. */
+  def dpQuantile(df: DataFrame, keyCol: String, valueCol: String,
+      gridMax: Long, qNum: Int, qDen: Int, epsilon: Double,
+      seed: String): DataFrame = {
+    require(qNum > 0 && qNum < qDen && qDen <= 100,
+      s"quantile must be a proper fraction with denominator ≤ 100, " +
+        s"got $qNum/$qDen")
+    val delta = math.max(qNum, qDen - qNum)
+    val table = medianWeightTable(epsilon / delta)
+    val tableLit = typedlit(table.toSeq)
+    dpMedianImpl(df, keyCol, valueCol, gridMax, seed,
+      k => when(k < lit(table.length.toLong),
+        element_at(tableLit, (k + lit(1L)).cast("int")))
+        .otherwise(lit(0L)),
+      qNum = qNum, qDen = qDen)
+      .withColumnRenamed("released_median", "released_quantile")
+  }
+
   /** The shared exponential-mechanism pipeline; `weightOf` maps the
     * SHIFTED rank distance k̂ = k − min_group(k) to its integer
-    * weight. The shift is the r14-advice fix: probabilities are
-    * invariant to a per-group utility translation (the constant
-    * factors out of the normalization), but the TRUNCATION is not —
-    * un-shifted, a group whose best grid point still has k > 20
-    * (e.g. ≥ 21 rows at each of two adjacent values) had total
-    * weight 0 and silently vanished from the release, making output
-    * support depend on the private data. Shifted, the group's peak
-    * always carries the full 2^20 weight, so every key releases. */
+    * weight; `qNum/qDen` selects the target quantile (1/2 = median:
+    * U = |(qDen−qNum)·lt − qNum·gt| degenerates to |lt − gt|). The
+    * shift is the r14-advice fix: probabilities are invariant to a
+    * per-group utility translation (the constant factors out of the
+    * normalization), but the TRUNCATION is not — un-shifted, a group
+    * whose best grid point still has k past the cut (e.g. ≥ 21 rows
+    * at each of two adjacent values) had total weight 0 and silently
+    * vanished from the release, making output support depend on the
+    * private data. Shifted, the group's peak always carries the full
+    * 2^20 weight, so every key releases. */
   private def dpMedianImpl(df: DataFrame, keyCol: String,
       valueCol: String, gridMax: Long, seed: String,
-      weightOf: Column => Column): DataFrame = {
+      weightOf: Column => Column, qNum: Int = 1, qDen: Int = 2)
+      : DataFrame = {
     require(gridMax > 0L && gridMax < 1024L,
       s"gridMax must be in (0, 1024) — u32·totalW must stay a long " +
         s"(got $gridMax)")
@@ -241,9 +272,12 @@ object Privacy {
       .na.fill(0L, Seq("c"))
       .withColumn("le", sum(col("c")).over(wOrd))
       .withColumn("n_true", sum(col("c")).over(wAll))
-      // raw k = |#{x<v} − #{x>v}| = |2·le − c − n| — 0 at the median
+      // raw k = |(qDen−qNum)·lt − qNum·gt| with lt = le − c,
+      // gt = n − le — for 1/2 this is |lt − gt| = |2·le − c − n|,
+      // zero exactly at the target quantile
       .withColumn("k_raw",
-        abs(lit(2L) * col("le") - col("c") - col("n_true")))
+        abs(lit((qDen - qNum).toLong) * (col("le") - col("c")) -
+          lit(qNum.toLong) * (col("n_true") - col("le"))))
       // k = the group-shifted rank distance (see the scaladoc above)
       .withColumn("k",
         col("k_raw") - min(col("k_raw")).over(wAll))

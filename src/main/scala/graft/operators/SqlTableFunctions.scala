@@ -269,6 +269,11 @@ object SqlTableFunctions {
           args(2), args(3).toLong, args(4))
       }
     }
+    register(spark, "graft_dp_quantile", 8, 8) { args =>
+      Privacy.dpQuantile(spark.table(args(0)), args(1), args(2),
+        args(3).toLong, args(4).toInt, args(5).toInt,
+        args(6).toDouble, args(7))
+    }
     register(spark, "graft_seasonal_strength", 5, 6) { args =>
       SeriesStats.seasonalStrength(spark.table(args(0)), args(1),
         args(2), args(3), args(4).toInt,

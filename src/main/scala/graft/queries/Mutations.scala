@@ -634,6 +634,23 @@ object Mutations {
         .orderBy($"source")
     }),
 
+    // M22: DP released QUANTILE via the exponential mechanism at an
+    // arbitrary rational quantile — Smith (2011)'s utility
+    // U(v) = |(qDen−qNum)·#{x<v} − qNum·#{x>v}| has sensitivity
+    // Δ = max(qNum, qDen−qNum), so the weight exp(−ε·Û/(2Δ)) is the
+    // SAME driver-quantized exact-long table as dp_median_eps,
+    // evaluated at ε/Δ (the median is the 1/2, Δ = 1 case). First
+    // quartile here: q = 1/4, Δ = 3, ε = 0.5 — both engines embed
+    // the identical literal table, no engine-side exp().
+    "dp_quantile_release" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Privacy
+        .dpQuantile(Tables.documents(s, dir), "source", "n_chars",
+          gridMax = 600L, qNum = 1, qDen = 4, epsilon = 0.5,
+          seed = "dpu:v1:")
+        .orderBy($"source")
+    }),
+
     // M21: the DP release LEDGER + budget audit — the piece that
     // makes the family's composition rule ENFORCEABLE: every fixture
     // release records (dataset, mechanism, key domain size, exact
@@ -676,6 +693,8 @@ object Mutations {
           "dpq:v1:")
         rec(7L, "documents", "median_eps", "source", 500000L,
           nSources, "dpe:v1:")
+        rec(8L, "documents", "quantile", "source", 500000L, nSources,
+          "dpu:v1:")
         // the retried pipeline: re-recording a settled id is a no-op
         rec(1L, "documents", "counts", "source", 500000L, nSources,
           "dp:v1:")
@@ -1262,6 +1281,63 @@ object Mutations {
         |ORDER BY source""".stripMargin
     },
 
+    // arbitrary-quantile twin: Smith's utility |3·lt − gt| =
+    // |4·le − 3·c − n| for q = 1/4 (sensitivity 3), weights from the
+    // SAME driver-quantized literal table at ε/Δ = 0.5/3
+    "dp_quantile_release" -> {
+      val table = graft.operators.Privacy.medianWeightTable(0.5 / 3.0)
+      val lst = table.mkString("[", ", ", "]")
+      s"""WITH c AS (
+        |  SELECT source,
+        |    LEAST(GREATEST(CAST(n_chars AS BIGINT), 0), 600) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, CAST(g.range AS BIGINT) AS v
+        |  FROM (SELECT DISTINCT source FROM documents) s
+        |  CROSS JOIN range(0, 601) g),
+        |j AS (
+        |  SELECT grid.source, grid.v,
+        |    COALESCE(c.c, CAST(0 AS BIGINT)) AS c
+        |  FROM grid LEFT JOIN c
+        |    ON grid.source = c.source AND grid.v = c.v),
+        |w AS (
+        |  SELECT source, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY v)
+        |      AS BIGINT) AS le,
+        |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_true
+        |  FROM j),
+        |x0 AS (
+        |  SELECT source, v, n_true,
+        |    ABS(4 * le - 3 * c - n_true)
+        |      - MIN(ABS(4 * le - 3 * c - n_true))
+        |        OVER (PARTITION BY source) AS k
+        |  FROM w),
+        |x AS (
+        |  SELECT source, v, n_true,
+        |    CASE WHEN k < ${table.length}
+        |      THEN CAST(list_extract($lst,
+        |        CAST(k + 1 AS INT)) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS wt
+        |  FROM x0),
+        |y AS (
+        |  SELECT source, v, n_true, wt,
+        |    CAST(SUM(wt) OVER (PARTITION BY source ORDER BY v)
+        |      AS BIGINT) AS cumw,
+        |    CAST(SUM(wt) OVER (PARTITION BY source) AS BIGINT) AS totw,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5('dpu:v1:' || CAST(source AS VARCHAR)),
+        |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u32
+        |  FROM x)
+        |SELECT source, n_true, v AS released_quantile
+        |FROM y
+        |WHERE cumw > (u32 * totw) // 4294967296
+        |  AND cumw - wt <= (u32 * totw) // 4294967296
+        |ORDER BY source""".stripMargin
+    },
+
     // the ledger's audit replayed from the fixture's release plan:
     // the key-domain sizes are data-dependent (distinct sources /
     // 100-char length buckets), the ε spends are the releases'
@@ -1286,6 +1362,8 @@ object Mutations {
         |  UNION ALL SELECT 'documents', CAST(500000 AS BIGINT),
         |    ks.n FROM ks
         |  UNION ALL SELECT 'documents', CAST(1386294 AS BIGINT),
+        |    ks.n FROM ks
+        |  UNION ALL SELECT 'documents', CAST(500000 AS BIGINT),
         |    ks.n FROM ks
         |  UNION ALL SELECT 'documents', CAST(500000 AS BIGINT),
         |    ks.n FROM ks)

@@ -259,6 +259,68 @@ class PrivacySpec extends SparkSuite {
     }
   }
 
+  test("dpQuantile (arbitrary rational quantile): the sensitivity-" +
+      "normalized weight table replays from first principles, a " +
+      "peaked group releases its exact value, and the 1/2 case " +
+      "degenerates to the general-ε median") {
+    import graft.operators.{Privacy, Sampling}
+    // a peaked group at a budget where the peak dominates: at
+    // ε/Δ = 2 the off-peak weight w(30) = 2^20·e^−30 quantizes to 0,
+    // so only the true value carries mass — exact for every seed.
+    // (At small ε the 600 tail points legitimately share real mass —
+    // that noise IS the privacy, not a bug.)
+    val peaked = Seq.fill(30)(("p", 77L)).toDF("source", "n_chars")
+    val rp = Privacy.dpQuantile(peaked, "source", "n_chars", 600L,
+      1, 4, 6.0, "secret:u:").collect()
+    assert(rp.length == 1 && rp.head.getLong(2) == 77L)
+    // q = 1/2 at matching ε IS the general-ε median (utility
+    // |1·lt − 1·gt| = |lt − gt|, Δ = 1 — same table, same draw)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars")
+    val viaHalf = Privacy.dpQuantile(docs, "source", "n_chars", 600L,
+      1, 2, 0.5, "secret:e:").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    val viaMedian = Privacy.dpMedian(docs, "source", "n_chars", 600L,
+      0.5, "secret:e:").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(viaHalf == viaMedian && viaHalf.nonEmpty)
+    // first-principles replay at q = 1/4, ε = 0.5 (Δ = 3)
+    val t = Privacy.medianWeightTable(0.5 / 3.0)
+    val released = Privacy.dpQuantile(docs, "source", "n_chars",
+      600L, 1, 4, 0.5, "secret:u:").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val vals = docs.select($"source", $"n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(v => math.min(math.max(v._2, 0L), 600L)).sorted }
+    val u32s = docs.select($"source",
+      Sampling.keyHash32($"source", "secret:u:")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    vals.foreach { case (k, xs) =>
+      val n = xs.length.toLong
+      val kDists = (0L to 600L).map { v =>
+        val lt = xs.count(_ < v).toLong
+        val gt = xs.count(_ > v).toLong
+        math.abs(3L * lt - gt)
+      }
+      val minK = kDists.min
+      val weights = kDists.map { kd =>
+        val kHat = (kd - minK).toInt
+        if (kHat < t.length) t(kHat) else 0L
+      }
+      val tot = weights.sum
+      val target = u32s(k) * tot / 4294967296L
+      var cum = 0L
+      val drawn = (0L to 600L).find { v =>
+        cum += weights(v.toInt); cum > target }.get
+      assert(released(k) == ((n, drawn)),
+        s"key $k: engine ${released(k)} vs replay ($n, $drawn)")
+    }
+    // improper fractions refuse
+    intercept[IllegalArgumentException](Privacy.dpQuantile(docs,
+      "source", "n_chars", 600L, 3, 2, 0.5, "secret:u:"))
+  }
+
   test("release ledger: records idempotently by release id, stores a " +
       "seed FINGERPRINT (never the seed), audits as an exact fold, " +
       "and survives compaction with replayed ids still no-ops") {

@@ -382,6 +382,12 @@ class SqlTableFunctionsSpec extends SparkSuite {
         "'source', 'n_chars', '600', 'secret:q:', '0.5')"),
       Privacy.dpMedian(docs, "source", "n_chars", 600L, 0.5,
         "secret:q:"))
+    // arbitrary rational quantile (first quartile)
+    same(
+      spark.sql("SELECT * FROM graft_dp_quantile('tvf_dp_docs2', " +
+        "'source', 'n_chars', '600', '1', '4', '0.5', 'secret:u:')"),
+      Privacy.dpQuantile(docs, "source", "n_chars", 600L, 1, 4, 0.5,
+        "secret:u:"))
   }
 
   test("graft_ann equals the DataFrame IVF probe over a written cell " +
