@@ -371,6 +371,45 @@ object Privacy {
       .reduce(_ unionByName _)
   }
 
+  /** [[recordRelease]] gated by the dataset's cumulative budget: the
+    * release records ONLY when spent(dataset) + epsilonMicro stays
+    * within `capMicro` — otherwise it REFUSES loudly (the approval
+    * gate the audit row exists for, made enforceable). A retried
+    * settled id stays a no-op BEFORE the cap check (its ε is already
+    * counted — refusing a retry would wedge an at-cap pipeline).
+    * Ledger writes follow the single-release-pipeline-per-dataset
+    * convention (the TxBatch single-writer rule): the check-then-
+    * record pair is not atomic across concurrent writers. */
+  def recordReleaseWithinBudget(s: org.apache.spark.sql.SparkSession,
+      ledgerPath: String, releaseId: Long, dataset: String,
+      mechanism: String, keyCol: String, epsilonMicro: Long,
+      nKeys: Long, seed: String, releasedAt: String,
+      capMicro: Long): Boolean = {
+    require(capMicro > 0L, s"capMicro must be positive, got $capMicro")
+    // settled id: no-op before the cap check
+    val settled = {
+      val r = new org.apache.hadoop.fs.Path(ledgerPath)
+      val fs = r.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.exists(new org.apache.hadoop.fs.Path(r,
+        s"_batch-$releaseId")) ||
+        TxBatch.appliedIds(s, ledgerPath).contains(releaseId)
+    }
+    if (settled) return false
+    val spent = readLedger(s, ledgerPath)
+      .filter(col("dataset") === dataset)
+      .agg(coalesce(sum(col("epsilon_micro")), lit(0L)))
+      .head().getLong(0)
+    if (spent + epsilonMicro > capMicro)
+      throw new IllegalStateException(
+        s"DP budget exceeded for dataset '$dataset': spent " +
+          s"$spent micro-ε + requested $epsilonMicro > cap " +
+          s"$capMicro — the release is REFUSED; raise the cap, " +
+          "retire the dataset, or release nothing (the audit row " +
+          "is the evidence an approval board reads)")
+    recordRelease(s, ledgerPath, releaseId, dataset, mechanism,
+      keyCol, epsilonMicro, nKeys, seed, releasedAt)
+  }
+
   /** The budget audit over the ledger: cumulative spent ε (exact
     * micro-ε longs) per dataset — the row a release-approval gate
     * reads before authorizing the next release (sequential

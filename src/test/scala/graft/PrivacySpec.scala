@@ -361,6 +361,21 @@ class PrivacySpec extends SparkSuite {
     assert(!Privacy.recordRelease(spark, p, 1L, "ds", "counts", "k",
       500000L, 20L, "topsecret:1:", "2026-01-01"))
     assert(auditMap() == audit)
+    // the enforceable gate: 'ds' has spent 750000 micro-ε — a cap of
+    // 1000000 admits a 250000 release and then REFUSES the next one;
+    // a settled id retried at cap stays a no-op (already counted)
+    assert(Privacy.recordReleaseWithinBudget(spark, p, 4L, "ds",
+      "histogram", "k", 250000L, 20L, "topsecret:4:", "2026-01-04",
+      capMicro = 1000000L))
+    val e = intercept[IllegalStateException](
+      Privacy.recordReleaseWithinBudget(spark, p, 5L, "ds", "sum",
+        "k", 1L, 20L, "topsecret:5:", "2026-01-05",
+        capMicro = 1000000L))
+    assert(e.getMessage.contains("budget exceeded"), e.getMessage)
+    assert(!Privacy.recordReleaseWithinBudget(spark, p, 4L, "ds",
+      "histogram", "k", 250000L, 20L, "topsecret:4:", "2026-01-04",
+      capMicro = 1000000L))
+    assert(auditMap()("ds") == ((3L, 1000000L, 60L)), auditMap())
   }
 
   test("dpMean's two halves are independent PRF draws from one seed: " +
