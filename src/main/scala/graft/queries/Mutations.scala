@@ -543,6 +543,24 @@ object Mutations {
         .orderBy($"len_bucket")
     }),
 
+    // M17 applied to the histogram shape: M16's released bucket SET
+    // was data-derived (an empty length bucket was absent from the
+    // output — occupancy leaked), so the known-domain variant
+    // releases every bucket of a PUBLIC literal range [0, 12] —
+    // empty buckets publish pure noise, chosen without looking at
+    // the data (the range is the documents schema's length envelope,
+    // a design constant, not a data read).
+    "dp_histogram_domain" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val domain = (0L to 12L).toDF("len_bucket")
+      graft.operators.Privacy.dpCounts(
+        Tables.documents(s, dir)
+          .select(expr("n_chars DIV 100").as("len_bucket")),
+        "len_bucket", epsilon = 0.5, seed = "dphd:v1:",
+        domain = domain)
+        .orderBy($"len_bucket")
+    }),
+
     "dp_counts" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       graft.operators.Privacy
@@ -1039,6 +1057,36 @@ object Mutations {
         |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
         |      (a, b) -> a * 16 + b) AS u32
         |  FROM b GROUP BY 1),
+        |n AS (
+        |  SELECT len_bucket, n_true,
+        |    CAST(FLOOR(-2.0 * sign((u32 + 0.5) / 4294967296.0 - 0.5) *
+        |      ln(1.0 - 2.0 * abs((u32 + 0.5) / 4294967296.0 - 0.5)) *
+        |      1000000.0 + 0.5) AS BIGINT) AS noise_micro
+        |  FROM g)
+        |SELECT len_bucket, n_true, noise_micro,
+        |  n_true + CAST(FLOOR((noise_micro + 500000) / 1000000.0)
+        |    AS BIGINT) AS released
+        |FROM n ORDER BY len_bucket""".stripMargin,
+
+    // the histogram's known-domain twin: every bucket of the public
+    // literal range [0, 12] releases, empty ones as pure noise
+    "dp_histogram_domain" ->
+      """WITH dom AS (
+        |  SELECT CAST(i AS BIGINT) AS len_bucket FROM range(0, 13) t(i)),
+        |cnt AS (
+        |  SELECT n_chars // 100 AS len_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_present
+        |  FROM documents GROUP BY 1),
+        |g AS (
+        |  SELECT dom.len_bucket,
+        |    COALESCE(cnt.n_present, CAST(0 AS BIGINT)) AS n_true,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5('dphd:v1:' ||
+        |          CAST(dom.len_bucket AS VARCHAR)),
+        |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u32
+        |  FROM dom LEFT JOIN cnt ON dom.len_bucket = cnt.len_bucket),
         |n AS (
         |  SELECT len_bucket, n_true,
         |    CAST(FLOOR(-2.0 * sign((u32 + 0.5) / 4294967296.0 - 0.5) *
