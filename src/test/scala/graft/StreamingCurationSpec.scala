@@ -786,4 +786,110 @@ class StreamingCurationSpec extends SparkSuite {
     assert(chain(e).exists(_.contains("REWRITE")),
       chain(e).mkString("\n"))
   }
+
+  test("coexistence holds on the BANDS lane too (its own stream and " +
+      "scan classes): liveNearDup keeps exact pairs across a fold in " +
+      "the caught-up window") {
+    import graft.operators.{BandIndex, InvertedIndex}
+    import graft.streaming.BandStreams
+    val NB = 8
+    val base = "/tmp/graft_coexist_bands"
+    Seq("layout", "layout_twin", "pairs", "pairs_twin", "ckpt",
+      "ckpt_twin").foreach(d => org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(s"$base/$d")))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val texts = docs
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batchDocs = docs.filter($"doc_id" % 10 === 0)
+      .unionAll(corpus.filter($"doc_id" % 17 === 3)
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"text"))
+    val b1 = batchDocs.filter($"doc_id" % 2 === 0)
+    val b2 = batchDocs.filter($"doc_id" % 2 === 1)
+    for (lay <- Seq("layout", "layout_twin"))
+      BandIndex.writeBandLayout(
+        BandIndex.buildBands(corpus, 0.5, NB), s"$base/$lay", 0.5, NB)
+    def run(lay: String, pairs: String, ckpt: String,
+        compactBetween: Boolean): Unit = {
+      val q = BandStreams.liveNearDup(spark, s"$base/$lay", texts,
+        s"$base/$pairs", s"$base/$ckpt")
+      try {
+        q.processAllAvailable()
+        assert(BandIndex.appendBandsIdempotent(b1, s"$base/$lay",
+          0.5, NB, 1L))
+        q.processAllAvailable()
+        if (compactBetween)
+          assert(graft.operators.TxBatch.compact(spark, s"$base/$lay"))
+        assert(BandIndex.appendBandsIdempotent(b2, s"$base/$lay",
+          0.5, NB, 2L))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run("layout_twin", "pairs_twin", "ckpt_twin",
+      compactBetween = false)
+    run("layout", "pairs", "ckpt", compactBetween = true)
+    def pairsOf(path: String) = BandStreams.readPairs(spark, path)
+      .select($"batch_doc", $"corpus_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = pairsOf(s"$base/pairs")
+    val want = pairsOf(s"$base/pairs_twin")
+    assert(got.length == got.toSet.size,
+      s"re-published pairs after the fold: ${got.length} vs " +
+        s"${got.toSet.size}")
+    assert(got.toSet == want.toSet && want.nonEmpty,
+      s"pairs lost or invented: got ${got.length}, want ${want.length}")
+  }
+
+  test("coexistence holds on the POSTINGS lane too: a caught-up " +
+      "micro-batch stream re-delivers nothing after a fold, then " +
+      "tails only the genuinely new append") {
+    import graft.operators.InvertedIndex
+    val NB = 8
+    val base = "/tmp/graft_coexist_postings"
+    Seq("layout", "ckpt").foreach(d => org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(s"$base/$d")))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$base/layout.stats"))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val third = docs.filter($"doc_id" % 3 === 0)
+    val dl = third.select(size(split($"text", " ")).cast("long").as("dl"))
+    InvertedIndex.writeTermLayout(
+      InvertedIndex.buildPostings(third, NB),
+      dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")),
+      s"$base/layout")
+    val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
+    def start() = spark.readStream
+      .format("graft.sources.PostingsSource")
+      .option("path", s"$base/layout")
+      .option("nBuckets", NB.toString).load()
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame,
+          id: java.lang.Long) =>
+        delivered.addAndGet(df.count()); ()
+      }.start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(InvertedIndex.appendPostingsIdempotent(
+        docs.filter($"doc_id" % 3 === 1), s"$base/layout", NB, 1L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val total = InvertedIndex.readLayout(spark, s"$base/layout").count()
+    assert(delivered.get() == total, s"${delivered.get()} vs $total")
+    // fold while the consumer is down (it was caught up), restart:
+    // the stale offset translates — NOTHING re-delivers
+    assert(InvertedIndex.compact(spark, s"$base/layout"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(delivered.get() == total,
+      s"post-fold restart re-delivered: ${delivered.get()} vs $total")
+    // a genuinely new append still tails normally
+    val b2 = docs.filter($"doc_id" % 3 === 2)
+    assert(InvertedIndex.appendPostingsIdempotent(
+      b2, s"$base/layout", NB, 2L))
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    val total2 = InvertedIndex.readLayout(spark, s"$base/layout").count()
+    assert(delivered.get() == total2 && total2 > total,
+      s"${delivered.get()} vs $total2")
+  }
 }
