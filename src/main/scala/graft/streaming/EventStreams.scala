@@ -534,17 +534,36 @@ object EventStreams {
     * bins) — ≤ binCeil−binFloor+1 cells per type regardless of feed. */
   def psiStream(events: Dataset[ValuedEvent], cutMicros: Long,
       binUnit: Long = 250000L, binFloor: Long = -256L,
-      binCeil: Long = 255L): Dataset[PsiRow] = {
+      binCeil: Long = 255L, evictAfterDays: Int = 0): Dataset[PsiRow] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.event_type)
+    // opt-in idle-type eviction (the T41 hygiene knob for the drift
+    // monitors): > 0 attaches the 1-day watermark + an event-time
+    // timeout armed at last-event + N days, so a type nobody feeds
+    // anymore retires its histogram instead of holding it forever.
+    // The trade is stated: with a watermark, rows more than a day
+    // stale drop as late data (NoTimeout accepts any order) — the
+    // default 0 keeps the accept-everything monitor unchanged.
+    val src = if (evictAfterDays > 0) withDayWatermark(events) else events
+    src.groupByKey(_.event_type)
       .flatMapGroupsWithState[DriftBins, PsiRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(),
+        if (evictAfterDays > 0) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
         (etype: String, rows: Iterator[ValuedEvent],
             state: GroupState[DriftBins]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+          var maxTs = Long.MinValue
+          val tracked = rows.map { e =>
+            if (e.ts > maxTs) maxTs = e.ts; e }
           val st = foldBins(
             state.getOption.getOrElse(DriftBins(0L, Vector.empty)),
-            rows, cutMicros, binUnit, binFloor, binCeil)
+            tracked, cutMicros, binUnit, binFloor, binCeil)
           state.update(st)
+          if (evictAfterDays > 0 && maxTs != Long.MinValue)
+            state.setTimeoutTimestamp(math.max(
+              maxTs / 1000L + evictAfterDays.toLong * 86400000L,
+              state.getCurrentWatermarkMs() + 1L))
           val na = st.bins.map(_.ca).sum
           val nb = st.bins.map(_.cb).sum
           val live = st.bins.filter(b => b.ca > 0L && b.cb > 0L)
@@ -558,6 +577,7 @@ object EventStreams {
             Iterator.single(PsiRow(etype, st.seq, st.bins.length.toLong,
               st.bins.count(b => b.ca == 0L || b.cb == 0L).toLong,
               na, nb, t.toDouble / 1000000.0))
+          }
           }
       }
   }
@@ -581,19 +601,32 @@ object EventStreams {
     * live feed does. */
   def ksStreamBinned(events: Dataset[ValuedEvent], cutMicros: Long,
       binUnit: Long = 250000L, binFloor: Long = -256L,
-      binCeil: Long = 255L): Dataset[KsRow] = {
+      binCeil: Long = 255L, evictAfterDays: Int = 0): Dataset[KsRow] = {
     import events.sparkSession.implicits._
     def q6d(x: Double): Double =
       math.floor(x * 1000000.0 + 0.5) / 1000000.0
-    events.groupByKey(_.event_type)
+    // same opt-in idle-type eviction trade as psiStream (see there)
+    val src = if (evictAfterDays > 0) withDayWatermark(events) else events
+    src.groupByKey(_.event_type)
       .flatMapGroupsWithState[DriftBins, KsRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(),
+        if (evictAfterDays > 0) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
         (etype: String, rows: Iterator[ValuedEvent],
             state: GroupState[DriftBins]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+          var maxTs = Long.MinValue
+          val tracked = rows.map { e =>
+            if (e.ts > maxTs) maxTs = e.ts; e }
           val st = foldBins(
             state.getOption.getOrElse(DriftBins(0L, Vector.empty)),
-            rows, cutMicros, binUnit, binFloor, binCeil)
+            tracked, cutMicros, binUnit, binFloor, binCeil)
           state.update(st)
+          if (evictAfterDays > 0 && maxTs != Long.MinValue)
+            state.setTimeoutTimestamp(math.max(
+              maxTs / 1000L + evictAfterDays.toLong * 86400000L,
+              state.getCurrentWatermarkMs() + 1L))
           val n1 = st.bins.map(_.ca).sum
           val n2 = st.bins.map(_.cb).sum
           if (n1 == 0L || n2 == 0L) Iterator.empty
@@ -608,6 +641,7 @@ object EventStreams {
               (n1 + n2).toDouble / (n1.toDouble * n2.toDouble)))
             Iterator.single(KsRow(etype, st.seq, n1, n2, d, ks, crit,
               if (ks > crit) 1L else 0L))
+          }
           }
       }
   }

@@ -1003,6 +1003,53 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("drift-monitor idle-type eviction (psiStream opt-in): a quiet " +
+      "type's histogram retires after the idle horizon and a " +
+      "reappearing type restarts a fresh histogram (seq resets); " +
+      "the default keeps NoTimeout semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val d0 = 19723L * 86400000000L
+    val cut = d0 + 86400000000L // A window = day 0, B = later
+    def ev(id: Long, day: Long, hourMicros: Long, t: String,
+        vMicro: Long) = EventStreams.ValuedEvent(id, 1L,
+      d0 + day * 86400000000L + hourMicros, t, vMicro)
+    val input = MemoryStream[EventStreams.ValuedEvent]
+    val q = EventStreams.psiStream(input.toDS(), cut,
+        evictAfterDays = 2)
+      .writeStream.format("memory").queryName("t_psi_evict")
+      .outputMode("append").start()
+    def stateRows(): Long = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).last
+    try {
+      // type a: the SAME bin populated in both windows → it emits
+      input.addData(Seq(ev(1L, 0L, 0L, "a", 100L),
+        ev(2L, 1L, 0L, "a", 100L), ev(3L, 1L, 0L, "wm", 0L)))
+      q.processAllAvailable()
+      val aRows = spark.table("t_psi_evict")
+        .filter($"event_type" === "a").count()
+      assert(aRows >= 1L)
+      assert(stateRows() == 2L, s"a and wm: ${stateRows()}")
+      // a goes quiet; wm advances the watermark past a's idle
+      // horizon (last a event day 1 + 2 days) → a's histogram retires
+      input.addData(Seq(ev(4L, 5L, 3600000000L, "wm", 0L)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(5L, 6L, 3600000000L, "wm", 0L)))
+      q.processAllAvailable()
+      assert(stateRows() == 1L,
+        s"quiet type must retire its histogram: ${stateRows()}")
+      // a reappears on the B side only: a FRESH histogram has no
+      // A-window mass, so nothing emits (the surviving pre-eviction
+      // histogram HAD A-window mass in this bin and would have
+      // emitted another verdict) — and the type holds state again
+      input.addData(Seq(ev(6L, 6L, 7200000000L, "a", 100L)))
+      q.processAllAvailable()
+      assert(spark.table("t_psi_evict")
+        .filter($"event_type" === "a").count() == aRows,
+        "a fresh histogram must not emit off one-sided mass")
+      assert(stateRows() == 2L, stateRows().toString)
+    } finally q.stop()
+  }
+
   test("SPC idle-type eviction: a type that stops emitting is " +
       "flushed then REMOVED after evictAfterDays quiet days (the " +
       "state count drops), and a reappearing type restarts as a " +
