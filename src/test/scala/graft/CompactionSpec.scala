@@ -192,4 +192,47 @@ class CompactionSpec extends SparkSuite {
       .select($"vec_id").collect().map(_.getLong(0)).toSet
     assert(pruned == before.collect { case (v, 3L) => v })
   }
+
+  test("offset-translation refusal matrix at unit level: happy fold, " +
+      "outran consumer, unknown units, newer-than-layout generation, " +
+      "and a history-less (legacy) fold all behave as documented") {
+    val root = "/tmp/graft_compact/translate"
+    clean(root, root + ".stats")
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val dl = half.select(size(split($"text", " ")).cast("long").as("dl"))
+    InvertedIndex.writeTermLayout(
+      InvertedIndex.buildPostings(half, NB),
+      dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")), root)
+    assert(InvertedIndex.appendPostingsIdempotent(
+      docs.filter($"doc_id" % 2 === 1), root, NB, 1L))
+    assert(InvertedIndex.compact(spark, root))
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def xlate(seen: Set[String]) =
+      TxBatch.translateUnits(fs, rootPath, seen, "spec")
+    // happy: the consumer had the old base AND the folded batch -
+    // together they ARE the new base
+    assert(xlate(Set(".", "_batch-1")) == Set("_base-1"))
+    // active units pass through untouched (fast path)
+    assert(xlate(Set("_base-1")) == Set("_base-1"))
+    // outran: batch 1 was folded but never delivered to this consumer
+    val e1 = intercept[IllegalStateException](xlate(Set(".")))
+    assert(e1.getMessage.contains("never processed"), e1.getMessage)
+    // a unit in no generation's history = out-of-protocol deletion
+    val e2 = intercept[IllegalStateException](
+      xlate(Set(".", "_batch-1", "_batch-9")))
+    assert(e2.getMessage.contains("no generation's fold history"),
+      e2.getMessage)
+    // a captured generation NEWER than the layout's = replaced layout
+    val e3 = intercept[IllegalStateException](xlate(Set("_base-5")))
+    assert(e3.getMessage.contains("NEWER"), e3.getMessage)
+    // legacy fold: delete the history file - translation must refuse
+    // rather than guess (a pre-r15 compaction recorded nothing)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/_base-1/${TxBatch.FoldedFile}"), false))
+    val e4 = intercept[IllegalStateException](
+      xlate(Set(".", "_batch-1")))
+    assert(e4.getMessage.contains("no fold history"), e4.getMessage)
+  }
 }
