@@ -455,6 +455,26 @@ object TxBatch {
     true
   }
 
+  /** [[compact]] behind a fan-in policy — the S31 maintain shape
+    * applied to compaction: fold ONLY when the live committed batch
+    * count has reached `maxLiveBatches` (each live batch adds one
+    * root to every reader's union and one commit unit to every
+    * scan's listing; the policy keeps read fan-in bounded under
+    * continuous appends without folding on every tick). Below the
+    * threshold the layout is untouched. Returns whether a fold ran.
+    * Pass `schema` for BASELESS roots (the pairs sinks / the DP
+    * ledger) exactly as with [[compact]]. */
+  def maintainCompact(s: SparkSession, root: String,
+      partitionCol: String = "bucket", maxLiveBatches: Int = 16,
+      stats: Option[DataFrame] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Boolean = {
+    require(maxLiveBatches > 0,
+      s"maxLiveBatches must be positive, got $maxLiveBatches")
+    if (liveBatchDirs(s, root).size < maxLiveBatches) false
+    else compact(s, root, partitionCol, stats = stats, schema = schema)
+  }
+
   /** Fold the effective base and every committed batch into ONE new
     * base generation, published by a single atomic rename — the
     * maintenance op that keeps read fan-in O(1) under continuous

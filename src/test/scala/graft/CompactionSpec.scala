@@ -235,4 +235,33 @@ class CompactionSpec extends SparkSuite {
       xlate(Set(".", "_batch-1")))
     assert(e4.getMessage.contains("no fold history"), e4.getMessage)
   }
+
+  test("maintainCompact folds only at the fan-in threshold: below it " +
+      "the layout is untouched, at it the fold runs and the count " +
+      "resets") {
+    val root = "/tmp/graft_compact/policy"
+    clean(root, root + ".stats")
+    val half = docs.filter($"doc_id" % 4 === 0)
+    val dl = half.select(size(split($"text", " ")).cast("long").as("dl"))
+    InvertedIndex.writeTermLayout(
+      InvertedIndex.buildPostings(half, NB),
+      dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")), root)
+    val before = InvertedIndex.readLayout(spark, root).count()
+    assert(InvertedIndex.appendPostingsIdempotent(
+      docs.filter($"doc_id" % 4 === 1), root, NB, 1L))
+    // one live batch, threshold 2: untouched (no _base- generation)
+    assert(!TxBatch.maintainCompact(spark, root, maxLiveBatches = 2))
+    assert(!entries(root).exists(_.startsWith("_base-")))
+    assert(InvertedIndex.appendPostingsIdempotent(
+      docs.filter($"doc_id" % 4 === 2), root, NB, 2L))
+    // two live batches: the policy trips, the fold runs
+    val total = InvertedIndex.readLayout(spark, root).count()
+    assert(total > before)
+    assert(TxBatch.maintainCompact(spark, root, maxLiveBatches = 2))
+    assert(entries(root).contains("_base-1"))
+    assert(TxBatch.liveBatchDirs(spark, root).isEmpty)
+    assert(InvertedIndex.readLayout(spark, root).count() == total)
+    // and immediately after the fold the policy is quiet again
+    assert(!TxBatch.maintainCompact(spark, root, maxLiveBatches = 2))
+  }
 }
