@@ -42,28 +42,36 @@ private[sources] class LayoutStreamingWrite(path: String,
   /** One-shot per query run: sweep crash residue a pure-streaming
     * layout never otherwise clears (the batch lane's publish sweeps
     * its own stagings; TxBatch.compact sweeps only `_staging-base-*`).
-    * Residue classes: a `_staging-<epoch>-<uuid>` left by a driver
-    * crash between the rename and [[TxBatch.publishStagedDir]], and
+    * Residue classes: a `_staging-<id>-<uuid>` left by a driver crash
+    * between the rename and [[TxBatch.publishStagedDir]], and
     * abandoned dot-hidden `.staging-stream-<uuid>` roots from prior
-    * query restarts. Both are safe to delete under the layout's
-    * single-STREAM-writer contract: any stream staging root other
-    * than OURS is a dead run's, and a root-level `_staging-<e>-*` of
-    * an epoch at or below the one now committing can never be
-    * in-flight again (epochs are monotone per query; a retried epoch
-    * restages fresh). `_staging-base-*` (a possibly-concurrent
-    * compaction's) is left alone. */
+    * query restarts. Stream roots other than OURS are dead runs'
+    * under the single-STREAM-writer contract; root-level stagings
+    * are swept ONLY for SETTLED ids (`_batch-<id>` present, or the
+    * id folded into the base) — a settled id's staging is provably
+    * residue, whereas sweeping by epoch ordering alone could race a
+    * composed batch-lane publish mid-flight (the foreachBatch +
+    * appendIdempotent lane shares the layout and the id space; its
+    * publish would then silently report not-applied). A staging of a
+    * permanently-abandoned unsettled epoch survives until the epoch
+    * settles — bounded, and the conservative side of a silent loss. */
   @volatile private var sweptResidue = false
   private def sweepResidue(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path, epochId: Long): Unit = {
+      root: Path): Unit = {
     if (sweptResidue || !fs.exists(root)) return
     sweptResidue = true
     val ourStream = new Path(streamRoot).getName
+    val settledBatch = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_batch-"))
+      .map(_.stripPrefix("_batch-").toLong).toSet
+    val applied = TxBatch.appliedIdsFs(fs, root)
     val epochStaging = "_staging-(\\d+)-[0-9a-f]+".r
     fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
       p.getName match {
         case n if n.startsWith(".staging-stream-") && n != ourStream =>
           fs.delete(p, true)
-        case epochStaging(e) if e.toLong <= epochId =>
+        case epochStaging(e) if settledBatch.contains(e.toLong) ||
+            applied.contains(e.toLong) =>
           fs.delete(p, true)
         case _ => ()
       }
@@ -74,7 +82,6 @@ private[sources] class LayoutStreamingWrite(path: String,
       messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf.value)
-    sweepResidue(fs, root, epochId)
     val epoch = epochDir(epochId)
     val rels = messages.toSeq.flatMap(extract)
     if (rels.isEmpty) { fs.delete(epoch, true); return }
@@ -106,6 +113,9 @@ private[sources] class LayoutStreamingWrite(path: String,
     }
     TxBatch.publishStagedDir(fs, root, epochId, staging)
     fs.delete(epoch, true)
+    // after the publish, so a crashed prior attempt of THIS epoch is
+    // already settled and its staging provably residue
+    sweepResidue(fs, root)
   }
 
   override def abort(epochId: Long,
