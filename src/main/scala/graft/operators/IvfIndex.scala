@@ -153,6 +153,35 @@ object IvfIndex {
     appendCellsIdempotent(assigned, path, batchId,
       crashBeforePublish = false)
 
+  /** The append lane with the maintenance loop CLOSED — no external
+    * cron: [[appendCellsIdempotent]] then, when the append applied,
+    * [[maintain]]'s drift audit (relearn iff the appended
+    * population's mean centroid affinity fell below `driftRatio` of
+    * the base's) and, when drift did NOT trip, the
+    * [[TxBatch.maintainCompact]] fan-in fold at `maxLiveBatches`
+    * (a relearn already folds everything, so the two never both
+    * run). Returns `(applied, decision)` — `decision` is None when
+    * the append was a replayed no-op (nothing changed, nothing to
+    * audit). A live tailing consumer survives the fan-in fold iff
+    * caught up (offset translation) and always refuses across a
+    * relearn — the documented contentRewrite rule; writers that feed
+    * a live consumer should prefer the consumer's own post-trigger
+    * hook ([[graft.streaming.StreamMaintenance]]) for folds and keep
+    * relearn for quiesced windows. */
+  def appendCellsMaintained(assigned: DataFrame, path: String,
+      batchId: Long, cents: Array[Array[Double]],
+      driftRatio: Double = 0.95, maxLiveBatches: Int = 16,
+      iters: Int = 1): (Boolean, Option[MaintainDecision]) = {
+    val applied = appendCellsIdempotent(assigned, path, batchId)
+    if (!applied) return (false, None)
+    val s = assigned.sparkSession
+    val d = maintain(s, path, cents, driftRatio, iters)
+    if (!d.relearned)
+      TxBatch.maintainCompact(s, path, partitionCol = "cell",
+        maxLiveBatches = maxLiveBatches)
+    (true, Some(d))
+  }
+
   /** [[appendCellsIdempotent]] with the spec crash failpoint. */
   private[graft] def appendCellsIdempotent(assigned: DataFrame,
       path: String, batchId: Long, crashBeforePublish: Boolean): Boolean = {

@@ -297,10 +297,13 @@ object Privacy {
 
   /** Schema of the DP release ledger ([[recordRelease]]): one row per
     * release, the persisted evidence that makes the ε-composition
-    * rule ENFORCEABLE instead of advisory. `seed_fp` is the md5
-    * FINGERPRINT of the release seed — the seed itself is never
-    * stored (a stored seed would let any ledger reader recompute and
-    * subtract the noise); `released_at` is a caller-declared label
+    * rule ENFORCEABLE instead of advisory. `seed_fp` is the truncated
+    * SHA-256 FINGERPRINT of the release seed ([[seedFingerprint]]) —
+    * the seed itself is never stored (a stored seed would let any
+    * ledger reader recompute and subtract the noise; ledger
+    * readability must still be restricted alongside the seed, since
+    * a fingerprint only slows, never stops, brute-forcing a
+    * low-entropy seed); `released_at` is a caller-declared label
     * (the release process stamps it — the ledger itself never reads a
     * clock, so replays are deterministic); `bucket` partitions the
     * ledger for the TxBatch protocol (pmod(release_id, 32)). */
@@ -325,12 +328,19 @@ object Privacy {
       org.apache.spark.sql.types.StructField("bucket",
         org.apache.spark.sql.types.LongType, nullable = false)))
 
-  /** md5 hex fingerprint of a release seed — what the ledger stores
-    * in place of the seed (same release ⇒ same fingerprint, but the
-    * fingerprint reveals nothing the PRF draw depends on). */
+  /** Truncated SHA-256 hex fingerprint of a release seed — what the
+    * ledger stores in place of the seed (same release ⇒ same
+    * fingerprint, but the fingerprint reveals nothing the PRF draw
+    * depends on). SHA-256 rather than a fast legacy hash to slow an
+    * offline brute-force of a LOW-entropy seed from a leaked ledger;
+    * the real defenses remain the high-entropy-seed contract AND
+    * restricting ledger readability to the release operators (anyone
+    * who can read the ledger and guess the seed can subtract the
+    * noise — no fingerprint choice repairs a guessable seed). */
   def seedFingerprint(seed: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(seed.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(32)
   }
 
   /** Record one DP release in the ledger at `ledgerPath`,
@@ -371,23 +381,118 @@ object Privacy {
       .reduce(_ unionByName _)
   }
 
+  /** Name of the ledger's writer-lease file (hidden, lives at the
+    * ledger root alongside the `_batch-*` release rows). */
+  private[graft] val LeaseFile = "_lease"
+
+  /** Run `body` under the ledger's writer lease — the rename-based
+    * mutual exclusion that makes [[recordReleaseWithinBudget]]'s
+    * check-then-record pair atomic across CONCURRENT release
+    * pipelines (two near-cap writers both passing the spent check
+    * would overshoot the cap; the TxBatch rename protects each
+    * record's idempotence, not the pair). Acquisition is the TxBatch
+    * publish dance, DIRECTORY-shaped on purpose: stage a unique
+    * non-empty `_lease-tmp-<uuid>/` (a marker file inside), then
+    * `rename(tmp, _lease)` and treat a rename that landed NESTED
+    * inside an existing `_lease` as a loss (Hadoop
+    * rename-into-existing-dir semantics — a FILE lease would be
+    * silently OVERWRITTEN by a POSIX rename, admitting two holders).
+    * Exactly one contender's directory becomes `_lease`. A holder
+    * that died without releasing is broken after `staleMs` by
+    * modification time (wall clock — infrastructure only, never
+    * ledger CONTENT, so replays stay deterministic); a contender that
+    * cannot acquire within the retry budget refuses loudly rather
+    * than proceeding unguarded. */
+  private[graft] def withLedgerLease[T](
+      s: org.apache.spark.sql.SparkSession, ledgerPath: String,
+      staleMs: Long = 60000L)(body: => T): T = {
+    val root = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val lease = new org.apache.hadoop.fs.Path(root, LeaseFile)
+    val tmpName = "_lease-tmp-" +
+      java.util.UUID.randomUUID().toString.take(12)
+    val tmp = new org.apache.hadoop.fs.Path(root, tmpName)
+    def stageTmp(): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "owner"),
+        true)
+      try out.write(tmpName.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    stageTmp()
+    var acquired = false
+    var attempts = 0
+    try {
+      while (!acquired && attempts < 400) {
+        val renamed = try fs.rename(tmp, lease)
+        catch { case _: java.io.IOException => false }
+        if (renamed) {
+          // rename-into-existing-dir: landing nested means another
+          // pipeline holds the lease — withdraw and retry
+          val nested = new org.apache.hadoop.fs.Path(lease, tmpName)
+          if (fs.exists(nested)) { fs.delete(nested, true); () }
+          else acquired = true
+        }
+        if (!acquired) {
+          attempts += 1
+          if (!fs.exists(tmp)) stageTmp() // consumed by a lost rename
+          // staleness reads the holder's OWN marker file, never the
+          // lease directory: every losing contender's nested
+          // rename+delete refreshes the DIRECTORY mtime, so a dead
+          // holder under contention would look eternally fresh
+          val st =
+            try Some(fs.getFileStatus(
+              new org.apache.hadoop.fs.Path(lease, "owner")))
+            catch { case _: java.io.FileNotFoundException => None }
+          val stale = st match {
+            case Some(h) => System.currentTimeMillis() -
+              h.getModificationTime > staleMs
+            // lease dir present but marker missing = a half-staged
+            // corpse, breakable
+            case None => fs.exists(lease)
+          }
+          if (stale) {
+            // the holder died without releasing: break the lease
+            // (best-effort — a concurrent breaker racing us is
+            // fine, the rename dance still admits exactly one)
+            fs.delete(lease, true); ()
+          } else Thread.sleep(25L)
+        }
+      }
+      if (!acquired)
+        throw new IllegalStateException(
+          s"could not acquire the DP ledger writer lease at $lease " +
+            s"after $attempts attempts — another release pipeline " +
+            "holds it; retry once it completes, or delete a stale " +
+            s"$LeaseFile left by a dead holder")
+      body
+    } finally {
+      if (acquired) fs.delete(lease, true) else fs.delete(tmp, true)
+      ()
+    }
+  }
+
   /** [[recordRelease]] gated by the dataset's cumulative budget: the
     * release records ONLY when spent(dataset) + epsilonMicro stays
     * within `capMicro` — otherwise it REFUSES loudly (the approval
     * gate the audit row exists for, made enforceable). A retried
     * settled id stays a no-op BEFORE the cap check (its ε is already
     * counted — refusing a retry would wedge an at-cap pipeline).
-    * Ledger writes follow the single-release-pipeline-per-dataset
-    * convention (the TxBatch single-writer rule): the check-then-
-    * record pair is not atomic across concurrent writers. */
+    * The check-then-record pair runs under the ledger's writer lease
+    * ([[withLedgerLease]]), so two concurrent near-cap pipelines can
+    * never BOTH pass the spent check and overshoot the cap — the
+    * loser observes the winner's row and refuses. */
   def recordReleaseWithinBudget(s: org.apache.spark.sql.SparkSession,
       ledgerPath: String, releaseId: Long, dataset: String,
       mechanism: String, keyCol: String, epsilonMicro: Long,
       nKeys: Long, seed: String, releasedAt: String,
       capMicro: Long): Boolean = {
     require(capMicro > 0L, s"capMicro must be positive, got $capMicro")
-    // settled id: no-op before the cap check
-    val settled = {
+    // settled id: no-op before the cap check AND before the lease
+    // (an at-cap retry must never block on, or be refused by, the
+    // lease another pipeline holds — its ε is already counted)
+    def settled = {
       val r = new org.apache.hadoop.fs.Path(ledgerPath)
       val fs = r.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.exists(new org.apache.hadoop.fs.Path(r,
@@ -395,19 +500,26 @@ object Privacy {
         TxBatch.appliedIds(s, ledgerPath).contains(releaseId)
     }
     if (settled) return false
-    val spent = readLedger(s, ledgerPath)
-      .filter(col("dataset") === dataset)
-      .agg(coalesce(sum(col("epsilon_micro")), lit(0L)))
-      .head().getLong(0)
-    if (spent + epsilonMicro > capMicro)
-      throw new IllegalStateException(
-        s"DP budget exceeded for dataset '$dataset': spent " +
-          s"$spent micro-ε + requested $epsilonMicro > cap " +
-          s"$capMicro — the release is REFUSED; raise the cap, " +
-          "retire the dataset, or release nothing (the audit row " +
-          "is the evidence an approval board reads)")
-    recordRelease(s, ledgerPath, releaseId, dataset, mechanism,
-      keyCol, epsilonMicro, nKeys, seed, releasedAt)
+    withLedgerLease(s, ledgerPath) {
+      // re-check under the lease: the id may have settled while we
+      // waited for a concurrent pipeline publishing the SAME release
+      if (settled) false
+      else {
+        val spent = readLedger(s, ledgerPath)
+          .filter(col("dataset") === dataset)
+          .agg(coalesce(sum(col("epsilon_micro")), lit(0L)))
+          .head().getLong(0)
+        if (spent + epsilonMicro > capMicro)
+          throw new IllegalStateException(
+            s"DP budget exceeded for dataset '$dataset': spent " +
+              s"$spent micro-ε + requested $epsilonMicro > cap " +
+              s"$capMicro — the release is REFUSED; raise the cap, " +
+              "retire the dataset, or release nothing (the audit row " +
+              "is the evidence an approval board reads)")
+        recordRelease(s, ledgerPath, releaseId, dataset, mechanism,
+          keyCol, epsilonMicro, nKeys, seed, releasedAt)
+      }
+    }
   }
 
   /** The budget audit over the ledger: cumulative spent ε (exact

@@ -60,6 +60,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * rows, silently re-reading would duplicate them). Content REWRITES
   * ([[graft.operators.IvfIndex.relearn]]) mark their generation and
   * always refuse translation.
+  *
+  * Connector PLANNING is fold-tolerant
+  * ([[graft.sources.CellsSource.foldTolerant]]): a fold sweeping a
+  * commit unit between a scan's root listing and its per-unit listing
+  * retries against a fresh listing (surfacing the translation refusal
+  * where one applies) instead of crashing on the TOCTOU. The residual
+  * window is an in-flight EXECUTION racing the fold's cleanup —
+  * already-planned file handles can still fail; the re-planned retry
+  * succeeds or refuses per the translation rules. In-trigger
+  * maintenance ([[graft.streaming.StreamMaintenance]]) avoids even
+  * that window for the stream's own query.
   */
 object TxBatch {
 
@@ -350,18 +361,51 @@ object TxBatch {
     * old base and of folded-and-processed batches are replaced by the
     * current base's files from `now` (the caller's fresh listing, so
     * the caller's own pruning applies consistently). Same refusal
-    * rules as [[translateUnits]]. The fast path (no unit died) costs
-    * no filesystem call. */
+    * rules as [[translateUnits]].
+    *
+    * The fast path (every seen unit also appears in `now`) must NOT
+    * blindly trust `now`: when BOTH offsets predate a compaction —
+    * a restart replaying an offset-log entry whose trigger a fold
+    * interrupted — the subset check passes on two equally-stale unit
+    * sets and the read would die downstream with a raw
+    * FileNotFoundException that wedges every retry. So whenever the
+    * fast path would actually DELIVER files (`now -- seen` nonempty),
+    * their units are verified against one fresh listing and a swept
+    * unit refuses loudly with the documented recovery instead — the
+    * undelivered rows are inside the new base, inseparable at file
+    * granularity. A caught-up replay (`now == seen`) stays free of
+    * filesystem calls. */
   private[graft] def translateOffsetFiles(
       fs: org.apache.hadoop.fs.FileSystem, root: Path,
       seen: Set[String], now: Set[String], context: String)
       : Set[String] = {
-    if (seen.isEmpty) return seen
+    if (seen.isEmpty && now.isEmpty) return seen
+    val toDeliver = now -- seen
     val seenUnits = seen.map(unitNameOfFile)
     // append-only invariant: a delivered file still exists unless a
     // compaction swept its unit, so every live seen-unit also appears
-    // in the fresh listing — subset means nothing died
-    if (seenUnits.subsetOf(now.map(unitNameOfFile))) return seen
+    // in the fresh listing — subset means nothing of SEEN died
+    if (seenUnits.subsetOf(now.map(unitNameOfFile))) {
+      if (toDeliver.isEmpty) return seen
+      val (base, live) = layoutUnitsFs(fs, root)
+      val baseName = if (base == root) BaseRootName else base.getName
+      val active = live.map(_.getName).toSet + baseName
+      val missing = toDeliver.map(unitNameOfFile) -- active
+      if (missing.isEmpty) return seen
+      throw new IllegalStateException(
+        s"$context: cannot translate the trigger's end offset — it " +
+          s"names commit unit(s) " +
+          s"${missing.toSeq.sorted.mkString("{", ",", "}")} that a " +
+          s"compaction already folded into the base at $root. Both " +
+          "offsets predate the fold (a restart replaying a logged " +
+          "trigger the fold interrupted), and the undelivered rows " +
+          "are inseparable from the new base at file granularity. " +
+          "Recovery: stop the consumer and reprocess the layout once " +
+          "from scratch under a FRESH checkpoint (idempotent TxBatch " +
+          "sinks dedup replayed work), or restore the pre-compaction " +
+          "layout from backup and resume the old checkpoint against " +
+          "it.")
+    }
     val units = translateUnits(fs, root, seenUnits, context)
     now.filter(f => units.contains(unitNameOfFile(f)))
   }
@@ -463,16 +507,25 @@ object TxBatch {
     * continuous appends without folding on every tick). Below the
     * threshold the layout is untouched. Returns whether a fold ran.
     * Pass `schema` for BASELESS roots (the pairs sinks / the DP
-    * ledger) exactly as with [[compact]]. */
+    * ledger) exactly as with [[compact]]. `onlyIds` restricts BOTH
+    * the count and the fold to the named batch ids — the post-trigger
+    * maintenance hook passes its stream's delivered set, so a batch a
+    * concurrent writer commits mid-trigger stays live instead of
+    * being folded undelivered (which would wedge the consumer on the
+    * translation refusal). */
   def maintainCompact(s: SparkSession, root: String,
       partitionCol: String = "bucket", maxLiveBatches: Int = 16,
       stats: Option[DataFrame] = None,
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
-      : Boolean = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      onlyIds: Option[Set[Long]] = None): Boolean = {
     require(maxLiveBatches > 0,
       s"maxLiveBatches must be positive, got $maxLiveBatches")
-    if (liveBatchDirs(s, root).size < maxLiveBatches) false
-    else compact(s, root, partitionCol, stats = stats, schema = schema)
+    val eligible = liveBatchDirs(s, root).map(d =>
+      new Path(d).getName.stripPrefix("_batch-").toLong)
+      .filter(id => onlyIds.forall(_.contains(id)))
+    if (eligible.size < maxLiveBatches) false
+    else compact(s, root, partitionCol, stats = stats, schema = schema,
+      onlyIds = onlyIds)
   }
 
   /** Fold the effective base and every committed batch into ONE new
@@ -516,7 +569,11 @@ object TxBatch {
     * where every row arrived through a trigger): the base read takes
     * the explicit schema, so an empty gen-0 base — a root holding
     * only `_batch-*` dirs — reads as the empty relation instead of
-    * failing inference. */
+    * failing inference. `onlyIds` folds ONLY the named live batch
+    * ids (others stay live, to be folded later): the post-trigger
+    * maintenance hook restricts the fold to batches its stream has
+    * already DELIVERED, so a concurrent writer's fresh batch is
+    * never folded undelivered out from under the consumer. */
   def compact(s: SparkSession, root: String,
       partitionCol: String = "bucket",
       stats: Option[DataFrame] = None,
@@ -525,7 +582,8 @@ object TxBatch {
       metaJson: Option[String] = None,
       force: Boolean = false,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      contentRewrite: Boolean = false)
+      contentRewrite: Boolean = false,
+      onlyIds: Option[Set[Long]] = None)
       : Boolean = {
     val r = new Path(root)
     val fs = fsOf(s, r)
@@ -546,6 +604,7 @@ object TxBatch {
       }.foreach(st => fs.delete(st.getPath, true))
     }
     val live = liveBatchDirsFs(fs, r)
+      .filter(d => onlyIds.forall(_.contains(idOf(d))))
     if (live.isEmpty && !force) return false
     val oldGen = baseGenFs(fs, r)
     val base = baseDirFs(fs, r)

@@ -684,12 +684,25 @@ object Mutations {
     "dp_budget_audit" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val ledger = ledgerCache.computeIfAbsent(dir, d => {
-        val p = s"${System.getProperty("java.io.tmpdir")}/" +
-          s"graft_dp_ledger_v1_${math.abs(d.hashCode)}"
         val docs = Tables.documents(s, d)
         val nSources = docs.select($"source").distinct().count()
         val nBuckets = docs.select(expr("n_chars DIV 100"))
           .distinct().count()
+        // ledger path keyed by a CONTENT fingerprint of the fixture,
+        // not the dir string's hashCode: the ledger persists in
+        // tmpdir across JVM runs, and recordRelease is idempotent by
+        // id — a regenerated fixture with different distinct counts
+        // under the SAME dir would otherwise no-op against the stale
+        // ledger and hand the audit stale n_keys while the oracle
+        // recomputes fresh ones (hex, never abs(hashCode): abs
+        // collides across dirs and is negative at Int.MinValue)
+        val fp = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(s"$d|$nSources|$nBuckets".getBytes("UTF-8"))
+          md.digest().map("%02x".format(_)).mkString.take(16)
+        }
+        val p = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_dp_ledger_v2_$fp"
         def rec(id: Long, dataset: String, mech: String, key: String,
             epsMicro: Long, nKeys: Long, seed: String): Unit = {
           graft.operators.Privacy.recordRelease(s, p, id, dataset,

@@ -68,7 +68,7 @@ class BandsSource extends TableProvider {
     opt("tau").foreach(t => require(t.toDouble == tau,
       s"band-layout geometry mismatch at $path: layout has tau=$tau, " +
         s"option asked for tau=$t"))
-    new BandsTable(path, nBuckets)
+    new BandsTable(path, nBuckets, tau)
   }
 }
 
@@ -88,11 +88,17 @@ object BandsSource {
   }
 }
 
-private[sources] class BandsTable(path: String, nBuckets: Int)
+private[sources] class BandsTable(path: String, nBuckets: Int,
+    tau: Double)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_bands($path)"
   override def schema(): StructType = BandsSource.Schema
+  /** Operational TBLPROPERTIES — geometry stamp, base generation,
+    * live-batch fan-in (see [[LayoutProperties]]). */
+  override def properties(): util.Map[String, String] =
+    LayoutProperties.of(path, "bands",
+      Seq("tau" -> tau.toString, "nBuckets" -> nBuckets.toString))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
@@ -213,24 +219,32 @@ private[graft] class BandsScan(path: String, nBuckets: Int,
   private[graft] def files: Seq[(String, Long, Long)] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf.value)
-    // commit units = effective base + live batches (the TxBatch
-    // compaction rule); `roots` bounds the listing to named units —
-    // the protocol publishes whole unit directories atomically, so
-    // the allowlist is an exact file-set bound (the live consumers'
-    // offset-threading contract), translated across compactions
-    val rootDirs = CellsSource.allowedUnits(fs, root, roots)
-    rootDirs.flatMap { r =>
-      val dirs = fs.listStatus(r).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-        .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toLong))
-      val kept = rtBuckets match {
-        case Some(bs) => dirs.filter { case (_, b) => bs.contains(b) }
-        case None => dirs
-      }
-      kept.flatMap { case (dir, b) =>
-        fs.listStatus(dir).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => (f.getPath.toString, b, f.getLen))
+    // fold-tolerant: a concurrent TxBatch.compact sweeping a unit
+    // between the root listing and the per-unit listing retries once
+    // against a fresh listing instead of crashing the scan
+    CellsSource.foldTolerant(root, s"BandsSource scan at $path") {
+      // commit units = effective base + live batches (the TxBatch
+      // compaction rule); `roots` bounds the listing to named units —
+      // the protocol publishes whole unit directories atomically, so
+      // the allowlist is an exact file-set bound (the live consumers'
+      // offset-threading contract), translated across compactions
+      val rootDirs = CellsSource.allowedUnits(fs, root, roots)
+      CellsSource.listingFailpoint()
+      rootDirs.flatMap { r =>
+        val sts = fs.listStatus(r).toSeq
+        CellsSource.requireUnitFresh(root, r, sts)
+        val dirs = sts
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toLong))
+        val kept = rtBuckets match {
+          case Some(bs) => dirs.filter { case (_, b) => bs.contains(b) }
+          case None => dirs
+        }
+        kept.flatMap { case (dir, b) =>
+          fs.listStatus(dir).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(f => (f.getPath.toString, b, f.getLen))
+        }
       }
     }
   }

@@ -95,21 +95,25 @@ object CellsSource {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val first = listCellDirs(fs, root).iterator.flatMap { case (dir, _) =>
-      fs.listStatus(dir).iterator
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath)
-    }.take(1).toSeq.headOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"cell layout at $path has no data files"))
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(first, conf))
-    val mt =
-      try reader.getFooter.getFileMetaData.getSchema
-      finally reader.close()
-    StructType(mt.getFields.asScala.toSeq.map(f =>
-      StructField(f.getName, parquetToCatalyst(f), nullable = true)) :+
-      StructField("cell", LongType, nullable = false))
+    // fold-tolerant like the scans: a fold can sweep the first-listed
+    // file between the listing and the footer open
+    foldTolerant(root, s"CellsSource schema at $path") {
+      val first = listCellDirs(fs, root).iterator.flatMap { case (dir, _) =>
+        fs.listStatus(dir).iterator
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      }.take(1).toSeq.headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"cell layout at $path has no data files"))
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(first, conf))
+      val mt =
+        try reader.getFooter.getFileMetaData.getSchema
+        finally reader.close()
+      StructType(mt.getFields.asScala.toSeq.map(f =>
+        StructField(f.getName, parquetToCatalyst(f), nullable = true)) :+
+        StructField("cell", LongType, nullable = false))
+    }
   }
 
   /** The payload types a cell layout can carry through this reader. */
@@ -170,11 +174,16 @@ object CellsSource {
     * allowlist is an exact file-set bound — the offset-threading
     * contract the live consumers rely on). */
   private[sources] def listCellDirs(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path, allow: Option[Set[String]] = None): Seq[(Path, Long)] =
-    allowedUnits(fs, root, allow)
-      .flatMap(r => fs.listStatus(r).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-        .map(s => (s.getPath, s.getPath.getName.stripPrefix("cell=").toLong)))
+      root: Path, allow: Option[Set[String]] = None): Seq[(Path, Long)] = {
+    val units = allowedUnits(fs, root, allow)
+    listingFailpoint()
+    units.flatMap { r =>
+      val sts = fs.listStatus(r).toSeq
+      requireUnitFresh(root, r, sts)
+      sts.filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .map(s => (s.getPath, s.getPath.getName.stripPrefix("cell=").toLong))
+    }
+  }
 
   /** The layout's commit units restricted to an allowlist, with the
     * allowlist TRANSLATED across compactions first
@@ -212,6 +221,68 @@ object CellsSource {
     * the directory name (`_base-<gen>` / `_batch-<id>`) otherwise. */
   private[sources] def unitName(root: Path, unit: Path): String =
     if (unit == root) BaseRoot else unit.getName
+
+  /** The gen-0 half of the fold/listing TOCTOU detector: a swept
+    * `_batch-*`/`_base-*` unit FNFs on its own, but the legacy
+    * ROOT-as-base unit never does — a fold's cleanup just deletes its
+    * partition directories, so a stale resolution would return a
+    * silently EMPTY base instead of crashing. The same `listStatus`
+    * result betrays the race for free: a `_base-<gen>` child under a
+    * unit that was resolved AS the gen-0 base means a compaction
+    * published between resolution and listing — throw the FNF the
+    * fold-tolerant retry expects (the retry re-resolves to the new
+    * base, or surfaces the allowlist translation refusal). */
+  private[sources] def requireUnitFresh(root: Path, unit: Path,
+      statuses: Seq[org.apache.hadoop.fs.FileStatus]): Unit =
+    if (unit == root && statuses.exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("_base-")))
+      throw new java.io.FileNotFoundException(
+        s"$root: a base generation appeared under the gen-0 root " +
+          "mid-listing (concurrent compaction)")
+
+  /** Test failpoint for the fold/listing TOCTOU: invoked by each
+    * connector's `files` AFTER the commit units are resolved and
+    * BEFORE their contents are listed — exactly the window in which a
+    * concurrent [[graft.operators.TxBatch.compact]] can sweep a unit
+    * the root listing just returned. Specs install a one-shot fold
+    * here to hit the race deterministically; production leaves the
+    * no-op. */
+  @volatile private[graft] var listingFailpoint: () => Unit = () => ()
+
+  /** Run one connector listing fold-tolerantly — the fix for the
+    * fold/trigger TOCTOU race: a [[graft.operators.TxBatch.compact]]
+    * sweeping a commit unit between the root listing and the per-unit
+    * `listStatus` throws FileNotFoundException from inside `body`.
+    * The fold is content-preserving and publishes atomically, so ONE
+    * fresh attempt sees a complete layout again (and, for allowlisted
+    * scans, re-resolves the allowlist through
+    * [[graft.operators.TxBatch.translateUnitsPre]], whose own refusal
+    * — the documented recovery — surfaces instead of the raw FNF). A
+    * second miss inside the retry means the layout is being deleted
+    * OUTSIDE the protocol: refuse loudly, never leak the raw FNF. */
+  private[sources] def foldTolerant[T](root: Path, context: String)(
+      body: => T): T = {
+    // a bounded handful of retries, not one: rapid successive folds
+    // (a maintenance hook catching up a backlog) can legitimately
+    // sweep a unit during the retry's own listing window
+    var attempt = 0
+    while (attempt < 3) {
+      try return body
+      catch { case _: java.io.FileNotFoundException => attempt += 1 }
+    }
+    try body
+    catch {
+      case e: java.io.FileNotFoundException =>
+        throw new IllegalStateException(
+          s"$context: commit units at $root keep disappearing " +
+            "mid-listing after fold-tolerant retries — the " +
+            "layout is being deleted outside the compaction " +
+            "protocol. Recovery: stop the consumer and reprocess " +
+            "the layout once from scratch under a FRESH " +
+            "checkpoint (idempotent TxBatch sinks dedup replayed " +
+            "work), or restore the layout from backup.", e)
+    }
+  }
 }
 
 private[sources] class CellsTable(path: String, k: Int, dim: Int,
@@ -219,6 +290,15 @@ private[sources] class CellsTable(path: String, k: Int, dim: Int,
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_cells($path)"
   override def schema(): StructType = tableSchema
+  /** Operational TBLPROPERTIES — geometry stamp, base generation,
+    * live-batch fan-in, and the centroid version ANN probes must
+    * match (see [[LayoutProperties]]). */
+  override def properties(): util.Map[String, String] =
+    LayoutProperties.of(path, "cells",
+      Seq("k" -> k.toString, "dim" -> dim.toString) ++
+        graft.operators.IvfIndex
+          .readCentroidVersion(SparkSession.active, path)
+          .map("centroid_version" -> _).toSeq)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
@@ -313,15 +393,20 @@ private[graft] class CellsScan(path: String, k: Int,
   private[graft] def files: Seq[(String, Long, Long)] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf.value)
-    val dirs = CellsSource.listCellDirs(fs, root, roots)
-    val kept = rtCells match {
-      case Some(cs) => dirs.filter { case (_, c) => cs.contains(c) }
-      case None => dirs
-    }
-    kept.flatMap { case (dir, c) =>
-      fs.listStatus(dir).toSeq
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(f => (f.getPath.toString, c, f.getLen))
+    // fold-tolerant: a concurrent TxBatch.compact sweeping a unit
+    // between the root listing and the per-unit listing retries once
+    // against a fresh listing instead of crashing the scan
+    CellsSource.foldTolerant(root, s"CellsSource scan at $path") {
+      val dirs = CellsSource.listCellDirs(fs, root, roots)
+      val kept = rtCells match {
+        case Some(cs) => dirs.filter { case (_, c) => cs.contains(c) }
+        case None => dirs
+      }
+      kept.flatMap { case (dir, c) =>
+        fs.listStatus(dir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.toString, c, f.getLen))
+      }
     }
   }
 

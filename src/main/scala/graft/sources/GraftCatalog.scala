@@ -114,8 +114,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           new CellsTable(path, k, dim,
             CellsSource.layoutSchema(spark, path))
         } else if (isBands) {
-          val (_, nb) = BandIndex.readMeta(spark, path)
-          new BandsTable(path, nb)
+          val (tau, nb) = BandIndex.readMeta(spark, path)
+          new BandsTable(path, nb, tau)
         } else if (keys("nBuckets")) {
           new PostingsTable(path,
             InvertedIndex.readStampedBuckets(spark, path).get)

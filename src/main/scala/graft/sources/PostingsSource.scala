@@ -112,6 +112,11 @@ private[sources] class PostingsTable(path: String, nBuckets: Int)
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_postings($path)"
   override def schema(): StructType = PostingsSource.Schema
+  /** Operational TBLPROPERTIES — geometry stamp, base generation,
+    * live-batch fan-in (see [[LayoutProperties]]). */
+  override def properties(): util.Map[String, String] =
+    LayoutProperties.of(path, "postings",
+      Seq("nBuckets" -> nBuckets.toString))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
@@ -250,24 +255,32 @@ private[graft] class PostingsScan(path: String, nBuckets: Int,
   private def filesWithSizes: Seq[(String, Long, Long)] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf.value)
-    // `roots` bounds the listing to named commit units — the TxBatch
-    // protocol publishes whole unit directories atomically, so the
-    // allowlist is an exact file-set bound (the live consumers'
-    // offset-threading contract, symmetric across all three
-    // connectors), translated across compactions
-    val rootDirs = CellsSource.allowedUnits(fs, root, roots)
-    rootDirs.flatMap { r =>
-      val dirs = fs.listStatus(r).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-        .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toLong))
-      val kept = rtBuckets match {
-        case Some(bs) => dirs.filter { case (_, b) => bs.contains(b) }
-        case None => dirs
-      }
-      kept.flatMap { case (dir, b) =>
-        fs.listStatus(dir).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => (f.getPath.toString, b, f.getLen))
+    // fold-tolerant: a concurrent TxBatch.compact sweeping a unit
+    // between the root listing and the per-unit listing retries once
+    // against a fresh listing instead of crashing the scan
+    CellsSource.foldTolerant(root, s"PostingsSource scan at $path") {
+      // `roots` bounds the listing to named commit units — the TxBatch
+      // protocol publishes whole unit directories atomically, so the
+      // allowlist is an exact file-set bound (the live consumers'
+      // offset-threading contract, symmetric across all three
+      // connectors), translated across compactions
+      val rootDirs = CellsSource.allowedUnits(fs, root, roots)
+      CellsSource.listingFailpoint()
+      rootDirs.flatMap { r =>
+        val sts = fs.listStatus(r).toSeq
+        CellsSource.requireUnitFresh(root, r, sts)
+        val dirs = sts
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toLong))
+        val kept = rtBuckets match {
+          case Some(bs) => dirs.filter { case (_, b) => bs.contains(b) }
+          case None => dirs
+        }
+        kept.flatMap { case (dir, b) =>
+          fs.listStatus(dir).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(f => (f.getPath.toString, b, f.getLen))
+        }
       }
     }
   }

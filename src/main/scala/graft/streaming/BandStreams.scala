@@ -56,10 +56,16 @@ object BandStreams {
     * verify reads, batch and corpus side alike; at scale it is the
     * at-rest corpus table, touched only for candidate ids. Verified
     * pairs publish to `pairsPath` via [[TxBatch]] — read them back
-    * with [[readPairs]]. */
+    * with [[readPairs]]. `maintainLayoutEvery` / `maintainPairsEvery`
+    * (> 0) arm the post-trigger maintenance hook
+    * ([[StreamMaintenance.postTrigger]]): the source layout folds at
+    * the fan-in threshold restricted to DELIVERED batch ids, and the
+    * pairs sink folds at its own threshold — bounded read fan-in with
+    * no external cron. */
   def liveNearDup(spark: SparkSession, layoutPath: String,
       texts: DataFrame, pairsPath: String, checkpoint: String,
-      bucketCap: Int = 1024): StreamingQuery = {
+      bucketCap: Int = 1024, maintainLayoutEvery: Int = 0,
+      maintainPairsEvery: Int = 0): StreamingQuery = {
     val (tau, _) = BandIndex.readMeta(spark, layoutPath)
     spark.readStream.format("graft.sources.BandsSource")
       .option("path", layoutPath).load()
@@ -73,14 +79,23 @@ object BandStreams {
         // publishing the pair twice in reversed orientation); the
         // start offset comes from the stream's own offsets log, so a
         // retried trigger derives the identical bound
-        val pairs = probeArrivals(arriving, layoutPath, texts, tau,
-          bucketCap, Some(StreamOffsets.startRoots(
-            arriving.sparkSession, checkpoint, batchId.longValue)))
-        // TxBatch publish: the _batch-<id> directory is both the data
-        // and the idempotence marker — a retried trigger re-stages and
-        // finds the committed directory, applying exactly once
-        TxBatch.publish(arriving.sparkSession, pairsPath,
-          batchId.longValue, pairs, None)
+        // fold-tolerant at EXECUTION too: an external fold racing this
+        // trigger re-plans the probe (see StreamMaintenance.withFoldRetry)
+        StreamMaintenance.withFoldRetry(
+          s"BandStreams.liveNearDup trigger $batchId at $layoutPath") {
+          val pairs = probeArrivals(arriving, layoutPath, texts, tau,
+            bucketCap, Some(StreamOffsets.startRoots(
+              arriving.sparkSession, checkpoint, batchId.longValue)))
+          // TxBatch publish: the _batch-<id> directory is both the data
+          // and the idempotence marker — a retried trigger re-stages and
+          // finds the committed directory, applying exactly once
+          TxBatch.publish(arriving.sparkSession, pairsPath,
+            batchId.longValue, pairs, None)
+          ()
+        }
+        StreamMaintenance.postTrigger(arriving.sparkSession,
+          layoutPath, "bucket", pairsPath, PairsSchema, checkpoint,
+          batchId.longValue, maintainLayoutEvery, maintainPairsEvery)
         ()
       }
       .start()

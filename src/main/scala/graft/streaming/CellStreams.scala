@@ -56,10 +56,16 @@ object CellStreams {
     * SemDeDup duplication threshold (the cell layout's stamp carries
     * placement geometry — k, dim — not the dedup policy, which is the
     * consumer's to choose). Verified pairs publish to `pairsPath` via
-    * [[TxBatch]] — read them back with [[readPairs]]. */
+    * [[TxBatch]] — read them back with [[readPairs]].
+    * `maintainLayoutEvery` / `maintainPairsEvery` (> 0) arm the
+    * post-trigger maintenance hook ([[StreamMaintenance.postTrigger]]):
+    * the source layout folds at the fan-in threshold restricted to
+    * DELIVERED batch ids, and the pairs sink folds at its own
+    * threshold — bounded read fan-in with no external cron. */
   def liveSemDedup(spark: SparkSession, layoutPath: String, tau: Double,
       pairsPath: String, checkpoint: String,
-      bucketCap: Int = 1024): StreamingQuery = {
+      bucketCap: Int = 1024, maintainLayoutEvery: Int = 0,
+      maintainPairsEvery: Int = 0): StreamingQuery = {
     spark.readStream.format("graft.sources.CellsSource")
       .option("path", layoutPath).load()
       .writeStream
@@ -73,14 +79,23 @@ object CellStreams {
         // orientation); the start offset comes from the stream's own
         // offsets log, so a retried trigger derives the identical
         // bound
-        val pairs = probeArrivals(arriving, layoutPath, tau, bucketCap,
-          Some(StreamOffsets.startRoots(arriving.sparkSession,
-            checkpoint, batchId.longValue)))
-        // TxBatch publish: the _batch-<id> directory is both the data
-        // and the idempotence marker — a retried trigger re-stages and
-        // finds the committed directory, applying exactly once
-        TxBatch.publish(arriving.sparkSession, pairsPath,
-          batchId.longValue, pairs, None)
+        // fold-tolerant at EXECUTION too: an external fold racing this
+        // trigger re-plans the probe (see StreamMaintenance.withFoldRetry)
+        StreamMaintenance.withFoldRetry(
+          s"CellStreams.liveSemDedup trigger $batchId at $layoutPath") {
+          val pairs = probeArrivals(arriving, layoutPath, tau, bucketCap,
+            Some(StreamOffsets.startRoots(arriving.sparkSession,
+              checkpoint, batchId.longValue)))
+          // TxBatch publish: the _batch-<id> directory is both the data
+          // and the idempotence marker — a retried trigger re-stages and
+          // finds the committed directory, applying exactly once
+          TxBatch.publish(arriving.sparkSession, pairsPath,
+            batchId.longValue, pairs, None)
+          ()
+        }
+        StreamMaintenance.postTrigger(arriving.sparkSession,
+          layoutPath, "cell", pairsPath, PairsSchema, checkpoint,
+          batchId.longValue, maintainLayoutEvery, maintainPairsEvery)
         ()
       }
       .start()

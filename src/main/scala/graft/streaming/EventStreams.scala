@@ -560,10 +560,20 @@ object EventStreams {
             state.getOption.getOrElse(DriftBins(0L, Vector.empty)),
             tracked, cutMicros, binUnit, binFloor, binCeil)
           state.update(st)
-          if (evictAfterDays > 0 && maxTs != Long.MinValue)
-            state.setTimeoutTimestamp(math.max(
-              maxTs / 1000L + evictAfterDays.toLong * 86400000L,
-              state.getCurrentWatermarkMs() + 1L))
+          if (evictAfterDays > 0 && maxTs != Long.MinValue) {
+            // an actively-feeding type whose events LAG the global
+            // watermark by more than the horizon must not be clamped
+            // to watermark+1 (it would be evicted between its own
+            // micro-batches, silently discarding the A-window): when
+            // the event-time point is already at or behind the
+            // watermark, grant a FULL quiet horizon measured from
+            // watermark time instead
+            val horizonMs = evictAfterDays.toLong * 86400000L
+            val byEvent = maxTs / 1000L + horizonMs
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+              if (byEvent > wm) byEvent else wm + horizonMs)
+          }
           val na = st.bins.map(_.ca).sum
           val nb = st.bins.map(_.cb).sum
           val live = st.bins.filter(b => b.ca > 0L && b.cb > 0L)
@@ -623,10 +633,20 @@ object EventStreams {
             state.getOption.getOrElse(DriftBins(0L, Vector.empty)),
             tracked, cutMicros, binUnit, binFloor, binCeil)
           state.update(st)
-          if (evictAfterDays > 0 && maxTs != Long.MinValue)
-            state.setTimeoutTimestamp(math.max(
-              maxTs / 1000L + evictAfterDays.toLong * 86400000L,
-              state.getCurrentWatermarkMs() + 1L))
+          if (evictAfterDays > 0 && maxTs != Long.MinValue) {
+            // an actively-feeding type whose events LAG the global
+            // watermark by more than the horizon must not be clamped
+            // to watermark+1 (it would be evicted between its own
+            // micro-batches, silently discarding the A-window): when
+            // the event-time point is already at or behind the
+            // watermark, grant a FULL quiet horizon measured from
+            // watermark time instead
+            val horizonMs = evictAfterDays.toLong * 86400000L
+            val byEvent = maxTs / 1000L + horizonMs
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+              if (byEvent > wm) byEvent else wm + horizonMs)
+          }
           val n1 = st.bins.map(_.ca).sum
           val n2 = st.bins.map(_.cb).sum
           if (n1 == 0L || n2 == 0L) Iterator.empty

@@ -264,4 +264,48 @@ class CompactionSpec extends SparkSuite {
     // and immediately after the fold the policy is quiet again
     assert(!TxBatch.maintainCompact(spark, root, maxLiveBatches = 2))
   }
+
+  test("onlyIds restricts a fold to the named batch ids: unfolded " +
+      "batches stay LIVE (a concurrent writer's fresh batch is never " +
+      "folded undelivered), and offset translation across the " +
+      "partial fold passes live units through unchanged") {
+    val root = "/tmp/graft_compact/partial"
+    clean(root, root + ".stats")
+    val half = docs.filter($"doc_id" % 4 === 0)
+    val dl = half.select(size(split($"text", " ")).cast("long").as("dl"))
+    InvertedIndex.writeTermLayout(
+      InvertedIndex.buildPostings(half, NB),
+      dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")), root)
+    assert(InvertedIndex.appendPostingsIdempotent(
+      docs.filter($"doc_id" % 4 === 1), root, NB, 1L))
+    assert(InvertedIndex.appendPostingsIdempotent(
+      docs.filter($"doc_id" % 4 === 2), root, NB, 2L))
+    val total = InvertedIndex.readLayout(spark, root).count()
+    // fold ONLY batch 1 — batch 2 arrived "mid-trigger" and must
+    // survive live; the eligible count (1) gates the policy too
+    assert(!TxBatch.maintainCompact(spark, root, maxLiveBatches = 2,
+      onlyIds = Some(Set(1L))))
+    assert(TxBatch.maintainCompact(spark, root, maxLiveBatches = 1,
+      onlyIds = Some(Set(1L))))
+    assert(entries(root).contains("_base-1") &&
+      entries(root).contains("_batch-2") &&
+      !entries(root).contains("_batch-1"), entries(root).toString)
+    assert(InvertedIndex.readLayout(spark, root).count() == total)
+    // a consumer whose offsets name {base, _batch-1, _batch-2}
+    // translates: folded batch 1 was delivered, live batch 2 passes
+    // through unchanged
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(TxBatch.translateUnits(fs, r,
+      Set(".", "_batch-1", "_batch-2"), "partial-fold consumer") ==
+      Set("_base-1", "_batch-2"))
+    // a replayed pre-fold batch id is still a no-op after the partial
+    // fold; the remaining live batch folds on the next full pass
+    assert(!InvertedIndex.appendPostingsIdempotent(
+      docs.filter($"doc_id" % 4 === 1), root, NB, 1L))
+    assert(TxBatch.compact(spark, root))
+    assert(entries(root).contains("_base-2") &&
+      !entries(root).contains("_batch-2"))
+    assert(InvertedIndex.readLayout(spark, root).count() == total)
+  }
 }

@@ -1050,6 +1050,60 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("drift-monitor eviction never fires BETWEEN the micro-batches " +
+      "of an actively-feeding type, even one lagging the global " +
+      "watermark: the timeout is re-armed with a full quiet horizon " +
+      "(never clamped to watermark+1), so its A-window histogram " +
+      "keeps emitting while a genuinely idle type still retires") {
+    implicit val sqlCtx = spark.sqlContext
+    val d0 = 19723L * 86400000000L
+    val cut = d0 + 86400000000L // A window = day 0, B = later
+    def ev(id: Long, dayMicros: Long, t: String, vMicro: Long) =
+      EventStreams.ValuedEvent(id, 1L, d0 + dayMicros, t, vMicro)
+    val day = 86400000000L
+    val input = MemoryStream[EventStreams.ValuedEvent]
+    val q = EventStreams.psiStream(input.toDS(), cut,
+        evictAfterDays = 1)
+      .writeStream.format("memory").queryName("t_psi_lag")
+      .outputMode("append").start()
+    try {
+      // lag: A-window mass + first B-window point; idle: same shape
+      input.addData(Seq(ev(1L, 0L, "lag", 100L),
+        ev(2L, day + day / 2L, "lag", 100L),
+        ev(3L, 0L, "idle", 100L),
+        ev(4L, day + day / 2L, "idle", 100L)))
+      q.processAllAvailable()
+      def emitted(t: String): Long = spark.table("t_psi_lag")
+        .filter($"event_type" === t).count()
+      val lag0 = emitted("lag")
+      assert(lag0 >= 1L && emitted("idle") >= 1L)
+      // the watermark sprints ahead via a third type while `lag`
+      // keeps feeding every batch just above it — under the old
+      // wm+1 clamp, `lag` could be evicted BETWEEN its own batches
+      // once its event-time horizon fell behind the watermark;
+      // `idle` stops feeding and must still retire
+      var wmTs = day + day / 2L
+      (1 to 5).foreach { i =>
+        wmTs += day + day / 2L // watermark driver: +1.5 days per batch
+        // lag trails the driver by half a day — always admitted
+        // (above the 1-day-late cutoff), always behind the front
+        input.addData(Seq(ev(100L + i, wmTs, "wm", 0L),
+          ev(200L + i, wmTs - day / 2L, "lag", 100L)))
+        q.processAllAvailable()
+      }
+      val lagN = emitted("lag")
+      assert(lagN >= lag0 + 5L,
+        s"an actively-feeding lagging type was evicted mid-stream: " +
+          s"only $lagN emissions after 5 more fed batches (had $lag0); " +
+          "its A-window histogram was discarded")
+      // idle's histogram retired long ago (quiet past the horizon)
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).last
+      assert(stateRows == 2L,
+        s"expected only lag+wm to hold state, got $stateRows")
+    } finally q.stop()
+  }
+
   test("SPC idle-type eviction: a type that stops emitting is " +
       "flushed then REMOVED after evictAfterDays quiet days (the " +
       "state count drops), and a reappearing type restarts as a " +

@@ -262,4 +262,66 @@ class GraftCatalogSpec extends SparkSuite {
         .option("path", s"$root/search/terms")
         .option("nBuckets", "8").load())
   }
+
+  test("TBLPROPERTIES answer the operational questions for all three " +
+      "layout types: geometry stamp, base generation, live-batch " +
+      "fan-in, and (cells, after a relearn) the centroid version — " +
+      "live per call, not frozen at table resolution") {
+    ready
+    val cat = spark.sessionState.catalogManager.catalog(Cat)
+      .asInstanceOf[graft.sources.GraftCatalog]
+    def props(ns: String, t: String): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      cat.loadTable(Identifier.of(Array(ns), t)).properties()
+        .asScala.toMap
+    }
+    val terms = props("search", "terms")
+    assert(terms("graft.layout_type") == "postings" &&
+      terms("graft.nBuckets") == NB.toString &&
+      terms("graft.base_generation") == "0" &&
+      terms("graft.live_batches") == "0", terms.toString)
+    val bands = props("search", "bands")
+    assert(bands("graft.layout_type") == "bands" &&
+      bands("graft.tau") == "0.8" &&
+      bands("graft.nBuckets") == NB.toString &&
+      bands("graft.base_generation") == "0" &&
+      bands("graft.live_batches") == "0", bands.toString)
+    val cells0 = props("ann", "cells")
+    assert(cells0("graft.layout_type") == "cells" &&
+      cells0("graft.k") == "8" &&
+      cells0("graft.base_generation") == "0" &&
+      cells0("graft.live_batches") == "0", cells0.toString)
+    // DESCRIBE EXTENDED surfaces the map through plain SQL
+    val desc = spark.sql(s"DESCRIBE EXTENDED $Cat.ann.cells")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+      .mkString("\n")
+    assert(desc.contains("graft.layout_type") &&
+      desc.contains("cells"), desc)
+    // the map is LIVE: an append raises live_batches on the SAME
+    // resolved table; a compact folds it into a new base generation
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents = IvfIndex.learnCentroids(emb, 8, 1)
+    val table = cat.loadTable(Identifier.of(Array("ann"), "cells"))
+    assert(IvfIndex.appendCellsIdempotent(
+      IvfIndex.assignCells(emb.filter($"vec_id" % 13 === 0)
+        .select(($"vec_id" + 5000000L).as("vec_id"), $"v"), cents),
+      s"$root/ann/cells", 1L))
+    import scala.jdk.CollectionConverters._
+    val afterAppend = table.properties().asScala.toMap
+    assert(afterAppend("graft.live_batches") == "1" &&
+      afterAppend("graft.base_generation") == "0", afterAppend.toString)
+    assert(IvfIndex.compact(spark, s"$root/ann/cells"))
+    val afterFold = table.properties().asScala.toMap
+    assert(afterFold("graft.live_batches") == "0" &&
+      afterFold("graft.base_generation") == "1", afterFold.toString)
+    // a relearn stamps the centroid version the probes must match
+    IvfIndex.relearn(spark, s"$root/ann/cells", iters = 1)
+    val afterRelearn = props("ann", "cells")
+    assert(afterRelearn.get("graft.centroid_version") ==
+      IvfIndex.readCentroidVersion(spark, s"$root/ann/cells"),
+      afterRelearn.toString)
+    assert(afterRelearn("graft.base_generation") == "2",
+      afterRelearn.toString)
+  }
 }

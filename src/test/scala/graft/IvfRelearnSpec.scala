@@ -169,4 +169,66 @@ class IvfRelearnSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       IvfIndex.maintain(spark, mroot, cents0))
   }
+
+  test("appendCellsMaintained closes the loop at the APPEND lane: " +
+      "below both policies the layout only gains the batch; the " +
+      "fan-in policy folds at the threshold; a hostile batch trips " +
+      "relearn instead; a replayed append is a no-op with no audit") {
+    val mroot = "/tmp/graft_relearn/append_maintained"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mroot))
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val cents0 = IvfIndex.learnCentroids(corpus, K, 1)
+    IvfIndex.writeCellLayout(IvfIndex.assignCells(corpus, cents0),
+      mroot, K, cents0.head.length)
+    // multiples of 10 are all even — split the held-out tenth by
+    // %20 (10 vs 0), never by parity (an empty batch dir would fail
+    // parquet schema inference downstream)
+    def sameDist(i: Int) = IvfIndex.assignCells(
+      emb.filter($"vec_id" % 20 === (i % 2) * 10)
+        .select(($"vec_id" + 1000000L * i).as("vec_id"), $"v"),
+      cents0)
+    // append 1: below drift (0.5) and below fan-in (2) — batch lands,
+    // nothing folds, nothing relearns
+    val (a1, d1) = IvfIndex.appendCellsMaintained(sameDist(1), mroot,
+      1L, cents0, driftRatio = 0.50, maxLiveBatches = 2)
+    assert(a1 && d1.exists(!_.relearned), s"$a1 $d1")
+    assert(graft.operators.TxBatch.liveBatchDirs(spark, mroot).size == 1)
+    // replayed append: no-op, no audit run at all
+    assert(IvfIndex.appendCellsMaintained(sameDist(1), mroot, 1L,
+      cents0, driftRatio = 0.50, maxLiveBatches = 2) == ((false, None)))
+    // append 2: drift still quiet, fan-in reaches 2 — the hook FOLDS
+    val (a2, d2) = IvfIndex.appendCellsMaintained(sameDist(2), mroot,
+      2L, cents0, driftRatio = 0.50, maxLiveBatches = 2)
+    assert(a2 && d2.exists(!_.relearned))
+    assert(graft.operators.TxBatch
+      .compactedBaseDir(spark, mroot).isDefined, "fan-in never folded")
+    assert(graft.operators.TxBatch.liveBatchDirs(spark, mroot).isEmpty)
+    // content = base ∪ both batches, exactly once
+    val n = spark.read.format("graft.sources.CellsSource")
+      .option("path", mroot).load().count()
+    assert(n == corpus.count() + sameDist(1).count() + sameDist(2).count())
+    // hostile append: the drift policy trips and relearn runs INSTEAD
+    // of the fan-in fold (a relearn already folds everything)
+    val dim = cents0.head.length
+    var u = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    for (_ <- 0 until 3; c <- cents0) {
+      val cn2 = c.map(x => x * x).sum
+      if (cn2 > 0) {
+        val proj = u.zip(c).map { case (a, b) => a * b }.sum / cn2
+        u = u.zip(c).map { case (a, b) => a - proj * b }
+      }
+    }
+    val hostile = IvfIndex.assignCells(
+      emb.filter($"vec_id" % 10 === 5)
+        .select(($"vec_id" + 20000000L).as("vec_id"),
+          typedlit(u.toSeq).as("v")),
+      cents0)
+    val (a3, d3) = IvfIndex.appendCellsMaintained(hostile, mroot, 3L,
+      cents0, driftRatio = 0.50, maxLiveBatches = 100)
+    assert(a3 && d3.exists(_.relearned), s"$a3 $d3")
+    assert(d3.flatMap(_.centroidVersion) ==
+      IvfIndex.readCentroidVersion(spark, mroot))
+    assert(graft.operators.TxBatch.liveBatchDirs(spark, mroot).isEmpty,
+      "relearn folds everything")
+  }
 }

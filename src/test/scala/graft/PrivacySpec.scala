@@ -400,4 +400,71 @@ class PrivacySpec extends SparkSuite {
       assert(rm == q6, s"key $k: mean $rm != q6 quotient $q6")
     }
   }
+
+  test("the ledger writer lease: two CONCURRENT near-cap release " +
+      "pipelines never BOTH land under the cap — the loser runs its " +
+      "check AFTER the winner's row is visible and refuses; the " +
+      "lease is released on the success and refusal paths alike") {
+    for (round <- 1 to 3) {
+      val p = s"/tmp/graft_privacy_lease/r$round"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      // cap 600000 admits ONE 500000 release: pre-lease, both
+      // pipelines read spent=0 concurrently and both landed (the
+      // documented r15 gap); under the lease the loser's check runs
+      // after the winner's record and refuses
+      val results =
+        scala.collection.concurrent.TrieMap.empty[Long, Either[Throwable, Boolean]]
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = Seq(10L, 11L).map { id =>
+        val t = new Thread(() => {
+          start.await()
+          val r =
+            try Right(Privacy.recordReleaseWithinBudget(spark, p, id,
+              "ds", "counts", "k", 500000L, 5L, s"s:$id:",
+              "2026-08-16", capMicro = 600000L))
+            catch { case e: Throwable => Left(e) }
+          results.put(id, r)
+          ()
+        })
+        t.start(); t
+      }
+      start.countDown()
+      threads.foreach(_.join(180000L))
+      val rs = Seq(10L, 11L).flatMap(results.get)
+      assert(rs.length == 2, s"round $round: a pipeline hung: $results")
+      val wins = rs.count(_ == Right(true))
+      val refusals = rs.count {
+        case Left(e) => e.getMessage != null &&
+          e.getMessage.contains("budget exceeded")
+        case _ => false
+      }
+      assert(wins == 1 && refusals == 1,
+        s"round $round: expected exactly one winner and one refusal, " +
+          s"got $rs")
+      assert(Privacy.readLedger(spark, p).count() == 1L,
+        s"round $round: the cap admitted both releases")
+      // both paths released the lease
+      assert(!new java.io.File(s"$p/${Privacy.LeaseFile}").exists(),
+        s"round $round: the lease leaked")
+    }
+  }
+
+  test("a stale lease left by a dead holder is broken by mtime and " +
+      "the pipeline proceeds; the audit row still lands exactly once") {
+    val p = "/tmp/graft_privacy_lease/stale"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val leaseDir = new java.io.File(s"$p/${Privacy.LeaseFile}")
+    assert(leaseDir.mkdirs())
+    val marker = new java.io.File(leaseDir, "owner")
+    java.nio.file.Files.write(marker.toPath, "dead".getBytes("UTF-8"))
+    // two minutes old — past the 60 s staleness horizon (the MARKER
+    // carries the holder's age; contenders refresh the dir's mtime)
+    assert(marker.setLastModified(
+      System.currentTimeMillis() - 120000L))
+    assert(Privacy.recordReleaseWithinBudget(spark, p, 1L, "ds",
+      "counts", "k", 100000L, 5L, "s:1:", "2026-08-16",
+      capMicro = 600000L))
+    assert(Privacy.readLedger(spark, p).count() == 1L)
+    assert(!leaseDir.exists(), "the broken-then-acquired lease leaked")
+  }
 }

@@ -892,4 +892,136 @@ class StreamingCurationSpec extends SparkSuite {
     assert(delivered.get() == total2 && total2 > total,
       s"${delivered.get()} vs $total2")
   }
+
+  test("the post-trigger maintenance hook folds the source layout " +
+      "AND the pairs sink mid-stream at the fan-in thresholds, with " +
+      "no external cron and no refusal — pairs equal the unhooked " +
+      "never-compacted twin (CELLS lane)") {
+    import graft.operators.{IvfIndex, TxBatch}
+    import graft.streaming.CellStreams
+    val K = 8
+    val Tau = 0.40
+    val base = "/tmp/graft_hook_cells"
+    Seq("layout", "layout_twin", "pairs", "pairs_twin", "ckpt",
+      "ckpt_twin").foreach(d => org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(s"$base/$d")))
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents = IvfIndex.learnCentroids(emb, K, 1)
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    def b(i: Int) = IvfIndex.assignCells(
+      emb.filter($"vec_id" % 10 === 0 && $"vec_id" % 4 === i % 4)
+        .unionAll(corpus.filter($"vec_id" % 23 === (i * 5) % 23)
+          .select(($"vec_id" + 10000000L * i).as("vec_id"), $"v")),
+      cents)
+    for (lay <- Seq("layout", "layout_twin"))
+      IvfIndex.writeCellLayout(IvfIndex.assignCells(corpus, cents),
+        s"$base/$lay", K, cents.head.length)
+    def run(lay: String, pairs: String, ckpt: String,
+        hook: Boolean): Unit = {
+      val q = CellStreams.liveSemDedup(spark, s"$base/$lay", Tau,
+        s"$base/$pairs", s"$base/$ckpt",
+        maintainLayoutEvery = if (hook) 2 else 0,
+        maintainPairsEvery = if (hook) 3 else 0)
+      try {
+        q.processAllAvailable()
+        (1 to 4).foreach { i =>
+          assert(IvfIndex.appendCellsIdempotent(b(i),
+            s"$base/$lay", i.toLong))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    run("layout_twin", "pairs_twin", "ckpt_twin", hook = false)
+    run("layout", "pairs", "ckpt", hook = true)
+    // the hook alone folded the source layout (threshold 2 over a
+    // 4-append run) and the pairs sink (threshold 3 over 5 triggers),
+    // and kept the live fan-in bounded below the thresholds' sum
+    assert(TxBatch.compactedBaseDir(spark, s"$base/layout").isDefined,
+      "the source layout never folded via the hook")
+    assert(TxBatch.compactedBaseDir(spark, s"$base/pairs").isDefined,
+      "the pairs sink never folded via the hook")
+    assert(TxBatch.liveBatchDirs(spark, s"$base/layout").size < 2,
+      TxBatch.liveBatchDirs(spark, s"$base/layout").toString)
+    assert(TxBatch.compactedBaseDir(spark, s"$base/layout_twin").isEmpty)
+    def pairsOf(p: String) = CellStreams.readPairs(spark, s"$base/$p")
+      .select($"batch_vec", $"corpus_vec", $"cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = pairsOf("pairs")
+    val want = pairsOf("pairs_twin")
+    assert(got.length == got.toSet.size,
+      s"hook re-published pairs: ${got.length} vs ${got.toSet.size}")
+    assert(got.toSet == want.toSet && want.nonEmpty,
+      s"hooked lane diverged: got ${got.length}, want ${want.length}")
+  }
+
+  test("the maintenance hook holds on the BANDS lane too, and a " +
+      "mid-run RESTART from the checkpoint keeps tailing across the " +
+      "hook's folds") {
+    import graft.operators.{BandIndex, TxBatch}
+    import graft.streaming.BandStreams
+    val NB = 8
+    val base = "/tmp/graft_hook_bands"
+    Seq("layout", "layout_twin", "pairs", "pairs_twin", "ckpt",
+      "ckpt_twin").foreach(d => org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(s"$base/$d")))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .filter($"doc_id" < 300)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    def rekeyed(i: Int) = corpus.filter($"doc_id" % 29 === (i * 7) % 29)
+      .select(($"doc_id" + 10000000L * i).as("doc_id"), $"text")
+    def b(i: Int) = docs.filter($"doc_id" % 5 === 0 &&
+      $"doc_id" % 3 === i % 3)
+      .unionAll(rekeyed(i))
+    for (lay <- Seq("layout", "layout_twin"))
+      BandIndex.writeBandLayout(BandIndex.buildBands(corpus, 0.5, NB),
+        s"$base/$lay", 0.5, NB)
+    // the exact verify reads text BY ID — cover the re-keyed batch
+    // ids; texts must stay UNIQUE per id (b(i)'s original-id half is
+    // already in docs — unioning whole batches would double those ids
+    // and the verify join would multiply every pair they touch)
+    val texts = (1 to 3).map(rekeyed).foldLeft(docs)(_ unionAll _)
+    def start(lay: String, pairs: String, ckpt: String, hook: Boolean) =
+      BandStreams.liveNearDup(spark, s"$base/$lay", texts,
+        s"$base/$pairs", s"$base/$ckpt",
+        maintainLayoutEvery = if (hook) 2 else 0,
+        maintainPairsEvery = if (hook) 2 else 0)
+    // twin: no hook, no restart
+    val qt = start("layout_twin", "pairs_twin", "ckpt_twin", hook = false)
+    try {
+      qt.processAllAvailable()
+      (1 to 3).foreach { i =>
+        assert(BandIndex.appendBandsIdempotent(b(i),
+          s"$base/layout_twin", 0.5, NB, i.toLong))
+        qt.processAllAvailable()
+      }
+    } finally qt.stop()
+    // hooked lane with a restart between appends 2 and 3: the new
+    // consumer's offsets name units the hook already folded —
+    // translation through the fold history, then more hooked folds
+    val q1 = start("layout", "pairs", "ckpt", hook = true)
+    try {
+      q1.processAllAvailable()
+      (1 to 2).foreach { i =>
+        assert(BandIndex.appendBandsIdempotent(b(i),
+          s"$base/layout", 0.5, NB, i.toLong))
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    assert(BandIndex.appendBandsIdempotent(b(3),
+      s"$base/layout", 0.5, NB, 3L))
+    val q2 = start("layout", "pairs", "ckpt", hook = true)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(TxBatch.compactedBaseDir(spark, s"$base/layout").isDefined,
+      "the hook never folded the bands layout")
+    def pairsOf(p: String) = BandStreams.readPairs(spark, s"$base/$p")
+      .select($"batch_doc", $"corpus_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = pairsOf("pairs")
+    val want = pairsOf("pairs_twin")
+    assert(got.length == got.toSet.size,
+      s"hook re-published pairs: ${got.length} vs ${got.toSet.size}")
+    assert(got.toSet == want.toSet && want.nonEmpty,
+      s"hooked bands lane diverged: got ${got.length}, want ${want.length}")
+  }
 }
