@@ -178,11 +178,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       fs(dir).exists(dir) && isNamespaceDir(dir)
     }
 
+  /** Namespace metadata for `DESCRIBE NAMESPACE EXTENDED`: the backing
+    * directory, how many stamped layouts it holds directly, and how
+    * many child namespaces — the U10 operational-introspection rule
+    * applied at the namespace level (one directory listing; layouts
+    * answer their own deeper questions through TBLPROPERTIES). */
   override def loadNamespaceMetadata(
       namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace))
       throw new NoSuchNamespaceException(namespace)
-    util.Collections.emptyMap()
+    val dir = dirOf(namespace.toSeq)
+    val kids = fs(dir).listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    val (layouts, namespaces) = kids.partition(st =>
+      stampOf(st.getPath).isDefined)
+    val m = new util.LinkedHashMap[String, String]()
+    m.put("graft.path", dir.toString)
+    m.put("graft.tables", layouts.size.toString)
+    m.put("graft.namespaces", namespaces.size.toString)
+    m
   }
 
   override def createNamespace(namespace: Array[String],

@@ -323,5 +323,13 @@ class GraftCatalogSpec extends SparkSuite {
       afterRelearn.toString)
     assert(afterRelearn("graft.base_generation") == "2",
       afterRelearn.toString)
+    // namespace metadata answers the same questions one level up
+    import scala.jdk.CollectionConverters._
+    val nsMeta = cat.loadNamespaceMetadata(Array("ann")).asScala
+    // the ann namespace holds exactly the cells layout (search gains
+    // crafted fixtures from other tests, so it is not a stable pin)
+    assert(nsMeta("graft.tables") == "1" &&
+      nsMeta("graft.namespaces") == "0" &&
+      nsMeta("graft.path").endsWith("/ann"), nsMeta.toString)
   }
 }
