@@ -104,6 +104,33 @@ object Privacy {
         releaseRound(col("noise_micro")))
   }
 
+  /** ε-DP top-k heavy hitters over a PUBLIC key domain — pure
+    * POST-PROCESSING of the known-domain count release: every domain
+    * key's count is released once under ε (the domain variant of
+    * [[dpCounts]]), then the k largest RELEASED counts are selected,
+    * ties broken by key order — a deterministic public rule. Selecting
+    * on the released values costs no extra budget (the post-processing
+    * theorem), so the whole top-k is ε-DP; ranking the TRUE counts and
+    * noising only the winners would NOT be — the selection itself
+    * would leak membership. Output `(keyCol, released_count, rank)`,
+    * rank 1-based. 100 TB shape: the domain is public and bounded by
+    * definition (a vocabulary of interest, not the data's key set), so
+    * the global top-k plans as TakeOrderedAndProject over |domain|
+    * released rows — no single-partition window touches the data; the
+    * only window ranks the k winners. */
+  def dpTopK(df: DataFrame, keyCol: String, epsilon: Double,
+      seed: String, domain: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val released = dpCounts(df, keyCol, epsilon, seed, domain)
+      .select(col(keyCol), col("released").as("released_count"))
+    released
+      .orderBy(col("released_count").desc, col(keyCol)).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("released_count").desc, col(keyCol)))
+        .cast("long"))
+  }
+
   /** ε-DP released sums per `keyCol` group: each contribution of
     * `valueCol` (integral) is clipped into [−clip, clip] BEFORE the
     * sum, so adding or removing one row moves the group sum by at

@@ -669,6 +669,24 @@ object Mutations {
         .orderBy($"source")
     }),
 
+    // M24: ε-DP TOP-K heavy hitters — pure POST-PROCESSING of the
+    // known-domain count release: all 25 public-domain counts release
+    // once under ε (seed 'dpt:v1:', the identical Laplace spelling),
+    // then the 5 largest RELEASED counts are selected, ties broken by
+    // key — a deterministic public rule that costs no extra budget
+    // (the post-processing theorem). Ranking TRUE counts and noising
+    // only the winners would leak the selection itself; this spelling
+    // never ranks the truth. Recorded as release 9 in the M21 ledger.
+    "dp_topk_release" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val domain = (0 to 24).map(i => s"src$i").toDF("source")
+      graft.operators.Privacy
+        .dpTopK(Tables.documents(s, dir), "source", epsilon = 0.5,
+          seed = "dpt:v1:", domain = domain, k = 5)
+        .withColumnRenamed("rank", "released_rank")
+        .orderBy($"released_rank")
+    }),
+
     // M21: the DP release LEDGER + budget audit — the piece that
     // makes the family's composition rule ENFORCEABLE: every fixture
     // release records (dataset, mechanism, key domain size, exact
@@ -726,6 +744,8 @@ object Mutations {
           nSources, "dpe:v1:")
         rec(8L, "documents", "quantile", "source", 500000L, nSources,
           "dpu:v1:")
+        rec(9L, "documents", "topk", "source", 500000L, 25L,
+          "dpt:v1:")
         // the retried pipeline: re-recording a settled id is a no-op
         rec(1L, "documents", "counts", "source", 500000L, nSources,
           "dp:v1:")
@@ -1136,6 +1156,42 @@ object Mutations {
 
     // the public literal domain (src0..src24) LEFT-joined to the true
     // counts — absent keys release 0 + noise; seed 'dpd:v1:'
+    // top-k of the RELEASED known-domain counts (seed 'dpt:v1:',
+    // scale 1/ε = 2.0), ties by key — the rank never sees a true count
+    "dp_topk_release" ->
+      """WITH dom AS (
+        |  SELECT 'src' || CAST(i AS VARCHAR) AS source
+        |  FROM range(0, 25) t(i)),
+        |cnt AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_present
+        |  FROM documents GROUP BY 1),
+        |g AS (
+        |  SELECT dom.source,
+        |    COALESCE(cnt.n_present, CAST(0 AS BIGINT)) AS n_true,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5('dpt:v1:' || CAST(dom.source AS VARCHAR)),
+        |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u32
+        |  FROM dom LEFT JOIN cnt ON dom.source = cnt.source),
+        |n AS (
+        |  SELECT source, n_true,
+        |    CAST(FLOOR(-2.0 * sign((u32 + 0.5) / 4294967296.0 - 0.5) *
+        |      ln(1.0 - 2.0 * abs((u32 + 0.5) / 4294967296.0 - 0.5)) *
+        |      1000000.0 + 0.5) AS BIGINT) AS noise_micro
+        |  FROM g),
+        |r AS (
+        |  SELECT source, n_true + CAST(FLOOR((noise_micro + 500000) /
+        |    1000000.0) AS BIGINT) AS released_count FROM n),
+        |t AS (
+        |  SELECT source, released_count,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY released_count DESC,
+        |      source) AS BIGINT) AS released_rank
+        |  FROM r)
+        |SELECT source, released_count, released_rank
+        |FROM t WHERE released_rank <= 5
+        |ORDER BY released_rank""".stripMargin,
+
     "dp_counts_domain" ->
       """WITH dom AS (
         |  SELECT 'src' || CAST(i AS VARCHAR) AS source
@@ -1414,6 +1470,8 @@ object Mutations {
         |rel AS (
         |  SELECT 'documents' AS dataset,
         |    CAST(500000 AS BIGINT) AS eps, ks.n AS n_keys FROM ks
+        |  UNION ALL SELECT 'documents', CAST(500000 AS BIGINT),
+        |    CAST(25 AS BIGINT)
         |  UNION ALL SELECT 'documents', CAST(500000 AS BIGINT),
         |    CAST(25 AS BIGINT)
         |  UNION ALL SELECT 'documents_len', CAST(500000 AS BIGINT),

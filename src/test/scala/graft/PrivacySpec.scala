@@ -401,6 +401,35 @@ class PrivacySpec extends SparkSuite {
     }
   }
 
+  test("dpTopK is pure post-processing of the known-domain count " +
+      "release: the winners are exactly the k largest RELEASED " +
+      "counts (never the true ranking), ties break by key, absent " +
+      "domain keys compete on pure noise, and re-running republishes " +
+      "the identical selection") {
+    import org.apache.spark.sql.functions.{col => c}
+    val eps = 0.5
+    val domain = (0 to 24).map(i => s"src$i").toDF("source")
+    val rel = Privacy.dpCounts(docs, "source", eps, "secret:t:", domain)
+      .select(c("source"), c("released")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = rel.sortBy { case (k, v) => (-v, k) }.take(5)
+      .zipWithIndex.map { case ((k, v), i) => (k, v, i + 1L) }
+    val got = Privacy.dpTopK(docs, "source", eps, "secret:t:",
+      domain, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq, s"${got.toSeq} vs ${expect.toSeq}")
+    // release-once: the identical draw, selection and ranks
+    val again = Privacy.dpTopK(docs, "source", eps, "secret:t:",
+      domain, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
+    // k past the domain returns the whole ranked domain, no padding
+    assert(Privacy.dpTopK(docs, "source", eps, "secret:t:",
+      domain, 100).count() == 25L)
+    intercept[IllegalArgumentException](
+      Privacy.dpTopK(docs, "source", eps, "secret:t:", domain, 0))
+  }
+
   test("the ledger writer lease: two CONCURRENT near-cap release " +
       "pipelines never BOTH land under the cap — the loser runs its " +
       "check AFTER the winner's row is visible and refuses; the " +
