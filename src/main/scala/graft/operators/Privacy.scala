@@ -104,6 +104,43 @@ object Privacy {
         releaseRound(col("noise_micro")))
   }
 
+  /** ε-DP released two-way CONTINGENCY TABLE over a public cell
+    * domain — the co-occurrence release a training-data audit asks
+    * for ("documents per (source, length-bucket)") with the M17
+    * presence-leak rule applied to cells: every cell of the public
+    * `domain` (a TWO-column relation of (keyA, keyB) values, derived
+    * without looking at `df` — for literal domains build the cross
+    * product driver-side, never as an in-plan cartesian) releases
+    * `count + Laplace(1/ε)`; a row lands in exactly ONE cell (both
+    * keys are functions of the row), so the sensitivity is 1 and one
+    * ε covers the whole table. Cells of `df` outside the domain are
+    * dropped (releasing them would reintroduce the presence leak).
+    * The per-cell draw keys on `keyA || '|' || keyB` — key values
+    * must not contain the `'|'` delimiter (a collision would give two
+    * cells the SAME noise, a correlation the mechanism does not
+    * promise). Output `(keyA, keyB, n_true, noise_micro, released)`;
+    * `n_true` is audit-only, as everywhere in the family. */
+  def dpCrosstab(df: DataFrame, keyA: String, keyB: String,
+      epsilon: Double, seed: String, domain: DataFrame): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    require(domain.columns.length == 2,
+      s"domain must be a two-column relation of ($keyA, $keyB) " +
+        s"values, got columns ${domain.columns.mkString(", ")}")
+    val dom = domain.select(
+      col(domain.columns(0)).as(keyA),
+      col(domain.columns(1)).as(keyB)).distinct()
+    val counts = df.groupBy(col(keyA), col(keyB))
+      .agg(count(lit(1)).as("n_present"))
+    dom.join(counts, Seq(keyA, keyB), "left")
+      .select(col(keyA), col(keyB),
+        coalesce(col("n_present"), lit(0L)).as("n_true"))
+      .withColumn("noise_micro",
+        noiseMicro(concat(col(keyA).cast("string"), lit("|"),
+          col(keyB).cast("string")), 1.0 / epsilon, seed))
+      .withColumn("released", col("n_true") +
+        releaseRound(col("noise_micro")))
+  }
+
   /** ε-DP top-k heavy hitters over a PUBLIC key domain — pure
     * POST-PROCESSING of the known-domain count release: every domain
     * key's count is released once under ε (the domain variant of

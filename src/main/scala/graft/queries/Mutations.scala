@@ -687,6 +687,27 @@ object Mutations {
         .orderBy($"released_rank")
     }),
 
+    // M25: ε-DP two-way CONTINGENCY release — the co-occurrence
+    // table (source × length-bucket) under ONE ε: a document lands in
+    // exactly one cell, so the whole 25×13 public cell domain (a
+    // driver-built literal cross product — never an in-plan
+    // cartesian) releases count + Laplace(1/ε) per cell with
+    // sensitivity 1; absent cells release pure noise (the M17
+    // presence rule applied to cells). The per-cell draw keys on
+    // source || '|' || bucket — both engines spell it identically.
+    // Recorded as release 10 in the M21 ledger fixture.
+    "dp_crosstab_release" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val domain = (for { i <- 0 to 24; b <- 0L to 12L }
+        yield (s"src$i", b)).toDF("source", "len_bucket")
+      graft.operators.Privacy
+        .dpCrosstab(Tables.documents(s, dir)
+          .select($"source", expr("n_chars DIV 100").as("len_bucket")),
+          "source", "len_bucket", epsilon = 0.5, seed = "dpx:v1:",
+          domain = domain)
+        .orderBy($"source", $"len_bucket")
+    }),
+
     // M21: the DP release LEDGER + budget audit — the piece that
     // makes the family's composition rule ENFORCEABLE: every fixture
     // release records (dataset, mechanism, key domain size, exact
@@ -746,6 +767,8 @@ object Mutations {
           "dpu:v1:")
         rec(9L, "documents", "topk", "source", 500000L, 25L,
           "dpt:v1:")
+        rec(10L, "documents", "crosstab", "source|len_bucket",
+          500000L, 325L, "dpx:v1:")
         // the retried pipeline: re-recording a settled id is a no-op
         rec(1L, "documents", "counts", "source", 500000L, nSources,
           "dp:v1:")
@@ -1192,6 +1215,41 @@ object Mutations {
         |FROM t WHERE released_rank <= 5
         |ORDER BY released_rank""".stripMargin,
 
+    // two-way contingency release: 25×13 public cell domain left-
+    // joined to the true cell counts; per-cell draw keys on
+    // source || '|' || bucket under seed 'dpx:v1:', scale 1/ε = 2.0
+    "dp_crosstab_release" ->
+      """WITH dom AS (
+        |  SELECT 'src' || CAST(i AS VARCHAR) AS source,
+        |    CAST(b AS BIGINT) AS len_bucket
+        |  FROM range(0, 25) t(i), range(0, 13) u(b)),
+        |cnt AS (
+        |  SELECT source, n_chars // 100 AS len_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_present
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (
+        |  SELECT dom.source, dom.len_bucket,
+        |    COALESCE(cnt.n_present, CAST(0 AS BIGINT)) AS n_true,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5('dpx:v1:' || dom.source || '|' ||
+        |          CAST(dom.len_bucket AS VARCHAR)),
+        |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u32
+        |  FROM dom LEFT JOIN cnt
+        |    ON dom.source = cnt.source
+        |    AND dom.len_bucket = cnt.len_bucket),
+        |n AS (
+        |  SELECT source, len_bucket, n_true,
+        |    CAST(FLOOR(-2.0 * sign((u32 + 0.5) / 4294967296.0 - 0.5) *
+        |      ln(1.0 - 2.0 * abs((u32 + 0.5) / 4294967296.0 - 0.5)) *
+        |      1000000.0 + 0.5) AS BIGINT) AS noise_micro
+        |  FROM g)
+        |SELECT source, len_bucket, n_true, noise_micro,
+        |  n_true + CAST(FLOOR((noise_micro + 500000) / 1000000.0)
+        |    AS BIGINT) AS released
+        |FROM n ORDER BY source, len_bucket""".stripMargin,
+
     "dp_counts_domain" ->
       """WITH dom AS (
         |  SELECT 'src' || CAST(i AS VARCHAR) AS source
@@ -1474,6 +1532,8 @@ object Mutations {
         |    CAST(25 AS BIGINT)
         |  UNION ALL SELECT 'documents', CAST(500000 AS BIGINT),
         |    CAST(25 AS BIGINT)
+        |  UNION ALL SELECT 'documents', CAST(500000 AS BIGINT),
+        |    CAST(325 AS BIGINT)
         |  UNION ALL SELECT 'documents_len', CAST(500000 AS BIGINT),
         |    kb.n FROM kb
         |  UNION ALL SELECT 'documents', CAST(500000 AS BIGINT),

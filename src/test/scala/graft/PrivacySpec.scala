@@ -430,6 +430,50 @@ class PrivacySpec extends SparkSuite {
       Privacy.dpTopK(docs, "source", eps, "secret:t:", domain, 0))
   }
 
+  test("dpCrosstab releases the whole public cell domain under ONE " +
+      "epsilon: every row lands in exactly one cell (the true counts " +
+      "fold back to the in-domain row count), absent cells release " +
+      "pure noise, out-of-domain cells are dropped, and the release " +
+      "is deterministic per (cell, seed)") {
+    import org.apache.spark.sql.functions.{col => c, expr => e}
+    val eps = 0.5
+    // sf0.001 buckets span [0, 5] — domain [0, 3] leaves real
+    // out-of-domain cells to pin the drop rule
+    val domain = (for { i <- 0 to 24; b <- 0L to 3L }
+      yield (s"src$i", b)).toDF("source", "len_bucket")
+    val cells = docs.select(c("source"),
+      e("n_chars DIV 100").as("len_bucket"))
+    val rel = Privacy.dpCrosstab(cells, "source", "len_bucket",
+      eps, "secret:x:", domain)
+    val rows = rel.collect().map(r => ((r.getString(0), r.getLong(1)),
+      (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // one row per domain cell, never more
+    assert(rows.size == 25 * 4)
+    // sensitivity-1 accounting: in-domain true counts fold to the
+    // in-domain row count (each row in exactly one cell)
+    val inDomain = cells.filter(c("len_bucket").between(0L, 3L))
+      .count()
+    assert(rows.values.map(_._1).sum == inDomain && inDomain > 0)
+    // absent cells release pure noise around zero
+    val absent = rows.filter(_._2._1 == 0L)
+    assert(absent.nonEmpty)
+    absent.foreach { case (k, (_, noise, released)) =>
+      assert(released == math.floorDiv(noise + 500000L, 1000000L), s"$k")
+    }
+    // out-of-domain buckets exist in the data but not in the output
+    assert(cells.filter(c("len_bucket") > 3L).count() > 0)
+    assert(!rows.keySet.exists(_._2 > 3L))
+    // release-once determinism
+    val again = Privacy.dpCrosstab(cells, "source", "len_bucket",
+      eps, "secret:x:", domain).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(again == rows)
+    // a one-column domain is refused
+    intercept[IllegalArgumentException](Privacy.dpCrosstab(cells,
+      "source", "len_bucket", eps, "s", domain.select(c("source"))))
+  }
+
   test("the ledger writer lease: two CONCURRENT near-cap release " +
       "pipelines never BOTH land under the cap — the loser runs its " +
       "check AFTER the winner's row is visible and refuses; the " +
