@@ -274,6 +274,19 @@ object SqlTableFunctions {
         args(3).toLong, args(4).toInt, args(5).toInt,
         args(6).toDouble, args(7))
     }
+    register(spark, "graft_dp_topk", 6, 6) { args =>
+      // graft_dp_topk(view, key_col, epsilon, seed, domain_view, k):
+      // noisy top-k = post-processing of the known-domain release
+      Privacy.dpTopK(spark.table(args(0)), args(1), args(2).toDouble,
+        args(3), spark.table(args(4)), args(5).toInt)
+    }
+    register(spark, "graft_dp_crosstab", 6, 6) { args =>
+      // graft_dp_crosstab(view, key_a, key_b, epsilon, seed,
+      // domain_view): the two-way contingency release over a public
+      // two-column cell domain
+      Privacy.dpCrosstab(spark.table(args(0)), args(1), args(2),
+        args(3).toDouble, args(4), spark.table(args(5)))
+    }
     register(spark, "graft_seasonal_strength", 5, 6) { args =>
       SeriesStats.seasonalStrength(spark.table(args(0)), args(1),
         args(2), args(3), args(4).toInt,

@@ -390,6 +390,33 @@ class SqlTableFunctionsSpec extends SparkSuite {
         "secret:u:"))
   }
 
+  test("graft_dp_topk and graft_dp_crosstab equal their Privacy " +
+      "operators (the SQL face of the M24/M25 releases)") {
+    import graft.operators.Privacy
+    SqlTableFunctions.registerAll(spark)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars")
+    docs.createOrReplaceTempView("tvf_dp_docs3")
+    (0 to 24).map(i => s"src$i").toDF("source")
+      .createOrReplaceTempView("tvf_dp_domain3")
+    same(
+      spark.sql("SELECT * FROM graft_dp_topk('tvf_dp_docs3', " +
+        "'source', '0.5', 'secret:t:', 'tvf_dp_domain3', '5')"),
+      Privacy.dpTopK(docs, "source", 0.5, "secret:t:",
+        (0 to 24).map(i => s"src$i").toDF("source"), 5))
+    val cells = docs.select($"source",
+      expr("n_chars DIV 100").as("len_bucket"))
+    cells.createOrReplaceTempView("tvf_dp_cells")
+    val dom2 = (for { i <- 0 to 24; b <- 0L to 3L }
+      yield (s"src$i", b)).toDF("source", "len_bucket")
+    dom2.createOrReplaceTempView("tvf_dp_dom2")
+    same(
+      spark.sql("SELECT * FROM graft_dp_crosstab('tvf_dp_cells', " +
+        "'source', 'len_bucket', '0.5', 'secret:x:', 'tvf_dp_dom2')"),
+      Privacy.dpCrosstab(cells, "source", "len_bucket", 0.5,
+        "secret:x:", dom2))
+  }
+
   test("graft_ann equals the DataFrame IVF probe over a written cell " +
       "layout (the written-artifact case); alien centroid views are " +
       "refused") {
