@@ -284,9 +284,15 @@ class CoexistenceSoakSpec extends SparkSuite {
     // r16s45's schedule (append,append,trigger,append,trigger,trigger,
     // fold,fold,trigger) COMPLETES with two caught-up folds → pairs ==
     // twin; r16a ends in the relearn (content REWRITE) refusal; r16b
-    // ends in the fold-outran-the-consumer refusal
-    for (seed <- Seq("r16s45", "r16a", "r16b")) {
-      val base = s"/tmp/graft_soak_ivf_$seed"
+    // ends in the fold-outran-the-consumer refusal. The hooked rerun
+    // of r16s45 layers the post-trigger maintenance hook ON TOP of
+    // the schedule's external folds — the combined production mode
+    // (hook folds delivered ids in-trigger, external folds race from
+    // outside) must satisfy the same invariant.
+    for ((seed, hooked) <- Seq(("r16s45", false), ("r16a", false),
+        ("r16b", false), ("r16s45", true))) {
+      val base =
+        s"/tmp/graft_soak_ivf_$seed${if (hooked) "_hooked" else ""}"
       clean(base, Seq("layout", "layout_twin", "pairs", "pairs_twin",
         "ckpt", "ckpt_twin"))
       for (lay <- Seq("layout", "layout_twin"))
@@ -299,7 +305,11 @@ class CoexistenceSoakSpec extends SparkSuite {
       def trigger(lay: String, pairs: String,
           ckpt: String): Option[Throwable] = {
         val q = CellStreams.liveSemDedup(spark, s"$base/$lay", Tau,
-          s"$base/$pairs", s"$base/$ckpt")
+          s"$base/$pairs", s"$base/$ckpt",
+          maintainLayoutEvery =
+            if (hooked && lay == "layout") 2 else 0,
+          maintainPairsEvery =
+            if (hooked && lay == "layout") 2 else 0)
         try { q.processAllAvailable(); None }
         catch { case e: org.apache.spark.sql.streaming
             .StreamingQueryException => Some(e) }
