@@ -118,7 +118,11 @@ object Privacy {
     * The per-cell draw keys on `keyA || '|' || keyB` — key values
     * must not contain the `'|'` delimiter (a collision would give two
     * cells the SAME noise, a correlation the mechanism does not
-    * promise). Output `(keyA, keyB, n_true, noise_micro, released)`;
+    * promise). The contract is ENFORCED in-plan, not just documented:
+    * a released cell whose key value contains `'|'` raises a loud
+    * error (riding the noise-key expression itself, so no pruning
+    * removes the guard) instead of silently correlating two cells'
+    * draws. Output `(keyA, keyB, n_true, noise_micro, released)`;
     * `n_true` is audit-only, as everywhere in the family. */
   def dpCrosstab(df: DataFrame, keyA: String, keyB: String,
       epsilon: Double, seed: String, domain: DataFrame): DataFrame = {
@@ -131,12 +135,25 @@ object Privacy {
       col(domain.columns(1)).as(keyB)).distinct()
     val counts = df.groupBy(col(keyA), col(keyB))
       .agg(count(lit(1)).as("n_present"))
+    // the no-'|'-in-keys contract, enforced where it matters: the
+    // guard rides the noise-key expression (an input of the output
+    // columns noise_micro/released, so column pruning keeps it); a
+    // violating key is a privacy-correctness failure and must be
+    // LOUD, never two cells silently drawing identical noise
+    def noPipe(c: org.apache.spark.sql.Column) = when(
+      c.cast("string").contains("|"),
+      raise_error(concat(lit("dpCrosstab: key value '"),
+        c.cast("string"),
+        lit("' contains the '|' cell delimiter — two distinct " +
+          "cells could draw IDENTICAL noise; re-encode the key " +
+          "(the domain is caller-built, so this is a caller bug)"))))
+      .otherwise(c.cast("string"))
     dom.join(counts, Seq(keyA, keyB), "left")
       .select(col(keyA), col(keyB),
         coalesce(col("n_present"), lit(0L)).as("n_true"))
       .withColumn("noise_micro",
-        noiseMicro(concat(col(keyA).cast("string"), lit("|"),
-          col(keyB).cast("string")), 1.0 / epsilon, seed))
+        noiseMicro(concat(noPipe(col(keyA)), lit("|"),
+          noPipe(col(keyB))), 1.0 / epsilon, seed))
       .withColumn("released", col("n_true") +
         releaseRound(col("noise_micro")))
   }
@@ -400,11 +417,21 @@ object Privacy {
     * the real defenses remain the high-entropy-seed contract AND
     * restricting ledger readability to the release operators (anyone
     * who can read the ledger and guess the seed can subtract the
-    * noise — no fingerprint choice repairs a guessable seed). */
+    * noise — no fingerprint choice repairs a guessable seed).
+    *
+    * The value is ALGORITHM-TAGGED (`sha256:<32 hex>`): ledgers are
+    * append-only, so rows from different eras of this function
+    * coexist forever, and the same-seed correlation audit (did two
+    * releases reuse one seed?) must know WHICH algorithm produced
+    * each row's fingerprint to compare like with like. Untagged rows
+    * predate the tagging: bare 32-hex values written before 2026-08-17
+    * are truncated SHA-256, 32-hex before that era MD5 — compare
+    * untagged rows only within one era. Any future algorithm change
+    * changes the tag, never the meaning of an existing one. */
   def seedFingerprint(seed: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(seed.getBytes("UTF-8")).map("%02x".format(_))
-      .mkString.take(32)
+    "sha256:" + md.digest(seed.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(32)
   }
 
   /** Record one DP release in the ledger at `ledgerPath`,
@@ -454,88 +481,34 @@ object Privacy {
     * check-then-record pair atomic across CONCURRENT release
     * pipelines (two near-cap writers both passing the spent check
     * would overshoot the cap; the TxBatch rename protects each
-    * record's idempotence, not the pair). Acquisition is the TxBatch
-    * publish dance, DIRECTORY-shaped on purpose: stage a unique
-    * non-empty `_lease-tmp-<uuid>/` (a marker file inside), then
-    * `rename(tmp, _lease)` and treat a rename that landed NESTED
-    * inside an existing `_lease` as a loss (Hadoop
-    * rename-into-existing-dir semantics — a FILE lease would be
-    * silently OVERWRITTEN by a POSIX rename, admitting two holders).
-    * Exactly one contender's directory becomes `_lease`. A holder
-    * that died without releasing is broken after `staleMs` by
-    * modification time (wall clock — infrastructure only, never
-    * ledger CONTENT, so replays stay deterministic); a contender that
+    * record's idempotence, not the pair). The machinery — the
+    * directory-rename acquisition dance, marker-mtime staleness
+    * measured from acquisition, the monotone fencing generation — is
+    * [[TxBatch.tryWithLease]], shared with layout maintenance (the
+    * ledger's lease is `_lease`, maintenance's is
+    * `_maintenance-lease`, so a ledger record and a ledger fold
+    * never deadlock). `body` receives the fencing handle and MUST
+    * call `checkFenced` immediately before its critical mutation: a
+    * holder paused past `staleMs` whose lease was broken then
+    * refuses instead of landing its record after a thief's — the
+    * cap-overshoot the lease exists to exclude. A contender that
     * cannot acquire within the retry budget refuses loudly rather
-    * than proceeding unguarded. */
+    * than proceeding unguarded — the ledger's contract (maintenance
+    * no-ops instead; see [[TxBatch.compact]]). */
   private[graft] def withLedgerLease[T](
       s: org.apache.spark.sql.SparkSession, ledgerPath: String,
-      staleMs: Long = 60000L)(body: => T): T = {
-    val root = new org.apache.hadoop.fs.Path(ledgerPath)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.mkdirs(root)
-    val lease = new org.apache.hadoop.fs.Path(root, LeaseFile)
-    val tmpName = "_lease-tmp-" +
-      java.util.UUID.randomUUID().toString.take(12)
-    val tmp = new org.apache.hadoop.fs.Path(root, tmpName)
-    def stageTmp(): Unit = {
-      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "owner"),
-        true)
-      try out.write(tmpName.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
-    stageTmp()
-    var acquired = false
-    var attempts = 0
-    try {
-      while (!acquired && attempts < 400) {
-        val renamed = try fs.rename(tmp, lease)
-        catch { case _: java.io.IOException => false }
-        if (renamed) {
-          // rename-into-existing-dir: landing nested means another
-          // pipeline holds the lease — withdraw and retry
-          val nested = new org.apache.hadoop.fs.Path(lease, tmpName)
-          if (fs.exists(nested)) { fs.delete(nested, true); () }
-          else acquired = true
-        }
-        if (!acquired) {
-          attempts += 1
-          if (!fs.exists(tmp)) stageTmp() // consumed by a lost rename
-          // staleness reads the holder's OWN marker file, never the
-          // lease directory: every losing contender's nested
-          // rename+delete refreshes the DIRECTORY mtime, so a dead
-          // holder under contention would look eternally fresh
-          val st =
-            try Some(fs.getFileStatus(
-              new org.apache.hadoop.fs.Path(lease, "owner")))
-            catch { case _: java.io.FileNotFoundException => None }
-          val stale = st match {
-            case Some(h) => System.currentTimeMillis() -
-              h.getModificationTime > staleMs
-            // lease dir present but marker missing = a half-staged
-            // corpse, breakable
-            case None => fs.exists(lease)
-          }
-          if (stale) {
-            // the holder died without releasing: break the lease
-            // (best-effort — a concurrent breaker racing us is
-            // fine, the rename dance still admits exactly one)
-            fs.delete(lease, true); ()
-          } else Thread.sleep(25L)
-        }
-      }
-      if (!acquired)
-        throw new IllegalStateException(
-          s"could not acquire the DP ledger writer lease at $lease " +
-            s"after $attempts attempts — another release pipeline " +
-            "holds it; retry once it completes, or delete a stale " +
-            s"$LeaseFile left by a dead holder")
-      body
-    } finally {
-      if (acquired) fs.delete(lease, true) else fs.delete(tmp, true)
-      ()
-    }
-  }
+      staleMs: Long = 60000L)(body: TxBatch.LeaseHandle => T): T =
+    TxBatch.tryWithLease(s, ledgerPath, LeaseFile, staleMs)(body)
+      .getOrElse(throw new IllegalStateException(
+        s"could not acquire the DP ledger writer lease at " +
+          s"$ledgerPath/$LeaseFile — another release pipeline holds " +
+          "it; retry once it completes, or delete a stale " +
+          s"$LeaseFile left by a dead holder"))
+
+  /** Test failpoint: invoked between the budget check and the fenced
+    * record — the window in which a paused holder's lease can be
+    * stale-broken by a contender. Production leaves the no-op. */
+  @volatile private[graft] var recordFailpoint: () => Unit = () => ()
 
   /** [[recordRelease]] gated by the dataset's cumulative budget: the
     * release records ONLY when spent(dataset) + epsilonMicro stays
@@ -546,12 +519,17 @@ object Privacy {
     * The check-then-record pair runs under the ledger's writer lease
     * ([[withLedgerLease]]), so two concurrent near-cap pipelines can
     * never BOTH pass the spent check and overshoot the cap — the
-    * loser observes the winner's row and refuses. */
+    * loser observes the winner's row and refuses. The record is
+    * FENCED: a holder paused past `staleMs` (GC, a slow Spark job)
+    * whose lease was stale-broken finds the fencing generation moved
+    * and refuses to record — its budget check is no longer current,
+    * and landing anyway could overshoot the cap the moment the thief
+    * records too. */
   def recordReleaseWithinBudget(s: org.apache.spark.sql.SparkSession,
       ledgerPath: String, releaseId: Long, dataset: String,
       mechanism: String, keyCol: String, epsilonMicro: Long,
       nKeys: Long, seed: String, releasedAt: String,
-      capMicro: Long): Boolean = {
+      capMicro: Long, staleMs: Long = 60000L): Boolean = {
     require(capMicro > 0L, s"capMicro must be positive, got $capMicro")
     // settled id: no-op before the cap check AND before the lease
     // (an at-cap retry must never block on, or be refused by, the
@@ -564,7 +542,7 @@ object Privacy {
         TxBatch.appliedIds(s, ledgerPath).contains(releaseId)
     }
     if (settled) return false
-    withLedgerLease(s, ledgerPath) {
+    withLedgerLease(s, ledgerPath, staleMs) { lease =>
       // re-check under the lease: the id may have settled while we
       // waited for a concurrent pipeline publishing the SAME release
       if (settled) false
@@ -580,6 +558,12 @@ object Privacy {
               s"$capMicro — the release is REFUSED; raise the cap, " +
               "retire the dataset, or release nothing (the audit row " +
               "is the evidence an approval board reads)")
+        recordFailpoint()
+        // fencing: the budget check above is only as current as the
+        // lease — if it was broken while this holder was paused, a
+        // thief may have recorded since; refuse rather than land
+        lease.checkFenced(
+          s"DP ledger record for release $releaseId at $ledgerPath")
         recordRelease(s, ledgerPath, releaseId, dataset, mechanism,
           keyCol, epsilonMicro, nKeys, seed, releasedAt)
       }

@@ -499,6 +499,291 @@ object TxBatch {
     true
   }
 
+  /** Name of the layout MAINTENANCE lease directory — the writer
+    * lease [[compact]] folds under, so two concurrent maintainers of
+    * one layout SERIALIZE instead of racing (each was individually
+    * safe — the base rename admits one winner — but the loser paid a
+    * full staged fold to learn it, and its listing could be torn by
+    * the winner's cleanup). Distinct from the DP ledger's `_lease`
+    * ([[graft.operators.Privacy.LeaseFile]]) so a ledger record and a
+    * ledger fold never deadlock one another. */
+  val MaintenanceLease = "_maintenance-lease"
+
+  /** Name of the pairs-sink EPOCH marker (`_epoch.json`, a single
+    * JSON long at the sink root): the id offset a live consumer adds
+    * to its trigger ids when publishing. Why it exists: a FRESH
+    * checkpoint restarts trigger ids at 0, and the TxBatch
+    * idempotence that makes retries safe makes a COLLIDING id a
+    * silent no-op — a recovered consumer's first real trigger would
+    * "publish" into the old run's settled `_batch-1` and its pairs
+    * would be LOST, not deduped. [[graft.streaming.StreamRecovery
+    * .reprocessFresh]] advances the epoch past every settled id
+    * before restarting, so recovered runs publish into fresh ids and
+    * the idempotence protects retries only — its actual contract. */
+  val EpochFile = "_epoch.json"
+
+  /** Name of the layout POLICY stamp (`_policy.json` at the layout
+    * ROOT — deliberately outside the `_base-<gen>` directories, so a
+    * fold never moves it and [[setPolicy]] works on a LIVE layout
+    * without a base rename): a flat string→string JSON object of
+    * `graft.maintain.*` keys the per-trigger maintenance hooks read
+    * ([[graft.streaming.StreamMaintenance.postTrigger]],
+    * [[IvfIndex.appendCellsMaintained]]), so an operator tunes a
+    * RUNNING consumer's fold cadence with one stamp write and no
+    * restart. Surfaced through `Table.properties()` (DESCRIBE
+    * EXTENDED) and settable through `ALTER TABLE … SET
+    * TBLPROPERTIES` on the graft catalog. */
+  val PolicyFile = "_policy.json"
+
+  /** The three maintenance-policy keys. `layout_every` /
+    * `pairs_every`: fold the source layout / the pairs sink when its
+    * live batch count reaches N (0 disables); `drift_ratio`: the
+    * [[IvfIndex.maintain]] relearn trip point. */
+  val PolicyLayoutEvery = "graft.maintain.layout_every"
+  val PolicyPairsEvery = "graft.maintain.pairs_every"
+  val PolicyDriftRatio = "graft.maintain.drift_ratio"
+
+  /** The sink's current epoch (0 when none has been stamped). */
+  def readEpoch(s: SparkSession, root: String): Long = {
+    val f = new Path(root, EpochFile)
+    val fs = fsOf(s, f)
+    if (!fs.exists(f)) return 0L
+    val in = fs.open(f)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    mapper.readValue(text.trim, classOf[Long])
+  }
+
+  /** Stamp the sink's epoch. Monotonic by contract: callers pass
+    * max(current, new) — [[graft.streaming.StreamRecovery]] is the
+    * one writer. Staged + renamed so a concurrent reader never sees
+    * a torn file (a missing file reads as 0, which is only ever
+    * wrong DURING a recovery, when no consumer is running). */
+  private[graft] def setEpoch(s: SparkSession, root: String,
+      epoch: Long): Unit =
+    writeSmallFile(s, root, EpochFile, epoch.toString)
+
+  /** The layout's stamped maintenance policy (empty when none). */
+  def readPolicy(s: SparkSession, root: String): Map[String, String] = {
+    val f = new Path(root, PolicyFile)
+    val fs = fsOf(s, f)
+    if (!fs.exists(f)) return Map.empty
+    val in = fs.open(f)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val node = mapper.readTree(text.trim)
+    val b = Map.newBuilder[String, String]
+    val it = node.fieldNames()
+    while (it.hasNext) {
+      val k = it.next(); b += k -> node.get(k).asText()
+    }
+    b.result()
+  }
+
+  /** Stamp (replace) the layout's maintenance policy. Only
+    * `graft.maintain.*` keys are accepted — the policy stamp is the
+    * operational tuning surface, not a general metadata store (the
+    * geometry stamp is `_graft_meta.json` and is the WRITER's
+    * contract, never settable here). An empty map clears the stamp
+    * (consumers fall back to their start-time defaults). */
+  def setPolicy(s: SparkSession, root: String,
+      policy: Map[String, String]): Unit = {
+    val bad = policy.keys.filterNot(_.startsWith("graft.maintain."))
+    require(bad.isEmpty,
+      s"setPolicy accepts only graft.maintain.* keys, got " +
+        bad.toSeq.sorted.mkString(", "))
+    val f = new Path(root, PolicyFile)
+    val fs = fsOf(s, f)
+    if (policy.isEmpty) { fs.delete(f, false); return }
+    val node = mapper.createObjectNode()
+    policy.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    writeSmallFile(s, root, PolicyFile, node.toString)
+  }
+
+  /** Write a small root-level marker through a stage + delete +
+    * rename dance: a plain create-overwrite leaves a window where a
+    * reader sees a TORN (half-written) file; the dance's only window
+    * is file-absent, which every reader treats as "no stamp". */
+  private def writeSmallFile(s: SparkSession, root: String,
+      name: String, content: String): Unit = {
+    val r = new Path(root)
+    val fs = fsOf(s, r)
+    fs.mkdirs(r)
+    val tmp = new Path(r, s"$name.tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(r, name)
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) { fs.delete(tmp, true); () }
+  }
+
+  /** A HELD writer lease — what [[withLease]] hands its body. The
+    * fencing token is the pair (owner uuid, acquisition generation):
+    * the generation is read from `<leaseName>.gen` and bumped on
+    * every acquisition, so it increases monotonically across holders
+    * of one lease path, and the holder's marker file records both.
+    * [[checkFenced]] is the guard a holder runs immediately before
+    * its critical mutation: a holder whose lease was STALE-BROKEN
+    * while it was paused (GC, slow Spark job, clock-skewed node)
+    * finds a different owner/generation — or no marker at all — and
+    * REFUSES to mutate, instead of landing its write after a thief
+    * already did (the cap-overshoot the lease exists to exclude). */
+  final class LeaseHandle private[operators] (
+      fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      leaseName: String, ownerToken: String, val generation: Long) {
+    private val marker =
+      new Path(new Path(root, leaseName), "owner")
+    private def markerContent(): Option[String] = {
+      val in =
+        try Some(fs.open(marker))
+        catch { case _: java.io.FileNotFoundException => None }
+      in.map { i =>
+        try new String(org.apache.commons.io.IOUtils.toByteArray(i),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally i.close()
+      }
+    }
+    private def expected = s"$ownerToken\n$generation"
+    /** Does this handle still own the lease? */
+    def held: Boolean = markerContent().contains(expected)
+    /** Refuse loudly if the lease was broken out from under us. */
+    def checkFenced(context: String): Unit =
+      if (!held)
+        throw new IllegalStateException(
+          s"$context: the writer lease (owner $ownerToken, fencing " +
+            s"generation $generation) was BROKEN while this holder " +
+            "was paused past the staleness horizon — a contender " +
+            "holds (or held) a newer generation, and landing this " +
+            "mutation now could interleave with theirs. The work " +
+            "was NOT applied; retry it under a fresh acquisition.")
+    /** Release, but only if we still own it — deleting
+      * unconditionally would take a THIEF's lease down with ours and
+      * admit a third writer (the r16 ADVICE finding). */
+    private[operators] def releaseIfOwned(): Unit =
+      if (held) { fs.delete(new Path(root, leaseName), true); () }
+  }
+
+  /** Acquire the named writer lease at `root`, run `body` with the
+    * fencing handle, release (if still owned). The rename-based
+    * mutual exclusion the DP ledger introduced, generalized:
+    * acquisition stages a unique non-empty `<leaseName>-tmp-<uuid>/`
+    * (a marker file inside) and `rename(tmp, lease)`s it — a rename
+    * that lands NESTED inside an existing lease directory is a loss
+    * (Hadoop rename-into-existing-dir semantics; a FILE lease would
+    * be silently OVERWRITTEN by a POSIX rename, admitting two
+    * holders). Exactly one contender's directory becomes the lease.
+    *
+    * Staleness: a holder that died without releasing is broken after
+    * `staleMs`, measured from the holder's own marker-FILE mtime
+    * (the lease DIRECTORY's mtime is refreshed by every losing
+    * contender's nested rename+delete — reading it would livelock),
+    * and the marker is REWRITTEN immediately after acquisition, so
+    * the clock starts at acquisition, not at tmp staging time (a
+    * contender that fought for the lease no longer loses that time
+    * from its staleness budget). Wall clock is infrastructure only —
+    * never content; the fencing generation makes a mistaken break of
+    * a LIVE holder safe: the broken holder's [[LeaseHandle
+    * .checkFenced]] refuses its mutation instead of landing it.
+    *
+    * Returns None when the lease cannot be acquired within
+    * `acquireAttempts` (a LIVE holder is working) — callers choose
+    * loud refusal (the ledger) or a no-op (maintenance). */
+  private[graft] def tryWithLease[T](s: SparkSession, root: String,
+      leaseName: String, staleMs: Long,
+      acquireAttempts: Int = 400)(body: LeaseHandle => T)
+      : Option[T] = {
+    val r = new Path(root)
+    val fs = fsOf(s, r)
+    fs.mkdirs(r)
+    val lease = new Path(r, leaseName)
+    val tmpName = s"$leaseName-tmp-" +
+      java.util.UUID.randomUUID().toString.take(12)
+    val tmp = new Path(r, tmpName)
+    def stageTmp(): Unit = {
+      val out = fs.create(new Path(tmp, "owner"), true)
+      try out.write(tmpName.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    stageTmp()
+    var acquired = false
+    var attempts = 0
+    var handle: LeaseHandle = null
+    try {
+      while (!acquired && attempts < acquireAttempts) {
+        val renamed = try fs.rename(tmp, lease)
+        catch { case _: java.io.IOException => false }
+        if (renamed) {
+          // rename-into-existing-dir: landing nested means another
+          // pipeline holds the lease — withdraw and retry
+          val nested = new Path(lease, tmpName)
+          if (fs.exists(nested)) { fs.delete(nested, true); () }
+          else acquired = true
+        }
+        if (!acquired) {
+          attempts += 1
+          if (!fs.exists(tmp)) stageTmp() // consumed by a lost rename
+          // staleness reads the holder's OWN marker file, never the
+          // lease directory (see the scaladoc)
+          val st =
+            try Some(fs.getFileStatus(new Path(lease, "owner")))
+            catch { case _: java.io.FileNotFoundException => None }
+          val stale = st match {
+            case Some(h) => System.currentTimeMillis() -
+              h.getModificationTime > staleMs
+            // lease dir present but marker missing = a half-staged
+            // corpse, breakable
+            case None => fs.exists(lease)
+          }
+          if (stale) {
+            // the holder died without releasing: break the lease
+            // (best-effort — a concurrent breaker racing us is
+            // fine, the rename dance still admits exactly one)
+            fs.delete(lease, true); ()
+          } else Thread.sleep(25L)
+        }
+      }
+      if (!acquired) return None
+      // fencing generation: bump the monotone counter, then rewrite
+      // the owner marker with (uuid, generation) — which ALSO resets
+      // the marker mtime, so staleness is measured from acquisition
+      val genFile = new Path(r, s"$leaseName.gen")
+      val prevGen =
+        if (!fs.exists(genFile)) 0L
+        else {
+          val in = fs.open(genFile)
+          val text =
+            try new String(org.apache.commons.io.IOUtils
+              .toByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          text.trim.toLong
+        }
+      val myGen = prevGen + 1L
+      val gOut = fs.create(genFile, true)
+      try gOut.write(myGen.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally gOut.close()
+      val mOut = fs.create(new Path(lease, "owner"), true)
+      try mOut.write(s"$tmpName\n$myGen".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally mOut.close()
+      handle = new LeaseHandle(fs, r, leaseName, tmpName, myGen)
+      Some(body(handle))
+    } finally {
+      if (acquired) handle.releaseIfOwned()
+      else fs.delete(tmp, true)
+      ()
+    }
+  }
+
   /** [[compact]] behind a fan-in policy — the S31 maintain shape
     * applied to compaction: fold ONLY when the live committed batch
     * count has reached `maxLiveBatches` (each live batch adds one
@@ -573,7 +858,20 @@ object TxBatch {
     * ids (others stay live, to be folded later): the post-trigger
     * maintenance hook restricts the fold to batches its stream has
     * already DELIVERED, so a concurrent writer's fresh batch is
-    * never folded undelivered out from under the consumer. */
+    * never folded undelivered out from under the consumer.
+    *
+    * The whole fold — listing, staging, rename, cleanup — runs under
+    * the layout's [[MaintenanceLease]], so CONCURRENT maintainers of
+    * one layout (two cron jobs, a cron racing a consumer's
+    * post-trigger hook, compact racing relearn) SERIALIZE instead of
+    * racing: the loser waits, then re-lists and finds nothing left to
+    * fold (returns false) — never a torn listing, never a wasted
+    * staged fold. A contender that cannot acquire within ~60 s — a
+    * LIVE holder mid-fold — returns false (maintenance is retryable
+    * by nature; refusing loudly is the ledger's contract, not this
+    * one's). A holder paused past the 10-minute staleness horizon is
+    * broken; its eventual publish is fenced by
+    * [[LeaseHandle.checkFenced]] before the rename and refused. */
   def compact(s: SparkSession, root: String,
       partitionCol: String = "bucket",
       stats: Option[DataFrame] = None,
@@ -584,7 +882,20 @@ object TxBatch {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       contentRewrite: Boolean = false,
       onlyIds: Option[Set[Long]] = None)
-      : Boolean = {
+      : Boolean =
+    tryWithLease(s, root, MaintenanceLease, staleMs = 600000L,
+      acquireAttempts = 2400) { h =>
+      compactLocked(s, root, partitionCol, stats, crashBeforePublish,
+        transform, metaJson, force, schema, contentRewrite, onlyIds, h)
+    }.getOrElse(false)
+
+  private def compactLocked(s: SparkSession, root: String,
+      partitionCol: String, stats: Option[DataFrame],
+      crashBeforePublish: Boolean, transform: DataFrame => DataFrame,
+      metaJson: Option[String], force: Boolean,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      contentRewrite: Boolean, onlyIds: Option[Set[Long]],
+      lease: LeaseHandle): Boolean = {
     val r = new Path(root)
     val fs = fsOf(s, r)
     // sweep leftovers of a compact that crashed between rename and
@@ -657,6 +968,10 @@ object TxBatch {
       throw new RuntimeException(
         s"injected crash before compaction publish of gen $newGen " +
           "(test failpoint)")
+    // fencing: a holder paused past the staleness horizon (a long
+    // staging write counts) must not publish after a contender broke
+    // its lease and folded — refuse here, before the rename
+    lease.checkFenced(s"compaction of $root to generation $newGen")
     val committed = new Path(root, s"_base-$newGen")
     val won = !fs.exists(committed) && fs.rename(staging, committed)
     if (!won) { fs.delete(staging, true); return false }

@@ -308,4 +308,63 @@ class CompactionSpec extends SparkSuite {
       !entries(root).contains("_batch-2"))
     assert(InvertedIndex.readLayout(spark, root).count() == total)
   }
+
+  test("S35 maintenance lease: two CONCURRENT compact calls on one " +
+      "layout SERIALIZE — exactly one folds, the other waits and " +
+      "no-ops against the already-folded layout; content preserved, " +
+      "one new generation, the lease released, the fencing " +
+      "generation advanced once per acquisition") {
+    for (round <- 1 to 3) {
+      val root = s"/tmp/graft_compact/concurrent/r$round"
+      clean(root)
+      val half = docs.filter($"doc_id" % 2 === 0)
+      BandIndex.writeBandLayout(
+        BandIndex.buildBands(half, 0.5, NB), root, 0.5, NB)
+      assert(BandIndex.appendBandsIdempotent(
+        docs.filter($"doc_id" % 2 === 1), root, 0.5, NB, 1L))
+      def content() = BandIndex.readLayout(spark, root)
+        .select($"doc_id", $"band_no", $"band_hash")
+        .collect().map(_.toSeq).toSet
+      val before = content()
+      val results = scala.collection.concurrent
+        .TrieMap.empty[Int, Either[Throwable, Boolean]]
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = Seq(0, 1).map { i =>
+        val t = new Thread(() => {
+          start.await()
+          val r = try Right(TxBatch.compact(spark, root))
+          catch { case e: Throwable => Left(e) }
+          results.put(i, r)
+          ()
+        })
+        t.start(); t
+      }
+      start.countDown()
+      threads.foreach(_.join(180000L))
+      val rs = Seq(0, 1).flatMap(results.get)
+      assert(rs.length == 2, s"round $round: a compact hung: $results")
+      // pre-lease, both could pay a full staged fold and race the
+      // rename (individually safe, collectively wasteful and a torn
+      // listing for any concurrent reader of the loser's sweep);
+      // under the lease exactly one folds and one no-ops
+      assert(rs.count(_ == Right(true)) == 1 &&
+        rs.count(_ == Right(false)) == 1,
+        s"round $round: expected one fold + one no-op, got $rs")
+      assert(content() == before,
+        s"round $round: concurrent compaction changed content")
+      val names = entries(root)
+      assert(names.contains("_base-1") && !names.contains("_base-2") &&
+        !names.exists(_.startsWith("_batch-")), names.toString)
+      assert(!names.contains(TxBatch.MaintenanceLease),
+        s"round $round: the maintenance lease leaked")
+      // both contenders acquired (winner folds, loser observes the
+      // folded layout) — the monotone fencing generation counted both
+      val genFile = new java.io.File(root,
+        s"${TxBatch.MaintenanceLease}.gen")
+      assert(genFile.exists())
+      val gen = new String(java.nio.file.Files
+        .readAllBytes(genFile.toPath), "UTF-8").trim.toLong
+      assert(gen == 2L, s"round $round: fencing generation $gen")
+    }
+  }
 }

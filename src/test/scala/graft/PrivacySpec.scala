@@ -540,4 +540,63 @@ class PrivacySpec extends SparkSuite {
     assert(Privacy.readLedger(spark, p).count() == 1L)
     assert(!leaseDir.exists(), "the broken-then-acquired lease leaked")
   }
+
+  test("M26 fencing generation: a LIVE holder paused past staleMs " +
+      "whose lease is stale-broken must NOT land its record after " +
+      "the break — the fencing check refuses it, the thief's record " +
+      "stands alone, and the ledger never overshoots the cap") {
+    val p = "/tmp/graft_privacy_lease/fenced"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    // pipeline A passes its budget check (cap 600000 admits one
+    // 500000 release), then pauses INSIDE the lease — long past the
+    // break's staleness horizon. Pipeline B breaks the stale lease,
+    // passes the same check (A recorded nothing yet), and records.
+    // A then wakes: without fencing its record would land too
+    // (1000000 > cap — the overshoot); the generation check refuses.
+    val aStalled = new java.util.concurrent.CountDownLatch(1)
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Privacy.recordFailpoint = () =>
+      if (fired.compareAndSet(false, true)) {
+        aStalled.countDown()
+        assert(bDone.await(120,
+          java.util.concurrent.TimeUnit.SECONDS), "B never finished")
+      }
+    try {
+      val aResult = new java.util.concurrent.atomic
+        .AtomicReference[Either[Throwable, Boolean]]()
+      val a = new Thread(() => {
+        aResult.set(
+          try Right(Privacy.recordReleaseWithinBudget(spark, p, 1L,
+            "ds", "counts", "k", 500000L, 5L, "s:1:", "2026-08-16",
+            capMicro = 600000L))
+          catch { case e: Throwable => Left(e) })
+        ()
+      })
+      a.start()
+      assert(aStalled.await(120,
+        java.util.concurrent.TimeUnit.SECONDS), "A never stalled")
+      Thread.sleep(900L) // push A's marker past B's staleness horizon
+      assert(Privacy.recordReleaseWithinBudget(spark, p, 2L, "ds",
+        "counts", "k", 500000L, 5L, "s:2:", "2026-08-16",
+        capMicro = 600000L, staleMs = 500L),
+        "B (the breaker) must record")
+      bDone.countDown()
+      a.join(180000L)
+      aResult.get() match {
+        case Left(e: IllegalStateException) =>
+          assert(e.getMessage.contains("BROKEN") &&
+            e.getMessage.contains("fencing"), e.getMessage)
+        case other => fail(
+          s"A must be refused by the fencing check, got $other")
+      }
+      // exactly the thief's row — the cap was never overshot
+      val rows = Privacy.readLedger(spark, p).collect()
+      assert(rows.length == 1 &&
+        rows.head.getAs[Long]("release_id") == 2L, rows.toSeq.toString)
+      // A's ownership-checked release left B's world alone; nothing
+      // holds the lease now
+      assert(!new java.io.File(s"$p/${Privacy.LeaseFile}").exists())
+    } finally Privacy.recordFailpoint = () => ()
+  }
 }
