@@ -75,10 +75,19 @@ object PageRank extends Logging {
       iterations: Int, scale: Long = 1000000L,
       dampNum: Long = 85L, dampDen: Long = 100L,
       checkpointDir: Option[String] = None): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    require(scale >= 1L, s"scale must be >= 1, got $scale")
-    require(dampNum >= 0L && dampNum <= dampDen && dampDen >= 1L,
-      s"damping $dampNum/$dampDen is not in [0,1]")
+    val (e, nodes) = prepare(edges, srcCol, dstCol, checkpointDir)
+    ranksPrepared(e, nodes, iterations, scale, dampNum, dampDen)
+  }
+
+  /** The one-time half of [[ranks]]: edge hygiene (distinct, self-loop
+    * drop), out-degree attachment, node derivation — each materialized
+    * (checkpoint) so the iteration re-reads, never re-runs, the
+    * upstream generator. Split out so a caller that ranks the SAME
+    * graph repeatedly (a bench pass, a what-if damping sweep) pays the
+    * build once and hands the prepared pair to [[ranksPrepared]];
+    * `ranks` == `prepare` + `ranksPrepared` by construction. */
+  def prepare(edges: DataFrame, srcCol: String, dstCol: String,
+      checkpointDir: Option[String] = None): (DataFrame, DataFrame) =
     Checkpointing.withTruncation(edges.sparkSession, checkpointDir) { ckpt =>
 
     // Distinct edge set with per-src out-degree attached ONCE —
@@ -107,7 +116,17 @@ object PageRank extends Logging {
     val nodes = ckpt(e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct())
+    (e, nodes)
+    }
 
+  /** The iteration half of [[ranks]] over a [[prepare]]d graph. */
+  def ranksPrepared(e: DataFrame, nodes: DataFrame,
+      iterations: Int, scale: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    require(dampNum >= 0L && dampNum <= dampDen && dampDen >= 1L,
+      s"damping $dampNum/$dampDen is not in [0,1]")
     val base = ((dampDen - dampNum) * scale) / dampDen // Scala long div
     var r = nodes.select(col("node"), lit(scale).as("rank"))
     for (_ <- 1 to iterations) {
@@ -125,7 +144,6 @@ object PageRank extends Logging {
             expr(s"($dampNum * COALESCE(c, 0L)) DIV $dampDen")).as("rank"))
     }
     r
-    }
   }
 
   /** Weighted, seed-personalized variant — TrustRank (Gyöngyi,
@@ -154,9 +172,17 @@ object PageRank extends Logging {
       iterations: Int, scale: Long = 1000000L,
       dampNum: Long = 85L, dampDen: Long = 100L,
       checkpointDir: Option[String] = None): DataFrame = {
-    require(iterations >= 1 && scale >= 1L &&
-      dampNum >= 0L && dampNum <= dampDen && dampDen >= 1L,
-      s"bad parameters ($iterations, $scale, $dampNum/$dampDen)")
+    val (e, nodes) =
+      prepareSeeded(edges, srcCol, dstCol, wCol, seedPred, checkpointDir)
+    ranksSeededPrepared(e, nodes, iterations, scale, dampNum, dampDen)
+  }
+
+  /** The one-time half of [[ranksSeeded]] (the [[prepare]] twin):
+    * weight-summed edge relation with per-src strength attached, and
+    * the node set with seed membership — both materialized. */
+  def prepareSeeded(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      checkpointDir: Option[String] = None): (DataFrame, DataFrame) =
     Checkpointing.withTruncation(edges.sparkSession, checkpointDir) { ckpt =>
 
     val e0 = edges
@@ -171,6 +197,17 @@ object PageRank extends Logging {
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
       .withColumn("is_seed", seedPred(col("node"))))
+    (e, nodes)
+    }
+
+  /** The iteration half of [[ranksSeeded]] over a [[prepareSeeded]]d
+    * graph. */
+  def ranksSeededPrepared(e: DataFrame, nodes: DataFrame,
+      iterations: Int, scale: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && scale >= 1L &&
+      dampNum >= 0L && dampNum <= dampDen && dampDen >= 1L,
+      s"bad parameters ($iterations, $scale, $dampNum/$dampDen)")
     // teleport budget per seed, fixed integers computed once
     val Row(nNodes: Long, nSeeds: Long) = nodes
       .agg(count(lit(1)), sum(col("is_seed").cast("long"))).head()
@@ -193,7 +230,6 @@ object PageRank extends Logging {
             expr(s"($dampNum * COALESCE(c, 0L)) DIV $dampDen")).as("rank"))
     }
     r.select("node", "rank")
-    }
   }
 
   /** Oracle twin of [[ranksSeeded]]: `edgesSql` selects (src, dst, w);

@@ -60,7 +60,15 @@ object SetSimJoin {
     require(num > 0 && num <= den, s"tau must be in (0,1]: $num/$den")
     val id = col(idCol)
 
-    val elems = sets.select(id, size(col(setCol)).cast("long").as("__n"),
+    // Materialize the (id, set) relation ONCE: four plan arms read it
+    // (element frequencies, prefix selection, and both verify sides),
+    // and without the checkpoint each arm re-runs the caller's set
+    // construction — for the shingle-hash callers that is the whole
+    // tokenize+shingle+hash pass, measured ~4x the one-pass cost at
+    // sf0.1 (the Graph.pairCounts / eval_overlap_rate pattern).
+    val sets0 = sets.select(id, col(setCol)).localCheckpoint()
+
+    val elems = sets0.select(id, size(col(setCol)).cast("long").as("__n"),
       explode(col(setCol)).as("__e"))
     val freq = elems.groupBy(col("__e")).agg(count(lit(1)).as("__cnt"))
 
@@ -77,8 +85,8 @@ object SetSimJoin {
     val pairs = CandidatePairs.fromBuckets(
       prefix, Seq("__e"), idCol, "a", "b", bucketCap)
 
-    val left = sets.select(id.as("a"), col(setCol).as("__sa"))
-    val right = sets.select(id.as("b"), col(setCol).as("__sb"))
+    val left = sets0.select(id.as("a"), col(setCol).as("__sa"))
+    val right = sets0.select(id.as("b"), col(setCol).as("__sb"))
     pairs
       .join(left, "a").join(right, "b")
       .select(col("a"), col("b"),

@@ -61,6 +61,13 @@ object Graph {
     * once (the curation-stages / cluster_stats caching pattern). */
   private val pairCache = new SessionCache[DataFrame]
 
+  /** Per-dir prepared PageRank graphs (edges-with-outdeg, nodes) —
+    * the one-time [[PageRank.prepare]] builds, cached like
+    * [[pairCounts]] so repeated rankings re-read the materialized
+    * graph instead of re-running hygiene + out-degree + node builds. */
+  private val rankGraphCache = new SessionCache[(DataFrame, DataFrame)]
+  private val trustGraphCache = new SessionCache[(DataFrame, DataFrame)]
+
   private def pairCounts(s: SparkSession, dir: String): DataFrame =
     pairCache.get(s, dir) { d =>
       import s.implicits._
@@ -86,13 +93,20 @@ object Graph {
     // the centrality weighting a curation pipeline applies to a link
     // graph (source authority) spelled on the fixture's natural graph.
     // Three rounds of edges⋈ranks equi-joins + map-combinable integer
-    // sums; the edge relation (with out-degrees) is materialized once.
+    // sums; the edge relation (with out-degrees) is materialized once
+    // PER DIR (PageRank.prepare under the pairCounts caching pattern —
+    // the hygiene/out-degree/node builds are graph properties, not
+    // per-ranking work, so repeated rankings of one graph re-read
+    // them).
     "part_rank" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val pairs = pairCounts(s, dir)
-      val edges = pairs.select($"u".as("src"), $"v".as("dst"))
-        .unionAll(pairs.select($"v".as("src"), $"u".as("dst")))
-      PageRank.ranks(edges, "src", "dst", PrIterations)
+      val (e, nodes) = rankGraphCache.get(s, dir) { d =>
+        val pairs = pairCounts(s, d)
+        val edges = pairs.select($"u".as("src"), $"v".as("dst"))
+          .unionAll(pairs.select($"v".as("src"), $"u".as("dst")))
+        PageRank.prepare(edges, "src", "dst")
+      }
+      PageRank.ranksPrepared(e, nodes, PrIterations)
         .orderBy($"rank".desc, $"node")
         .limit(40)
         .select($"node".as("partkey"), $"rank")
@@ -125,11 +139,13 @@ object Graph {
     // (node/seed counts) are the only collected values.
     "part_trustrank" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val pairs = pairCounts(s, dir)
-      val edges = pairs.select($"u".as("src"), $"v".as("dst"), $"w")
-        .unionAll(pairs.select($"v".as("src"), $"u".as("dst"), $"w"))
-      PageRank.ranksSeeded(edges, "src", "dst", "w",
-          n => n % 97 === 0, PrIterations)
+      val (e, nodes) = trustGraphCache.get(s, dir) { d =>
+        val pairs = pairCounts(s, d)
+        val edges = pairs.select($"u".as("src"), $"v".as("dst"), $"w")
+          .unionAll(pairs.select($"v".as("src"), $"u".as("dst"), $"w"))
+        PageRank.prepareSeeded(edges, "src", "dst", "w", n => n % 97 === 0)
+      }
+      PageRank.ranksSeededPrepared(e, nodes, PrIterations)
         .orderBy($"rank".desc, $"node")
         .limit(40)
         .select($"node".as("partkey"), $"rank")

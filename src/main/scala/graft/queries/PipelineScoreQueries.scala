@@ -621,13 +621,24 @@ private[queries] trait PipelineScoreQueries extends PipelineCore {
         sum(when($"lang" === l, 1L).otherwise(0L)).as(s"n_$l")) :+
         countDistinct($"tri").as("v")
       val totals = mt.agg(nAggs.head, nAggs.tail: _*)
+      // Score TRIGRAM INSTANCES directly against the BROADCAST model:
+      // the model is built from the FIXED-k balanced sample
+      // (k·|classes| docs regardless of corpus size), so its trigram
+      // vocabulary is bounded — shipping it to the corpus side removes
+      // the two tri-keyed exchanges (the old per-(doc, tri) count and
+      // the model side of its join) that re-shuffled the whole corpus
+      // trigram relation (guide §2.4/§3.1). The per-(doc, tri)
+      // multiplicity k is absorbed into the instance sum exactly:
+      // Σ_distinct k·⌊term⌋ = Σ_instances ⌊term⌋ (the floor'd term is
+      // constant per trigram), so the released integers are unchanged
+      // and the one remaining exchange is the map-combinable
+      // (doc_id, lang) partial aggregate.
       val dt = scoreSet
         .select($"doc_id", $"lang", explode(triExpr).as("tri"))
-        .groupBy($"doc_id", $"lang", $"tri").agg(count(lit(1)).as("k"))
-      val terms = dt.join(model, Seq("tri"), "left_outer")
+      val terms = dt.join(broadcast(model), Seq("tri"), "left_outer")
         .crossJoin(broadcast(totals))
       val lpCols = langs.map { l =>
-        sum($"k" * floor(
+        sum(floor(
           log((coalesce(col(s"c_$l"), lit(0L)).cast("double") + lit(1.0)) /
             (col(s"n_$l") + $"v").cast("double")) * lit(1000000.0) +
           lit(0.5)).cast("long")).as(s"lp_$l")

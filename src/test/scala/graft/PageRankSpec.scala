@@ -231,6 +231,21 @@ class PageRankSpec extends SparkSuite {
             n => n % 5 === 0, 3, checkpointDir = ck)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(seeded(Some(dir.toString)) == seeded(None))
+
+      // prepared-graph reuse (the Graph.scala per-dir cache pattern):
+      // one prepare() consumed by REPEATED rankings returns the same
+      // labeling every time, and equals the monolithic entry point
+      val (pe, pn) = PageRank.prepare(edges.toDF("s", "d"), "s", "d")
+      val viaPrepared = (1 to 2).map(_ =>
+        PageRank.ranksPrepared(pe, pn, 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      assert(viaPrepared.forall(_ == run(edges, 3)))
+      val (se, sn) = PageRank.prepareSeeded(
+        wedges.toDF("s", "d", "w"), "s", "d", "w", n => n % 5 === 0)
+      val seededPrepared = (1 to 2).map(_ =>
+        PageRank.ranksSeededPrepared(se, sn, 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      assert(seededPrepared.forall(_ == seeded(None)))
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
