@@ -976,11 +976,23 @@ private[queries] trait PipelineCore {
     * is the persisted artifact a daily pipeline carries forward. */
   private[queries] val incrClustersCache = new SessionCache[DataFrame]
 
+  /** The embedding-lane twin of [[incrClustersCache]]: the merged
+    * SemDeDup labeling behind `incremental_semdedup` — same persisted-
+    * artifact rationale, same work-∝-batch maintenance contract. */
+  private[queries] val incrSemDedupCache = new SessionCache[DataFrame]
+
   /** Constructed-frame caches for the TVF twins whose construction
     * runs driver-side jobs (CC loop / strata walk) — the
     * incrClustersCache rationale. */
   private[queries] val neardupSqlCache = new SessionCache[DataFrame]
   private[queries] val budgetSqlCache = new SessionCache[DataFrame]
+
+  /** Constructed-frame caches for the DIRECT budget-selection rows
+    * (token_budget_select / budget_select_stratified) — same rationale
+    * as [[budgetSqlCache]]: BudgetSelect's construction collects the
+    * bounded score grid (a driver-side job) to derive thresholds. */
+  private[queries] val budgetSelectCache = new SessionCache[DataFrame]
+  private[queries] val budgetStratCache = new SessionCache[DataFrame]
 
   private[graft] def incrementalClusterLabels(
       s: SparkSession, dir: String): DataFrame =
