@@ -284,7 +284,7 @@ object Graph {
     "trade_scc_condensed" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val lab = sccLabels(s, dir)
-      tradeEdges(s, dir)
+      tradeEdgesCached(s, dir)
         .join(lab.select($"node".as("src"), $"scc".as("scc_src")), "src")
         .join(lab.select($"node".as("dst"), $"scc".as("scc_dst")), "dst")
         .filter($"scc_src" =!= $"scc_dst")
@@ -335,6 +335,15 @@ object Graph {
     * caching pattern — the iterative peel must not re-run per
     * bench pass or per query sharing it). */
   private val sccCache = new SessionCache[DataFrame]
+
+  /** Per-dir materialized trade-edge relation (the pairCounts pattern
+    * for the DIRECTED graph): the lineitem⋈orders⋈customer derivation
+    * is the graph's build — consumers (the condensation row, SCC-seeded
+    * audits) re-read it instead of re-running the three-table join. */
+  private val tradeEdgeCache = new SessionCache[DataFrame]
+
+  private def tradeEdgesCached(s: SparkSession, dir: String): DataFrame =
+    tradeEdgeCache.get(s, dir)(d => tradeEdges(s, d).localCheckpoint())
 
   private def sccLabels(s: SparkSession, dir: String): DataFrame =
     sccCache.get(s, dir)(d =>
