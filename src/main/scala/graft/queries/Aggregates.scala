@@ -1267,17 +1267,43 @@ object Aggregates {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, dir)
       .select($"l_returnflag".as("flag"), $"l_extendedprice".as("price"))
-    val ranked = li
-      .withColumn("rn",
-        row_number().over(Window.partitionBy($"flag").orderBy($"price")))
-      .withColumn("n",
-        count(lit(1)).over(Window.partitionBy($"flag")))
+    // The 7 interior cut points are DISCRETE order statistics (value
+    // at rank ⌈j/8·n⌉), located with the bucketMedian two-pass instead
+    // of a whole-partition rank window: pass 1 is a map-combinable
+    // (flag, bucket) count histogram + the bounded cum scan that finds
+    // each target rank's bucket; the rank window then runs over the
+    // LOCATED buckets only (~1% of the group at SelWidth), never the
+    // group — same cut values (order statistics are
+    // algorithm-independent; bucket-local rank = global rank − bbase
+    // because floor(price/width) is monotone in price), the
+    // exact_median_2pass / weighted_median_2pass scale shape.
+    val withB = li.withColumn("b", floor($"price" / lit(SelWidth)).cast("long"))
+    val hist = withB.groupBy($"flag", $"b").agg(count(lit(1)).as("c"))
+    val targets = hist.groupBy($"flag").agg(sum($"c").as("n"))
+      .select($"flag", explode(array((1 to 7).map(j =>
+        struct(lit(j).as("j"), greatest(lit(1L),
+          ceil(lit(j / 8.0) * $"n").cast("long")).as("k"))): _*)).as("t"))
+      .select($"flag", $"t.j".as("j"), $"t.k".as("k"))
+    val wcum = Window.partitionBy($"flag").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val located = hist
+      .withColumn("bbase", coalesce(sum($"c").over(wcum), lit(0L)))
+      .join(targets, "flag")
+      .filter($"bbase" < $"k" && $"bbase" + $"c" >= $"k")
+      .select($"flag", $"j", $"k", $"b", $"bbase")
+    val wRank = Window.partitionBy($"flag", $"b").orderBy($"price")
+    val cutRows = withB
+      .join(broadcast(located.select($"flag", $"b").distinct()),
+        Seq("flag", "b"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .join(broadcast(located), Seq("flag", "b"))
+      .filter($"rn" === $"k" - $"bbase")
+      .select($"flag", $"j", $"price")
     val cutCols = (1 to 7).map { j =>
-      max(when($"rn" === greatest(lit(1L),
-        ceil(lit(j / 8.0) * $"n").cast("long")), $"price")).as(s"c$j")
+      max(when($"j" === j, $"price")).as(s"c$j")
     }
     val cuts = broadcast(
-      ranked.groupBy($"flag").agg(cutCols.head, cutCols.tail: _*))
+      cutRows.groupBy($"flag").agg(cutCols.head, cutCols.tail: _*))
     val bucket = (1 to 7)
       .map(j => ($"price" > col(s"c$j")).cast("int"))
       .reduce(_ + _) + lit(1)

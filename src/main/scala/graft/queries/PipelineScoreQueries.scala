@@ -173,6 +173,11 @@ private[queries] trait PipelineScoreQueries extends PipelineCore {
           "transform(sequence(1, size(ws) - 1), " +
             "i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
         .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        // materialized ONCE: the count models and the final scoring
+        // join all read this relation through DIFFERENT exchanges, so
+        // nothing else dedupes the tokenize + explode pass (the
+        // dup_span_runs pattern)
+        .localCheckpoint()
       val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
       val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
       val v = broadcast(Tables.documents(s, dir)
@@ -218,6 +223,11 @@ private[queries] trait PipelineScoreQueries extends PipelineCore {
           "transform(sequence(1, size(ws) - 1), " +
             "i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
         .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        // materialized ONCE: the count models and the final scoring
+        // join all read this relation through DIFFERENT exchanges, so
+        // nothing else dedupes the tokenize + explode pass (the
+        // dup_span_runs pattern)
+        .localCheckpoint()
       val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
       val ctx = bg.groupBy($"w1").agg(count(lit(1)).as("c1"),
         count_distinct($"w2").as("n1"))
