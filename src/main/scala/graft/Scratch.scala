@@ -1,6 +1,5 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporary profiling scratchpad for the optimization round — NOT
@@ -25,52 +24,34 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
-    def probeOf(mod: Int, keepNum: Int, keepDen: Int) =
-      base.filter($"doc_id" % 31 === mod)
-        .select(($"doc_id" + lit(20000000L) * mod).as("doc_id"),
-          concat_ws(" ", slice(split($"text", " "), lit(1),
-            greatest(expr(s"(size(split(text, ' ')) * $keepNum) DIV $keepDen"),
-              lit(3)).cast("int"))).as("text"))
-    val docs = base
-      .unionByName(probeOf(1, 3, 4))
-      .unionByName(probeOf(2, 11, 20))
-      .unionByName(probeOf(3, 7, 20))
+    val base = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text".substr(1, 20).as("k"))
+    val probes = base.filter($"doc_id" % 37 === 5)
+      .select((-$"doc_id" - 1L).as("doc_id"),
+        concat($"k".substr(1, 8), lit("XY"),
+          $"k".substr(lit(11), length($"k") - 10)).as("k"))
+    val df = base.unionByName(probes)
 
     (1 to 2).foreach { pass =>
       println(s"--- pass $pass")
-      val d = docs.select($"doc_id",
-        graft.functions.GraftFunctions.shingle_hash_set($"text").as("hs"))
-      val sets0 = d.localCheckpoint()
-      time("1 sets0 read")(sets0)
-      val (num, den) = (3, 10)
-      val elems = sets0.select($"doc_id",
-        size($"hs").cast("long").as("__n"), explode($"hs").as("__e"))
-      val freq = elems.groupBy($"__e").agg(count(lit(1)).as("__cnt"))
-      time("2 freq")(freq)
-      val ceilTauN = ($"__n" * lit(num.toLong) + lit(den.toLong - 1L)) / lit(den.toLong)
-      val w = Window.partitionBy($"doc_id").orderBy($"__cnt", $"__e")
-      val prefix = elems.join(freq, "__e")
-        .withColumn("__rn", row_number().over(w).cast("long"))
-        .filter($"__rn" <= $"__n" - ceilTauN.cast("long") + lit(1L))
-        .select($"doc_id", $"__e")
-      time("3 prefix")(prefix)
+      val neighborhood = graft.operators.FuzzyMatch.deletionVariants2($"k")
+      val vars = df.select($"doc_id".as("__k"), explode(neighborhood).as("__v"))
+        .select($"__k", graft.functions.GraftFunctions.fnv1a($"__v").as("__vh"))
+      time("1 vars explode+hash")(vars)
+      time("2 vars shuffle+boundedset")(
+        vars.repartition($"__vh").groupBy($"__vh")
+          .agg(graft.functions.GraftFunctions.bounded_min_set($"__k", 1024).as("s")))
       val pairs = graft.operators.CandidatePairs.fromBuckets(
-        prefix, Seq("__e"), "doc_id", "a", "b")
-      time("4 pairs")(pairs)
-      val left = sets0.select($"doc_id".as("a"), $"hs".as("__sa"))
-      val right = sets0.select($"doc_id".as("b"), $"hs".as("__sb"))
-      val ver = pairs.join(left, "a").join(right, "b")
-        .select($"a", $"b",
-          size($"__sa").cast("long").as("n_a"),
-          size($"__sb").cast("long").as("n_b"),
-          size(array_intersect($"__sa", $"__sb")).cast("long").as("n_inter"))
-        .filter($"n_inter" * lit(den.toLong + num.toLong) >=
-          ($"n_a" + $"n_b") * lit(num.toLong))
-      time("5 verify")(ver)
-      time("6 declared")(SparkEntry.queries("neardup_threshold_curve")(spark, sfDir))
-      pairs.agg(count(lit(1))).show()
-      prefix.agg(count(lit(1))).show()
+        vars, Seq("__vh"), "__k", "key_a", "key_b")
+      time("3 pairs+distinct")(pairs)
+      val names = df.select($"doc_id", $"k")
+      val full = pairs
+        .join(names.select($"doc_id".as("key_a"), $"k".as("name_a")), Seq("key_a"))
+        .join(names.select($"doc_id".as("key_b"), $"k".as("name_b")), Seq("key_b"))
+        .withColumn("dist", levenshtein($"name_a", $"name_b", 2))
+        .filter($"dist" >= 0)
+      time("4 verify joins")(full)
+      time("5 declared")(SparkEntry.queries("fuzzy_match2")(spark, sfDir))
     }
     spark.stop()
   }

@@ -50,6 +50,35 @@ object FuzzyMatch {
     array_distinct(flatten(
       transform(deletionVariants(s), v => deletionVariants(v))))
 
+  /** [[deletionVariants2]] WITHOUT the distinct — every ≤2-deletion
+    * string built directly by index enumeration (delete positions
+    * i < j), 1 + L + C(L,2) strings per key instead of the nested
+    * (L+1)² construction plus two array_distinct passes. Repeated
+    * characters yield duplicate variants, so this is the same SET
+    * with multiplicity — [[pairsWithin]]'s candidate generation is
+    * multiplicity-insensitive (CandidatePairs counts rows for the
+    * small/hot branch consistently and distincts the emitted pairs),
+    * which is why the blocking path can afford to skip the per-row
+    * dedup the public neighborhood API performs. Measured ~1.5x
+    * cheaper per key at L=20 (the d≤2 explode is the dominant stage
+    * of fuzzy_match2). */
+  private[graft] def deletionVariants2Raw(s: Column): Column = {
+    val L = length(s)
+    concat(
+      array(s),
+      // one deletion at i
+      when(L >= 1, transform(sequence(lit(1), L), i =>
+        concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), L - i))))
+        .otherwise(array()),
+      // two deletions at i < j
+      when(L >= 2, flatten(transform(sequence(lit(1), L - 1), i =>
+        transform(sequence(i + lit(1), L), j =>
+          concat(s.substr(lit(1), i - lit(1)),
+            s.substr(i + lit(1), j - i - lit(1)),
+            s.substr(j + lit(1), L - j))))))
+        .otherwise(array()))
+  }
+
   /** All pairs of `df` rows whose `nameCol` strings are within
     * Levenshtein distance `k` (k = 1 or 2, not the same row), as
     * `(key_a, key_b, name_a, name_b, dist)` with `key_a < key_b`.
@@ -65,7 +94,7 @@ object FuzzyMatch {
     require(k == 1 || k == 2, s"pairsWithin supports k in {1, 2}, got $k")
     val neighborhood =
       if (k == 1) deletionVariants(col(nameCol))
-      else deletionVariants2(col(nameCol))
+      else deletionVariants2Raw(col(nameCol))
     // bucket on the variant's 64-bit fingerprint, not the string: the
     // candidate shuffle moves 8-byte keys instead of (L·variants)
     // bytes of text; a hash collision only ADDS a false candidate,

@@ -78,6 +78,24 @@ class FuzzyMatchSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("deletionVariants2Raw: same SET as deletionVariants2 (blocking" +
+      " path equivalence), on varied lengths incl. repeats") {
+    val inputs = Seq("abcd", "aab", "a", "ab", "aaaa", "xyzzyx",
+      "Customer#000000042", "")
+    val rows = inputs.toDF("s")
+      .select($"s", FuzzyMatch.deletionVariants2($"s").as("d"),
+        FuzzyMatch.deletionVariants2Raw($"s").as("r"))
+      .as[(String, Seq[String], Seq[String])].collect()
+    rows.foreach { case (s, d, r) =>
+      assert(r.toSet == d.toSet,
+        s"raw neighborhood set diverges for '$s'")
+      // and the raw size is the direct index enumeration
+      if (s.length >= 2)
+        assert(r.size == 1 + s.length + s.length * (s.length - 1) / 2,
+          s"raw cardinality wrong for '$s'")
+    }
+  }
+
   test("fuzzy_match2 query recovers double-substitution probes") {
     val rows = SparkEntry.queries("fuzzy_match2")(spark, sf)
       .as[(Long, Long, Long)].collect()
