@@ -296,8 +296,8 @@ private[sources] class CellsTable(path: String, k: Int, dim: Int,
   override def properties(): util.Map[String, String] =
     LayoutProperties.of(path, "cells",
       Seq("k" -> k.toString, "dim" -> dim.toString) ++
-        graft.operators.IvfIndex
-          .readCentroidVersion(SparkSession.active, path)
+        SparkSession.getActiveSession
+          .flatMap(graft.operators.IvfIndex.readCentroidVersion(_, path))
           .map("centroid_version" -> _).toSeq)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

@@ -25,20 +25,25 @@ private[sources] object LayoutProperties {
 
   def of(path: String, layoutType: String,
       geometry: Seq[(String, String)]): util.Map[String, String] = {
-    val s = SparkSession.active
-    val root = new Path(path)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val m = new util.LinkedHashMap[String, String]()
     m.put("graft.layout_type", layoutType)
     geometry.foreach { case (k, v) => m.put(s"graft.$k", v) }
-    // fold-tolerant like the scans: a fold mid-listing retries once
-    CellsSource.foldTolerant(root, s"layout properties at $path") {
-      val (base, live) = TxBatch.layoutUnitsFs(fs, root)
-      val gen =
-        if (base == root) 0L
-        else base.getName.stripPrefix("_base-").toLong
-      m.put("graft.base_generation", gen.toString)
-      m.put("graft.live_batches", live.size.toString)
+    // Spark invokes Table.properties() in metadata paths where no
+    // active session is guaranteed — degrade to the geometry-only map
+    // there instead of throwing (ADVICE r16); the listing-derived
+    // fields need a session only for the hadoopConfiguration.
+    SparkSession.getActiveSession.foreach { s =>
+      val root = new Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // fold-tolerant like the scans: a fold mid-listing retries once
+      CellsSource.foldTolerant(root, s"layout properties at $path") {
+        val (base, live) = TxBatch.layoutUnitsFs(fs, root)
+        val gen =
+          if (base == root) 0L
+          else base.getName.stripPrefix("_base-").toLong
+        m.put("graft.base_generation", gen.toString)
+        m.put("graft.live_batches", live.size.toString)
+      }
     }
     m
   }
