@@ -249,6 +249,25 @@ object CellsSource {
     * no-op. */
   @volatile private[graft] var listingFailpoint: () => Unit = () => ()
 
+  /** Is `t` the fold-sweep race's signature? Usually a
+    * FileNotFoundException — but Hadoop's RawLocalFileSystem raises a
+    * PLAIN IOException ("Invalid directory or I/O error occurred for
+    * dir: …") when `File.list()` returns null because the directory
+    * vanished between the existence probe and the listing, i.e. the
+    * SAME race on a local filesystem (observed: a live BANDS consumer
+    * racing an external fold of `_batch-N/bucket=M`). Matched by that
+    * Hadoop message shape so the fold-tolerant retry / documented
+    * refusal applies instead of leaking the raw IOException; a genuine
+    * persistent I/O error still surfaces — wrapped in the loud refusal
+    * with the original as cause — after the bounded retries. */
+  private[graft] def foldSweepRace(t: Throwable): Boolean = t match {
+    case _: java.io.FileNotFoundException => true
+    case e: java.io.IOException =>
+      val m = e.getMessage
+      m != null && m.startsWith("Invalid directory or I/O error")
+    case _ => false
+  }
+
   /** Run one connector listing fold-tolerantly — the fix for the
     * fold/trigger TOCTOU race: a [[graft.operators.TxBatch.compact]]
     * sweeping a commit unit between the root listing and the per-unit
@@ -268,11 +287,12 @@ object CellsSource {
     var attempt = 0
     while (attempt < 3) {
       try return body
-      catch { case _: java.io.FileNotFoundException => attempt += 1 }
+      catch { case e: java.io.IOException if foldSweepRace(e) =>
+        attempt += 1 }
     }
     try body
     catch {
-      case e: java.io.FileNotFoundException =>
+      case e: java.io.IOException if foldSweepRace(e) =>
         throw new IllegalStateException(
           s"$context: commit units at $root keep disappearing " +
             "mid-listing after fold-tolerant retries — the " +

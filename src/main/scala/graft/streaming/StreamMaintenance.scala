@@ -38,8 +38,8 @@ import org.apache.spark.sql.types.StructType
 private[streaming] object StreamMaintenance {
 
   private def fnfCaused(t: Throwable): Boolean =
-    t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
-      fnfCaused(t.getCause))
+    t != null &&
+      (graft.sources.CellsSource.foldSweepRace(t) || fnfCaused(t.getCause))
 
   /** Run one trigger's probe-and-publish fold-tolerantly — the
     * EXECUTION-window twin of the connectors' fold-tolerant listings:

@@ -72,6 +72,36 @@ class CoexistenceSoakSpec extends SparkSuite {
     assert(TxBatch.compactedBaseDir(spark, s"$base/layout").isDefined)
   }
 
+  test("the raw-local IOException shape of the sweep race ('Invalid " +
+      "directory or I/O error') is retried like the FNF shape: BANDS") {
+    // Hadoop's RawLocalFileSystem raises a PLAIN IOException (not FNF)
+    // when File.list() returns null because a fold swept the directory
+    // between the existence probe and the listing — the shape that
+    // leaked through the matcher in a 20-rep soak run. Pin it
+    // deterministically: one-shot inject the exact message shape at
+    // the listing failpoint and require the scan to survive via the
+    // same bounded retry.
+    val base = "/tmp/graft_toctou_bands_rawio"
+    clean(base, Seq("layout"))
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").filter($"doc_id" < 120)
+    BandIndex.writeBandLayout(
+      BandIndex.buildBands(docs, 0.5, 8), s"$base/layout", 0.5, 8)
+    val want = spark.read.format("graft.sources.BandsSource")
+      .option("path", s"$base/layout").load().count()
+    assert(want > 0L)
+    withOneShotFold {
+      throw new java.io.IOException(
+        s"Invalid directory or I/O error occurred for dir: " +
+          s"$base/layout/bucket=4")
+    } {
+      val got = spark.read.format("graft.sources.BandsSource")
+        .option("path", s"$base/layout").load().count()
+      assert(got == want,
+        s"raw-local IOException shape not retried: $got vs $want")
+    }
+  }
+
   test("the TOCTOU retry holds on the CELLS lane") {
     val base = "/tmp/graft_toctou_cells"
     clean(base, Seq("layout"))
